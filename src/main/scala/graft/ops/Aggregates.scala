@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Group G — aggregation (SURVEY §2.B group G).
+  *
+  * Grounding:
+  *  - COUNT(*) reconciliation between source and warehouse:
+  *    `/root/reference/source/start_dms_replication_task_lambda/handler.py:27-73`
+  *  - per-account rollups over the txns fixture / "easy querying for
+  *    business analytics" (`/root/reference/README.md:3`).
+  *
+  * All aggregates here are plain `groupBy().agg()` — Catalyst plans them
+  * as partial (map-side) + final hash aggregation automatically, which is
+  * the scale path: the shuffle carries one row per (group × partition),
+  * not per input row.
+  *
+  * Money determinism: doubles are cast to DECIMAL(18,2) BEFORE summation
+  * so the sum is exact and associative (safe under any partitioning), then
+  * the final value is cast back to DOUBLE for a stable cross-engine hash.
+  */
+object Aggregates {
+
+  private def moneySum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** g_count_star — the A19 reconciliation count. */
+  def countStar(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).groupBy().agg(count(lit(1)).as("cnt"))
+
+  /** g_group_agg — TPC-H Q1-shaped rollup: sum/avg/min/max/count per
+    * (returnflag, linestatus). */
+  def groupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum("l_extendedprice").as("sum_price"),
+        graft.functions.DetMath.round2(avg(col("l_quantity"))).as("avg_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** g_distinct — exact distinct counts (the oracle-able variant;
+    * `approx_count_distinct` lives in [[approxDistinct]]). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** g_approx_distinct — HyperLogLog++ sketch counts: the scale path for
+    * distinct cardinality (no exact-distinct double shuffle). Not DuckDB-
+    * oracled (different sketch); rows-only check + scalatest bound. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** g_rollup — multi-level business rollup over events:
+    * (event_type, year) with subtotals and a grand total. Rollup nulls are
+    * disambiguated via coalesce so the output is total-orderable and
+    * null-free (cross-engine hash stability). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), year(col("ts")).cast(LongType).as("yr"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("event_type"), col("yr"))
+
+  /** g_having — post-aggregation group filter: customers with more than
+    * `minOrders` orders. */
+  def havingAgg(spark: SparkSession, dir: String, minOrders: Long = 5): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_spend"))
+      .filter(col("n_orders") > minOrders)
+      .orderBy(col("o_custkey"))
+}

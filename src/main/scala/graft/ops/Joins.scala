@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Group J — joins (SURVEY §2.B group J).
+  *
+  * Grounding: the warehouse star-schema the reference's pipeline exists to
+  * serve (`/root/reference/README.md:3` — "OLAP data warehouse for easy
+  * querying for business analytics"), and the two-sided reconciliation /
+  * divergence checks of A19
+  * (`/root/reference/source/start_dms_replication_task_lambda/handler.py:27-73`,
+  * deleted-records divergence `README.md:30`).
+  *
+  * Scale notes (the 100 TB stance):
+  *  - dimension tables (region/nation/supplier/part/customer) are tiny
+  *    relative to the fact tables → explicit `broadcast()` hints, so the
+  *    fact side never shuffles for the dim join even if AQE stats are
+  *    missing at plan time;
+  *  - the one genuinely large join (lineitem ⋈ orders) is a plain equi-join
+  *    on the natural key — Catalyst/AQE picks shuffled hash / sort-merge
+  *    and handles skew (AQE skew-join splitting);
+  *  - semi/anti joins ship only the key column of the probe side.
+  */
+object Joins {
+
+  /** j_broadcast_dim — fact ⋈ small dims with broadcast hash joins:
+    * customers per region via customer ⋈ nation ⋈ region. */
+  def broadcastDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_acctbal"))
+      .orderBy(col("r_name"))
+
+  /** j_multiway_star — the flagship: revenue by region across the full
+    * star (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region).
+    * lineitem⋈orders is the only big-big join; all dims broadcast. */
+  def multiwayStar(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        graft.functions.DetMath.sumMoneyCents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"))
+
+  /** j_left_outer — null-preserving outer join + aggregate: order count and
+    * spend per customer, keeping customers with no orders (the reference's
+    * warehouse keeps rows whose source rows disappeared, README.md:30). */
+  def leftOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType),
+          lit(0.0)).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  /** j_semi — EXISTS: orders that have at least one lineitem ("already
+    * replicated" check). Left-semi ships only l_orderkey. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** j_anti — NOT EXISTS: customers with no orders (divergence/lag
+    * detection, A19 / README.md:30). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+}

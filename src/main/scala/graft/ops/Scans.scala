@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Group S — scans, projection, type conversion (SURVEY §2.B group S).
+  *
+  * Behavior grounded in the reference's ingest normalization:
+  *  - header-normalized projection/rename:
+  *    `/root/reference/source/load_data_to_rds_lambda/handler.py:24-27`
+  *  - money-string → decimal cleanup (txns.csv money format `"  1,000,000.00 "`):
+  *    `/root/reference/source/load_data_to_rds_lambda/txns.csv:2`
+  *  - `d-MMM-yy` date handling: same fixture, parsed here into typed parts
+  *  - semi-structured JSON extraction (`COPY … format as json 'auto'` /
+  *    Redshift `super` columns):
+  *    `/root/reference/source/load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py:74-93`
+  *
+  * Determinism contract (SURVEY §2.B): total ORDER BY over key columns,
+  * money through exact DECIMAL(18,2) then cast to DOUBLE, no raw timestamp
+  * outputs (date / bigint epoch only) so the parquet↔DuckDB hash compare
+  * is stable.
+  */
+object Scans {
+
+  /** Normalize a raw header name the way the reference does:
+    * spaces → underscores, lowercased
+    * (`load_data_to_rds_lambda/handler.py:24-27`). */
+  def normalizeName(raw: String): String = raw.replace(" ", "_").toLowerCase
+
+  /** Apply header normalization to every column of a frame (operator A2). */
+  def normalizeHeader(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normalizeName).toIndexedSeq: _*)
+
+  /** s_scan_project_rename — select + rename + reorder, the A2 shape. */
+  def scanProjectRename(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("l_returnflag").as("return_flag"),
+        col("l_linestatus").as("line_status"),
+        col("l_quantity").as("quantity"))
+      .orderBy(col("order_key"), col("line_number"))
+
+  /** s_cast_money_decimal — clean a padded, comma-grouped money string and
+    * cast to DECIMAL(18,2) (txns.csv shape). The dirty string is built
+    * deterministically from l_extendedprice so Spark and the oracle see
+    * byte-identical inputs. */
+  def castMoneyDecimal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("money_str",
+        concat(lit("  1,"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).cast(StringType),
+          lit(" ")))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("money_str"),
+        regexp_replace(trim(col("money_str")), ",", "")
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("amount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** s_parse_date — typed date-part derivation of the `29-Jun-17` fixture
+    * semantics: year / month / day / quarter + a DATE-typed column. */
+  def parseDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate").cast(DateType).as("ship_date"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"),
+        month(col("l_shipdate")).cast(LongType).as("ship_month"),
+        dayofmonth(col("l_shipdate")).cast(LongType).as("ship_day"),
+        quarter(col("l_shipdate")).cast(LongType).as("ship_quarter"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** s_json_extract — typed extraction from a semi-structured JSON column
+    * (the `super` / `json 'auto'` analog, A13). */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy(col("event_id"))
+
+  /** s_string_funcs — the reference's name-normalization string ops (A2)
+    * exercised over `part`. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        trim(col("p_brand")).as("brand_trim"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        length(col("p_name")).cast(LongType).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  /** s_math_funcs — amount arithmetic of the txns fixture
+    * (withdrawals/deposits/balance columns): + - * /, abs, round,
+    * greatest/least over lineitem prices. */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        graft.functions.DetMath.round2(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        graft.functions.DetMath.round2(
+          col("l_extendedprice") * col("l_tax")).as("tax_amt"),
+        abs(col("l_discount") - col("l_tax")).as("disc_tax_gap"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+}

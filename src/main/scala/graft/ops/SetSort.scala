@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Group O — sort / limit / set operations (SURVEY §2.B group O).
+  *
+  * Grounding:
+  *  - lexicographically-sortable timestamped staging keys (newest/oldest
+  *    ordering): `/root/reference/source/write_dynamodb_stream_to_s3_lambda/handler.py:44-48`
+  *  - append-only accumulation (no-PK inserts):
+  *    `/root/reference/source/load_data_to_rds_lambda/handler.py:36-49`
+  *  - source−target divergence (EXCEPT / INTERSECT reconciliation):
+  *    `/root/reference/README.md:30`, A19.
+  *
+  * Scale: ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+  * top-k, then k·partitions rows to the driver — no global sort). UNION ALL
+  * is a zero-shuffle concatenation. EXCEPT/INTERSECT shuffle only the key
+  * column.
+  */
+object SetSort {
+
+  /** o_sort_limit — newest k events (the staged-file ordering shape).
+    * Plans as TakeOrderedAndProject: no full sort at any scale. */
+  def sortLimit(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.events(spark, dir)
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+      .limit(k)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** o_union_append — two appended slices re-aggregated (A3 append-only
+    * multiset semantics: duplicates are preserved by UNION ALL). */
+  def unionAppend(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val early = li.filter(col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+    val late  = li.filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType))
+    early.unionByName(late)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** o_except_reconcile — key-set divergence: customers never seen on the
+    * order side (source minus target keys, A19). */
+  def exceptReconcile(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(spark, dir).select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  /** o_intersect — keys replicated on both sides. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey").as("custkey"))
+      .intersect(Tables.orders(spark, dir).select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+}

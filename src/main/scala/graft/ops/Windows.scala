@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Group W — window functions (SURVEY §2.B group W).
+  *
+  * Grounding:
+  *  - last-write-wins upsert by partition key (DynamoDB `put_item`):
+  *    `/root/reference/source/load_data_to_dynamodb_lambda/handler.py:12-15`,
+  *    key definition `/root/reference/cdk_infrastructure/__init__.py:287-289`
+  *  - running `BALANCE AMT` column of the txns fixture
+  *    (`/root/reference/source/load_data_to_rds_lambda/txns.csv:2`, cols 6-8)
+  *  - lag/lead = CDC change-vs-previous diffing.
+  *
+  * Scale: each window partitions by a key (user_id / custkey) — one
+  * shuffle on the partition key, then per-partition sort. No global sort,
+  * no driver state. Skewed users would be the hazard at 100 TB; the
+  * partition key cardinality here (users, customers) is high relative to
+  * executor count, and AQE handles residual skew.
+  *
+  * Determinism: (user_id, ts) is unique in the events table (verified),
+  * and every orderBy adds event_id/orderkey as a total tiebreak anyway.
+  */
+object Windows {
+
+  /** w_last_wins_dedup — the A5 upsert semantics materialized in batch:
+    * keep the latest event per user_id. */
+  def lastWinsDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** w_running_balance — cumulative sum per key in event order (the
+    * BALANCE AMT column). Value goes through DECIMAL(18,2) so every prefix
+    * sum is exact regardless of physical partitioning. */
+  def runningBalance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("balance"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** w_rank_topn_per_group — top-N orders per customer by total price. */
+  def rankTopNPerGroup(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .filter(col("rnk") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** w_lag_lead — change-vs-previous per key (CDC diffing): previous value
+    * and delta per user ordered by time. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+}
