@@ -58,6 +58,20 @@ object SparkEntry {
     "o_union_append"        -> (SetSort.unionAppend _),
     "o_except_reconcile"    -> (SetSort.exceptReconcile _),
     "o_intersect"           -> (SetSort.intersectKeys _),
+    // Group X — training-data pipeline extensions
+    "x_exact_dedup"         -> (operators.Dedup.exactDedup _),
+    "x_fingerprint_dedup"   -> (operators.Dedup.fingerprintDedup _),
+    "x_ngram_jaccard"       -> ((s: SparkSession, d: String) => operators.Dedup.ngramJaccardPairs(s, d)),
+    "x_minhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDup(s, d)),
+    "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
+    "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
+    "x_token_stats"         -> (operators.TextAnalysis.tokenStats _),
+    "x_text_quality"        -> (operators.TextAnalysis.textQuality _),
+    "x_lang_id"             -> (operators.TextAnalysis.langId _),
+    "x_doc_fingerprint"     -> (operators.TextAnalysis.docFingerprint _),
+    "x_knn_cosine"          -> ((s: SparkSession, d: String) => operators.Similarity.knnCosine(s, d)),
+    "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
+    "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,5 +229,92 @@ object SparkEntry {
       """SELECT c_custkey AS custkey FROM customer
         |INTERSECT SELECT o_custkey AS custkey FROM orders
         |ORDER BY custkey""".stripMargin,
+    "x_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "x_fingerprint_dedup" ->
+      """SELECT min(doc_id) AS doc_id, substring(md5(text), 1, 16) AS fp,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    "x_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 2),
+        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common,
+        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_text_tokenize_counts" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    "x_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_re_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_text_quality" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       floor(((length(text) - (len(string_split(text, ' ')) - 1)) / greatest(len(string_split(text, ' ')), 1)) * 100.0 + 0.5) / 100.0 AS avg_token_len,
+        |       floor((CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1)) * 100.0 + 0.5) / 100.0 AS stopword_ratio,
+        |       floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(length(text), 1)) * 100.0 + 0.5) / 100.0 AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_lang_id" ->
+      """SELECT doc_id, lang AS lang_labeled,
+        |       CASE WHEN s_de = best AND best > 0 THEN 'de'
+        |            WHEN s_en = best AND best > 0 THEN 'en'
+        |            WHEN s_es = best AND best > 0 THEN 'es'
+        |            WHEN s_fr = best AND best > 0 THEN 'fr'
+        |            WHEN s_zh = best AND best > 0 THEN 'zh'
+        |            ELSE 'und' END AS lang_guess
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','nicht','ist','ein','mit'])) AS BIGINT) AS s_de,
+        |         CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to','in','is','for'])) AS BIGINT) AS s_en,
+        |         CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y','en','un','por'])) AS BIGINT) AS s_es,
+        |         CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','de','et','un','est','pour','que'])) AS BIGINT) AS s_fr,
+        |         CAST(len(list_intersect(list_distinct(string_split(text,' ')), ['de5','shi4','bu4','le5','wo3','you3','zai4','ta1'])) AS BIGINT) AS s_zh,
+        |         greatest(
+        |           len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','nicht','ist','ein','mit'])),
+        |           len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to','in','is','for'])),
+        |           len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y','en','un','por'])),
+        |           len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','de','et','un','est','pour','que'])),
+        |           len(list_intersect(list_distinct(string_split(text,' ')), ['de5','shi4','bu4','le5','wo3','you3','zai4','ta1']))) AS best
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x_doc_fingerprint" ->
+      """SELECT doc_id, substring(md5(text), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_knn_cosine" ->
+      """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS cos_sim
+        |FROM embeddings e,
+        |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    "x_embed_near_dup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }
