@@ -1,0 +1,131 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key streaming state (top-level: nested classes break the codegen'd
+  * state-store encoder). */
+case class KeyState(newImage: String, ts: java.sql.Timestamp, removed: Boolean)
+
+/** Changelog application — the core CDC operator (SURVEY §2.B group T,
+  * `t_changelog_apply`): turn a stream/batch of change envelopes into a
+  * materialized keyed table.
+  *
+  * Two modes, both grounded in the reference:
+  *  - [[Mode.DropRemove]] — reference-faithful: REMOVE events never reach
+  *    the warehouse (`/root/reference/source/write_dynamodb_stream_to_s3_lambda/handler.py:31-32`,
+  *    divergence documented `/root/reference/README.md:30`), so a deleted
+  *    key keeps its last pre-delete image.
+  *  - [[Mode.ApplyRemove]] — the corrected semantics: a REMOVE that is the
+  *    key's latest event deletes the key.
+  *
+  * Scale: batch apply is one shuffle on the key (window dedup — exactly
+  * the reference's `put_item` last-write-wins, A5). Streaming apply keeps
+  * per-key state in the state store via `flatMapGroupsWithState` — state
+  * size is O(live keys), partitioned across executors, no driver state.
+  */
+object ChangelogApply {
+
+  sealed trait Mode
+  object Mode {
+    case object DropRemove extends Mode
+    case object ApplyRemove extends Mode
+  }
+
+  /** Validate envelopes: unknown event names are a hard, distributed
+    * error (reference raises at `handler.py:33-37`). */
+  def validated(events: DataFrame): DataFrame =
+    events.filter(
+      when(col("eventName").isin(ChangeEvent.Known: _*), lit(true))
+        .otherwise(raise_error(concat(
+          lit("Unexpected event_name: "), col("eventName")))))
+
+  /** Batch apply: latest image per key (ties broken by a total order on
+    * (ts, eventName) — deterministic even if a key has equal timestamps). */
+  def applyBatch(events: DataFrame, mode: Mode): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").desc, col("eventName").desc)
+    val base = mode match {
+      case Mode.DropRemove =>
+        validated(events).filter(col("eventName").isin(ChangeEvent.Upserts: _*))
+      case Mode.ApplyRemove => validated(events)
+    }
+    val latest = base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val applied = mode match {
+      case Mode.DropRemove  => latest
+      case Mode.ApplyRemove => latest.filter(col("eventName") =!= ChangeEvent.Remove)
+    }
+    applied.select(col("key"), col("newImage"), col("ts"))
+  }
+
+  /** Output row: the key's current materialized image (None = deleted). */
+  case class Upsert(key: String, newImage: Option[String], ts: java.sql.Timestamp)
+
+  /** Streaming apply: emits the updated image of each key touched in a
+    * micro-batch (an upsert changelog the sink can merge). State store
+    * keyed by `key`; within a batch events are reduced last-wins before
+    * touching state, so state updates are O(distinct keys per batch). */
+  def applyStream(events: Dataset[ChangeEvent], mode: Mode): Dataset[Upsert] = {
+    import events.sparkSession.implicits._
+    val dropRemove = mode == Mode.DropRemove
+
+    def update(key: String, batch: Iterator[ChangeEvent],
+        state: GroupState[KeyState]): Iterator[Upsert] = {
+      val relevant = batch.filter(e =>
+        if (ChangeEvent.Known.contains(e.eventName)) true
+        else throw new IllegalArgumentException(s"Unexpected event_name: ${e.eventName}"))
+        .filter(e => !dropRemove || ChangeEvent.Upserts.contains(e.eventName))
+        .toSeq
+      if (relevant.isEmpty) Iterator.empty
+      else {
+        val last = relevant.maxBy(e => (e.ts.getTime, e.eventName))
+        val prior = state.getOption
+        val newer = prior.forall(p => last.ts.getTime >= p.ts.getTime)
+        if (!newer) Iterator.empty
+        else {
+          val removed = !dropRemove && last.eventName == ChangeEvent.Remove
+          state.update(KeyState(last.newImage, last.ts, removed))
+          Iterator.single(
+            Upsert(key, if (removed) None else Some(last.newImage), last.ts))
+        }
+      }
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Merge an upsert-changelog micro-batch into a parquet warehouse table
+    * (directory). Parquet is immutable, so merge = read ∪ new → last-wins
+    * → atomic-ish rewrite; at warehouse scale this is the compaction path
+    * of a proper table format, the semantics are identical. Used from
+    * `foreachBatch`. */
+  def mergeIntoParquet(spark: SparkSession, upserts: DataFrame,
+      tableDir: String): Unit = {
+    val existing =
+      try spark.read.parquet(tableDir)
+      catch { case _: Exception => spark.emptyDataFrame }
+    val unioned =
+      if (existing.isEmpty) upserts
+      else existing.select(upserts.columns.map(col).toIndexedSeq: _*)
+        .unionByName(upserts)
+    val w = Window.partitionBy(col("key")).orderBy(col("ts").desc)
+    val merged = unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("newImage").isNotNull)
+      .drop("rn")
+    // write-then-swap keeps readers consistent on failure mid-write
+    val tmp = tableDir + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tableDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

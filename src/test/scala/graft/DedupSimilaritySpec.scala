@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Group X scale-path operators vs their exact ground truths at sf0.001. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  private def pairSet(rows: Array[Row]) =
+    rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  test("MinHash+LSH finds exactly the exact-Jaccard near-dup pairs (verification kills FPs; banding recall ~1 at j≥0.8)") {
+    val exact = pairSet(Dedup.ngramJaccardPairs(spark, dir).collect())
+    val mh = pairSet(Dedup.minhashNearDup(spark, dir).collect())
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    assert(mh === exact)
+  }
+
+  test("SimHash recalls the strong (j≥0.95) near-dup pairs") {
+    // SimHash's contract is Hamming distance over token profiles; on this
+    // tiny 31-word vocab unrelated short docs can profile-collide, so we
+    // assert RECALL of strong shingle-level dups, not precision.
+    val strong = pairSet(Dedup.ngramJaccardPairs(spark, dir, threshold = 0.95).collect())
+    val sh = pairSet(Dedup.simhashNearDup(spark, dir).collect())
+    assert(strong.nonEmpty, "fixture should contain strong near-duplicates")
+    val recalled = (strong & sh).size.toDouble / strong.size
+    assert(recalled >= 0.8, s"simhash missed too many strong dups: $recalled")
+  }
+
+  test("ANN results carry exact cosine scores and real recall vs brute force") {
+    val brute = Similarity.knnCosine(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ann = Similarity.annKnnCosine(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim"))
+    assert(ann.nonEmpty)
+    // every ANN hit that brute force also ranked must have the identical score
+    ann.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-12)) }
+    val recall = ann.count(a => brute.contains(a._1)).toDouble / brute.size
+    assert(recall >= 0.2, s"suspiciously low ANN recall: $recall")
+  }
+
+  test("bucketed near-dup pairs are a subset of brute-force pairs with equal scores") {
+    val brute = Similarity.embeddingNearDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ann = Similarity.annNearDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert((ann -- brute).isEmpty)
+  }
+
+  test("exact dedup and fingerprint dedup agree on canonical ids") {
+    val a = Dedup.exactDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Dedup.fingerprintDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a === b) // md5 collisions would be the only divergence
+  }
+}

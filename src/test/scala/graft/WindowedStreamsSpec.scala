@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.WindowedStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Group T windowed streaming: tumbling/sliding/session + watermark
+  * late-data policy, driven through MemoryStream micro-batches. */
+class WindowedStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(min: Long) = new Timestamp(min * 60 * 1000)
+
+  test("tumbling counts close once the watermark passes; late rows are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = WindowedStreams.tumblingCounts(input.toDF(),
+      width = "5 minutes", watermark = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, ts(0), 1, "purchase", 10.0),
+        Ev(2, ts(1), 2, "purchase", 5.0),
+        Ev(3, ts(6), 1, "signup", 1.0))
+      q.processAllAvailable()
+      // advance watermark beyond window [0,5)
+      input.addData(Ev(4, ts(20), 3, "error", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("tumble").collect()
+      val w0 = closed.filter(_.getAs[Timestamp]("win_start") == ts(0))
+      assert(w0.length === 1 && w0.head.getAs[Long]("cnt") === 2)
+      val nBefore = spark.table("tumble").count()
+      // late event inside the already-closed [0,5) window → dropped
+      input.addData(Ev(5, ts(2), 9, "purchase", 99.0))
+      q.processAllAvailable()
+      input.addData(Ev(6, ts(40), 3, "error", 0.0)) // push watermark again
+      q.processAllAvailable()
+      val after = spark.table("tumble").collect()
+      val w0after = after.filter(_.getAs[Timestamp]("win_start") == ts(0))
+      assert(w0after.head.getAs[Long]("cnt") === 2, "late row must not resurrect the window")
+    } finally q.stop()
+  }
+
+  test("sliding windows assign rows to every overlapping window (batch-mode plan)") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(1, ts(1), 1, "purchase", 1.0),
+      Ev(2, ts(7), 1, "purchase", 1.0)).toDF()
+    val out = WindowedStreams.slidingCounts(df,
+        width = "10 minutes", slide = "5 minutes")
+      .collect().map(r => (r.getAs[Timestamp]("win_start"), r.getAs[Long]("cnt")))
+      .toMap
+    // ts(1) ∈ [-5,5) and [0,10); ts(7) ∈ [0,10) and [5,15)
+    assert(out(ts(-5)) === 1 && out(ts(0)) === 2 && out(ts(5)) === 1)
+  }
+
+  test("session windows split on gap (batch-mode plan)") {
+    import spark.implicits._
+    val df = Seq(
+      Ev(1, ts(0), 1, "a", 0), Ev(2, ts(10), 1, "a", 0), // one session (gap 30)
+      Ev(3, ts(100), 1, "a", 0), // second session
+      Ev(4, ts(5), 2, "a", 0)).toDF()
+    val out = WindowedStreams.sessionCounts(df, gap = "30 minutes")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt")))
+    assert(out.count(_._1 == 1) === 2)
+    assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1, 2))
+    assert(out.count(_._1 == 2) === 1)
+  }
+}
