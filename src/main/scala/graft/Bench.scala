@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: session init, parquet footer reads, first codegen — keeps
+    // the first measured query from absorbing fixed startup cost
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      spark.read.parquet(s"$sfDir/events.parquet")
+      spark.range(1000).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -72,6 +72,7 @@ object SparkEntry {
     "x_knn_cosine"          -> ((s: SparkSession, d: String) => operators.Similarity.knnCosine(s, d)),
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
+    "x_multimodal_features" -> (operators.Multimodal.featureStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -51,10 +51,28 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** Per-doc distinct word-n-gram shingles, exploded to (doc_id, shingle)
-    * rows — the distributed representation for set-similarity joins. */
-  def explodedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingleSet(col("text"), n)).as("shingle"))
+    * rows — the distributed representation for set-similarity joins.
+    *
+    * Built as posexplode(tokens) + lead() window rather than a per-row
+    * HOF: every step whole-stage-codegens (HOF lambdas don't), and at
+    * 100 TB the shuffle-by-doc_id + sort is embarrassingly parallel while
+    * a per-row transform() burns interpreted cycles on the hot path. */
+  def explodedShingles(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val parts = (0 until n).map {
+      case 0 => col("tok")
+      case i => lead(col("tok"), i).over(w)
+    }
+    toks
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+        parts.last.isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+  }
 
   /** x_ngram_jaccard — EXACT n-gram Jaccard near-duplicate pairs
     * (the ground truth / oracle-able variant).
@@ -90,7 +108,9 @@ object Dedup {
 
   /** MinHash signature column: for each of `numHashes` seeded hash
     * functions, the min over the doc's shingles of xxhash64(seed, shingle).
-    * Pure HOF projection — no shuffle, codegen'd, O(H·S) per doc. */
+    * HOF reference form (per-row, no shuffle); the query path uses the
+    * explode + hash-aggregate formulation in [[minhashNearDup]], which
+    * whole-stage-codegens (HOF lambdas don't) and map-side combines. */
   def minhashSignature(shingleSetCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
       array_min(transform(shingleSetCol, sh => xxhash64(lit(s), sh)))
@@ -110,13 +130,24 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleSet(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sigs = docs.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // signatures via explode + 64 min-aggregates: every xxhash64 runs
+    // inside WholeStageCodegen and partial (map-side) min-combine means
+    // the shuffle carries 64 longs per doc regardless of doc size. The
+    // shingle set rides along in the same aggregation (collect_set) so
+    // shingles are generated and shuffled exactly once; the three
+    // downstream consumers share the exchange (ReuseExchange).
+    val exploded = explodedShingles(Tables.documents(spark, dir), n)
+    val minCols = (0 until numHashes).map(s =>
+      min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+    val grouped = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head,
+        (minCols.tail :+ collect_set(col("shingle")).as("sh")): _*)
+    val sigs = grouped.select(col("doc_id"),
+      array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+    val docs = grouped.select(col("doc_id"), col("sh"))
     // one row per (doc, band): band key = hash of the band's slice
     val banded = sigs.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -127,11 +158,13 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.sh").as("sha"),
-        col("b.doc_id").as("doc_b"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // exact verification — no false positives survive
+    // exact verification — no false positives survive. Candidates are
+    // few (near-dup density), so the shingle sets join back cheaply.
     candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
       .withColumn("n_common",
         size(array_intersect(col("sha"), col("shb"))).cast(LongType))
       .withColumn("jaccard",
@@ -172,8 +205,20 @@ object Dedup {
     * Not DuckDB-oracled (xxhash64); scalatest-verified. */
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+    // explode + 64 signed-count aggregates (same semantics as the HOF
+    // simhash64, but whole-stage-codegen'd with map-side combine)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map(j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, lit(1))
+        .otherwise(lit(-1))).as(s"b$j"))
+    val docs = toks.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
     val blocked = docs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

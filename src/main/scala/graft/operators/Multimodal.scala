@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (driver mandate: treat image/audio/video as
+  * opaque binary columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample as batched partition-local transforms).
+  *
+  * The Spark-side contract is real and tested: schema, partitioning,
+  * batch shape, write layout. The codec itself is a clearly-marked STUB
+  * (`FakeCodec`) — this container has no image/audio libraries, so the
+  * stub is a deterministic stand-in with the same signature a JNI/FFI
+  * codec (or a Python `mapInPandas` worker) would have.
+  *
+  * Scale design:
+  *  - payloads stay OPAQUE BINARY end-to-end: Spark never interprets
+  *    them, so scans project them lazily and shuffles never carry them
+  *    unless the user asks;
+  *  - decode runs via `mapPartitions` in fixed-size batches — the Scala
+  *    analog of `mapInPandas`'s Arrow batches: amortizes codec init
+  *    (model load / decoder context) once per batch, not per row;
+  *  - feature tables (small, fixed-width) separate from payload tables
+  *    (huge): downstream similarity joins touch only features;
+  *  - writes partition by `kind` so modality-specific jobs prune files.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every opaque payload. */
+  case class MediaMeta(
+      format: String,       // e.g. "jpeg" | "wav" | "mp4" (stub values)
+      width: Int,           // images/video; -1 otherwise
+      height: Int,
+      sampleRate: Int,      // audio; -1 otherwise
+      durationMs: Long)     // audio/video; -1 otherwise
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      meta: MediaMeta)
+
+  case class MediaFeatures(media_id: Long, kind: String,
+      features: Array[Float], n_bytes: Long)
+
+  val FeatureDim = 16
+
+  /** STUB CODEC — deterministic stand-in for a real decoder.
+    *
+    * A production build replaces this object with JNI bindings (libjpeg /
+    * ffmpeg / soundfile) or routes the batch to a Python worker; the
+    * call signature (batch in → batch out) and everything around it is
+    * the real, tested plumbing. The stub derives values from payload
+    * bytes with a rolling 64-bit mix so outputs are reproducible. */
+  object FakeCodec {
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** "Decode" a payload into a FeatureDim-float embedding. */
+    def features(payload: Array[Byte]): Array[Float] = {
+      var h = 0x1234abcdL
+      payload.foreach(b => h = mix(h ^ (b & 0xffL)))
+      Array.tabulate(FeatureDim) { i =>
+        val v = mix(h + i)
+        ((v >>> 11) * (2.0 / (1L << 53)) - 1.0).toFloat
+      }
+    }
+
+    /** "Resize" an image payload: deterministic re-encode stub that
+      * shrinks the byte budget proportionally to the pixel change. */
+    def resize(payload: Array[Byte], w0: Int, h0: Int,
+        w1: Int, h1: Int): Array[Byte] = {
+      val ratio = math.max(1e-9, (w1.toDouble * h1) / math.max(1, w0.toLong * h0))
+      val n = math.max(4, (payload.length * ratio).toInt)
+      Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))
+    }
+
+    /** "Frame-sample" a video payload into `n` frame payloads. */
+    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val span = math.max(1, payload.length / math.max(1, n))
+      (0 until n).map(i => payload.slice(i * span,
+        math.min(payload.length, i * span + span)))
+    }
+  }
+
+  /** Batched partition-local decode: iterate each partition in
+    * `batchSize` groups (the Arrow-batch analog), init the codec once per
+    * batch, emit fixed-width feature rows. */
+  def extractFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec context would be opened here
+        batch.iterator.map { m =>
+          MediaFeatures(m.media_id, m.kind,
+            FakeCodec.features(m.payload), m.payload.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Resize every image to the target box; non-images pass through. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map {
+          case m if m.kind == "image" =>
+            m.copy(
+              payload = FakeCodec.resize(m.payload, m.meta.width, m.meta.height, w, h),
+              meta = m.meta.copy(width = w, height = h))
+          case m => m
+        }
+      }
+    }
+  }
+
+  /** Sample `n` frames from every video into image rows. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      FakeCodec.frames(m.payload, n).zipWithIndex.map { case (f, i) =>
+        MediaRow(m.media_id * 1000 + i, "image", f,
+          m.meta.copy(format = "frame", durationMs = -1L))
+      }
+    }
+  }
+
+  /** Write a media table partitioned by modality (file-level pruning for
+    * modality-specific jobs). */
+  def writePartitioned(media: Dataset[MediaRow], dir: String): Unit =
+    media.write.partitionBy("kind").mode("overwrite").parquet(dir)
+
+  /** Deterministic synthetic media table derived from the documents
+    * fixture (no media testdata ships in the container): payload = UTF-8
+    * bytes of the text, modality round-robins by doc_id. */
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val meta = kind match {
+          case "image" => MediaMeta("jpeg", 640, 480, -1, -1L)
+          case "audio" => MediaMeta("wav", -1, -1, 16000, payload.length * 2L)
+          case _       => MediaMeta("mp4", 1280, 720, -1, payload.length * 5L)
+        }
+        MediaRow(id, kind, payload, meta)
+      }
+  }
+
+  /** x_multimodal_features — the end-to-end feature-extraction query
+    * (synthetic media → batched decode → per-modality feature stats).
+    * Not DuckDB-oracled (binary payload + stub codec are not SQL);
+    * rows-only check + scalatest determinism spec. */
+  def featureStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = extractFeatures(syntheticMedia(spark, dir))
+    feats.toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -77,10 +77,14 @@ object Similarity {
     * ([[annNearDupPairs]]). */
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
+    // norms precomputed once per vector (not once per pair): cuts the
+    // per-pair work to one dot product + one divide
     val e = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -92,12 +96,14 @@ object Similarity {
     val planes = hyperplanes(nPlanes, 64, seed)
     val emb = Tables.embeddings(spark, dir)
       .withColumn("bucket", srpBucket(col("embedding"), planes))
+      .withColumn("nrm", norm(col("embedding")))
     emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+        (dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
