@@ -73,6 +73,9 @@ object SparkEntry {
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
+    "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
+    // Group T — the batch-verifiable face of the streaming operators
+    "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,6 +301,11 @@ object SparkEntry {
     "x_doc_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_tumbling_batch" ->
+      """SELECT (epoch_ns(ts) // 300000000000) * 300 AS win_start_s, event_type,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
     "x_knn_cosine" ->
       """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))

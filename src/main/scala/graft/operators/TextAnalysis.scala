@@ -65,4 +65,16 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** x_rolling_fingerprint — winnowing-style min-window rolling-hash
+    * fingerprints (shift-stable, unlike md5 of the whole text) via the
+    * codegen'd [[graft.functions.RollingFingerprint]] expression. Not
+    * DuckDB-oracled (engine-native hash); scalatest checks the rolling
+    * invariants. */
+  def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.RollingFingerprint.rollingFingerprint(col("text"), 32)
+          .as("rfp"))
+      .orderBy(col("doc_id"))
 }

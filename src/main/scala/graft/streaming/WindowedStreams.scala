@@ -44,6 +44,22 @@ object WindowedStreams {
         col("window.end").as("win_end"),
         col("event_type"), col("cnt"))
 
+  /** t_tumbling_batch — the tumbling aggregation as a driver-verifiable
+    * BATCH query (same `window()` operator the streaming form uses; the
+    * oracle checks the bucketing arithmetic). Output carries epoch
+    * seconds (BIGINT) instead of raw timestamps for cross-engine hashing. */
+  def tumblingCountsBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("win_start_s"), col("event_type"))
+
   /** Session windows per user: activity bursts separated by `gap`. */
   def sessionCounts(events: DataFrame, tsCol: String = "ts",
       gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
