@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.FunctionRegistryBridge
+import graft.functions.{DynamoAttributeDecode, FloatArrayDot, RollingFingerprint}
+
+/** SQL-surface registration of this engine's custom Catalyst expressions,
+  * so `spark.sql` users get them alongside the built-ins:
+  *
+  * {{{
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT vector_dot(a.embedding, b.embedding) FROM ...")
+  *   spark.sql("SELECT rolling_fingerprint(text, 32) FROM docs")
+  *   spark.sql("SELECT dynamo_attr_decode(newImage) FROM envelopes")
+  * }}}
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    FunctionRegistryBridge.register(spark, "vector_dot", exprs => {
+      require(exprs.length == 2, "vector_dot(a, b) takes 2 arguments")
+      FloatArrayDot(exprs(0), exprs(1))
+    })
+    FunctionRegistryBridge.register(spark, "rolling_fingerprint", exprs => {
+      require(exprs.length == 2, "rolling_fingerprint(text, window) takes 2 arguments")
+      val w = exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval(null).asInstanceOf[Int]
+      }
+      RollingFingerprint(exprs(0), w)
+    })
+    FunctionRegistryBridge.register(spark, "dynamo_attr_decode", exprs => {
+      require(exprs.length == 1, "dynamo_attr_decode(json) takes 1 argument")
+      DynamoAttributeDecode(exprs.head)
+    })
+  }
+}

@@ -29,6 +29,7 @@ object SparkEntry {
     "s_scan_project_rename" -> (Scans.scanProjectRename _),
     "s_cast_money_decimal"  -> (Scans.castMoneyDecimal _),
     "s_parse_date"          -> (Scans.parseDate _),
+    "s_date_arith"          -> (Scans.dateArith _),
     "s_json_extract"        -> (Scans.jsonExtract _),
     "s_string_funcs"        -> (Scans.stringFuncs _),
     "s_math_funcs"          -> (Scans.mathFuncs _),
@@ -41,6 +42,7 @@ object SparkEntry {
     "g_distinct"            -> (Aggregates.distinctCounts _),
     "g_approx_distinct"     -> (Aggregates.approxDistinct _),
     "g_rollup"              -> (Aggregates.rollupAgg _),
+    "g_cube"                -> (Aggregates.cubeAgg _),
     "g_having"              -> ((s: SparkSession, d: String) => Aggregates.havingAgg(s, d)),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
@@ -97,6 +99,13 @@ object SparkEntry {
         |       CAST(month(l_shipdate) AS BIGINT) AS ship_month,
         |       CAST(dayofmonth(l_shipdate) AS BIGINT) AS ship_day,
         |       CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s_date_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(l_shipdate AS DATE) + 30 AS ship_plus_30,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS days_since_95,
+        |       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month_start,
+        |       last_day(CAST(l_shipdate AS DATE)) AS ship_month_end
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "s_json_extract" ->
       """SELECT event_id, event_type,
@@ -156,6 +165,13 @@ object SparkEntry {
         |      FROM (SELECT event_type, CAST(year(ts) AS BIGINT) AS yr, value FROM events)
         |      GROUP BY ROLLUP(event_type, yr))
         |ORDER BY event_type, yr""".stripMargin,
+    "g_cube" ->
+      """SELECT coalesce(o_orderstatus, '<all>') AS status,
+        |       coalesce(o_orderpriority, '<all>') AS priority,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "g_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -83,6 +83,21 @@ object Aggregates {
         col("cnt"), col("sum_value"))
       .orderBy(col("event_type"), col("yr"))
 
+  /** g_cube — full cube over (status, priority): every subtotal
+    * combination, GROUPING-disambiguated via coalesce for hash-stable
+    * null-free output. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("cnt"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
   /** g_having — post-aggregation group filter: customers with more than
     * `minOrders` orders. */
   def havingAgg(spark: SparkSession, dir: String, minOrders: Long = 5): DataFrame =

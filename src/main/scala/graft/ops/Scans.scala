@@ -76,6 +76,20 @@ object Scans {
         quarter(col("l_shipdate")).cast(LongType).as("ship_quarter"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** s_date_arith — calendar arithmetic over ship dates: day offsets,
+    * day difference to a fixed epoch, month truncation, last-of-month. */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        date_add(col("l_shipdate").cast(DateType), 30).as("ship_plus_30"),
+        datediff(col("l_shipdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)).cast(LongType).as("days_since_95"),
+        trunc(col("l_shipdate").cast(DateType), "mm").as("ship_month_start"),
+        last_day(col("l_shipdate").cast(DateType)).as("ship_month_end"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** s_json_extract — typed extraction from a semi-structured JSON column
     * (the `super` / `json 'auto'` analog, A13). */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities — the hand-rolled complement to AQE's
+  * skew-join splitting for the cases AQE can't fix (e.g. a single hot key
+  * in a shuffled hash join against a mid-sized build side, or
+  * deterministic pre-salting of a known-skewed aggregation).
+  *
+  * At 100 TB the classic failure is one partition holding a hot key's
+  * entire fan-in. Salting trades one shuffle for bounded partition sizes:
+  * the probe side spreads each key over `factor` sub-keys, the build side
+  * replicates each row `factor` times. Both transforms are deterministic
+  * (hash-based salt, no RNG) so results are reproducible and retries
+  * safe — the same discipline as everywhere else in this engine.
+  */
+object SkewOps {
+
+  /** Deterministic salt in [0, factor): spreads a skewed probe row by
+    * hashing the WHOLE row tuple (salting by the key alone would keep a
+    * hot key on one partition — the thing we're fixing). */
+  def salt(factor: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(factor.toLong)).cast("int")
+
+  /** Equi-join `large ⋈ small` on `key`, salted `factor` ways:
+    * large side gets a per-row salt, small side is replicated once per
+    * salt value, the join key becomes (key, salt). Semantically identical
+    * to `large.join(small, key)`; physically the hot key's rows land on
+    * `factor` partitions instead of one. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      factor: Int = 8): DataFrame = {
+    require(factor > 0)
+    val salted = large.withColumn("__salt",
+      salt(factor, large.columns.map(col).toIndexedSeq: _*))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase (salted) aggregation: count/sum per key with a bounded
+    * per-partition group size even under extreme key skew. Spark's
+    * partial aggregation already map-side combines; this adds an explicit
+    * intermediate (key, salt) reduction for aggregates whose partial
+    * state is large (e.g. collect_set). */
+  def twoPhaseCount(df: DataFrame, key: String, factor: Int = 8): DataFrame =
+    df.withColumn("__salt", salt(factor, df.columns.map(col).toIndexedSeq: _*))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("cnt"))
+}

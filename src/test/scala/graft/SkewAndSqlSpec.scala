@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SkewOps
+
+/** Salted-join/agg equivalence under synthetic hot-key skew, and the SQL
+  * registration surface of the custom expressions. */
+class SkewAndSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("salted join equals plain join under a hot key") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val large = spark.range(10000)
+      .select((when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")))
+        .as("k"), col("id").as("payload"))
+    val small = Seq((1L, "hot"), (2L, "a"), (30L, "b")).toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewOps.saltedJoin(large, small, "k", factor = 8)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("two-phase count equals plain count under skew") {
+    import spark.implicits._
+    val df = spark.range(5000)
+      .select(when(col("id") % 5 === 0, lit(7L)).otherwise(col("id") % 100).as("k"))
+    val plain = df.groupBy("k").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val two = SkewOps.twoPhaseCount(df, "k", factor = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === plain)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("emb_sql")
+    val d = spark.sql(
+      "SELECT vector_dot(embedding, embedding) AS d FROM emb_sql WHERE vec_id = 0")
+      .collect().head.getDouble(0)
+    assert(d > 0.0)
+    val fp = spark.sql(
+      "SELECT rolling_fingerprint('the quick brown fox', 4) AS f")
+      .collect().head.getLong(0)
+    assert(fp === graft.functions.RollingFingerprint.minWindowHash(
+      "the quick brown fox".getBytes("UTF-8"), 4))
+    val dec = spark.sql(
+      """SELECT dynamo_attr_decode('{"a":{"N":"2"}}') AS j""")
+      .collect().head.getString(0)
+    assert(dec === """{"a":2}""")
+  }
+}
