@@ -31,6 +31,7 @@ object SparkEntry {
     "s_parse_date"          -> (Scans.parseDate _),
     "s_date_arith"          -> (Scans.dateArith _),
     "s_json_extract"        -> (Scans.jsonExtract _),
+    "s_variant_super"       -> (Scans.variantSuper _),
     "s_string_funcs"        -> (Scans.stringFuncs _),
     "s_math_funcs"          -> (Scans.mathFuncs _),
     // Group F — filters & predicates
@@ -110,6 +111,11 @@ object SparkEntry {
     "s_json_extract" ->
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s_variant_super" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       false AS is_null
         |FROM events ORDER BY event_id""".stripMargin,
     "s_string_funcs" ->
       """SELECT p_partkey, lower(p_name) AS name_lower,

@@ -100,6 +100,23 @@ object Scans {
         get_json_object(col("props"), "$.k").cast(LongType).as("k"))
       .orderBy(col("event_id"))
 
+  /** s_variant_super — the Redshift `super` column analog done the
+    * Spark-4-native way: parse the JSON props into a VARIANT value and
+    * extract typed fields with variant_get (SURVEY §1.2 — the reference
+    * lands semi-structured DynamoDB images in `super` columns via
+    * `COPY … json 'auto'`). Unlike get_json_object (string re-parse per
+    * extraction), the variant binary encoding parses once. */
+  def variantSuper(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        try_variant_get(col("v"), "$.k", "bigint").as("k"),
+        is_variant_null(col("v")).as("is_null"))
+      .orderBy(col("event_id"))
+
   /** s_string_funcs — the reference's name-normalization string ops (A2)
     * exercised over `part`. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{ChangeEvent, ChangelogApply}
+import graft.cdc.ChangelogApply.Mode
+import graft.functions.RollingFingerprint
+
+/** Property tests for the engine's algebraic laws (SURVEY §5):
+  * upsert/last-wins semantics, replay idempotence, append-count
+  * conservation, and the rolling-hash recurrence. Generators are driven
+  * by fixed seeds — reproducible across runs and machines. */
+class PropertyLawsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Sample `n` deterministic values from a generator. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i))
+      .getOrElse(fail(s"generator exhausted at $i")))
+
+  private val genEvent: Gen[ChangeEvent] = for {
+    name <- Gen.oneOf(ChangeEvent.Known)
+    key <- Gen.choose(0, 6).map(i => s"k$i")
+    v <- Gen.choose(0, 999)
+    t <- Gen.choose(1L, 50L)
+  } yield ChangeEvent(name, key, s"""{"v":$v}""", new Timestamp(t * 1000))
+
+  private val genEvents: Gen[List[ChangeEvent]] =
+    Gen.listOfN(30, genEvent)
+
+  /** Naive single-threaded reference semantics of changelog apply. */
+  private def reference(events: Seq[ChangeEvent], mode: Mode): Map[String, String] = {
+    val kept = mode match {
+      case Mode.DropRemove => events.filter(e => ChangeEvent.Upserts.contains(e.eventName))
+      case Mode.ApplyRemove => events
+    }
+    val latest = kept.groupBy(_.key).view.mapValues(
+      _.maxBy(e => (e.ts.getTime, e.eventName))).toMap
+    mode match {
+      case Mode.DropRemove => latest.view.mapValues(_.newImage).toMap
+      case Mode.ApplyRemove =>
+        latest.filter(_._2.eventName != ChangeEvent.Remove)
+          .view.mapValues(_.newImage).toMap
+    }
+  }
+
+  test("applyBatch equals the sequential last-wins reference, both modes") {
+    import spark.implicits._
+    samples(genEvents, 12).filter(_.nonEmpty).foreach { events =>
+      Seq(Mode.DropRemove, Mode.ApplyRemove).foreach { mode =>
+        val got = ChangelogApply.applyBatch(events.toDF(), mode)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(got === reference(events, mode), s"mode=$mode events=$events")
+      }
+    }
+  }
+
+  test("applyBatch is replay-idempotent (applying the log twice changes nothing)") {
+    import spark.implicits._
+    samples(genEvents, 8).filter(_.nonEmpty).foreach { events =>
+      val once = ChangelogApply.applyBatch(events.toDF(), Mode.DropRemove)
+        .collect().map(_.toSeq).toSet
+      val replayed = ChangelogApply.applyBatch((events ++ events).toDF(), Mode.DropRemove)
+        .collect().map(_.toSeq).toSet
+      assert(once === replayed)
+    }
+  }
+
+  test("append-only union conserves counts (A3/A19 reconciliation invariant)") {
+    import spark.implicits._
+    val gl = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.choose(0, 100)))
+    samples(Gen.zip(gl, gl), 8).foreach { case (a, b) =>
+      assert(a.toDF("v").unionAll(b.toDF("v")).count() === a.size + b.size)
+    }
+  }
+
+  test("rolling fingerprint equals brute-force window minimum") {
+    val genCase = Gen.zip(
+      Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString),
+      Gen.choose(1, 16))
+    samples(genCase, 40).foreach { case (s, w) =>
+      val bytes = s.getBytes("UTF-8")
+      val brute =
+        if (bytes.isEmpty) 0L
+        else {
+          val ww = math.min(w, bytes.length)
+          (0 to bytes.length - ww).map { i =>
+            bytes.slice(i, i + ww)
+              .foldLeft(0L)((h, b) => h * RollingFingerprint.P + (b & 0xffL))
+          }.min
+        }
+      assert(RollingFingerprint.minWindowHash(bytes, w) === brute, s"s=$s w=$w")
+    }
+  }
+}
