@@ -13,8 +13,8 @@ import graft.ops._
   * result sets (columns sorted by name) on `/root/testdata/sf0.01`.
   *
   * Determinism rules (SURVEY §2.B): every query ends in a total ORDER BY;
-  * money flows through exact DECIMAL(18,2) then DOUBLE; no raw timestamp
-  * output columns; computed integers are BIGINT on both sides.
+  * money sums as exact integer cents (DetMath) with one final divide; no
+  * raw timestamp output columns; computed integers are BIGINT both sides.
   */
 object SparkEntry {
 
@@ -150,7 +150,7 @@ object SparkEntry {
     "g_group_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
         |       floor(avg(l_quantity) * 100.0 + 0.5) / 100.0 AS avg_qty,
         |       min(l_extendedprice) AS min_price,
         |       max(l_extendedprice) AS max_price,
@@ -167,7 +167,7 @@ object SparkEntry {
       """SELECT coalesce(event_type, '<all>') AS event_type,
         |       coalesce(yr, -1) AS yr, cnt, sum_value
         |FROM (SELECT event_type, yr, count(*) AS cnt,
-        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |      FROM (SELECT event_type, CAST(year(ts) AS BIGINT) AS yr, value FROM events)
         |      GROUP BY ROLLUP(event_type, yr))
         |ORDER BY event_type, yr""".stripMargin,
@@ -175,17 +175,17 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, '<all>') AS status,
         |       coalesce(o_orderpriority, '<all>') AS priority,
         |       count(*) AS cnt,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "g_having" ->
       """SELECT o_custkey, count(*) AS n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend
         |FROM orders GROUP BY o_custkey HAVING count(*) > 5
         |ORDER BY o_custkey""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_customers,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -202,7 +202,7 @@ object SparkEntry {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "j_left_outer" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        |       coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+        |       coalesce(CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0, 0.0) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "j_semi" ->
@@ -220,9 +220,9 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "w_running_balance" ->
       """SELECT user_id, event_id, value,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
         |            OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS balance
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS balance
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "w_rank_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk
@@ -326,7 +326,7 @@ object SparkEntry {
     "t_tumbling_batch" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300 AS win_start_s, event_type,
         |       count(*) AS cnt,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
     "x_knn_cosine" ->
       """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,

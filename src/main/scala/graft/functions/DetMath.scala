@@ -39,10 +39,19 @@ object DetMath {
     (sum(cents(c)).cast(DoubleType) / lit(100.0))
 
   /** Exact money sum via DECIMAL(18,2) — unbounded-ish precision
-    * (sum promotes to DECIMAL(28,2)); for inputs already on a 2-decimal
-    * grid (no product rounding involved). */
-  def sumMoney(c: Column): Column =
+    * (sum promotes to DECIMAL(28,2)); the ultra-scale path when cent
+    * totals could exceed Long range (> $92 trillion). */
+  def sumMoneyDecimal(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact money sum for 2-decimal-grid inputs via integer cents — the
+    * default: long-sum aggregation codegens tighter than decimal-sum and
+    * is equally exact/associative on this grid. Same value as
+    * [[sumMoneyDecimal]] bit-for-bit after the final divide. */
+  def sumMoney(c: Column): Column = sumMoneyCents(c)
+
+  /** SQL text of [[sumMoney]] for oracle queries. */
+  def sumMoneySql(expr: String): String = sumMoneyCentsSql(expr)
 
   /** The SQL text of round2 for oracle queries. */
   def round2Sql(expr: String): String = s"floor(($expr) * 100.0 + 0.5) / 100.0"

@@ -18,14 +18,15 @@ import graft.Tables
   * the scale path: the shuffle carries one row per (group × partition),
   * not per input row.
   *
-  * Money determinism: doubles are cast to DECIMAL(18,2) BEFORE summation
-  * so the sum is exact and associative (safe under any partitioning), then
-  * the final value is cast back to DOUBLE for a stable cross-engine hash.
+  * Money determinism: doubles are converted to exact integer cents BEFORE
+  * summation (DetMath.sumMoney) so totals are exact and associative — safe
+  * under any partitioning — and long-sum aggregation codegens tighter than
+  * decimal-sum; the single final divide restores DOUBLE for the hash.
   */
 object Aggregates {
 
   private def moneySum(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType)
+    graft.functions.DetMath.sumMoney(col(c))
 
   /** g_count_star — the A19 reconciliation count. */
   def countStar(spark: SparkSession, dir: String): DataFrame =
@@ -76,7 +77,7 @@ object Aggregates {
       .rollup(col("event_type"), year(col("ts")).cast(LongType).as("yr"))
       .agg(
         count(lit(1)).as("cnt"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        graft.functions.DetMath.sumMoney(col("value")).as("sum_value"))
       .select(
         coalesce(col("event_type"), lit("<all>")).as("event_type"),
         coalesce(col("yr"), lit(-1L)).as("yr"),
@@ -90,8 +91,7 @@ object Aggregates {
     Tables.orders(spark, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
-          .as("sum_price"))
+        graft.functions.DetMath.sumMoney(col("o_totalprice")).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
         coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
@@ -105,8 +105,7 @@ object Aggregates {
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
-          .as("total_spend"))
+        graft.functions.DetMath.sumMoney(col("o_totalprice")).as("total_spend"))
       .filter(col("n_orders") > minOrders)
       .orderBy(col("o_custkey"))
 }

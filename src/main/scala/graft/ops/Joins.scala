@@ -37,8 +37,7 @@ object Joins {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType)
-          .as("sum_acctbal"))
+        graft.functions.DetMath.sumMoney(col("c_acctbal")).as("sum_acctbal"))
       .orderBy(col("r_name"))
 
   /** j_multiway_star — the flagship: revenue by region across the full
@@ -71,7 +70,7 @@ object Joins {
       .agg(
         count(col("o_orderkey")).as("n_orders"),
         coalesce(
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType),
+          graft.functions.DetMath.sumMoney(col("o_totalprice")),
           lit(0.0)).as("total_spend"))
       .orderBy(col("c_custkey"))
 

@@ -40,8 +40,8 @@ object Windows {
   }
 
   /** w_running_balance — cumulative sum per key in event order (the
-    * BALANCE AMT column). Value goes through DECIMAL(18,2) so every prefix
-    * sum is exact regardless of physical partitioning. */
+    * BALANCE AMT column). Values sum as exact integer cents so every
+    * prefix sum is exact regardless of physical partitioning. */
   def runningBalance(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("event_id"))
@@ -49,8 +49,8 @@ object Windows {
     Tables.events(spark, dir)
       .select(
         col("user_id"), col("event_id"), col("value"),
-        sum(col("value").cast(DecimalType(18, 2))).over(w)
-          .cast(DoubleType).as("balance"))
+        (sum(graft.functions.DetMath.cents(col("value"))).over(w)
+          .cast(DoubleType) / lit(100.0)).as("balance"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

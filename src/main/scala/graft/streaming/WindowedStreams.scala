@@ -53,8 +53,7 @@ object WindowedStreams {
     graft.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+        graft.functions.DetMath.sumMoney(col("value")).as("sum_value"))
       .select(
         unix_timestamp(col("window.start")).as("win_start_s"),
         col("event_type"), col("cnt"), col("sum_value"))
