@@ -45,6 +45,7 @@ object SparkEntry {
     "g_rollup"              -> (Aggregates.rollupAgg _),
     "g_cube"                -> (Aggregates.cubeAgg _),
     "g_having"              -> ((s: SparkSession, d: String) => Aggregates.havingAgg(s, d)),
+    "g_reconcile_counts"    -> (cdc.Reconcile.countsQuery _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -183,6 +184,12 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend
         |FROM orders GROUP BY o_custkey HAVING count(*) > 5
         |ORDER BY o_custkey""".stripMargin,
+    "g_reconcile_counts" ->
+      """SELECT s.source_count, t.target_count,
+        |       s.source_count - t.target_count AS lag,
+        |       s.source_count - t.target_count = 0 AS in_sync
+        |FROM (SELECT count(*) AS source_count FROM customer) s,
+        |     (SELECT count(DISTINCT o_custkey) AS target_count FROM orders) t""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_customers,
         |       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal

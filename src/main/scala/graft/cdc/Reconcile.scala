@@ -20,6 +20,13 @@ object Reconcile {
       .withColumn("in_sync", col("lag") === 0L)
   }
 
+  /** g_reconcile_counts — the A19 check as a driver-verifiable query:
+    * customer keys (source) vs distinct ordering customers (target). */
+  def countsQuery(spark: SparkSession, dir: String): DataFrame =
+    counts(
+      graft.Tables.customer(spark, dir).select(col("c_custkey")),
+      graft.Tables.orders(spark, dir).select(col("o_custkey")).distinct())
+
   /** Key-level divergence: keys present in source but not target
     * (replication lag / drops) and vice versa (ghost rows). Anti joins
     * ship only the key column. */
