@@ -67,6 +67,7 @@ object SparkEntry {
     "x_fingerprint_dedup"   -> (operators.Dedup.fingerprintDedup _),
     "x_ngram_jaccard"       -> ((s: SparkSession, d: String) => operators.Dedup.ngramJaccardPairs(s, d)),
     "x_minhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDup(s, d)),
+    "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
     "x_token_stats"         -> (operators.TextAnalysis.tokenStats _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "x_doc_fingerprint"     -> (operators.TextAnalysis.docFingerprint _),
     "x_knn_cosine"          -> ((s: SparkSession, d: String) => operators.Similarity.knnCosine(s, d)),
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
+    "x_ivf_knn"             -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosine(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
@@ -287,6 +289,31 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "x_dup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 2),
+        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+        |SELECT doc AS doc_id, min(r) AS canon, doc = min(r) AS is_canonical
+        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "x_text_tokenize_counts" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -175,6 +175,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** x_dup_clusters — the dedup DECISION: connected components over the
+    * near-dup pair graph, every document labeled with its component's
+    * canonical (minimum) doc_id; singletons are their own canonical.
+    * This is what an actual corpus-dedup pipeline keeps/drops on.
+    *
+    * Implementation: iterative min-label propagation to a fixpoint —
+    * the standard large-graph connected-components on Spark (hash-join
+    * per round, no driver adjacency state; near-dup components are
+    * shallow so rounds ≈ component diameter, typically 2-3). */
+  def dupClusters(spark: SparkSession, dir: String,
+      n: Int = 3, threshold: Double = 0.8, maxIters: Int = 15): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected edge list (both directions) — label flows both ways
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
+      .localCheckpoint() // pairs are small; cut the growing lineage
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("canon"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst").as("doc_id2"))
+        .agg(min(col("canon")).as("nmin"))
+      // changed-flag rides along so convergence reads the checkpoint
+      // instead of re-joining old vs new labels
+      val next = labels
+        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("canon"), coalesce(col("nmin"), col("canon"))).as("canon"),
+          (coalesce(col("nmin"), col("canon")) < col("canon")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("canon"))
+      it += 1
+    }
+    labels.select(col("doc_id"), col("canon"),
+        (col("doc_id") === col("canon")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash-64 of a token array: per token take xxhash64, accumulate
     * ±1 per bit position, sign of each counter is the output bit.
     * Near-dup docs differ in few bits (small Hamming distance).

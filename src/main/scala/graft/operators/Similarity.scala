@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -87,6 +87,85 @@ object Similarity {
           (col("a.nrm") * col("b.nrm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Deterministic k-means coarse quantizer for IVF: seeds from evenly
+    * spaced vec_ids, `iters` Lloyd iterations. Centroids live on the
+    * driver (k × dim doubles — broadcast-sized index metadata, exactly
+    * like a production IVF index header); assignments and means are
+    * computed distributed. */
+  def ivfCentroids(spark: SparkSession, dir: String, nlist: Int,
+      iters: Int = 5): Array[Array[Double]] = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    var centroids: Array[Array[Double]] = emb
+      .filter((col("vec_id") % lit(math.max(1L, n / nlist))) === 0)
+      .orderBy(col("vec_id")).limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val cents = centroids
+      val assigned = emb.withColumn("cid", nearestCentroid(col("embedding"), cents))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x").cast(DoubleType)).as("s"), count(lit(1)).as("c"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { cid =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val v = new Array[Double](dim)
+            rows.foreach(r => v(r.getInt(1)) = r.getAs[Double]("s") / r.getAs[Long]("c"))
+            v
+          case None => centroids(cid) // empty list keeps its centroid
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Column: index of the nearest centroid (L2). Distances are collected
+    * into ONE array column and argmin'd via array_position — a when-chain
+    * fold would re-embed every distance subtree at each step (exponential
+    * expression growth → planner OOM). The `dot(v,v)` term is constant
+    * across centroids and dropped. */
+  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = array(centroids.map { c =>
+      val lc = array(c.map(lit): _*)
+      lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, lc)
+    }: _*)
+    (array_position(dists, array_min(dists)) - lit(1L)).cast("int")
+  }
+
+  /** x_ivf_knn — IVF approximate top-k: assign vectors to k-means lists
+    * once (at scale: written out partitioned by list id → partition
+    * pruning), probe the `nprobe` lists nearest to the query, exact
+    * cosine re-rank within them. */
+  def ivfKnnCosine(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
+    // 2 Lloyd iterations suffice for bucketing quality (recall governed
+    // by nprobe, not centroid polish); training cost is per-INDEX-build,
+    // not per-query, in a real deployment — here it runs inline
+    val centroids = ivfCentroids(spark, dir, nlist, trainIters)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"),
+        posexplode(array(centroids.map { c =>
+          val lc = array(c.map(lit): _*)
+          lit(0.0) - dot(col("embedding"), lc) // rank lists by -dot
+        }: _*)).as(Seq("pcid", "pdist")))
+      .orderBy(col("pdist")).limit(nprobe)
+      .select(col("qvec"), col("pcid"))
+    emb.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("cid") === col("pcid"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** SRP-bucketed near-dup pairs: candidates from bucket equality

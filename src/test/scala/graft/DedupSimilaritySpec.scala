@@ -51,6 +51,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((ann -- brute).isEmpty)
   }
 
+  test("dup clusters: canonical is component minimum; pairs share a canonical") {
+    val pairs = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val canon = Dedup.dupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon")).toMap
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) === canon(b), s"pair ($a,$b) split across clusters")
+      assert(canon(a) <= math.min(a, b))
+    }
+    // singletons are their own canonical
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    canon.filterNot(kv => inPairs(kv._1)).foreach { case (d, c) => assert(d === c) }
+  }
+
+  test("IVF knn carries exact cosine scores with usable recall") {
+    val brute = Similarity.knnCosine(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = Similarity.ivfKnnCosine(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim"))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-12)) }
+    val recall = ivf.count(a => brute.contains(a._1)).toDouble / brute.size
+    assert(recall >= 0.2, s"suspiciously low IVF recall: $recall")
+  }
+
   test("exact dedup and fingerprint dedup agree on canonical ids") {
     val a = Dedup.exactDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
     val b = Dedup.fingerprintDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
