@@ -46,6 +46,7 @@ object SparkEntry {
     "g_cube"                -> (Aggregates.cubeAgg _),
     "g_having"              -> ((s: SparkSession, d: String) => Aggregates.havingAgg(s, d)),
     "g_reconcile_counts"    -> (cdc.Reconcile.countsQuery _),
+    "g_percentile"          -> (Aggregates.percentileAgg _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -54,6 +55,7 @@ object SparkEntry {
     "j_anti"                -> (Joins.antiJoin _),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
+    "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
     "w_running_balance"     -> (Windows.runningBalance _),
     "w_rank_topn_per_group" -> ((s: SparkSession, d: String) => Windows.rankTopNPerGroup(s, d)),
     "w_lag_lead"            -> (Windows.lagLead _),
@@ -166,6 +168,13 @@ object SparkEntry {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "g_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |       quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "g_rollup" ->
       """SELECT coalesce(event_type, '<all>') AS event_type,
         |       coalesce(yr, -1) AS yr, cnt, sum_value
@@ -239,6 +248,13 @@ object SparkEntry {
         |             CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
         |      FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "w_ntile_pctrank" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "w_lag_lead" ->
       """SELECT user_id, event_id, value,
         |       lag(value) OVER w AS prev_value,

@@ -98,6 +98,20 @@ object Aggregates {
         col("cnt"), col("sum_price"))
       .orderBy(col("status"), col("priority"))
 
+  /** g_percentile — exact interpolated percentiles per group (the
+    * distribution profile a warehouse dashboard wants). Exact
+    * `percentile` (sort-based), not `percentile_approx`: the approx
+    * sketch would differ from the oracle. */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   /** g_having — post-aggregation group filter: customers with more than
     * `minOrders` orders. */
   def havingAgg(spark: SparkSession, dir: String, minOrders: Long = 5): DataFrame =

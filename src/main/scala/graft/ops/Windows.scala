@@ -65,6 +65,20 @@ object Windows {
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
   }
 
+  /** w_ntile_pctrank — distribution windows: quartile bucket and percent
+    * rank of each order within its status group. percent_rank is the
+    * exact rational (rank-1)/(n-1) — identical across engines. */
+  def ntilePctRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** w_lag_lead — change-vs-previous per key (CDC diffing): previous value
     * and delta per user ordered by time. */
   def lagLead(spark: SparkSession, dir: String): DataFrame = {
