@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-key streaming state (top-level: nested classes break the codegen'd
-  * state-store encoder). */
-case class KeyState(newImage: String, ts: java.sql.Timestamp, removed: Boolean)
+  * state-store encoder). Carries eventName so the stream tie-break matches
+  * applyBatch's (ts, eventName) total order exactly. */
+case class KeyState(newImage: String, ts: java.sql.Timestamp,
+    eventName: String, removed: Boolean)
 
 /** Changelog application — the core CDC operator (SURVEY §2.B group T,
   * `t_changelog_apply`): turn a stream/batch of change envelopes into a
@@ -85,11 +87,15 @@ object ChangelogApply {
       else {
         val last = relevant.maxBy(e => (e.ts.getTime, e.eventName))
         val prior = state.getOption
-        val newer = prior.forall(p => last.ts.getTime >= p.ts.getTime)
+        // same total order as applyBatch: (ts, eventName) — an equal-ts
+        // event wins only if its eventName sorts at or above the stored one
+        val newer = prior.forall(p =>
+          last.ts.getTime > p.ts.getTime ||
+            (last.ts.getTime == p.ts.getTime && last.eventName >= p.eventName))
         if (!newer) Iterator.empty
         else {
           val removed = !dropRemove && last.eventName == ChangeEvent.Remove
-          state.update(KeyState(last.newImage, last.ts, removed))
+          state.update(KeyState(last.newImage, last.ts, last.eventName, removed))
           Iterator.single(
             Upsert(key, if (removed) None else Some(last.newImage), last.ts))
         }
@@ -107,25 +113,32 @@ object ChangelogApply {
     * `foreachBatch`. */
   def mergeIntoParquet(spark: SparkSession, upserts: DataFrame,
       tableDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tableDir)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
+    // crash recovery: a previous run that died between delete and rename
+    // left the merged table only in __tmp — finish its swap first
+    if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
+    // absence is decided by an explicit existence check — a TRANSIENT
+    // read error must propagate, not silently erase the table by
+    // being mistaken for "first merge"
     val existing =
-      try spark.read.parquet(tableDir)
-      catch { case _: Exception => spark.emptyDataFrame }
-    val unioned =
-      if (existing.isEmpty) upserts
-      else existing.select(upserts.columns.map(col).toIndexedSeq: _*)
+      if (fs.exists(dst)) Some(spark.read.parquet(tableDir)) else None
+    val unioned = existing match {
+      case Some(e) => e.select(upserts.columns.map(col).toIndexedSeq: _*)
         .unionByName(upserts)
+      case None => upserts
+    }
     val w = Window.partitionBy(col("key")).orderBy(col("ts").desc)
     val merged = unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("newImage").isNotNull)
       .drop("rn")
     // write-then-swap keeps readers consistent on failure mid-write
-    val tmp = tableDir + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(tableDir)
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    fs.rename(tmp, dst)
   }
 }

@@ -18,10 +18,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object QueryControl {
 
   /** Idempotent start (A18): if a query with `name` is already active,
-    * return it untouched; otherwise start a new one. Unlike the
-    * reference (which raises on unexpected states), Spark surfaces
-    * failed queries via `StreamingQueryException` on await — we rethrow
-    * a terminated-with-error query's cause on restart attempts. */
+    * return it untouched; otherwise start a new one. A previously-failed
+    * query is no longer active, so a restart starts fresh — its error is
+    * surfaced through `StreamingQueryException` on the original handle's
+    * await, as usual in Spark. */
   def startIfNotActive(spark: SparkSession, name: String)
       (start: => StreamingQuery): StreamingQuery = {
     spark.streams.active.find(_.name == name) match {

@@ -23,11 +23,12 @@ import org.apache.spark.sql.types.StructType
   *
   * Exactly-once: the reference has an at-least-once gap — a crash between
   * COPY and file-move double-loads the file on retry (`handler.py:95-96`;
-  * SURVEY §7 risk c). We close it with a load manifest: a `_manifest/`
-  * entry is committed atomically per staged file BEFORE the move; a retry
-  * sees the manifest and skips the append. (At cluster scale the manifest
-  * write + warehouse append become one transactional commit of a table
-  * format; the manifest models that commit record.)
+  * SURVEY §7 risk c). We close it two ways: each staged file loads into a
+  * DETERMINISTIC warehouse target (rename-replace, so retries overwrite
+  * rather than append — see [[loadUnprocessed]]), and a `_manifest/`
+  * entry records completion so retries skip the work entirely. (At
+  * cluster scale both collapse into one transactional table-format
+  * commit; the manifest models that commit record.)
   */
 object StagedFiles {
   val UnprocessedDir = "unprocessed_dynamodb_streams"
@@ -45,23 +46,58 @@ object StagedFiles {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** Stage one micro-batch as a single NDJSON object (or an empty marker).
-    * `now` is injected for deterministic tests. */
+  /** A staged file's batch id is the third `__`-segment of its name. */
+  private def batchIdOf(name: String): Option[String] = {
+    val parts = name.split("__")
+    if (parts.length >= 3) Some(parts(2).takeWhile(_.isDigit)) else None
+  }
+
+  /** True if any staged artifact (unprocessed, processed, or manifest)
+    * already carries this batchId — makes staging idempotent under
+    * `foreachBatch` replays, whose wall-clock timestamps differ. */
+  private def batchAlreadyStaged(hfs: FileSystem, stageRoot: String,
+      batchId: Long): Option[Path] = {
+    Seq(UnprocessedDir, ProcessedDir, ManifestDir).iterator.flatMap { d =>
+      val dir = new Path(s"$stageRoot/$d")
+      if (!hfs.exists(dir)) Iterator.empty
+      else hfs.listStatus(dir).iterator
+        .filter(st => batchIdOf(st.getPath.getName).contains(batchId.toString))
+        .map(_.getPath)
+    }.nextOption()
+  }
+
+  /** Stage one micro-batch as a single NDJSON file (or an empty marker).
+    * `now` is injected for deterministic tests.
+    *
+    * Idempotent per batchId: a `foreachBatch` replay of an uncommitted
+    * batch finds the batch's existing artifact (whatever its wall-clock
+    * prefix) and returns it instead of staging a duplicate. The NDJSON
+    * itself is written executor-side (`coalesce(1).write.json` + rename)
+    * — no driver collect, so batch size is bounded by an executor task,
+    * not driver memory. */
   def stageBatch(spark: SparkSession, batch: DataFrame, stageRoot: String,
       batchId: Long, now: Instant = Instant.now()): Path = {
     val hfs = fs(spark)
+    batchAlreadyStaged(hfs, stageRoot, batchId) match {
+      case Some(existing) => return existing
+      case None =>
+    }
     val ts = TsFmt.format(now)
     val uuid = UUID.nameUUIDFromBytes(s"$ts-$batchId".getBytes("UTF-8"))
-    val rows = batch.select(to_json(struct(batch.columns.map(col).toIndexedSeq: _*)))
-      .collect().map(_.getString(0))
+    val tmpDir = new Path(s"$stageRoot/__staging_tmp/$batchId")
+    hfs.delete(tmpDir, true)
+    batch.coalesce(1).write.mode("overwrite").json(tmpDir.toString)
+    val part = hfs.listStatus(tmpDir)
+      .find(st => st.getPath.getName.startsWith("part-"))
+    val nonEmpty = part.exists(_.getLen > 0)
     val name =
-      if (rows.isEmpty) s"${ts}__${uuid}__${batchId}$EmptySuffix"
-      else s"${ts}__${uuid}__${batchId}$DataSuffix"
+      if (nonEmpty) s"${ts}__${uuid}__${batchId}$DataSuffix"
+      else s"${ts}__${uuid}__${batchId}$EmptySuffix"
     val dest = new Path(s"$stageRoot/$UnprocessedDir/$name")
     hfs.mkdirs(dest.getParent)
-    val out = hfs.create(dest, true)
-    try if (rows.nonEmpty) out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    if (nonEmpty) hfs.rename(part.get.getPath, dest)
+    else hfs.create(dest, true).close()
+    hfs.delete(tmpDir, true)
     dest
   }
 
@@ -75,10 +111,20 @@ object StagedFiles {
 
   /** Load every unprocessed staged file into the warehouse table
     * (parquet dir append = the reference's `COPY … json 'auto'`, A13),
-    * then move it to processed/ (A14). Idempotent under crash-retry via
-    * the manifest. Unknown suffixes are an error (`handler.py:113-114`).
+    * then move it to processed/ (A14). Unknown suffixes are an error
+    * (`handler.py:113-114`).
     *
-    * @return number of data files actually appended this call */
+    * Exactly-once under crash-retry: each staged file's rows land as ONE
+    * deterministically-named parquet file (`<stagedName>.parquet`) inside
+    * the warehouse dir, written to a temp location and renamed into
+    * place. A retry after ANY crash point rewrites the same target (the
+    * rename replaces it) — never appends a second copy. The manifest
+    * marks load completion; the move to processed/ is last. This closes
+    * the reference's COPY-then-move double-load gap (`handler.py:95-96`)
+    * for real, not just narrows it; at cluster scale the same idea is a
+    * transactional table-format commit.
+    *
+    * @return number of data files actually loaded this call */
   def loadUnprocessed(spark: SparkSession, stageRoot: String,
       warehouseDir: String, schema: StructType,
       crashBeforeMove: Boolean = false): Int = {
@@ -89,8 +135,18 @@ object StagedFiles {
       val manifest = new Path(s"$stageRoot/$ManifestDir/$name")
       if (name.endsWith(DataSuffix)) {
         if (!hfs.exists(manifest)) {
+          val target = new Path(s"$warehouseDir/$name.parquet")
+          val tmpDir = new Path(s"$stageRoot/__load_tmp/$name")
+          hfs.delete(tmpDir, true)
           spark.read.schema(schema).json(p.toString)
-            .write.mode(SaveMode.Append).parquet(warehouseDir)
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmpDir.toString)
+          val part = hfs.listStatus(tmpDir)
+            .find(st => st.getPath.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file for $name"))
+          hfs.mkdirs(target.getParent)
+          hfs.delete(target, false) // idempotent retry: replace, never dup
+          hfs.rename(part.getPath, target)
+          hfs.delete(tmpDir, true)
           hfs.mkdirs(manifest.getParent)
           hfs.create(manifest, true).close() // commit record
           appended += 1

@@ -73,6 +73,7 @@ object Multimodal {
       * shrinks the byte budget proportionally to the pixel change. */
     def resize(payload: Array[Byte], w0: Int, h0: Int,
         w1: Int, h1: Int): Array[Byte] = {
+      if (payload.isEmpty) return payload
       val ratio = math.max(1e-9, (w1.toDouble * h1) / math.max(1, w0.toLong * h0))
       val n = math.max(4, (payload.length * ratio).toInt)
       Array.tabulate(n)(i => payload(((i.toLong * payload.length) / n).toInt))

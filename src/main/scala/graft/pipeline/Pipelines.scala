@@ -65,27 +65,31 @@ object Pipelines {
   /** JSON document → keyed upsert table (operators A4–A5:
     * `/root/reference/source/load_data_to_dynamodb_lambda/handler.py:11-16`):
     * take `$.data[]`, upsert by `id` last-write-wins — replays do NOT
-    * grow the table. */
+    * grow the table. The reference's sequential `put_item` loop makes the
+    * LAST occurrence of a duplicate id win; we reproduce that by giving
+    * each record a timestamp offset by its position in `data[]`
+    * (posexplode), so the tie-break is deterministic, not arrival-order. */
   def nosqlIngest(spark: SparkSession, jsonPath: String,
-      tableDir: String, seqCol: String => org.apache.spark.sql.Column =
-        _ => monotonically_increasing_id()): DataFrame = {
+      tableDir: String): DataFrame = {
     val records = spark.read.option("multiLine", true).json(jsonPath)
-      .select(explode(col("data")).as("rec"))
+      .select(posexplode(col("data")).as(Seq("pos", "rec")))
       .select(col("rec.id").as("key"),
         to_json(col("rec")).as("newImage"),
-        current_timestamp().as("ts"))
+        expr("timestamp_micros(unix_micros(current_timestamp()) + pos)").as("ts"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tableDir)
+    // explicit existence check — a transient read error must propagate,
+    // not be mistaken for "table absent" (which would drop all history)
     val existing =
-      try Some(spark.read.parquet(tableDir)) catch { case _: Exception => None }
+      if (fs.exists(dst)) Some(spark.read.parquet(tableDir)) else None
     val all = existing.map(_.unionByName(records)).getOrElse(records)
     val merged = ChangelogApply.applyBatch(
       all.withColumn("eventName", lit(ChangeEvent.Modify)),
       ChangelogApply.Mode.DropRemove)
     merged.write.mode(SaveMode.Overwrite).parquet(tableDir + "__next")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tableDir + "__next"),
-      new org.apache.hadoop.fs.Path(tableDir))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tableDir + "__next"), dst)
     spark.read.parquet(tableDir)
   }
 

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -93,12 +93,13 @@ private class CdcGeneratorTable(options: CaseInsensitiveStringMap)
     val perBatch = opts.getInt("eventsPerBatch", 100)
     val removeEvery = opts.getInt("removeEvery", 10)
     val totalForBatch = opts.getLong("totalEvents", 1000L)
+    val maxEvents = opts.getLong("maxEvents", Long.MaxValue)
     val partitions = opts.getInt("numPartitions", 4)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = CdcGenerator.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new CdcMicroBatchStream(keys, perBatch, removeEvery, partitions)
+          new CdcMicroBatchStream(keys, perBatch, removeEvery, partitions, maxEvents)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             CdcGeneratorPartitioning.split(0L, totalForBatch, partitions)
@@ -127,15 +128,30 @@ private object CdcGeneratorPartitioning {
 
 private case class CdcRangePartition(start: Long, end: Long) extends InputPartition
 
+/** Stateless micro-batch stream via SupportsAdmissionControl: Spark hands
+  * the current start offset to `latestOffset(start, limit)`, so the next
+  * batch is always `start + perBatch` — no in-memory position that a
+  * checkpoint restart could regress (a plain `latestOffset()` counter
+  * re-emitted ranges after recovery, because `commit` is never replayed
+  * for restored batches).
+  *
+  * @param maxEvents ceiling on the generated changelog. A source whose
+  * offsets grow forever can never satisfy "no new data", so
+  * `processAllAvailable()` would block indefinitely (like Spark's own
+  * `rate` source); a finite changelog drains and idles. */
 private class CdcMicroBatchStream(keys: Int, perBatch: Int, removeEvery: Int,
-    partitions: Int) extends MicroBatchStream {
-  @volatile private var committed = 0L
+    partitions: Int, maxEvents: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = CdcOffset(0L)
-  override def latestOffset(): Offset = CdcOffset(committed + perBatch)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    CdcOffset(math.min(start.asInstanceOf[CdcOffset].count + perBatch, maxEvents))
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
-  override def commit(end: Offset): Unit =
-    committed = end.asInstanceOf[CdcOffset].count
+  override def commit(end: Offset): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     CdcGeneratorPartitioning.split(

@@ -26,24 +26,52 @@ class CdcGeneratorSpec extends AnyFunSuite {
     assert(names.contains("REMOVE"))
   }
 
-  test("micro-batch stream advances by eventsPerBatch per trigger") {
+  test("micro-batch stream advances by eventsPerBatch and drains at maxEvents") {
     val stream = spark.readStream.format("cdc-gen")
-      .option("keys", 10).option("eventsPerBatch", 50).load()
+      .option("keys", 10).option("eventsPerBatch", 50)
+      .option("maxEvents", 200).load()
     val q = stream.writeStream.format("memory").queryName("cdcgen_out")
       .trigger(Trigger.ProcessingTime(0)).start()
     try {
       q.processAllAvailable()
-      val n1 = spark.table("cdcgen_out").count()
-      assert(n1 >= 50 && n1 % 50 === 0)
-      q.processAllAvailable()
-      assert(spark.table("cdcgen_out").count() >= n1)
+      // drained exactly to the ceiling, in 50-event batches
+      assert(spark.table("cdcgen_out").count() === 200)
     } finally q.stop()
+  }
+
+  test("checkpoint restart does not re-emit already-committed offset ranges") {
+    val root = TestSpark.tempDir("cdcrestart")
+    val ckpt = s"$root/ckpt"
+    val out = s"$root/out"
+    def run(maxEvents: Long): Unit = {
+      val q = spark.readStream.format("cdc-gen")
+        .option("keys", 10).option("eventsPerBatch", 25)
+        .option("maxEvents", maxEvents).load()
+        .selectExpr("eventName", "key", "newImage")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run(maxEvents = 75) // first life drains to 75
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === 75)
+    run(maxEvents = 150) // restart from the same checkpoint, higher ceiling
+    val rows = spark.read.parquet(out)
+    val n2 = rows.count()
+    assert(n2 === 150, s"restart emitted $n2 rows (lost or duplicated data)")
+    // every synthetic event is unique by its seq (pure function of i):
+    // any re-emission after restart would collide
+    val distinctSeq = rows
+      .selectExpr("get_json_object(newImage, '$.seq') AS seq").distinct().count()
+    assert(distinctSeq === n2, s"duplicated events after restart: $n2 rows, $distinctSeq seqs")
   }
 
   test("end-to-end: cdc-gen source → streaming changelog apply → merged warehouse") {
     import spark.implicits._
     val stream = spark.readStream.format("cdc-gen")
       .option("keys", 7).option("eventsPerBatch", 100).option("removeEvery", 10)
+      .option("maxEvents", 300)
       .load()
     val events = stream.as[ChangeEvent]
     val upserts = ChangelogApply.applyStream(events, ChangelogApply.Mode.ApplyRemove)
@@ -55,7 +83,6 @@ class CdcGeneratorSpec extends AnyFunSuite {
       }
       .trigger(Trigger.ProcessingTime(0)).start()
     try {
-      q.processAllAvailable()
       q.processAllAvailable()
       val table = spark.read.parquet(warehouse)
       // at most one row per live key; images are the latest per key

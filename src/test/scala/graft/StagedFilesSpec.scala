@@ -71,6 +71,24 @@ class StagedFilesSpec extends AnyFunSuite {
     assert(StagedFiles.listUnprocessed(spark, stage).isEmpty)
   }
 
+  test("re-staging the same batchId at a later wall-clock is a no-op (foreachBatch replay)") {
+    val (stage, wh) = freshDirs()
+    val p1 = StagedFiles.stageBatch(spark, mkBatch(Seq(("k1", """{"v":1}""", ts(1)))),
+      stage, 7L, Instant.parse("2026-01-01T00:00:00Z"))
+    // replay of batch 7 after a crash: different timestamp, same batchId
+    val p2 = StagedFiles.stageBatch(spark, mkBatch(Seq(("k1", """{"v":1}""", ts(1)))),
+      stage, 7L, Instant.parse("2026-01-01T00:03:21Z"))
+    assert(p1.getName === p2.getName) // same artifact (scheme prefix may differ)
+    assert(StagedFiles.listUnprocessed(spark, stage).size === 1)
+    // also idempotent after the file was loaded and archived
+    StagedFiles.loadUnprocessed(spark, stage, wh, Pipelines.TradeWarehouseSchema)
+    val p3 = StagedFiles.stageBatch(spark, mkBatch(Seq(("k1", """{"v":1}""", ts(1)))),
+      stage, 7L, Instant.parse("2026-01-01T00:09:00Z"))
+    assert(p3.getName === p1.getName)
+    assert(StagedFiles.listUnprocessed(spark, stage).isEmpty)
+    assert(spark.read.parquet(wh).count() === 1)
+  }
+
   test("unknown staged-file suffix raises (handler strictness)") {
     val (stage, wh) = freshDirs()
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
