@@ -11,21 +11,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session init, parquet footer reads, first codegen — keeps
-    // the first measured query from absorbing fixed startup cost
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      spark.read.parquet(s"$sfDir/events.parquet")
-      spark.range(1000).selectExpr("sum(id)").collect()
-    } catch { case _: Throwable => () }
+    // the first measured query from absorbing fixed startup cost. events
+    // goes through Tables.events (raw read would throw PARQUET_TYPE_ILLEGAL
+    // on its TIMESTAMP(NANOS) column).
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    Tables.events(spark, sfDir).count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")
+    // a failed query records {"err": ...} instead of silently timing the
+    // failure — the driver's BENCH JSON then shows breakage explicitly
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.toString.take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

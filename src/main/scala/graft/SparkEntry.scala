@@ -80,6 +80,7 @@ object SparkEntry {
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
     "x_ivf_knn"             -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosine(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
+    "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     // Group T — the batch-verifiable face of the streaming operators

@@ -185,8 +185,17 @@ object Dedup {
     * per round, no driver adjacency state; near-dup components are
     * shallow so rounds ≈ component diameter, typically 2-3). */
   def dupClusters(spark: SparkSession, dir: String,
-      n: Int = 3, threshold: Double = 0.8, maxIters: Int = 15): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, n, threshold)
+      n: Int = 3, threshold: Double = 0.8, maxIters: Int = 15,
+      exactPairs: Boolean = false): DataFrame = {
+    // Pair source is the scale decision. Default = MinHash+LSH with a
+    // deeper banding (128 hashes / 32 bands × 4 rows) than the candidate
+    // query: miss probability per true pair at j=0.8 is (1-0.8⁴)³² ≈ 5e-8,
+    // so the clusters it feeds are the exact clusters w.h.p. while the
+    // join stays bucketed (no all-pairs blowup). exactPairs=true keeps the
+    // quadratic ground-truth source for oracle/spec use only.
+    val pairs = (if (exactPairs) ngramJaccardPairs(spark, dir, n, threshold)
+                 else minhashNearDup(spark, dir, n, numHashes = 128,
+                   bands = 32, threshold = threshold))
       .select(col("doc_a"), col("doc_b"))
     // undirected edge list (both directions) — label flows both ways
     val edges = pairs

@@ -42,11 +42,16 @@ object Joins {
 
   /** j_multiway_star — the flagship: revenue by region across the full
     * star (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region).
-    * lineitem⋈orders is the only big-big join; all dims broadcast. */
+    * lineitem⋈orders is the only big-big join. nation/region carry
+    * explicit broadcast hints (25 / 5 rows at ANY scale factor — fixed
+    * dimension cardinality); customer does NOT: it grows with the scale
+    * factor, so the hint that helps at sf0.1 forces a multi-GB broadcast
+    * build (executor OOM) at 100×. AQE picks BHJ while stats say small
+    * and SMJ/shuffled-hash once they say big (PlanSpec asserts both). */
   def multiwayStar(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)),
+      .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))

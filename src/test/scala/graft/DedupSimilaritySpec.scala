@@ -43,12 +43,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"suspiciously low ANN recall: $recall")
   }
 
-  test("bucketed near-dup pairs are a subset of brute-force pairs with equal scores") {
-    val brute = Similarity.embeddingNearDupPairs(spark, dir).collect()
+  test("bucketed near-dup pairs: perfect precision, S-curve recall on fixture pairs") {
+    val bruteRows = Similarity.embeddingNearDupPairs(spark, dir).collect()
+    val brute = bruteRows
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
-    val ann = Similarity.annNearDupPairs(spark, dir).collect()
+    assert(brute.nonEmpty, "fixture should contain embedding near-dups")
+    // default params (6 planes × 8 tables) target the real near-dup
+    // regime (cos ≥ 0.8 → recall ≥ 0.97); this fixture's pairs top out at
+    // cos ≈ 0.5, so the spec turns the recall knob the way a user would:
+    // shorter codes + more tables (4 × 16) put the S-curve's high-recall
+    // region at the fixture's similarity level.
+    //   per-pair P(candidate) = 1-(1-(1-θ/π)^4)^16 ≈ 0.94 at cos 0.4
+    //   ⇒ recall ≥ 0.75 with 3σ binomial slack over ~60 pairs
+    val ann = Similarity
+      .annNearDupPairs(spark, dir, nPlanes = 4, nTables = 16).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // verification kills every false positive, any parameterization
     assert((ann -- brute).isEmpty)
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.75, s"LSH recall below S-curve prediction: $recall")
+    // the declared-query defaults must also yield perfect precision
+    val annDefault = Similarity.annNearDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert((annDefault -- brute).isEmpty)
   }
 
   test("dup clusters: canonical is component minimum; pairs share a canonical") {
@@ -63,6 +80,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // singletons are their own canonical
     val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     canon.filterNot(kv => inPairs(kv._1)).foreach { case (d, c) => assert(d === c) }
+  }
+
+  test("dup clusters from MinHash pairs equal clusters from exact pairs") {
+    // the scale path (bucketed LSH pair source, the declared query) must
+    // produce the same dedup decision as the quadratic ground truth
+    val viaMinhash = Dedup.dupClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canon"))).toSet
+    val viaExact = Dedup.dupClusters(spark, dir, exactPairs = true).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canon"))).toSet
+    assert(viaMinhash === viaExact)
   }
 
   test("IVF knn carries exact cosine scores with usable recall") {

@@ -30,8 +30,26 @@ class PlanSpec extends AnyFunSuite {
   test("dimension joins broadcast (no fact-side shuffle for dims)") {
     val p = plan("j_multiway_star")
     assert(p.contains("BroadcastHashJoin"), p)
-    // customer/nation/region must all broadcast: 3+ broadcast exchanges
+    // customer/nation/region all broadcast at test scale (customer via
+    // stats, nation/region via hint): 3+ broadcast exchanges
     assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("customer falls back to a shuffle join when stats say big; hinted dims stay broadcast") {
+    // simulate the 100×-scale planner input: stats put customer above the
+    // broadcast threshold. The un-hinted customer must NOT be forced into
+    // a broadcast build (the r1 hard-coded hint was an executor OOM at
+    // scale); nation/region keep their explicit hints regardless.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val p = plan("j_multiway_star")
+      assert(p.contains("c_custkey"), p)
+      // the two hinted dims still broadcast…
+      assert("BroadcastExchange".r.findAllIn(p).size == 2, p)
+      // …while customer (and lineitem⋈orders) join via shuffle
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
