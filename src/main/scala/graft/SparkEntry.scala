@@ -51,6 +51,7 @@ object SparkEntry {
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
     "j_left_outer"          -> (Joins.leftOuter _),
+    "j_star_bucketed"       -> (Joins.multiwayStarBucketed _),
     "j_semi"                -> (Joins.semiJoin _),
     "j_anti"                -> (Joins.antiJoin _),
     // Group W — window functions
@@ -78,6 +79,7 @@ object SparkEntry {
     "x_doc_fingerprint"     -> (operators.TextAnalysis.docFingerprint _),
     "x_knn_cosine"          -> ((s: SparkSession, d: String) => operators.Similarity.knnCosine(s, d)),
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
+    "x_ann_indexed"         -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosineIndexed(s, d)),
     "x_ivf_knn"             -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosine(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
@@ -210,6 +212,16 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "j_multiway_star" ->
+      """SELECT r_name,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j_star_bucketed" ->
       """SELECT r_name,
         |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
         |       count(*) AS n_lines

@@ -1,15 +1,37 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key streaming state (top-level: nested classes break the codegen'd
   * state-store encoder). Carries eventName so the stream tie-break matches
   * applyBatch's (ts, eventName) total order exactly. */
 case class KeyState(newImage: String, ts: java.sql.Timestamp,
     eventName: String, removed: Boolean)
+
+/** The `transformWithState` stateful processor behind
+  * [[ChangelogApply.applyStreamTws]] (top-level for the same encoder
+  * reason as [[KeyState]]). One ValueState[KeyState] per key — the v2
+  * state store keeps it off-heap (RocksDB) with a per-variable schema. */
+class ChangelogProcessor(dropRemove: Boolean)
+    extends StatefulProcessor[String, ChangeEvent, ChangelogApply.Upsert] {
+  @transient private var state: ValueState[KeyState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState("changelog_state",
+      Encoders.product[KeyState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[ChangeEvent],
+      timerValues: TimerValues): Iterator[ChangelogApply.Upsert] =
+    ChangelogApply.reduceKeyBatch(dropRemove, key, rows,
+      if (state.exists()) Some(state.get()) else None) match {
+      case Some((st, up)) => state.update(st); Iterator.single(up)
+      case None => Iterator.empty
+    }
+}
 
 /** Changelog application — the core CDC operator (SURVEY §2.B group T,
   * `t_changelog_apply`): turn a stream/batch of change envelopes into a
@@ -28,7 +50,7 @@ case class KeyState(newImage: String, ts: java.sql.Timestamp,
   * per-key state in the state store via `flatMapGroupsWithState` — state
   * size is O(live keys), partitioned across executors, no driver state.
   */
-object ChangelogApply {
+object ChangelogApply extends Serializable {
 
   sealed trait Mode
   object Mode {
@@ -68,6 +90,35 @@ object ChangelogApply {
   /** Output row: the key's current materialized image (None = deleted). */
   case class Upsert(key: String, newImage: Option[String], ts: java.sql.Timestamp)
 
+  /** The per-key micro-batch reduction both streaming engines share:
+    * validate, reduce the batch last-wins, compare against prior state on
+    * the same (ts, eventName) total order applyBatch uses. Returns the new
+    * state and the upsert to emit, or None when the batch changes nothing. */
+  private[cdc] def reduceKeyBatch(dropRemove: Boolean, key: String,
+      batch: Iterator[ChangeEvent],
+      prior: Option[KeyState]): Option[(KeyState, Upsert)] = {
+    val relevant = batch.filter(e =>
+      if (ChangeEvent.Known.contains(e.eventName)) true
+      else throw new IllegalArgumentException(s"Unexpected event_name: ${e.eventName}"))
+      .filter(e => !dropRemove || ChangeEvent.Upserts.contains(e.eventName))
+      .toSeq
+    if (relevant.isEmpty) None
+    else {
+      val last = relevant.maxBy(e => (e.ts.getTime, e.eventName))
+      // same total order as applyBatch: (ts, eventName) — an equal-ts
+      // event wins only if its eventName sorts at or above the stored one
+      val newer = prior.forall(p =>
+        last.ts.getTime > p.ts.getTime ||
+          (last.ts.getTime == p.ts.getTime && last.eventName >= p.eventName))
+      if (!newer) None
+      else {
+        val removed = !dropRemove && last.eventName == ChangeEvent.Remove
+        Some((KeyState(last.newImage, last.ts, last.eventName, removed),
+          Upsert(key, if (removed) None else Some(last.newImage), last.ts)))
+      }
+    }
+  }
+
   /** Streaming apply: emits the updated image of each key touched in a
     * micro-batch (an upsert changelog the sink can merge). State store
     * keyed by `key`; within a batch events are reduced last-wins before
@@ -77,33 +128,30 @@ object ChangelogApply {
     val dropRemove = mode == Mode.DropRemove
 
     def update(key: String, batch: Iterator[ChangeEvent],
-        state: GroupState[KeyState]): Iterator[Upsert] = {
-      val relevant = batch.filter(e =>
-        if (ChangeEvent.Known.contains(e.eventName)) true
-        else throw new IllegalArgumentException(s"Unexpected event_name: ${e.eventName}"))
-        .filter(e => !dropRemove || ChangeEvent.Upserts.contains(e.eventName))
-        .toSeq
-      if (relevant.isEmpty) Iterator.empty
-      else {
-        val last = relevant.maxBy(e => (e.ts.getTime, e.eventName))
-        val prior = state.getOption
-        // same total order as applyBatch: (ts, eventName) — an equal-ts
-        // event wins only if its eventName sorts at or above the stored one
-        val newer = prior.forall(p =>
-          last.ts.getTime > p.ts.getTime ||
-            (last.ts.getTime == p.ts.getTime && last.eventName >= p.eventName))
-        if (!newer) Iterator.empty
-        else {
-          val removed = !dropRemove && last.eventName == ChangeEvent.Remove
-          state.update(KeyState(last.newImage, last.ts, last.eventName, removed))
-          Iterator.single(
-            Upsert(key, if (removed) None else Some(last.newImage), last.ts))
-        }
+        state: GroupState[KeyState]): Iterator[Upsert] =
+      reduceKeyBatch(dropRemove, key, batch, state.getOption) match {
+        case Some((st, up)) => state.update(st); Iterator.single(up)
+        case None => Iterator.empty
       }
-    }
 
     events.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming apply on the Spark 4 arbitrary-state API
+    * (`transformWithState` + [[ChangelogProcessor]]): byte-identical
+    * semantics to [[applyStream]] (same [[reduceKeyBatch]] core), but on
+    * the state-store v2 path — RocksDB provider, per-state-variable
+    * schemas, optional TTL — which is where streaming state is headed at
+    * 100 TB (state larger than executor heap lives off-heap in RocksDB
+    * with changelog checkpointing). Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * `…state.RocksDBStateStoreProvider`. */
+  def applyStreamTws(events: Dataset[ChangeEvent], mode: Mode): Dataset[Upsert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new ChangelogProcessor(mode == Mode.DropRemove),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Merge an upsert-changelog micro-batch into a parquet warehouse table

@@ -168,6 +168,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Filesystem location of the materialized SRP index for one sf dir —
+    * under the build dir (never the read-only testdata). */
+  def srpIndexPath(dir: String): String =
+    new java.io.File(s"target/graft-index/srp_${graft.ops.Layout.sfTag(dir)}")
+      .getAbsolutePath
+
+  /** Materialize the SRP index: embeddings written PARTITIONED BY bucket,
+    * so a probe reads only its buckets' files (PartitionFilters at the
+    * scan — whole directories skipped, not just row groups). Idempotent
+    * and freshness-checked against the source data signature; this is the
+    * index-BUILD step the in-query bucketing of [[annKnnCosine]] was
+    * standing in for. At 100 TB the same write runs once per corpus
+    * snapshot and every query amortizes it. */
+  def ensureSrpIndex(spark: SparkSession, dir: String,
+      nPlanes: Int = 8, seed: Long = 42L): String = {
+    val path = srpIndexPath(dir)
+    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_p${nPlanes}_s$seed"
+    val fresh = sigFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig
+    if (!fresh) {
+      val planes = hyperplanes(nPlanes, 64, seed)
+      Tables.embeddings(spark, dir)
+        .withColumn("bucket", srpBucket(col("embedding"), planes))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
+    }
+    path
+  }
+
+  /** x_ann_indexed — [[annKnnCosine]] served from the materialized index:
+    * identical candidates and results (same planes, same multi-probe),
+    * but the probe set becomes a PARTITION filter on the bucket-
+    * partitioned layout — the scan opens only probed buckets' files
+    * (PlanSpec asserts PartitionFilters). The one driver-side lookup is
+    * the query's own bucket id — one row, index metadata, same class as
+    * IVF centroids. */
+  def annKnnCosineIndexed(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val path = ensureSrpIndex(spark, dir, nPlanes, seed)
+    val planes = hyperplanes(nPlanes, 64, seed)
+    val qbucket = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(srpBucket(col("embedding"), planes).as("b"))
+      .head().getLong(0)
+    val probes = qbucket +: (0 until nPlanes).map(i => qbucket ^ (1L << i))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** x_embed_near_dup_lsh — SRP-bucketed near-dup pairs: the scale path
     * for all-pairs embedding near-dup (the declared query; the cartesian
     * [[embeddingNearDupPairs]] is kept as the DuckDB-oracled ground truth).

@@ -49,8 +49,29 @@ object Joins {
     * build (executor OOM) at 100×. AQE picks BHJ while stats say small
     * and SMJ/shuffled-hash once they say big (PlanSpec asserts both). */
   def multiwayStar(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    starAgg(spark, dir,
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey")))
+
+  /** j_star_bucketed — the same star query reading lineitem/orders from
+    * the bucketed warehouse tables ([[Layout.ensureBucketedStar]]): the
+    * big-big join consumes co-located buckets, so it plans with ZERO
+    * exchanges on either fact side (PlanSpec-asserted) — the shuffle that
+    * dominates j_multiway_star at 100 TB was paid once, at write time.
+    * First invocation materializes the tables (idempotent, freshness-
+    * checked); steady state is the read-only fast path — exactly the
+    * reference warehouse's reason to exist (`/root/reference/README.md:3`). */
+  def multiwayStarBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (li, ord) = Layout.ensureBucketedStar(spark, dir)
+    starAgg(spark, dir,
+      spark.table(li).join(spark.table(ord),
+        col("l_orderkey") === col("o_orderkey")))
+  }
+
+  /** Shared star tail: fact-join frame ⋈ dims → revenue by region. */
+  private def starAgg(spark: SparkSession, dir: String,
+      factJoin: DataFrame): DataFrame =
+    factJoin
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),

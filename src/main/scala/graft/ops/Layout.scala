@@ -18,12 +18,84 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** The warehouse namespace (the reference's Redshift `db.schema.table`,
+    * `load_s3_files_…/handler.py:72-85`, re-expressed over the Spark
+    * session catalog: `spark_catalog.<db>.<table>`). */
+  val WarehouseDb = "graft_wh"
+
+  /** Idempotent namespace DDL — `CREATE SCHEMA IF NOT EXISTS` (the
+    * reference issues exactly this before loading, handler.py:76). */
+  def ensureNamespace(spark: SparkSession, db: String = WarehouseDb): Unit =
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS spark_catalog.`$db`")
+
+  /** A catalog-safe tag for a scale-factor directory, so each sf gets its
+    * own warehouse tables (`graft_wh.lineitem_b_root_testdata_sf0_01`). */
+  def sfTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+
   /** Write a frame bucketed+sorted by `key` as a managed table. */
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
       table: String): Unit =
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  /** Signature of a source dataset on disk (total bytes + newest mtime) —
+    * the freshness token for idempotent materializations. */
+  def dataSig(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val fs = walk(new java.io.File(path))
+    s"${fs.map(_.length).sum}_${fs.map(_.lastModified).foldLeft(0L)(math.max)}"
+  }
+
+  /** Idempotently materialize `df` (read from `srcPath`) as a bucketed
+    * warehouse table: a no-op when the table already exists AND its
+    * recorded source signature matches the data on disk; a rebuild
+    * otherwise. This is the reference's "create table if not exists,
+    * then load" made safe against the source being regenerated. */
+  def ensureBucketedTable(spark: SparkSession, srcPath: String,
+      df: => DataFrame, key: String, buckets: Int, table: String): Unit = {
+    val sig = dataSig(srcPath)
+    val fresh = spark.catalog.tableExists(table) &&
+      spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .exists(r => r.getString(0) == "graft.src.sig" && r.getString(1) == sig)
+    if (!fresh) {
+      // the default session catalog is in-memory (per-JVM): a previous
+      // process may have left this managed table's files on disk with no
+      // catalog entry here. saveAsTable refuses non-empty locations for
+      // new managed tables, so clear the catalog-orphaned location first.
+      if (!spark.catalog.tableExists(table)) {
+        val parts = table.split('.')
+        val orphan = new org.apache.hadoop.fs.Path(
+          spark.catalog.getDatabase(parts(parts.length - 2)).locationUri,
+          parts.last)
+        val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(orphan, true)
+      }
+      writeBucketed(df, key, buckets, table)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.src.sig'='$sig')")
+    }
+  }
+
+  /** Materialize the star's two big tables bucketed by their join key —
+    * the write-side amortization of the lineitem⋈orders shuffle. Returns
+    * the 3-part table names. 16 buckets here; at a 100 TB deployment the
+    * bucket count scales with cluster width (e.g. 2–4× executor count),
+    * the mechanics are identical. */
+  def ensureBucketedStar(spark: SparkSession, dir: String,
+      buckets: Int = 16): (String, String) = {
+    ensureNamespace(spark)
+    val tag = sfTag(dir)
+    val li = s"spark_catalog.$WarehouseDb.lineitem_b_$tag"
+    val ord = s"spark_catalog.$WarehouseDb.orders_b_$tag"
+    ensureBucketedTable(spark, s"$dir/lineitem.parquet",
+      graft.Tables.lineitem(spark, dir), "l_orderkey", buckets, li)
+    ensureBucketedTable(spark, s"$dir/orders.parquet",
+      graft.Tables.orders(spark, dir), "o_orderkey", buckets, ord)
+    (li, ord)
+  }
 
   /** Join two tables previously bucketed on the same key with the same
     * bucket count: plans as a sort-merge join with NO Exchange on either

@@ -102,7 +102,20 @@ object Pipelines {
     * `Trigger.AvailableNow` = one reference "tick"; checkpointed, so each
     * envelope is staged exactly once across ticks. */
   def stageChangeStream(spark: SparkSession, envelopeDir: String,
-      stageRoot: String, checkpointDir: String): Unit = {
+      stageRoot: String, checkpointDir: String): Unit =
+    stageChangeStreamQuery(spark, envelopeDir, stageRoot, checkpointDir)
+      .awaitTermination()
+
+  /** The same hop as a live query under a caller-chosen trigger: pass
+    * `Trigger.ProcessingTime(…)` for the reference's continuous cadence
+    * (EventBridge every 5 min / stream batching every 5 s,
+    * `cdk_infrastructure/__init__.py:492-511`, `__init__.py:355-356`) —
+    * the query stays up and stages each new envelope file as a new
+    * micro-batch. Caller owns stop/await. */
+  def stageChangeStreamQuery(spark: SparkSession, envelopeDir: String,
+      stageRoot: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      name: String = "stage_change_stream"): org.apache.spark.sql.streaming.StreamingQuery = {
     val envelopes = spark.readStream
       .schema(EnvelopeSchema)
       .json(envelopeDir)
@@ -114,15 +127,15 @@ object Pipelines {
       .filter(col("eventName").isin(ChangeEvent.Upserts: _*))
       .withColumn("record", dynamoAttrDecode(col("newImage")))
       .select(col("key"), col("record"), col("ts"))
-    val q = decoded.writeStream
+    decoded.writeStream
+      .queryName(name)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         StagedFiles.stageBatch(batch.sparkSession, batch, stageRoot, batchId)
         ()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
   }
 
   /** Warehouse record schema for the staged trades-shaped records

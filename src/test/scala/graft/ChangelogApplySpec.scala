@@ -80,6 +80,46 @@ class ChangelogApplySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState apply matches flatMapGroupsWithState semantics (RocksDB state store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(confKey)
+    // the v2 state-store path transformWithState requires
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ChangeEvent]
+      val upserts = ChangelogApply.applyStreamTws(input.toDS(), Mode.ApplyRemove)
+      val q = upserts.writeStream
+        .format("memory").queryName("chg_tws").outputMode(OutputMode.Append)
+        .start()
+      try {
+        input.addData(
+          ChangeEvent("INSERT", "k1", """{"v":1}""", ts(1)),
+          ChangeEvent("INSERT", "k2", """{"v":10}""", ts(1)))
+        q.processAllAvailable()
+        input.addData(
+          ChangeEvent("MODIFY", "k1", """{"v":2}""", ts(2)),
+          ChangeEvent("REMOVE", "k2", """{"v":10}""", ts(3)),
+          ChangeEvent("INSERT", "k3", """{"v":7}""", ts(5)))
+        q.processAllAvailable()
+        // stale event (older than k1's stored state): must NOT re-emit
+        input.addData(ChangeEvent("MODIFY", "k1", """{"v":0}""", ts(1)))
+        q.processAllAvailable()
+        val rows = spark.table("chg_tws")
+          .collect().map(r => (r.getString(0), Option(r.getString(1))))
+        // identical per-batch emissions to the fMGWS engine
+        assert(rows.count(_._1 == "k1") === 2) // the ts(1) replay is suppressed
+        assert(rows.filter(_._1 == "k1").map(_._2).toSet
+          === Set(Some("""{"v":1}"""), Some("""{"v":2}""")))
+        assert(rows.filter(_._1 == "k2").map(_._2).toSet
+          === Set(Some("""{"v":10}"""), None))
+        assert(rows.filter(_._1 == "k3").map(_._2) === Seq(Some("""{"v":7}""")))
+      } finally q.stop()
+    } finally spark.conf.set(confKey, prev)
+  }
+
   test("mergeIntoParquet materializes the upsert changelog") {
     import spark.implicits._
     val dir = TestSpark.tempDir("warehouse") + "/t"

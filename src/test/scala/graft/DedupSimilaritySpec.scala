@@ -92,6 +92,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaMinhash === viaExact)
   }
 
+  test("indexed ANN returns exactly the in-query ANN results") {
+    // same planes + same multi-probe set ⇒ identical candidates ⇒ the
+    // materialized, partition-pruned index must be result-identical
+    val inline = Similarity.annKnnCosine(spark, dir, k = 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val indexed = Similarity.annKnnCosineIndexed(spark, dir, k = 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(indexed === inline)
+  }
+
   test("IVF knn carries exact cosine scores with usable recall") {
     val brute = Similarity.knnCosine(spark, dir, k = 20).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap

@@ -40,6 +40,36 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("3-part warehouse namespace: idempotent DDL, freshness-gated rebuild") {
+    import org.apache.spark.sql.functions.col
+    // CREATE SCHEMA IF NOT EXISTS is re-runnable (reference handler.py:76)
+    Layout.ensureNamespace(spark)
+    Layout.ensureNamespace(spark)
+    val (li, ord) = Layout.ensureBucketedStar(spark, TestSpark.Sf0001)
+    assert(li.startsWith("spark_catalog.graft_wh."))
+    assert(spark.catalog.tableExists(li) && spark.catalog.tableExists(ord))
+    assert(spark.table(li).count() > 0)
+    // second ensure with unchanged source = no-op (same recorded signature)
+    def sigOf(t: String): String =
+      spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .find(_.getString(0) == "graft.src.sig").get.getString(1)
+    val sig1 = sigOf(li)
+    Layout.ensureBucketedStar(spark, TestSpark.Sf0001)
+    assert(sigOf(li) == sig1)
+    // a regenerated source (new bytes on disk) forces a rebuild
+    val src = TestSpark.tempDir("bucketsrc")
+    val tbl = "spark_catalog.graft_wh.freshness_probe"
+    def writeSrc(n: Int): Unit = spark.range(n).toDF("k")
+      .write.mode("overwrite").parquet(s"$src/t.parquet")
+    def ensure(): Unit = Layout.ensureBucketedTable(spark, s"$src/t.parquet",
+      spark.read.parquet(s"$src/t.parquet"), "k", 4, tbl)
+    writeSrc(10); ensure()
+    assert(spark.table(tbl).count() == 10)
+    writeSrc(25); ensure()
+    assert(spark.table(tbl).count() == 25, "stale table survived a source regen")
+    assert(spark.table(tbl).filter(col("k") >= 0).count() == 25)
+  }
+
   test("day-partitioned layout prunes to one directory") {
     val dir = TestSpark.tempDir("layout") + "/events"
     Layout.writePartitionedByDay(Tables.events(spark, TestSpark.Sf0001), dir)

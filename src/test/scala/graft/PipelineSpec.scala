@@ -111,4 +111,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipelines.loadTick(spark, stage, wh) === 1)
     assert(spark.read.parquet(wh).count() === 3)
   }
+
+  test("E2 runs continuously under Trigger.ProcessingTime with ≥2 live micro-batches (A20)") {
+    val root = TestSpark.tempDir("e2pt")
+    val envDir = s"$root/envelopes"
+    Files.createDirectories(Paths.get(envDir))
+    Files.writeString(Paths.get(s"$envDir/batch1.json"),
+      """{"eventName":"INSERT","key":"A","newImage":"{\"id\":{\"S\":\"A\"},\"price\":{\"N\":\"10.5\"}}","ts":"2026-01-01T00:00:00.000Z"}
+        |{"eventName":"INSERT","key":"B","newImage":"{\"id\":{\"S\":\"B\"},\"price\":{\"N\":\"20.0\"}}","ts":"2026-01-01T00:01:00.000Z"}
+        |""".stripMargin)
+    val stage = s"$root/stage"
+    val wh = s"$root/warehouse"
+    def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+      q.recentProgress.count(_.numInputRows > 0)
+    def waitUntil(cond: => Boolean, what: String, timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    // live query: the reference's scheduled cadence, not a one-shot tick
+    val q = Pipelines.stageChangeStreamQuery(spark, envDir, stage, s"$root/ckpt",
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"),
+      name = "e2_live")
+    try {
+      waitUntil(dataBatches(q) >= 1, "first live micro-batch")
+      // new envelopes arriving WHILE the query runs → a second live batch
+      Files.writeString(Paths.get(s"$envDir/batch2.json"),
+        """{"eventName":"INSERT","key":"C","newImage":"{\"id\":{\"S\":\"C\"},\"price\":{\"N\":\"5\"}}","ts":"2026-01-01T00:10:00.000Z"}
+          |""".stripMargin)
+      waitUntil(dataBatches(q) >= 2, "second live micro-batch")
+      assert(q.isActive)
+    } finally q.stop()
+    // both live batches staged a file; the load tick sees exactly them
+    assert(Pipelines.loadTick(spark, stage, wh) === 2)
+    assert(spark.read.parquet(wh).count() === 3)
+  }
 }

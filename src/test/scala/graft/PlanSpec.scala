@@ -52,6 +52,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed star query joins lineitem⋈orders with zero fact-side exchanges") {
+    // force the shuffle-join regime (at warehouse scale neither fact side
+    // broadcasts); hinted dims still broadcast. The big join must consume
+    // co-located buckets: no hashpartitioning exchange on either join key.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("j_star_bucketed")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), "not a bucketed scan:\n" + p)
+      assert(!p.contains("hashpartitioning(l_orderkey"),
+        "lineitem side still shuffles:\n" + p)
+      assert(!p.contains("hashpartitioning(o_orderkey"),
+        "orders side still shuffles:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("indexed ANN probes prune to bucket partitions at the scan") {
+    val p = plan("x_ann_indexed")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("bucket#"), "no partition filter on bucket:\n" + p)
+    // the probe set is a partition filter, not a post-scan data filter
+    assert(!p.contains("PushedFilters: [In(bucket"), p)
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("o_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

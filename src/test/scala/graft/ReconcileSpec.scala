@@ -1,7 +1,9 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
-import graft.cdc.Reconcile
+import graft.cdc.{Reconcile, ReconcileMetrics}
 
 /** A19 reconciliation: counts, lag, and key-level divergence. */
 class ReconcileSpec extends AnyFunSuite {
@@ -18,6 +20,46 @@ class ReconcileSpec extends AnyFunSuite {
     assert(!r.getAs[Boolean]("in_sync"))
     val sync = Reconcile.counts(src, src).collect().head
     assert(sync.getAs[Boolean]("in_sync"))
+  }
+
+  test("metrics listener publishes a lagging tick, then an in-sync tick (A19 observability)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val whDir = TestSpark.tempDir("reconwh") + "/t"
+    // source of truth: 4 fixed keys; target: whatever the stream has landed
+    val source = () => Seq("k1", "k2", "k3", "k4").toDF("key")
+    val target: () => DataFrame = () =>
+      if (new java.io.File(whDir).exists) spark.read.parquet(whDir)
+      else spark.emptyDataFrame
+    val rec = new ReconcileMetrics.Recorder
+    val listener = new ReconcileMetrics.Listener("recon_q", source, target, rec.publish)
+    spark.streams.addListener(listener)
+    val input = MemoryStream[String]
+    val q = input.toDS().toDF("key").writeStream
+      .queryName("recon_q")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(whDir); ()
+      }
+      .start()
+    def awaitTick(cond: ReconcileMetrics.Tick => Boolean, what: String): ReconcileMetrics.Tick = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!rec.all.exists(cond) && System.currentTimeMillis() < deadline)
+        Thread.sleep(50) // listener bus is async; progress arrives late
+      rec.all.find(cond).getOrElse(fail(s"no $what tick within 60s: ${rec.all}"))
+    }
+    try {
+      input.addData("k1", "k2")
+      q.processAllAvailable()
+      val lagging = awaitTick(t => t.targetCount == 2, "lagging")
+      assert(lagging.sourceCount === 4 && lagging.lag === 2 && !lagging.inSync)
+      input.addData("k3", "k4")
+      q.processAllAvailable()
+      val synced = awaitTick(t => t.inSync, "in-sync")
+      assert(synced.sourceCount === 4 && synced.targetCount === 4 && synced.lag === 0)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 
   test("keyDiff finds missing and ghost keys") {
