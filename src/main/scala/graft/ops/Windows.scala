@@ -67,7 +67,15 @@ object Windows {
 
   /** w_ntile_pctrank — distribution windows: quartile bucket and percent
     * rank of each order within its status group. percent_rank is the
-    * exact rational (rank-1)/(n-1) — identical across engines. */
+    * exact rational (rank-1)/(n-1) — identical across engines.
+    *
+    * Scale caveat (inherent to ntile/percent_rank): the partition key
+    * here has 3 values, so each partition is one global sort of ~n/3 rows
+    * on a single task — ntile's semantics NEED the whole partition
+    * ordered in one place, there is no partial-aggregation escape. At
+    * warehouse scale use a higher-cardinality partition key, or replace
+    * exact quartiles with approx_percentile cutpoints (one pass,
+    * mergeable sketches) when bucket boundaries are all that's needed. */
   def ntilePctRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))

@@ -22,7 +22,7 @@ object Profile {
       val t0 = System.nanoTime; val r = f
       println(f"[profile] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
-    spark.read.parquet(s"$dir/lineitem.parquet").count() // warm-up
+    spark.read.parquet(s"$dir/documents.parquet").count() // warm-up
 
     val exploded = graft.operators.Dedup.explodedShingles(
       Tables.documents(spark, dir), 3)

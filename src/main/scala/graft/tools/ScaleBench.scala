@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-separation experiment (SURVEY §6): replicate the sf0.1 documents
+  * corpus 10× (each replica lightly salted so replicas are NEAR-dups, not
+  * exact dups — realistic cluster structure: ~10-doc components), then
+  * time the exact quadratic path vs the MinHash+LSH path for BOTH the
+  * pair queries and the clustering decision built on them.
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScaleBench"`.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[scale] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    // 10× corpus: replica r of doc d gets id 10d+r and a per-replica salt
+    // token (unique shingles at the tail), so same-doc replicas sit at
+    // jaccard ≈ 0.9 — true near-dup components of size ~10
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_scale10"
+    val docs = graft.Tables.documents(spark, srcDir)
+    val replicated = docs
+      .crossJoin(spark.range(10).toDF("r"))
+      .select(
+        (col("doc_id") * 10 + col("r")).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("doc_id"), lit("x"), col("r"))
+          .as("text"),
+        col("n_chars"), col("lang"))
+    replicated.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+    val n = spark.read.parquet(s"$scaleDir/documents.parquet").count()
+    println(s"[scale] corpus: $n docs")
+
+    val mhPairs = time("pairs/minhash_lsh")(
+      graft.operators.Dedup.minhashNearDup(spark, scaleDir).count())
+    val exPairs = time("pairs/exact_jaccard")(
+      graft.operators.Dedup.ngramJaccardPairs(spark, scaleDir).count())
+    println(s"[scale] pairs: minhash=$mhPairs exact=$exPairs")
+    val mhClusters = time("clusters/from_minhash (declared path)")(
+      graft.operators.Dedup.dupClusters(spark, scaleDir)
+        .filter(col("is_canonical")).count())
+    val exClusters = time("clusters/from_exact (ground truth)")(
+      graft.operators.Dedup.dupClusters(spark, scaleDir, exactPairs = true)
+        .filter(col("is_canonical")).count())
+    println(s"[scale] clusters: minhash=$mhClusters exact=$exClusters")
+    spark.stop()
+  }
+}
