@@ -31,6 +31,7 @@ object Bench {
     // bench compares across rounds
     graft.ops.Layout.ensureBucketedStar(spark, sfDir)
     graft.operators.Similarity.ensureSrpIndex(spark, sfDir)
+    graft.operators.Similarity.ensureIvfIndex(spark, sfDir)
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")
     // a failed query records {"err": ...} instead of silently timing the

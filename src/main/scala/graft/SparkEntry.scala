@@ -47,6 +47,7 @@ object SparkEntry {
     "g_having"              -> ((s: SparkSession, d: String) => Aggregates.havingAgg(s, d)),
     "g_reconcile_counts"    -> (cdc.Reconcile.countsQuery _),
     "g_percentile"          -> (Aggregates.percentileAgg _),
+    "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -54,6 +55,8 @@ object SparkEntry {
     "j_star_bucketed"       -> (Joins.multiwayStarBucketed _),
     "j_semi"                -> (Joins.semiJoin _),
     "j_anti"                -> (Joins.antiJoin _),
+    "j_asof"                -> (AsofJoin.lastPurchaseAsof _),
+    "j_salted_skew"         -> (SkewOps.saltedJoinQuery _),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -81,12 +84,14 @@ object SparkEntry {
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
     "x_ann_indexed"         -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosineIndexed(s, d)),
     "x_ivf_knn"             -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosine(s, d)),
+    "x_ivf_indexed"         -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosineIndexed(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     // Group T — the batch-verifiable face of the streaming operators
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
+    "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,6 +209,15 @@ object SparkEntry {
         |       s.source_count - t.target_count = 0 AS in_sync
         |FROM (SELECT count(*) AS source_count FROM customer) s,
         |     (SELECT count(DISTINCT o_custkey) AS target_count FROM orders) t""".stripMargin,
+    "g_two_phase_count" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j_salted_skew" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_customers,
         |       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal
@@ -244,6 +258,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "j_asof" ->
+      """SELECT e.event_id, e.user_id, e.value,
+        |       p.value AS last_purchase_value,
+        |       epoch_us(e.ts) - epoch_us(p.ts) AS us_since_purchase
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "w_last_wins_dedup" ->
       """SELECT user_id, event_id, event_type, value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -391,6 +413,14 @@ object SparkEntry {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+    "t_interval_batch" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS us_gap
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "x_knn_cosine" ->
       """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))

@@ -168,6 +168,69 @@ object Similarity {
       .limit(k)
   }
 
+  /** x_ivf_indexed — [[ivfKnnCosine]] served from a materialized index:
+    * the k-means training runs at index-BUILD time (once per corpus
+    * snapshot), centroids persist next to the data (k×dim doubles — the
+    * classic IVF header), and embeddings are written PARTITIONED BY list
+    * id so the nprobe probe set becomes a partition filter. This closes
+    * the r1 note that inline training was billed to every query. */
+  def ivfIndexPath(dir: String): String =
+    new java.io.File(s"target/graft-index/ivf_${graft.ops.Layout.sfTag(dir)}")
+      .getAbsolutePath
+
+  /** Build (or reuse) the IVF index; returns (path, centroids). Freshness
+    * is keyed on source signature + build params; centroids round-trip
+    * through Double.toString (exact), so a reused index serves the very
+    * centroids it was partitioned by — assignments stay consistent. */
+  def ensureIvfIndex(spark: SparkSession, dir: String, nlist: Int = 16,
+      trainIters: Int = 2): (String, Array[Array[Double]]) = {
+    val path = ivfIndexPath(dir)
+    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
+    val centFile = new java.io.File(path, "_GRAFT_CENTROIDS")
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_l${nlist}_i$trainIters"
+    if (sigFile.isFile && centFile.isFile &&
+        new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig) {
+      val cents = scala.io.Source.fromFile(centFile).getLines()
+        .map(_.split(',').map(_.toDouble)).toArray
+      (path, cents)
+    } else {
+      val cents = ivfCentroids(spark, dir, nlist, trainIters)
+      Tables.embeddings(spark, dir)
+        .withColumn("cid", nearestCentroid(col("embedding"), cents))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      java.nio.file.Files.write(centFile.toPath,
+        cents.map(_.mkString(",")).mkString("\n").getBytes)
+      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
+      (path, cents)
+    }
+  }
+
+  /** IVF top-k over the materialized index: rank the persisted centroids
+    * against the query vector (k×dim driver flops — index metadata), scan
+    * ONLY the nprobe nearest lists via partition pruning, exact cosine
+    * re-rank within them. */
+  def ivfKnnCosineIndexed(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+      trainIters: Int = 2): DataFrame = {
+    val (path, cents) = ensureIvfIndex(spark, dir, nlist, trainIters)
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probes = cents.indices
+      .sortBy { c => // same -dot ranking as the inline form
+        val cent = cents(c)
+        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
+      }
+      .take(nprobe).map(_.toLong)
+    spark.read.parquet(path)
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Filesystem location of the materialized SRP index for one sf dir —
     * under the build dir (never the read-only testdata). */
   def srpIndexPath(dir: String): String =

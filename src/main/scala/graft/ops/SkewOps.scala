@@ -38,6 +38,32 @@ object SkewOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** j_salted_skew — the salted join as a declared, oracled query:
+    * revenue per brand via lineitem ⋈ part, salted 8 ways. The oracle is
+    * the PLAIN join's SQL — salting must be semantically invisible
+    * (hash-exact), only the physical key distribution changes. */
+  def saltedJoinQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val part = graft.Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    saltedJoin(li, part, "l_partkey")
+      .groupBy(col("p_brand"))
+      .agg(
+        graft.functions.DetMath.sumMoneyCents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** g_two_phase_count — the salted aggregation as a declared, oracled
+    * query: per-returnflag counts; oracle is the plain GROUP BY count. */
+  def twoPhaseCountQuery(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    twoPhaseCount(graft.Tables.lineitem(spark, dir), "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
   /** Two-phase (salted) aggregation: count/sum per key with a bounded
     * per-partition group size even under extreme key skew. Spark's
     * partial aggregation already map-side combines; this adds an explicit

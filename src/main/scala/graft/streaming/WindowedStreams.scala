@@ -59,6 +59,50 @@ object WindowedStreams {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy(col("win_start_s"), col("event_type"))
 
+  /** t_interval_join — stream-stream inner join with watermarks and a
+    * time-range condition: the canonical two-stream correlation ("which
+    * purchase followed this click within the horizon"). Both sides carry
+    * watermarks and the join predicate bounds rightTs to
+    * [leftTs, leftTs + horizon], so each side's join STATE is evictable
+    * once the watermark passes the horizon — state is O(rows within
+    * watermark + horizon), not O(stream length). Works identically on
+    * batch frames (Spark's unified plan), which is how the oracle checks
+    * it (`t_interval_batch`). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      watermark: String = "10 minutes", horizon: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"))
+  }
+
+  /** t_interval_batch — the interval join as a driver-verifiable batch
+    * query: purchases within 30 minutes after a click by the same user.
+    * Bounds and gaps at MICROsecond precision on both engines (the
+    * oracle's parquet reader truncates TIMESTAMP(NANOS) to micros). */
+  def intervalJoinBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .withColumn("us", expr("ts_ns div 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("c_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("us").as("p_us"))
+    val horizonUs = 30L * 60L * 1000L * 1000L
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + lit(horizonUs))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("c_us")).as("us_gap"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   /** Session windows per user: activity bursts separated by `gap`. */
   def sessionCounts(events: DataFrame, tsCol: String = "ts",
       gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =

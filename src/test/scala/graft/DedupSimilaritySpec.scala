@@ -114,6 +114,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"suspiciously low IVF recall: $recall")
   }
 
+  test("indexed IVF knn carries exact cosine scores with usable recall") {
+    // indexed IVF probes the persisted lists; scores must still be exact
+    // and recall comparable to the inline form (same assertion style —
+    // inline-vs-indexed equality would be flaky because Lloyd's double
+    // sums are partition-order dependent across runs)
+    val brute = Similarity.knnCosine(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = Similarity.ivfKnnCosineIndexed(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim"))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (id, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-12)) }
+    val recall = ivf.count(a => brute.contains(a._1)).toDouble / brute.size
+    assert(recall >= 0.2, s"suspiciously low indexed-IVF recall: $recall")
+    // second call must hit the freshness fast path and agree with itself
+    val again = Similarity.ivfKnnCosineIndexed(spark, dir, k = 20).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim"))
+    assert(again === ivf)
+  }
+
   test("exact dedup and fingerprint dedup agree on canonical ids") {
     val a = Dedup.exactDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
     val b = Dedup.fingerprintDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet

@@ -77,6 +77,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(bucket"), p)
   }
 
+  test("indexed IVF probes prune to list partitions at the scan") {
+    val p = plan("x_ivf_indexed")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("cid#"), "no partition filter on cid:\n" + p)
+    assert(!p.contains("PushedFilters: [In(cid"), p)
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("o_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -74,4 +74,38 @@ class WindowedStreamsSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 1).map(_._2).sorted.toSeq === Seq(1, 2))
     assert(out.count(_._1 == 2) === 1)
   }
+
+  test("stream-stream interval join matches within the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // epoch-0 event times would EQUAL the join's initial watermark and be
+    // dropped as late on arrival — use a realistic clock base
+    def ts(min: Long) = new Timestamp(1600000000000L + min * 60 * 1000)
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = WindowedStreams.intervalJoin(
+      clicks.toDF().select($"event_id".as("click_id"), $"user_id", $"ts"),
+      purchases.toDF().select($"event_id".as("purchase_id"),
+        $"user_id", $"ts".as("pts")),
+      key = "user_id", leftTs = "ts", rightTs = "pts",
+      watermark = "5 minutes", horizon = "30 minutes")
+    assert(joined.isStreaming)
+    val q = joined
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Ev(1, ts(0), 1, "click", 0.0),   // u1 clicks at t=0
+        Ev(2, ts(0), 2, "click", 0.0))   // u2 clicks at t=0
+      purchases.addData(
+        Ev(10, ts(10), 1, "purchase", 1.0), // within 30 min → match
+        Ev(11, ts(40), 1, "purchase", 1.0), // past horizon → no match
+        Ev(12, ts(5), 3, "purchase", 1.0))  // other user → no match
+      q.processAllAvailable()
+      val out = spark.table("ivj").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      assert(out.toSet === Set((1L, 10L)))
+    } finally q.stop()
+  }
 }
