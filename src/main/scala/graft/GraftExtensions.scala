@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Library-level injection of this engine's SQL surface via the public
+  * `SparkSessionExtensions` hook: a deployment sets
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * and EVERY session on the cluster gets `vector_dot`,
+  * `rolling_fingerprint`, and `dynamo_attr_decode` with no code call —
+  * the way a production cluster ships engine extensions (vs.
+  * [[GraftFunctions.register]], the per-session programmatic form; both
+  * share one builder table so the two surfaces cannot drift). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

@@ -15,22 +15,32 @@ import graft.functions.{DynamoAttributeDecode, FloatArrayDot, RollingFingerprint
   * }}}
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    FunctionRegistryBridge.register(spark, "vector_dot", exprs => {
+
+  /** The one builder table both registration surfaces share
+    * (programmatic [[register]] and config-injected
+    * [[graft.GraftExtensions]]). */
+  private[graft] val builders: Seq[
+      (String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "vector_dot" -> { exprs =>
       require(exprs.length == 2, "vector_dot(a, b) takes 2 arguments")
       FloatArrayDot(exprs(0), exprs(1))
-    })
-    FunctionRegistryBridge.register(spark, "rolling_fingerprint", exprs => {
+    },
+    "rolling_fingerprint" -> { exprs =>
       require(exprs.length == 2, "rolling_fingerprint(text, window) takes 2 arguments")
       val w = exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => other.eval(null).asInstanceOf[Int]
       }
       RollingFingerprint(exprs(0), w)
-    })
-    FunctionRegistryBridge.register(spark, "dynamo_attr_decode", exprs => {
+    },
+    "dynamo_attr_decode" -> { exprs =>
       require(exprs.length == 1, "dynamo_attr_decode(json) takes 1 argument")
       DynamoAttributeDecode(exprs.head)
     })
-  }
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      FunctionRegistryBridge.register(spark, name, builder)
+    }
 }

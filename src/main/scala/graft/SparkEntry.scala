@@ -47,6 +47,7 @@ object SparkEntry {
     "g_having"              -> ((s: SparkSession, d: String) => Aggregates.havingAgg(s, d)),
     "g_reconcile_counts"    -> (cdc.Reconcile.countsQuery _),
     "g_percentile"          -> (Aggregates.percentileAgg _),
+    "g_approx_percentile"   -> ((s: SparkSession, d: String) => Aggregates.approxPercentileAgg(s, d)),
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),

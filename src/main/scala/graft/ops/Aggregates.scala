@@ -112,6 +112,24 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** g_approx_percentile — the SCALE path for [[percentileAgg]]: exact
+    * `percentile` must materialize and sort every group's values (one
+    * giant sorted buffer per group at 100 TB); `approx_percentile` keeps
+    * a bounded mergeable sketch per partition (map-side combined, error ≤
+    * 1/accuracy), which is the only shape that survives a hot group.
+    * Sketch ≠ DuckDB's exact interpolation → declared rows-only; the
+    * scalatest proof bounds it against the exact form. */
+  def approxPercentileAgg(spark: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("median_qty"),
+        expr(s"approx_percentile(l_extendedprice, 0.25, $accuracy)").as("p25_price"),
+        expr(s"approx_percentile(l_extendedprice, 0.95, $accuracy)").as("p95_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   /** g_having — post-aggregation group filter: customers with more than
     * `minOrders` orders. */
   def havingAgg(spark: SparkSession, dir: String, minOrders: Long = 5): DataFrame =

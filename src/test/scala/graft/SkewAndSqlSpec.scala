@@ -35,6 +35,53 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(two === plain)
   }
 
+  test("spark.sql.extensions=graft.GraftExtensions injects the SQL surface into new sessions") {
+    import org.apache.spark.sql.SparkSession
+    // force existing session init first (shares its SparkContext)
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a NEW session with the extension installed — no
+      // GraftFunctions.register call anywhere. (The equivalent
+      // `spark.sql.extensions=graft.GraftExtensions` config string is
+      // read at SparkContext creation, which this shared-context suite
+      // predates; withExtensions is the same public hook.)
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val d = ext.sql(
+        """SELECT vector_dot(array(cast(1.0 AS float), cast(2.0 AS float)),
+          |                  array(cast(3.0 AS float), cast(4.0 AS float))) AS d"""
+          .stripMargin).collect().head.getDouble(0)
+      assert(d === 11.0)
+      assert(ext ne base) // genuinely a different session, same context
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("approx percentiles track the exact ones within sketch tolerance") {
+    import graft.ops.Aggregates
+    val dir = TestSpark.Sf0001
+    def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = byFlag(Aggregates.percentileAgg(spark, dir))
+    val approx = byFlag(Aggregates.approxPercentileAgg(spark, dir))
+    assert(approx.keySet === exact.keySet)
+    // at accuracy 10000 and these group sizes the sketch's rank error is
+    // tiny; allow a small relative slack for the value-domain gap
+    exact.foreach { case (flag, (m, p25, p95)) =>
+      val (am, a25, a95) = approx(flag)
+      assert(math.abs(am - m) <= math.max(1.0, 0.05 * m), s"$flag median")
+      assert(math.abs(a25 - p25) <= 0.05 * p25, s"$flag p25")
+      assert(math.abs(a95 - p95) <= 0.05 * p95, s"$flag p95")
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("emb_sql")
