@@ -93,6 +93,7 @@ object SparkEntry {
     // Group T — the batch-verifiable face of the streaming operators
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
+    "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,6 +423,21 @@ object SparkEntry {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY click_id, purchase_id""".stripMargin,
+    "t_session_batch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |s AS (SELECT user_id, us,
+        |             CASE WHEN lag(us) OVER w IS NULL
+        |                    OR us - lag(us) OVER w >= 1800000000
+        |                  THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |g AS (SELECT user_id, us,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                              ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT user_id, min(us) AS sess_start_us,
+        |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "x_knn_cosine" ->
       """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))

@@ -202,7 +202,11 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
       .localCheckpoint() // pairs are small; cut the growing lineage
-    var labels = Tables.documents(spark, dir)
+    // propagate over PAIR MEMBERS only — singletons (the bulk of a real
+    // corpus) never enter the iteration; they are unioned back at the end
+    // as their own canonical. Every per-round join/agg shrinks from
+    // |corpus| to |docs-in-pairs|.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canon"))
       .localCheckpoint()
     var converged = false
@@ -224,7 +228,13 @@ object Dedup {
       labels = next.select(col("doc_id"), col("canon"))
       it += 1
     }
-    labels.select(col("doc_id"), col("canon"),
+    // singletons re-enter here: every doc with no near-dup pair is its
+    // own canonical (one anti-join, no iteration cost)
+    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("canon"))
+    labels.unionByName(singletons)
+      .select(col("doc_id"), col("canon"),
         (col("doc_id") === col("canon")).as("is_canonical"))
       .orderBy(col("doc_id"))
   }

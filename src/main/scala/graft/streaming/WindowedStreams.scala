@@ -103,6 +103,25 @@ object WindowedStreams {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** t_session_batch — the session-window operator as a driver-verifiable
+    * batch query: per-user activity sessions with a 30-minute gap, counts
+    * per session. The oracle emulates `session_window` with
+    * lag + cumulative-sum session ids (the textbook SQL sessionization),
+    * proving the operator's merge semantics — a new session starts when
+    * the gap since the previous event is ≥ the threshold (session end is
+    * exclusive). Output times in epoch micros (shared exact domain). */
+  def sessionCountsBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("cnt"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
   /** Session windows per user: activity bursts separated by `gap`. */
   def sessionCounts(events: DataFrame, tsCol: String = "ts",
       gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
