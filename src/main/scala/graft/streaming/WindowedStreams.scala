@@ -107,9 +107,12 @@ object WindowedStreams {
     * batch query: per-user activity sessions with a 30-minute gap, counts
     * per session. The oracle emulates `session_window` with
     * lag + cumulative-sum session ids (the textbook SQL sessionization),
-    * proving the operator's merge semantics — a new session starts when
-    * the gap since the previous event is ≥ the threshold (session end is
-    * exclusive). Output times in epoch micros (shared exact domain). */
+    * proving the operator's merge semantics — an event lands in the
+    * prior session when its gap is ≤ the threshold (session end is
+    * INCLUSIVE: events at 00:00 and 00:30 with a 30-min gap merge into
+    * one session ending 01:00; verified empirically on Spark 4.1.2), so
+    * a new session needs gap > threshold. Output times in epoch micros
+    * (shared exact domain). */
   def sessionCountsBatch(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.Tables.events(spark, dir)

@@ -32,11 +32,14 @@ object ScaleBench {
     val docs = graft.Tables.documents(spark, srcDir)
     val replicated = docs
       .crossJoin(spark.range(10).toDF("r"))
+      .withColumn("text",
+        concat(col("text"), lit(" zz"), col("doc_id"), lit("x"), col("r")))
       .select(
         (col("doc_id") * 10 + col("r")).as("doc_id"),
-        concat(col("text"), lit(" zz"), col("doc_id"), lit("x"), col("r"))
-          .as("text"),
-        col("n_chars"), col("lang"))
+        col("text"),
+        col("lang"), col("source"),
+        // metadata must match the salted text, not the original's
+        length(col("text")).cast("bigint").as("n_chars"))
     replicated.write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
     val n = spark.read.parquet(s"$scaleDir/documents.parquet").count()
     println(s"[scale] corpus: $n docs")
