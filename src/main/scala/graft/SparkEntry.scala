@@ -95,6 +95,7 @@ object SparkEntry {
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
+    "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     // Group T — the batch-verifiable face of the streaming operators
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),

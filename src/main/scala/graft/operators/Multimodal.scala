@@ -170,4 +170,43 @@ object Multimodal {
         round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
       .orderBy(col("media_id"))
   }
+
+  /** Materialized kind-partitioned media layout for one sf dir, freshness-
+    * gated like the ANN/IVF indexes. At 100 TB this write is the one-time
+    * organization that lets every modality-specific job skip the other
+    * modalities' files entirely. */
+  def ensureMediaLayout(spark: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      s"target/graft-index/media_${graft.ops.Layout.sfTag(dir)}").getAbsolutePath
+    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
+    val sig = graft.ops.Layout.dataSig(s"$dir/documents.parquet")
+    val fresh = sigFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig
+    if (!fresh) {
+      writePartitioned(syntheticMedia(spark, dir), path)
+      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
+    }
+    path
+  }
+
+  /** x_multimodal_pruned — a modality-specific job over the partitioned
+    * layout: image-only feature stats where the scan opens ONLY the
+    * image partition (PartitionFilters, PlanSpec-asserted) — the other
+    * two-thirds of the payload bytes are never read. Results equal the
+    * image slice of [[featureStats]] (scalatest). */
+  def featureStatsPruned(spark: SparkSession, dir: String,
+      kind: String = "image"): DataFrame = {
+    import spark.implicits._
+    val path = ensureMediaLayout(spark, dir)
+    // partitioned read: `kind` comes back as a partition column; restore
+    // the MediaRow field order for the typed decode
+    val media = spark.read.parquet(path)
+      .filter(col("kind") === kind)
+      .select(col("media_id"), col("kind"), col("payload"), col("meta"))
+      .as[MediaRow]
+    extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
+      .orderBy(col("media_id"))
+  }
 }

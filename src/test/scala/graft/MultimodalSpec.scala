@@ -50,6 +50,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(images.count() > 0)
   }
 
+  test("pruned modality job equals the image slice and prunes at the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.Sf0001
+    val pruned = operators.Multimodal.featureStatsPruned(spark, dir)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("kind"), "no partition filter on kind:\n" + plan)
+    val full = operators.Multimodal.featureStats(spark, dir)
+      .filter(col("kind") === "image").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val got = pruned.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got === full)
+  }
+
   test("stub codec is deterministic (stands in for a real decoder)") {
     val payload = "hello multimodal".getBytes("UTF-8")
     assert(FakeCodec.features(payload).toSeq === FakeCodec.features(payload).toSeq)
