@@ -162,14 +162,16 @@ object Multimodal {
     * (synthetic media → batched decode → per-modality feature stats).
     * Not DuckDB-oracled (binary payload + stub codec are not SQL);
     * rows-only check + scalatest determinism spec. */
-  def featureStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val feats = extractFeatures(syntheticMedia(spark, dir))
+  def featureStats(spark: SparkSession, dir: String): DataFrame =
+    featureProjection(extractFeatures(syntheticMedia(spark, dir)))
+
+  /** The shared output shape of the feature queries (full and pruned must
+    * stay comparable row-for-row). */
+  private def featureProjection(feats: Dataset[MediaFeatures]): DataFrame =
     feats.toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
         round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
       .orderBy(col("media_id"))
-  }
 
   /** Materialized kind-partitioned media layout for one sf dir, freshness-
     * gated like the ANN/IVF indexes. At 100 TB this write is the one-time
@@ -178,22 +180,17 @@ object Multimodal {
   def ensureMediaLayout(spark: SparkSession, dir: String): String = {
     val path = new java.io.File(
       s"target/graft-index/media_${graft.ops.Layout.sfTag(dir)}").getAbsolutePath
-    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
     val sig = graft.ops.Layout.dataSig(s"$dir/documents.parquet")
-    val fresh = sigFile.isFile &&
-      new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig
-    if (!fresh) {
+    graft.ops.Layout.ensureSigGated(path, sig) {
       writePartitioned(syntheticMedia(spark, dir), path)
-      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
     }
-    path
   }
 
   /** x_multimodal_pruned — a modality-specific job over the partitioned
     * layout: image-only feature stats where the scan opens ONLY the
-    * image partition (PartitionFilters, PlanSpec-asserted) — the other
-    * two-thirds of the payload bytes are never read. Results equal the
-    * image slice of [[featureStats]] (scalatest). */
+    * image partition (PartitionFilters, asserted in MultimodalSpec) —
+    * the other two-thirds of the payload bytes are never read. Results
+    * equal the image slice of [[featureStats]] (scalatest). */
   def featureStatsPruned(spark: SparkSession, dir: String,
       kind: String = "image"): DataFrame = {
     import spark.implicits._
@@ -204,9 +201,6 @@ object Multimodal {
       .filter(col("kind") === kind)
       .select(col("media_id"), col("kind"), col("payload"), col("meta"))
       .as[MediaRow]
-    extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
-      .orderBy(col("media_id"))
+    featureProjection(extractFeatures(media))
   }
 }

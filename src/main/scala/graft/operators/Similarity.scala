@@ -181,29 +181,26 @@ object Similarity {
   /** Build (or reuse) the IVF index; returns (path, centroids). Freshness
     * is keyed on source signature + build params; centroids round-trip
     * through Double.toString (exact), so a reused index serves the very
-    * centroids it was partitioned by — assignments stay consistent. */
+    * centroids it was partitioned by — assignments stay consistent (the
+    * centroid file is written BEFORE the sig, so a passing gate implies
+    * it exists). */
   def ensureIvfIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       trainIters: Int = 2): (String, Array[Array[Double]]) = {
     val path = ivfIndexPath(dir)
-    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
     val centFile = new java.io.File(path, "_GRAFT_CENTROIDS")
     val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_l${nlist}_i$trainIters"
-    if (sigFile.isFile && centFile.isFile &&
-        new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig) {
-      import scala.jdk.CollectionConverters._
-      val cents = java.nio.file.Files.readAllLines(centFile.toPath).asScala
-        .map(_.split(',').map(_.toDouble)).toArray
-      (path, cents)
-    } else {
+    graft.ops.Layout.ensureSigGated(path, sig) {
       val cents = ivfCentroids(spark, dir, nlist, trainIters)
       Tables.embeddings(spark, dir)
         .withColumn("cid", nearestCentroid(col("embedding"), cents))
         .write.mode("overwrite").partitionBy("cid").parquet(path)
       java.nio.file.Files.write(centFile.toPath,
         cents.map(_.mkString(",")).mkString("\n").getBytes)
-      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
-      (path, cents)
     }
+    import scala.jdk.CollectionConverters._
+    val cents = java.nio.file.Files.readAllLines(centFile.toPath).asScala
+      .map(_.split(',').map(_.toDouble)).toArray
+    (path, cents)
   }
 
   /** IVF top-k over the materialized index: rank the persisted centroids
@@ -250,19 +247,13 @@ object Similarity {
     * snapshot and every query amortizes it. */
   def ensureSrpIndex(spark: SparkSession, dir: String,
       nPlanes: Int = 8, seed: Long = 42L): String = {
-    val path = srpIndexPath(dir)
-    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
     val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_p${nPlanes}_s$seed"
-    val fresh = sigFile.isFile &&
-      new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig
-    if (!fresh) {
+    graft.ops.Layout.ensureSigGated(srpIndexPath(dir), sig) {
       val planes = hyperplanes(nPlanes, 64, seed)
       Tables.embeddings(spark, dir)
         .withColumn("bucket", srpBucket(col("embedding"), planes))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
-      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
+        .write.mode("overwrite").partitionBy("bucket").parquet(srpIndexPath(dir))
     }
-    path
   }
 
   /** x_ann_indexed — [[annKnnCosine]] served from the materialized index:

@@ -50,6 +50,22 @@ object Layout {
     s"${fs.map(_.length).sum}_${fs.map(_.lastModified).foldLeft(0L)(math.max)}"
   }
 
+  /** The shared signature-gated materialization: run `build` only when
+    * `path` lacks a `_GRAFT_SRC_SIG` matching `sig`; the sig is written
+    * AFTER the build, so a partial build (crash mid-write) never passes
+    * the gate on the next run. Used by every materialized layout/index
+    * (bucketed star via table properties; SRP/IVF/media via this). */
+  def ensureSigGated(path: String, sig: String)(build: => Unit): String = {
+    val sigFile = new java.io.File(path, "_GRAFT_SRC_SIG")
+    val fresh = sigFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == sig
+    if (!fresh) {
+      build
+      java.nio.file.Files.write(sigFile.toPath, sig.getBytes)
+    }
+    path
+  }
+
   /** Idempotently materialize `df` (read from `srcPath`) as a bucketed
     * warehouse table: a no-op when the table already exists AND its
     * recorded source signature matches the data on disk; a rebuild

@@ -55,8 +55,13 @@ class MultimodalSpec extends AnyFunSuite {
     val dir = TestSpark.Sf0001
     val pruned = operators.Multimodal.featureStatsPruned(spark, dir)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: ["), plan)
-    assert(plan.contains("kind"), "no partition filter on kind:\n" + plan)
+    // the filter must be INSIDE the PartitionFilters bracket (a bare
+    // 'PartitionFilters: [' or a projected 'kind' column would match
+    // even with pruning broken)
+    assert(plan.contains("PartitionFilters: [isnotnull(kind"),
+      "kind filter did not reach PartitionFilters:\n" + plan)
+    assert("PartitionFilters: \\[[^\\]]*= image".r.findFirstIn(plan).isDefined,
+      "image equality not in PartitionFilters:\n" + plan)
     val full = operators.Multimodal.featureStats(spark, dir)
       .filter(col("kind") === "image").collect()
       .map(r => (r.getLong(0), r.getDouble(3))).toSeq
