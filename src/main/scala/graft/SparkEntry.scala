@@ -49,6 +49,7 @@ object SparkEntry {
     "g_percentile"          -> (Aggregates.percentileAgg _),
     "g_approx_percentile"   -> ((s: SparkSession, d: String) => Aggregates.approxPercentileAgg(s, d)),
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
+    "g_stats"               -> (Aggregates.statsAgg _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -64,6 +65,7 @@ object SparkEntry {
     "w_running_balance"     -> (Windows.runningBalance _),
     "w_rank_topn_per_group" -> ((s: SparkSession, d: String) => Windows.rankTopNPerGroup(s, d)),
     "w_lag_lead"            -> (Windows.lagLead _),
+    "w_first_last"          -> (Windows.firstLast _),
     // Group O — sort / limit / set ops
     "o_sort_limit"          -> ((s: SparkSession, d: String) => SetSort.sortLimit(s, d)),
     "o_union_append"        -> (SetSort.unionAppend _),
@@ -218,6 +220,16 @@ object SparkEntry {
         |       s.source_count - t.target_count = 0 AS in_sync
         |FROM (SELECT count(*) AS source_count FROM customer) s,
         |     (SELECT count(DISTINCT o_custkey) AS target_count FROM orders) t""".stripMargin,
+    "g_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) * sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |            - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * (count(*) - 1)) AS var_qty,
+        |       sqrt(CAST(count(*) * sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |            - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |         / (count(*) * (count(*) - 1))) AS std_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "g_two_phase_count" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -306,6 +318,15 @@ object SparkEntry {
         |       round(value - lag(value) OVER w, 2) AS delta
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w_first_last" ->
+      """SELECT user_id, event_id, value,
+        |       first_value(value) OVER w AS first_value,
+        |       last_value(value) OVER w AS last_value,
+        |       nth_value(value, 2) OVER w AS second_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id, event_id""".stripMargin,
     "o_sort_limit" ->
       """SELECT event_id, user_id, event_type, value

@@ -140,4 +140,29 @@ object Aggregates {
         graft.functions.DetMath.sumMoney(col("o_totalprice")).as("total_spend"))
       .filter(col("n_orders") > minOrders)
       .orderBy(col("o_custkey"))
+
+  /** g_stats — statistical aggregates (variance / stddev of quantity per
+    * returnflag) done determinism-right: naive per-engine `stddev` sums
+    * doubles in partition order and diverges in the low bits, so this
+    * computes from EXACT integer sums (l_quantity is integer-valued) via
+    *   var = (n·Σx² − (Σx)²) / (n·(n−1))
+    * where the numerator and denominator are exact BIGINTs well under
+    * 2⁵³, leaving ONE double division + ONE sqrt — both correctly-rounded
+    * IEEE ops, so Spark and DuckDB agree bit-for-bit. The same trick any
+    * cross-engine reconciliation of statistical aggregates needs. */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast(LongType)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sum_qty"),
+        sum(q * q).as("sum_qty2"))
+      .select(
+        col("l_returnflag"), col("n"), col("sum_qty"),
+        ((col("n") * col("sum_qty2") - col("sum_qty") * col("sum_qty"))
+          .cast(DoubleType) / (col("n") * (col("n") - 1))).as("var_qty"))
+      .withColumn("std_qty", sqrt(col("var_qty")))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -100,4 +100,22 @@ object Windows {
         round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** w_first_last — frame-based value windows: each event annotated with
+    * its user's first, last, and second value over the FULL partition
+    * frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — last_value
+    * over the default frame would be the current row, the classic
+    * frame-semantics trap this query pins cross-engine). */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        first(col("value")).over(w).as("first_value"),
+        last(col("value")).over(w).as("last_value"),
+        nth_value(col("value"), 2).over(w).as("second_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }
