@@ -62,14 +62,21 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }
+    // millisecond precision keeps the one-line JSON short enough to fit
+    // entirely inside the driver's bounded stdout-tail capture — full
+    // nanosecond doubles once pushed the line's head out of the window
+    def sec3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"$k\":${sec3(v)}" }
       .mkString("{", ",", "}")
     val errs = (buildErrs.toSeq ++
         results.collect { case (k, _, Some(e)) => (k, e) })
       .map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // stop Spark BEFORE printing so no late executor/log line lands after
+    // the payload: the JSON must be the last line this process writes
     spark.stop()
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
