@@ -53,6 +53,7 @@ object Bench {
     build("build_srp_index")(graft.operators.Similarity.ensureSrpIndex(spark, sfDir))
     build("build_ivf_index")(graft.operators.Similarity.ensureIvfIndex(spark, sfDir))
     build("build_media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, sfDir))
+    build("build_minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, sfDir))
     // a failed query records an errors entry instead of silently timing
     // the failure — the driver's BENCH JSON then shows breakage explicitly
     val results = SparkEntry.queries.map { case (name, fn) =>

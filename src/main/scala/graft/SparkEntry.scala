@@ -76,6 +76,7 @@ object SparkEntry {
     "x_fingerprint_dedup"   -> (operators.Dedup.fingerprintDedup _),
     "x_ngram_jaccard"       -> ((s: SparkSession, d: String) => operators.Dedup.ngramJaccardPairs(s, d)),
     "x_minhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDup(s, d)),
+    "x_minhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDupIndexed(s, d)),
     // the ORACLED clusters query uses the exact pair source: the DuckDB
     // hash gate must stay deterministic (LSH recall is ~1-5e-8 per pair —
     // near-certain, but a gate should be certain). The declared SCALE

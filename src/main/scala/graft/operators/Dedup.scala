@@ -127,24 +127,83 @@ object Dedup {
     * recall against [[ngramJaccardPairs]]. */
   def minhashNearDup(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // signatures via explode + 64 min-aggregates: every xxhash64 runs
-    // inside WholeStageCodegen and partial (map-side) min-combine means
-    // the shuffle carries 64 longs per doc regardless of doc size. The
-    // shingle set rides along in the same aggregation (collect_set) so
-    // shingles are generated and shuffled exactly once; the three
-    // downstream consumers share the exchange (ReuseExchange).
+      threshold: Double = 0.8): DataFrame =
+    nearDupFromSignatures(signatures(spark, dir, n, numHashes),
+      numHashes, bands, threshold)
+
+  /** Per-doc MinHash signatures + shingle sets — the artifact a corpus
+    * pipeline computes ONCE at ingest. Signatures via explode + N
+    * min-aggregates: every xxhash64 runs inside WholeStageCodegen and
+    * partial (map-side) min-combine means the shuffle carries N longs
+    * per doc regardless of doc size. The shingle set rides along in the
+    * same aggregation (collect_set) so shingles are generated and
+    * shuffled exactly once. */
+  def signatures(spark: SparkSession, dir: String, n: Int,
+      numHashes: Int): DataFrame = {
     val exploded = explodedShingles(Tables.documents(spark, dir), n)
     val minCols = (0 until numHashes).map(s =>
       min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
-    val grouped = exploded.groupBy(col("doc_id"))
+    exploded.groupBy(col("doc_id"))
       .agg(minCols.head,
         (minCols.tail :+ collect_set(col("shingle")).as("sh")): _*)
-    val sigs = grouped.select(col("doc_id"),
-      array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
-    val docs = grouped.select(col("doc_id"), col("sh"))
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"),
+        col("sh"))
+  }
+
+  /** Filesystem location of the materialized MinHash index for one sf
+    * dir — under the build dir (never the read-only testdata). */
+  def minhashIndexPath(dir: String): String =
+    new java.io.File(s"target/graft-index/minhash_${graft.ops.Layout.sfTag(dir)}")
+      .getAbsolutePath
+
+  /** Hash count persisted in the index: seed s of a k-hash signature is
+    * seed s of any longer signature, so one 128-hash index serves every
+    * banding scheme up to 128 via a prefix slice (64/16 for the
+    * candidate query, 128/32 for the cluster decision). */
+  val IndexHashes = 128
+
+  /** Materialize the MinHash signature index: (doc_id, sig[128], shingle
+    * set) written once per corpus snapshot, freshness-gated on the source
+    * data signature. At 100 TB signatures are computed at ingest and
+    * every dedup decision amortizes them — recomputing O(hashes ×
+    * shingles) per query is the difference between a 5-minute and a
+    * multi-hour dedup pass. */
+  def ensureMinhashIndex(spark: SparkSession, dir: String, n: Int = 3,
+      numHashes: Int = IndexHashes): String = {
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
+    graft.ops.Layout.ensureSigGated(minhashIndexPath(dir), sig) {
+      signatures(spark, dir, n, numHashes)
+        // few, well-sized files: the index is read whole by every
+        // consumer, so file-count hygiene beats parallel-write width
+        .repartition(8)
+        .write.mode("overwrite").parquet(minhashIndexPath(dir))
+    }
+  }
+
+  /** x_minhash_indexed — [[minhashNearDup]] served from the materialized
+    * signature index: identical output (same seeds, same shingles — a
+    * k-hash signature is the length-k prefix of the index's), but the
+    * per-query work is banding + verification only. */
+  def minhashNearDupIndexed(spark: SparkSession, dir: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes <= IndexHashes, "index carries 128 hashes")
+    val path = ensureMinhashIndex(spark, dir, n)
+    val sigs = spark.read.parquet(path)
+      .select(col("doc_id"), slice(col("sig"), 1, numHashes).as("sig"),
+        col("sh"))
+    nearDupFromSignatures(sigs, numHashes, bands, threshold)
+  }
+
+  /** LSH banding + exact verification over a (doc_id, sig, sh) signature
+    * frame — shared by the inline and index-served MinHash paths. */
+  def nearDupFromSignatures(sigFrame: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = sigFrame.select(col("doc_id"), col("sig"))
+    val docs = sigFrame.select(col("doc_id"), col("sh"))
     // one row per (doc, band): band key = hash of the band's slice
     val banded = sigs.select(
       col("doc_id"),
@@ -191,11 +250,14 @@ object Dedup {
     // deeper banding (128 hashes / 32 bands × 4 rows) than the candidate
     // query: miss probability per true pair at j=0.8 is (1-0.8⁴)³² ≈ 5e-8,
     // so the clusters it feeds are the exact clusters w.h.p. while the
-    // join stays bucketed (no all-pairs blowup). exactPairs=true keeps the
-    // quadratic ground-truth source for oracle/spec use only.
+    // join stays bucketed (no all-pairs blowup). Signatures come from the
+    // materialized index — the decision pass re-reads 128 longs + one
+    // shingle set per doc instead of re-shingling the corpus.
+    // exactPairs=true keeps the quadratic ground-truth source for
+    // oracle/spec use only.
     val pairs = (if (exactPairs) ngramJaccardPairs(spark, dir, n, threshold)
-                 else minhashNearDup(spark, dir, n, numHashes = 128,
-                   bands = 32, threshold = threshold))
+                 else minhashNearDupIndexed(spark, dir, n,
+                   numHashes = IndexHashes, bands = 32, threshold = threshold))
       .select(col("doc_a"), col("doc_b"))
     // undirected edge list (both directions) — label flows both ways
     val edges = pairs

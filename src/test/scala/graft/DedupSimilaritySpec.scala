@@ -19,6 +19,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mh === exact)
   }
 
+  test("index-served MinHash pairs equal the inline pipeline at every banding") {
+    // a k-hash signature is the length-k prefix of the index's 128, so
+    // the index must serve BOTH the candidate query's 64/16 banding and
+    // the cluster decision's 128/32 banding result-identically
+    for ((h, b) <- Seq((64, 16), (128, 32))) {
+      val inline = pairSet(
+        Dedup.minhashNearDup(spark, dir, numHashes = h, bands = b).collect())
+      val indexed = pairSet(
+        Dedup.minhashNearDupIndexed(spark, dir, numHashes = h, bands = b).collect())
+      assert(indexed === inline, s"divergence at $h hashes / $b bands")
+    }
+  }
+
   test("SimHash recalls the strong (j≥0.95) near-dup pairs") {
     // SimHash's contract is Hamming distance over token profiles; on this
     // tiny 31-word vocab unrelated short docs can profile-collide, so we
