@@ -54,6 +54,7 @@ object Bench {
     build("build_ivf_index")(graft.operators.Similarity.ensureIvfIndex(spark, sfDir))
     build("build_media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, sfDir))
     build("build_minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, sfDir))
+    build("build_postings_index")(graft.operators.Search.ensurePostingsIndex(spark, sfDir))
     // a failed query records an errors entry instead of silently timing
     // the failure — the driver's BENCH JSON then shows breakage explicitly
     val results = SparkEntry.queries.map { case (name, fn) =>

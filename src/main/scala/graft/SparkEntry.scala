@@ -100,6 +100,12 @@ object SparkEntry {
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
+    "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
+    "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
+    "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
+    "x_pack_budget"         -> ((s: SparkSession, d: String) => operators.CorpusOps.packBudget(s, d)),
+    "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
+    "x_tfidf"               -> (operators.Search.tfidf _),
     // Group T — the batch-verifiable face of the streaming operators
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
@@ -467,6 +473,60 @@ object SparkEntry {
         |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    "x_pii_scrub" ->
+      """SELECT c_custkey,
+        |       regexp_replace(regexp_replace(profile,
+        |         '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(profile, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+        |          + len(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_redactions
+        |FROM (SELECT c_custkey,
+        |             concat_ws(' ', c_name,
+        |               printf('%02d-%03d-%03d-%04d', c_nationkey + 10, c_custkey % 1000,
+        |                      (c_custkey * 7) % 1000, (c_custkey * 31) % 10000),
+        |               CASE WHEN c_custkey % 2 = 0
+        |                    THEN 'customer' || c_custkey || '@example.com' END,
+        |               c_mktsegment) AS profile
+        |      FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "x_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(start // 48 AS BIGINT) AS chunk_id,
+        |       CAST(least(64, len(toks) - start) AS BIGINT) AS chunk_tokens,
+        |       md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start FROM t)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_sample_stratified" ->
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""".stripMargin,
+    "x_pack_budget" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(floor(COALESCE(sum(len(string_split(text, ' ')))
+        |         OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         / 2048) AS BIGINT) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_keyword_search" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term, doc_id, count(*) AS tf FROM p
+        |      WHERE term IN ('spark', 'merge') GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+        |FROM t GROUP BY doc_id HAVING count(DISTINCT term) = 2
+        |ORDER BY tf_sum DESC, doc_id""".stripMargin,
+    "x_tfidf" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term, doc_id, count(*) AS tf FROM p GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t)
+        |SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
+        |       floor(CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM t JOIN d ON t.term = d.term, n
+        |ORDER BY t.doc_id, t.term""".stripMargin,
     "x_knn_cosine" ->
       """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))

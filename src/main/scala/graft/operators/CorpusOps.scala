@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between ingest (the reference's CDC surface) and training:
+  * PII scrubbing, document chunking, deterministic sampling, and
+  * token-budget shard packing.
+  *
+  * Scale design: every operator here is a single narrow projection or a
+  * partitioned window — no joins, no driver state — so each runs in one
+  * pass over the corpus and parallelizes with the number of executors.
+  * Determinism design: sampling and chunk identity derive from md5 (same
+  * bits on every engine), never from `rand()` or engine-native hashes, so
+  * the same corpus always yields the same sample/chunks — a rerun of a
+  * 100 TB preparation job must be reproducible to be debuggable.
+  */
+object CorpusOps {
+
+  /** Phone numbers in the customer profile format `25-989-741-2988`. */
+  val PhoneRegex = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Email-shaped tokens (none occur in the synthetic corpus, but a PII
+    * pass always carries the full pattern set). */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** x_pii_scrub — redact personally identifiable substrings from a
+    * free-text profile, keeping an audit count of redactions.
+    * Generalizes the reference's boundary transform (AttributeValue
+    * decode / Decimal re-encode at
+    * `write_dynamodb_stream_to_s3_lambda/handler.py:15-19`) into the
+    * content-safety transform a training pipeline needs. One codegen'd
+    * projection; regexp_replace replaces every match.
+    *
+    * The testdata customer table carries no phone/email columns, so the
+    * profile derives them deterministically from the key columns (the
+    * same way TPC-H dbgen derives c_phone from the nation key): every
+    * customer gets a phone, even keys also get an email — so the scrub
+    * must handle 1- and 2-redaction rows. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        concat_ws(" ",
+          col("c_name"),
+          format_string("%02d-%03d-%03d-%04d",
+            col("c_nationkey") + 10, col("c_custkey") % 1000,
+            (col("c_custkey") * 7) % 1000, (col("c_custkey") * 31) % 10000),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit("customer"), col("c_custkey"), lit("@example.com"))),
+          col("c_mktsegment")).as("profile"))
+      .select(
+        col("c_custkey"),
+        regexp_replace(
+          regexp_replace(col("profile"), PhoneRegex, "[PHONE]"),
+          EmailRegex, "[EMAIL]").as("redacted"),
+        (size(regexp_extract_all(col("profile"), lit(PhoneRegex), lit(0))) +
+          size(regexp_extract_all(col("profile"), lit(EmailRegex), lit(0))))
+          .cast(LongType).as("n_redactions"))
+      .orderBy(col("c_custkey"))
+
+  /** x_chunk_pack — split each document into overlapping fixed-size token
+    * windows (`chunkSize` tokens every `stride`), the standard chunking
+    * step before embedding/training. Output is the chunk's token count
+    * and md5 fingerprint (stable, compact) rather than the chunk text.
+    * explode(sequence(...)) keeps it one Generate + projection — no
+    * shuffle at all; chunk identity is reproducible across engines. */
+  def chunkTokenWindows(spark: SparkSession, dir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast(LongType).as("chunk_id"),
+        least(lit(chunkSize), size(col("toks")) - col("start"))
+          .cast(LongType).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** x_sample_stratified — deterministic stratified sampling: keep a
+    * per-language fraction of documents chosen by the first two hex chars
+    * of md5(doc_id) (256 equal-probability buckets). No rand(), no
+    * engine-native hash — the SAME documents are kept on every engine and
+    * every rerun, and the sample composition is tunable per stratum (the
+    * up/down-sampling mix every training-data recipe specifies). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    // en is over-represented in the corpus: keep 25% of it, 50% of the
+    // rest ('40' = 64/256, '80' = 128/256 as lexicographic hex bounds)
+    val bound = when(col("lang") === "en", lit("40")).otherwise(lit("80"))
+    Tables.documents(spark, dir)
+      .withColumn("h2", substring(md5(col("doc_id").cast(StringType)), 1, 2))
+      .filter(col("h2") < bound)
+      .select(col("doc_id"), col("lang"), col("h2"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** x_pack_budget — assign documents to fixed-token-budget training
+    * shards: within each language, docs in doc_id order accumulate into a
+    * shard until `budget` tokens would overflow, then the next shard
+    * starts. Expressed as an exclusive running sum over a partitioned
+    * window — one shuffle on lang, linear within partitions; the greedy
+    * sequential pack becomes a closed-form floor(cumsum/budget). */
+  def packBudget(spark: SparkSession, dir: String,
+      budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("shard",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+          .cast(LongType))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+}

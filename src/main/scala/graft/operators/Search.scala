@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Keyword search over the corpus: a materialized inverted (postings)
+  * index and the queries it serves — boolean-AND keyword lookup and
+  * TF-IDF term scoring.
+  *
+  * Scale design: the postings table (term, doc_id, tf) is the classic
+  * search-engine layout. It is materialized ONCE per corpus snapshot
+  * (freshness-gated like the SRP/IVF/MinHash indexes), written sorted by
+  * term so parquet row-group min/max statistics make a term lookup skip
+  * everything else (PushedFilters at the scan — at millions of distinct
+  * terms, directory-per-term partitioning is unworkable, but sorted row
+  * groups give the same pruning at file granularity). Queries then touch
+  * only the probed terms' postings: no re-tokenization of the corpus, no
+  * shuffle of document text — the same amortization argument as the ANN
+  * indexes, for the lexical-search modality. */
+object Search {
+
+  /** Postings rows from raw documents: one row per (term, doc, term
+    * frequency). One explode + one aggregation — the index build is a
+    * single pass over the corpus. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  def postingsIndexPath(dir: String): String =
+    new java.io.File(s"target/graft-index/postings_${graft.ops.Layout.sfTag(dir)}")
+      .getAbsolutePath
+
+  /** Materialize the postings index sorted by term (row-group stats →
+    * term-lookup skipping). Freshness-gated on the source documents. */
+  def ensurePostingsIndex(spark: SparkSession, dir: String): String = {
+    val sig = graft.ops.Layout.dataSig(s"$dir/documents.parquet")
+    graft.ops.Layout.ensureSigGated(postingsIndexPath(dir), sig) {
+      postings(spark, dir)
+        // cluster by term, order within files: a term's postings land
+        // contiguously in one file's few row groups
+        .repartition(8, col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("overwrite").parquet(postingsIndexPath(dir))
+    }
+  }
+
+  /** x_keyword_search — boolean-AND keyword query served from the
+    * postings index: documents containing ALL query terms, ranked by
+    * total term frequency. The scan reads only the probed terms'
+    * postings (PushedFilters on `term`); the aggregation touches
+    * candidate docs, not the corpus. */
+  def keywordSearch(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    val path = ensurePostingsIndex(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"),
+        sum(col("tf")).as("tf_sum"))
+      .filter(col("n_matched") === terms.size)
+      .select(col("doc_id"), col("tf_sum"))
+      .orderBy(col("tf_sum").desc, col("doc_id"))
+  }
+
+  /** x_tfidf — TF-IDF term weights per document, served from the postings
+    * index: tf from the postings, df per term and the corpus size N from
+    * two small aggregations OF the postings (no second corpus pass).
+    * score = tf · ln(N/df), quantized to 1e-4 (ln is not guaranteed
+    * correctly rounded, so engines can disagree in the last ulp — the
+    * same reason x_text_quality rounds its ratios; a 4-decimal weight is
+    * far beyond ranking precision). */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePostingsIndex(spark, dir)
+    val post = spark.read.parquet(path)
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = post.select(countDistinct(col("doc_id")).as("n_docs"))
+    post.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (floor(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
+          10000.0 + 0.5) / 10000.0).as("score"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{CorpusOps, Search}
+
+/** Corpus-preparation + keyword-search operators at sf0.001. */
+class CorpusSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  test("PII scrub removes every phone pattern and counts its redactions") {
+    val rows = CorpusOps.piiScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val phone = CorpusOps.PhoneRegex.r
+    val email = CorpusOps.EmailRegex.r
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(phone.findFirstIn(red).isEmpty, s"phone survived: $red")
+      assert(email.findFirstIn(red).isEmpty, s"email survived: $red")
+      assert(red.contains("[PHONE]"), red)
+      // every profile carries one phone; even keys also carry an email
+      val expect = if (r.getAs[Long]("c_custkey") % 2 == 0) 2L else 1L
+      assert(r.getAs[Long]("n_redactions") === expect, r.toString)
+    }
+  }
+
+  test("chunking covers each document exactly with the declared stride") {
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).length).toMap
+    val chunks = CorpusOps.chunkTokenWindows(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      // starts at 0, stride 48 while start < n ⇒ ceil(n/48) chunks
+      assert(cs.length === (n + 47) / 48, s"doc $id: $n tokens, ${cs.length} chunks")
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_id") === i.toLong)
+        val expect = math.min(64, n - i * 48)
+        assert(c.getAs[Long]("chunk_tokens") === expect.toLong)
+      }
+    }
+  }
+
+  test("stratified sample is deterministic and near its per-language rates") {
+    val a = CorpusOps.sampleStratified(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    val b = CorpusOps.sampleStratified(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(a === b, "sampling must be rerun-stable")
+    val total = Tables.documents(spark, dir).count().toDouble
+    // blended target rate sits between the 25% (en) and 50% strata; with
+    // 50 docs allow generous binomial slack
+    val rate = a.length / total
+    assert(rate > 0.15 && rate < 0.65, s"sample rate $rate out of range")
+  }
+
+  test("budget packing never overflows a shard except by a single document") {
+    val budget = 2048
+    val rows = CorpusOps.packBudget(spark, dir, budget).collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case ((lang, shard), docs) =>
+        val toks = docs.map(_.getAs[Long]("n_tokens")).sum
+        val maxDoc = docs.map(_.getAs[Long]("n_tokens")).max
+        assert(toks <= budget + maxDoc,
+          s"$lang shard $shard holds $toks tokens (budget $budget)")
+      }
+    // shards are contiguous in doc_id order within a language
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, docs) =>
+      val byId = docs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Long]("shard"))
+      assert(byId === byId.sorted, "shard ids must be non-decreasing")
+    }
+  }
+
+  test("keyword search returns exactly the docs containing ALL terms, ranked by tf") {
+    val terms = Seq("spark", "merge")
+    val expected = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .filter { case (_, toks) => terms.forall(toks.contains) }
+      .map { case (id, toks) => id -> toks.count(terms.contains).toLong }
+      .toMap
+    val got = Search.keywordSearch(spark, dir, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tf_sum")).toMap
+    assert(got === expected)
+  }
+
+  test("tfidf: a term present in every doc scores zero; scores are tf-monotone per term") {
+    val rows = Search.tfidf(spark, dir).collect()
+    val n = Tables.documents(spark, dir).count()
+    rows.filter(_.getAs[Long]("df") === n).foreach { r =>
+      assert(r.getAs[Double]("score") === 0.0, r.toString)
+    }
+    rows.groupBy(_.getAs[String]("term")).foreach { case (_, rs) =>
+      val byTf = rs.sortBy(_.getAs[Long]("tf")).map(_.getAs[Double]("score"))
+      assert(byTf === byTf.sorted, "score must grow with tf at fixed df")
+    }
+  }
+
+  test("keyword search probes the postings index with a pushed term filter") {
+    val p = Search.keywordSearch(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(term"), p)
+  }
+}

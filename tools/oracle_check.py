@@ -91,6 +91,18 @@ def main():
             i, cn, gc, ec = bad
             print(f"[FAIL ] {name}: row {i} col {cn}: got {gc!r} exp {ec!r}")
             n_fail += 1
+    # declared queries whose result dir never appeared (Verify threw) —
+    # without this check a broken query silently drops out of the compare
+    written = {p.name for p in out_dir.iterdir() if p.is_dir()}
+    failures_file = out_dir / "_failures.json"
+    verify_failures = (json.loads(failures_file.read_text())
+                       if failures_file.is_file() else {})
+    for name, err in verify_failures.items():
+        print(f"[FAIL ] {name}: verify threw: {err[:150]}")
+        n_fail += 1
+    for name in sorted(set(oracle) - written - set(verify_failures)):
+        print(f"[FAIL ] {name}: declared oracle but no result written")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
