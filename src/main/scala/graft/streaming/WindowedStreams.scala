@@ -135,4 +135,21 @@ object WindowedStreams {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
         col("user_id"), col("cnt"))
+
+  /** t_stream_dedup — streaming exact dedup by key: re-deliveries of the
+    * same event id are dropped for as long as the watermark horizon keeps
+    * their state alive. This is the engine-level guarantee behind the
+    * reference's at-least-once stream stage (a duplicate Lambda delivery
+    * of the same DynamoDB stream record must not double-load,
+    * `load_s3_files_…/handler.py:48-61`) — and the streaming face of
+    * x_exact_dedup. State is O(keys within watermark + horizon), NOT
+    * O(stream length): dropDuplicatesWithinWatermark evicts each key's
+    * state once the watermark passes it, which is the property that
+    * keeps an unbounded 100 TB/day stream's dedup state bounded. */
+  def streamingDedup(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_id",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
 }

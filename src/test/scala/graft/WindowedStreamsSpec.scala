@@ -108,4 +108,33 @@ class WindowedStreamsSpec extends AnyFunSuite {
       assert(out.toSet === Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("streaming dedup drops re-deliveries within the watermark horizon, state evicts past it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dedup = WindowedStreams.streamingDedup(input.toDF(),
+      watermark = "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // duplicate within one micro-batch → one row survives
+      input.addData(
+        Ev(1, ts(100), 1, "purchase", 10.0),
+        Ev(1, ts(100), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() === 1)
+      // re-delivery in a later batch, still inside the horizon → dropped
+      input.addData(Ev(1, ts(101), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() === 1)
+      // advance the watermark past 100+10 → id-1 state evicted (bounded
+      // state is the contract), so a fresh delivery emits again
+      input.addData(Ev(2, ts(150), 2, "signup", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts(151), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() === 3)
+    } finally q.stop()
+  }
 }
