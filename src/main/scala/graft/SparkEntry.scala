@@ -50,6 +50,7 @@ object SparkEntry {
     "g_approx_percentile"   -> ((s: SparkSession, d: String) => Aggregates.approxPercentileAgg(s, d)),
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
     "g_stats"               -> (Aggregates.statsAgg _),
+    "g_pivot"               -> (Aggregates.pivotStatus _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -66,11 +67,13 @@ object SparkEntry {
     "w_rank_topn_per_group" -> ((s: SparkSession, d: String) => Windows.rankTopNPerGroup(s, d)),
     "w_lag_lead"            -> (Windows.lagLead _),
     "w_first_last"          -> (Windows.firstLast _),
+    "w_scd2"                -> (Windows.scd2Intervals _),
     // Group O — sort / limit / set ops
     "o_sort_limit"          -> ((s: SparkSession, d: String) => SetSort.sortLimit(s, d)),
     "o_union_append"        -> (SetSort.unionAppend _),
     "o_except_reconcile"    -> (SetSort.exceptReconcile _),
     "o_intersect"           -> (SetSort.intersectKeys _),
+    "o_unpivot"             -> (SetSort.unpivotMeasures _),
     // Group X — training-data pipeline extensions
     "x_exact_dedup"         -> (operators.Dedup.exactDedup _),
     "x_fingerprint_dedup"   -> (operators.Dedup.fingerprintDedup _),
@@ -473,6 +476,38 @@ object SparkEntry {
         |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    "g_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0 AS f_price,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0 AS o_price,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0 AS p_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "w_scd2" ->
+      """SELECT user_id, event_id, event_type, value,
+        |       epoch_us(ts) AS valid_from_us,
+        |       lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+    "o_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |         CAST(l_quantity AS BIGINT) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price_cents',
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount_cents',
+        |         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax_cents',
+        |         CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "x_pii_scrub" ->
       """SELECT c_custkey,
         |       regexp_replace(regexp_replace(profile,

@@ -57,6 +57,32 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** g_pivot — wide-format rollup: order counts and money per priority,
+    * one COLUMN per order status (the warehouse report shape; the
+    * reference's analysts "easily query" exactly such pivots,
+    * `README.md:3`). Spark's pivot with an EXPLICIT value list is one
+    * hash aggregation — same single shuffle as the long-format groupBy;
+    * omitting the list would add a driver-side distinct-scan job. Money
+    * as integer cents (DetMath) keeps the pivoted sums hash-exact. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("cnt"), moneySum("o_totalprice").as("price"))
+      // pivot names columns <value>_<agg-alias>; normalize to snake_case
+      .withColumnsRenamed(Map(
+        "F_cnt" -> "f_cnt", "F_price" -> "f_price",
+        "O_cnt" -> "o_cnt", "O_price" -> "o_price",
+        "P_cnt" -> "p_cnt", "P_price" -> "p_price"))
+      // a (priority, status) combo with no rows pivots to NULL while a
+      // filtered COUNT is 0 — pin the count convention to 0 (sums stay
+      // NULL-on-empty in both engines)
+      .select(col("o_orderpriority"),
+        coalesce(col("f_cnt"), lit(0L)).as("f_cnt"), col("f_price"),
+        coalesce(col("o_cnt"), lit(0L)).as("o_cnt"), col("o_price"),
+        coalesce(col("p_cnt"), lit(0L)).as("p_cnt"), col("p_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** g_approx_distinct — HyperLogLog++ sketch counts: the scale path for
     * distinct cardinality (no exact-distinct double shuffle). Not DuckDB-
     * oracled (different sketch); rows-only check + scalatest bound. */

@@ -22,6 +22,27 @@ import graft.Tables
   */
 object SetSort {
 
+  /** o_unpivot — long-format melt of the lineitem measures: each row's
+    * (quantity, price, discount-cents, tax-cents) become (metric, value)
+    * rows — the inverse of g_pivot and the shape feature pipelines want
+    * (one row per measurement). Spark's unpivot/melt is a zero-shuffle
+    * Expand: output = 4× input rows with NO exchange, so it scales as a
+    * pure map stage. Measures normalized to integer cents/units so the
+    * melted value column is one exact BIGINT domain. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("quantity"),
+        graft.functions.DetMath.cents(col("l_extendedprice")).as("price_cents"),
+        graft.functions.DetMath.cents(col("l_discount")).as("discount_cents"),
+        graft.functions.DetMath.cents(col("l_tax")).as("tax_cents"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("quantity"), col("price_cents"),
+          col("discount_cents"), col("tax_cents")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+
   /** o_sort_limit — newest k events (the staged-file ordering shape).
     * Plans as TakeOrderedAndProject: no full sort at any scale. */
   def sortLimit(spark: SparkSession, dir: String, k: Int = 100): DataFrame =

@@ -118,4 +118,28 @@ object Windows {
         nth_value(col("value"), 2).over(w).as("second_value"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** w_scd2 — slowly-changing-dimension type 2 from the changelog: each
+    * event per key becomes a VERSION with a validity interval
+    * [valid_from, valid_to) closed by the next change; the open version
+    * is current. This is what the reference's warehouse would keep if it
+    * versioned instead of overwriting (its upsert at
+    * `load_data_to_dynamodb_lambda/handler.py:12-15` keeps only the last
+    * image; SCD2 is the auditable form every CDC warehouse eventually
+    * needs). One shuffle on the key, one per-partition sort — the lead()
+    * closes intervals with no self-join. Times in epoch micros (the
+    * shared exact domain); valid_to_us stays NULL on the current row and
+    * is never a sort key (NULLS-order trap). */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("us").as("valid_from_us"),
+        lead(col("us"), 1).over(w).as("valid_to_us"),
+        lead(col("us"), 1).over(w).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
 }

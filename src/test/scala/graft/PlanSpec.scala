@@ -84,6 +84,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(cid"), p)
   }
 
+  test("a selective dim filter injects a runtime bloom filter into the fact scan") {
+    // the row-level runtime-pruning lever at warehouse scale: when a dim
+    // side carries a selective predicate, Catalyst can build a bloom
+    // filter of its join keys at runtime and apply it on the fact side
+    // BEFORE the shuffle — at 100 TB that drops most of the shuffle
+    // input. The size thresholds are tuned for real clusters; shrink
+    // them to the test corpus to show the rewrite fires.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1B",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val urgent = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = Tables.lineitem(spark, dir)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        "no runtime bloom filter on the fact side:\n" + p)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("o_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
