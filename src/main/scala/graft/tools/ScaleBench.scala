@@ -44,12 +44,17 @@ object ScaleBench {
     val n = spark.read.parquet(s"$scaleDir/documents.parquet").count()
     println(s"[scale] corpus: $n docs")
 
-    val mhPairs = time("pairs/minhash_lsh")(
+    // index build = the once-per-snapshot ETL cost the queries amortize
+    time("index/minhash_build (once per corpus)")(
+      graft.operators.Dedup.ensureMinhashIndex(spark, scaleDir))
+    val mhIdxPairs = time("pairs/minhash_indexed (declared path)")(
+      graft.operators.Dedup.minhashNearDupIndexed(spark, scaleDir).count())
+    val mhPairs = time("pairs/minhash_inline")(
       graft.operators.Dedup.minhashNearDup(spark, scaleDir).count())
     val exPairs = time("pairs/exact_jaccard")(
       graft.operators.Dedup.ngramJaccardPairs(spark, scaleDir).count())
-    println(s"[scale] pairs: minhash=$mhPairs exact=$exPairs")
-    val mhClusters = time("clusters/from_minhash (declared path)")(
+    println(s"[scale] pairs: indexed=$mhIdxPairs inline=$mhPairs exact=$exPairs")
+    val mhClusters = time("clusters/from_minhash_index (declared path)")(
       graft.operators.Dedup.dupClusters(spark, scaleDir)
         .filter(col("is_canonical")).count())
     val exClusters = time("clusters/from_exact (ground truth)")(
