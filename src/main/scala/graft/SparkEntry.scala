@@ -109,6 +109,8 @@ object SparkEntry {
     "x_pack_budget"         -> ((s: SparkSession, d: String) => operators.CorpusOps.packBudget(s, d)),
     "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
     "x_tfidf"               -> (operators.Search.tfidf _),
+    "x_hybrid_search"       -> ((s: SparkSession, d: String) => operators.Search.hybridSearch(s, d)),
+    "x_embed_quantize"      -> (operators.CorpusOps.embedQuantize _),
     // Group T — the batch-verifiable face of the streaming operators
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
@@ -562,6 +564,31 @@ object SparkEntry {
         |       floor(CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS score
         |FROM t JOIN d ON t.term = d.term, n
         |ORDER BY t.doc_id, t.term""".stripMargin,
+    "x_hybrid_search" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term, doc_id, count(*) AS tf FROM p
+        |      WHERE term IN ('spark', 'merge') GROUP BY 1, 2),
+        |c AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+        |      FROM t GROUP BY doc_id
+        |      HAVING count(DISTINCT term) = 2 AND doc_id <> 0)
+        |SELECT c.doc_id, c.tf_sum,
+        |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        |       / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS cos_sim
+        |FROM c JOIN embeddings e ON e.vec_id = c.doc_id,
+        |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cos_sim DESC, c.doc_id LIMIT 10""".stripMargin,
+    "x_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos, scale,
+        |       CASE WHEN scale = 0 THEN 0
+        |            ELSE CAST(floor(CAST(embedding[pos] AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)
+        |       END AS q
+        |FROM s, unnest(generate_series(1, len(embedding))) AS u(pos)
+        |ORDER BY vec_id, pos""".stripMargin,
     "x_knn_cosine" ->
       """SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))

@@ -103,6 +103,30 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** x_embed_quantize — int8 absmax quantization of the embedding
+    * column: per-vector scale = max |x|, each element → round(x/scale·127)
+    * ∈ [-127, 127]. The standard 4× storage/bandwidth compression for a
+    * 100 TB embedding store (and the format ANN indexes serve from).
+    * Output exploded to (vec_id, pos, q) + the per-vector scale — flat
+    * rows hash stably cross-engine. Determinism: float→double promotion
+    * is exact, abs/max are exact, one divide + floor(+0.5) rounding —
+    * no transcendentals, so bit-identical on every engine. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("scale",
+        array_max(transform(col("embedding"),
+          x => abs(x.cast(DoubleType)))))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(
+        col("vec_id"),
+        (col("pos0") + 1).cast(LongType).as("pos"),
+        col("scale"),
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(col("x").cast(DoubleType) / col("scale") * 127.0
+            + 0.5).cast(LongType)).as("q"))
+      .orderBy(col("vec_id"), col("pos"))
+
   /** x_pack_budget — assign documents to fixed-token-budget training
     * shards: within each language, docs in doc_id order accumulate into a
     * shard until `budget` tokens would overflow, then the next shard

@@ -66,6 +66,38 @@ object Search {
       .orderBy(col("tf_sum").desc, col("doc_id"))
   }
 
+  /** x_hybrid_search — lexical recall + vector re-rank, the standard
+    * two-stage retrieval: the postings index yields the boolean-AND
+    * candidate set (pushed term filter — touches only probed postings),
+    * then ONLY those candidates' embeddings are scored by exact cosine
+    * against the query vector. At 100 TB the lexical stage prunes the
+    * corpus so the vector math runs on a candidate set, not a scan —
+    * the complement of the ANN indexes' geometric pruning. Scores are
+    * bit-exact cross-engine (same discipline as x_knn_cosine). */
+  def hybridSearch(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge"), queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val path = ensurePostingsIndex(spark, dir)
+    val cands = spark.read.parquet(path)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_matched"),
+        sum(col("tf")).as("tf_sum"))
+      .filter(col("n_matched") === terms.size && col("doc_id") =!= queryId)
+      .select(col("doc_id"), col("tf_sum"))
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    Tables.embeddings(spark, dir)
+      .join(broadcast(cands), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), col("tf_sum"),
+        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** x_tfidf — TF-IDF term weights per document, served from the postings
     * index: tf from the postings, df per term and the corpus size N from
     * two small aggregations OF the postings (no second corpus pass).

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{CorpusOps, Search}
+import graft.operators.{CorpusOps, Search, Similarity}
 
 /** Corpus-preparation + keyword-search operators at sf0.001. */
 class CorpusSearchSpec extends AnyFunSuite {
@@ -95,6 +95,38 @@ class CorpusSearchSpec extends AnyFunSuite {
     rows.groupBy(_.getAs[String]("term")).foreach { case (_, rs) =>
       val byTf = rs.sortBy(_.getAs[Long]("tf")).map(_.getAs[Double]("score"))
       assert(byTf === byTf.sorted, "score must grow with tf at fixed df")
+    }
+  }
+
+  test("int8 quantization stays in range and round-trips within one step") {
+    val rows = CorpusOps.embedQuantize(spark, dir).collect()
+    val emb = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q")
+      assert(q >= -127 && q <= 127, r.toString)
+      val scale = r.getAs[Double]("scale")
+      val x = emb(r.getAs[Long]("vec_id"))(r.getAs[Long]("pos").toInt - 1)
+      // dequantized value within half a quantization step of the input
+      assert(math.abs(q * scale / 127.0 - x) <= scale / 127.0 * 0.5 + 1e-12,
+        r.toString)
+    }
+  }
+
+  test("hybrid search scores exactly the lexical candidates by exact cosine") {
+    val terms = Seq("spark", "merge")
+    val lexical = Search.keywordSearch(spark, dir, terms).collect()
+      .map(_.getAs[Long]("doc_id")).toSet - 0L
+    val hybrid = Search.hybridSearch(spark, dir, terms, k = lexical.size + 5)
+      .collect()
+    assert(hybrid.map(_.getAs[Long]("doc_id")).toSet === lexical)
+    // scores match the brute-force cosine path bit-for-bit
+    val brute = Similarity.knnCosine(spark, dir, k = 1000).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    hybrid.foreach { r =>
+      brute.get(r.getAs[Long]("doc_id")).foreach(b =>
+        assert(b === r.getAs[Double]("cos_sim"), r.toString))
     }
   }
 
