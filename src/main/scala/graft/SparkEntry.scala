@@ -113,6 +113,7 @@ object SparkEntry {
     "x_embed_quantize"      -> (operators.CorpusOps.embedQuantize _),
     // Group T — the batch-verifiable face of the streaming operators
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
+    "t_gapfill_batch"       -> (streaming.WindowedStreams.gapfillCountsBatch _),
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
   )
@@ -455,6 +456,18 @@ object SparkEntry {
         |       count(*) AS cnt,
         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin,
+    "t_gapfill_batch" ->
+      """WITH sparse AS (
+        |  SELECT (epoch_ns(ts) // 300000000000) * 300 AS win_start_s,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |axis AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, 300)) AS win_start_s
+        |  FROM (SELECT event_type, min(win_start_s) AS lo, max(win_start_s) AS hi
+        |        FROM sparse GROUP BY 1))
+        |SELECT win_start_s, event_type, COALESCE(cnt, 0) AS cnt
+        |FROM axis LEFT JOIN sparse USING (event_type, win_start_s)
+        |ORDER BY win_start_s, event_type""".stripMargin,
     "t_interval_batch" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
         |       epoch_us(p.ts) - epoch_us(c.ts) AS us_gap

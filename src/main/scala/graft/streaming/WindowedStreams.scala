@@ -59,6 +59,42 @@ object WindowedStreams {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy(col("win_start_s"), col("event_type"))
 
+  /** t_gapfill_batch — gap-filled time series: tumbling 5-minute counts
+    * per event type with EMPTY buckets emitted as zeros between each
+    * type's first and last bucket (the resample/densify step every
+    * monitoring/feature time series needs — a missing bucket must read
+    * as "0 events", not vanish). The dense bucket axis comes from
+    * sequence()+explode over per-type min/max — one extra aggregation,
+    * no driver loop; the left join back to the sparse counts is a tiny
+    * per-type frame at any corpus scale because the axis grows with the
+    * TIME RANGE, not the row count. */
+  def gapfillCountsBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sparse = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("cnt"))
+    val axis = sparse.groupBy(col("event_type"))
+      .agg(min(col("win_start_s")).as("lo"), max(col("win_start_s")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(300L))).as("win_start_s"))
+    axis.join(sparse, Seq("event_type", "win_start_s"), "left")
+      .select(col("win_start_s"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("win_start_s"), col("event_type"))
+  }
+
+  /** Enrich a change stream with a static dimension table (the CDC
+    * lookup every warehouse pipeline does on the way in — the
+    * reference's NDJSON records land "as-is" and join to dims only at
+    * query time; joining stream→static at ingest is the Spark-native
+    * form). The static side re-resolves per micro-batch and broadcasts —
+    * no state, no shuffle of the stream. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** t_interval_join — stream-stream inner join with watermarks and a
     * time-range condition: the canonical two-stream correlation ("which
     * purchase followed this click within the horizon"). Both sides carry

@@ -109,6 +109,25 @@ class WindowedStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim without state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val enriched = WindowedStreams.enrichStream(input.toDF(), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(100), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(101), 9, "purchase", 5.0)) // no dim row
+      q.processAllAvailable()
+      val out = spark.table("enrich").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+      assert(out === Map(1L -> "gold", 2L -> null))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-deliveries within the watermark horizon, state evicts past it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
