@@ -66,8 +66,10 @@ object Bench {
     }
     // millisecond precision keeps the one-line JSON short enough to fit
     // entirely inside the driver's bounded stdout-tail capture — full
-    // nanosecond doubles once pushed the line's head out of the window
-    def sec3(v: Double): String = f"$v%.3f"
+    // nanosecond doubles once pushed the line's head out of the window.
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"$k\":${sec3(v)}" }
       .mkString("{", ",", "}")
     val errs = (buildErrs.toSeq ++

@@ -508,7 +508,7 @@ object SparkEntry {
         |       lead(epoch_us(ts)) OVER w IS NULL AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |ORDER BY user_id, valid_from_us""".stripMargin,
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "o_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
         |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,

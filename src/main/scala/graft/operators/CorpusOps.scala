@@ -127,12 +127,15 @@ object CorpusOps {
             + 0.5).cast(LongType)).as("q"))
       .orderBy(col("vec_id"), col("pos"))
 
-  /** x_pack_budget — assign documents to fixed-token-budget training
-    * shards: within each language, docs in doc_id order accumulate into a
-    * shard until `budget` tokens would overflow, then the next shard
-    * starts. Expressed as an exclusive running sum over a partitioned
-    * window — one shuffle on lang, linear within partitions; the greedy
-    * sequential pack becomes a closed-form floor(cumsum/budget). */
+  /** x_pack_budget — assign documents to training shards by cumulative
+    * token RANGE: within each language, docs in doc_id order are cut into
+    * shards of `budget` cumulative tokens — shard = floor(exclusive
+    * cumsum / budget), so a shard may span a doc boundary and hold up to
+    * budget + maxdoc − 1 tokens (range sharding, NOT greedy bin packing:
+    * greedy's running remainder has no closed form, while this is one
+    * partitioned window — one shuffle on lang, linear within partitions,
+    * and consumers that need a hard cap size their context window with
+    * the known max-doc slack). */
   def packBudget(spark: SparkSession, dir: String,
       budget: Int = 2048): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))

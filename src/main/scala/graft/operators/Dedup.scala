@@ -154,8 +154,7 @@ object Dedup {
   /** Filesystem location of the materialized MinHash index for one sf
     * dir — under the build dir (never the read-only testdata). */
   def minhashIndexPath(dir: String): String =
-    new java.io.File(s"target/graft-index/minhash_${graft.ops.Layout.sfTag(dir)}")
-      .getAbsolutePath
+    graft.ops.Layout.indexPath("minhash", dir)
 
   /** Hash count persisted in the index: seed s of a k-hash signature is
     * seed s of any longer signature, so one 128-hash index serves every

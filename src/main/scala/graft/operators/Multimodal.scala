@@ -178,8 +178,7 @@ object Multimodal {
     * organization that lets every modality-specific job skip the other
     * modalities' files entirely. */
   def ensureMediaLayout(spark: SparkSession, dir: String): String = {
-    val path = new java.io.File(
-      s"target/graft-index/media_${graft.ops.Layout.sfTag(dir)}").getAbsolutePath
+    val path = graft.ops.Layout.indexPath("media", dir)
     val sig = graft.ops.Layout.dataSig(s"$dir/documents.parquet")
     graft.ops.Layout.ensureSigGated(path, sig) {
       writePartitioned(syntheticMedia(spark, dir), path)

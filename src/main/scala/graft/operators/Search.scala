@@ -31,8 +31,7 @@ object Search {
       .agg(count(lit(1)).as("tf"))
 
   def postingsIndexPath(dir: String): String =
-    new java.io.File(s"target/graft-index/postings_${graft.ops.Layout.sfTag(dir)}")
-      .getAbsolutePath
+    graft.ops.Layout.indexPath("postings", dir)
 
   /** Materialize the postings index sorted by term (row-group stats →
     * term-lookup skipping). Freshness-gated on the source documents. */
@@ -48,23 +47,30 @@ object Search {
     }
   }
 
-  /** x_keyword_search — boolean-AND keyword query served from the
-    * postings index: documents containing ALL query terms, ranked by
-    * total term frequency. The scan reads only the probed terms'
-    * postings (PushedFilters on `term`); the aggregation touches
-    * candidate docs, not the corpus. */
-  def keywordSearch(spark: SparkSession, dir: String,
-      terms: Seq[String] = Seq("spark", "merge")): DataFrame = {
+  /** Boolean-AND candidates from the postings index: (doc_id, tf_sum)
+    * for every doc containing ALL query terms. The scan reads only the
+    * probed terms' postings (PushedFilters on `term`); the aggregation
+    * touches candidate docs, not the corpus. Shared by the lexical and
+    * hybrid query faces so the AND-match logic lives once. */
+  private def andCandidates(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
     val path = ensurePostingsIndex(spark, dir)
     spark.read.parquet(path)
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("n_matched"),
         sum(col("tf")).as("tf_sum"))
-      .filter(col("n_matched") === terms.size)
+      .filter(col("n_matched") === terms.distinct.size)
       .select(col("doc_id"), col("tf_sum"))
-      .orderBy(col("tf_sum").desc, col("doc_id"))
   }
+
+  /** x_keyword_search — boolean-AND keyword query served from the
+    * postings index: documents containing ALL query terms, ranked by
+    * total term frequency. */
+  def keywordSearch(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge")): DataFrame =
+    andCandidates(spark, dir, terms)
+      .orderBy(col("tf_sum").desc, col("doc_id"))
 
   /** x_hybrid_search — lexical recall + vector re-rank, the standard
     * two-stage retrieval: the postings index yields the boolean-AND
@@ -78,14 +84,8 @@ object Search {
       terms: Seq[String] = Seq("spark", "merge"), queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     import graft.functions.VectorFunctions.cosine
-    val path = ensurePostingsIndex(spark, dir)
-    val cands = spark.read.parquet(path)
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("term")).as("n_matched"),
-        sum(col("tf")).as("tf_sum"))
-      .filter(col("n_matched") === terms.size && col("doc_id") =!= queryId)
-      .select(col("doc_id"), col("tf_sum"))
+    val cands = andCandidates(spark, dir, terms)
+      .filter(col("doc_id") =!= queryId)
     val qvec = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding").as("qvec"))

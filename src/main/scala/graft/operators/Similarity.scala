@@ -175,8 +175,7 @@ object Similarity {
     * id so the nprobe probe set becomes a partition filter. This closes
     * the r1 note that inline training was billed to every query. */
   def ivfIndexPath(dir: String): String =
-    new java.io.File(s"target/graft-index/ivf_${graft.ops.Layout.sfTag(dir)}")
-      .getAbsolutePath
+    graft.ops.Layout.indexPath("ivf", dir)
 
   /** Build (or reuse) the IVF index; returns (path, centroids). Freshness
     * is keyed on source signature + build params; centroids round-trip
@@ -235,8 +234,7 @@ object Similarity {
   /** Filesystem location of the materialized SRP index for one sf dir —
     * under the build dir (never the read-only testdata). */
   def srpIndexPath(dir: String): String =
-    new java.io.File(s"target/graft-index/srp_${graft.ops.Layout.sfTag(dir)}")
-      .getAbsolutePath
+    graft.ops.Layout.indexPath("srp", dir)
 
   /** Materialize the SRP index: embeddings written PARTITIONED BY bucket,
     * so a probe reads only its buckets' files (PartitionFilters at the

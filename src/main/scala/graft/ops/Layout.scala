@@ -33,6 +33,15 @@ object Layout {
   def sfTag(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
 
+  /** Filesystem home of one materialized index kind for one sf dir —
+    * the single place the index root lives (under the build dir, never
+    * the read-only testdata; absolute so a CWD change can't split an
+    * index across roots). Shared by the SRP/IVF/media/MinHash/postings
+    * indexes. */
+  def indexPath(kind: String, dir: String): String =
+    new java.io.File(s"target/graft-index/${kind}_${sfTag(dir)}")
+      .getAbsolutePath
+
   /** Write a frame bucketed+sorted by `key` as a managed table. */
   def writeBucketed(df: DataFrame, key: String, buckets: Int,
       table: String): Unit =

@@ -140,6 +140,9 @@ object Windows {
         col("us").as("valid_from_us"),
         lead(col("us"), 1).over(w).as("valid_to_us"),
         lead(col("us"), 1).over(w).isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from_us"))
+      // event_id tiebreak: valid_from_us is micro-truncated, so same-user
+      // same-microsecond events would otherwise make the output order
+      // engine-nondeterministic (the hash-gate total-order rule)
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 }

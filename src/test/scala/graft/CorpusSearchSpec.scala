@@ -57,7 +57,7 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(rate > 0.15 && rate < 0.65, s"sample rate $rate out of range")
   }
 
-  test("budget packing never overflows a shard except by a single document") {
+  test("range sharding: a shard holds at most budget + one spanning document") {
     val budget = 2048
     val rows = CorpusOps.packBudget(spark, dir, budget).collect()
     rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
