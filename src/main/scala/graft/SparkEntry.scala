@@ -51,6 +51,8 @@ object SparkEntry {
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
     "g_stats"               -> (Aggregates.statsAgg _),
     "g_pivot"               -> (Aggregates.pivotStatus _),
+    "g_grouping_sets"       -> (Aggregates.groupingSetsAgg _),
+    "g_profile"             -> (Aggregates.profileMeasures _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -491,6 +493,26 @@ object SparkEntry {
         |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    "g_grouping_sets" ->
+      """SELECT coalesce(event_type, '<all>') AS event_type,
+        |       coalesce(yr, -1) AS yr, count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM (SELECT event_type, CAST(year(ts) AS BIGINT) AS yr, value FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (yr))
+        |ORDER BY event_type, yr""".stripMargin,
+    "g_profile" ->
+      """WITH m AS (
+        |  SELECT 'quantity' AS metric, CAST(l_quantity AS BIGINT) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'price_cents', CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_cents', CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax_cents', CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) FROM lineitem)
+        |SELECT metric, CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
     "g_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,

@@ -57,6 +57,39 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** g_grouping_sets — explicit GROUPING SETS with NON-hierarchical
+    * sets: the per-type and per-year marginals in one pass — a shape
+    * neither rollup nor cube expresses (rollup is the prefix chain, cube
+    * the power set). One aggregation with an Expand feeding both sets;
+    * absent keys coalesced to sentinels for hash-stable output. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("yr", year(col("ts")).cast(LongType))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("yr"))),
+        col("event_type"), col("yr"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.DetMath.sumMoney(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("<all>")).as("event_type"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("event_type"), col("yr"))
+
+  /** g_profile — column profiling over the melted measures: row count,
+    * distinct count, min and max per metric in one aggregation — the
+    * warehouse-side data-quality profile (the observability face of the
+    * reference's COUNT(*) reconciliation, generalized per column).
+    * Composes o_unpivot's zero-shuffle melt with one hash aggregation. */
+  def profileMeasures(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.SetSort.unpivotMeasures(spark, dir)
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy(col("metric"))
+
   /** g_pivot — wide-format rollup: order counts and money per priority,
     * one COLUMN per order status (the warehouse report shape; the
     * reference's analysts "easily query" exactly such pivots,
