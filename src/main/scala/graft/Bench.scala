@@ -80,7 +80,14 @@ object Bench {
     // stop Spark BEFORE printing so no late executor/log line lands after
     // the payload: the JSON must be the last line this process writes
     spark.stop()
-    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // file copy of the same line: a durable fallback if the stdout
+    // capture ever truncates or garbles the printed payload
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+    catch { case _: java.io.IOException => () }
+    println(line)
     System.out.flush()
   }
 }

@@ -90,6 +90,7 @@ object SparkEntry {
     "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d, exactPairs = true)),
     "x_dup_clusters_lsh"    -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
+    "x_simhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDupIndexed(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
     "x_token_stats"         -> (operators.TextAnalysis.tokenStats _),
     "x_text_quality"        -> (operators.TextAnalysis.textQuality _),

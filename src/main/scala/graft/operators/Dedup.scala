@@ -162,17 +162,20 @@ object Dedup {
     * candidate query, 128/32 for the cluster decision). */
   val IndexHashes = 128
 
-  /** Materialize the MinHash signature index: (doc_id, sig[128], shingle
-    * set) written once per corpus snapshot, freshness-gated on the source
-    * data signature. At 100 TB signatures are computed at ingest and
-    * every dedup decision amortizes them — recomputing O(hashes ×
-    * shingles) per query is the difference between a 5-minute and a
-    * multi-hour dedup pass. */
+  /** Materialize the signature index: (doc_id, MinHash sig[128], shingle
+    * set, 64-bit SimHash) written once per corpus snapshot,
+    * freshness-gated on the source data signature (+ a format-version
+    * token: a layout change must invalidate an otherwise-fresh index).
+    * At 100 TB signatures are computed at ingest and every dedup
+    * decision amortizes them — recomputing O(hashes × shingles) per
+    * query is the difference between a 5-minute and a multi-hour dedup
+    * pass. */
   def ensureMinhashIndex(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = IndexHashes): String = {
-    val sig = s"${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
+    val sig = s"v2_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
     graft.ops.Layout.ensureSigGated(minhashIndexPath(dir), sig) {
       signatures(spark, dir, n, numHashes)
+        .join(simhashDocs(spark, dir), Seq("doc_id"))
         // few, well-sized files: the index is read whole by every
         // consumer, so file-count hygiene beats parallel-write width
         .repartition(8)
@@ -323,27 +326,49 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** x_simhash_near_dup — SimHash + block banding: 64-bit simhash split
-    * into 4 16-bit blocks; by pigeonhole, any pair within Hamming
-    * distance 3 agrees on at least one block → block-equality join
-    * produces candidates, verified by exact Hamming distance.
-    * Not DuckDB-oracled (xxhash64); scalatest-verified. */
-  def simhashNearDup(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    // explode + 64 signed-count aggregates (same semantics as the HOF
-    // simhash64, but whole-stage-codegen'd with map-side combine)
+  /** Per-doc 64-bit SimHash signatures — explode + 64 signed-count
+    * aggregates (same semantics as the HOF simhash64, but whole-stage-
+    * codegen'd with map-side combine). Computed once at ingest in a real
+    * pipeline — persisted alongside the MinHash signatures by
+    * [[ensureMinhashIndex]]. */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitCols = (0 until 64).map(j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, lit(1))
         .otherwise(lit(-1))).as(s"b$j"))
-    val docs = toks.groupBy(col("doc_id"))
+    toks.groupBy(col("doc_id"))
       .agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
+  }
+
+  /** x_simhash_near_dup — SimHash + block banding: 64-bit simhash split
+    * into 4 16-bit blocks; by pigeonhole, any pair within Hamming
+    * distance 3 agrees on at least one block → block-equality join
+    * produces candidates, verified by exact Hamming distance.
+    * Not DuckDB-oracled (xxhash64); scalatest-verified. */
+  def simhashNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashFromDocs(simhashDocs(spark, dir), maxHamming)
+
+  /** x_simhash_indexed — [[simhashNearDup]] served from the materialized
+    * signature index: the per-token hashing ran at index-build time, so
+    * the query is banding + Hamming verification over 1 long per doc. */
+  def simhashNearDupIndexed(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val path = ensureMinhashIndex(spark, dir)
+    simhashFromDocs(
+      spark.read.parquet(path).select(col("doc_id"), col("sim")),
+      maxHamming)
+  }
+
+  /** Block banding + exact Hamming verify over a (doc_id, sim) frame —
+    * shared by the inline and index-served SimHash paths. */
+  def simhashFromDocs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val blocked = docs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -32,6 +32,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("index-served SimHash pairs equal the inline pipeline") {
+    val inline = pairSet(Dedup.simhashNearDup(spark, dir).collect())
+    val indexed = pairSet(Dedup.simhashNearDupIndexed(spark, dir).collect())
+    assert(indexed === inline)
+  }
+
   test("SimHash recalls the strong (j≥0.95) near-dup pairs") {
     // SimHash's contract is Hamming distance over token profiles; on this
     // tiny 31-word vocab unrelated short docs can profile-collide, so we
