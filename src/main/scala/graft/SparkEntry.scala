@@ -105,6 +105,7 @@ object SparkEntry {
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
+    "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
@@ -600,6 +601,15 @@ object SparkEntry {
         |       floor(CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS score
         |FROM t JOIN d ON t.term = d.term, n
         |ORDER BY t.doc_id, t.term""".stripMargin,
+    "x_media_dedup" ->
+      """SELECT min(doc_id) AS media_id, kind, fp, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM (SELECT doc_id,
+        |             CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |                  WHEN doc_id % 3 = 1 THEN 'audio'
+        |                  ELSE 'video' END AS kind,
+        |             md5(text) AS fp
+        |      FROM documents)
+        |GROUP BY kind, fp ORDER BY media_id""".stripMargin,
     "x_hybrid_search" ->
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT term, doc_id, count(*) AS tf FROM p

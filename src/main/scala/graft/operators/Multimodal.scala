@@ -202,4 +202,21 @@ object Multimodal {
       .as[MediaRow]
     featureProjection(extractFeatures(media))
   }
+
+  /** x_media_dedup — exact dedup of OPAQUE BINARY payloads over the
+    * materialized media layout: group on md5(payload) per modality, keep
+    * the smallest media_id as canonical. The binary face of
+    * x_fingerprint_dedup — the shuffle carries a 16-byte digest per
+    * asset, never the payload bytes (at 100 TB of media that is the
+    * entire ballgame). Oracle-able because the synthetic payloads are
+    * the documents' UTF-8 bytes, so md5(payload) ≡ DuckDB md5(text). */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureMediaLayout(spark, dir)
+    spark.read.parquet(path)
+      .groupBy(col("kind"), md5(col("payload")).as("fp"))
+      .agg(min(col("media_id")).as("media_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("media_id"), col("kind"), col("fp"), col("n_copies"))
+      .orderBy(col("media_id"))
+  }
 }
