@@ -53,6 +53,7 @@ object SparkEntry {
     "g_pivot"               -> (Aggregates.pivotStatus _),
     "g_grouping_sets"       -> (Aggregates.groupingSetsAgg _),
     "g_profile"             -> (Aggregates.profileMeasures _),
+    "g_hll_merge"           -> (Aggregates.hllMergeDistinct _),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),

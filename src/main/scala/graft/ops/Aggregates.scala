@@ -57,6 +57,23 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** g_hll_merge — MERGEABLE distinct-count sketches: per-day HLL
+    * sketches per event type, unioned and estimated per type. The point
+    * is the re-aggregation algebra: daily partials are tiny fixed-size
+    * binaries a warehouse materializes once, and any rollup (weekly,
+    * all-time, cross-type) is a sketch union — no raw re-scan, which at
+    * 100 TB is the only affordable way to serve distinct-count rollups.
+    * Not DuckDB-oracled (DataSketches binary ≠ DuckDB's HLL); scalatest
+    * bounds the estimate against the exact count. */
+  def hllMergeDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"), count(lit(1)).as("n_partials"))
+      .orderBy(col("event_type"))
+
   /** g_grouping_sets — explicit GROUPING SETS with NON-hierarchical
     * sets: the per-type and per-year marginals in one pass — a shape
     * neither rollup nor cube expresses (rollup is the prefix chain, cube

@@ -82,6 +82,27 @@ class SkewAndSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("merged daily HLL sketches estimate the exact distinct users per type") {
+    import graft.ops.Aggregates
+    import org.apache.spark.sql.functions.countDistinct
+    val dir = TestSpark.Sf0001
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Aggregates.hllMergeDistinct(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("n_partials"))).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (t, (approx, partials)) =>
+      // union of per-day partials must estimate the global distinct —
+      // the mergeability property — within HLL's relative error
+      assert(partials > 1, s"$t: need multiple daily partials to merge")
+      assert(math.abs(approx - exact(t)) <= math.max(2.0, 0.06 * exact(t)),
+        s"$t: est $approx vs exact ${exact(t)}")
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("emb_sql")
