@@ -110,6 +110,26 @@ class PlanSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("ORC warehouse round-trip preserves values and pushes filters to the scan") {
+    // format breadth for the warehouse surface (A13's bulk load is not
+    // parquet-specific): the columnar ORC path must carry the same
+    // pushdown contract as parquet
+    import org.apache.spark.sql.functions.col
+    val dirOut = java.nio.file.Files.createTempDirectory("graft_orc").toFile
+    dirOut.deleteOnExit()
+    val src = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+    src.write.mode("overwrite").orc(dirOut.getAbsolutePath)
+    val back = spark.read.orc(dirOut.getAbsolutePath)
+      .filter(col("l_quantity") > 25.0)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("OrcScan") || p.contains("Format: ORC")
+      || p.toLowerCase.contains("orc"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"), p)
+    val expect = src.filter(col("l_quantity") > 25.0).count()
+    assert(back.count() === expect && expect > 0)
+  }
+
   test("ORDER BY + LIMIT plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("o_sort_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
