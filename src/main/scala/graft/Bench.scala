@@ -30,6 +30,11 @@ object Bench {
     // warm-up + one-time ETL builds. Each step is individually guarded:
     // a failed build must surface as an errors entry (and the dependent
     // queries' own errors), never abort the run before the JSON line.
+    // clear the previous run's fallback payload up front: a stale file
+    // must never masquerade as this run's numbers if the write below fails
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("target/bench_last.json"))
+    catch { case _: java.io.IOException => () }
     val buildErrs = scala.collection.mutable.LinkedHashMap[String, String]()
     def build(name: String)(f: => Any): Unit =
       try { f; () }
@@ -86,7 +91,8 @@ object Bench {
     // capture ever truncates or garbles the printed payload
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
-    catch { case _: java.io.IOException => () }
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] fallback write failed: $e") }
     println(line)
     System.out.flush()
   }

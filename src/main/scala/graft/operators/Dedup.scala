@@ -172,10 +172,16 @@ object Dedup {
     * pass. */
   def ensureMinhashIndex(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = IndexHashes): String = {
-    val sig = s"v2_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
+    val sig = s"v3_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
     graft.ops.Layout.ensureSigGated(minhashIndexPath(dir), sig) {
-      signatures(spark, dir, n, numHashes)
-        .join(simhashDocs(spark, dir), Seq("doc_id"))
+      // LEFT join from the SimHash side: simhashDocs covers EVERY doc,
+      // while a doc shorter than n tokens has no shingle signature — an
+      // inner join would silently drop it from the SimHash face of the
+      // index and diverge from the inline pipeline. Short docs carry
+      // null sig/sh; null band hashes never join, so the MinHash
+      // consumers see exactly the inline population.
+      simhashDocs(spark, dir)
+        .join(signatures(spark, dir, n, numHashes), Seq("doc_id"), "left")
         // few, well-sized files: the index is read whole by every
         // consumer, so file-count hygiene beats parallel-write width
         .repartition(8)
@@ -193,6 +199,8 @@ object Dedup {
     require(numHashes <= IndexHashes, "index carries 128 hashes")
     val path = ensureMinhashIndex(spark, dir, n)
     val sigs = spark.read.parquet(path)
+      // sub-n-token docs carry a SimHash but no shingle signature
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), slice(col("sig"), 1, numHashes).as("sig"),
         col("sh"))
     nearDupFromSignatures(sigs, numHashes, bands, threshold)

@@ -38,6 +38,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  test("docs shorter than the shingle width keep their SimHash in the index") {
+    // a sub-n-token doc has NO MinHash signature (no complete shingle)
+    // but DOES have a SimHash; the index build must not drop it, or the
+    // indexed SimHash path diverges from the inline one exactly on the
+    // shortest (often junk, often duplicated) documents
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shortdocs")
+    try {
+      Seq(
+        (0L, "foo bar", "en", "s", 7L),
+        (1L, "foo bar", "en", "s", 7L),
+        (2L, "a much longer document with plenty of tokens inside it", "en", "s", 55L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val d = tmp.toString
+      val inline = pairSet(Dedup.simhashNearDup(spark, d).collect())
+      val indexed = pairSet(Dedup.simhashNearDupIndexed(spark, d).collect())
+      assert(inline.contains((0L, 1L)), "identical short docs must pair")
+      assert(indexed === inline)
+      // the MinHash face still serves, with short docs simply absent
+      val mh = pairSet(Dedup.minhashNearDupIndexed(spark, d).collect())
+      val mhInline = pairSet(Dedup.minhashNearDup(spark, d).collect())
+      assert(mh === mhInline)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("SimHash recalls the strong (j≥0.95) near-dup pairs") {
     // SimHash's contract is Hamming distance over token profiles; on this
     // tiny 31-word vocab unrelated short docs can profile-collide, so we
