@@ -54,6 +54,7 @@ object SparkEntry {
     "g_grouping_sets"       -> (Aggregates.groupingSetsAgg _),
     "g_profile"             -> (Aggregates.profileMeasures _),
     "g_hll_merge"           -> (Aggregates.hllMergeDistinct _),
+    "g_topk_agg"            -> ((s: SparkSession, d: String) => Aggregates.topKPerGroup(s, d)),
     // Group J — joins
     "j_broadcast_dim"       -> (Joins.broadcastDim _),
     "j_multiway_star"       -> (Joins.multiwayStar _),
@@ -496,6 +497,15 @@ object SparkEntry {
         |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    "g_topk_agg" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, cents AS value_cents
+        |FROM (SELECT event_type, event_id,
+        |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+        |             row_number() OVER (
+        |               PARTITION BY event_type
+        |               ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT) DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3 ORDER BY event_type, rank""".stripMargin,
     "g_grouping_sets" ->
       """SELECT coalesce(event_type, '<all>') AS event_type,
         |       coalesce(yr, -1) AS yr, count(*) AS cnt,

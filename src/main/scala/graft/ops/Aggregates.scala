@@ -57,6 +57,30 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** g_topk_agg — top-3 events per type via a custom TYPED Aggregator
+    * ([[graft.functions.TopKAggregator]]): a bounded heap per group with
+    * partial (map-side) aggregation, so the shuffle carries ≤ k pairs
+    * per group per partition instead of every row — the scale-correct
+    * alternative to window row_number(), which must sort each group's
+    * full row set ("top 3 per type" at 100 TB must not sort 100 TB).
+    * Result is identical to the window form (oracle SQL is the window
+    * form) — same cents domain, same DESC/id tiebreak. */
+  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        graft.functions.DetMath.cents(col("value")).as("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .toDF("event_type", "topk")
+      .select(col("event_type"), posexplode(col("topk")))
+      .select(col("event_type"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col._2").as("event_id"), col("col._1").as("value_cents"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   /** g_hll_merge — MERGEABLE distinct-count sketches: per-day HLL
     * sketches per event type, unioned and estimated per type. The point
     * is the re-aggregation algebra: daily partials are tiny fixed-size

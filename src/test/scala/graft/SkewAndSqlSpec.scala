@@ -103,6 +103,25 @@ class SkewAndSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK aggregator equals sort-take under arbitrary partition splits") {
+    // the partial-aggregation contract: any split of the input into
+    // chunks, reduced independently and merged in any order, must equal
+    // the global sort-take — otherwise map-side combine would change
+    // results with partitioning
+    val rnd = new scala.util.Random(42)
+    val agg = new graft.functions.TopKAggregator(5)
+    for (_ <- 1 to 25) {
+      val xs = Seq.fill(60)(("g", rnd.nextInt(40).toLong, rnd.nextInt(200).toLong))
+      val reference = xs.map(t => (t._3, t._2))
+        .sortBy { case (score, id) => (-score, id) }.take(5)
+      val nChunks = 1 + rnd.nextInt(6)
+      val chunks = xs.groupBy(_ => rnd.nextInt(nChunks)).values.toSeq
+      val bufs = rnd.shuffle(chunks.map(_.foldLeft(agg.zero)(agg.reduce)))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      assert(merged === reference)
+    }
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.register(spark)
     Tables.embeddings(spark, TestSpark.Sf0001).createOrReplaceTempView("emb_sql")
