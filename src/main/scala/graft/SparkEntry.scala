@@ -64,6 +64,7 @@ object SparkEntry {
     "j_anti"                -> (Joins.antiJoin _),
     "j_asof"                -> (AsofJoin.lastPurchaseAsof _),
     "j_salted_skew"         -> (SkewOps.saltedJoinQuery _),
+    "j_range_band"          -> (Joins.rangeBandJoin _),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -497,6 +498,15 @@ object SparkEntry {
         |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    "j_range_band" ->
+      """WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+        |t(tier, lo_cents, hi_cents) AS (VALUES
+        |  ('t1_small', 0, 10000),
+        |  ('t2_mid', 10000, 50000),
+        |  ('t3_large', 50000, 9223372036854775807))
+        |SELECT tier, count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e JOIN t ON e.cents >= t.lo_cents AND e.cents < t.hi_cents
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     "g_topk_agg" ->
       """SELECT event_type, CAST(rn AS BIGINT) AS rank, event_id, cents AS value_cents
         |FROM (SELECT event_type, event_id,

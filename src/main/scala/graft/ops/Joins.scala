@@ -111,6 +111,32 @@ object Joins {
 
   /** j_anti — NOT EXISTS: customers with no orders (divergence/lag
     * detection, A19 / README.md:30). */
+  /** j_range_band — non-equi BAND join: every event assigned to its
+    * value tier by `lo <= value < hi`. Completes the join matrix with
+    * the range/banding shape (equi, outer, semi, anti, as-of, salted,
+    * bucketed, interval are elsewhere). Scale stance: a non-equi join
+    * has no hash key, so the ONLY viable plan is broadcasting the tiny
+    * band table (BroadcastNestedLoopJoin over a handful of tiers) — the
+    * hint makes that explicit; with a large band table the right tool is
+    * the as-of/interval composition instead. Tier bounds are integer
+    * cents so the banding is exact cross-engine. */
+  def rangeBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("t1_small", 0L, 10000L),
+      ("t2_mid", 10000L, 50000L),
+      ("t3_large", 50000L, Long.MaxValue))
+      .toDF("tier", "lo_cents", "hi_cents")
+    Tables.events(spark, dir)
+      .select(graft.functions.DetMath.cents(col("value")).as("cents"))
+      .join(broadcast(tiers),
+        col("cents") >= col("lo_cents") && col("cents") < col("hi_cents"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("tier"))
+  }
+
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_custkey")),
