@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ANN scale-separation experiment (SURVEY §6): replicate the sf0.1
+  * embeddings 100× (each replica slightly perturbed so vectors are
+  * distinct), then time exact brute-force top-k against the
+  * materialized SRP and IVF index paths at 500 k vectors — the corpus
+  * size where partition pruning starts to beat a full scan on this box
+  * (at toy scale the indexed forms lose to the scan; §6 records that
+  * honestly — this experiment shows the crossover they exist for).
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.AnnScaleBench"`.
+  */
+object AnnScaleBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[ann-scale] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_ann_scale$factor"
+    val emb = graft.Tables.embeddings(spark, srcDir)
+    emb.crossJoin(spark.range(factor).toDF("r"))
+      .select(
+        (col("vec_id") * factor + col("r")).as("vec_id"),
+        // perturb replicas so vectors are distinct but near the original
+        transform(col("embedding"),
+          x => x + col("r").cast("float") * lit(1e-4f)).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+    val n = spark.read.parquet(s"$scaleDir/embeddings.parquet").count()
+    println(s"[ann-scale] corpus: $n vectors")
+
+    // steady-state: run each query twice, report the second (first run
+    // in a fresh JVM absorbs codegen + page-cache warm-up)
+    def steady(name: String)(f: => Long): Unit = {
+      f; time(name)(f); ()
+    }
+    steady("knn/brute_exact")(
+      graft.operators.Similarity.knnCosine(spark, scaleDir).count())
+    time("index/srp_build (once per corpus)")(
+      graft.operators.Similarity.ensureSrpIndex(spark, scaleDir))
+    steady("knn/srp_indexed")(
+      graft.operators.Similarity.annKnnCosineIndexed(spark, scaleDir).count())
+    time("index/ivf_build (once per corpus)")(
+      graft.operators.Similarity.ensureIvfIndex(spark, scaleDir))
+    steady("knn/ivf_indexed")(
+      graft.operators.Similarity.ivfKnnCosineIndexed(spark, scaleDir).count())
+    spark.stop()
+  }
+}
