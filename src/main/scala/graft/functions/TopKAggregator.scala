@@ -25,6 +25,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * Encoder columnar (no kryo blobs). */
 class TopKAggregator(k: Int)
     extends Aggregator[(String, Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
 
   /** (score, id) ordering: score DESC, id ASC. */
   private def better(a: (Long, Long), b: (Long, Long)): Boolean =

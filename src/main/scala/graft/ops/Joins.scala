@@ -111,6 +111,13 @@ object Joins {
 
   /** j_anti — NOT EXISTS: customers with no orders (divergence/lag
     * detection, A19 / README.md:30). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
   /** j_range_band — non-equi BAND join: every event assigned to its
     * value tier by `lo <= value < hi`. Completes the join matrix with
     * the range/banding shape (equi, outer, semi, anti, as-of, salted,
@@ -136,11 +143,4 @@ object Joins {
         sum(col("cents")).as("sum_cents"))
       .orderBy(col("tier"))
   }
-
-  def antiJoin(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy(col("c_custkey"))
 }

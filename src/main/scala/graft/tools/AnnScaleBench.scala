@@ -4,14 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** ANN scale-separation experiment (SURVEY §6): replicate the sf0.1
-  * embeddings 100× (each replica slightly perturbed so vectors are
-  * distinct), then time exact brute-force top-k against the
-  * materialized SRP and IVF index paths at 500 k vectors — the corpus
-  * size where partition pruning starts to beat a full scan on this box
+  * embeddings (2 000 vectors) `factor`× — each replica slightly
+  * perturbed so vectors are distinct — then time exact brute-force
+  * top-k against the materialized SRP and IVF index paths. The SURVEY
+  * §6 numbers use factor 500 (1 M vectors), where IVF crosses over 3×
   * (at toy scale the indexed forms lose to the scan; §6 records that
   * honestly — this experiment shows the crossover they exist for).
   *
-  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.AnnScaleBench"`.
+  * Run (reproduces §6):
+  * `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.AnnScaleBench /root/testdata/sf0.1 500"`.
   */
 object AnnScaleBench {
   def main(args: Array[String]): Unit = {
