@@ -60,6 +60,7 @@ object Bench {
     build("build_media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, sfDir))
     build("build_minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, sfDir))
     build("build_postings_index")(graft.operators.Search.ensurePostingsIndex(spark, sfDir))
+    build("build_day_layout")(graft.ops.Layout.ensureDayLayout(spark, sfDir))
     // a failed query records an errors entry instead of silently timing
     // the failure — the driver's BENCH JSON then shows breakage explicitly
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -34,6 +34,7 @@ object SparkEntry {
     "s_variant_super"       -> (Scans.variantSuper _),
     "s_string_funcs"        -> (Scans.stringFuncs _),
     "s_math_funcs"          -> (Scans.mathFuncs _),
+    "s_day_pruned"          -> ((s: SparkSession, d: String) => Scans.dayPruned(s, d)),
     // Group F — filters & predicates
     "f_event_type_in"       -> (Filters.eventTypeIn _),
     "f_compound_pred"       -> (Filters.compoundPred _),
@@ -178,6 +179,12 @@ object SparkEntry {
         |       least(l_discount, l_tax) AS min_rate,
         |       l_extendedprice / l_quantity AS unit_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "s_day_pruned" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "f_event_type_in" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_type IN ('signup', 'purchase')

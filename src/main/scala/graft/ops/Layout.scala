@@ -138,4 +138,17 @@ object Layout {
   /** Read one day back — prunes to a single partition directory. */
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(dir).filter(col("day") === day)
+
+  /** Materialized day-partitioned events layout (freshness-gated like
+    * the other indexes): the write-side organization that turns every
+    * time-range predicate into directory pruning. At 100 TB of events
+    * this is THE difference between scanning a month and opening one
+    * day's files. */
+  def ensureDayLayout(spark: SparkSession, dir: String): String = {
+    val path = indexPath("events_by_day", dir)
+    val sig = dataSig(s"$dir/events.parquet")
+    ensureSigGated(path, sig) {
+      writePartitionedByDay(graft.Tables.events(spark, dir), path)
+    }
+  }
 }

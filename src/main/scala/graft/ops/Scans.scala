@@ -148,4 +148,21 @@ object Scans {
         least(col("l_discount"), col("l_tax")).as("min_rate"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** s_day_pruned — a one-day query served from the materialized
+    * day-partitioned events layout (`Layout.ensureDayLayout`): the day
+    * predicate becomes a PARTITION filter, so the scan opens only that
+    * day's directory (PlanSpec-asserted) — at 100 TB the difference
+    * between scanning the corpus and reading one day. Result is
+    * logically identical to filtering the raw table (the oracle's
+    * form). */
+  def dayPruned(spark: SparkSession, dir: String,
+      day: String = "2024-01-15"): DataFrame = {
+    val path = Layout.ensureDayLayout(spark, dir)
+    Layout.readDay(spark, path, day)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.DetMath.sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
 }

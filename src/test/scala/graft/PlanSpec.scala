@@ -69,6 +69,15 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("day-pruned events query reads exactly one day partition") {
+    val p = plan("s_day_pruned")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("day#"), "no partition filter on day:\n" + p)
+    assert(!p.contains("PushedFilters: [In(day") &&
+      !p.contains("PushedFilters: [IsNotNull(day"),
+      "day must prune partitions, not filter rows:\n" + p)
+  }
+
   test("indexed ANN probes prune to bucket partitions at the scan") {
     val p = plan("x_ann_indexed")
     assert(p.contains("PartitionFilters: ["), p)
