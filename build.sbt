@@ -15,6 +15,12 @@ run / fork := true
 // the driver greps the bench/verify stdout for a bare one-line JSON
 // payload, and sbt's "[info] " prefix would make that line unparseable.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the payload must also be the LAST stdout line: the driver keeps
+// only a bounded tail of the stream, so sbt's "[success] Total time..."
+// banner printed after the forked main would eat tail-window budget and
+// push the JSON's head out of the capture. Exit status still signals
+// success/failure to the driver.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

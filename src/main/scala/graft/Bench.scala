@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UTC regardless of host JVM zone: the day-partitioned layout this
+      // main builds (build_day_layout) must be byte-identical to the one
+      // Verify reads — never trust the forked JVM's -D default alone
+      .config("spark.sql.session.timeZone", "UTC")
       // persistent (Derby-backed) catalog: bucketed warehouse tables
       // materialized by a previous run (e.g. Verify) are visible here, so
       // warehouse queries take the read-only fast path instead of
@@ -70,31 +74,44 @@ object Bench {
         catch { case e: Throwable => Some(e.toString.take(200)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // millisecond precision keeps the one-line JSON short enough to fit
-    // entirely inside the driver's bounded stdout-tail capture — full
-    // nanosecond doubles once pushed the line's head out of the window.
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window. Two things follow:
+    //  1. the printed line must be SHORTER than the window even with 86
+    //     per-query entries — 2-decimal seconds and a basename sf tag
+    //     keep it ≈1.94k (the 3-decimal full-path form was 2.06k and its
+    //     HEAD fell out of the window → four rounds of "parsed": null);
+    //  2. nothing may print after it — Spark is stopped first, and
+    //     build.sbt sets `showSuccess := false` so sbt's "[success]"
+    //     banner can't land inside the window either.
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
-    def sec3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"$k\":${sec3(v)}" }
-      .mkString("{", ",", "}")
-    val errs = (buildErrs.toSeq ++
-        results.collect { case (k, _, Some(e)) => (k, e) })
+    def fmt(prec: Int)(v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    def qsJson(prec: Int): String =
+      results.map { case (k, v, _) => s"\"$k\":${fmt(prec)(v)}" }
+        .mkString("{", ",", "}")
+    val errPairs = buildErrs.toSeq ++
+      results.collect { case (k, _, Some(e)) => (k, e) }
+    val errs = errPairs
       .map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     // stop Spark BEFORE printing so no late executor/log line lands after
     // the payload: the JSON must be the last line this process writes
     spark.stop()
-    val line =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
-    // file copy of the same line: a durable fallback if the stdout
-    // capture ever truncates or garbles the printed payload
+    // full-precision, full-path, errors-always form → durable file
+    // fallback (not size-constrained)
+    val fileLine =
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","errors":$errs,"queries":${qsJson(3)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), line + "\n")
+      java.nio.file.Paths.get("target/bench_last.json"), fileLine + "\n")
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] fallback write failed: $e") }
-    println(line)
+    // compact stdout form: errors object only when non-empty (the happy
+    // path spends no window budget on "errors":{})
+    val errPart = if (errPairs.isEmpty) "" else s""""errors":$errs,"""
+    val stdoutLine =
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(2)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    println(stdoutLine)
     System.out.flush()
   }
 }

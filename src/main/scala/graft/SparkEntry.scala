@@ -620,13 +620,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
         |FROM t GROUP BY doc_id HAVING count(DISTINCT term) = 2
         |ORDER BY tf_sum DESC, doc_id""".stripMargin,
+    // integer domain only (tf, df, n_docs): the ln-based weight is
+    // spec-verified in tfidfScored, not hash-gated — ln() can differ in
+    // the last ulp across engines and flip a quantization floor()
     "x_tfidf" ->
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT term, doc_id, count(*) AS tf FROM p GROUP BY 1, 2),
         |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM t)
         |SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
-        |       floor(CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS score
+        |       CAST(n.n_docs AS BIGINT) AS n_docs
         |FROM t JOIN d ON t.term = d.term, n
         |ORDER BY t.doc_id, t.term""".stripMargin,
     "x_media_dedup" ->

@@ -98,13 +98,20 @@ object Search {
       .limit(k)
   }
 
-  /** x_tfidf — TF-IDF term weights per document, served from the postings
-    * index: tf from the postings, df per term and the corpus size N from
-    * two small aggregations OF the postings (no second corpus pass).
-    * score = tf · ln(N/df), quantized to 1e-4 (ln is not guaranteed
-    * correctly rounded, so engines can disagree in the last ulp — the
-    * same reason x_text_quality rounds its ratios; a 4-decimal weight is
-    * far beyond ranking precision). */
+  /** x_tfidf — the TF-IDF statistics per (document, term), served from
+    * the postings index: tf from the postings, df per term and the
+    * corpus size N from two small aggregations OF the postings (no
+    * second corpus pass).
+    *
+    * The ORACLED face is the integer domain (tf, df, n_docs) — the full
+    * information content of TF-IDF, from which any weighting formula is
+    * a pure derivation. The ln-based weight itself lives in
+    * [[tfidfScored]] and is deliberately NOT in the hash gate: ln is not
+    * guaranteed correctly rounded, so Spark (java.lang.Math.log) and
+    * DuckDB (libm) can disagree in the last ulp, and a product landing
+    * within an ulp of a quantization boundary would flip a floor() —
+    * an intermittent-by-construction gate. A gate should be certain;
+    * integers are. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val path = ensurePostingsIndex(spark, dir)
     val post = spark.read.parquet(path)
@@ -113,9 +120,18 @@ object Search {
     post.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        (floor(col("tf").cast(DoubleType) *
-          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
-          10000.0 + 0.5) / 10000.0).as("score"))
+        col("n_docs"))
       .orderBy(col("doc_id"), col("term"))
   }
+
+  /** The ranking weight over [[tfidf]]'s integer domain:
+    * score = tf · ln(N/df), quantized to 1e-4 (well beyond ranking
+    * precision). Engine-native floating point — spec-verified
+    * (CorpusSearchSpec), not DuckDB-oracled; see [[tfidf]] for why. */
+  def tfidfScored(spark: SparkSession, dir: String): DataFrame =
+    tfidf(spark, dir)
+      .withColumn("score",
+        floor(col("tf").cast(DoubleType) *
+          log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
+          10000.0 + 0.5) / 10000.0)
 }

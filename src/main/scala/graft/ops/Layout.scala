@@ -129,10 +129,23 @@ object Layout {
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 
-  /** Write events partitioned by calendar day (directory per day). */
+  /** Write events partitioned by calendar day (directory per day).
+    *
+    * The day key is derived TIMEZONE-FREE from the epoch instant
+    * (micros ÷ 86 400e6 → days since 1970-01-01, rendered via a
+    * DATE→STRING cast, which never consults the session zone) — NOT via
+    * `date_format(ts, …)`, whose output shifts with
+    * `spark.sql.session.timeZone`. The layout is built by whichever main
+    * touches it first (Bench, Verify, a test) and silently reused by the
+    * others, so its day boundaries must be a pure function of the data:
+    * a zone-dependent build would make `s_day_pruned` diverge from the
+    * DuckDB oracle's naive-UTC `CAST(ts AS DATE)` on any non-UTC JVM. */
   def writePartitionedByDay(events: DataFrame, dir: String,
       tsCol: String = "ts"): Unit =
-    events.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+    events.withColumn("day",
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (unix_micros(col(tsCol)) / 86400000000L).cast("int"))
+          .cast("string"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
 
   /** Read one day back — prunes to a single partition directory. */
@@ -146,7 +159,9 @@ object Layout {
     * day's files. */
   def ensureDayLayout(spark: SparkSession, dir: String): String = {
     val path = indexPath("events_by_day", dir)
-    val sig = dataSig(s"$dir/events.parquet")
+    // v2: TZ-free day derivation — the version token invalidates any
+    // layout a pre-v2 (session-TZ-dependent) build left behind
+    val sig = s"v2_${dataSig(s"$dir/events.parquet")}"
     ensureSigGated(path, sig) {
       writePartitionedByDay(graft.Tables.events(spark, dir), path)
     }
