@@ -109,8 +109,20 @@ object Bench {
     // compact stdout form: errors object only when non-empty (the happy
     // path spends no window budget on "errors":{})
     val errPart = if (errPairs.isEmpty) "" else s""""errors":$errs,"""
-    val stdoutLine =
+    val full =
       s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(2)},"sf":"${new java.io.File(sfDir).getName}"}"""
+    // hard guard on the 2000-char capture window: if per-query digits or
+    // a non-empty errors object push the full form past the window
+    // (minus the trailing newline), degrade to total+errors only
+    // (per-query detail survives in bench_last.json) rather than
+    // silently letting the JSON head fall out of the window. The happy
+    // path (~1.94k with 86 queries) stays on the full form — r5's
+    // successfully-parsed line was this size.
+    val stdoutLine =
+      if (full.length <= 1980) full
+      else s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"sf":"${new java.io.File(sfDir).getName}"}"""
+    System.err.println(s"[bench] stdout line ${full.length} chars" +
+      (if (full.length > 1980) " -> degraded form emitted" else ""))
     println(stdoutLine)
     System.out.flush()
   }

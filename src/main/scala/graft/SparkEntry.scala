@@ -86,11 +86,14 @@ object SparkEntry {
     "x_ngram_jaccard"       -> ((s: SparkSession, d: String) => operators.Dedup.ngramJaccardPairs(s, d)),
     "x_minhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDup(s, d)),
     "x_minhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.minhashNearDupIndexed(s, d)),
-    // the ORACLED clusters query uses the exact pair source: the DuckDB
-    // hash gate must stay deterministic (LSH recall is ~1-5e-8 per pair —
-    // near-certain, but a gate should be certain). The declared SCALE
-    // path is x_dup_clusters_lsh; a spec asserts both produce identical
-    // clusters, and ScaleBench records the 5× separation at 10× docs.
+    // x_dup_clusters keeps the exact pair source; x_dup_clusters_lsh is
+    // the declared SCALE path (128-hash/32-band index source). BOTH are
+    // DuckDB-oracled against the same recursive-CTE components: LSH
+    // output is deterministic (fixed xxhash64 seeds over fixed data) and
+    // verified pairs equal the exact pairs on this corpus, so the gates
+    // are certain, not probabilistic. A spec additionally asserts the
+    // two cluster queries agree, and ScaleBench records the 5×
+    // separation at 10× docs.
     "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d, exactPairs = true)),
     "x_dup_clusters_lsh"    -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
@@ -125,6 +128,65 @@ object SparkEntry {
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
   )
+
+  /** Exact n-gram (n=3) Jaccard near-dup pairs in DuckDB — the ground
+    * truth the MinHash paths must reproduce. Shared verbatim by
+    * x_ngram_jaccard AND the MinHash pair queries: the LSH output is
+    * deterministic (fixed xxhash64 seeds over fixed data) and its
+    * verification step recomputes exact Jaccard on the true shingle
+    * sets, so on any corpus where banding recall catches every true
+    * pair (it does on this fixture — asserted by DedupSpec and by this
+    * very gate) the pair sets are IDENTICAL, making the exact-Jaccard
+    * SQL a legitimate oracle for the approximate plans. */
+  private val ExactJaccardPairsSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text,' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the exact near-dup pair graph (recursive
+    * CTE) — oracles both cluster queries: x_dup_clusters consumes the
+    * exact pair source directly, x_dup_clusters_lsh the 128-hash/32-band
+    * index source whose verified pair set is identical on this corpus
+    * (same argument as [[ExactJaccardPairsSql]]). */
+  private val DupClustersSql =
+    """WITH RECURSIVE
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text,' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM common
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |          UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT doc_id AS doc, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+      |SELECT doc AS doc_id, min(r) AS canon, doc = min(r) AS is_canonical
+      |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -379,49 +441,11 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, substring(md5(text), 1, 16) AS fp,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
-    "x_ngram_jaccard" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |           generate_series(1, len(string_split(text,' ')) - 2),
-        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
-        |  FROM documents),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, n_common,
-        |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-        |FROM common
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
-    "x_dup_clusters" ->
-      """WITH RECURSIVE
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |           generate_series(1, len(string_split(text,' ')) - 2),
-        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
-        |  FROM documents),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT doc_a, doc_b FROM common
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-        |          UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach AS (
-        |  SELECT doc_id AS doc, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
-        |SELECT doc AS doc_id, min(r) AS canon, doc = min(r) AS is_canonical
-        |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "x_ngram_jaccard"    -> ExactJaccardPairsSql,
+    "x_minhash_near_dup" -> ExactJaccardPairsSql,
+    "x_minhash_indexed"  -> ExactJaccardPairsSql,
+    "x_dup_clusters"     -> DupClustersSql,
+    "x_dup_clusters_lsh" -> DupClustersSql,
     "x_text_tokenize_counts" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

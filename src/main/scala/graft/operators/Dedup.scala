@@ -139,8 +139,15 @@ object Dedup {
     * same aggregation (collect_set) so shingles are generated and
     * shuffled exactly once. */
   def signatures(spark: SparkSession, dir: String, n: Int,
-      numHashes: Int): DataFrame = {
-    val exploded = explodedShingles(Tables.documents(spark, dir), n)
+      numHashes: Int): DataFrame =
+    signaturesOf(Tables.documents(spark, dir), n, numHashes)
+
+  /** [[signatures]] over an arbitrary documents frame — signatures are a
+    * pure per-document function, so the SAME computation serves the
+    * whole-corpus batch build and the per-micro-batch incremental append
+    * ([[graft.streaming.IncrementalIndex]]). */
+  def signaturesOf(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val exploded = explodedShingles(docs, n)
     val minCols = (0 until numHashes).map(s =>
       min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
     exploded.groupBy(col("doc_id"))
@@ -174,20 +181,28 @@ object Dedup {
       numHashes: Int = IndexHashes): String = {
     val sig = s"v3_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
     graft.ops.Layout.ensureSigGated(minhashIndexPath(dir), sig) {
-      // LEFT join from the SimHash side: simhashDocs covers EVERY doc,
-      // while a doc shorter than n tokens has no shingle signature — an
-      // inner join would silently drop it from the SimHash face of the
-      // index and diverge from the inline pipeline. Short docs carry
-      // null sig/sh; null band hashes never join, so the MinHash
-      // consumers see exactly the inline population.
-      simhashDocs(spark, dir)
-        .join(signatures(spark, dir, n, numHashes), Seq("doc_id"), "left")
+      indexRows(Tables.documents(spark, dir), n, numHashes)
         // few, well-sized files: the index is read whole by every
         // consumer, so file-count hygiene beats parallel-write width
         .repartition(8)
         .write.mode("overwrite").parquet(minhashIndexPath(dir))
     }
   }
+
+  /** One signature-index row per document of `docs`: (doc_id, sim,
+    * sig[numHashes], sh). LEFT join from the SimHash side: simhash
+    * covers EVERY doc, while a doc shorter than n tokens has no shingle
+    * signature — an inner join would silently drop it from the SimHash
+    * face of the index and diverge from the inline pipeline. Short docs
+    * carry null sig/sh; null band hashes never join, so the MinHash
+    * consumers see exactly the inline population. Shared by the batch
+    * build above and the streaming per-batch append
+    * ([[graft.streaming.IncrementalIndex]]) — incremental maintenance
+    * is exact BECAUSE this is a pure per-document function. */
+  def indexRows(docs: DataFrame, n: Int = 3,
+      numHashes: Int = IndexHashes): DataFrame =
+    simhashOf(docs)
+      .join(signaturesOf(docs, n, numHashes), Seq("doc_id"), "left")
 
   /** x_minhash_indexed — [[minhashNearDup]] served from the materialized
     * signature index: identical output (same seeds, same shingles — a
@@ -288,15 +303,18 @@ object Dedup {
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id2"))
         .agg(min(col("canon")).as("nmin"))
-      // changed-flag rides along so convergence reads the checkpoint
-      // instead of re-joining old vs new labels
+      // ONE Spark job per round: the LAZY local checkpoint is
+      // materialized by the same full-scan count() that reads the
+      // convergence flag — an eager checkpoint followed by a separate
+      // isEmpty costs a second job launch per iteration (measured as
+      // the variance-dominated half of this loop's wall time)
       val next = labels
         .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
         .select(col("doc_id"),
           least(col("canon"), coalesce(col("nmin"), col("canon"))).as("canon"),
           (coalesce(col("nmin"), col("canon")) < col("canon")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      converged = next.filter(col("changed")).count() == 0L
       labels = next.select(col("doc_id"), col("canon"))
       it += 1
     }
@@ -339,8 +357,13 @@ object Dedup {
     * codegen'd with map-side combine). Computed once at ingest in a real
     * pipeline — persisted alongside the MinHash signatures by
     * [[ensureMinhashIndex]]. */
-  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(spark, dir))
+
+  /** [[simhashDocs]] over an arbitrary documents frame (see
+    * [[signaturesOf]] for why the frame-parameterized form exists). */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitCols = (0 until 64).map(j =>

@@ -65,10 +65,17 @@ object Aggregates {
     * full row set ("top 3 per type" at 100 TB must not sort 100 TB).
     * Result is identical to the window form (oracle SQL is the window
     * form) — same cents domain, same DESC/id tiebreak. */
-  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    topKFromEvents(spark, Tables.events(spark, dir), k)
+
+  /** [[topKPerGroup]] over an arbitrary events frame (event_type,
+    * event_id, value) — lets RelScaleBench drive the bounded-heap plan
+    * against replicated corpora without a Tables indirection. */
+  def topKFromEvents(spark: SparkSession, events: DataFrame,
+      k: Int): DataFrame = {
     import spark.implicits._
     val agg = new graft.functions.TopKAggregator(k)
-    Tables.events(spark, dir)
+    events
       .select(col("event_type"), col("event_id"),
         graft.functions.DetMath.cents(col("value")).as("cents"))
       .as[(String, Long, Long)]

@@ -144,7 +144,9 @@ object Layout {
       tsCol: String = "ts"): Unit =
     events.withColumn("day",
         date_add(lit(java.sql.Date.valueOf("1970-01-01")),
-          (unix_micros(col(tsCol)) / 86400000000L).cast("int"))
+          // floor, not cast-truncation: negative micros (pre-1970) must
+          // round DOWN to match the oracle's CAST(ts AS DATE) floor
+          floor(unix_micros(col(tsCol)) / 86400000000L).cast("int"))
           .cast("string"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
 

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental maintenance of the MinHash/SimHash signature index
+  * ([[graft.operators.Dedup.ensureMinhashIndex]]): new documents
+  * arriving on a stream have their signature rows computed per
+  * micro-batch and appended to the index, so the dedup DECISION
+  * (`x_dup_clusters_lsh`) always reads an up-to-date index without a
+  * whole-corpus rebuild — the "signatures computed at ingest"
+  * amortization claimed in SURVEY §6, wired.
+  *
+  * Exactness: a signature row is a pure per-document function
+  * ([[graft.operators.Dedup.indexRows]] — no cross-document state), so
+  * incremental append is EXACT, not approximate: batch-rebuild over the
+  * full corpus and incremental accumulation produce identical indexes
+  * (IncrementalIndexSpec asserts row-level equality and pair-set
+  * equality downstream).
+  *
+  * Exactly-once: each micro-batch overwrites its OWN subdirectory
+  * (`batch=<id>/`) — a foreachBatch retry after a crash re-runs the
+  * same batchId and overwrites the same directory, never duplicating
+  * rows (plain `mode("append")` would double-write on replay; the
+  * reference's staged-file loader has exactly this double-load gap,
+  * `/root/reference/source/load_s3_files_from_dynamodb_stream_to_redshift_lambda/handler.py:95-96`,
+  * closed the same way in [[graft.cdc.StagedFiles]]).
+  *
+  * At 100 TB: each batch directory is a few parquet files of
+  * (doc_id, sim, sig[128], shingle set) — index growth is linear in NEW
+  * documents only, and consumers read the whole index via partition
+  * discovery exactly as they read the batch-built one.
+  */
+object IncrementalIndex {
+
+  /** Append one micro-batch of documents to the index root —
+    * idempotent per batchId (overwrite of the batch's own directory). */
+  def appendBatch(indexRoot: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Dedup.indexRows(batch)
+      .write.mode("overwrite").parquet(s"$indexRoot/batch=$batchId")
+
+  /** Wire a documents stream (doc_id, text, …) into incremental index
+    * maintenance. AvailableNow by default: drain what exists, checkpoint,
+    * stop — rerunning resumes after the last committed batch. */
+  def start(docsStream: DataFrame, indexRoot: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch(appendBatch(indexRoot) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** Read the incrementally-maintained index back as one frame —
+    * partition discovery unions the batch directories; the synthetic
+    * `batch` column is dropped so the schema matches the batch-built
+    * index exactly. */
+  def read(spark: SparkSession, indexRoot: String): DataFrame =
+    spark.read.parquet(indexRoot).drop("batch")
+}

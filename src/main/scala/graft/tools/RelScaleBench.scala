@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Relational-side scale-separation experiment (SURVEY §6 — the
+  * warehouse complement of ScaleBench's dedup story): replicate the
+  * sf0.1 fact tables `factor`× (orderkeys remapped so the
+  * lineitem⋈orders key structure is preserved — every order keeps its
+  * lineitem fan-out) and measure, steady-state:
+  *
+  *  1. `j_multiway_star` (per-query shuffle of both fact sides) vs
+  *     `j_star_bucketed` (shuffle paid once at write time, zero
+  *     fact-side exchanges per query) — the bucketed plan's win must
+  *     GROW with the factor, because the shuffle it removes grows
+  *     linearly while the bucket-local join cost is the same work
+  *     partitioned differently;
+  *  2. `g_topk_agg` (typed bounded-heap Aggregator, shuffle carries
+  *     ≤ k rows per group per partition) vs the window rank() form
+  *     (must hash-shuffle and sort EVERY row) on a replicated events
+  *     projection — the heap's shuffle volume is constant in the
+  *     factor, the window's is linear.
+  *
+  * Both comparisons assert result equality before timing: a fast wrong
+  * plan is not a result.
+  *
+  * Run: `SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.RelScaleBench
+  * /root/testdata/sf0.1 10"` (factor 10 ≈ sf1: 6 M lineitem rows).
+  */
+object RelScaleBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // bucketed tables live in the session catalog; Derby-backed so the
+      // replica warehouse persists across runs like Bench/Verify's
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[relscale] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+    }
+    // steady-state discipline: first run of a plan in a fresh JVM pays
+    // JIT + codegen + page-cache; report the second run
+    def steady(name: String)(f: => Long): Long = {
+      f; time(name)(f)
+    }
+
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_relscale$factor"
+    // orderkey remap key*factor+r keeps per-order lineitem fan-out and
+    // key density; o_custkey unchanged — each customer's order count
+    // grows with the corpus, which is how a real warehouse grows
+    val sig = s"f${factor}_${graft.ops.Layout.dataSig(s"$srcDir/lineitem.parquet")}"
+    graft.ops.Layout.ensureSigGated(scaleDir, sig) {
+      val r = spark.range(factor).toDF("r")
+      graft.Tables.orders(spark, srcDir).crossJoin(r)
+        .withColumn("o_orderkey", col("o_orderkey") * factor + col("r"))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$scaleDir/orders.parquet")
+      graft.Tables.lineitem(spark, srcDir).crossJoin(r)
+        .withColumn("l_orderkey", col("l_orderkey") * factor + col("r"))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$scaleDir/lineitem.parquet")
+      Seq("customer", "nation", "region").foreach(t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$scaleDir/$t.parquet"))
+      // slim events projection for the top-k comparison (the raw events
+      // table is TIMESTAMP(NANOS); the comparison needs only these three)
+      graft.Tables.events(spark, srcDir).crossJoin(r)
+        .select((col("event_id") * factor + col("r")).as("event_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$scaleDir/events_flat.parquet")
+    }
+    val nLi = spark.read.parquet(s"$scaleDir/lineitem.parquet").count()
+    println(s"[relscale] corpus: factor $factor, $nLi lineitem rows")
+
+    // --- star join: per-query shuffle vs bucketed ---------------------
+    val shuffled = graft.ops.Joins.multiwayStar(spark, scaleDir)
+    val etl = time(s"star/bucketed_build_etl (once per snapshot)")(
+      graft.ops.Layout.ensureBucketedStar(spark, scaleDir))
+    val bucketed = graft.ops.Joins.multiwayStarBucketed(spark, scaleDir)
+    assert(shuffled.collect().toSeq == bucketed.collect().toSeq,
+      "bucketed star must equal shuffled star")
+    val _ = etl
+    steady("star/shuffled (j_multiway_star plan)")(shuffled.count())
+    steady("star/bucketed (j_star_bucketed plan)")(bucketed.count())
+
+    // --- top-k per group: bounded heap vs window rank -----------------
+    val events = spark.read.parquet(s"$scaleDir/events_flat.parquet")
+    val heap = graft.ops.Aggregates.topKFromEvents(spark, events, k = 3)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value_cents").desc, col("event_id"))
+    val windowed = events
+      .select(col("event_type"), col("event_id"),
+        graft.functions.DetMath.cents(col("value")).as("value_cents"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        col("value_cents"))
+      .orderBy(col("event_type"), col("rank"))
+    assert(heap.collect().toSeq == windowed.collect().toSeq,
+      "heap top-k must equal window top-k")
+    steady("topk/heap_aggregator (g_topk_agg plan)")(heap.count())
+    steady("topk/window_rank (full-sort baseline)")(windowed.count())
+
+    spark.stop()
+  }
+}

@@ -87,7 +87,7 @@ class CorpusSearchSpec extends AnyFunSuite {
   }
 
   test("tfidf: a term present in every doc scores zero; scores are tf-monotone per term") {
-    val rows = Search.tfidf(spark, dir).collect()
+    val rows = Search.tfidfScored(spark, dir).collect()
     val n = Tables.documents(spark, dir).count()
     rows.filter(_.getAs[Long]("df") === n).foreach { r =>
       assert(r.getAs[Double]("score") === 0.0, r.toString)
