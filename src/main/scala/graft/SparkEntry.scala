@@ -189,7 +189,36 @@ object SparkEntry {
       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * The 13 ids deliberately WITHOUT an oracle, and why each cannot get
+    * one (every one carries a scalatest proof instead):
+    *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
+    *    outputs (HLL / KLL state). DuckDB's approx algorithms are
+    *    different sketches — equality is undefined across engines; specs
+    *    bound the error vs the exact aggregate instead.
+    *  - x_simhash_near_dup, x_simhash_indexed: the output IS the set of
+    *    signature pairs within Hamming ≤ d of xxhash64-derived bit
+    *    vectors. Unlike MinHash there is no exact text-side verification
+    *    step, so no text-expressible predicate reproduces the pair set
+    *    (DuckDB has no xxhash64). Specs assert indexed ≡ inline and
+    *    recall of known strong dups.
+    *  - x_rolling_fingerprint: winnowed rolling-hash fingerprints — the
+    *    values are the engine-native hash itself. Spec proves window
+    *    invariants + determinism of the codegen'd expression.
+    *  - x_ann_lsh, x_ann_indexed, x_ivf_knn, x_ivf_indexed: top-k among
+    *    CANDIDATES chosen by xxhash64 hyperplanes (SRP) or k-means
+    *    centroids — the candidate set is not SQL-expressible, and unlike
+    *    the MinHash pair queries the output is top-k, which differs from
+    *    the exact top-k (x_knn_cosine is the oracled exact baseline).
+    *    Specs pin recall vs brute force and bit-exact scores.
+    *  - x_embed_near_dup_lsh: exact-cosine-verified like MinHash, but on
+    *    this corpus its recall is genuinely < 1 (32 of 59 true pairs at
+    *    sf0.01) — the output is honestly a subset, so the exact-pair SQL
+    *    is NOT its oracle. Spec pins precision 1 + predicted recall.
+    *  - x_multimodal_features, x_multimodal_pruned: outputs derive from
+    *    binary media payloads through the (mandated-stub) codec — no SQL
+    *    equivalent. Specs prove determinism and pruned ≡ slice. */
   def oracleSql: Map[String, String] = Map(
     "s_scan_project_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_number,

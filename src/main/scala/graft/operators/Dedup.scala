@@ -246,6 +246,14 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     // exact verification — no false positives survive. Candidates are
     // few (near-dup density), so the shingle sets join back cheaply.
+    verifyPairs(candidates, docs, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the true shingle sets — the step that makes every LSH pair
+    * query zero-false-positive (and thereby DuckDB-oracle-able). */
+  private def verifyPairs(candidates: DataFrame, docs: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
@@ -257,6 +265,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Near-dup pairs involving at least one NEW document — the
+    * ingest-time face of [[nearDupFromSignatures]]. `corpusSigs` is the
+    * full signature index INCLUDING the new batch; `newSigs` the batch's
+    * rows of it. The new side is a micro-batch, so its banded keys are
+    * BROADCAST: the corpus side streams through a map-side hash join —
+    * no corpus shuffle and, crucially, no corpus×corpus self-join. Work
+    * per batch = one corpus band scan + verification of the (few)
+    * candidates; pairs between two already-indexed docs never surface,
+    * so accumulating this per batch over an empty-start corpus yields
+    * exactly the batch-mode pair set, each pair discovered once — when
+    * its later member arrives (IncrementalIndexSpec asserts this). */
+  def nearDupAgainstCorpus(newSigs: DataFrame, corpusSigs: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def banded(df: DataFrame) = df.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + lit(1), lit(r)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val candidates = banded(corpusSigs.select(col("doc_id"), col("sig"))).as("a")
+      .join(broadcast(banded(newSigs.select(col("doc_id"), col("sig")))).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(candidates, corpusSigs.select(col("doc_id"), col("sh")),
+      threshold)
   }
 
   /** x_dup_clusters — the dedup DECISION: connected components over the

@@ -56,4 +56,27 @@ object IncrementalIndex {
     * index exactly. */
   def read(spark: SparkSession, indexRoot: String): DataFrame =
     spark.read.parquet(indexRoot).drop("batch")
+
+  /** Dedup-at-ingest: near-dup pairs CREATED by one micro-batch — every
+    * pair between a batch document and the corpus indexed so far
+    * (including the batch itself, so intra-batch dups surface too). Call
+    * after [[appendBatch]] for that batchId. The batch side is broadcast
+    * ([[graft.operators.Dedup.nearDupAgainstCorpus]]), so per-batch cost
+    * is one index band-scan + candidate verification — never a
+    * corpus×corpus self-join; accumulating the output over all batches
+    * reproduces the whole-corpus pair query exactly, each pair emitted
+    * once, in the batch its later member arrived (spec-asserted). */
+  def pairsForBatch(spark: SparkSession, indexRoot: String,
+      newDocIds: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, slice}
+    val idx = read(spark, indexRoot)
+      .filter(col("sig").isNotNull) // sub-n-token docs have no signature
+      .select(col("doc_id"), slice(col("sig"), 1, numHashes).as("sig"),
+        col("sh"))
+    val newSigs = idx.join(broadcast(newDocIds.select(col("doc_id"))),
+      Seq("doc_id"))
+    graft.operators.Dedup.nearDupAgainstCorpus(newSigs, idx,
+      numHashes, bands, threshold)
+  }
 }

@@ -48,10 +48,44 @@ object RelScaleBench {
       val t0 = System.nanoTime; val r = f
       println(f"[relscale] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
+    // shuffle-write bytes of one executed query, read from the SQL
+    // metrics of its OWN physical plan: local wall-clock understates the
+    // bucketed/heap plans' advantage (a local "shuffle" is a memory
+    // copy; on a 1000-executor cluster it is the network), so the
+    // cluster-relevant number is how many bytes each plan moves
+    def shuffleMB(df: DataFrame): Double = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val seen = scala.collection.mutable.Set[SparkPlan]()
+      var bytes = 0L
+      def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case e: ShuffleExchangeLike =>
+            bytes += e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      bytes / 1e6
+    }
     // steady-state discipline: first run of a plan in a fresh JVM pays
-    // JIT + codegen + page-cache; report the second run
-    def steady(name: String)(f: => Long): Long = {
-      f; time(name)(f)
+    // JIT + codegen + page-cache; report the second run. Each run gets a
+    // FRESHLY-built frame: re-running an action on the same Dataset
+    // object reuses its executed plan and its map outputs (stages skip),
+    // which would measure only the reduce side. collect(), not count():
+    // results here are ≤15 rows, and count() would execute a SEPARATE
+    // count-optimized QueryExecution whose metrics (and work!) differ
+    // from the query under test — collect() runs the frame's own plan,
+    // which is also the one shuffleMB reads
+    def steady(name: String)(mk: => DataFrame): Unit = {
+      mk.collect()
+      val fresh = mk
+      time(name)(fresh.collect())
+      println(f"[relscale] $name shuffle-write: ${shuffleMB(fresh)}%.1f MB")
     }
 
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_relscale$factor"
@@ -83,33 +117,34 @@ object RelScaleBench {
     println(s"[relscale] corpus: factor $factor, $nLi lineitem rows")
 
     // --- star join: per-query shuffle vs bucketed ---------------------
-    val shuffled = graft.ops.Joins.multiwayStar(spark, scaleDir)
-    val etl = time(s"star/bucketed_build_etl (once per snapshot)")(
+    def shuffled = graft.ops.Joins.multiwayStar(spark, scaleDir)
+    time(s"star/bucketed_build_etl (once per snapshot)")(
       graft.ops.Layout.ensureBucketedStar(spark, scaleDir))
-    val bucketed = graft.ops.Joins.multiwayStarBucketed(spark, scaleDir)
+    def bucketed = graft.ops.Joins.multiwayStarBucketed(spark, scaleDir)
     assert(shuffled.collect().toSeq == bucketed.collect().toSeq,
       "bucketed star must equal shuffled star")
-    val _ = etl
-    steady("star/shuffled (j_multiway_star plan)")(shuffled.count())
-    steady("star/bucketed (j_star_bucketed plan)")(bucketed.count())
+    steady("star/shuffled (j_multiway_star plan)")(shuffled)
+    steady("star/bucketed (j_star_bucketed plan)")(bucketed)
 
     // --- top-k per group: bounded heap vs window rank -----------------
-    val events = spark.read.parquet(s"$scaleDir/events_flat.parquet")
-    val heap = graft.ops.Aggregates.topKFromEvents(spark, events, k = 3)
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value_cents").desc, col("event_id"))
-    val windowed = events
-      .select(col("event_type"), col("event_id"),
-        graft.functions.DetMath.cents(col("value")).as("value_cents"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 3)
-      .select(col("event_type"), col("rank"), col("event_id"),
-        col("value_cents"))
-      .orderBy(col("event_type"), col("rank"))
+    def events = spark.read.parquet(s"$scaleDir/events_flat.parquet")
+    def heap = graft.ops.Aggregates.topKFromEvents(spark, events, k = 3)
+    def windowed = {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value_cents").desc, col("event_id"))
+      events
+        .select(col("event_type"), col("event_id"),
+          graft.functions.DetMath.cents(col("value")).as("value_cents"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank"), col("event_id"),
+          col("value_cents"))
+        .orderBy(col("event_type"), col("rank"))
+    }
     assert(heap.collect().toSeq == windowed.collect().toSeq,
       "heap top-k must equal window top-k")
-    steady("topk/heap_aggregator (g_topk_agg plan)")(heap.count())
-    steady("topk/window_rank (full-sort baseline)")(windowed.count())
+    steady("topk/heap_aggregator (g_topk_agg plan)")(heap)
+    steady("topk/window_rank (full-sort baseline)")(windowed)
 
     spark.stop()
   }

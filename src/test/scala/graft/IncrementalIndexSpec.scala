@@ -60,6 +60,38 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(pairs(inc) === pairs(batch))
   }
 
+  test("per-batch pair discovery accumulates to exactly the whole-corpus pair set") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("incidx-pairs") + "/index"
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[IdxDoc].collect()
+    // deterministic waves; doc_id%3 splits true near-dup pairs across
+    // waves (fixture dups are id-adjacent), so cross-wave discovery is
+    // genuinely exercised, not just intra-batch
+    val waves = docs.groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+    var discovered = Seq.empty[(Long, Long)]
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      val waveDf = wave.toSeq.toDF()
+      IncrementalIndex.appendBatch(root)(waveDf, i.toLong)
+      val p = IncrementalIndex.pairsForBatch(spark, root,
+          waveDf.select(col("doc_id")))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // no pair may be rediscovered in a later batch
+      assert(p.toSet.intersect(discovered.toSet).isEmpty)
+      discovered ++= p
+    }
+    val whole = Dedup.nearDupFromSignatures(
+        IncrementalIndex.read(spark, root).filter(col("sig").isNotNull)
+          .select(col("doc_id"), slice(col("sig"), 1, 64).as("sig"), col("sh")),
+        numHashes = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(discovered.size === discovered.toSet.size, "each pair exactly once")
+    assert(discovered.toSet === whole,
+      "ingest-time accumulation must equal the batch pair query")
+  }
+
   test("replaying a batchId overwrites its own directory — no duplicate rows (exactly-once)") {
     import spark.implicits._
     val root = TestSpark.tempDir("incidx-replay") + "/index"
