@@ -188,21 +188,46 @@ object SparkEntry {
       |SELECT doc AS doc_id, min(r) AS canon, doc = min(r) AS is_canonical
       |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
 
+  /** All pairs within Hamming ≤ 3 of the portable 60-bit SimHash — the
+    * oracle for both SimHash pair queries. DuckDB recomputes each doc's
+    * simhash from scratch: per token, the 60-bit hash is the integer
+    * value of the first 15 md5 hex chars (bit j = bit j%4 of the hex
+    * digit j/4 positions from the right — identical to Spark's
+    * conv(substring(md5, 1, 15), 16, 10)); per bit, tokens vote ±1 and
+    * the sign sets the bit. Brute-force all-pairs is fine at oracle
+    * scale; the engine's block banding is the scale path that produces
+    * the SAME set (pigeonhole candidates + exact Hamming verify —
+    * DedupSimilaritySpec asserts the equality). */
+  private val SimhashPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |         sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - (j // 4), 1)) - 1)
+      |                        >> (j % 4)) & 1 = 1
+      |                  THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+      |  GROUP BY doc_id, j),
+      |sim AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sim
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 13 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 11 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
     *    different sketches — equality is undefined across engines; specs
     *    bound the error vs the exact aggregate instead.
-    *  - x_simhash_near_dup, x_simhash_indexed: the output IS the set of
-    *    signature pairs within Hamming ≤ d of xxhash64-derived bit
-    *    vectors. Unlike MinHash there is no exact text-side verification
-    *    step, so no text-expressible predicate reproduces the pair set
-    *    (DuckDB has no xxhash64). Specs assert indexed ≡ inline and
-    *    recall of known strong dups.
     *  - x_rolling_fingerprint: winnowed rolling-hash fingerprints — the
     *    values are the engine-native hash itself. Spec proves window
     *    invariants + determinism of the codegen'd expression.
@@ -475,6 +500,14 @@ object SparkEntry {
     "x_minhash_indexed"  -> ExactJaccardPairsSql,
     "x_dup_clusters"     -> DupClustersSql,
     "x_dup_clusters_lsh" -> DupClustersSql,
+    // SimHash pairs ARE oracle-able (round 6): the per-token hash is the
+    // portable md5-derived hash60 (first 15 md5 hex chars as a BIGINT),
+    // and block banding + exact Hamming verification make the output
+    // exactly "all pairs within Hamming ≤ 3" — which DuckDB reproduces
+    // by brute force over simhashes it computes from the same md5 bits
+    // (hex digit j//4 from the right, bit j%4 within it).
+    "x_simhash_near_dup" -> SimhashPairsSql,
+    "x_simhash_indexed"  -> SimhashPairsSql,
     "x_text_tokenize_counts" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

@@ -50,6 +50,15 @@ object TextFunctions {
     * size we care about (2^64 space). */
   def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
+  /** Portable 60-bit hash: the first 15 hex chars of md5 as a BIGINT.
+    * Every engine with md5 reproduces it bit-for-bit (DuckDB:
+    * hex-digit positions via strpos), which is what lets hash-derived
+    * signatures (SimHash) be DuckDB-oracled — xxhash64 is Spark-native
+    * and would close that door. 15 chars (not 16) so the value fits a
+    * SIGNED 64-bit integer in both engines. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Quality-score feature columns (length / punctuation / stopword
     * ratios — the standard cheap text-quality heuristics). */
   val Stopwords: Seq[String] =

@@ -50,14 +50,21 @@ object Dedup {
       .select(col("doc_id"), col("fp"), col("n_copies"))
       .orderBy(col("doc_id"))
 
-  /** Per-doc distinct word-n-gram shingles, exploded to (doc_id, shingle)
-    * rows — the distributed representation for set-similarity joins.
+  /** Per-doc word-n-gram shingles, exploded to (doc_id, shingle) rows —
+    * the distributed representation for set-similarity joins.
     *
     * Built as posexplode(tokens) + lead() window rather than a per-row
     * HOF: every step whole-stage-codegens (HOF lambdas don't), and at
     * 100 TB the shuffle-by-doc_id + sort is embarrassingly parallel while
-    * a per-row transform() burns interpreted cycles on the hot path. */
-  def explodedShingles(docs: DataFrame, n: Int): DataFrame = {
+    * a per-row transform() burns interpreted cycles on the hot path.
+    *
+    * `dedup=false` skips the distinct: a consumer whose aggregates are
+    * duplicate-insensitive (min for MinHash, collect_set for the shingle
+    * sets) gets the same answer WITHOUT the (doc_id, shingle) exchange —
+    * and since the lead() window already hash-partitioned by doc_id, its
+    * groupBy(doc_id) then needs NO further shuffle at all. */
+  def explodedShingles(docs: DataFrame, n: Int,
+      dedup: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val toks = docs.select(col("doc_id"),
@@ -66,12 +73,12 @@ object Dedup {
       case 0 => col("tok")
       case i => lead(col("tok"), i).over(w)
     }
-    toks
+    val raw = toks
       .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
         parts.last.isNotNull.as("complete"))
       .filter(col("complete"))
       .select(col("doc_id"), col("shingle"))
-      .distinct()
+    if (dedup) raw.distinct() else raw
   }
 
   /** x_ngram_jaccard — EXACT n-gram Jaccard near-duplicate pairs
@@ -123,12 +130,21 @@ object Dedup {
     * has NO false positives; recall is the banding probability
     * 1-(1-j^r)^b, ≈0.9997 at j=0.8 with 16 bands × 4 rows).
     *
-    * Not DuckDB-oracled (xxhash64 is Spark-native); scalatest verifies
-    * recall against [[ngramJaccardPairs]]. */
+    * DuckDB-oracled via the exact-Jaccard pair SQL (the verification
+    * step makes the output equal the exact pair set on any corpus the
+    * banding fully recalls — asserted by spec); recall additionally
+    * spec-verified against [[ngramJaccardPairs]]. */
   def minhashNearDup(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame =
-    nearDupFromSignatures(signatures(spark, dir, n, numHashes),
+    // localCheckpoint: the signature frame feeds the banding self-join
+    // (twice) AND both sides of the verification join — without it the
+    // whole shingle+64-min-agg pipeline re-executes ~4× (the projections
+    // differ, so Catalyst's ReusedExchange can't kick in). The indexed
+    // variant gets the same effect from the parquet index; this is the
+    // inline query's equivalent materialization.
+    nearDupFromSignatures(
+      signatures(spark, dir, n, numHashes).localCheckpoint(),
       numHashes, bands, threshold)
 
   /** Per-doc MinHash signatures + shingle sets — the artifact a corpus
@@ -147,7 +163,11 @@ object Dedup {
     * whole-corpus batch build and the per-micro-batch incremental append
     * ([[graft.streaming.IncrementalIndex]]). */
   def signaturesOf(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val exploded = explodedShingles(docs, n)
+    // dedup=false: min() and collect_set() are duplicate-insensitive, so
+    // the distinct's (doc_id, shingle) exchange is pure waste here — and
+    // without it the aggregation below reuses the window's doc_id
+    // partitioning (ZERO additional shuffles for the whole signature job)
+    val exploded = explodedShingles(docs, n, dedup = false)
     val minCols = (0 until numHashes).map(s =>
       min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
     exploded.groupBy(col("doc_id"))
@@ -170,7 +190,7 @@ object Dedup {
   val IndexHashes = 128
 
   /** Materialize the signature index: (doc_id, MinHash sig[128], shingle
-    * set, 64-bit SimHash) written once per corpus snapshot,
+    * set, 60-bit SimHash) written once per corpus snapshot,
     * freshness-gated on the source data signature (+ a format-version
     * token: a layout change must invalidate an otherwise-fresh index).
     * At 100 TB signatures are computed at ingest and every dedup
@@ -179,7 +199,9 @@ object Dedup {
     * pass. */
   def ensureMinhashIndex(spark: SparkSession, dir: String, n: Int = 3,
       numHashes: Int = IndexHashes): String = {
-    val sig = s"v3_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
+    // v4: SimHash face switched to the portable md5-derived 60-bit hash
+    // (a format change must invalidate an otherwise-fresh index)
+    val sig = s"v4_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}_n${n}_h$numHashes"
     graft.ops.Layout.ensureSigGated(minhashIndexPath(dir), sig) {
       indexRows(Tables.documents(spark, dir), n, numHashes)
         // few, well-sized files: the index is read whole by every
@@ -368,19 +390,27 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** SimHash-64 of a token array: per token take xxhash64, accumulate
+  /** SimHash bit width: 60, not 64 — the per-token hash is the PORTABLE
+    * [[graft.functions.TextFunctions.hash60]] (md5-derived), which is
+    * what makes the SimHash pair queries DuckDB-oracle-able. 4 blocks of
+    * 15 bits keep the pigeonhole guarantee for Hamming ≤ 3. */
+  val SimhashBits = 60
+  private val BlockBits = SimhashBits / 4
+
+  /** SimHash-60 of a token array: per token take hash60, accumulate
     * ±1 per bit position, sign of each counter is the output bit.
     * Near-dup docs differ in few bits (small Hamming distance).
-    * Expressed with nested HOFs — stays codegen'd. */
-  def simhash64(tokensCol: Column): Column = {
+    * Expressed with nested HOFs — stays codegen'd. Reference form of
+    * [[simhashOf]] (DedupSimilaritySpec asserts they agree). */
+  def simhash60(tokensCol: Column): Column = {
     // literal 2^j masks — lets the per-bit test stay a pure Column
     // expression (the shiftright() Scala wrapper only takes Int bits)
-    val pows = array((0 until 64).map(j => lit(1L << j)): _*)
+    val pows = array((0 until SimhashBits).map(j => lit(1L << j)): _*)
     val counters = aggregate(
       tokensCol,
-      array_repeat(lit(0), 64),
+      array_repeat(lit(0), SimhashBits),
       (acc, t) => {
-        val h = xxhash64(t)
+        val h = hash60(t)
         transform(acc, (c, i) =>
           c + when(h.bitwiseAND(element_at(pows, i + lit(1))) =!= 0L, lit(1))
             .otherwise(lit(-1)))
@@ -391,8 +421,8 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Per-doc 64-bit SimHash signatures — explode + 64 signed-count
-    * aggregates (same semantics as the HOF simhash64, but whole-stage-
+  /** Per-doc 60-bit SimHash signatures — explode + 60 signed-count
+    * aggregates (same semantics as the HOF simhash60, but whole-stage-
     * codegen'd with map-side combine). Computed once at ingest in a real
     * pipeline — persisted alongside the MinHash signatures by
     * [[ensureMinhashIndex]]. */
@@ -404,23 +434,26 @@ object Dedup {
   def simhashOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map(j =>
+      .withColumn("h", hash60(col("tok")))
+    val bitCols = (0 until SimhashBits).map(j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, lit(1))
         .otherwise(lit(-1))).as(s"b$j"))
     toks.groupBy(col("doc_id"))
       .agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sim"))
   }
 
-  /** x_simhash_near_dup — SimHash + block banding: 64-bit simhash split
-    * into 4 16-bit blocks; by pigeonhole, any pair within Hamming
+  /** x_simhash_near_dup — SimHash + block banding: 60-bit simhash split
+    * into 4 15-bit blocks; by pigeonhole, any pair within Hamming
     * distance 3 agrees on at least one block → block-equality join
-    * produces candidates, verified by exact Hamming distance.
-    * Not DuckDB-oracled (xxhash64); scalatest-verified. */
+    * produces candidates, verified by exact Hamming distance. The
+    * verification makes the output EXACTLY "all pairs within Hamming ≤
+    * d" — and because the per-token hash is the portable md5-derived
+    * [[graft.functions.TextFunctions.hash60]], DuckDB recomputes the
+    * same simhashes and the brute-force pair SQL is a true oracle. */
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame =
     simhashFromDocs(simhashDocs(spark, dir), maxHamming)
@@ -441,7 +474,7 @@ object Dedup {
   def simhashFromDocs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val blocked = docs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("sim"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1))): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
     blocked.as("a")
       .join(blocked.as("b"),

@@ -69,6 +69,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash pair set IS brute-force all-pairs Hamming ≤ 3 — the DuckDB oracle's premise") {
+    // block banding is candidate generation only: pigeonhole (4 blocks,
+    // ≤3 differing bits) guarantees a superset, exact Hamming
+    // verification cuts it to exactly the ≤-3 pairs. That equality is
+    // what lets the oracle SQL recompute the pair set by brute force.
+    val sims = Dedup.simhashDocs(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim"))
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+    assert(pairSet(Dedup.simhashNearDup(spark, dir).collect()) === brute)
+  }
+
+  test("HOF simhash60 agrees with the aggregate-form simhashOf") {
+    import org.apache.spark.sql.functions._
+    val agg = Dedup.simhashDocs(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
+    val hof = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Dedup.simhash60(graft.functions.TextFunctions.tokens(col("text"))).as("sim"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
+    assert(hof === agg)
+  }
+
   test("SimHash recalls the strong (j≥0.95) near-dup pairs") {
     // SimHash's contract is Hamming distance over token profiles; on this
     // tiny 31-word vocab unrelated short docs can profile-collide, so we
