@@ -92,7 +92,11 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = explodedShingles(docs, n)
+    // localCheckpoint: the distinct shingle frame feeds both self-join
+    // sides AND the per-doc size aggregation — the self-join sides share
+    // an exchange, but `sizes` would re-run the whole tokenize+window
+    // pipeline a second time without this
+    val sh = explodedShingles(docs, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -456,7 +460,10 @@ object Dedup {
     * same simhashes and the brute-force pair SQL is a true oracle. */
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame =
-    simhashFromDocs(simhashDocs(spark, dir), maxHamming)
+    // localCheckpoint: (doc_id, sim) is 2 longs/doc; materializing it
+    // once spares the 60-aggregate simhash job from running for each
+    // side of the block self-join (see minhashNearDup for the pattern)
+    simhashFromDocs(simhashDocs(spark, dir).localCheckpoint(), maxHamming)
 
   /** x_simhash_indexed — [[simhashNearDup]] served from the materialized
     * signature index: the per-token hashing ran at index-build time, so

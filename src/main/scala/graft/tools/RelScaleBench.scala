@@ -18,10 +18,12 @@ import org.apache.spark.sql.types.LongType
   *     linearly while the bucket-local join cost is the same work
   *     partitioned differently;
   *  2. `g_topk_agg` (typed bounded-heap Aggregator, shuffle carries
-  *     ≤ k rows per group per partition) vs the window rank() form
-  *     (must hash-shuffle and sort EVERY row) on a replicated events
-  *     projection — the heap's shuffle volume is constant in the
-  *     factor, the window's is linear.
+  *     ≤ k rows per group per partition) vs the window rank() form on a
+  *     replicated events projection. Spark 4.1 plans the latter with
+  *     WindowGroupLimit (map-side partial top-k), so BOTH forms are
+  *     shuffle-bounded — the measured comparison is local sort cost
+  *     (O(n log n) group-limit sort vs O(n log k) heap) plus the
+  *     Aggregator's mergeable-partial property; see inline notes.
   *
   * Both comparisons assert result equality before timing: a fast wrong
   * plan is not a result.
@@ -72,6 +74,19 @@ object RelScaleBench {
       walk(df.queryExecution.executedPlan)
       bytes / 1e6
     }
+    // pin a conf for the duration of one measurement, restoring after —
+    // lets the same query be measured in the local regime (AQE broadcasts
+    // a 24 MB orders side) and the cluster regime (at 100 TB no fact side
+    // fits ANY broadcast threshold, so the planner must shuffle)
+    def withConf(kvs: (String, String)*)(f: => Unit): Unit = {
+      val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally olds.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val NoBroadcast = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     // steady-state discipline: first run of a plan in a fresh JVM pays
     // JIT + codegen + page-cache; report the second run. Each run gets a
     // FRESHLY-built frame: re-running an action on the same Dataset
@@ -81,11 +96,20 @@ object RelScaleBench {
     // count-optimized QueryExecution whose metrics (and work!) differ
     // from the query under test — collect() runs the frame's own plan,
     // which is also the one shuffleMB reads
+    // median of 3 timed runs: single-run wall-clock on a shared box
+    // swings 5-10× (measured); the shuffle-byte column is deterministic
+    // and is the cluster-relevant number regardless
     def steady(name: String)(mk: => DataFrame): Unit = {
       mk.collect()
-      val fresh = mk
-      time(name)(fresh.collect())
-      println(f"[relscale] $name shuffle-write: ${shuffleMB(fresh)}%.1f MB")
+      val runs = (1 to 3).map { _ =>
+        val fresh = mk
+        val t0 = System.nanoTime
+        fresh.collect()
+        ((System.nanoTime - t0) / 1e9, shuffleMB(fresh))
+      }
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"[relscale] $name: $med%.2f s (median of 3: ${runs.map(r => f"${r._1}%.2f").mkString("/")})")
+      println(f"[relscale] $name shuffle-write: ${runs.head._2}%.3f MB")
     }
 
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_relscale$factor"
@@ -123,7 +147,18 @@ object RelScaleBench {
     def bucketed = graft.ops.Joins.multiwayStarBucketed(spark, scaleDir)
     assert(shuffled.collect().toSeq == bucketed.collect().toSeq,
       "bucketed star must equal shuffled star")
-    steady("star/shuffled (j_multiway_star plan)")(shuffled)
+    // local regime: AQE sees a 24 MB projected orders side and broadcasts
+    // it, so the un-bucketed star barely shuffles HERE — that is itself a
+    // scale finding (AQE rescues mid-size joins), but it evaporates at
+    // 100 TB where no fact side can broadcast. The forced-SMJ run is the
+    // cluster-regime measurement: every fact-fact join shuffles both
+    // sides, which is exactly the per-query cost the bucketed layout
+    // amortizes into its one-time ETL write.
+    steady("star/shuffled AQE-default (local regime: dims+orders broadcast)")(shuffled)
+    withConf(NoBroadcast: _*) {
+      steady("star/shuffled forced-SMJ (cluster regime)")(shuffled)
+      steady("star/bucketed forced-SMJ (cluster regime)")(bucketed)
+    }
     steady("star/bucketed (j_star_bucketed plan)")(bucketed)
 
     // --- top-k per group: bounded heap vs window rank -----------------
@@ -143,8 +178,18 @@ object RelScaleBench {
     }
     assert(heap.collect().toSeq == windowed.collect().toSeq,
       "heap top-k must equal window top-k")
+    // Measured finding (factor 10): Spark 4.1's InferWindowGroupLimit
+    // plans the rank()≤k filter as Sort → WindowGroupLimit(Partial)
+    // BEFORE the exchange, so the window form ALSO shuffles only
+    // k rows/group/partition — the optimizer closed the naive "window
+    // shuffles every row" gap. Both plans' shuffle-write is ~KB at 1M
+    // input rows (verified below). What the typed Aggregator still buys:
+    // no per-partition FULL sort (heap is O(n log k) vs the group-limit's
+    // O(n log n) local sort — it wins wall-clock below), and a mergeable
+    // partial (TopKAggregator's merge law) that re-aggregates across
+    // micro-batches, which no filtered-window plan offers.
     steady("topk/heap_aggregator (g_topk_agg plan)")(heap)
-    steady("topk/window_rank (full-sort baseline)")(windowed)
+    steady("topk/window_rank (WindowGroupLimit plan)")(windowed)
 
     spark.stop()
   }
