@@ -126,6 +126,7 @@ object SparkEntry {
     "t_tumbling_batch"      -> (streaming.WindowedStreams.tumblingCountsBatch _),
     "t_gapfill_batch"       -> (streaming.WindowedStreams.gapfillCountsBatch _),
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
+    "t_interval_outer"      -> (streaming.WindowedStreams.intervalJoinOuterBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
   )
 
@@ -575,6 +576,15 @@ object SparkEntry {
         |  ON c.user_id = p.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "t_interval_outer" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       coalesce(p.event_id, -1) AS purchase_id,
+        |       coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS us_gap
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
     "t_session_batch" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -115,6 +115,27 @@ object WindowedStreams {
         col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"))
   }
 
+  /** t_interval_outer (streaming face) — stream-stream LEFT OUTER
+    * interval join: matched purchases attach within the horizon as in
+    * [[intervalJoin]]; a click with NO purchase emits its null-extended
+    * row once BOTH watermarks pass clickTs + horizon — the engine can
+    * then prove no match can still arrive. This is the reference's
+    * divergence question ("which changes never made it to the other
+    * side", README.md:30) asked of two LIVE streams instead of two
+    * loaded tables. State eviction identical to the inner form: each
+    * side keeps only rows within watermark + horizon. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      watermark: String = "10 minutes", horizon: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+  }
+
   /** t_interval_batch — the interval join as a driver-verifiable batch
     * query: purchases within 30 minutes after a click by the same user.
     * Bounds and gaps at MICROsecond precision on both engines (the
@@ -136,6 +157,33 @@ object WindowedStreams {
           col("p_us") <= col("c_us") + lit(horizonUs))
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (col("p_us") - col("c_us")).as("us_gap"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  /** t_interval_outer — the LEFT OUTER interval join as a
+    * driver-verifiable batch query: EVERY click, its purchases within
+    * 30 minutes, and -1 sentinels where none exists. Sentinels, not
+    * nulls: a nullable sort key orders NULLS FIRST in Spark but NULLS
+    * LAST in DuckDB, and the hash gate needs one total order. */
+  def intervalJoinOuterBatch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .withColumn("us", expr("ts_ns div 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("us").as("c_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("us").as("p_us"))
+    val horizonUs = 30L * 60L * 1000L * 1000L
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + lit(horizonUs),
+        "left")
+      .select(col("click_id"), col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("p_us") - col("c_us"), lit(-1L)).as("us_gap"))
       .orderBy(col("click_id"), col("purchase_id"))
   }
 

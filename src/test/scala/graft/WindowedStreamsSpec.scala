@@ -109,6 +109,46 @@ class WindowedStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join emits unmatched clicks once the watermark closes their horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new Timestamp(1600000000000L + min * 60 * 1000)
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = WindowedStreams.intervalJoinOuter(
+      clicks.toDF().select($"event_id".as("click_id"), $"user_id", $"ts"),
+      purchases.toDF().select($"event_id".as("purchase_id"),
+        $"user_id", $"ts".as("pts")),
+      key = "user_id", leftTs = "ts", rightTs = "pts",
+      watermark = "5 minutes", horizon = "30 minutes")
+    assert(joined.isStreaming)
+    val q = joined
+      .select($"click_id", $"purchase_id")
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(
+        Ev(1, ts(0), 1, "click", 0.0),  // will match
+        Ev(2, ts(0), 2, "click", 0.0))  // will NEVER match
+      purchases.addData(Ev(10, ts(10), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val matchedOnly = spark.table("ivjo").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.get(1))).toSet
+      // u2's click cannot emit yet: a purchase inside its horizon could
+      // still arrive — outer results wait for the watermark, not the batch
+      assert(matchedOnly === Set((1L, 10L)))
+      // advance BOTH watermarks (global watermark = min of the two) past
+      // click-ts + horizon + watermark delay, proving no match can come
+      clicks.addData(Ev(3, ts(120), 8, "click", 0.0))
+      purchases.addData(Ev(11, ts(120), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("ivjo").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.get(1))).toSet
+      assert(out === Set((1L, 10L), (2L, null)),
+        "unmatched click must emit null-extended exactly once")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim without state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
