@@ -115,8 +115,13 @@ object Bench {
     // compact stdout form: errors object only when non-empty (the happy
     // path spends no window budget on "errors":{})
     val errPart = if (errPairs.isEmpty) "" else s""""errors":$errs,"""
+    // per-query values at 1 decimal on stdout: 87 queries × 2-decimal
+    // values sat at 1964 of the 1980-char window — one more query would
+    // have silently degraded the line. 0.1 s resolution is plenty for the
+    // driver's round-over-round trend; full precision lives in
+    // target/bench_last.json
     val full =
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(2)},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(1)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // hard guard on the 2000-char capture window: if per-query digits or
     // a non-empty errors object push the full form past the window
     // (minus the trailing newline), degrade to total+errors only

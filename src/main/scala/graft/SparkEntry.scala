@@ -51,6 +51,7 @@ object SparkEntry {
     "g_approx_percentile"   -> ((s: SparkSession, d: String) => Aggregates.approxPercentileAgg(s, d)),
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
     "g_stats"               -> (Aggregates.statsAgg _),
+    "g_corr"                -> (Aggregates.corrAgg _),
     "g_pivot"               -> (Aggregates.pivotStatus _),
     "g_grouping_sets"       -> (Aggregates.groupingSetsAgg _),
     "g_profile"             -> (Aggregates.profileMeasures _),
@@ -374,6 +375,20 @@ object SparkEntry {
         |            - sum(CAST(l_quantity AS BIGINT)) * sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
         |         / (count(*) * (count(*) - 1))) AS std_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "g_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |         sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS sy,
+        |         sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS sxy,
+        |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sx2,
+        |         sum(CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS sy2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) / (n * (n - 1)) AS covar,
+        |       CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "g_two_phase_count" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

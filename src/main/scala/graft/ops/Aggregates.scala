@@ -248,6 +248,36 @@ object Aggregates {
       .filter(col("n_orders") > minOrders)
       .orderBy(col("o_custkey"))
 
+  /** g_corr — covariance / Pearson correlation per group, determinism-
+    * right like [[statsAgg]]: engines' built-in corr() accumulates
+    * doubles in partition order and diverges in the last ulp, so the
+    * moments are EXACT BIGINT sums (Σx, Σy, Σxy, Σx², Σy² of quantity ×
+    * discount-cents — both small integers, so every product of the
+    * combination stays far under 2^63 at any tested sf) combined by one
+    * double expression at the end. The same partial-sum shape is what a
+    * 100 TB engine ships per partition: five longs per group, map-side
+    * combined, order-insensitive. */
+  def corrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(LongType)
+    val y = graft.functions.DetMath.cents(col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"),
+        sum(x * x).as("sx2"), sum(y * y).as("sy2"))
+      .select(
+        col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) / (col("n") * (col("n") - 1))).as("covar"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast(DoubleType)) *
+           sqrt((col("n") * col("sy2") - col("sy") * col("sy")).cast(DoubleType))))
+          .as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** g_stats — statistical aggregates (variance / stddev of quantity per
     * returnflag) done determinism-right: naive per-engine `stddev` sums
     * doubles in partition order and diverges in the low bits, so this

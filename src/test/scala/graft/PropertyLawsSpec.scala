@@ -16,6 +16,29 @@ import graft.functions.RollingFingerprint
 class PropertyLawsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("integer-sum corr/covar agree with the built-in double aggregates to 1e-12") {
+    // the exact-BIGINT formulation exists for cross-engine bit equality;
+    // it must still BE correlation — compare against Spark's own
+    // corr()/covar_samp() within float tolerance
+    import org.apache.spark.sql.functions.{col, corr, covar_samp, floor => ffloor}
+    val ours = graft.ops.Aggregates.corrAgg(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("covar"), r.getAs[Double]("corr"))).toMap
+    val builtin = graft.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        ffloor(col("l_discount") * 100.0 + 0.5).as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(covar_samp(col("x"), col("y")).as("cv"), corr(col("x"), col("y")).as("cr"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("cv"), r.getAs[Double]("cr"))).toMap
+    assert(ours.keySet === builtin.keySet)
+    ours.foreach { case (k, (cv, cr)) =>
+      assert(math.abs(cv - builtin(k)._1) < 1e-9, s"covar $k")
+      assert(math.abs(cr - builtin(k)._2) < 1e-12, s"corr $k")
+    }
+  }
+
   /** Sample `n` deterministic values from a generator. */
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i))
