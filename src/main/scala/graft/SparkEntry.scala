@@ -224,15 +224,12 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 11 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 10 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
     *    different sketches — equality is undefined across engines; specs
     *    bound the error vs the exact aggregate instead.
-    *  - x_rolling_fingerprint: winnowed rolling-hash fingerprints — the
-    *    values are the engine-native hash itself. Spec proves window
-    *    invariants + determinism of the codegen'd expression.
     *  - x_ann_lsh, x_ann_indexed, x_ivf_knn, x_ivf_indexed: top-k among
     *    CANDIDATES chosen by xxhash64 hyperplanes (SRP) or k-means
     *    centroids — the candidate set is not SQL-expressible, and unlike
@@ -567,6 +564,44 @@ object SparkEntry {
     "x_doc_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Oracle-able (round 6) because the rolling hash is a PORTABLE
+    // formula, not an engine-native one: polynomial base-P hash of the
+    // UTF-8 bytes with natural 2^64 wrap, signed-min over all 32-byte
+    // windows. DuckDB replays it in HUGEINT mod-2^64 arithmetic: each
+    // byte at offset j from window start carries weight P^(w-1-j), so
+    // char i joins the power table at exponent k for window
+    // s = i-(w-1)+k. The corpus is pure ASCII (octet_length == length,
+    // asserted cheap in the first CTE would cost a scan — instead byte
+    // == codepoint holds by construction of the test data), so ord()
+    // over codepoints equals the byte value Spark hashes.
+    "x_rolling_fingerprint" ->
+      """WITH RECURSIVE pw(k, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT)
+        |  UNION ALL
+        |  SELECT k + 1, (v * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM pw WHERE k < 31),
+        |docs AS (
+        |  SELECT doc_id, text, length(text) AS n, least(32, length(text)) AS w
+        |  FROM documents),
+        |cb AS (
+        |  SELECT doc_id, n, w, unnest(generate_series(1, n)) AS i, text
+        |  FROM docs),
+        |wh AS (
+        |  SELECT c.doc_id, c.i - (c.w - 1) + p.k AS s,
+        |         (sum(CAST(ord(substr(c.text, c.i, 1)) AS HUGEINT) * p.v)
+        |            % CAST('18446744073709551616' AS HUGEINT)) AS m
+        |  FROM cb c JOIN pw p ON p.k < c.w
+        |  WHERE c.i - (c.w - 1) + p.k BETWEEN 1 AND c.n - c.w + 1
+        |  GROUP BY c.doc_id, c.i - (c.w - 1) + p.k),
+        |mins AS (
+        |  SELECT doc_id,
+        |         min(CAST(CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+        |                       THEN m - CAST('18446744073709551616' AS HUGEINT)
+        |                       ELSE m END AS BIGINT)) AS mh
+        |  FROM wh GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(m.mh, 0) AS rfp
+        |FROM docs d LEFT JOIN mins m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t_tumbling_batch" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300 AS win_start_s, event_type,
         |       count(*) AS cnt,

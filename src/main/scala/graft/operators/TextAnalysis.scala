@@ -68,9 +68,10 @@ object TextAnalysis {
 
   /** x_rolling_fingerprint — winnowing-style min-window rolling-hash
     * fingerprints (shift-stable, unlike md5 of the whole text) via the
-    * codegen'd [[graft.functions.RollingFingerprint]] expression. Not
-    * DuckDB-oracled (engine-native hash); scalatest checks the rolling
-    * invariants. */
+    * codegen'd [[graft.functions.RollingFingerprint]] expression.
+    * DuckDB-oracled since round 6: the hash is a portable polynomial
+    * mod-2^64 formula the oracle replays in HUGEINT arithmetic;
+    * scalatest additionally checks the rolling invariants. */
   def rollingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
