@@ -67,10 +67,12 @@ object SparkEntry {
     "j_asof"                -> (AsofJoin.lastPurchaseAsof _),
     "j_salted_skew"         -> (SkewOps.saltedJoinQuery _),
     "j_range_band"          -> (Joins.rangeBandJoin _),
+    "j_full_outer"          -> (Joins.fullOuterReconcile _),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
     "w_running_balance"     -> (Windows.runningBalance _),
+    "w_running_distinct"    -> (Windows.runningDistinct _),
     "w_rank_topn_per_group" -> ((s: SparkSession, d: String) => Windows.rankTopNPerGroup(s, d)),
     "w_lag_lead"            -> (Windows.lagLead _),
     "w_first_last"          -> (Windows.firstLast _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "x_pack_budget"         -> ((s: SparkSession, d: String) => operators.CorpusOps.packBudget(s, d)),
     "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
     "x_tfidf"               -> (operators.Search.tfidf _),
+    "x_bm25"                -> (operators.Search.bm25 _),
     "x_hybrid_search"       -> ((s: SparkSession, d: String) => operators.Search.hybridSearch(s, d)),
     "x_embed_quantize"      -> (operators.CorpusOps.embedQuantize _),
     // Group T — the batch-verifiable face of the streaming operators
@@ -435,6 +438,22 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "j_full_outer" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS epoch_day,
+        |         count(*) AS n FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS epoch_day,
+        |         count(*) AS n FROM events
+        |  WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+        |       COALESCE(p.epoch_day, e.epoch_day) AS epoch_day,
+        |       COALESCE(p.n, 0) AS n_purchases,
+        |       COALESCE(e.n, 0) AS n_errors
+        |FROM p FULL OUTER JOIN e
+        |  ON p.user_id = e.user_id AND p.epoch_day = e.epoch_day
+        |ORDER BY user_id, epoch_day""".stripMargin,
     "j_asof" ->
       """SELECT e.event_id, e.user_id, e.value,
         |       p.value AS last_purchase_value,
@@ -454,6 +473,19 @@ object SparkEntry {
         |            OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS balance
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "w_running_distinct" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CASE WHEN row_number() OVER (
+        |                PARTITION BY user_id, event_type
+        |                ORDER BY ts, event_id) = 1
+        |              THEN 1 ELSE 0 END AS f
+        |  FROM events)
+        |SELECT user_id, event_id, event_type,
+        |       CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS n_types_seen
+        |FROM flagged ORDER BY user_id, event_id""".stripMargin,
     "w_rank_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -777,6 +809,27 @@ object SparkEntry {
         |SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf, CAST(d.df AS BIGINT) AS df,
         |       CAST(n.n_docs AS BIGINT) AS n_docs
         |FROM t JOIN d ON t.term = d.term, n
+        |ORDER BY t.doc_id, t.term""".stripMargin,
+    // tf_norm is gate-safe double math: ×, /, + are IEEE-correctly-
+    // rounded, so the identical expression tree over identical integer
+    // inputs is bit-equal cross-engine (unlike ln — see x_tfidf).
+    // Parenthesization mirrors the Spark tree exactly:
+    // (tf·2.2) / (tf + 1.2·(0.25 + 0.75·((dl·n_docs)/total_tokens))).
+    "x_bm25" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term, doc_id, count(*) AS tf FROM p GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |l AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
+        |c AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM l)
+        |SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+        |       CAST(d.df AS BIGINT) AS df, CAST(l.dl AS BIGINT) AS dl,
+        |       CAST(c.n_docs AS BIGINT) AS n_docs,
+        |       CAST(c.total_tokens AS BIGINT) AS total_tokens,
+        |       CAST(t.tf AS DOUBLE) * 2.2 /
+        |         (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |           (CAST(l.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE)
+        |              / CAST(c.total_tokens AS DOUBLE)))) AS tf_norm
+        |FROM t JOIN d ON t.term = d.term JOIN l ON t.doc_id = l.doc_id, c
         |ORDER BY t.doc_id, t.term""".stripMargin,
     "x_media_dedup" ->
       """SELECT min(doc_id) AS media_id, kind, fp, CAST(count(*) AS BIGINT) AS n_copies

@@ -134,4 +134,59 @@ object Search {
         floor(col("tf").cast(DoubleType) *
           log(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)) *
           10000.0 + 0.5) / 10000.0)
+
+  /** BM25 constants (Robertson/Spärck Jones; the Lucene defaults). */
+  final val Bm25K1 = 1.2
+  final val Bm25B = 0.75
+
+  /** x_bm25 — BM25 ranking statistics per (document, term), served from
+    * the postings index: tf and df as in [[tfidf]], plus the document
+    * length `dl` (tokens per doc) and corpus totals that TF-IDF lacks —
+    * BM25's improvement is exactly that it normalizes tf by document
+    * length and saturates it.
+    *
+    * The ORACLED face carries the integer domain (tf, df, dl, n_docs,
+    * total_tokens) AND the saturated-tf factor `tf_norm` =
+    * tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)): unlike ln, every
+    * operation in it (×, /, +) is IEEE-correctly-rounded, so identical
+    * integer inputs through the IDENTICAL expression tree give
+    * bit-equal doubles on any engine — it belongs in the hash gate.
+    * The ln-based idf lives in [[bm25Scored]], outside the gate, for
+    * the same last-ulp reason as [[tfidfScored]].
+    *
+    * Scale: df is a small per-term aggregate (broadcast); dl is one row
+    * per DOCUMENT — at corpus scale that is NOT broadcastable, so it
+    * joins on doc_id as a keyed shuffle join (AQE may still broadcast
+    * it at toy SF); corpus totals are a single row (broadcast). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensurePostingsIndex(spark, dir)
+    val post = spark.read.parquet(path)
+    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val corpus = dl.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tfD = col("tf").cast(DoubleType)
+    val dlOverAvg = col("dl").cast(DoubleType) *
+      col("n_docs").cast(DoubleType) / col("total_tokens").cast(DoubleType)
+    post.join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("total_tokens"),
+        (tfD * lit(Bm25K1 + 1.0) /
+          (tfD + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * dlOverAvg)))
+          .as("tf_norm"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  /** The full BM25 weight over [[bm25]]'s domain:
+    * score = tf_norm · ln((N − df + 0.5)/(df + 0.5) + 1). Engine-native
+    * ln — spec-verified (CorpusSearchSpec asserts bit-equality against a
+    * driver-side recompute and df-monotonicity), not DuckDB-oracled. */
+  def bm25Scored(spark: SparkSession, dir: String): DataFrame =
+    bm25(spark, dir)
+      .withColumn("score",
+        col("tf_norm") * log(
+          (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) +
+            lit(0.5)) / (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)))
 }

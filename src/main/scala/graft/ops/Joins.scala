@@ -118,6 +118,39 @@ object Joins {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
+  /** j_full_outer — two-sided divergence reconcile: purchase counts vs
+    * error counts per (user, day), keeping keys present on EITHER side
+    * (the A19 reconciliation shape when both series can have gaps —
+    * `start_dms_replication_task_lambda/handler.py:27-73` compares
+    * counts that may each be missing). Completes the join-type matrix
+    * (inner/left/semi/anti/as-of/band/bucketed/salted are elsewhere).
+    *
+    * Scale: both sides are PRE-aggregated to (user, day) before the
+    * join, so the shuffle carries one row per key per side, not raw
+    * events; the aggregation's hash partitioning on exactly the join
+    * keys is reused by the join (no extra exchange). The day is the
+    * TZ-free integer epoch day from the nanos column — a pure function
+    * of the data, like the day-partitioned layout (ops/Layout). */
+  def fullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(tpe: String, cnt: String, u: String, d: String) =
+      ev.filter(col("event_type") === tpe)
+        .groupBy(
+          col("user_id").as(u),
+          floor(col("ts_ns") / lit(86400000000000L)).cast(LongType).as(d))
+        .agg(count(lit(1)).as(cnt))
+    val p = daily("purchase", "n_purchases", "p_user", "p_day")
+    val e = daily("error", "n_errors", "e_user", "e_day")
+    p.join(e, col("p_user") === col("e_user") && col("p_day") === col("e_day"),
+        "full_outer")
+      .select(
+        coalesce(col("p_user"), col("e_user")).as("user_id"),
+        coalesce(col("p_day"), col("e_day")).as("epoch_day"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+      .orderBy(col("user_id"), col("epoch_day"))
+  }
+
   /** j_range_band — non-equi BAND join: every event assigned to its
     * value tier by `lo <= value < hi`. Completes the join matrix with
     * the range/banding shape (equi, outer, semi, anti, as-of, salted,

@@ -54,6 +54,30 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** w_running_distinct — running COUNT(DISTINCT event_type) per user in
+    * event order ("how many distinct behaviors has this user shown so
+    * far"). Spark, like most engines, rejects COUNT(DISTINCT) OVER a
+    * running frame; the scalable rewrite is exact and two-pass: flag
+    * each row that is the FIRST occurrence of its (user, type), then
+    * running-sum the flags. State per window is a single counter — no
+    * per-frame distinct set, so the frame never holds data, which is
+    * the property that survives 100 TB (a naive per-frame set is O(n²)
+    * memory-churn on long user histories). Two shuffles: (user, type)
+    * for the flag, (user) for the cumsum — both keyed, no global sort. */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, lit(1L)).otherwise(lit(0L)))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        sum(col("first_seen")).over(wRun).as("n_types_seen"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** w_rank_topn_per_group — top-N orders per customer by total price. */
   def rankTopNPerGroup(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -98,6 +98,38 @@ class CorpusSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: score bit-equals a driver recompute; idf falls as df rises") {
+    val rows = Search.bm25Scored(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tf = r.getAs[Long]("tf").toDouble
+      val df = r.getAs[Long]("df").toDouble
+      val dl = r.getAs[Long]("dl").toDouble
+      val n = r.getAs[Long]("n_docs").toDouble
+      val tot = r.getAs[Long]("total_tokens").toDouble
+      // the exact expression trees of Search.bm25/bm25Scored — every op
+      // correctly rounded, so equality is ==, not a tolerance
+      val tfNorm = tf * (Search.Bm25K1 + 1.0) /
+        (tf + Search.Bm25K1 * ((1.0 - Search.Bm25B) +
+          Search.Bm25B * (dl * n / tot)))
+      assert(r.getAs[Double]("tf_norm") === tfNorm, r.toString)
+      // StrictMath, not Math: Spark's Log codegen calls StrictMath.log
+      // for platform-stable results, and the two differ in the last ulp
+      val score = tfNorm * StrictMath.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      assert(r.getAs[Double]("score") === score, r.toString)
+    }
+    // BM25's idf must be strictly decreasing in df: recover idf from
+    // score/tf_norm pairs at each distinct df
+    val idfByDf = rows.map(r =>
+        r.getAs[Long]("df") -> r.getAs[Double]("score") / r.getAs[Double]("tf_norm"))
+      .distinct.groupBy(_._1).map { case (df, xs) => df -> xs.head._2 }
+      .toSeq.sortBy(_._1)
+    idfByDf.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a > b, "idf must fall as df rises")
+      case _ =>
+    }
+  }
+
   test("int8 quantization stays in range and round-trips within one step") {
     val rows = CorpusOps.embedQuantize(spark, dir).collect()
     val emb = Tables.embeddings(spark, dir).collect()
