@@ -176,4 +176,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("o_totalprice"), "anti join reads non-key columns:\n" + p)
   }
+
+  test("full-outer reconcile joins on the aggs' own partitioning (3 exchanges total)") {
+    val p = plan("j_full_outer")
+    assert(p.contains("FullOuter"), p)
+    // one shuffle per side's pre-aggregation + one for the output order —
+    // an exchange BETWEEN a final HashAggregate and the join would mean
+    // the join failed to reuse the agg partitioning (a 4th exchange)
+    assert("Exchange".r.findAllIn(p).size === 3,
+      "full-outer join must reuse the pre-agg partitioning:\n" + p)
+  }
+
+  test("running distinct plans two keyed windows, no per-frame distinct") {
+    val p = plan("w_running_distinct")
+    // flag window on (user, type), cumsum window on (user), output sort
+    assert("Window".r.findAllIn(p).size === 2, p)
+    assert("Exchange".r.findAllIn(p).size === 3, p)
+  }
+
+  test("bm25 broadcasts df and corpus totals; no cartesian product") {
+    val p = plan("x_bm25")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"),
+      "corpus totals must ride a broadcast, not a cartesian:\n" + p)
+  }
 }
