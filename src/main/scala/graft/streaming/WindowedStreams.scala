@@ -236,4 +236,45 @@ object WindowedStreams {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Output row of [[runningDistinctStream]]. */
+  case class SeenOut(user_id: Long, event_id: Long, event_type: String,
+      n_types_seen: Long)
+
+  /** t_stream_running_distinct — the streaming twin of the batch
+    * `w_running_distinct` rewrite (ops/Windows): running
+    * COUNT(DISTINCT event_type) per user, emitted per event.
+    *
+    * The batch form turns the unsupported COUNT(DISTINCT) OVER into
+    * first-occurrence flags + a cumsum; the streaming form keeps the
+    * SAME O(1)-per-frame idea as keyed state: the per-user state is the
+    * SET OF DISTINCT TYPES SEEN — bounded by the type vocabulary, NOT
+    * by stream length, which is what keeps an unbounded stream's state
+    * flat (the naive per-frame distinct would grow with history).
+    * Events inside a micro-batch are folded in (ts, event_id) order, so
+    * results equal the batch rewrite whenever batch boundaries respect
+    * event order (the reference's in-order 5-minute cadence); cross-
+    * batch late arrivals get the set as of their processing batch — the
+    * explicit at-least-once policy, same stance as t_late_data. */
+  def runningDistinctStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Set[String], SeenOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var seen = state.getOption.getOrElse(Set.empty[String])
+          val out = rows.toSeq.sortBy(r => (r._4, r._2)).map { r =>
+            seen = seen + r._3
+            SeenOut(user, r._2, r._3, seen.size.toLong)
+          }
+          state.update(seen)
+          out.iterator
+      }
+      .toDF()
+  }
 }

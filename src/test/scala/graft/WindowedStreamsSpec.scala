@@ -196,4 +196,35 @@ class WindowedStreamsSpec extends AnyFunSuite {
       assert(spark.table("sdedup").count() === 3)
     } finally q.stop()
   }
+
+  test("streaming running-distinct equals the batch rewrite's fold across ordered batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three event-ordered micro-batches, two users, repeated types —
+    // the same list a batch w_running_distinct would scan
+    val batches = Seq(
+      Seq(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(1), 1, "view", 0),
+        Ev(3, ts(2), 2, "click", 0)),
+      Seq(Ev(4, ts(3), 1, "click", 0), Ev(5, ts(4), 2, "click", 0),
+        Ev(6, ts(5), 2, "purchase", 0)),
+      Seq(Ev(7, ts(6), 1, "view", 0), Ev(8, ts(7), 1, "error", 0)))
+    val input = MemoryStream[Ev]
+    val q = WindowedStreams.runningDistinctStream(input.toDF())
+      .writeStream.format("memory").queryName("rdist")
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("rdist").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("n_types_seen"))
+        .toMap
+      // driver-side fold: the batch rewrite's semantics over the full list
+      var seen = Map.empty[Long, Set[String]]
+      val want = batches.flatten.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        val s = seen.getOrElse(e.user_id, Set.empty) + e.event_type
+        seen += e.user_id -> s
+        e.event_id -> s.size.toLong
+      }.toMap
+      assert(got === want)
+    } finally q.stop()
+  }
 }
