@@ -52,6 +52,7 @@ object SparkEntry {
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
     "g_stats"               -> (Aggregates.statsAgg _),
     "g_corr"                -> (Aggregates.corrAgg _),
+    "g_funnel"              -> ((s: SparkSession, d: String) => Aggregates.funnel(s, d)),
     "g_pivot"               -> (Aggregates.pivotStatus _),
     "g_grouping_sets"       -> (Aggregates.groupingSetsAgg _),
     "g_profile"             -> (Aggregates.profileMeasures _),
@@ -389,6 +390,28 @@ object SparkEntry {
         |       CAST(n * sxy - sx * sy AS DOUBLE)
         |         / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "g_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS ts1_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS ts2_us
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.ts1_us
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS ts3_us
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.ts2_us
+        |  GROUP BY 1)
+        |SELECT t1.user_id,
+        |       CAST(CASE WHEN t3.ts3_us IS NOT NULL THEN 3
+        |                 WHEN t2.ts2_us IS NOT NULL THEN 2
+        |                 ELSE 1 END AS BIGINT) AS stage,
+        |       t1.ts1_us, t2.ts2_us, t3.ts3_us
+        |FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |        LEFT JOIN t3 ON t1.user_id = t3.user_id
+        |ORDER BY t1.user_id""".stripMargin,
     "g_two_phase_count" ->
       """SELECT l_returnflag, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

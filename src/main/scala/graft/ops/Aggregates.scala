@@ -302,4 +302,52 @@ object Aggregates {
       .withColumn("std_qty", sqrt(col("var_qty")))
       .orderBy(col("l_returnflag"))
   }
+
+  /** g_funnel — ordered conversion funnel (the ClickHouse
+    * `windowFunnel` shape): per user, how deep into the sequence
+    * view → click → purchase did they get, where each stage must occur
+    * STRICTLY AFTER the previous stage's first completion. The
+    * relational formulation is min-timestamp chaining: t1 = first view;
+    * t2 = first click after t1; t3 = first purchase after t2 — each
+    * stage a filter + keyed join + min-agg, all partitioned by user_id,
+    * so every stage after the first reuses the same hash partitioning
+    * (the joins add no exchange on the chained side; only each stage's
+    * filtered event scan shuffles once). At 100 TB you'd repartition
+    * events by user once and checkpoint before chaining; at bench scale
+    * Catalyst's exchange reuse already dedups the scan-side shuffles.
+    * Timestamps are epoch MICROS (no TZ, no parse): the oracle engine
+    * reads the nanos parquet column truncated to micros, so micros is
+    * the shared exact domain — and (user_id, ts) is unique at micros
+    * in this table, so strict-after comparisons agree. */
+  def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("ts1_us"))
+    // each step: first occurrence of the next stage strictly after the
+    // previous stage's first occurrence, left-joined back so partial
+    // converters keep their row (tsN_us stays null)
+    val chained = stages.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (stage, i)) =>
+        val prevCol = s"ts${i + 1}_us"
+        val thisCol = s"ts${i + 2}_us"
+        val next = ev.filter(col("event_type") === stage)
+          .join(acc.select(col("user_id"), col(prevCol)), Seq("user_id"))
+          .filter(col("ts_us") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ts_us")).as(thisCol))
+        acc.join(next, Seq("user_id"), "left")
+    }
+    // ascending fold so the DEEPEST stage's check ends up outermost:
+    // when(ts3 != null, 3) else when(ts2 != null, 2) else 1
+    val stageExpr = (2 to stages.size).foldLeft(lit(1L)) {
+      (els, i) => when(col(s"ts${i}_us").isNotNull, lit(i.toLong)).otherwise(els)
+    }
+    chained
+      .select(col("user_id") +: stageExpr.as("stage") +:
+        (1 to stages.size).map(i => col(s"ts${i}_us")): _*)
+      .orderBy(col("user_id"))
+  }
 }
