@@ -277,4 +277,47 @@ object WindowedStreams {
       }
       .toDF()
   }
+
+  /** Output row of [[funnelStream]] — emitted when a user ADVANCES a
+    * stage (append-mode change feed of funnel progress). */
+  case class FunnelOut(user_id: Long, stage: Long, ts_us: Long)
+
+  /** t_stream_funnel — the ordered conversion funnel
+    * (ops/Aggregates.funnel) as a streaming per-user state machine.
+    * State is O(1) per user: (deepest stage reached, its event-time
+    * micros) — versus the batch form's per-stage join chain. An event
+    * advances the funnel iff it is the NEXT stage's type and strictly
+    * after the current stage's timestamp; the first such event in event
+    * order is exactly the batch form's min-timestamp, so the deepest
+    * stage emitted per user equals the batch result whenever batches
+    * respect event order (same stance as t_stream_running_distinct).
+    * Emits one row per advance — a funnel change feed, not a snapshot:
+    * downstream keeps the max stage per user (last-wins by stage). */
+  def funnelStream(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var (stg, stgTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          rows.toSeq.sortBy(r => (r._4, r._2)).foreach { r =>
+            if (stg < stages.size && r._3 == stages(stg) &&
+                (stg == 0 || r._4 > stgTs)) {
+              stg += 1; stgTs = r._4
+              out += FunnelOut(user, stg.toLong, r._4)
+            }
+          }
+          state.update((stg, stgTs))
+          out.iterator
+      }
+      .toDF()
+  }
 }

@@ -227,4 +227,34 @@ class WindowedStreamsSpec extends AnyFunSuite {
       assert(got === want)
     } finally q.stop()
   }
+
+  test("streaming funnel advances only on next-stage-after-previous; change feed matches the batch chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = WindowedStreams.funnelStream(input.toDF())
+      .writeStream.format("memory").queryName("sfunnel")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 converts cleanly; user 2's early click and premature
+      // purchase must NOT count (wrong order), later ones must
+      input.addData(
+        Ev(1, ts(0), 1, "view", 0), Ev(2, ts(1), 1, "click", 0),
+        Ev(3, ts(0), 2, "click", 0), Ev(4, ts(1), 2, "view", 0),
+        Ev(5, ts(2), 2, "view", 0))
+      q.processAllAvailable()
+      input.addData(
+        Ev(6, ts(2), 1, "purchase", 0),
+        Ev(7, ts(3), 2, "purchase", 0), // before click-after-view → ignored
+        Ev(8, ts(4), 2, "click", 0), Ev(9, ts(5), 2, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("sfunnel").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("stage"),
+          r.getAs[Long]("ts_us"))).toSet
+      def us(min: Long) = min * 60L * 1000 * 1000
+      assert(got === Set(
+        (1L, 1L, us(0)), (1L, 2L, us(1)), (1L, 3L, us(2)),
+        (2L, 1L, us(1)), (2L, 2L, us(4)), (2L, 3L, us(5))))
+    } finally q.stop()
+  }
 }
