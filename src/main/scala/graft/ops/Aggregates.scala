@@ -320,11 +320,19 @@ object Aggregates {
     * the shared exact domain — and (user_id, ts) is unique at micros
     * in this table, so strict-after comparisons agree. */
   def funnel(spark: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelFrom(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")),
+      stages)
+
+  /** [[funnel]]'s core over any (user_id, event_type, ts_us) frame —
+    * lets scale experiments (RelScaleBench) run the chain on replicated
+    * corpora without the table registry. */
+  def funnelFrom(ev: DataFrame,
       stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty)
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
     val first = ev.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("ts1_us"))
     // each step: first occurrence of the next stage strictly after the

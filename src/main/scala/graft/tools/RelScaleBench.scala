@@ -191,6 +191,74 @@ object RelScaleBench {
     steady("topk/heap_aggregator (g_topk_agg plan)")(heap)
     steady("topk/window_rank (WindowGroupLimit plan)")(windowed)
 
+    // --- event-sequence ops: running distinct + funnel at factor× -----
+    // user_id is NOT remapped, so each user's history grows factor× —
+    // the long-history regime where per-frame state policy decides
+    // whether keyed windows survive (a 100 TB user timeline is long)
+    val seqDir = s"$scaleDir-seq"
+    graft.ops.Layout.ensureSigGated(seqDir, sig) {
+      val r = spark.range(factor).toDF("r")
+      graft.Tables.events(spark, srcDir).crossJoin(r)
+        .select((col("event_id") * factor + col("r")).as("event_id"),
+          col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .write.mode("overwrite").parquet(s"$seqDir/events_seq.parquet")
+    }
+    def eseq = spark.read.parquet(s"$seqDir/events_seq.parquet")
+    // reduce the 1M-row window outputs to one checksum row so steady()
+    // times the windows, not a driver collect
+    def checksum(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt"), sum(col("n")).as("s1"),
+        sum(col("n") * col("event_id")).as("s2"))
+    def rdFlag(src: DataFrame, valueCol: String) = checksum {
+      val wF = Window.partitionBy(col("user_id"), col(valueCol))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wR = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      src.withColumn("f",
+          when(row_number().over(wF) === 1, lit(1L)).otherwise(lit(0L)))
+        .select(col("user_id"), col("event_id"),
+          sum(col("f")).over(wR).as("n"))
+    }
+    def rdSet(src: DataFrame, valueCol: String) = checksum {
+      // the naive per-frame-set form: collect_set over the running frame
+      // holds every frame's distinct set in window state
+      val wR = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      src.select(col("user_id"), col("event_id"),
+        size(collect_set(col(valueCol)).over(wR)).cast(LongType).as("n"))
+    }
+    // regime 1 — LOW distinct cardinality (5 event types): the frame set
+    // is bounded at 5, so the "naive" form is fine and saves the
+    // flag-window's second shuffle. Honest finding: cardinality, not the
+    // frame, decides.
+    assert(rdFlag(eseq, "event_type").collect().toSeq ==
+      rdSet(eseq, "event_type").collect().toSeq,
+      "flag+cumsum running distinct must equal the collect_set form")
+    steady("rdistinct_lowcard/flag_cumsum (w_running_distinct plan)")(
+      rdFlag(eseq, "event_type"))
+    steady("rdistinct_lowcard/collect_set_frame (naive per-frame set)")(
+      rdSet(eseq, "event_type"))
+    // regime 2 — HIGH distinct cardinality (synthetic item_id, ~5000
+    // distinct per user at factor 10): each frame's collect_set holds
+    // THOUSANDS of entries and every row materializes the set — this is
+    // where the flag+cumsum rewrite (O(1) per frame) is the survival
+    // property. A 100 TB running "distinct items touched" is this
+    // regime, not the 5-type one.
+    def eseqHi = eseq.withColumn("item_id", pmod(col("event_id"), lit(5000L)))
+    assert(rdFlag(eseqHi, "item_id").collect().toSeq ==
+      rdSet(eseqHi, "item_id").collect().toSeq,
+      "high-card: flag+cumsum must equal the collect_set form")
+    steady("rdistinct_hicard/flag_cumsum (w_running_distinct plan)")(
+      rdFlag(eseqHi, "item_id"))
+    steady("rdistinct_hicard/collect_set_frame (naive per-frame set)")(
+      rdSet(eseqHi, "item_id"))
+    def funnelChain = graft.ops.Aggregates.funnelFrom(
+      eseq.select(col("user_id"), col("event_type"), col("ts_us")))
+    steady("funnel/min_ts_chain (g_funnel plan)")(funnelChain)
+
     spark.stop()
   }
 }
