@@ -100,6 +100,7 @@ object SparkEntry {
     // separation at 10× docs.
     "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d, exactPairs = true)),
     "x_dup_clusters_lsh"    -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
+    "x_dedup_keep_best"     -> (operators.Dedup.dedupKeepBest _),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
     "x_simhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDupIndexed(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
@@ -568,6 +569,45 @@ object SparkEntry {
     "x_minhash_indexed"  -> ExactJaccardPairsSql,
     "x_dup_clusters"     -> DupClustersSql,
     "x_dup_clusters_lsh" -> DupClustersSql,
+    // keep-best = the cluster closure ranked by quality: reuses the
+    // recursive-CTE clusters (same identical-pair-set argument as the
+    // cluster queries) + the x_text_quality alpha/token keys
+    "x_dedup_keep_best" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 2),
+        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |          UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT doc_id AS doc, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |clusters AS (SELECT doc AS doc_id, min(r) AS canon FROM reach GROUP BY doc),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(length(text), 1)) * 100.0 + 0.5) / 100.0 AS alpha_ratio
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT c.doc_id, c.canon, q.alpha_ratio, q.n_tokens,
+        |         row_number() OVER (PARTITION BY c.canon
+        |           ORDER BY q.alpha_ratio DESC, q.n_tokens DESC, c.doc_id) AS rn
+        |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT doc_id, canon, rn = 1 AS keep, alpha_ratio, n_tokens
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     // SimHash pairs ARE oracle-able (round 6): the per-token hash is the
     // portable md5-derived hash60 (first 15 md5 hex chars as a BIGINT),
     // and block banding + exact Hamming verification make the output

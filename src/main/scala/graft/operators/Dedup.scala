@@ -394,6 +394,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** x_dedup_keep_best — the step that EMITS the deduplicated corpus:
+    * per near-dup cluster keep exactly one member, chosen by QUALITY
+    * (highest alpha ratio, then most tokens, then lowest doc_id as the
+    * total tiebreak) instead of by min-id — a training pipeline keeps
+    * the best copy, not an arbitrary one. Composes the cluster decision
+    * ([[dupClusters]], index-fed LSH pair source) with the quality
+    * scores (TextAnalysis.textQuality): clusters and quality join on
+    * doc_id, then one ranking window rides the cluster partitioning.
+    * The quality keys are the quantized-2dp ratio and integer token
+    * count, so the ranking is exact cross-engine. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(spark, dir).select(col("doc_id"), col("canon"))
+    val quality = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"))
+    val w = Window.partitionBy(col("canon"))
+      .orderBy(col("alpha_ratio").desc, col("n_tokens").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("canon"), col("keep"),
+        col("alpha_ratio"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash bit width: 60, not 64 — the per-token hash is the PORTABLE
     * [[graft.functions.TextFunctions.hash60]] (md5-derived), which is
     * what makes the SimHash pair queries DuckDB-oracle-able. 4 blocks of
