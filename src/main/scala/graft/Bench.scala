@@ -124,16 +124,30 @@ object Bench {
       s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(1)},"sf":"${new java.io.File(sfDir).getName}"}"""
     // hard guard on the 2000-char capture window: if per-query digits or
     // a non-empty errors object push the full form past the window
-    // (minus the trailing newline), degrade to total+errors only
-    // (per-query detail survives in bench_last.json) rather than
-    // silently letting the JSON head fall out of the window. The happy
-    // path (~1.94k with 86 queries) stays on the full form — r5's
-    // successfully-parsed line was this size.
+    // (minus the trailing newline), degrade GRACEFULLY — keep as many of
+    // the SLOWEST queries as fit (they carry the trend signal; the
+    // sub-second tail is noise) and count the rest in "queries_omitted".
+    // Full per-query precision always survives in bench_last.json. At 93
+    // queries the full form sits ~1.99k, so this path is live.
+    def head(qs: String, omitted: Int): String = {
+      val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":$qs$om,"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
     val stdoutLine =
       if (full.length <= 1980) full
-      else s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"sf":"${new java.io.File(sfDir).getName}"}"""
+      else {
+        val bySlow = results.toSeq.sortBy { case (_, v, _) => -v }
+        // largest prefix of the slowest-first list that fits the window
+        val kept = Iterator.range(bySlow.size, 0, -1).map { n =>
+          val qs = bySlow.take(n)
+            .map { case (k, v, _) => s"\"$k\":${fmt(1)(v)}" }
+            .mkString("{", ",", "}")
+          (head(qs, bySlow.size - n), bySlow.size - n)
+        }.find(_._1.length <= 1980)
+        kept.map(_._1).getOrElse(head("{}", bySlow.size))
+      }
     System.err.println(s"[bench] stdout line ${full.length} chars" +
-      (if (full.length > 1980) " -> degraded form emitted" else ""))
+      (if (full.length > 1980) s" -> degraded to ${stdoutLine.length}" else ""))
     println(stdoutLine)
     System.out.flush()
   }
