@@ -394,19 +394,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Materialized cluster assignment — the dedup DECISION persisted
+    * once per corpus snapshot (freshness-gated like the signature /
+    * SRP / IVF / postings indexes): downstream consumers (keep-best,
+    * corpus emission, reporting) read (doc_id, canon) instead of
+    * re-running label propagation. At 100 TB the propagation loop runs
+    * once per ingest cycle; everything after it is a keyed join. */
+  def ensureClustersIndex(spark: SparkSession, dir: String): String = {
+    val path = graft.ops.Layout.indexPath("dupclusters", dir)
+    val sig = s"v1_${graft.ops.Layout.dataSig(s"$dir/documents.parquet")}"
+    graft.ops.Layout.ensureSigGated(path, sig) {
+      dupClusters(spark, dir).select(col("doc_id"), col("canon"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
+
   /** x_dedup_keep_best — the step that EMITS the deduplicated corpus:
     * per near-dup cluster keep exactly one member, chosen by QUALITY
     * (highest alpha ratio, then most tokens, then lowest doc_id as the
     * total tiebreak) instead of by min-id — a training pipeline keeps
-    * the best copy, not an arbitrary one. Composes the cluster decision
-    * ([[dupClusters]], index-fed LSH pair source) with the quality
-    * scores (TextAnalysis.textQuality): clusters and quality join on
-    * doc_id, then one ranking window rides the cluster partitioning.
-    * The quality keys are the quantized-2dp ratio and integer token
-    * count, so the ranking is exact cross-engine. */
+    * the best copy, not an arbitrary one. Reads the MATERIALIZED
+    * cluster decision ([[ensureClustersIndex]] — computed once per
+    * snapshot, the 100 TB shape) and joins the quality scores
+    * (TextAnalysis.textQuality): one keyed join, one ranking window on
+    * the cluster partitioning. The quality keys are the quantized-2dp
+    * ratio and integer token count, so the ranking is exact
+    * cross-engine. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dupClusters(spark, dir).select(col("doc_id"), col("canon"))
+    val clusters = spark.read.parquet(ensureClustersIndex(spark, dir))
     val quality = TextAnalysis.textQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"))
     val w = Window.partitionBy(col("canon"))
