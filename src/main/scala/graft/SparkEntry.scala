@@ -119,6 +119,7 @@ object SparkEntry {
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
+    "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
@@ -697,6 +698,22 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(m.mh, 0) AS rfp
         |FROM docs d LEFT JOIN mins m USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "x_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |bw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM big),
+        |bc AS (SELECT bg, count(*) AS c FROM bw GROUP BY 1),
+        |uc AS (SELECT w1, count(*) AS c FROM bw GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(bc.c) AS BIGINT) AS sum_bc,
+        |       CAST(sum(uc.c) AS BIGINT) AS sum_uc,
+        |       CAST(min(bc.c) AS BIGINT) AS min_bc
+        |FROM bw JOIN bc USING (bg) JOIN uc USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t_tumbling_batch" ->
       """SELECT (epoch_ns(ts) // 300000000000) * 300 AS win_start_s, event_type,
         |       count(*) AS cnt,

@@ -78,4 +78,61 @@ object TextAnalysis {
         graft.functions.RollingFingerprint.rollingFingerprint(col("text"), 32)
           .as("rfp"))
       .orderBy(col("doc_id"))
+
+  /** Per-occurrence bigram relation with the conditional-LM join keys:
+    * (doc_id, bigram, first word). Shared by the oracled stats face and
+    * the scored face so the LM definition lives once. */
+  private def bigramRelation(spark: SparkSession, dir: String) = {
+    val big = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    big.join(bc, Seq("bg")).join(uc, Seq("w1"))
+  }
+
+  /** x_lm_score — corpus bigram language-model statistics per document
+    * (the CCNet-style LM quality filter's shape, trained on the corpus
+    * itself): for every bigram occurrence, its corpus count bc and its
+    * first word's continuation count uc — P(w2|w1) = bc/uc — aggregated
+    * per doc as exact integer sums plus the rarest-bigram count (the
+    * novelty/OOV signal). The ORACLED face is this integer domain; the
+    * ln-based per-doc log-probability lives in [[lmScored]] (ln is not
+    * cross-engine gateable — see Search.tfidf).
+    *
+    * Scale: the bigram vocabulary grows with the corpus, so bc/uc join
+    * as KEYED shuffles (never broadcast); the per-doc aggregation then
+    * shuffles once on doc_id. Counts are corpus-global aggregates —
+    * at 100 TB they are the LM "training" pass, materialized once per
+    * snapshot like the other index artifacts if reused. Docs shorter
+    * than 2 tokens have no bigram and no output row (oracle matches). */
+  def lmBigramStats(spark: SparkSession, dir: String): DataFrame =
+    bigramRelation(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("bc")).as("sum_bc"),
+        sum(col("uc")).as("sum_uc"),
+        min(col("bc")).as("min_bc"))
+      .orderBy(col("doc_id"))
+
+  /** The per-doc average conditional log-probability over
+    * [[lmBigramStats]]'s domain, made PARTITION-ORDER-DETERMINISTIC:
+    * each occurrence's ln(bc/uc) is quantized to integer micro-nats
+    * FIRST (floor(x·1e6 + 0.5) — exact long), so the per-doc sum is an
+    * integer sum (associative, any partitioning), then one divide.
+    * Engine-internal ln (StrictMath under codegen) — spec-verified
+    * bit-exact against a driver recompute, not DuckDB-oracled. */
+  def lmScored(spark: SparkSession, dir: String): DataFrame =
+    bigramRelation(spark, dir)
+      .withColumn("logp_micro",
+        floor((log(col("bc").cast(DoubleType)) -
+          log(col("uc").cast(DoubleType))) * lit(1e6) + lit(0.5))
+          .cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_micro")).as("sum_logp_micro"))
+      .withColumn("avg_logp",
+        col("sum_logp_micro").cast(DoubleType) / lit(1e6) /
+          col("n_bigrams").cast(DoubleType))
+      .orderBy(col("doc_id"))
 }

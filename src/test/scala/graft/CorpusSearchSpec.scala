@@ -130,6 +130,34 @@ class CorpusSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("lm score bit-equals a driver recompute of the quantized bigram log-probs") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    // driver-side LM: corpus bigram + first-word counts, then per doc
+    // the same floor(ln(bc/uc)·1e6 + 0.5) micro-nat sum
+    val bigrams = docs.flatMap { case (id, toks) =>
+      toks.sliding(2).filter(_.length == 2).map(w => id -> (w(0), w(0) + " " + w(1)))
+    }
+    val bc = bigrams.groupBy(_._2._2).map { case (k, xs) => k -> xs.length.toLong }
+    val uc = bigrams.groupBy(_._2._1).map { case (k, xs) => k -> xs.length.toLong }
+    val want = bigrams.groupBy(_._1).map { case (id, xs) =>
+      val micro = xs.map { case (_, (w1, bg)) =>
+        math.floor((StrictMath.log(bc(bg).toDouble) -
+          StrictMath.log(uc(w1).toDouble)) * 1e6 + 0.5).toLong
+      }
+      id -> (xs.length.toLong, micro.sum)
+    }
+    val got = TextAnalysis.lmScored(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("sum_logp_micro"))).toMap
+    assert(got === want)
+    // avg_logp must be ≤ 0 (probabilities): every bc ≤ its uc
+    TextAnalysis.lmScored(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("avg_logp") <= 0.0, r.toString)
+    }
+  }
+
   test("int8 quantization stays in range and round-trips within one step") {
     val rows = CorpusOps.embedQuantize(spark, dir).collect()
     val emb = Tables.embeddings(spark, dir).collect()
