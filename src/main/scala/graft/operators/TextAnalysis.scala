@@ -79,16 +79,23 @@ object TextAnalysis {
           .as("rfp"))
       .orderBy(col("doc_id"))
 
-  /** Per-occurrence bigram relation with the conditional-LM join keys:
-    * (doc_id, bigram, first word). Shared by the oracled stats face and
-    * the scored face so the LM definition lives once. */
+  /** Per-occurrence bigram relation with the conditional-LM counts
+    * attached: (doc_id, bg, bc, uc). Shared by the oracled stats face
+    * and the scored face so the LM definition lives once.
+    *
+    * One full-relation shuffle, not two: the first-word continuation
+    * count uc is Σ bc over bigrams sharing the first word, so it is
+    * computed FROM the bigram counts (distinct-bigram-sized input) and
+    * folded back into one counts table keyed by bg — the occurrence
+    * relation then joins counts once instead of once per count kind. */
   private def bigramRelation(spark: SparkSession, dir: String) = {
     val big = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
     val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
-    val uc = big.groupBy(col("w1")).agg(count(lit(1)).as("uc"))
-    big.join(bc, Seq("bg")).join(uc, Seq("w1"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("uc"))
+    big.join(bc.join(uc, Seq("w1")).select(col("bg"), col("bc"), col("uc")),
+      Seq("bg"))
   }
 
   /** x_lm_score — corpus bigram language-model statistics per document
