@@ -74,6 +74,7 @@ object SparkEntry {
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
     "w_running_balance"     -> (Windows.runningBalance _),
     "w_running_distinct"    -> (Windows.runningDistinct _),
+    "w_rolling_median"      -> ((s: SparkSession, d: String) => Windows.rollingMedian(s, d)),
     "w_rank_topn_per_group" -> ((s: SparkSession, d: String) => Windows.rankTopNPerGroup(s, d)),
     "w_lag_lead"            -> (Windows.lagLead _),
     "w_first_last"          -> (Windows.firstLast _),
@@ -511,6 +512,13 @@ object SparkEntry {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            AS BIGINT) AS n_types_seen
         |FROM flagged ORDER BY user_id, event_id""".stripMargin,
+    "w_rolling_median" ->
+      """SELECT user_id, event_id,
+        |       CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+        |       quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "w_rank_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,

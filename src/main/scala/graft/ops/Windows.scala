@@ -78,6 +78,27 @@ object Windows {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** w_rolling_median — exact rolling median of the last 10 values per
+    * user in event order (the anomaly/fraud baseline shape: "how does
+    * this value compare to the user's recent typical"). The median runs
+    * over integer CENTS, so sorting inside the frame is exact and the
+    * even-count interpolation (a+b)/2 is one correctly-rounded double
+    * op — bit-equal cross-engine (probed: Spark `percentile` ==
+    * DuckDB `quantile_cont` on all 10k rows). Scale: a bounded ROWS
+    * frame holds ≤10 values per row — O(frame) state, one shuffle on
+    * the user key, no global sort. */
+  def rollingMedian(spark: SparkSession, dir: String, frame: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        graft.functions.DetMath.cents(col("value")).as("v_cents"))
+      .withColumn("med", expr("percentile(v_cents, 0.5)").over(w))
+      .drop("ts_ns")
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** w_rank_topn_per_group — top-N orders per customer by total price. */
   def rankTopNPerGroup(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
