@@ -121,6 +121,7 @@ object SparkEntry {
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
+    "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
@@ -231,12 +232,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 10 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 11 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
     *    different sketches — equality is undefined across engines; specs
     *    bound the error vs the exact aggregate instead.
+    *  - x_heavy_hitters: Misra-Gries survivors depend on partition
+    *    boundaries (not SQL-expressible); the spec proves est ≤ true,
+    *    the 2n/(k+1) undercount bound, coverage of every sufficiently
+    *    frequent term, and exact degeneration at k ≥ vocabulary.
     *  - x_ann_lsh, x_ann_indexed, x_ivf_knn, x_ivf_indexed: top-k among
     *    CANDIDATES chosen by xxhash64 hyperplanes (SRP) or k-means
     *    centroids — the candidate set is not SQL-expressible, and unlike

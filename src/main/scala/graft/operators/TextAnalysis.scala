@@ -122,6 +122,48 @@ object TextAnalysis {
         min(col("bc")).as("min_bc"))
       .orderBy(col("doc_id"))
 
+  /** x_heavy_hitters — approximate most-frequent terms via distributed
+    * Misra-Gries (the FREQUENCY sketch; HLL and KLL cover distinct and
+    * percentile — this completes the mergeable-summary triad).
+    *
+    * Two phases, both deterministic:
+    *  1. per-partition MG summaries ([[graft.functions.HeavyHitters]])
+    *     via mapPartitions — genuine per-partition imperative logic;
+    *     each partition emits ≤ k (term, count) rows, so the shuffle
+    *     carries k·partitions rows REGARDLESS of corpus size (the
+    *     100 TB property: exact term counting shuffles the vocabulary,
+    *     this shuffles a constant);
+    *  2. an ORDER-FREE relational merge: counters sum exactly per term
+    *     (commutative — no merge-tree nondeterminism), then ONE
+    *     truncation subtracts the (k+1)-th largest summed counter and
+    *     drops non-positives, a valid all-at-once MG merge.
+    *
+    * Guarantee (spec-proven, CorpusSearchSpec): est ≤ true, and
+    * true − est ≤ 2n/(k+1) (≤ n/(k+1) charged by phase-1 decrements
+    * across partitions plus ≤ n/(k+1) by the single truncation), so
+    * every term with true count > 2n/(k+1) survives. Rows-only (the
+    * surviving set depends on partition boundaries — not
+    * SQL-expressible), spec carries the proof obligations. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok")).as[String]
+    val partials = toks.mapPartitions { it =>
+      graft.functions.HeavyHitters.mgSummary(it, k).iterator
+    }.toDF("term", "cnt")
+    val summed = partials.groupBy(col("term")).agg(sum(col("cnt")).as("c"))
+    // (k+1)-th largest summed counter (0 when ≤ k survivors): the one
+    // global truncation of the all-at-once merge. Bounded driver-free:
+    // the threshold is a 1-row broadcast.
+    val thr = summed.orderBy(col("c").desc, col("term"))
+      .limit(k + 1).agg(
+        when(count(lit(1)) > k, min(col("c"))).otherwise(lit(0L)).as("thr"))
+    summed.crossJoin(broadcast(thr))
+      .select(col("term"), (col("c") - col("thr")).as("est"))
+      .filter(col("est") > 0)
+      .orderBy(col("est").desc, col("term"))
+  }
+
   /** The per-doc average conditional log-probability over
     * [[lmBigramStats]]'s domain, made PARTITION-ORDER-DETERMINISTIC:
     * each occurrence's ln(bc/uc) is quantized to integer micro-nats

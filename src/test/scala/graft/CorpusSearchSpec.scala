@@ -158,6 +158,38 @@ class CorpusSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: undercount bound, coverage, determinism, exact degeneration") {
+    import graft.operators.TextAnalysis
+    val k = 20
+    val exact = Tables.documents(spark, dir).collect()
+      .flatMap(_.getAs[String]("text").split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val n = exact.values.sum
+    val bound = 2.0 * n / (k + 1)
+    val got = TextAnalysis.heavyHitters(spark, dir, k).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    assert(got.nonEmpty && got.size <= k)
+    // MG never overcounts, and undercounts by at most 2n/(k+1)
+    got.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")
+      assert(exact(t) - est <= bound, s"$t undercount ${exact(t) - est} > $bound")
+    }
+    // every sufficiently frequent term must survive
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(got.contains(t), s"frequent term $t (count ${exact(t)}) missing")
+    }
+    // deterministic: the relational merge is order-free, partition input
+    // order is stable — a second run is identical
+    val again = TextAnalysis.heavyHitters(spark, dir, k).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    assert(again === got)
+    // k ≥ vocabulary: no decrement ever fires and the truncation
+    // threshold is 0, so the sketch degenerates to the exact counts
+    val big = TextAnalysis.heavyHitters(spark, dir, k = exact.size + 10)
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+    assert(big === exact)
+  }
+
   test("int8 quantization stays in range and round-trips within one step") {
     val rows = CorpusOps.embedQuantize(spark, dir).collect()
     val emb = Tables.embeddings(spark, dir).collect()
