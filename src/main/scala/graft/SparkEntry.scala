@@ -126,6 +126,7 @@ object SparkEntry {
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
     "x_pack_budget"         -> ((s: SparkSession, d: String) => operators.CorpusOps.packBudget(s, d)),
+    "x_dataset_mix"         -> ((s: SparkSession, d: String) => operators.CorpusOps.datasetMix(s, d)),
     "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
     "x_tfidf"               -> (operators.Search.tfidf _),
     "x_bm25"                -> (operators.Search.bm25 _),
@@ -884,6 +885,26 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |         / 2048) AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_dataset_mix" ->
+      """WITH shares(lang, pct) AS (
+        |  VALUES ('en', 50), ('de', 20), ('fr', 15), ('es', 10), ('zh', 5)),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |j AS (
+        |  SELECT d.*, CAST(100000 * s.pct // 100 AS BIGINT) AS lang_budget
+        |  FROM d JOIN shares s ON d.lang = s.lang),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(sum(n_tokens) OVER (
+        |             PARTITION BY lang ORDER BY h, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS cum_before
+        |  FROM j)
+        |SELECT doc_id, lang, n_tokens, cum_before, lang_budget,
+        |       cum_before < lang_budget AS kept
+        |FROM c ORDER BY doc_id""".stripMargin,
     "x_keyword_search" ->
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT term, doc_id, count(*) AS tf FROM p

@@ -149,4 +149,48 @@ object CorpusOps {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"))
       .orderBy(col("doc_id"))
   }
+
+  /** Target language shares of the training mix in integer PERCENT
+    * (sum 100) — the "data recipe" a pretraining run pins. Integer so
+    * per-language budgets are exact in any engine (0.15·100000 floors
+    * to 14999 in IEEE doubles; 100000·15/100 is 15000 everywhere). */
+  val MixShares: Seq[(String, Long)] = Seq(
+    "en" -> 50L, "de" -> 20L, "fr" -> 15L, "es" -> 10L, "zh" -> 5L)
+
+  /** x_dataset_mix — assemble a token-budgeted training mix: each
+    * language gets budget·share tokens, filled by docs in a
+    * DETERMINISTIC md5-of-id order (an unbiased, engine-stable shuffle
+    * — no rand()); a doc is kept while the language's running token
+    * total BEFORE it is under its budget (so one doc may straddle the
+    * boundary, same convention as pack_budget's shards). The
+    * data-mixing step of a training pipeline, exactly: recipe in,
+    * kept-doc list out, with the cumulative accounting exposed.
+    *
+    * Determinism/oracle: budgets are budget·pct/100 in LONG arithmetic,
+    * the order key is md5 hex (total, engine-identical), the cumsum is
+    * an integer window — every column exact cross-engine. Scale: one
+    * window per language partition (keyed shuffle, per-partition sort);
+    * the recipe table is a broadcast literal. */
+  def datasetMix(spark: SparkSession, dir: String,
+      budget: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val shares = MixShares.toDF("lang", "pct")
+      .select(col("lang"),
+        (lit(budget) * col("pct") / lit(100L)).cast(LongType)
+          .as("lang_budget"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .join(broadcast(shares), Seq("lang"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < col("lang_budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_before"), col("lang_budget"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
 }
