@@ -257,4 +257,29 @@ class WindowedStreamsSpec extends AnyFunSuite {
         (2L, 1L, us(1)), (2L, 2L, us(4)), (2L, 3L, us(5))))
     } finally q.stop()
   }
+
+  test("streaming funnel over the real events table equals the batch min-ts chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // full sf0.001 events in event order, split into 4 ordered batches —
+    // the regime where the stream and batch forms must agree exactly
+    val all = Tables.events(spark, TestSpark.Sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = all.grouped(math.max(1, all.length / 4 + 1)).toSeq
+    val input = MemoryStream[Ev]
+    val q = WindowedStreams.funnelStream(input.toDF())
+      .writeStream.format("memory").queryName("sfunnel_real")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("sfunnel_real").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rs) => u -> rs.map(_.getAs[Long]("stage")).max }
+      val batch = graft.ops.Aggregates.funnel(spark, TestSpark.Sf0001)
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
