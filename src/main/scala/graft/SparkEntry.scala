@@ -122,6 +122,7 @@ object SparkEntry {
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
+    "x_heavy_hitters_exact" -> (operators.TextAnalysis.heavyHittersExact _),
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
@@ -233,7 +234,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 11 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 9 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
@@ -242,7 +243,9 @@ object SparkEntry {
     *  - x_heavy_hitters: Misra-Gries survivors depend on partition
     *    boundaries (not SQL-expressible); the spec proves est ≤ true,
     *    the 2n/(k+1) undercount bound, coverage of every sufficiently
-    *    frequent term, and exact degeneration at k ≥ vocabulary.
+    *    frequent term, and exact degeneration at k ≥ vocabulary — and
+    *    since round 7 that degeneration face is itself DuckDB-oracled
+    *    (x_heavy_hitters_exact below).
     *  - x_ann_lsh, x_ann_indexed, x_ivf_knn, x_ivf_indexed: top-k among
     *    CANDIDATES chosen by xxhash64 hyperplanes (SRP) or k-means
     *    centroids — the candidate set is not SQL-expressible, and unlike
@@ -253,9 +256,49 @@ object SparkEntry {
     *    this corpus its recall is genuinely < 1 (32 of 59 true pairs at
     *    sf0.01) — the output is honestly a subset, so the exact-pair SQL
     *    is NOT its oracle. Spec pins precision 1 + predicted recall.
-    *  - x_multimodal_features, x_multimodal_pruned: outputs derive from
-    *    binary media payloads through the (mandated-stub) codec — no SQL
-    *    equivalent. Specs prove determinism and pruned ≡ slice. */
+    * (x_multimodal_features / x_multimodal_pruned graduated to true
+    * oracles in round 7: the synthetic payloads are the documents' UTF-8
+    * bytes and the stub codec is portable mod-2^64 integer arithmetic,
+    * so DuckDB replays the decode end-to-end — see MultimodalFeaturesSql.) */
+  /** DuckDB replay of the stub codec's decode (Multimodal.FakeCodec):
+    * the payload is the document's UTF-8 bytes (pure ASCII by fixture
+    * construction, so ord(codepoint) == byte — the x_rolling_fingerprint
+    * argument), the content hash h = Σ byte·P^(n-1-i) mod 2^64 uses the
+    * same recursive powers table as the rolling-fingerprint oracle, and
+    * dimension 0 is the linear mix (h·MixA + MixB) mod 2^64 mapped to
+    * [-1,1) by its top 53 bits — float32-truncated (REAL cast) and
+    * micro-quantized exactly as the Spark side does. `where` carves the
+    * modality slice for the pruned face (image ⇔ doc_id % 3 = 0). */
+  private def multimodalFeaturesSql(where: String): String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, text, strlen(text) AS n FROM documents $where),
+       |pw(k, v) AS (
+       |  SELECT 0, CAST(1 AS HUGEINT)
+       |  UNION ALL
+       |  SELECT k + 1, (v * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+       |  FROM pw WHERE k < (SELECT max(n) FROM docs) - 1),
+       |cb AS (
+       |  SELECT doc_id, n, unnest(generate_series(1, n)) AS i, text
+       |  FROM docs),
+       |h AS (
+       |  SELECT c.doc_id,
+       |         (sum(CAST(ord(substr(c.text, c.i, 1)) AS HUGEINT) * p.v)
+       |            % CAST('18446744073709551616' AS HUGEINT)) AS h
+       |  FROM cb c JOIN pw p ON p.k = c.n - c.i
+       |  GROUP BY c.doc_id),
+       |f AS (
+       |  SELECT d.doc_id, d.n,
+       |         ((COALESCE(h.h, 0) * 2654435761 + 2246822519)
+       |            % CAST('18446744073709551616' AS HUGEINT)) // 2048 AS v53
+       |  FROM docs d LEFT JOIN h ON h.doc_id = d.doc_id)
+       |SELECT doc_id AS media_id,
+       |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |            ELSE 'video' END AS kind,
+       |       CAST(n AS BIGINT) AS n_bytes,
+       |       CAST(floor(CAST(CAST(CAST(v53 AS DOUBLE) * (2.0 / 9007199254740992.0)
+       |              - 1.0 AS REAL) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS f0_micro
+       |FROM f ORDER BY media_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s_scan_project_rename" ->
       """SELECT l_orderkey AS order_key, l_linenumber AS line_number,
@@ -635,6 +678,12 @@ object SparkEntry {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+    // Misra-Gries at k ≥ vocabulary: no decrement fires, the truncation
+    // threshold is 0, so the sketch output IS the exact term counts
+    "x_heavy_hitters_exact" ->
+      """SELECT term, CAST(count(*) AS BIGINT) AS est
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY est DESC, term""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -954,6 +1003,8 @@ object SparkEntry {
         |             md5(text) AS fp
         |      FROM documents)
         |GROUP BY kind, fp ORDER BY media_id""".stripMargin,
+    "x_multimodal_features" -> multimodalFeaturesSql(""),
+    "x_multimodal_pruned" -> multimodalFeaturesSql("WHERE doc_id % 3 = 0"),
     "x_hybrid_search" ->
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT term, doc_id, count(*) AS tf FROM p

@@ -176,8 +176,9 @@ object CorpusOps {
     import spark.implicits._
     val shares = MixShares.toDF("lang", "pct")
       .select(col("lang"),
-        (lit(budget) * col("pct") / lit(100L)).cast(LongType)
-          .as("lang_budget"))
+        // `div` is exact LONG division for any budget; `/` would be
+        // double division, exact only while budget·pct < 2^53
+        expr(s"(${budget}L * pct) div 100L").as("lang_budget"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -349,15 +349,33 @@ object Dedup {
                  else minhashNearDupIndexed(spark, dir, n,
                    numHashes = IndexHashes, bands = 32, threshold = threshold))
       .select(col("doc_a"), col("doc_b"))
+    val labels = propagateMinLabels(pairs, maxIters)
+    // singletons re-enter here: every doc with no near-dup pair is its
+    // own canonical (one anti-join, no iteration cost)
+    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("canon"))
+    labels.unionByName(singletons)
+      .select(col("doc_id"), col("canon"),
+        (col("doc_id") === col("canon")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Min-label propagation to a fixpoint over an undirected (doc_a,
+    * doc_b) pair list: every pair MEMBER labeled with its connected
+    * component's minimum id. Propagates over pair members only —
+    * singletons (the bulk of a real corpus) never enter the iteration.
+    * Shared by the whole-corpus decision ([[dupClusters]], nodes = docs)
+    * and the per-micro-batch incremental merge ([[mergeClustersBatch]],
+    * nodes = component CANONS — a graph bounded by the batch's pair
+    * count, not the corpus). */
+  private[graft] def propagateMinLabels(pairs: DataFrame,
+      maxIters: Int = 15): DataFrame = {
     // undirected edge list (both directions) — label flows both ways
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
       .localCheckpoint() // pairs are small; cut the growing lineage
-    // propagate over PAIR MEMBERS only — singletons (the bulk of a real
-    // corpus) never enter the iteration; they are unioned back at the end
-    // as their own canonical. Every per-round join/agg shrinks from
-    // |corpus| to |docs-in-pairs|.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canon"))
       .localCheckpoint()
@@ -383,15 +401,54 @@ object Dedup {
       labels = next.select(col("doc_id"), col("canon"))
       it += 1
     }
-    // singletons re-enter here: every doc with no near-dup pair is its
-    // own canonical (one anti-join, no iteration cost)
-    val singletons = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("canon"))
-    labels.unionByName(singletons)
-      .select(col("doc_id"), col("canon"),
-        (col("doc_id") === col("canon")).as("is_canonical"))
-      .orderBy(col("doc_id"))
+    labels
+  }
+
+  /** Merge ONE micro-batch's near-dup pairs into an existing (doc_id,
+    * canon) cluster labeling WITHOUT whole-graph re-propagation — the
+    * incremental face of the dedup decision. `pairs` is the batch's
+    * discovery output ([[nearDupAgainstCorpus]]: every pair involves a
+    * batch doc); `newDocIds` the batch's documents.
+    *
+    * The key property: an existing labeling already contracts every
+    * component to its canon, so the only graph that needs propagation is
+    * the CANON graph induced by the batch's pairs — nodes are the ≤2·|P|
+    * component canons the batch touches, never corpus docs. Steps:
+    *  1. new docs enter as singletons (their own canon);
+    *  2. each batch pair is lifted to a canon edge (ca, cb), self-loops
+    *     dropped — components already merged cost nothing;
+    *  3. min-label propagation on that micro-batch-sized canon graph
+    *     yields old-canon → new-canon for the merged components (the
+    *     new canon is the min over merged canons = the global component
+    *     min, since each canon was already its component's min — which
+    *     is why incremental accumulation equals the batch rebuild,
+    *     IncrementalClustersSpec);
+    *  4. relabel = ONE broadcast join of the labeling against the tiny
+    *     mapping — rows of untouched components pass through unchanged.
+    * Per-batch cost is therefore O(batch pairs) propagation + one
+    * map-side relabel pass over the labels index; the corpus is never
+    * re-shuffled, matching the signature index's incremental contract
+    * ([[graft.streaming.IncrementalIndex]]). */
+  def mergeClustersBatch(labels: DataFrame, newDocIds: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val base = labels.select(col("doc_id"), col("canon")).unionByName(
+      newDocIds.select(col("doc_id"), col("doc_id").as("canon")))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val canonPairs = p
+      .join(base.select(col("doc_id").as("doc_a"), col("canon").as("ca")),
+        Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("canon").as("cb")),
+        Seq("doc_b"))
+      .filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("doc_a"),
+        greatest(col("ca"), col("cb")).as("doc_b"))
+      .distinct()
+    val mapping = propagateMinLabels(canonPairs)
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id").as("canon"), col("canon").as("new_canon"))
+    base.join(broadcast(mapping), Seq("canon"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_canon"), col("canon")).as("canon"))
   }
 
   /** Materialized cluster assignment — the dedup DECISION persisted
@@ -520,6 +577,8 @@ object Dedup {
   /** Block banding + exact Hamming verify over a (doc_id, sim) frame —
     * shared by the inline and index-served SimHash paths. */
   def simhashFromDocs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4,
+      "4-block banding only guarantees candidate completeness for Hamming <= 3")
     val blocked = docs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sim"), b * BlockBits).bitwiseAND(lit((1L << BlockBits) - 1))): _*)))

@@ -50,21 +50,31 @@ object Multimodal {
     * ffmpeg / soundfile) or routes the batch to a Python worker; the
     * call signature (batch in → batch out) and everything around it is
     * the real, tested plumbing. The stub derives values from payload
-    * bytes with a rolling 64-bit mix so outputs are reproducible. */
+    * bytes with PORTABLE INTEGER ARITHMETIC ONLY — a polynomial mod-2^64
+    * content hash plus a per-dimension linear mix — so any engine with
+    * 128-bit integers can replay it exactly: that is what lets the
+    * DuckDB oracle gate the end-to-end decode query
+    * (x_multimodal_features), the same argument that oracles
+    * x_rolling_fingerprint. (An iterated nonlinear mix would be just as
+    * deterministic but not SQL-replayable: 64×64-bit wraparound products
+    * of two full-width values overflow even HUGEINT.) */
   object FakeCodec {
-    private def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    /** Polynomial base — shared with [[graft.functions.RollingFingerprint]]
+      * so the oracle reuses the same proven powers-table replay. */
+    final val P: Long = graft.functions.RollingFingerprint.P
+    /** Per-dimension linear-mix constants: 32-bit, so h·A wraps inside
+      * 128-bit oracle arithmetic (h < 2^64, A < 2^32 ⇒ product < 2^96). */
+    final val MixA: Long = 2654435761L // Knuth's 2^32/φ
+    final val MixB: Long = 2246822519L // xxhash PRIME32_2
 
-    /** "Decode" a payload into a FeatureDim-float embedding. */
+    /** "Decode" a payload into a FeatureDim-float embedding: content
+      * hash h = Σ b_j·P^(n-1-j) (natural 2^64 wrap), dimension i maps
+      * h·A + (i+1)·B into [-1, 1) via the top 53 bits. */
     def features(payload: Array[Byte]): Array[Float] = {
-      var h = 0x1234abcdL
-      payload.foreach(b => h = mix(h ^ (b & 0xffL)))
+      var h = 0L
+      payload.foreach(b => h = h * P + (b & 0xffL))
       Array.tabulate(FeatureDim) { i =>
-        val v = mix(h + i)
+        val v = h * MixA + (i + 1L) * MixB
         ((v >>> 11) * (2.0 / (1L << 53)) - 1.0).toFloat
       }
     }
@@ -160,17 +170,24 @@ object Multimodal {
 
   /** x_multimodal_features — the end-to-end feature-extraction query
     * (synthetic media → batched decode → per-modality feature stats).
-    * Not DuckDB-oracled (binary payload + stub codec are not SQL);
-    * rows-only check + scalatest determinism spec. */
+    * DuckDB-oracled since round 7: the synthetic payloads are the
+    * documents' UTF-8 bytes (the x_media_dedup argument) and the stub
+    * codec is portable integer arithmetic ([[FakeCodec.features]]), so
+    * the oracle replays the decode in HUGEINT mod-2^64 SQL; the
+    * scalatest batching/determinism specs stay. */
   def featureStats(spark: SparkSession, dir: String): DataFrame =
     featureProjection(extractFeatures(syntheticMedia(spark, dir)))
 
   /** The shared output shape of the feature queries (full and pruned must
-    * stay comparable row-for-row). */
+    * stay comparable row-for-row). f0 is exposed in integer MICRO-UNITS
+    * (floor(f·1e6 + 0.5), the DetMath half-up convention): the float
+    * itself is IEEE-deterministic, but an integer column is immune to
+    * engine round()-tie differences in the gate's hash compare. */
   private def featureProjection(feats: Dataset[MediaFeatures]): DataFrame =
     feats.toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast(DoubleType), 6).as("f0"))
+        floor(element_at(col("features"), 1).cast(DoubleType) * lit(1e6)
+          + lit(0.5)).cast(LongType).as("f0_micro"))
       .orderBy(col("media_id"))
 
   /** Materialized kind-partitioned media layout for one sf dir, freshness-

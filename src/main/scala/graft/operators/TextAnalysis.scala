@@ -79,24 +79,60 @@ object TextAnalysis {
           .as("rfp"))
       .orderBy(col("doc_id"))
 
-  /** Per-occurrence bigram relation with the conditional-LM counts
-    * attached: (doc_id, bg, bc, uc). Shared by the oracled stats face
-    * and the scored face so the LM definition lives once.
+  /** Per-(doc, DISTINCT bigram) relation with the conditional-LM counts
+    * attached: (doc_id, bgh, k, bc, uc) where k is the bigram's
+    * within-doc multiplicity. Shared by the oracled stats face and the
+    * scored face so the LM definition lives once.
     *
-    * One full-relation shuffle, not two: the first-word continuation
-    * count uc is Σ bc over bigrams sharing the first word, so it is
-    * computed FROM the bigram counts (distinct-bigram-sized input) and
-    * folded back into one counts table keyed by bg — the occurrence
-    * relation then joins counts once instead of once per count kind. */
-  private def bigramRelation(spark: SparkSession, dir: String) = {
-    val big = Tables.documents(spark, dir)
+    * Shape (the round-7 rewrite of the bench's worst plan):
+    *  - occurrences are pre-aggregated to (doc_id, bigram, k) FIRST, so
+    *    every downstream join/shuffle carries one row per distinct
+    *    per-doc bigram, not one per token occurrence (≈3-5× smaller on
+    *    natural text, unboundedly smaller on repetitive text);
+    *  - joins are keyed on xxhash64 of the bigram / first word — 8-byte
+    *    shuffle keys instead of arbitrary-length strings (the x_bm25 /
+    *    fingerprint_dedup trick; a 64-bit collision between distinct
+    *    bigrams would merge their counts — ~n²/2^65, negligible for any
+    *    real vocabulary and the same trade every hash-keyed vocabulary
+    *    join in this repo makes);
+    *  - the pre-aggregated relation feeds BOTH the counts aggregation
+    *    and the final join, so it is localCheckpoint'd once — without
+    *    it the documents-scan + shingle-explode pipeline runs twice
+    *    (the disease minhashNearDup cured the same way, Dedup.scala).
+    * bc and uc stay KEYED shuffles (vocabulary grows with the corpus —
+    * never broadcast); both reuse perDoc's checkpoint. */
+  private def bigramRelation(spark: SparkSession, dir: String) =
+    bigramRelationOf(Tables.documents(spark, dir))
+
+  /** [[bigramRelation]] over an arbitrary documents frame.
+    * `checkpoint = false` is for plan measurement only (RelScaleBench
+    * reads shuffle-write metrics from ONE executed plan; a checkpoint
+    * would hide the pre-aggregation's exchange in a separate job). */
+  private[graft] def bigramRelationOf(docs: DataFrame,
+      checkpoint: Boolean = true): DataFrame = {
+    val pre = docs
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-    val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-    val uc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("uc"))
-    big.join(bc.join(uc, Seq("w1")).select(col("bg"), col("bc"), col("uc")),
-      Seq("bg"))
+      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
+      .agg(count(lit(1)).as("k"))
+    val perDoc = if (checkpoint) pre.localCheckpoint() else pre
+    val bc = perDoc.groupBy(col("bgh"), col("w1h")).agg(sum(col("k")).as("bc"))
+    val uc = bc.groupBy(col("w1h")).agg(sum(col("bc")).as("uc"))
+    perDoc.join(
+      bc.join(uc, Seq("w1h")).select(col("bgh"), col("bc"), col("uc")),
+      Seq("bgh"))
   }
+
+  /** [[lmBigramStats]] over an arbitrary documents frame (scale
+    * experiments build their own replicated corpus). */
+  private[graft] def lmBigramStatsOf(docs: DataFrame,
+      checkpoint: Boolean = true): DataFrame =
+    bigramRelationOf(docs, checkpoint)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("bc")).as("sum_bc"),
+        sum(col("k") * col("uc")).as("sum_uc"),
+        min(col("bc")).as("min_bc"))
 
   /** x_lm_score — corpus bigram language-model statistics per document
     * (the CCNet-style LM quality filter's shape, trained on the corpus
@@ -114,12 +150,9 @@ object TextAnalysis {
     * snapshot like the other index artifacts if reused. Docs shorter
     * than 2 tokens have no bigram and no output row (oracle matches). */
   def lmBigramStats(spark: SparkSession, dir: String): DataFrame =
-    bigramRelation(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("bc")).as("sum_bc"),
-        sum(col("uc")).as("sum_uc"),
-        min(col("bc")).as("min_bc"))
+    // occurrence-domain sums recovered from the distinct-bigram relation
+    // by weighting with the multiplicity k (Σ_occ f(bg) = Σ_distinct k·f)
+    lmBigramStatsOf(Tables.documents(spark, dir))
       .orderBy(col("doc_id"))
 
   /** x_heavy_hitters — approximate most-frequent terms via distributed
@@ -144,24 +177,55 @@ object TextAnalysis {
     * every term with true count > 2n/(k+1) survives. Rows-only (the
     * surviving set depends on partition boundaries — not
     * SQL-expressible), spec carries the proof obligations. */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    mgMerge(mgPartials(Tables.documents(spark, dir), k), k)
+      .orderBy(col("est").desc, col("term"))
+
+  /** Phase 1: per-partition Misra-Gries summaries over a documents
+    * frame's tokens — ≤ k (term, cnt) rows per partition regardless of
+    * corpus size. Pure per-partition function, so it serves the batch
+    * query and the per-micro-batch streaming fold
+    * ([[graft.streaming.StreamingHeavyHitters]]) identically. */
+  private[graft] def mgPartials(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("tok")).as[String]
-    val partials = toks.mapPartitions { it =>
-      graft.functions.HeavyHitters.mgSummary(it, k).iterator
-    }.toDF("term", "cnt")
+    docs.select(explode(tokens(col("text"))).as("tok")).as[String]
+      .mapPartitions { it =>
+        graft.functions.HeavyHitters.mgSummary(it, k).iterator
+      }.toDF("term", "cnt")
+  }
+
+  /** Phase 2: the ORDER-FREE relational MG merge of any set of (term,
+    * cnt) summaries: counters sum exactly per term (commutative), then
+    * ONE truncation subtracts the (k+1)-th largest summed counter and
+    * drops non-positives — a valid all-at-once Misra-Gries merge
+    * (Agarwal et al.'s mergeable-summaries construction), which is also
+    * what makes MG summaries accumulate across micro-batches without
+    * bound degradation. Bounded driver-free: the threshold is a 1-row
+    * broadcast. */
+  private[graft] def mgMerge(partials: DataFrame, k: Int): DataFrame = {
     val summed = partials.groupBy(col("term")).agg(sum(col("cnt")).as("c"))
-    // (k+1)-th largest summed counter (0 when ≤ k survivors): the one
-    // global truncation of the all-at-once merge. Bounded driver-free:
-    // the threshold is a 1-row broadcast.
     val thr = summed.orderBy(col("c").desc, col("term"))
       .limit(k + 1).agg(
         when(count(lit(1)) > k, min(col("c"))).otherwise(lit(0L)).as("thr"))
     summed.crossJoin(broadcast(thr))
       .select(col("term"), (col("c") - col("thr")).as("est"))
       .filter(col("est") > 0)
-      .orderBy(col("est").desc, col("term"))
+  }
+
+  /** x_heavy_hitters_exact — the sketch's DuckDB-oracled anchor: at
+    * k ≥ vocabulary no MG decrement ever fires (each partition's
+    * summary is its exact term counts) and the merge threshold is 0, so
+    * the sketch provably DEGENERATES to exact GROUP BY counts — the
+    * oracle is plain SQL. k comes from one scalar countDistinct (a
+    * corpus statistic, driver-sized by definition); the approximate
+    * regime at fixed k stays rows-only with the 2n/(k+1) bound proven
+    * in CorpusSearchSpec. */
+  def heavyHittersExact(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0).toInt
+    heavyHitters(spark, dir, k = vocab)
   }
 
   /** The per-doc average conditional log-probability over
@@ -178,8 +242,8 @@ object TextAnalysis {
           log(col("uc").cast(DoubleType))) * lit(1e6) + lit(0.5))
           .cast(LongType))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("logp_micro")).as("sum_logp_micro"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("logp_micro")).as("sum_logp_micro"))
       .withColumn("avg_logp",
         col("sum_logp_micro").cast(DoubleType) / lit(1e6) /
           col("n_bigrams").cast(DoubleType))

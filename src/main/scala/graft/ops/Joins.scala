@@ -137,7 +137,10 @@ object Joins {
       ev.filter(col("event_type") === tpe)
         .groupBy(
           col("user_id").as(u),
-          floor(col("ts_ns") / lit(86400000000000L)).cast(LongType).as(d))
+          // exact integer division: ts_ns (~1.6e18) exceeds double's 2^53
+          // exact range, so floor(ts_ns / N) could round an event within
+          // ~128 ns of midnight onto the wrong day at sub-micro granularity
+          expr("ts_ns div 86400000000000").as(d))
         .agg(count(lit(1)).as(cnt))
     val p = daily("purchase", "n_purchases", "p_user", "p_day")
     val e = daily("error", "n_errors", "e_user", "e_day")

@@ -259,6 +259,55 @@ object RelScaleBench {
       eseq.select(col("user_id"), col("event_type"), col("ts_us")))
     steady("funnel/min_ts_chain (g_funnel plan)")(funnelChain)
 
+    // --- x_lm_score: r6 per-occurrence string-keyed plan vs the r7
+    // pre-aggregated hash-keyed plan ----------------------------------
+    // doc_id remapped, text unchanged: occurrences grow factor×, the
+    // bigram vocabulary does not — exactly how a crawl corpus grows
+    val lmDir = s"$scaleDir-lm"
+    graft.ops.Layout.ensureSigGated(lmDir, sig) {
+      val r = spark.range(factor).toDF("r")
+      graft.Tables.documents(spark, srcDir).crossJoin(r)
+        .select((col("doc_id") * factor + col("r")).as("doc_id"),
+          col("text"))
+        .write.mode("overwrite").parquet(s"$lmDir/documents.parquet")
+    }
+    def ldocs = spark.read.parquet(s"$lmDir/documents.parquet")
+    // the round-6 shape, reconstructed: every bigram OCCURRENCE joins
+    // the counts on the raw bigram STRING, and the explode pipeline
+    // feeds counts + final join un-checkpointed (runs twice)
+    def lmOld = {
+      import graft.functions.TextFunctions.shingles
+      val big = ldocs.select(col("doc_id"),
+        explode(shingles(col("text"), 2)).as("bg"))
+      val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val uc = bc.groupBy(col("w1")).agg(sum(col("bc")).as("uc"))
+      big.join(bc.join(uc, Seq("w1")).select(col("bg"), col("bc"), col("uc")),
+          Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bc")).as("sum_bc"),
+          sum(col("uc")).as("sum_uc"), min(col("bc")).as("min_bc"))
+    }
+    // the r7 operator: timing face keeps its localCheckpoint; the
+    // shuffle-byte face disables it so ALL exchanges sit in one plan
+    // (a checkpoint hides the pre-agg exchange in a separate job)
+    def lmNew = graft.operators.TextAnalysis.lmBigramStatsOf(ldocs)
+    def lmNewPlan = graft.operators.TextAnalysis.lmBigramStatsOf(
+      ldocs, checkpoint = false)
+    def lmChecksum(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("cnt"), sum(col("sum_bc")).as("s1"),
+        sum(col("sum_uc")).as("s2"), sum(col("n_bigrams")).as("s3"),
+        sum(col("min_bc") * col("doc_id")).as("s4"))
+    assert(lmChecksum(lmOld).collect().toSeq ==
+      lmChecksum(lmNewPlan).collect().toSeq,
+      "r7 lm plan must equal the r6 plan's results")
+    steady("lm_score/old per-occurrence string-keyed (r6 plan)")(
+      lmChecksum(lmOld))
+    steady("lm_score/new pre-agg hash-keyed (x_lm_score plan)")(
+      lmChecksum(lmNew))
+    steady("lm_score/new no-checkpoint (shuffle-byte face)")(
+      lmChecksum(lmNewPlan))
+
     spark.stop()
   }
 }

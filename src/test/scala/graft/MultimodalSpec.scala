@@ -64,8 +64,8 @@ class MultimodalSpec extends AnyFunSuite {
       "image equality not in PartitionFilters:\n" + plan)
     val full = operators.Multimodal.featureStats(spark, dir)
       .filter(col("kind") === "image").collect()
-      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
-    val got = pruned.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val got = pruned.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
     assert(got === full)
   }
 
