@@ -478,14 +478,25 @@ object Dedup {
     * the cluster partitioning. The quality keys are the quantized-2dp
     * ratio and integer token count, so the ranking is exact
     * cross-engine. */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepBestFrom(
+      spark.read.parquet(ensureClustersIndex(spark, dir)),
+      TextAnalysis.textQuality(spark, dir))
+
+  /** [[dedupKeepBest]] over an arbitrary (doc_id, canon) labeling — the
+    * consumer face shared by the batch-materialized cluster index and
+    * the incrementally-maintained one
+    * ([[graft.streaming.IncrementalClusters]]): the emission step does
+    * not care how the decision was maintained, and after a stream
+    * drains the two labelings are identical (IncrementalClustersSpec),
+    * so keep-best over streamed labels equals the batch emission. */
+  def dedupKeepBestFrom(clusters: DataFrame, quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = spark.read.parquet(ensureClustersIndex(spark, dir))
-    val quality = TextAnalysis.textQuality(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"))
     val w = Window.partitionBy(col("canon"))
       .orderBy(col("alpha_ratio").desc, col("n_tokens").desc, col("doc_id"))
-    clusters.join(quality, Seq("doc_id"))
+    clusters.select(col("doc_id"), col("canon"))
+      .join(quality.select(col("doc_id"), col("n_tokens"), col("alpha_ratio")),
+        Seq("doc_id"))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("doc_id"), col("canon"), col("keep"),
         col("alpha_ratio"), col("n_tokens"))

@@ -92,6 +92,16 @@ class IncrementalClustersSpec extends AnyFunSuite {
       .select(col("doc_id"), col("canon")))
     assert(inc === batch,
       "incremental cluster maintenance must equal the batch rebuild")
+    // the emission step consumes the streamed labeling unchanged:
+    // keep-best over it equals keep-best over the batch-built index
+    val keepInc = Dedup.dedupKeepBestFrom(
+        IncrementalClusters.readLabels(spark, labelsRoot),
+        graft.operators.TextAnalysis.textQuality(spark, dir))
+      .collect().map(_.toSeq).toSeq
+    val keepBatch = Dedup.dedupKeepBest(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(keepInc === keepBatch,
+      "keep-best over streamed labels must equal the batch emission")
   }
 
   test("replaying a batchId rewrites the same epoch snapshot (exactly-once fold)") {

@@ -100,6 +100,56 @@ class PropertyLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental cluster merge equals union-find on random graphs and batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // random universe split into 3 arrival batches; each batch brings
+    // random pairs among the docs arrived SO FAR (cross-batch edges
+    // exercise component merging; duplicate/self edges exercise the
+    // contraction's degenerate paths)
+    val genCase = for {
+      n <- Gen.choose(6, 24)
+      ids = (1L to n.toLong).toVector
+      shuffled <- Gen.const(new scala.util.Random(n).shuffle(ids))
+      cut1 <- Gen.choose(1, n - 2)
+      cut2 <- Gen.choose(cut1 + 1, n - 1)
+      batches = Seq(shuffled.take(cut1), shuffled.slice(cut1, cut2),
+        shuffled.drop(cut2))
+      pairsPerBatch <- Gen.sequence[Seq[Seq[(Long, Long)]], Seq[(Long, Long)]](
+        batches.indices.map { bi =>
+          val arrived = batches.take(bi + 1).flatten
+          Gen.choose(0, 6).flatMap(m => Gen.listOfN(m,
+            Gen.zip(Gen.oneOf(arrived), Gen.oneOf(arrived))).map(_.toSeq))
+        })
+    } yield (batches, pairsPerBatch)
+    def unionFind(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ids.map(i => i -> find(i)).toMap
+    }
+    samples(genCase, 4).foreach { case (batches, pairsPerBatch) =>
+      var labels = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("canon", LongType))))
+      batches.zip(pairsPerBatch).foreach { case (ids, pairs) =>
+        labels = graft.operators.Dedup.mergeClustersBatch(labels,
+          ids.toDF("doc_id"),
+          pairs.filter(p => p._1 != p._2).toDF("doc_a", "doc_b"))
+          .localCheckpoint()
+      }
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(batches.flatten,
+        pairsPerBatch.flatten.filter(p => p._1 != p._2))
+      assert(got === want, s"batches=$batches pairs=$pairsPerBatch")
+    }
+  }
+
   test("rolling fingerprint equals brute-force window minimum") {
     val genCase = Gen.zip(
       Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString),
