@@ -25,7 +25,15 @@ object Search {
     * frequency). One explode + one aggregation — the index build is a
     * single pass over the corpus. */
   def postings(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    postingsOf(Tables.documents(spark, dir))
+
+  /** [[postings]] over an arbitrary documents frame — postings rows are
+    * a pure per-document function (a doc's terms and tfs depend on that
+    * doc alone), which is what makes per-micro-batch incremental append
+    * EXACT ([[graft.streaming.IncrementalPostings]]), the same argument
+    * as the signature index. */
+  def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
@@ -53,16 +61,22 @@ object Search {
     * touches candidate docs, not the corpus. Shared by the lexical and
     * hybrid query faces so the AND-match logic lives once. */
   private def andCandidates(spark: SparkSession, dir: String,
-      terms: Seq[String]): DataFrame = {
-    val path = ensurePostingsIndex(spark, dir)
-    spark.read.parquet(path)
+      terms: Seq[String]): DataFrame =
+    andCandidatesFrom(
+      spark.read.parquet(ensurePostingsIndex(spark, dir)), terms)
+
+  /** [[andCandidates]] over an arbitrary postings frame — shared with
+    * the incrementally-maintained index, whose reads push the same term
+    * filter (each batch directory is term-clustered at append time). */
+  private[graft] def andCandidatesFrom(post: DataFrame,
+      terms: Seq[String]): DataFrame =
+    post
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("term")).as("n_matched"),
         sum(col("tf")).as("tf_sum"))
       .filter(col("n_matched") === terms.distinct.size)
       .select(col("doc_id"), col("tf_sum"))
-  }
 
   /** x_keyword_search — boolean-AND keyword query served from the
     * postings index: documents containing ALL query terms, ranked by
@@ -112,9 +126,14 @@ object Search {
     * within an ulp of a quantization boundary would flip a floor() —
     * an intermittent-by-construction gate. A gate should be certain;
     * integers are. */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val path = ensurePostingsIndex(spark, dir)
-    val post = spark.read.parquet(path)
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfFrom(spark.read.parquet(ensurePostingsIndex(spark, dir)))
+
+  /** [[tfidf]] over an arbitrary postings frame: df and N are
+    * aggregates OF the postings, so an incrementally-appended index
+    * yields them as correctly as a batch-built one — corpus statistics
+    * stay fresh per micro-batch for free. */
+  private[graft] def tfidfFrom(post: DataFrame): DataFrame = {
     val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = post.select(countDistinct(col("doc_id")).as("n_docs"))
     post.join(broadcast(df), Seq("term"))

@@ -182,7 +182,14 @@ object Similarity {
     * through Double.toString (exact), so a reused index serves the very
     * centroids it was partitioned by — assignments stay consistent (the
     * centroid file is written BEFORE the sig, so a passing gate implies
-    * it exists). */
+    * it exists).
+    *
+    * Deliberately NOT incrementally maintained (unlike the signature /
+    * postings / SRP indexes, [[graft.streaming.IncrementalSrpIndex]]):
+    * centroids are corpus-TRAINED state, so appending new vectors under
+    * frozen centroids degrades assignment quality as the distribution
+    * drifts — the honest contract is re-train once per corpus snapshot
+    * (this freshness gate) and serve between snapshots. */
   def ensureIvfIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       trainIters: Int = 2): (String, Array[Array[Double]]) = {
     val path = ivfIndexPath(dir)
@@ -264,10 +271,22 @@ object Similarity {
   def annKnnCosineIndexed(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val path = ensureSrpIndex(spark, dir, nPlanes, seed)
+    annServeFromIndex(spark, spark.read.parquet(path), dir, queryId, k,
+      nPlanes, seed)
+  }
+
+  /** Probe + exact re-rank over any bucket-partitioned SRP index frame —
+    * shared by the batch-built index and the incrementally-appended one
+    * ([[graft.streaming.IncrementalSrpIndex]]); both layouts expose
+    * `bucket` as a partition column, so the probe set prunes directories
+    * either way. The ONE source job fetches the query vector + bucket
+    * together; the re-rank uses the vector as a literal array (no second
+    * source scan, no broadcast; same float values through the same
+    * expression ⇒ bit-exact scores). */
+  private[graft] def annServeFromIndex(spark: SparkSession, idx: DataFrame,
+      dir: String, queryId: Long, k: Int, nPlanes: Int,
+      seed: Long): DataFrame = {
     val planes = hyperplanes(nPlanes, 64, seed)
-    // ONE source job fetches vector + bucket together; the re-rank uses
-    // the vector as a literal array (no second source scan, no broadcast;
-    // same float values through the same expression ⇒ bit-exact scores)
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding"), srpBucket(col("embedding"), planes).as("b"))
@@ -276,7 +295,7 @@ object Similarity {
     val qbucket = q.getLong(1)
     val probes = qbucket +: (0 until nPlanes).map(i => qbucket ^ (1L << i))
     val qcol = array(qvec.map(lit): _*)
-    spark.read.parquet(path)
+    idx
       .filter(col("bucket").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
         cosine(col("embedding"), qcol).as("cos_sim"))
