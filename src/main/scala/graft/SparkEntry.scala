@@ -123,6 +123,8 @@ object SparkEntry {
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
     "x_heavy_hitters_exact" -> (operators.TextAnalysis.heavyHittersExact _),
+    "x_repetition"          -> (operators.TextAnalysis.repetitionStats _),
+    "x_decontaminate"       -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminate(s, d)),
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
@@ -684,6 +686,31 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS est
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY est DESC, term""".stripMargin,
+    "x_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 1),
+        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS bg
+        |  FROM documents),
+        |per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |       CAST(max(c) AS BIGINT) AS top_bigram_count,
+        |       max(c) * 100 >= sum(c) * 10 AS repetitive
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 2),
+        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        |       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) >= 8 AS contaminated
+        |FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+        |WHERE s.doc_id % 97 <> 0
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -150,6 +150,53 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The deterministic held-out "benchmark" slice used by
+    * [[decontaminate]]: every 97th doc_id. A real pipeline supplies its
+    * eval sets here; the fixture needs a self-contained stand-in, and a
+    * fixed arithmetic slice keeps the query (and its oracle)
+    * reproducible. */
+  val EvalSliceMod = 97L
+
+  /** x_decontaminate — benchmark decontamination, the corpus-curation
+    * step every training pipeline runs so eval data never leaks into
+    * training data: for each training document, how many of its
+    * distinct 3-gram shingles also occur in the held-out benchmark
+    * set, and a flag once the overlap reaches `minOverlap` shingles
+    * (the n-gram-collision decontamination rule of the C4/GPT-3
+    * lineage, expressed over the same shingle domain as the dedup
+    * family).
+    *
+    * Scale shape: a benchmark set is SMALL by nature (eval suites are
+    * thousands of docs, the corpus is billions), so its distinct
+    * shingle set is the broadcast side; the corpus side is one explode
+    * + broadcast left-join + per-doc partial aggregation — the corpus
+    * text is never shuffled, and the only shuffle carries 3 longs per
+    * doc. Docs shorter than the shingle width have no shingles and no
+    * row (same convention as the LM stats); benchmark docs themselves
+    * are excluded from the output. */
+  def decontaminate(spark: SparkSession, dir: String,
+      minOverlap: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    // overlap COUNTING never needs the shingle string back — hash each
+    // shingle to 8 bytes before the distinct and the broadcast join
+    // (the x_lm_score trade; a corpus-shingle × benchmark-shingle
+    // 64-bit collision is ~|corpus|·|benchmark|/2^64, negligible)
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles(col("text"), 3),
+          s => xxhash64(s)))).as("shash"))
+    val evalShingles = sh.filter(col("doc_id") % EvalSliceMod === 0)
+      .select(col("shash")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("doc_id") % EvalSliceMod =!= 0)
+      .join(broadcast(evalShingles), Seq("shash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+      .orderBy(col("doc_id"))
+  }
+
   /** Target language shares of the training mix in integer PERCENT
     * (sum 100) — the "data recipe" a pretraining run pins. Integer so
     * per-language budgets are exact in any engine (0.15·100000 floors

@@ -326,8 +326,15 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
     val bucketArr = array((0 until nTables).map(t =>
       srpBucket(col("embedding"), hyperplanes(nPlanes, 64, seed + t))): _*)
+    // localCheckpoint: tabbed feeds BOTH sides of the bucket self-join,
+    // and the nTables×nPlanes hyperplane dot products per vector are the
+    // query's dominant compute — without it they run twice (the
+    // minhashNearDup disease; the materialized rows are 3 longs per
+    // (vec, table), cheap). The index-served face avoids even the first
+    // computation (IncrementalSrpIndex / ensureSrpIndex).
     val tabbed = emb.select(col("vec_id"),
         posexplode(bucketArr).as(Seq("tbl", "bucket")))
+      .localCheckpoint()
     val candidates = tabbed.as("a")
       .join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") &&

@@ -79,6 +79,46 @@ object TextAnalysis {
           .as("rfp"))
       .orderBy(col("doc_id"))
 
+  /** x_repetition — Gopher-style repetition statistics per document:
+    * the "most frequent n-gram fraction" family of quality filters that
+    * catches degenerate/boilerplate text (a doc whose top bigram covers
+    * a large share of all its bigrams is repetitive machine-generated or
+    * templated content). Exposed as exact integers — total bigram
+    * occurrences, distinct bigrams, the top bigram's count (ties break
+    * to the same max, so no ordering ambiguity) — plus the filter flag
+    * at a top-share threshold expressed in cross-multiplied integer
+    * form (100·top ≥ pct·total, no float division near the gate).
+    *
+    * One explode + two partial aggregations, both keyed on doc_id —
+    * after the per-(doc, bigram) combine, the shuffle carries distinct
+    * bigrams per doc, and the second agg reuses the first's
+    * partitioning (no extra exchange). Docs under 2 tokens have no
+    * bigram and no row (the lmBigramStats convention). */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsAt(spark, dir, sharePct = 10)
+
+  /** [[repetitionStats]] at an explicit integer top-share threshold (in
+    * percent). Gopher uses 0.20 for natural-text top-2-grams; the
+    * synthetic token fixture is flatter (max share 14%), so the
+    * declared query flags at 10% — the RULE is the deliverable, the
+    * constant is corpus tuning. */
+  def repetitionStatsAt(spark: SparkSession, dir: String,
+      sharePct: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      // counts never need the bigram STRING back — group on its
+      // xxhash64 so the shuffle key is 8 bytes (the x_lm_score trade;
+      // a 64-bit within-doc collision is ~n²/2^65, negligible)
+      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_bigram_count"))
+      .withColumn("repetitive",
+        col("top_bigram_count") * 100L >= col("n_bigrams") * sharePct)
+      .orderBy(col("doc_id"))
+
   /** Per-(doc, DISTINCT bigram) relation with the conditional-LM counts
     * attached: (doc_id, bgh, k, bc, uc) where k is the bigram's
     * within-doc multiplicity. Shared by the oracled stats face and the

@@ -24,6 +24,56 @@ class CorpusSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats equal a driver recompute; the flag is the 10% top-share rule") {
+    import graft.operators.TextAnalysis
+    val want = Tables.documents(spark, dir).collect().flatMap { r =>
+      val toks = r.getAs[String]("text").split(" ", -1)
+      if (toks.length < 2) None
+      else {
+        val counts = toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map(_._2.size.toLong)
+        Some(r.getAs[Long]("doc_id") ->
+          ((counts.sum, counts.size.toLong, counts.max,
+            counts.max * 100 >= counts.sum * 10)))
+      }
+    }.toMap
+    val got = TextAnalysis.repetitionStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_distinct_bigrams"),
+          r.getAs[Long]("top_bigram_count"), r.getAs[Boolean]("repetitive"))))
+      .toMap
+    assert(got === want)
+    // the fixture's dup-heavy docs must actually trip the filter
+    assert(got.values.exists(_._4), "no repetitive doc flagged — filter inert")
+    assert(got.values.exists(!_._4), "every doc flagged — filter degenerate")
+  }
+
+  test("decontamination counts benchmark shingle overlap and excludes the benchmark itself") {
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    def sh3(toks: Array[String]): Set[String] =
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val evalSet = docs.filter(_._1 % CorpusOps.EvalSliceMod == 0)
+      .flatMap(d => sh3(d._2)).toSet
+    val want = docs.filter(_._1 % CorpusOps.EvalSliceMod != 0)
+      .flatMap { case (id, toks) =>
+        val s = sh3(toks)
+        if (s.isEmpty) None
+        else Some(id -> ((s.size.toLong, s.count(evalSet).toLong)))
+      }.toMap
+    val got = CorpusOps.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_overlap"))))
+      .toMap
+    assert(got === want)
+    // benchmark docs never appear in the output
+    assert(got.keys.forall(_ % CorpusOps.EvalSliceMod != 0))
+    // near-dup fixture docs of a benchmark doc must show up contaminated
+    val flagged = CorpusOps.decontaminate(spark, dir).filter("contaminated").count()
+    assert(flagged > 0, "no contaminated doc found — the fixture has near-dups of every doc family")
+  }
+
   test("chunking covers each document exactly with the declared stride") {
     val docs = Tables.documents(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
