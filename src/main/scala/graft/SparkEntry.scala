@@ -116,6 +116,7 @@ object SparkEntry {
     "x_ivf_indexed"         -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosineIndexed(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
+    "x_semantic_dedup"      -> ((s: SparkSession, d: String) => operators.Similarity.semanticDedup(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
@@ -236,7 +237,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 9 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 10 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
@@ -258,6 +259,11 @@ object SparkEntry {
     *    this corpus its recall is genuinely < 1 (32 of 59 true pairs at
     *    sf0.01) — the output is honestly a subset, so the exact-pair SQL
     *    is NOT its oracle. Spec pins precision 1 + predicted recall.
+    *  - x_semantic_dedup: cluster/group/keep decisions hang off the
+    *    k-means quantizer (driver-iterated Lloyd, not SQL-expressible);
+    *    the spec recomputes the ENTIRE pipeline — assignment, τ-pairs,
+    *    components, keep-least-central — in exact double arithmetic on
+    *    the driver and matches the output map bit-for-bit.
     * (x_multimodal_features / x_multimodal_pruned graduated to true
     * oracles in round 7: the synthetic payloads are the documents' UTF-8
     * bytes and the stub codec is portable mod-2^64 integer arithmetic,

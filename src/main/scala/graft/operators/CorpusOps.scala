@@ -175,27 +175,47 @@ object CorpusOps {
     * row (same convention as the LM stats); benchmark docs themselves
     * are excluded from the output. */
   def decontaminate(spark: SparkSession, dir: String,
-      minOverlap: Int = 8): DataFrame = {
+      minOverlap: Int = 8): DataFrame =
+    decontaminateOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod =!= 0),
+      benchmarkShingles(spark, dir), minOverlap)
+
+  /** Per-doc DISTINCT hashed 3-shingles. Overlap COUNTING never needs
+    * the shingle string back — hash each shingle to 8 bytes before the
+    * distinct and the broadcast join (the x_lm_score trade; a
+    * corpus-shingle × benchmark-shingle 64-bit collision is
+    * ~|corpus|·|benchmark|/2^64, negligible). */
+  private def hashedShingles(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.shingles
-    // overlap COUNTING never needs the shingle string back — hash each
-    // shingle to 8 bytes before the distinct and the broadcast join
-    // (the x_lm_score trade; a corpus-shingle × benchmark-shingle
-    // 64-bit collision is ~|corpus|·|benchmark|/2^64, negligible)
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(shingles(col("text"), 3),
-          s => xxhash64(s)))).as("shash"))
-    val evalShingles = sh.filter(col("doc_id") % EvalSliceMod === 0)
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(shingles(col("text"), 3),
+        s => xxhash64(s)))).as("shash"))
+  }
+
+  /** The benchmark's distinct hashed shingle set — the broadcast-sized
+    * reference artifact decontamination checks against (computed once
+    * per eval-suite snapshot; the streaming face pins it at stream
+    * start). */
+  def benchmarkShingles(spark: SparkSession, dir: String): DataFrame =
+    hashedShingles(
+        Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod === 0))
       .select(col("shash")).distinct()
-      .withColumn("hit", lit(1L))
-    sh.filter(col("doc_id") % EvalSliceMod =!= 0)
-      .join(broadcast(evalShingles), Seq("shash"), "left")
+
+  /** [[decontaminate]]'s core over explicit inputs — shared by the
+    * whole-corpus batch face and the per-micro-batch ingest face
+    * ([[graft.streaming.StreamingDecontaminate]]): the op is per-doc
+    * stateless given the benchmark set, which is what makes the
+    * streamed epochs tile the batch result exactly. */
+  def decontaminateOf(trainDocs: DataFrame, evalShingles: DataFrame,
+      minOverlap: Int = 8): DataFrame =
+    hashedShingles(trainDocs)
+      .join(broadcast(evalShingles.withColumn("hit", lit(1L))),
+        Seq("shash"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
       .orderBy(col("doc_id"))
-  }
 
   /** Target language shares of the training mix in integer PERCENT
     * (sum 100) — the "data recipe" a pretraining run pins. Integer so

@@ -353,4 +353,63 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** x_semantic_dedup — SemDeDup-style semantic deduplication of the
+    * embedding corpus (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space with the deterministic IVF k-means quantizer
+    * ([[ivfCentroids]]), find τ-similar pairs WITHIN each cluster only,
+    * connect them into duplicate groups, and keep exactly one member per
+    * group — the member LEAST similar to its cluster centroid (the
+    * paper's diversity-preserving choice; vec_id breaks ties). Every
+    * vector appears in the output with its cluster, its group's
+    * canonical id, and the keep decision.
+    *
+    * Within-cluster-only pairing IS the technique's scale contract:
+    * cluster count grows with the corpus, per-cluster membership stays
+    * bounded, and the pair search never goes quadratic in the corpus —
+    * at the price of missing cross-cluster pairs, negligible in the
+    * high-τ regime the method targets (the fixture's τ is tuned down to
+    * its planted looser near-dups).
+    *
+    * Plan shape: clustering is SERVED, not trained — the quantizer and
+    * the cid-partitioned vectors come from the materialized IVF index
+    * ([[ensureIvfIndex]], shared with x_ivf_indexed; training runs once
+    * per corpus snapshot, exactly the paper's "cluster once, prune
+    * within clusters" deployment). Own-centroid similarity is one
+    * narrow codegen'd pass over the index, localCheckpoint'd because it
+    * feeds both sides of the pair self-join and the final keep join
+    * (the minhash/SRP recompute lesson); components run over pair
+    * MEMBERS only — singleton vectors, the bulk of a real corpus,
+    * bypass both the propagation loop and the keep window via one
+    * anti-join. */
+  def semanticDedup(spark: SparkSession, dir: String,
+      nlist: Int = 16, tau: Double = 0.4, trainIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (path, centroids) = ensureIvfIndex(spark, dir, nlist, trainIters)
+    val cosArr = array(centroids.map(c =>
+      cosine(col("embedding"), array(c.map(lit): _*))): _*)
+    val assigned = spark.read.parquet(path)
+      .withColumn("cos_centroid", element_at(cosArr, col("cid") + lit(1)))
+      .select(col("vec_id"), col("embedding"), col("cid"), col("cos_centroid"))
+      .localCheckpoint()
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val labels = Dedup.propagateMinLabels(pairs)
+    val members = assigned.select(col("vec_id"), col("cid"), col("cos_centroid"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("canon").as("group_id")),
+        Seq("vec_id"))
+    val keepFirst = Window.partitionBy(col("group_id"))
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    val decided = members
+      .withColumn("kept", row_number().over(keepFirst) === 1)
+      .select(col("vec_id"), col("cid"), col("group_id"), col("kept"))
+    val singles = assigned.select(col("vec_id"), col("cid"))
+      .join(labels.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid"), col("vec_id").as("group_id"),
+        lit(true).as("kept"))
+    decided.unionByName(singles).orderBy(col("vec_id"))
+  }
 }

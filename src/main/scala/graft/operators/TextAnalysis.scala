@@ -89,10 +89,12 @@ object TextAnalysis {
     * at a top-share threshold expressed in cross-multiplied integer
     * form (100·top ≥ pct·total, no float division near the gate).
     *
-    * One explode + two partial aggregations, both keyed on doc_id —
-    * after the per-(doc, bigram) combine, the shuffle carries distinct
-    * bigrams per doc, and the second agg reuses the first's
-    * partitioning (no extra exchange). Docs under 2 tokens have no
+    * One explode + two partial+final aggregations: the first exchange
+    * carries map-side-combined (doc, bigram-hash, count) triples of 3
+    * longs; the second, after its own partial combine, ~one row per doc
+    * per upstream partition — both shrink with combining, which beats
+    * the one-exchange repartition(doc_id) alternative that would ship
+    * every raw occurrence uncombined. Docs under 2 tokens have no
     * bigram and no row (the lmBigramStats convention). */
   def repetitionStats(spark: SparkSession, dir: String): DataFrame =
     repetitionStatsAt(spark, dir, sharePct = 10)

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.CorpusOps
+
+/** Ingest-time benchmark decontamination (x_decontaminate's streaming
+  * face): every micro-batch of arriving training documents is checked
+  * against the FIXED benchmark shingle set before it enters the corpus —
+  * which is where decontamination actually runs in a training pipeline
+  * (the eval suite is known upfront; checking at ingest means a
+  * contaminated doc never has to be clawed back out of downstream
+  * shards).
+  *
+  * The benchmark set is pinned ONCE at stream start
+  * ([[CorpusOps.benchmarkShingles]], localCheckpoint'd — a
+  * broadcast-sized reference artifact, never recomputed per batch). The
+  * op is per-doc stateless given that set, so the per-epoch outputs
+  * TILE the batch query's result exactly: accumulated flags over any
+  * batch split equal `CorpusOps.decontaminate` over the union
+  * (StreamingDecontaminateSpec), the same contract the incremental
+  * indexes prove. Exactly-once: epoch-directory overwrite keyed by
+  * batchId (the [[IncrementalClusters]] pattern) — a replayed batch
+  * rewrites its own epoch, never double-flags.
+  */
+object StreamingDecontaminate {
+
+  /** Check one micro-batch against the benchmark set and write its
+    * epoch snapshot. Arriving benchmark docs are dropped (they are the
+    * reference, not training candidates) — the batch face's convention. */
+  def appendBatch(root: String, evalShingles: DataFrame,
+      minOverlap: Int = 8)(batch: DataFrame, batchId: Long): Unit =
+    CorpusOps.decontaminateOf(
+        batch.filter(col("doc_id") % CorpusOps.EvalSliceMod =!= 0),
+        evalShingles, minOverlap)
+      .write.mode("overwrite").parquet(s"$root/epoch=$batchId")
+
+  /** Accumulated per-doc contamination flags across every epoch so far,
+    * ordered like the batch query. */
+  def readFlags(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("contaminated"))
+      .orderBy(col("doc_id"))
+
+  /** Wire a documents stream into the ingest check. The benchmark set
+    * is materialized here, once, before the first batch. AvailableNow
+    * by default: drain, checkpoint, stop. */
+  def start(docsStream: DataFrame, dir: String, root: String,
+      checkpoint: String, minOverlap: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val evalShingles = CorpusOps
+      .benchmarkShingles(docsStream.sparkSession, dir)
+      .localCheckpoint()
+    docsStream.writeStream
+      .foreachBatch(appendBatch(root, evalShingles, minOverlap) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+}

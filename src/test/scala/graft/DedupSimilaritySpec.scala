@@ -215,4 +215,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val b = Dedup.fingerprintDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(a === b) // md5 collisions would be the only divergence
   }
+
+  test("semantic dedup equals a driver recompute of cluster/group/keep; prune actually fires") {
+    val nlist = 16; val tau = 0.4
+    // same deterministic quantizer the operator trains internally
+    val centroids = Similarity.ivfCentroids(spark, dir, nlist, iters = 2)
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      .sortBy(_._1)
+    // exact replicas of FloatArrayDot (left-to-right double accumulation)
+    // and the operator's centroid-distance / cosine formulas
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def dotFD(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, c.length)) { s += a(i).toDouble * c(i); i += 1 }; s
+    }
+    def dotDD(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s
+    }
+    def cosFF(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b))
+      if (n == 0.0) 0.0 else dotFF(a, b) / n
+    }
+    def cosFD(a: Array[Float], c: Array[Double]): Double = {
+      val n = math.sqrt(dotFF(a, a)) * math.sqrt(dotDD(c))
+      if (n == 0.0) 0.0 else dotFD(a, c) / n
+    }
+    val cid = vecs.map { case (_, v) =>
+      val dists = centroids.map(c => c.map(x => x * x).sum - 2.0 * dotFD(v, c))
+      dists.indexOf(dists.min) // array_position finds the FIRST minimum
+    }
+    val cosCent = vecs.zip(cid).map { case ((_, v), k) => cosFD(v, centroids(k)) }
+    // within-cluster τ-pairs → union-find → canon = component min vec_id
+    val idx = vecs.indices
+    val parent = scala.collection.mutable.Map(idx.map(i => i -> i): _*)
+    def find(i: Int): Int = if (parent(i) == i) i else { val r = find(parent(i)); parent(i) = r; r }
+    var pairSeen = 0
+    for (i <- idx; j <- idx if i < j && cid(i) == cid(j)
+         && cosFF(vecs(i)._2, vecs(j)._2) >= tau) {
+      pairSeen += 1
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    assert(pairSeen > 0, "no within-cluster τ-pair — fixture degenerate for this test")
+    val groups = idx.groupBy(find).values
+    val want = idx.map { i => vecs(i)._1 -> ((cid(i), vecs(i)._1, true)) }.toMap ++
+      groups.filter(_.size > 1).flatMap { g =>
+        val canon = g.map(vecs(_)._1).min
+        val keep = g.minBy(i => (cosCent(i), vecs(i)._1))
+        g.map(i => vecs(i)._1 -> ((cid(i), canon, i == keep)))
+      }
+    val got = Similarity.semanticDedup(spark, dir, nlist, tau).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("cid"), r.getAs[Long]("group_id"), r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(got === want)
+    assert(got.values.exists(!_._3), "nothing pruned — dedup inert")
+    // survivors within one cluster are pairwise below τ (the keep-one-
+    // per-component guarantee, re-checked from raw vectors)
+    for (i <- idx; j <- idx if i < j && cid(i) == cid(j)
+         && got(vecs(i)._1)._3 && got(vecs(j)._1)._3)
+      assert(cosFF(vecs(i)._2, vecs(j)._2) < tau)
+  }
 }

@@ -200,4 +200,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "corpus totals must ride a broadcast, not a cartesian:\n" + p)
   }
+
+  test("repetition stats shuffle hashed bigrams, never strings") {
+    val p = plan("x_repetition")
+    // the bigram string is hashed to 8 bytes right after the explode, so
+    // no exchange ever carries it…
+    assert(p.contains("xxhash64(bg"), p)
+    // …and both aggs are partial+final (map-side combine before each of
+    // the two keyed exchanges; the third is the output range sort)
+    assert("Exchange".r.findAllIn(p).size === 3, p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("decontamination broadcasts the benchmark side; corpus text never shuffles") {
+    val p = plan("x_decontaminate")
+    // benchmark shingles ride a broadcast into a left-outer probe of the
+    // corpus side — the corpus explode feeds the join with no exchange
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+    // shuffle exchanges: benchmark distinct (hashed shingles), per-doc
+    // agg (3-long rows, post-combine), output range sort — never text;
+    // plus the one benchmark-side broadcast
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size === 3, p)
+    assert("BroadcastExchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
 }
