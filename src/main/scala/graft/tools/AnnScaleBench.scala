@@ -58,6 +58,32 @@ object AnnScaleBench {
       graft.operators.Similarity.ensureIvfIndex(spark, scaleDir))
     steady("knn/ivf_indexed")(
       graft.operators.Similarity.ivfKnnCosineIndexed(spark, scaleDir).count())
+
+    // --- semantic dedup scale separation: within-cluster pairing vs
+    // all-pairs at the same corpus size. The contract under test: with
+    // cluster count scaled so membership stays bounded, the pair search
+    // is ~N²/nlist comparisons instead of N²/2 — the reason SemDeDup
+    // clusters at all. (nlist here is capped by the driver-literal
+    // assignment expression, ~O(100) centroids; a production-sized
+    // nlist would assign via a broadcast-centroid join — same flops
+    // per vector, different plan.)
+    val nvec = n
+    val nlist = 64
+    println(s"[ann-scale] semdedup: nlist=$nlist, " +
+      s"all-pairs=${nvec * (nvec - 1) / 2}, " +
+      s"~within-cluster=${nvec * nvec / (2 * nlist)} comparisons")
+    time("semdedup/index_build (once per corpus)")(
+      graft.operators.Similarity.ensureIvfIndex(spark, scaleDir, nlist))
+    steady(s"semdedup/within_cluster (nlist=$nlist)")(
+      graft.operators.Similarity.semanticDedup(spark, scaleDir, nlist)
+        .filter(!col("kept")).count())
+    if (factor <= 25)
+      steady("semdedup/all_pairs ground truth (same τ)")(
+        graft.operators.Similarity.embeddingNearDupPairs(spark, scaleDir)
+          .count())
+    else
+      println("[ann-scale] semdedup/all_pairs: skipped (quadratic — " +
+        "not runnable at this factor; that is the point)")
     spark.stop()
   }
 }
