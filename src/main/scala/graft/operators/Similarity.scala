@@ -388,14 +388,22 @@ object Similarity {
     val (path, centroids) = ensureIvfIndex(spark, dir, nlist, trainIters)
     val cosArr = array(centroids.map(c =>
       cosine(col("embedding"), array(c.map(lit): _*))): _*)
+    // norms precomputed once per VECTOR, not once per candidate pair —
+    // the pair phase touches ~N²/nlist pairs and a per-pair norm would
+    // triple its flops (the embeddingNearDupPairs lesson)
     val assigned = spark.read.parquet(path)
       .withColumn("cos_centroid", element_at(cosArr, col("cid") + lit(1)))
-      .select(col("vec_id"), col("embedding"), col("cid"), col("cos_centroid"))
+      .withColumn("nrm", norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        col("cos_centroid"))
       .localCheckpoint()
+    val nprod = col("a.nrm") * col("b.nrm")
+    val pairCos = when(nprod === 0.0, lit(0.0))
+      .otherwise(dot(col("a.embedding"), col("b.embedding")) / nprod)
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine(col("a.embedding"), col("b.embedding")) >= tau)
+      .filter(pairCos >= tau)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
     val labels = Dedup.propagateMinLabels(pairs)
     val members = assigned.select(col("vec_id"), col("cid"), col("cos_centroid"))

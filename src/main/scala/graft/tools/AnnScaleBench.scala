@@ -77,7 +77,7 @@ object AnnScaleBench {
     steady(s"semdedup/within_cluster (nlist=$nlist)")(
       graft.operators.Similarity.semanticDedup(spark, scaleDir, nlist)
         .filter(!col("kept")).count())
-    if (factor <= 25)
+    if (factor <= 25 && !args.contains("--skip-all-pairs"))
       steady("semdedup/all_pairs ground truth (same τ)")(
         graft.operators.Similarity.embeddingNearDupPairs(spark, scaleDir)
           .count())
