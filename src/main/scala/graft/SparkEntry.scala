@@ -102,6 +102,7 @@ object SparkEntry {
     "x_dup_clusters"        -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d, exactPairs = true)),
     "x_dup_clusters_lsh"    -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
     "x_dedup_keep_best"     -> (operators.Dedup.dedupKeepBest _),
+    "x_substring_dedup"     -> ((s: SparkSession, d: String) => operators.Dedup.substringDedup(s, d)),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
     "x_simhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDupIndexed(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
@@ -692,6 +693,19 @@ object SparkEntry {
       """SELECT term, CAST(count(*) AS BIGINT) AS est
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY est DESC, term""".stripMargin,
+    "x_substring_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |           generate_series(1, len(string_split(text,' ')) - 9),
+        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+9), ' '))) AS w
+        |  FROM documents),
+        |occ AS (SELECT doc_id, w, count(*) AS k FROM sh GROUP BY 1, 2),
+        |dfp AS (SELECT w, count(*) AS ndocs FROM occ GROUP BY 1)
+        |SELECT occ.doc_id, CAST(sum(k) AS BIGINT) AS n_windows,
+        |       CAST(sum(CASE WHEN ndocs >= 2 THEN k ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |       sum(CASE WHEN ndocs >= 2 THEN k ELSE 0 END) * 100 >= sum(k) * 50 AS dup_heavy
+        |FROM occ JOIN dfp USING (w)
+        |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin,
     "x_repetition" ->
       """WITH bg AS (
         |  SELECT doc_id, unnest(list_transform(

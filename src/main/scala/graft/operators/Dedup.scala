@@ -606,4 +606,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** x_substring_dedup — cross-document repeated-SUBSTRING statistics,
+    * the sub-document dedup granularity of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), approximated at w-token window resolution: a
+    * position is duplicated if its w-token window also occurs in
+    * ANOTHER document. Per doc: total window positions, positions whose
+    * window content appears in ≥2 docs, and a dup-heavy flag once
+    * duplicated positions reach `heavyPct` of the doc (cross-multiplied
+    * integer form — no float division near the gate). Completes the
+    * dedup family's granularity ladder: exact doc → fingerprint →
+    * near-dup (MinHash/SimHash) → semantic (embedding) → substring.
+    *
+    * Scale shape is the x_lm_score pattern: occurrences pre-aggregate
+    * to per-(doc, window-hash) multiplicities BEFORE any join (8-byte
+    * xxhash64 keys, never window strings — a 64-bit collision merges
+    * two windows' document frequencies, ~n²/2^65, the repo's standard
+    * vocabulary-join trade); window document-frequency joins back
+    * KEYED (the window vocabulary grows with the corpus — never
+    * broadcast); the checkpoint keeps the scan+explode single-pass.
+    * Total cost is corpus-LINEAR in positions — the same bound as the
+    * suffix array the reference technique builds, in three shuffles of
+    * fixed-width rows. */
+  def substringDedup(spark: SparkSession, dir: String, w: Int = 10,
+      heavyPct: Int = 50): DataFrame = {
+    val occ = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), w)).as("win"))
+      .groupBy(col("doc_id"), xxhash64(col("win")).as("whash"))
+      .agg(count(lit(1)).as("k"))
+      // feeds both the document-frequency agg and the final join
+      .localCheckpoint()
+    val dfp = occ.groupBy(col("whash")).agg(count(lit(1)).as("ndocs"))
+    occ.join(dfp, Seq("whash"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_windows"),
+        sum(when(col("ndocs") >= 2, col("k")).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_heavy",
+        col("n_dup_windows") * 100L >= col("n_windows") * heavyPct)
+      .orderBy(col("doc_id"))
+  }
 }

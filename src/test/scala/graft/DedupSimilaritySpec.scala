@@ -216,6 +216,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a === b) // md5 collisions would be the only divergence
   }
 
+  test("substring dedup counts cross-doc repeated windows exactly; flags fire both ways") {
+    val w = 10
+    val docs = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+    val windows = docs.flatMap { case (id, toks) =>
+      if (toks.length < w) Nil
+      else toks.sliding(w).map(g => (id, g.mkString(" "))).toSeq
+    }
+    val perDoc = windows.groupBy(identity).map { case ((id, win), xs) =>
+      (id, win) -> xs.length.toLong }
+    val ndocs = perDoc.keys.groupBy(_._2).map { case (win, ks) => win -> ks.size }
+    val want = perDoc.groupBy(_._1._1).map { case (id, m) =>
+      val nw = m.values.sum
+      val nd = m.collect { case ((_, win), k) if ndocs(win) >= 2 => k }.sum
+      id -> ((nw, nd, nd * 100 >= nw * 50))
+    }
+    val got = Dedup.substringDedup(spark, dir, w).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+          r.getAs[Boolean]("dup_heavy"))))
+      .toMap
+    assert(got === want)
+    assert(got.values.exists(_._3), "no dup-heavy doc — fixture families should trip it")
+    assert(got.values.exists(!_._3), "every doc flagged — filter degenerate")
+  }
+
   test("semantic dedup equals a driver recompute of cluster/group/keep; prune actually fires") {
     val nlist = 16; val tau = 0.4
     // same deterministic quantizer the operator trains internally
