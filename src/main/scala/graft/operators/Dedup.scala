@@ -621,19 +621,25 @@ object Dedup {
     *
     * Scale shape is the x_lm_score pattern: occurrences pre-aggregate
     * to per-(doc, window-hash) multiplicities BEFORE any join (8-byte
-    * xxhash64 keys, never window strings — a 64-bit collision merges
-    * two windows' document frequencies, ~n²/2^65, the repo's standard
+    * keys, never window strings — a 64-bit collision merges two
+    * windows' document frequencies, ~n²/2^65, the repo's standard
     * vocabulary-join trade); window document-frequency joins back
     * KEYED (the window vocabulary grows with the corpus — never
-    * broadcast); the checkpoint keeps the scan+explode single-pass.
-    * Total cost is corpus-LINEAR in positions — the same bound as the
-    * suffix array the reference technique builds, in three shuffles of
-    * fixed-width rows. */
+    * broadcast); the checkpoint keeps the scan single-pass. Window
+    * hashes come from the codegen'd [[graft.functions.TokenWindowHash]]
+    * — one O(n) byte pass per doc, no window STRING ever materialized
+    * (the HOF shingle form built every w-token string interpreted,
+    * ≈w× the corpus bytes through the explode). Total cost is
+    * corpus-LINEAR in positions — the same bound as the suffix array
+    * the reference technique builds, in three shuffles of fixed-width
+    * rows. */
   def substringDedup(spark: SparkSession, dir: String, w: Int = 10,
       heavyPct: Int = 50): DataFrame = {
+    import graft.functions.TokenWindowHash.tokenWindowHashes
     val occ = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), w)).as("win"))
-      .groupBy(col("doc_id"), xxhash64(col("win")).as("whash"))
+      .select(col("doc_id"),
+        explode(tokenWindowHashes(col("text"), w)).as("whash"))
+      .groupBy(col("doc_id"), col("whash"))
       .agg(count(lit(1)).as("k"))
       // feeds both the document-frequency agg and the final join
       .localCheckpoint()

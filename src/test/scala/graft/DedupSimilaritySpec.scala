@@ -216,6 +216,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a === b) // md5 collisions would be the only divergence
   }
 
+  test("token_window_hash equals a driver replica on edge cases; under-w texts yield empty") {
+    import spark.implicits._
+    import graft.functions.TokenWindowHash
+    val texts = Seq("", " ", "a", "a b", "a b c", "a  b c", " a b ",
+      "x y z w", "repeat repeat repeat repeat")
+    def replica(text: String, w: Int): Seq[Long] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < w) Nil
+      else toks.map { tok =>
+        tok.getBytes("UTF-8").foldLeft(TokenWindowHash.FnvBasis)(
+          (h, b) => (h ^ (b & 0xffL)) * TokenWindowHash.FnvPrime)
+      }.sliding(w).map(_.foldLeft(0L)(_ * graft.functions.RollingFingerprint.P + _))
+        .toSeq
+    }
+    for (w <- Seq(1, 2, 3)) {
+      val got = texts.toDF("text")
+        .select(TokenWindowHash.tokenWindowHashes($"text", w))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      assert(got.toSeq === texts.map(replica(_, w)), s"w=$w")
+    }
+  }
+
   test("substring dedup counts cross-doc repeated windows exactly; flags fire both ways") {
     val w = 10
     val docs = Tables.documents(spark, dir).collect()
