@@ -184,12 +184,14 @@ object CorpusOps {
     * the shingle string back — hash each shingle to 8 bytes before the
     * distinct and the broadcast join (the x_lm_score trade; a
     * corpus-shingle × benchmark-shingle 64-bit collision is
-    * ~|corpus|·|benchmark|/2^64, negligible). */
+    * ~|corpus|·|benchmark|/2^64, negligible). Hashes come from the
+    * codegen'd [[graft.functions.TokenWindowHash]] — one O(n) byte pass
+    * per doc, no shingle string materialized (the interpreted HOF form
+    * was the query's dominant cost). */
   private def hashedShingles(docs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.shingles
+    import graft.functions.TokenWindowHash.tokenWindowHashes
     docs.select(col("doc_id"),
-      explode(array_distinct(transform(shingles(col("text"), 3),
-        s => xxhash64(s)))).as("shash"))
+      explode(array_distinct(tokenWindowHashes(col("text"), 3))).as("shash"))
   }
 
   /** The benchmark's distinct hashed shingle set — the broadcast-sized

@@ -107,11 +107,14 @@ object TextAnalysis {
   def repetitionStatsAt(spark: SparkSession, dir: String,
       sharePct: Int): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-      // counts never need the bigram STRING back — group on its
-      // xxhash64 so the shuffle key is 8 bytes (the x_lm_score trade;
-      // a 64-bit within-doc collision is ~n²/2^65, negligible)
-      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"))
+      // counts never need the bigram STRING back — the codegen'd
+      // token_window_hash emits the 8-byte group keys directly in one
+      // byte pass, no bigram string materialized (a 64-bit within-doc
+      // collision is ~n²/2^65, negligible)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindowHash
+          .tokenWindowHashes(col("text"), 2)).as("bgh"))
+      .groupBy(col("doc_id"), col("bgh"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
@@ -152,10 +155,18 @@ object TextAnalysis {
     * would hide the pre-aggregation's exchange in a separate job). */
   private[graft] def bigramRelationOf(docs: DataFrame,
       checkpoint: Boolean = true): DataFrame = {
+    import graft.functions.TokenWindowHash.tokenWindowHashes
+    // both hash arrays come from codegen'd O(n) byte passes — no bigram
+    // or token STRING is ever materialized (was the explode's dominant
+    // cost); the zip pairs each bigram hash with its first token's hash
+    // (arrays are longs, so the interpreted zip lambda is negligible)
+    val bgs = tokenWindowHashes(col("text"), 2)
+    val toks = tokenWindowHashes(col("text"), 1)
     val pre = docs
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bgh"),
-        xxhash64(substring_index(col("bg"), " ", 1)).as("w1h"))
+      .select(col("doc_id"),
+        explode(zip_with(bgs, slice(toks, lit(1), size(bgs)),
+          (b, t) => struct(b.as("bgh"), t.as("w1h")))).as("z"))
+      .groupBy(col("doc_id"), col("z.bgh").as("bgh"), col("z.w1h").as("w1h"))
       .agg(count(lit(1)).as("k"))
     val perDoc = if (checkpoint) pre.localCheckpoint() else pre
     val bc = perDoc.groupBy(col("bgh"), col("w1h")).agg(sum(col("k")).as("bc"))

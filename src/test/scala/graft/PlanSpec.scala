@@ -203,9 +203,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("repetition stats shuffle hashed bigrams, never strings") {
     val p = plan("x_repetition")
-    // the bigram string is hashed to 8 bytes right after the explode, so
-    // no exchange ever carries it…
-    assert(p.contains("xxhash64(bg"), p)
+    // the codegen'd token_window_hash emits 8-byte keys directly — no
+    // bigram string exists anywhere in the plan…
+    assert(p.contains("token_window_hash"), p)
     // …and both aggs are partial+final (map-side combine before each of
     // the two keyed exchanges; the third is the output range sort)
     assert("Exchange".r.findAllIn(p).size === 3, p)
