@@ -634,15 +634,31 @@ object Dedup {
     * the reference technique builds, in three shuffles of fixed-width
     * rows. */
   def substringDedup(spark: SparkSession, dir: String, w: Int = 10,
-      heavyPct: Int = 50): DataFrame = {
+      heavyPct: Int = 50): DataFrame =
+    // the occurrence relation feeds both the document-frequency agg and
+    // the final join — checkpointed so the scan runs once
+    substringFlagsFrom(
+      windowOccurrencesOf(Tables.documents(spark, dir), w).localCheckpoint(),
+      heavyPct)
+
+  /** Per-(doc, window-hash) multiplicities — the PURE per-document
+    * relation under [[substringDedup]] (pure ⇒ incrementally appendable
+    * per micro-batch, [[graft.streaming.IncrementalSubstring]]). */
+  def windowOccurrencesOf(docs: DataFrame, w: Int = 10): DataFrame = {
     import graft.functions.TokenWindowHash.tokenWindowHashes
-    val occ = Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    docs.select(col("doc_id"),
         explode(tokenWindowHashes(col("text"), w)).as("whash"))
       .groupBy(col("doc_id"), col("whash"))
       .agg(count(lit(1)).as("k"))
-      // feeds both the document-frequency agg and the final join
-      .localCheckpoint()
+  }
+
+  /** Dup statistics + flag from an occurrence relation. Document
+    * frequency is an aggregate OF the occurrences, so flags derived
+    * from an incrementally-accumulated relation are exactly the batch
+    * answer over the docs accumulated so far — including the
+    * CROSS-BATCH effect where a newly arrived copy flips an old doc's
+    * flag (spec-proven). */
+  def substringFlagsFrom(occ: DataFrame, heavyPct: Int = 50): DataFrame = {
     val dfp = occ.groupBy(col("whash")).agg(count(lit(1)).as("ndocs"))
     occ.join(dfp, Seq("whash"))
       .groupBy(col("doc_id"))
