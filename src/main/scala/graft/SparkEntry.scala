@@ -127,6 +127,9 @@ object SparkEntry {
     "x_heavy_hitters_exact" -> (operators.TextAnalysis.heavyHittersExact _),
     "x_repetition"          -> (operators.TextAnalysis.repetitionStats _),
     "x_decontaminate"       -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminate(s, d)),
+    "x_curation_funnel"     -> ((s: SparkSession, d: String) => operators.Curation.funnel(s, d)),
+    "x_curation_attrition"  -> (operators.Curation.attrition _),
+    "x_source_profile"      -> (operators.Curation.sourceProfile _),
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
@@ -144,6 +147,64 @@ object SparkEntry {
     "t_interval_outer"      -> (streaming.WindowedStreams.intervalJoinOuterBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
   )
+
+  /** The curation funnel's stage CTE chain, ending at relation `f` of
+    * per-doc pass_* booleans over the training slice — each stage is the
+    * corresponding standalone query's SQL restricted to train docs
+    * (lang = x_lang_id's vote with pass ⟺ best > 0, quality in
+    * cross-multiplied integer form, repetition = x_repetition,
+    * substring_dup = x_substring_dedup over the train slice,
+    * contamination = x_decontaminate). Shared by x_curation_funnel and
+    * x_curation_attrition. */
+  private val CurationFunnelSql =
+    """WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+      |base AS (
+      |  SELECT doc_id,
+      |         greatest(
+      |           len(list_intersect(list_distinct(string_split(text,' ')), ['der','die','das','und','nicht','ist','ein','mit'])),
+      |           len(list_intersect(list_distinct(string_split(text,' ')), ['the','a','of','and','to','in','is','for'])),
+      |           len(list_intersect(list_distinct(string_split(text,' ')), ['el','la','de','que','y','en','un','por'])),
+      |           len(list_intersect(list_distinct(string_split(text,' ')), ['le','la','de','et','un','est','pour','que'])),
+      |           len(list_intersect(list_distinct(string_split(text,' ')), ['de5','shi4','bu4','le5','wo3','you3','zai4','ta1']))) > 0 AS pass_lang,
+      |         len(string_split(text,' ')) >= 20
+      |           AND len(regexp_extract_all(text,'[A-Za-z]')) * 100 >= length(text) * 50 AS pass_quality
+      |  FROM train),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |           generate_series(1, len(string_split(text,' ')) - 1),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' '))) AS bg
+      |  FROM train),
+      |per AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, max(c) * 100 >= sum(c) * 10 AS repetitive FROM per GROUP BY doc_id),
+      |sw AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |           generate_series(1, len(string_split(text,' ')) - 9),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i+9), ' '))) AS w
+      |  FROM train),
+      |occ AS (SELECT doc_id, w, count(*) AS k FROM sw GROUP BY 1, 2),
+      |dfp AS (SELECT w, count(*) AS ndocs FROM occ GROUP BY 1),
+      |sub AS (
+      |  SELECT occ.doc_id,
+      |         sum(CASE WHEN ndocs >= 2 THEN k ELSE 0 END) * 100 >= sum(k) * 50 AS dup_heavy
+      |  FROM occ JOIN dfp USING (w) GROUP BY occ.doc_id),
+      |dsh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text,' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+      |dec AS (
+      |  SELECT s.doc_id,
+      |         sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) >= 8 AS contaminated
+      |  FROM dsh s LEFT JOIN ev e ON s.shingle = e.shingle
+      |  WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id),
+      |f AS (
+      |  SELECT b.doc_id, pass_lang, pass_quality,
+      |         NOT coalesce(repetitive, false) AS pass_repetition,
+      |         NOT coalesce(dup_heavy, false) AS pass_substring_dup,
+      |         NOT coalesce(contaminated, false) AS pass_contamination
+      |  FROM base b LEFT JOIN rep USING (doc_id) LEFT JOIN sub USING (doc_id)
+      |       LEFT JOIN dec USING (doc_id))""".stripMargin
 
   /** Exact n-gram (n=3) Jaccard near-dup pairs in DuckDB — the ground
     * truth the MinHash paths must reproduce. Shared verbatim by
@@ -731,6 +792,68 @@ object SparkEntry {
         |FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
         |WHERE s.doc_id % 97 <> 0
         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // The funnel CTE chain composes the five stage queries verbatim
+    // (train slice only; dedup/decontam document frequency excludes the
+    // eval slice by design — see operators.Curation).
+    "x_curation_funnel" ->
+      (CurationFunnelSql + "\nSELECT doc_id, pass_lang, pass_quality, " +
+        """pass_repetition, pass_substring_dup, pass_contamination,
+        |       pass_lang AND pass_quality AND pass_repetition
+        |         AND pass_substring_dup AND pass_contamination AS keep,
+        |       CASE WHEN NOT pass_lang THEN 'lang'
+        |            WHEN NOT pass_quality THEN 'quality'
+        |            WHEN NOT pass_repetition THEN 'repetition'
+        |            WHEN NOT pass_substring_dup THEN 'substring_dup'
+        |            WHEN NOT pass_contamination THEN 'contamination'
+        |            ELSE 'none' END AS first_fail
+        |FROM f ORDER BY doc_id""".stripMargin),
+    "x_curation_attrition" ->
+      (CurationFunnelSql +
+        """,
+        |fun AS (
+        |  SELECT CASE WHEN NOT pass_lang THEN 'lang'
+        |              WHEN NOT pass_quality THEN 'quality'
+        |              WHEN NOT pass_repetition THEN 'repetition'
+        |              WHEN NOT pass_substring_dup THEN 'substring_dup'
+        |              WHEN NOT pass_contamination THEN 'contamination'
+        |              ELSE 'none' END AS first_fail
+        |  FROM f),
+        |fails AS (SELECT first_fail, count(*) AS failed_here FROM fun GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_input FROM fun),
+        |stages AS (SELECT * FROM (VALUES ('lang', 1), ('quality', 2),
+        |             ('repetition', 3), ('substring_dup', 4),
+        |             ('contamination', 5)) AS s(stage, stage_no))
+        |SELECT stage, CAST(stage_no AS BIGINT) AS stage_no,
+        |       CAST(coalesce(failed_here, 0) AS BIGINT) AS failed_here,
+        |       CAST(n_input - sum(coalesce(failed_here, 0))
+        |              OVER (ORDER BY stage_no ROWS BETWEEN UNBOUNDED
+        |                    PRECEDING AND CURRENT ROW) AS BIGINT) AS survivors
+        |FROM stages LEFT JOIN fails ON stage = first_fail CROSS JOIN tot
+        |ORDER BY stage_no""".stripMargin),
+    "x_source_profile" ->
+      (CurationFunnelSql +
+        """,
+        |fun AS (
+        |  SELECT doc_id,
+        |         pass_lang AND pass_quality AND pass_repetition
+        |           AND pass_substring_dup AND pass_contamination AS keep,
+        |         CASE WHEN NOT pass_lang THEN 'lang'
+        |              WHEN NOT pass_quality THEN 'quality'
+        |              WHEN NOT pass_repetition THEN 'repetition'
+        |              WHEN NOT pass_substring_dup THEN 'substring_dup'
+        |              WHEN NOT pass_contamination THEN 'contamination'
+        |              ELSE 'none' END AS first_fail
+        |  FROM f)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(d.text,' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN first_fail = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS killed_lang,
+        |       CAST(sum(CASE WHEN first_fail = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS killed_quality,
+        |       CAST(sum(CASE WHEN first_fail = 'repetition' THEN 1 ELSE 0 END) AS BIGINT) AS killed_repetition,
+        |       CAST(sum(CASE WHEN first_fail = 'substring_dup' THEN 1 ELSE 0 END) AS BIGINT) AS killed_substring_dup,
+        |       CAST(sum(CASE WHEN first_fail = 'contamination' THEN 1 ELSE 0 END) AS BIGINT) AS killed_contamination
+        |FROM fun JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "x_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,

@@ -106,7 +106,13 @@ object TextAnalysis {
     * constant is corpus tuning. */
   def repetitionStatsAt(spark: SparkSession, dir: String,
       sharePct: Int): DataFrame =
-    Tables.documents(spark, dir)
+    repetitionStatsOf(Tables.documents(spark, dir), sharePct)
+
+  /** [[repetitionStatsAt]] over an explicit docs relation (the flag is
+    * per-doc-local, so any doc subset gives the same per-doc values —
+    * [[Curation.funnel]] reuses it over the training slice). */
+  def repetitionStatsOf(docs: DataFrame, sharePct: Int): DataFrame =
+    docs
       // counts never need the bigram STRING back — the codegen'd
       // token_window_hash emits the 8-byte group keys directly in one
       // byte pass, no bigram string materialized (a 64-bit within-doc

@@ -226,4 +226,18 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastExchange".r.findAllIn(p).size === 1, p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("curation funnel composes stage plans without a cartesian; flag joins stay keyed") {
+    val p = plan("x_curation_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    // repetition/substring/decontamination stages all hash n-grams via
+    // the codegen'd expression — no n-gram string in any exchange
+    assert(p.contains("token_window_hash"), p)
+    // the substring occurrence relation is localCheckpoint'd: its two
+    // consumers (document frequency + flag join) read the materialized
+    // RDD, not a second documents scan
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the benchmark shingle set rides a broadcast (decontamination stage)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
