@@ -296,10 +296,48 @@ object SparkEntry {
       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** SRP ANN top-k oracle (round 7), shared by x_ann_lsh and
+    * x_ann_indexed (the indexed form serves the SAME result from the
+    * bucket-partitioned layout). The hyperplanes are a PURE function of
+    * (nPlanes=8, dim=64, seed=42) — this helper calls the exact
+    * [[graft.functions.VectorFunctions.hyperplanes]] the queries use and
+    * embeds the values as DOUBLE literals, so DuckDB replays the
+    * bucketing end-to-end: bucket bit = sign of a left-to-right double
+    * dot (list_sum(list_transform(…)) is bit-exact with the codegen'd
+    * vector_dot, the x_knn_cosine precedent), multi-probe = the query
+    * bucket plus its 8 one-bit flips (xor ∈ {2^i}), then the exact
+    * cosine top-k with the vec_id tie-break. Scala's shortest-round-trip
+    * Double formatting + DuckDB's correctly-rounded parser mean every
+    * plane value survives the text trip exactly. */
+  private val SrpAnnTopKSql: String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(8, 64, 42L)
+    val rows = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n       ")
+    s"""WITH planes AS (SELECT * FROM (VALUES $rows) AS t(pid, plane)),
+       |bk AS (
+       |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, e.embedding,
+       |         CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * plane[i])) > 0
+       |              THEN 1::BIGINT << pid ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e CROSS JOIN planes
+       |  GROUP BY e.vec_id, e.label, e.embedding),
+       |q AS (SELECT embedding AS qvec, bucket AS qb FROM bk WHERE vec_id = 0)
+       |SELECT b.vec_id, b.label,
+       |       list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+       |       / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))
+       |          * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS cos_sim
+       |FROM bk b, q
+       |WHERE b.vec_id <> 0
+       |  AND (b.bucket = q.qb OR xor(b.bucket, q.qb) IN (1, 2, 4, 8, 16, 32, 64, 128))
+       |ORDER BY cos_sim DESC, b.vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 10 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 8 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
@@ -311,12 +349,14 @@ object SparkEntry {
     *    frequent term, and exact degeneration at k ≥ vocabulary — and
     *    since round 7 that degeneration face is itself DuckDB-oracled
     *    (x_heavy_hitters_exact below).
-    *  - x_ann_lsh, x_ann_indexed, x_ivf_knn, x_ivf_indexed: top-k among
-    *    CANDIDATES chosen by xxhash64 hyperplanes (SRP) or k-means
-    *    centroids — the candidate set is not SQL-expressible, and unlike
-    *    the MinHash pair queries the output is top-k, which differs from
-    *    the exact top-k (x_knn_cosine is the oracled exact baseline).
-    *    Specs pin recall vs brute force and bit-exact scores.
+    *  - x_ivf_knn, x_ivf_indexed: top-k among candidates chosen by
+    *    k-means centroids — the centroids are DATA-dependent
+    *    (driver-iterated Lloyd), so unlike the seeded SRP planes they
+    *    cannot be embedded as literals without circularly deriving the
+    *    oracle from the system under test. Specs pin recall vs brute
+    *    force and bit-exact scores. (x_ann_lsh / x_ann_indexed graduated
+    *    in round 7 via SrpAnnTopKSql above — their planes ARE a pure
+    *    function of the seed.)
     *  - x_embed_near_dup_lsh: exact-cosine-verified like MinHash, but on
     *    this corpus its recall is genuinely < 1 (32 of 59 true pairs at
     *    sf0.01) — the output is honestly a subset, so the exact-pair SQL
@@ -1209,6 +1249,11 @@ object SparkEntry {
         |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    // Same replayed-plane SQL for both ANN faces: the indexed form is
+    // DEFINED to serve the in-query form's exact result from the
+    // bucket-partitioned layout, so one oracle pins both.
+    "x_ann_lsh"     -> SrpAnnTopKSql,
+    "x_ann_indexed" -> SrpAnnTopKSql,
     "x_embed_near_dup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))

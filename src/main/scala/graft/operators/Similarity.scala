@@ -48,8 +48,10 @@ object Similarity {
   /** x_ann_lsh — approximate top-k: SRP-bucketed candidate set (query
     * bucket + all 1-bit-flip neighbor buckets = multi-probe), exact
     * cosine re-rank within candidates. Recall vs [[knnCosine]] is
-    * scalatest-checked; not DuckDB-oracled (bucket layout is an
-    * implementation detail). */
+    * scalatest-checked; DuckDB-oracled since round 7 — the seeded planes
+    * are embedded as literals in the oracle SQL (SparkEntry's
+    * SrpAnnTopKSql), which replays bucketing + multi-probe + re-rank
+    * bit-exactly. */
   def annKnnCosine(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(nPlanes, 64, seed)
