@@ -199,9 +199,13 @@ object CorpusOps {
     * per eval-suite snapshot; the streaming face pins it at stream
     * start). */
   def benchmarkShingles(spark: SparkSession, dir: String): DataFrame =
-    hashedShingles(
-        Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod === 0))
-      .select(col("shash")).distinct()
+    benchmarkShinglesOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod === 0))
+
+  /** [[benchmarkShingles]] over an explicit eval-doc frame (test
+    * fixtures, alternate eval suites). */
+  def benchmarkShinglesOf(evalDocs: DataFrame): DataFrame =
+    hashedShingles(evalDocs).select(col("shash")).distinct()
 
   /** [[decontaminate]]'s core over explicit inputs — shared by the
     * whole-corpus batch face and the per-micro-batch ingest face

@@ -51,12 +51,36 @@ object Curation {
     * docs). Thresholds are corpus tuning (documented at each stage's own
     * query); the RULE composition is the deliverable. */
   def funnel(spark: SparkSession, dir: String, minTokens: Int = 20,
+      alphaPctMin: Int = 50): DataFrame =
+    funnelOf(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % CorpusOps.EvalSliceMod =!= 0),
+      CorpusOps.benchmarkShingles(spark, dir), minTokens, alphaPctMin)
+
+  /** [[funnel]] over explicit inputs — shared by the whole-corpus batch
+    * face and the per-micro-batch ingest face
+    * ([[graft.streaming.IncrementalCuration]]): the training docs and
+    * the pinned benchmark shingle set are the only corpus-shaped
+    * dependencies. */
+  def funnelOf(train: DataFrame, evalShingles: DataFrame,
+      minTokens: Int = 20, alphaPctMin: Int = 50): DataFrame =
+    composeFlags(
+      perDocFlags(train, minTokens, alphaPctMin),
+      Dedup.substringFlagsFrom(
+          Dedup.windowOccurrencesOf(train).localCheckpoint())
+        .select(col("doc_id"), col("dup_heavy")),
+      CorpusOps.decontaminateOf(train, evalShingles)
+        .select(col("doc_id"), col("contaminated")))
+
+  /** The funnel's per-doc-PURE stages — lang, quality, repetition — as
+    * one relation: these depend only on the document itself, so the
+    * ingest face appends them per micro-batch exactly (the postings /
+    * occurrence-index argument). Lang + quality are one narrow
+    * zero-shuffle projection; quality gates are in cross-multiplied
+    * integer form (the x_repetition convention) so the decision never
+    * touches a float near the boundary. */
+  def perDocFlags(train: DataFrame, minTokens: Int = 20,
       alphaPctMin: Int = 50): DataFrame = {
-    val train = Tables.documents(spark, dir)
-      .filter(col("doc_id") % CorpusOps.EvalSliceMod =!= 0)
-    // lang + quality: per-doc-narrow, zero shuffles. Quality gates are in
-    // cross-multiplied integer form (the x_repetition convention) so the
-    // decision never touches a float near the boundary.
     val base = train.select(
       col("doc_id"),
       (langGuess(col("text")) =!= "und").as("pass_lang"),
@@ -66,16 +90,18 @@ object Curation {
         .as("pass_quality"))
     val rep = TextAnalysis.repetitionStatsOf(train, sharePct = 10)
       .select(col("doc_id"), col("repetitive"))
-    val sub = Dedup.substringFlagsFrom(
-        Dedup.windowOccurrencesOf(train).localCheckpoint())
-      .select(col("doc_id"), col("dup_heavy"))
-    val dec = CorpusOps.decontaminate(spark, dir)
-      .select(col("doc_id"), col("contaminated"))
-    // docs too short for a stage's n-gram domain have no stage row:
-    // absent ⇒ pass (they cannot be repetitive/duplicated/contaminated
-    // at that granularity — the per-stage queries' own convention)
+    base.join(rep, Seq("doc_id"), "left")
+  }
+
+  /** Compose per-doc-pure flags with the two corpus-GLOBAL stage
+    * relations (substring dup, contamination) into the funnel output —
+    * the decision step both faces share. Docs too short for a stage's
+    * n-gram domain have no stage row: absent ⇒ pass (they cannot be
+    * repetitive/duplicated/contaminated at that granularity — the
+    * per-stage queries' own convention). */
+  private[graft] def composeFlags(base: DataFrame, sub: DataFrame,
+      dec: DataFrame): DataFrame = {
     val flags = base
-      .join(rep, Seq("doc_id"), "left")
       .join(sub, Seq("doc_id"), "left")
       .join(dec, Seq("doc_id"), "left")
       .select(col("doc_id"), col("pass_lang"), col("pass_quality"),
