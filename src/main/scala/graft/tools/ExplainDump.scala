@@ -46,7 +46,12 @@ object ExplainDump {
     "x_dedup_keep_best" -> "keep-best dedup: materialized cluster index join + one quality-ranking window",
     "x_lm_score" -> "bigram LM stats: keyed count joins (vocabulary never broadcast) + per-doc aggregation",
     "w_rolling_median" -> "rolling exact median: bounded ROWS frame (O(frame) state), one user-key shuffle",
-    "x_heavy_hitters" -> "distributed Misra-Gries: <=k rows shuffled per partition, order-free relational merge")
+    "x_heavy_hitters" -> "distributed Misra-Gries: <=k rows shuffled per partition, order-free relational merge",
+    "x_repetition" -> "repetition stats: codegen'd hashed bigrams, two aggs reusing one doc_id partitioning",
+    "x_decontaminate" -> "benchmark decontamination: broadcast eval shingle set, corpus text never shuffled",
+    "x_substring_dedup" -> "substring dedup: token_window_hash pre-agg + KEYED window-df join (window vocabulary never broadcast)",
+    "x_semantic_dedup" -> "semantic dedup: IVF-index-served clustering, within-cluster pairs only (never all-pairs)",
+    "x_curation_funnel" -> "curation funnel: narrow lang/quality projection + doc_id-keyed stage-flag joins, no cartesian")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
