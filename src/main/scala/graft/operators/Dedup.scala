@@ -334,7 +334,7 @@ object Dedup {
     * per round, no driver adjacency state; near-dup components are
     * shallow so rounds ≈ component diameter, typically 2-3). */
   def dupClusters(spark: SparkSession, dir: String,
-      n: Int = 3, threshold: Double = 0.8, maxIters: Int = 15,
+      n: Int = 3, threshold: Double = 0.8, maxIters: Int = 64,
       exactPairs: Boolean = false): DataFrame = {
     // Pair source is the scale decision. Default = MinHash+LSH with a
     // deeper banding (128 hashes / 32 bands × 4 rows) than the candidate
@@ -370,7 +370,7 @@ object Dedup {
     * nodes = component CANONS — a graph bounded by the batch's pair
     * count, not the corpus). */
   private[graft] def propagateMinLabels(pairs: DataFrame,
-      maxIters: Int = 15): DataFrame = {
+      maxIters: Int = 64): DataFrame = {
     // undirected edge list (both directions) — label flows both ways
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -386,21 +386,43 @@ object Dedup {
         .join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst").as("doc_id2"))
         .agg(min(col("canon")).as("nmin"))
+      val stepped = labels
+        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
+        .select(col("doc_id"), col("canon").as("c0"),
+          least(col("canon"), coalesce(col("nmin"), col("canon"))).as("c1"))
+      // pointer-jumping: follow the stepped label to ITS current label
+      // (labels always hold member ids of the same component, and a
+      // node's label never exceeds its id, so the jump only ever lowers
+      // the value — combined with the neighbor-min step the loop
+      // converges in O(log diameter) rounds instead of O(diameter),
+      // which is what makes running to the fixpoint safe even on a
+      // pathological path-shaped pair graph)
+      val jumpTo = labels
+        .select(col("doc_id").as("jid"), col("canon").as("jcanon"))
       // ONE Spark job per round: the LAZY local checkpoint is
       // materialized by the same full-scan count() that reads the
       // convergence flag — an eager checkpoint followed by a separate
       // isEmpty costs a second job launch per iteration (measured as
       // the variance-dominated half of this loop's wall time)
-      val next = labels
-        .join(neighborMin, labels("doc_id") === col("doc_id2"), "left")
+      val next = stepped
+        .join(jumpTo, col("c1") === col("jid"), "left")
         .select(col("doc_id"),
-          least(col("canon"), coalesce(col("nmin"), col("canon"))).as("canon"),
-          (coalesce(col("nmin"), col("canon")) < col("canon")).as("changed"))
+          least(col("c1"), coalesce(col("jcanon"), col("c1"))).as("canon"),
+          (least(col("c1"), coalesce(col("jcanon"), col("c1"))) < col("c0")).as("changed"))
         .localCheckpoint(eager = false)
       converged = next.filter(col("changed")).count() == 0L
       labels = next.select(col("doc_id"), col("canon"))
       it += 1
     }
+    // an unconverged exit would return labels that are NOT component
+    // minima — and in the incremental path would corrupt every
+    // subsequent mergeClustersBatch fold (its induction assumes each
+    // canon is its component's minimum). Converging within the bound is
+    // guaranteed for any graph of diameter < 2^maxIters thanks to the
+    // jump step; anything else must fail loudly, never silently.
+    if (!converged) throw new IllegalStateException(
+      s"propagateMinLabels: no fixpoint after $maxIters iterations — " +
+        "pair graph deeper than 2^" + maxIters + "; raise maxIters")
     labels
   }
 

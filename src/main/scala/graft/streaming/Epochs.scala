@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Epoch-directory discovery for the incremental state folds
+  * ([[IncrementalClusters]], [[StreamingHeavyHitters]]): snapshots live
+  * under `root/epoch=<batchId>/` and a fold reads its predecessor as the
+  * newest epoch strictly below its own batchId.
+  *
+  * Listing goes through the Hadoop FileSystem API — `path.getFileSystem`
+  * resolves the scheme (file://, hdfs://, s3a://, …) against the
+  * session's Hadoop configuration, so the fold works on any filesystem
+  * Spark can write to. The previous `java.io.File(root).listFiles`
+  * implementation returned null on object-store paths, which made
+  * `readLabelsBefore` silently return the EMPTY predecessor and restart
+  * the fold from scratch with no error — a correctness trap on exactly
+  * the deployments (HDFS/S3) the incremental components target.
+  */
+private[streaming] object Epochs {
+
+  /** Epoch ids currently materialized under `root` (empty when the root
+    * does not exist yet — the stream-start case). */
+  def list(spark: SparkSession, root: String): Seq[Long] = {
+    val path = new Path(root)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
+      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+  }
+
+  /** The newest epoch strictly below `beforeEpoch`, if any — the
+    * replay-stable predecessor of a micro-batch. */
+  def predecessor(spark: SparkSession, root: String,
+      beforeEpoch: Long): Option[Long] =
+    list(spark, root).filter(_ < beforeEpoch).sorted.lastOption
+}

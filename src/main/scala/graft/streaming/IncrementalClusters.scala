@@ -44,20 +44,13 @@ object IncrementalClusters {
   private val labelsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("canon", LongType)))
 
-  /** Epoch ids currently materialized under `labelsRoot`. */
-  private def epochs(labelsRoot: String): Seq[Long] = {
-    val d = new java.io.File(labelsRoot)
-    Option(d.listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .map(_.getName.stripPrefix("epoch=").toLong)
-  }
-
   /** The labeling as of the newest epoch strictly below `beforeEpoch`
     * (replay-stable predecessor read), or an empty labeling when none —
-    * the empty-corpus start. */
+    * the empty-corpus start. Epoch discovery goes through the Hadoop
+    * FileSystem API ([[Epochs]]) so the fold is filesystem-agnostic. */
   def readLabelsBefore(spark: SparkSession, labelsRoot: String,
       beforeEpoch: Long): DataFrame =
-    epochs(labelsRoot).filter(_ < beforeEpoch).sorted.lastOption match {
+    Epochs.predecessor(spark, labelsRoot, beforeEpoch) match {
       case Some(e) => spark.read.parquet(s"$labelsRoot/epoch=$e")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], labelsSchema)

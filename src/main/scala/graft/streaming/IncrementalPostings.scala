@@ -37,21 +37,31 @@ import graft.operators.Search
 object IncrementalPostings {
 
   /** Append one micro-batch of documents' postings — idempotent per
-    * batchId (overwrite of the batch's own directory). */
-  def appendBatch(indexRoot: String)(batch: DataFrame, batchId: Long): Unit =
+    * batchId (overwrite of the batch's own directory). `partitions`
+    * bounds the append's shuffle width AND the batch's file count;
+    * 0 (the default) means the session's `spark.sql.shuffle.partitions`
+    * — a literal constant here would cap append parallelism regardless
+    * of batch size. */
+  def appendBatch(indexRoot: String, partitions: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val parts =
+      if (partitions > 0) partitions
+      else batch.sparkSession.sessionState.conf.numShufflePartitions
     Search.postingsOf(batch)
       // term-clustered within the batch, like the batch build: row-group
       // min/max still prune term lookups inside each batch file
-      .repartition(2, col("term"))
+      .repartition(parts, col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$indexRoot/batch=$batchId")
+  }
 
   /** Wire a documents stream into incremental postings maintenance.
     * AvailableNow by default: drain, checkpoint, stop. */
   def start(docsStream: DataFrame, indexRoot: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      partitions: Int = 0): StreamingQuery =
     docsStream.writeStream
-      .foreachBatch(appendBatch(indexRoot) _)
+      .foreachBatch(appendBatch(indexRoot, partitions) _)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -33,18 +33,13 @@ object StreamingHeavyHitters {
   private val summarySchema = StructType(Seq(
     StructField("term", StringType), StructField("cnt", LongType)))
 
-  private def epochs(root: String): Seq[Long] = {
-    val d = new java.io.File(root)
-    Option(d.listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
-      .map(_.getName.stripPrefix("epoch=").toLong)
-  }
-
   /** Accumulated (term, cnt) summary as of the newest epoch strictly
-    * below `beforeEpoch`; empty at stream start. */
+    * below `beforeEpoch`; empty at stream start. Epoch discovery goes
+    * through the Hadoop FileSystem API ([[Epochs]]) so the fold is
+    * filesystem-agnostic. */
   def readSummaryBefore(spark: SparkSession, root: String,
       beforeEpoch: Long): DataFrame =
-    epochs(root).filter(_ < beforeEpoch).sorted.lastOption match {
+    Epochs.predecessor(spark, root, beforeEpoch) match {
       case Some(e) => spark.read.parquet(s"$root/epoch=$e")
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], summarySchema)

@@ -158,6 +158,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     canon.filterNot(kv => inPairs(kv._1)).foreach { case (d, c) => assert(d === c) }
   }
 
+  test("min-label propagation: deep path graph converges via pointer-jump; unconverged exit fails loudly") {
+    import spark.implicits._
+    // a path 0-1-2-…-80 has component diameter 80: pure neighbor-min
+    // propagation needs 80 rounds (the pre-round-8 default of 15 would
+    // have SILENTLY returned non-minimum labels); the pointer-jump step
+    // must land the fixpoint well inside the default bound
+    val pairs = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateMinLabels(pairs).collect()
+    assert(labels.length === 81)
+    assert(labels.forall(_.getLong(1) == 0L),
+      "every node of the path must label to the component minimum 0")
+    // a bound too small for the graph must throw, never return partial
+    // (unconverged labels would corrupt the incremental merge fold)
+    val e = intercept[IllegalStateException] {
+      Dedup.propagateMinLabels(pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("dup clusters from MinHash pairs equal clusters from exact pairs") {
     // the scale path (bucketed LSH pair source, the declared query) must
     // produce the same dedup decision as the quadratic ground truth

@@ -119,4 +119,28 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(labelMap(IncrementalClusters.readLabels(spark, labelsRoot)) === once)
     assert(IncrementalClusters.readLabels(spark, labelsRoot).count() === 3L)
   }
+
+  test("epoch discovery goes through the Hadoop FileSystem API (scheme-qualified root)") {
+    import spark.implicits._
+    // a java.io.File-based listing cannot resolve a scheme-qualified
+    // root ("file://…"); the Hadoop FileSystem API can — and the same
+    // resolution is what makes the fold work on hdfs:// and s3a://
+    // roots, where java.io.File.listFiles returns null and the
+    // pre-round-8 code silently restarted the fold from an EMPTY
+    // predecessor
+    val base = TestSpark.tempDir("incclu-hadoopfs")
+    val root = s"file://$base/labels"
+    Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "canon")
+      .write.parquet(s"$root/epoch=0")
+    Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "canon")
+      .write.parquet(s"$root/epoch=1")
+    assert(labelMap(IncrementalClusters.readLabelsBefore(spark, root, 1L))
+      === Map(1L -> 1L, 2L -> 1L),
+      "predecessor read must find epoch 0 through the scheme-qualified root")
+    assert(labelMap(IncrementalClusters.readLabels(spark, root))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // nonexistent root = stream start: the empty labeling, not an error
+    assert(IncrementalClusters.readLabels(spark, s"file://$base/nothere")
+      .count() === 0L)
+  }
 }
