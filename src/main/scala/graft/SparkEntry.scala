@@ -334,10 +334,91 @@ object SparkEntry {
        |LIMIT 20""".stripMargin
   }
 
+  /** IVF top-k oracle (round 8), shared by x_ivf_knn and x_ivf_indexed
+    * (deterministic training + the shared serve path make the two faces
+    * result-identical). Unlike the SRP planes (a pure function of the
+    * seed), k-means centroids are DATA-trained — so this oracle replays
+    * the ENTIRE training in SQL rather than embedding trained values:
+    * evenly-spaced seeds, two Lloyd iterations whose per-(cid, pos)
+    * sums run on the 2^-32 micro-unit grid as exact HUGEINT integers
+    * (the same quantization that makes the Spark side partition-order
+    * independent is what makes an order-free SQL replay possible), then
+    * final assignment (first-minimum argmin = ORDER BY d, cid), probe
+    * ranking by -dot with the cid tie-break, and the exact cosine
+    * top-k. No value from the system under test appears in the SQL —
+    * the centroids are derived from the parquet itself, which removes
+    * the circularity objection that kept these two rows-only through
+    * round 7. Mean = (double(s) / 2^32) / count with each step
+    * correctly rounded on both engines ⇒ bit-identical centroids. */
+  private val IvfTopKSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+    // one Lloyd pass: assign to nearest centroid of codebook `kin`
+    // (distance d = c2 - 2·dot, the constant |v|² dropped on both
+    // engines), then micro-unit-quantized means; empty lists keep
+    // their previous centroid (the LEFT JOIN + coalesce)
+    def lloyd(i: Int, kin: String, kout: String): String =
+      s"""d$i AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
+         |  FROM emb e CROSS JOIN $kin c),
+         |a$i AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$i) z WHERE rn = 1),
+         |s$i AS (
+         |  SELECT a.cid, u.pos,
+         |         sum(CAST(floor(a.v[u.pos] * 4294967296.0) AS HUGEINT)) AS s,
+         |         count(*) AS c
+         |  FROM a$i a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u
+         |  GROUP BY a.cid, u.pos),
+         |m$i AS (
+         |  SELECT cid, list(CAST(s AS DOUBLE) / 4294967296.0 / c ORDER BY pos) AS v
+         |  FROM s$i GROUP BY cid),
+         |$kout AS (
+         |  SELECT k.cid, coalesce(m$i.v, k.v) AS v,
+         |         list_sum(list_transform(coalesce(m$i.v, k.v), x -> x * x)) AS c2
+         |  FROM $kin k LEFT JOIN m$i USING (cid))""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |k0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v,
+       |         list_sum(list_transform(v, x -> x * x)) AS c2
+       |  FROM (SELECT vec_id, v FROM emb
+       |        WHERE vec_id % greatest(1, (SELECT count(*) FROM emb) // 16) = 0
+       |        ORDER BY vec_id LIMIT 16) seeds),
+       |${lloyd(1, "k0", "k1")},
+       |${lloyd(2, "k1", "k2")},
+       |d3 AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
+       |  FROM emb e CROSS JOIN k2 c),
+       |a3 AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM d3) z WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT c.cid FROM k2 c, q
+       |  ORDER BY -(${dot("q.qv", "c.v")}), c.cid LIMIT 4)
+       |SELECT a.vec_id, e.label,
+       |       ${dot("a.v", "q.qv")}
+       |       / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("q.qv", "q.qv")})) AS cos_sim
+       |FROM a3 a, emb e, q
+       |WHERE a.vec_id = e.vec_id AND a.vec_id <> 0
+       |  AND a.cid IN (SELECT cid FROM probes)
+       |ORDER BY cos_sim DESC, a.vec_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 8 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 6 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
@@ -349,27 +430,23 @@ object SparkEntry {
     *    frequent term, and exact degeneration at k ≥ vocabulary — and
     *    since round 7 that degeneration face is itself DuckDB-oracled
     *    (x_heavy_hitters_exact below).
-    *  - x_ivf_knn, x_ivf_indexed: top-k among candidates chosen by
-    *    k-means centroids — the centroids are DATA-dependent
-    *    (driver-iterated Lloyd), so unlike the seeded SRP planes they
-    *    cannot be embedded as literals without circularly deriving the
-    *    oracle from the system under test. Specs pin recall vs brute
-    *    force and bit-exact scores. (x_ann_lsh / x_ann_indexed graduated
-    *    in round 7 via SrpAnnTopKSql above — their planes ARE a pure
-    *    function of the seed.)
     *  - x_embed_near_dup_lsh: exact-cosine-verified like MinHash, but on
     *    this corpus its recall is genuinely < 1 (32 of 59 true pairs at
     *    sf0.01) — the output is honestly a subset, so the exact-pair SQL
     *    is NOT its oracle. Spec pins precision 1 + predicted recall.
-    *  - x_semantic_dedup: cluster/group/keep decisions hang off the
-    *    k-means quantizer (driver-iterated Lloyd, not SQL-expressible);
-    *    the spec recomputes the ENTIRE pipeline — assignment, τ-pairs,
-    *    components, keep-least-central — in exact double arithmetic on
-    *    the driver and matches the output map bit-for-bit.
+    *  - x_semantic_dedup: the cluster/group/keep decisions hang off
+    *    iterative min-label components and the keep-least-central
+    *    window — replayable in principle but the driver-recompute spec
+    *    already matches the output bit-for-bit, including the trained
+    *    quantizer (deterministic since round 8).
     * (x_multimodal_features / x_multimodal_pruned graduated to true
-    * oracles in round 7: the synthetic payloads are the documents' UTF-8
-    * bytes and the stub codec is portable mod-2^64 integer arithmetic,
-    * so DuckDB replays the decode end-to-end — see MultimodalFeaturesSql.) */
+    * oracles in round 7 — the stub codec is portable mod-2^64 integer
+    * arithmetic, so DuckDB replays the decode end-to-end; x_ivf_knn /
+    * x_ivf_indexed graduated in round 8 via IvfTopKSql below — the
+    * micro-unit-quantized Lloyd sums made training deterministic, so the
+    * oracle replays the ENTIRE training in SQL, deriving centroids from
+    * the parquet itself rather than circularly from the system under
+    * test.) */
   /** DuckDB replay of the stub codec's decode (Multimodal.FakeCodec):
     * the payload is the document's UTF-8 bytes (pure ASCII by fixture
     * construction, so ord(codepoint) == byte — the x_rolling_fingerprint
@@ -1254,6 +1331,10 @@ object SparkEntry {
     // bucket-partitioned layout, so one oracle pins both.
     "x_ann_lsh"     -> SrpAnnTopKSql,
     "x_ann_indexed" -> SrpAnnTopKSql,
+    // Same full-training-replay SQL for both IVF faces: deterministic
+    // training + the shared serve path make them result-identical.
+    "x_ivf_knn"     -> IvfTopKSql,
+    "x_ivf_indexed" -> IvfTopKSql,
     "x_embed_near_dup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))

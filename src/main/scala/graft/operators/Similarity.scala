@@ -91,11 +91,22 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Micro-unit quantum for Lloyd sums: element values are floored onto
+    * a 2^-32 grid and summed as exact integers (Decimal(38,0) — DuckDB
+    * replays them as HUGEINT sums), so the per-(cid, pos) sums are
+    * independent of partition order and count. That makes the trained
+    * centroids DETERMINISTIC across runs, cluster layouts, and engines —
+    * which is what lets the x_ivf queries carry a full DuckDB oracle
+    * (the training itself is replayed in SQL). Precision cost is ≤ 2^-32
+    * per element — noise relative to k-means bucketing quality. */
+  private[graft] val SumQuantum = 4294967296.0 // 2^32
+
   /** Deterministic k-means coarse quantizer for IVF: seeds from evenly
     * spaced vec_ids, `iters` Lloyd iterations. Centroids live on the
     * driver (k × dim doubles — broadcast-sized index metadata, exactly
     * like a production IVF index header); assignments and means are
-    * computed distributed. */
+    * computed distributed — assignment via the broadcast codebook
+    * ([[withNearestCid]]), means via micro-unit-quantized exact sums. */
   def ivfCentroids(spark: SparkSession, dir: String, nlist: Int,
       iters: Int = 5): Array[Array[Double]] = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -106,12 +117,12 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     (0 until iters).foreach { _ =>
-      val cents = centroids
-      val assigned = emb.withColumn("cid", nearestCentroid(col("embedding"), cents))
+      val assigned = withNearestCid(spark, emb, centroids)
       val sums = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("x").cast(DoubleType)).as("s"), count(lit(1)).as("c"))
+        .agg(sum(floor(col("x").cast(DoubleType) * lit(SumQuantum))
+          .cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("c"))
         .collect()
       val byCid = sums.groupBy(_.getInt(0))
       centroids = centroids.indices.map { cid =>
@@ -119,7 +130,12 @@ object Similarity {
           case Some(rows) =>
             val dim = rows.map(_.getInt(1)).max + 1
             val v = new Array[Double](dim)
-            rows.foreach(r => v(r.getInt(1)) = r.getAs[Double]("s") / r.getAs[Long]("c"))
+            // mean in double from the exact integer sum: correctly-
+            // rounded BigDecimal→double, then /2^32 and /count — the
+            // same three correctly-rounded steps the DuckDB oracle
+            // performs, so the value is bit-identical cross-engine
+            rows.foreach(r => v(r.getInt(1)) =
+              r.getDecimal(2).doubleValue() / SumQuantum / r.getLong(3))
             v
           case None => centroids(cid) // empty list keeps its centroid
         }
@@ -128,12 +144,52 @@ object Similarity {
     centroids
   }
 
-  /** Column: index of the nearest centroid (L2). Distances are collected
-    * into ONE array column and argmin'd via array_position — a when-chain
-    * fold would re-embed every distance subtree at each step (exponential
-    * expression growth → planner OOM). The `dot(v,v)` term is constant
-    * across centroids and dropped. */
-  private def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column = {
+  /** The centroid codebook as DATA: one row holding the whole centroid
+    * set as an array of (ccid, cvec, c2) structs, in cid order, with
+    * c2 = Σ cvec² precomputed once on the driver (left-to-right, like
+    * the literal path). Joined via a 1-row broadcast, the codebook rides
+    * into every task as data — the expression tree stays O(1) regardless
+    * of nlist, unlike literal-embedded centroids which capped nlist at
+    * ~O(100) before plan size blew up. SemDeDup/IVF's scale contract
+    * (pair work ≈ N²/nlist) needs nlist ∝ corpus, so the cap was the
+    * one scale-killer on this surface. */
+  private case class Cent(ccid: Int, cvec: Array[Double], c2: Double)
+  private def codebook(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(cents.zipWithIndex.map { case (c, i) =>
+      Cent(i, c, c.map(x => x * x).sum) }.toSeq)).toDF("cents")
+  }
+
+  /** Adds `cid` = nearest-centroid (L2) assignment via the broadcast
+    * codebook: a 1-row broadcast cross join (no shuffle, no row
+    * explosion — the N×nlist join-then-argmin alternative would shuffle
+    * the corpus), then a single fold over the codebook array per row.
+    * argmin = array_min over (dist, cid) structs: min distance, ties to
+    * the smallest cid — exactly the literal path's first-minimum
+    * semantics ([[nearestCentroid]], retained as the spec's equality
+    * anchor). The dot(v,v) term is constant across centroids and
+    * dropped, as in the literal path. */
+  private[graft] def withNearestCid(spark: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    df.crossJoin(broadcast(codebook(spark, cents)))
+      .withColumn("cid",
+        array_min(transform(col("cents"), c =>
+          struct(
+            (c.getField("c2") - lit(2.0) * dot(col("embedding"), c.getField("cvec"))).as("d"),
+            c.getField("ccid").as("cid"))))
+          .getField("cid"))
+      .drop("cents")
+
+  /** Literal-embedded nearest-centroid assignment — the pre-round-8
+    * production path, now retained ONLY as the equality anchor for
+    * [[withNearestCid]]'s spec (plan size grows with nlist, capping it
+    * at ~O(100); the broadcast codebook has no such cap). Distances are
+    * collected into ONE array column and argmin'd via array_position —
+    * a when-chain fold would re-embed every distance subtree at each
+    * step (exponential expression growth → planner OOM). */
+  private[graft] def nearestCentroid(v: Column,
+      centroids: Array[Array[Double]]): Column = {
     val dists = array(centroids.map { c =>
       val lc = array(c.map(lit): _*)
       lit(c.map(x => x * x).sum) - lit(2.0) * dot(v, lc)
@@ -152,20 +208,37 @@ object Similarity {
     // by nprobe, not centroid polish); training cost is per-INDEX-build,
     // not per-query, in a real deployment — here it runs inline
     val centroids = ivfCentroids(spark, dir, nlist, trainIters)
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("cid", nearestCentroid(col("embedding"), centroids))
-    val q = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qvec"),
-        posexplode(array(centroids.map { c =>
-          val lc = array(c.map(lit): _*)
-          lit(0.0) - dot(col("embedding"), lc) // rank lists by -dot
-        }: _*)).as(Seq("pcid", "pdist")))
-      .orderBy(col("pdist")).limit(nprobe)
-      .select(col("qvec"), col("pcid"))
-    emb.filter(col("vec_id") =!= queryId)
-      .join(broadcast(q), col("cid") === col("pcid"))
+    val assigned = withNearestCid(spark, Tables.embeddings(spark, dir), centroids)
+    serveIvf(spark, assigned, dir, centroids, queryId, k, nprobe)
+  }
+
+  /** Probe + exact re-rank over any cid-assigned frame — shared by the
+    * inline face ([[ivfKnnCosine]]) and the materialized index
+    * ([[ivfKnnCosineIndexed]]), so the two are result-IDENTICAL given
+    * the same centroids (which determinized training guarantees). Probe
+    * ranking happens on the DRIVER against the k×dim centroid header
+    * (stable sort by -dot, ties to the smaller cid) — the previous
+    * inline form ranked via a posexplode over nlist literal subtrees,
+    * which carried the same plan-size cap as literal assignment. The
+    * query vector is fetched ONCE and re-ranked as a literal array (no
+    * second source scan, no broadcast join, bit-identical scores). */
+  private def serveIvf(spark: SparkSession, assigned: DataFrame, dir: String,
+      cents: Array[Array[Double]], queryId: Long, k: Int,
+      nprobe: Int): DataFrame = {
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probes = cents.indices
+      .sortBy { c => // rank lists by -dot; stable sort = cid tie-break
+        val cent = cents(c)
+        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
+      }
+      .take(nprobe).map(_.toLong)
+    val qcol = array(qvec.map(lit): _*)
+    assigned
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+        cosine(col("embedding"), qcol).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -196,11 +269,13 @@ object Similarity {
       trainIters: Int = 2): (String, Array[Array[Double]]) = {
     val path = ivfIndexPath(dir)
     val centFile = new java.io.File(path, "_GRAFT_CENTROIDS")
-    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_l${nlist}_i$trainIters"
+    // _q32: micro-unit-quantized deterministic training (round 8) — the
+    // sig token forces a rebuild of any index trained by the older
+    // partition-order-sensitive sums
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_l${nlist}_i${trainIters}_q32"
     graft.ops.Layout.ensureSigGated(path, sig) {
       val cents = ivfCentroids(spark, dir, nlist, trainIters)
-      Tables.embeddings(spark, dir)
-        .withColumn("cid", nearestCentroid(col("embedding"), cents))
+      withNearestCid(spark, Tables.embeddings(spark, dir), cents)
         .write.mode("overwrite").partitionBy("cid").parquet(path)
       java.nio.file.Files.write(centFile.toPath,
         cents.map(_.mkString(",")).mkString("\n").getBytes)
@@ -213,31 +288,15 @@ object Similarity {
 
   /** IVF top-k over the materialized index: rank the persisted centroids
     * against the query vector (k×dim driver flops — index metadata), scan
-    * ONLY the nprobe nearest lists via partition pruning, exact cosine
-    * re-rank within them. The query vector is fetched ONCE (one source
-    * job) and re-ranked as a literal array — no second source scan, no
-    * broadcast join, bit-identical scores (same float values through the
-    * same FloatArrayDot). */
+    * ONLY the nprobe nearest lists via partition pruning (the probe set
+    * becomes a PartitionFilter — PlanSpec asserts it), exact cosine
+    * re-rank within them ([[serveIvf]], shared with the inline face —
+    * deterministic training makes the two result-identical). */
   def ivfKnnCosineIndexed(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nlist: Int = 16, nprobe: Int = 4,
       trainIters: Int = 2): DataFrame = {
     val (path, cents) = ensureIvfIndex(spark, dir, nlist, trainIters)
-    val qvec = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0)
-    val probes = cents.indices
-      .sortBy { c => // same -dot ranking as the inline form
-        val cent = cents(c)
-        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
-      }
-      .take(nprobe).map(_.toLong)
-    val qcol = array(qvec.map(lit): _*)
-    spark.read.parquet(path)
-      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        cosine(col("embedding"), qcol).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+    serveIvf(spark, spark.read.parquet(path), dir, cents, queryId, k, nprobe)
   }
 
   /** Filesystem location of the materialized SRP index for one sf dir —
@@ -387,14 +446,22 @@ object Similarity {
   def semanticDedup(spark: SparkSession, dir: String,
       nlist: Int = 16, tau: Double = 0.4, trainIters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val (path, centroids) = ensureIvfIndex(spark, dir, nlist, trainIters)
-    val cosArr = array(centroids.map(c =>
-      cosine(col("embedding"), array(c.map(lit): _*))): _*)
+    // own-centroid similarity via a BROADCAST join on cid: the codebook
+    // rides in as data (nlist×dim rows), so nlist can grow with the
+    // corpus — the literal-embedded form computed ALL nlist cosines per
+    // vector inside a plan-sized expression, capping nlist at ~O(100)
+    // and thereby breaking SemDeDup's N²/nlist scale contract. The join
+    // computes exactly ONE cosine per vector (its own centroid's).
+    val centDf = centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cvec")
     // norms precomputed once per VECTOR, not once per candidate pair —
     // the pair phase touches ~N²/nlist pairs and a per-pair norm would
     // triple its flops (the embeddingNearDupPairs lesson)
     val assigned = spark.read.parquet(path)
-      .withColumn("cos_centroid", element_at(cosArr, col("cid") + lit(1)))
+      .join(broadcast(centDf), Seq("cid"))
+      .withColumn("cos_centroid", cosine(col("embedding"), col("cvec")))
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         col("cos_centroid"))

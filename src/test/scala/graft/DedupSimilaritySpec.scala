@@ -197,6 +197,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
+  test("broadcast-codebook assignment equals the literal-centroid path") {
+    import org.apache.spark.sql.functions.col
+    // the broadcast codebook (data, O(1) plan) must reproduce the
+    // literal-embedded expression (plan grows with nlist) bit-for-bit,
+    // including the first-minimum tie-break — trained centroids, so the
+    // distances exercised are the real ones
+    val cents = Similarity.ivfCentroids(spark, dir, nlist = 32, iters = 2)
+    val emb = Tables.embeddings(spark, dir)
+    val viaData = Similarity.withNearestCid(spark, emb, cents)
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaLiteral = emb
+      .withColumn("cid", Similarity.nearestCentroid(col("embedding"), cents))
+      .select(col("vec_id"), col("cid")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaData === viaLiteral)
+    assert(viaData.values.toSet.size > 1, "degenerate: everything in one list")
+  }
+
+  test("deterministic training: retrained centroids are bit-identical; inline equals indexed IVF") {
+    val a = Similarity.ivfCentroids(spark, dir, nlist = 16, iters = 2)
+    val b = Similarity.ivfCentroids(spark, dir, nlist = 16, iters = 2)
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y),
+      "micro-unit-quantized Lloyd sums must be partition-order independent") }
+    // with training deterministic, the inline face must EQUAL the
+    // index-served face (pre-round-8 this comparison was flaky because
+    // double sums were partition-order sensitive)
+    val inline = Similarity.ivfKnnCosine(spark, dir, k = 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val indexed = Similarity.ivfKnnCosineIndexed(spark, dir, k = 20).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(inline === indexed)
+  }
+
   test("IVF knn carries exact cosine scores with usable recall") {
     val brute = Similarity.knnCosine(spark, dir, k = 20).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
