@@ -121,6 +121,7 @@ object SparkEntry {
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
+    "x_image_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.imageDecodeStats(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
@@ -1292,6 +1293,28 @@ object SparkEntry {
         |GROUP BY kind, fp ORDER BY media_id""".stripMargin,
     "x_multimodal_features" -> multimodalFeaturesSql(""),
     "x_multimodal_pruned" -> multimodalFeaturesSql("WHERE doc_id % 3 = 0"),
+    // Real-codec decode (round 8): the synthetic PPM raster is byte
+    // j = text byte (j mod len) over a fixed 16×12 RGB frame, and the
+    // codec's outputs are exact integer channel sums — so the oracle
+    // regenerates the raster from the documents table and sums each
+    // channel (j % 3 picks R/G/B), replaying the real parse end-to-end.
+    "x_image_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |px AS (
+        |  SELECT d.doc_id, u.j,
+        |         CASE WHEN d.n = 0 THEN 0
+        |              ELSE ord(substr(d.text, CAST(u.j % d.n AS INT) + 1, 1))
+        |         END AS b
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 575)) AS j) u)
+        |SELECT doc_id AS media_id, 16 AS width, 12 AS height,
+        |       CAST(192 AS BIGINT) AS n_px,
+        |       CAST(sum(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS r_sum,
+        |       CAST(sum(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
+        |       CAST(sum(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum
+        |FROM px GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
     "x_hybrid_search" ->
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT term, doc_id, count(*) AS tf FROM p

@@ -1,0 +1,65 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Decoder for the Debezium change-event envelope — the ecosystem's
+  * dominant public changelog wire format (Kafka Connect shape):
+  * `{"schema": …, "payload": {"op", "before", "after", "ts_ms", …}}`,
+  * or the unwrapped `{"op", "before", "after", "ts_ms"}` form produced
+  * with schemas disabled. Decoding maps the envelope onto the engine's
+  * [[ChangeEvent]], so the entire CDC surface downstream — validation,
+  * batch/stream apply ([[ChangelogApply]]), reconciliation — runs
+  * unchanged on a Debezium feed. This is the same op/before/after
+  * triple the reference's DMS replication task emits
+  * (`/root/reference/cdk_infrastructure/__init__.py:179-204`), in the
+  * format the public streaming world actually ships.
+  *
+  * Plan shape: pure per-row JSON path extraction (`get_json_object` —
+  * codegen'd, no UDF, no schema inference pass), so the decode composes
+  * with any raw source (Kafka value column, file lines, a DSv2 source)
+  * and stays inside whole-stage codegen; at 100 TB of changelog the
+  * decode is a narrow map over the scan with nothing driver-side.
+  *
+  * op mapping: `c` (create) and `r` (snapshot read) → INSERT, `u` →
+  * MODIFY, `d` → REMOVE — and anything else is a hard distributed
+  * error, the reference's strictness for unknown event names
+  * (`write_dynamodb_stream_to_s3_lambda/handler.py:33-37`). For
+  * deletes the key is taken from `before` (Debezium sends `after:
+  * null`), and the carried image falls back to the before-image, whose
+  * content REMOVE consumers never read ([[ChangelogApply]] drops or
+  * tombstones on eventName alone).
+  */
+object DebeziumEnvelope {
+
+  /** Decode a column of Debezium JSON into ChangeEvent-shaped columns
+    * (eventName, key, newImage, ts). `keyField` names the primary-key
+    * field inside before/after; `jsonCol` the raw envelope column. */
+  def decode(raw: DataFrame, jsonCol: String = "value",
+      keyField: String = "id"): DataFrame = {
+    // wrapped-then-unwrapped path probe: one extraction per form, fused
+    // by codegen — no per-row branching beyond the coalesce
+    def j(path: String) = coalesce(
+      get_json_object(col(jsonCol), s"$$.payload.$path"),
+      get_json_object(col(jsonCol), s"$$.$path"))
+    val op = j("op")
+    val eventName = when(op.isin("c", "r"), lit(ChangeEvent.Insert))
+      .when(op === "u", lit(ChangeEvent.Modify))
+      .when(op === "d", lit(ChangeEvent.Remove))
+      .otherwise(raise_error(concat(
+        lit("Unexpected Debezium op: "), coalesce(op, lit("<missing>")))))
+    raw.select(
+      eventName.as("eventName"),
+      coalesce(j(s"after.$keyField"), j(s"before.$keyField")).as("key"),
+      coalesce(j("after"), j("before")).as("newImage"),
+      timestamp_millis(j("ts_ms").cast(LongType)).as("ts"))
+  }
+
+  /** [[decode]] to the typed [[ChangeEvent]] the apply engines consume. */
+  def toChangeEvents(raw: DataFrame, jsonCol: String = "value",
+      keyField: String = "id"): Dataset[ChangeEvent] = {
+    import raw.sparkSession.implicits._
+    decode(raw, jsonCol, keyField).as[ChangeEvent]
+  }
+}

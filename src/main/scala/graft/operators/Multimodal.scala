@@ -97,6 +97,99 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec for binary PPM (P6) — the Netpbm format, public
+    * spec: ASCII header (magic, optional `#` comments, width, height,
+    * maxval, one whitespace byte) followed by raw RGB sample triples.
+    * This is the actual uncompressed-format parse the stub stood in
+    * for: spec-compliant header tokenizer, raster bounds checks, real
+    * per-pixel channel statistics, and a real nearest-neighbor pixel
+    * resize. It runs behind the SAME batched mapPartitions shape as the
+    * stub ([[imageDecodeStats]]) — swapping in libjpeg/ffmpeg bindings
+    * for compressed formats changes only the body of decode(). */
+  object PpmCodec {
+    case class Image(width: Int, height: Int, maxVal: Int,
+        pixels: Array[Byte])
+
+    def encode(img: Image): Array[Byte] = {
+      val header =
+        s"P6\n${img.width} ${img.height}\n${img.maxVal}\n".getBytes("US-ASCII")
+      header ++ img.pixels
+    }
+
+    /** Parse a P6 payload. Throws on malformed input — a corrupt asset
+      * must fail loudly at the decode site, where the batch context can
+      * route it to a quarantine sink, not propagate NaNs. */
+    def decode(payload: Array[Byte]): Image = {
+      var i = 0
+      def skipWsAndComments(): Unit = {
+        var go = true
+        while (go && i < payload.length) {
+          val c = payload(i).toChar
+          if (c == '#') { while (i < payload.length && payload(i) != '\n'.toByte) i += 1 }
+          else if (c.isWhitespace) i += 1
+          else go = false
+        }
+      }
+      def token(): String = {
+        skipWsAndComments()
+        val s = i
+        while (i < payload.length && !payload(i).toChar.isWhitespace) i += 1
+        new String(payload, s, i - s, "US-ASCII")
+      }
+      val magic = token()
+      require(magic == "P6", s"not a binary PPM: magic '$magic'")
+      val w = token().toInt
+      val h = token().toInt
+      val maxVal = token().toInt
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(maxVal > 0 && maxVal < 65536, s"bad maxval $maxVal")
+      require(maxVal < 256, "16-bit PPM samples not supported by this codec")
+      i += 1 // exactly ONE whitespace byte separates header from raster
+      val need = w.toLong * h * 3
+      require(i + need <= payload.length,
+        s"truncated raster: need $need bytes, have ${payload.length - i}")
+      Image(w, h, maxVal, payload.slice(i, i + need.toInt))
+    }
+
+    /** Per-channel integer sums over the raster (unsigned bytes) —
+      * exact statistics, no floating point, hence engine-portable. */
+    def channelSums(img: Image): (Long, Long, Long) = {
+      var r = 0L; var g = 0L; var b = 0L
+      var j = 0
+      while (j < img.pixels.length) {
+        r += img.pixels(j) & 0xff
+        g += img.pixels(j + 1) & 0xff
+        b += img.pixels(j + 2) & 0xff
+        j += 3
+      }
+      (r, g, b)
+    }
+
+    /** Real nearest-neighbor resize: target pixel (x, y) samples source
+      * pixel (x·w0/w1, y·h0/h1) — actual pixel work, unlike the stub's
+      * byte-budget shrink. */
+    def resizeNearest(img: Image, w1: Int, h1: Int): Image = {
+      require(w1 > 0 && h1 > 0, s"bad target ${w1}x$h1")
+      val out = new Array[Byte](w1 * h1 * 3)
+      var y = 0
+      while (y < h1) {
+        val sy = (y.toLong * img.height / h1).toInt
+        var x = 0
+        while (x < w1) {
+          val sx = (x.toLong * img.width / w1).toInt
+          val s = (sy * img.width + sx) * 3
+          val d = (y * w1 + x) * 3
+          out(d) = img.pixels(s)
+          out(d + 1) = img.pixels(s + 1)
+          out(d + 2) = img.pixels(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Image(w1, h1, img.maxVal, out)
+    }
+  }
+
   /** Batched partition-local decode: iterate each partition in
     * `batchSize` groups (the Arrow-batch analog), init the codec once per
     * batch, emit fixed-width feature rows. */
@@ -114,13 +207,21 @@ object Multimodal {
     }
   }
 
-  /** Resize every image to the target box; non-images pass through. */
+  /** Resize every image to the target box; non-images pass through.
+    * PPM images take the REAL pixel path (decode → nearest-neighbor →
+    * re-encode, [[PpmCodec]]); other image formats fall back to the
+    * stub until their codecs are wired the same way. */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
       batchSize: Int = 64): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map {
+          case m if m.kind == "image" && m.meta.format == "ppm" =>
+            m.copy(
+              payload = PpmCodec.encode(
+                PpmCodec.resizeNearest(PpmCodec.decode(m.payload), w, h)),
+              meta = m.meta.copy(width = w, height = h))
           case m if m.kind == "image" =>
             m.copy(
               payload = FakeCodec.resize(m.payload, m.meta.width, m.meta.height, w, h),
@@ -166,6 +267,55 @@ object Multimodal {
         }
         MediaRow(id, kind, payload, meta)
       }
+  }
+
+  /** Dimensions of the synthetic PPM corpus — fixed so the oracle can
+    * replay the raster generation with literal bounds. */
+  private[graft] val PpmW = 16
+  private[graft] val PpmH = 12
+
+  /** Deterministic synthetic PPM table: every image-kind document
+    * (doc_id % 3 = 0) becomes a REAL binary PPM — 16×12 RGB, raster
+    * byte j = text byte (j mod len) (0 for empty text; the fixture is
+    * pure ASCII, so DuckDB's ord() replays each byte exactly — the
+    * x_rolling_fingerprint argument). Unlike [[syntheticMedia]]'s
+    * opaque payloads these parse under the real codec. */
+  def syntheticPpmMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val px = Array.tabulate(PpmW * PpmH * 3)(j =>
+          if (tb.isEmpty) 0.toByte else tb(j % tb.length))
+        MediaRow(id, "image",
+          PpmCodec.encode(PpmCodec.Image(PpmW, PpmH, 255, px)),
+          MediaMeta("ppm", PpmW, PpmH, -1, -1L))
+      }
+  }
+
+  /** x_image_decode — REAL-codec decode over the synthetic PPM corpus:
+    * batched partition-local parse ([[PpmCodec.decode]] — actual header
+    * tokenizer + raster) emitting exact integer per-channel statistics.
+    * Everything downstream of the parse is integers, so the DuckDB
+    * oracle replays raster generation + channel sums bit-for-bit — the
+    * real codec gets a true oracle, not just the stub. */
+  def imageDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    syntheticPpmMedia(spark, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec context would be opened here
+        batch.iterator.map { m =>
+          val img = PpmCodec.decode(m.payload)
+          val (r, g, b) = PpmCodec.channelSums(img)
+          (m.media_id, img.width, img.height,
+            img.width.toLong * img.height, r, g, b)
+        }
+      }
+    }.toDF("media_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("media_id"))
   }
 
   /** x_multimodal_features — the end-to-end feature-extraction query

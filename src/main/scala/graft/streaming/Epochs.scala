@@ -20,14 +20,17 @@ import org.apache.spark.sql.SparkSession
 private[streaming] object Epochs {
 
   /** Epoch ids currently materialized under `root` (empty when the root
-    * does not exist yet — the stream-start case). */
-  def list(spark: SparkSession, root: String): Seq[Long] = {
+    * does not exist yet — the stream-start case). `prefix` selects the
+    * directory convention: `epoch=` snapshots (the folds) or `batch=`
+    * appenders (the LSM-shaped indexes, [[Compaction]]). */
+  def list(spark: SparkSession, root: String,
+      prefix: String = "epoch="): Seq[Long] = {
     val path = new Path(root)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("epoch="))
-      .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix).toLong)
   }
 
   /** The newest epoch strictly below `beforeEpoch`, if any — the

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{ChangeEvent, ChangelogApply, DebeziumEnvelope}
+
+/** The Debezium envelope decoder must map the public changelog wire
+  * format onto ChangeEvent exactly — wrapped and unwrapped forms, the
+  * op → eventName mapping with before-image key recovery on deletes,
+  * hard errors on unknown ops — and feed the existing apply engines
+  * with no behavioral seam. */
+class DebeziumEnvelopeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def decodeAll(rows: Seq[String]): Seq[(String, String, String, Timestamp)] = {
+    import spark.implicits._
+    DebeziumEnvelope.decode(rows.toDF("value")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3))).toSeq
+  }
+
+  test("wrapped and unwrapped envelopes decode identically; op mapping and delete key recovery") {
+    val wrapped = Seq(
+      """{"schema":{"type":"struct"},"payload":{"op":"c","before":null,"after":{"id":1,"name":"ada"},"ts_ms":1000}}""",
+      """{"schema":{},"payload":{"op":"r","before":null,"after":{"id":2,"name":"lin"},"ts_ms":2000}}""",
+      """{"schema":{},"payload":{"op":"u","before":{"id":1,"name":"ada"},"after":{"id":1,"name":"ada2"},"ts_ms":3000}}""",
+      """{"schema":{},"payload":{"op":"d","before":{"id":2,"name":"lin"},"after":null,"ts_ms":4000}}""")
+    val unwrapped = Seq(
+      """{"op":"c","before":null,"after":{"id":1,"name":"ada"},"ts_ms":1000}""",
+      """{"op":"r","before":null,"after":{"id":2,"name":"lin"},"ts_ms":2000}""",
+      """{"op":"u","before":{"id":1,"name":"ada"},"after":{"id":1,"name":"ada2"},"ts_ms":3000}""",
+      """{"op":"d","before":{"id":2,"name":"lin"},"after":null,"ts_ms":4000}""")
+    val w = decodeAll(wrapped)
+    val u = decodeAll(unwrapped)
+    assert(w === u, "schema-wrapped and unwrapped forms must decode identically")
+    assert(w.map(_._1) === Seq("INSERT", "INSERT", "MODIFY", "REMOVE"),
+      "op mapping: c,r -> INSERT, u -> MODIFY, d -> REMOVE")
+    assert(w.map(_._2) === Seq("1", "2", "1", "2"),
+      "delete key must be recovered from the before image")
+    assert(w.map(_._4.getTime) === Seq(1000L, 2000L, 3000L, 4000L),
+      "ts_ms must decode as epoch millis")
+    assert(w(2)._3.contains("ada2"), "newImage is the after image")
+    assert(w(3)._3.contains("lin"), "delete carries the before image (content unused)")
+  }
+
+  test("unknown op is a hard error, like unknown eventName in the native envelope") {
+    import spark.implicits._
+    val bad = Seq("""{"op":"t","after":{"id":1},"ts_ms":1}""").toDF("value")
+    val e = intercept[Exception] {
+      DebeziumEnvelope.decode(bad).collect()
+    }
+    assert(e.getMessage.contains("Unexpected Debezium op") ||
+      e.getCause != null && e.getCause.getMessage.contains("Unexpected Debezium op"))
+  }
+
+  test("decoded envelopes feed applyBatch identically to hand-built ChangeEvents") {
+    import spark.implicits._
+    def env(op: String, id: Int, name: String, ts: Long): String = {
+      val img = s"""{"id":$id,"name":"$name"}"""
+      val (before, after) =
+        if (op == "d") (img, "null") else ("null", img)
+      s"""{"payload":{"op":"$op","before":$before,"after":$after,"ts_ms":$ts}}"""
+    }
+    val envelopes = Seq(
+      env("r", 1, "a", 1000), env("u", 1, "a2", 2000), env("u", 1, "a3", 3000),
+      env("c", 2, "b", 1500), env("d", 2, "b", 2500),
+      env("c", 3, "c", 9000))
+    val viaDebezium = ChangelogApply.applyBatch(
+      DebeziumEnvelope.toChangeEvents(envelopes.toDF("value")).toDF(),
+      ChangelogApply.Mode.ApplyRemove)
+      .select(col("key"), col("newImage")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val direct = ChangelogApply.applyBatch(
+      Seq(
+        ChangeEvent("INSERT", "1", """{"id":1,"name":"a"}""", new Timestamp(1000)),
+        ChangeEvent("MODIFY", "1", """{"id":1,"name":"a2"}""", new Timestamp(2000)),
+        ChangeEvent("MODIFY", "1", """{"id":1,"name":"a3"}""", new Timestamp(3000)),
+        ChangeEvent("INSERT", "2", """{"id":2,"name":"b"}""", new Timestamp(1500)),
+        ChangeEvent("REMOVE", "2", """{"id":2,"name":"b"}""", new Timestamp(2500)),
+        ChangeEvent("INSERT", "3", """{"id":3,"name":"c"}""", new Timestamp(9000))).toDF(),
+      ChangelogApply.Mode.ApplyRemove)
+      .select(col("key"), col("newImage")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDebezium === direct,
+      "the decoder must be a pure format adapter — no apply-semantics seam")
+    assert(viaDebezium.keySet === Set("1", "3"), "key 2 was deleted")
+    assert(viaDebezium("1").contains("a3"), "last-wins per key")
+  }
+}
