@@ -153,24 +153,47 @@ object Similarity {
     * ~O(100) before plan size blew up. SemDeDup/IVF's scale contract
     * (pair work ≈ N²/nlist) needs nlist ∝ corpus, so the cap was the
     * one scale-killer on this surface. */
-  private case class Cent(ccid: Int, cvec: Array[Double], c2: Double)
   private def codebook(spark: SparkSession,
       cents: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
-    Seq(Tuple1(cents.zipWithIndex.map { case (c, i) =>
-      Cent(i, c, c.map(x => x * x).sum) }.toSeq)).toDF("cents")
+    import org.apache.spark.sql.Row
+    // explicit Row + schema (no case-class encoder: a nested case class
+    // trips janino in the encoder serializer and silently drops the
+    // whole projection to interpreted mode)
+    val schema = StructType(Seq(StructField("cents", ArrayType(
+      StructType(Seq(
+        StructField("ccid", IntegerType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false),
+        StructField("c2", DoubleType, nullable = false))),
+      containsNull = false), nullable = false)))
+    val row = Row(cents.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toSeq, c.map(x => x * x).sum) }.toSeq)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
   }
 
-  /** Adds `cid` = nearest-centroid (L2) assignment via the broadcast
-    * codebook: a 1-row broadcast cross join (no shuffle, no row
-    * explosion — the N×nlist join-then-argmin alternative would shuffle
-    * the corpus), then a single fold over the codebook array per row.
-    * argmin = array_min over (dist, cid) structs: min distance, ties to
-    * the smallest cid — exactly the literal path's first-minimum
-    * semantics ([[nearestCentroid]], retained as the spec's equality
-    * anchor). The dot(v,v) term is constant across centroids and
-    * dropped, as in the literal path. */
+  /** Adds `cid` = nearest-centroid (L2) assignment. Production path:
+    * the codegen'd [[graft.functions.NearestCentroid]] expression — the
+    * codebook is an opaque field of ONE plan node (shipped inside the
+    * stage's torrent-broadcast task binary), the argmin a tight
+    * generated loop. Identical semantics to the broadcast-join form
+    * below and the literal form ([[nearestCentroid]]) — the spec pins
+    * all three bit-for-bit. */
   private[graft] def withNearestCid(spark: SparkSession, df: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("cid",
+      graft.functions.NearestCentroid.assign(col("embedding"), cents))
+
+  /** The broadcast-join assignment face: the codebook rides in as DATA
+    * through a 1-row broadcast cross join (no shuffle, no row explosion
+    * — an N×nlist join-then-argmin would reshuffle the corpus), then a
+    * per-row fold over the codebook array. argmin = array_min over
+    * (dist, cid) structs: min distance, ties to the smallest cid — the
+    * literal path's first-minimum semantics. Plan-size-free like the
+    * codegen'd expression, but the fold runs through interpreted
+    * higher-order-function dispatch per centroid — kept as the
+    * pure-DataFrame reference the equality spec triangulates against
+    * (literal ≡ join ≡ codegen). */
+  private[graft] def withNearestCidJoin(spark: SparkSession, df: DataFrame,
       cents: Array[Array[Double]]): DataFrame =
     df.crossJoin(broadcast(codebook(spark, cents)))
       .withColumn("cid",

@@ -63,16 +63,16 @@ object AnnScaleBench {
     // all-pairs at the same corpus size. The contract under test: with
     // cluster count scaled so membership stays bounded, the pair search
     // is ~N²/nlist comparisons instead of N²/2 — the reason SemDeDup
-    // clusters at all. (nlist here is capped by the driver-literal
-    // assignment expression, ~O(100) centroids; a production-sized
-    // nlist would assign via a broadcast-centroid join — same flops
-    // per vector, different plan.)
+    // clusters at all. Since round 8 assignment rides the broadcast
+    // codebook (data, not plan), so nlist scales with the corpus — the
+    // round-7 ~O(100) literal-expression cap is gone; nlist=512 below
+    // would have blown the planner under the old literal embedding.
     val nvec = n
-    val nlist = 64
+    val nlist = if (factor >= 100) 512 else 64
     println(s"[ann-scale] semdedup: nlist=$nlist, " +
       s"all-pairs=${nvec * (nvec - 1) / 2}, " +
       s"~within-cluster=${nvec * nvec / (2 * nlist)} comparisons")
-    time("semdedup/index_build (once per corpus)")(
+    time(s"semdedup/index_build nlist=$nlist (once per corpus)")(
       graft.operators.Similarity.ensureIvfIndex(spark, scaleDir, nlist))
     steady(s"semdedup/within_cluster (nlist=$nlist)")(
       graft.operators.Similarity.semanticDedup(spark, scaleDir, nlist)

@@ -197,23 +197,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(indexed === inline)
   }
 
-  test("broadcast-codebook assignment equals the literal-centroid path") {
+  test("codegen, broadcast-join, and literal centroid assignment agree bit-for-bit") {
     import org.apache.spark.sql.functions.col
-    // the broadcast codebook (data, O(1) plan) must reproduce the
-    // literal-embedded expression (plan grows with nlist) bit-for-bit,
-    // including the first-minimum tie-break — trained centroids, so the
-    // distances exercised are the real ones
+    // three faces of one argmin: the codegen'd expression (production),
+    // the broadcast-codebook join (pure-DataFrame reference, plan-size-
+    // free), and the literal embedding (the pre-round-8 path, plan grows
+    // with nlist) — trained centroids, so the distances exercised are
+    // the real ones, first-minimum tie-break included
     val cents = Similarity.ivfCentroids(spark, dir, nlist = 32, iters = 2)
     val emb = Tables.embeddings(spark, dir)
-    val viaData = Similarity.withNearestCid(spark, emb, cents)
-      .select(col("vec_id"), col("cid")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val viaLiteral = emb
-      .withColumn("cid", Similarity.nearestCentroid(col("embedding"), cents))
-      .select(col("vec_id"), col("cid")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(viaData === viaLiteral)
-    assert(viaData.values.toSet.size > 1, "degenerate: everything in one list")
+    def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select(col("vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaCodegen = byId(Similarity.withNearestCid(spark, emb, cents))
+    val viaJoin = byId(Similarity.withNearestCidJoin(spark, emb, cents))
+    val viaLiteral = byId(emb.withColumn("cid",
+      Similarity.nearestCentroid(col("embedding"), cents)))
+    assert(viaCodegen === viaLiteral)
+    assert(viaJoin === viaLiteral)
+    assert(viaCodegen.values.toSet.size > 1, "degenerate: everything in one list")
   }
 
   test("deterministic training: retrained centroids are bit-identical; inline equals indexed IVF") {
