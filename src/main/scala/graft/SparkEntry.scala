@@ -351,17 +351,25 @@ object SparkEntry {
     * the circularity objection that kept these two rows-only through
     * round 7. Mean = (double(s) / 2^32) / count with each step
     * correctly rounded on both engines ⇒ bit-identical centroids. */
-  private val IvfTopKSql: String = {
-    def dot(a: String, b: String): String =
-      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
-    // one Lloyd pass: assign to nearest centroid of codebook `kin`
-    // (distance d = c2 - 2·dot, the constant |v|² dropped on both
-    // engines), then micro-unit-quantized means; empty lists keep
-    // their previous centroid (the LEFT JOIN + coalesce)
+  private def ivfDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+
+  /** The WITH-body replaying deterministic IVF training end-to-end —
+    * shared prefix of [[IvfTopKSql]] and [[SemanticDedupSql]]: emb
+    * (double-cast vectors), k0 (evenly-spaced seeds), two Lloyd passes
+    * (k1, k2), and the final assignment a3 of every vector under the
+    * trained codebook. One Lloyd pass = assign to the nearest centroid
+    * of the previous codebook (d = c2 − 2·dot, the constant |v|²
+    * dropped on both engines; first-minimum argmin = ORDER BY d, cid)
+    * then micro-unit-quantized means (2^-32 grid, HUGEINT-exact sums;
+    * mean = (double(s)/2^32)/count, each step correctly rounded on both
+    * engines); empty lists keep their previous centroid (the LEFT JOIN
+    * + coalesce). */
+  private def ivfTrainingCtes: String = {
     def lloyd(i: Int, kin: String, kout: String): String =
       s"""d$i AS (
          |  SELECT e.vec_id, e.v, c.cid,
-         |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
+         |         c.c2 - 2.0 * ${ivfDot("e.v", "c.v")} AS d
          |  FROM emb e CROSS JOIN $kin c),
          |a$i AS (
          |  SELECT vec_id, v, cid FROM (
@@ -381,7 +389,7 @@ object SparkEntry {
          |  SELECT k.cid, coalesce(m$i.v, k.v) AS v,
          |         list_sum(list_transform(coalesce(m$i.v, k.v), x -> x * x)) AS c2
          |  FROM $kin k LEFT JOIN m$i USING (cid))""".stripMargin
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -395,31 +403,74 @@ object SparkEntry {
        |${lloyd(2, "k1", "k2")},
        |d3 AS (
        |  SELECT e.vec_id, e.v, c.cid,
-       |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
+       |         c.c2 - 2.0 * ${ivfDot("e.v", "c.v")} AS d
        |  FROM emb e CROSS JOIN k2 c),
        |a3 AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT vec_id, v, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM d3) z WHERE rn = 1),
+       |    FROM d3) z WHERE rn = 1)""".stripMargin
+  }
+
+  private val IvfTopKSql: String =
+    s"""WITH $ivfTrainingCtes,
        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
        |probes AS (
        |  SELECT c.cid FROM k2 c, q
-       |  ORDER BY -(${dot("q.qv", "c.v")}), c.cid LIMIT 4)
+       |  ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid LIMIT 4)
        |SELECT a.vec_id, e.label,
-       |       ${dot("a.v", "q.qv")}
-       |       / (sqrt(${dot("a.v", "a.v")}) * sqrt(${dot("q.qv", "q.qv")})) AS cos_sim
+       |       ${ivfDot("a.v", "q.qv")}
+       |       / (sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("q.qv", "q.qv")})) AS cos_sim
        |FROM a3 a, emb e, q
        |WHERE a.vec_id = e.vec_id AND a.vec_id <> 0
        |  AND a.cid IN (SELECT cid FROM probes)
        |ORDER BY cos_sim DESC, a.vec_id
        |LIMIT 20""".stripMargin
-  }
+
+  /** SemDeDup oracle (round 8): the deterministic-training replay
+    * ([[ivfTrainingCtes]]) extended with the operator's whole decision
+    * pipeline — own-centroid cosine per vector, within-cluster τ-pairs
+    * (the paper's pruning contract: never across clusters), connected
+    * components via the same recursive-CTE closure that oracles
+    * x_dup_clusters, and keep-least-central (row_number over
+    * (cos_centroid asc, vec_id asc) per group). Every float expression
+    * mirrors the Spark side's evaluation order (cosine = dot /
+    * (sqrt·sqrt), zero-norm guards identical), so the decision is
+    * hash-exact — the round-7 driver-recompute spec stays as the
+    * independent second witness. */
+  private val SemanticDedupSql: String =
+    s"""WITH RECURSIVE $ivfTrainingCtes,
+       |av AS (
+       |  SELECT a.vec_id, a.v, a.cid,
+       |         sqrt(${ivfDot("a.v", "a.v")}) AS nrm,
+       |         CASE WHEN sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("c.v", "c.v")}) = 0
+       |              THEN 0.0
+       |              ELSE ${ivfDot("a.v", "c.v")}
+       |                   / (sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("c.v", "c.v")}))
+       |         END AS cos_centroid
+       |  FROM a3 a JOIN k2 c USING (cid)),
+       |p AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |             ELSE ${ivfDot("a.v", "b.v")} / (a.nrm * b.nrm) END >= 0.4),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT vec_id AS doc, vec_id AS r FROM emb
+       |  UNION
+       |  SELECT reach.doc, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |groups AS (SELECT doc AS vec_id, min(r) AS group_id FROM reach GROUP BY doc)
+       |SELECT a.vec_id, a.cid, g.group_id,
+       |       row_number() OVER (PARTITION BY g.group_id
+       |                          ORDER BY a.cos_centroid ASC, a.vec_id ASC) = 1 AS kept
+       |FROM av a JOIN groups g USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * The 6 ids deliberately WITHOUT an oracle, and why each cannot get
+    * The 5 ids deliberately WITHOUT an oracle, and why each cannot get
     * one (every one carries a scalatest proof instead):
     *  - g_approx_distinct, g_approx_percentile, g_hll_merge: sketch
     *    outputs (HLL / KLL state). DuckDB's approx algorithms are
@@ -435,19 +486,16 @@ object SparkEntry {
     *    this corpus its recall is genuinely < 1 (32 of 59 true pairs at
     *    sf0.01) — the output is honestly a subset, so the exact-pair SQL
     *    is NOT its oracle. Spec pins precision 1 + predicted recall.
-    *  - x_semantic_dedup: the cluster/group/keep decisions hang off
-    *    iterative min-label components and the keep-least-central
-    *    window — replayable in principle but the driver-recompute spec
-    *    already matches the output bit-for-bit, including the trained
-    *    quantizer (deterministic since round 8).
     * (x_multimodal_features / x_multimodal_pruned graduated to true
     * oracles in round 7 — the stub codec is portable mod-2^64 integer
-    * arithmetic, so DuckDB replays the decode end-to-end; x_ivf_knn /
-    * x_ivf_indexed graduated in round 8 via IvfTopKSql below — the
-    * micro-unit-quantized Lloyd sums made training deterministic, so the
-    * oracle replays the ENTIRE training in SQL, deriving centroids from
-    * the parquet itself rather than circularly from the system under
-    * test.) */
+    * arithmetic, so DuckDB replays the decode end-to-end. Round 8
+    * graduated three more: x_ivf_knn / x_ivf_indexed via IvfTopKSql —
+    * micro-unit-quantized Lloyd sums made training deterministic, so
+    * the oracle replays the ENTIRE training in SQL, deriving centroids
+    * from the parquet itself rather than circularly from the system
+    * under test — and x_semantic_dedup via SemanticDedupSql, which
+    * extends that replay with within-cluster τ-pairs, the recursive-CTE
+    * component closure, and the keep-least-central window.) */
   /** DuckDB replay of the stub codec's decode (Multimodal.FakeCodec):
     * the payload is the document's UTF-8 bytes (pure ASCII by fixture
     * construction, so ord(codepoint) == byte — the x_rolling_fingerprint
@@ -1358,6 +1406,7 @@ object SparkEntry {
     // training + the shared serve path make them result-identical.
     "x_ivf_knn"     -> IvfTopKSql,
     "x_ivf_indexed" -> IvfTopKSql,
+    "x_semantic_dedup" -> SemanticDedupSql,
     "x_embed_near_dup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))

@@ -51,6 +51,8 @@ object ExplainDump {
     "x_decontaminate" -> "benchmark decontamination: broadcast eval shingle set, corpus text never shuffled",
     "x_substring_dedup" -> "substring dedup: token_window_hash pre-agg + KEYED window-df join (window vocabulary never broadcast)",
     "x_semantic_dedup" -> "semantic dedup: IVF-index-served clustering, within-cluster pairs only (never all-pairs)",
+    "x_ivf_indexed" -> "materialized IVF index: probe set as PartitionFilters over cid, codegen'd nearest_centroid at build",
+    "x_image_decode" -> "real PPM decode: batched partition-local parse, integer stats projection, no shuffle before the sort",
     "x_curation_funnel" -> "curation funnel: narrow lang/quality projection + doc_id-keyed stage-flag joins, no cartesian")
 
   def main(args: Array[String]): Unit = {
