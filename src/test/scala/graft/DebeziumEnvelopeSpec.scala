@@ -54,6 +54,40 @@ class DebeziumEnvelopeSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("Unexpected Debezium op"))
   }
 
+  test("a raw Debezium JSON stream drives the streaming apply engine end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // the deployment shape: a raw envelope stream (Kafka value column)
+    // decoded per micro-batch, feeding the stateful apply — the decoder
+    // must compose with readStream exactly as with batch frames
+    val input = MemoryStream[String]
+    val upserts = graft.cdc.ChangelogApply.applyStream(
+      DebeziumEnvelope.toChangeEvents(input.toDS().toDF("value")),
+      graft.cdc.ChangelogApply.Mode.ApplyRemove)
+    val q = upserts.writeStream
+      .format("memory").queryName("dbz_out").outputMode(OutputMode.Append)
+      .start()
+    try {
+      input.addData(
+        """{"payload":{"op":"c","before":null,"after":{"id":1,"v":1},"ts_ms":1000}}""",
+        """{"payload":{"op":"c","before":null,"after":{"id":2,"v":10},"ts_ms":1000}}""")
+      q.processAllAvailable()
+      input.addData(
+        """{"payload":{"op":"u","before":{"id":1,"v":1},"after":{"id":1,"v":2},"ts_ms":2000}}""",
+        """{"payload":{"op":"d","before":{"id":2,"v":10},"after":null,"ts_ms":3000}}""")
+      q.processAllAvailable()
+      val rows = spark.table("dbz_out")
+        .collect().map(r => (r.getString(0), Option(r.getString(1))))
+      assert(rows.count(_._1 == "1") === 2, "key 1 upserted in both batches")
+      assert(rows.filter(_._1 == "2").map(_._2).toSet
+        === Set(Some("""{"id":2,"v":10}"""), None),
+        "key 2: insert image then delete tombstone")
+      assert(rows.filter(_._1 == "1").map(_._2).contains(Some("""{"id":1,"v":2}""")))
+    } finally q.stop()
+  }
+
   test("decoded envelopes feed applyBatch identically to hand-built ChangeEvents") {
     import spark.implicits._
     def env(op: String, id: Int, name: String, ts: Long): String = {

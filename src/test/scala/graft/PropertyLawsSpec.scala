@@ -150,6 +150,61 @@ class PropertyLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("PPM codec laws: decode∘encode = id over random images; resize dims and sampling exact") {
+    import graft.operators.Multimodal.PpmCodec
+    val genImage: Gen[PpmCodec.Image] = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 12)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255).map(_.toByte))
+    } yield PpmCodec.Image(w, h, 255, px.toArray)
+    samples(genImage, 60).foreach { img =>
+      val back = PpmCodec.decode(PpmCodec.encode(img))
+      assert(back.width === img.width && back.height === img.height)
+      assert(back.pixels.toSeq === img.pixels.toSeq,
+        s"roundtrip broke at ${img.width}x${img.height}")
+      // resize law: output dims exact, every target pixel nearest-sampled
+      val (w1, h1) = (1 + img.height % 7, 1 + img.width % 5) // deterministic targets
+      val rs = PpmCodec.resizeNearest(img, w1, h1)
+      assert(rs.width === w1 && rs.height === h1 && rs.pixels.length === w1 * h1 * 3)
+      for (y <- 0 until h1; x <- 0 until w1; c <- 0 until 3) {
+        val sx = x.toLong * img.width / w1
+        val sy = y.toLong * img.height / h1
+        assert(rs.pixels((y * w1 + x) * 3 + c) ===
+          img.pixels(((sy * img.width + sx) * 3 + c).toInt))
+      }
+    }
+  }
+
+  test("Debezium roundtrip: envelope(event) decodes back to the event, any op/key/ts") {
+    import spark.implicits._
+    // serialize generated ChangeEvents into Debezium wire form, decode
+    // through the Spark path, and demand the identity — the decoder is
+    // a pure format adapter, so encode∘decode must be lossless for
+    // every op, key, image, and timestamp the engine can carry
+    val events = samples(genEvent, 40).zipWithIndex.map { case (e, i) =>
+      // distinct keys so row identity is unambiguous in the compare
+      e.copy(key = s"${e.key}_$i")
+    }
+    def envelope(e: ChangeEvent): String = {
+      // the wire image embeds the key, as real Debezium rows do
+      val image = s"""{"id":"${e.key}","payload":${e.newImage}}"""
+      val op = e.eventName match {
+        case "INSERT" => "c"; case "MODIFY" => "u"; case "REMOVE" => "d"
+      }
+      val (before, after) =
+        if (op == "d") (image, "null") else ("null", image)
+      s"""{"payload":{"op":"$op","before":$before,"after":$after,"ts_ms":${e.ts.getTime}}}"""
+    }
+    val decoded = graft.cdc.DebeziumEnvelope
+      .toChangeEvents(events.map(envelope).toDF("value"), keyField = "id")
+      .collect()
+      .map(e => e.key -> ((e.eventName, e.newImage, e.ts.getTime))).toMap
+    val want = events
+      .map(e => e.key -> ((e.eventName,
+        s"""{"id":"${e.key}","payload":${e.newImage}}""", e.ts.getTime))).toMap
+    assert(decoded === want)
+  }
+
   test("rolling fingerprint equals brute-force window minimum") {
     val genCase = Gen.zip(
       Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar)).map(_.mkString),
