@@ -118,6 +118,9 @@ object SparkEntry {
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
     "x_semantic_dedup"      -> ((s: SparkSession, d: String) => operators.Similarity.semanticDedup(s, d)),
+    "x_embed_decontaminate" -> ((s: SparkSession, d: String) => operators.Similarity.embedDecontaminate(s, d)),
+    "x_pq_encode"           -> ((s: SparkSession, d: String) => operators.PQ.encode(s, d)),
+    "x_pq_knn"              -> ((s: SparkSession, d: String) => operators.PQ.pqTopK(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
@@ -136,6 +139,7 @@ object SparkEntry {
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
     "x_pack_budget"         -> ((s: SparkSession, d: String) => operators.CorpusOps.packBudget(s, d)),
     "x_dataset_mix"         -> ((s: SparkSession, d: String) => operators.CorpusOps.datasetMix(s, d)),
+    "x_mix_temperature"     -> ((s: SparkSession, d: String) => operators.CorpusOps.mixTemperature(s, d)),
     "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
     "x_tfidf"               -> (operators.Search.tfidf _),
     "x_bm25"                -> (operators.Search.bm25 _),
@@ -351,8 +355,59 @@ object SparkEntry {
     * the circularity objection that kept these two rows-only through
     * round 7. Mean = (double(s) / 2^32) / count with each step
     * correctly rounded on both engines ⇒ bit-identical centroids. */
-  private def ivfDot(a: String, b: String): String =
-    s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+  private def ivfDotDim(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> $a[i] * $b[i]))"
+  private def ivfDot(a: String, b: String): String = ivfDotDim(a, b, 64)
+
+  /** Deterministic-Lloyd CTE chain over vector CTE `vsrc` (vec_id, v of
+    * `dim` doubles): seeds k0$tag → two quantized passes → k2$tag →
+    * final assignment a3$tag. Shared by the IVF replay (tag "", full
+    * 64-dim vectors) and the PQ replay (one chain per 8-dim subspace
+    * slice) — identical protocol, identical arithmetic. */
+  private def lloydCtes(tag: String, vsrc: String, dim: Int,
+      nlist: Int): String = {
+    def dot(a: String, b: String) = ivfDotDim(a, b, dim)
+    def lloyd(i: Int, kin: String, kout: String): String =
+      s"""d$i$tag AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
+         |  FROM $vsrc e CROSS JOIN $kin c),
+         |a$i$tag AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT vec_id, v, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM d$i$tag) z WHERE rn = 1),
+         |s$i$tag AS (
+         |  SELECT a.cid, u.pos,
+         |         sum(CAST(floor(a.v[u.pos] * 4294967296.0) AS HUGEINT)) AS s,
+         |         count(*) AS c
+         |  FROM a$i$tag a CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS pos) u
+         |  GROUP BY a.cid, u.pos),
+         |m$i$tag AS (
+         |  SELECT cid, list(CAST(s AS DOUBLE) / 4294967296.0 / c ORDER BY pos) AS v
+         |  FROM s$i$tag GROUP BY cid),
+         |$kout AS (
+         |  SELECT k.cid, coalesce(m$i$tag.v, k.v) AS v,
+         |         list_sum(list_transform(coalesce(m$i$tag.v, k.v), x -> x * x)) AS c2
+         |  FROM $kin k LEFT JOIN m$i$tag USING (cid))""".stripMargin
+    s"""k0$tag AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v,
+       |         list_sum(list_transform(v, x -> x * x)) AS c2
+       |  FROM (SELECT vec_id, v FROM $vsrc
+       |        WHERE vec_id % greatest(1, (SELECT count(*) FROM $vsrc) // $nlist) = 0
+       |        ORDER BY vec_id LIMIT $nlist) seeds),
+       |${lloyd(1, s"k0$tag", s"k1$tag")},
+       |${lloyd(2, s"k1$tag", s"k2$tag")},
+       |d3$tag AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
+       |  FROM $vsrc e CROSS JOIN k2$tag c),
+       |a3$tag AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT vec_id, v, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM d3$tag) z WHERE rn = 1)""".stripMargin
+  }
 
   /** The WITH-body replaying deterministic IVF training end-to-end —
     * shared prefix of [[IvfTopKSql]] and [[SemanticDedupSql]]: emb
@@ -365,52 +420,12 @@ object SparkEntry {
     * mean = (double(s)/2^32)/count, each step correctly rounded on both
     * engines); empty lists keep their previous centroid (the LEFT JOIN
     * + coalesce). */
-  private def ivfTrainingCtes: String = {
-    def lloyd(i: Int, kin: String, kout: String): String =
-      s"""d$i AS (
-         |  SELECT e.vec_id, e.v, c.cid,
-         |         c.c2 - 2.0 * ${ivfDot("e.v", "c.v")} AS d
-         |  FROM emb e CROSS JOIN $kin c),
-         |a$i AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT vec_id, v, cid,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         |    FROM d$i) z WHERE rn = 1),
-         |s$i AS (
-         |  SELECT a.cid, u.pos,
-         |         sum(CAST(floor(a.v[u.pos] * 4294967296.0) AS HUGEINT)) AS s,
-         |         count(*) AS c
-         |  FROM a$i a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) u
-         |  GROUP BY a.cid, u.pos),
-         |m$i AS (
-         |  SELECT cid, list(CAST(s AS DOUBLE) / 4294967296.0 / c ORDER BY pos) AS v
-         |  FROM s$i GROUP BY cid),
-         |$kout AS (
-         |  SELECT k.cid, coalesce(m$i.v, k.v) AS v,
-         |         list_sum(list_transform(coalesce(m$i.v, k.v), x -> x * x)) AS c2
-         |  FROM $kin k LEFT JOIN m$i USING (cid))""".stripMargin
+  private def ivfTrainingCtes: String =
     s"""emb AS (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
-       |k0 AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v,
-       |         list_sum(list_transform(v, x -> x * x)) AS c2
-       |  FROM (SELECT vec_id, v FROM emb
-       |        WHERE vec_id % greatest(1, (SELECT count(*) FROM emb) // 16) = 0
-       |        ORDER BY vec_id LIMIT 16) seeds),
-       |${lloyd(1, "k0", "k1")},
-       |${lloyd(2, "k1", "k2")},
-       |d3 AS (
-       |  SELECT e.vec_id, e.v, c.cid,
-       |         c.c2 - 2.0 * ${ivfDot("e.v", "c.v")} AS d
-       |  FROM emb e CROSS JOIN k2 c),
-       |a3 AS (
-       |  SELECT vec_id, v, cid FROM (
-       |    SELECT vec_id, v, cid,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |    FROM d3) z WHERE rn = 1)""".stripMargin
-  }
+       |${lloydCtes("", "emb", 64, 16)}""".stripMargin
 
   private val IvfTopKSql: String =
     s"""WITH $ivfTrainingCtes,
@@ -466,6 +481,52 @@ object SparkEntry {
        |                          ORDER BY a.cos_centroid ASC, a.vec_id ASC) = 1 AS kept
        |FROM av a JOIN groups g USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
+
+  /** Product-quantization replay (round 8): the same deterministic-
+    * Lloyd chain as IVF, once per 8-dim subspace slice. `list_slice` is
+    * inclusive [a..b] — Spark's slice(v, a, len) with len 8 covers the
+    * same elements. Codes are the per-subspace final assignments;
+    * ADC = the fixed-order (s = 0..7) sum of the query's subspace dots
+    * against each vector's assigned subcentroids, matching the Spark
+    * side's left-assoc reduce. */
+  private val PqCtes: String = {
+    val slices = (0 until 8).map { s =>
+      s"e$s AS (SELECT vec_id, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM emb)"
+    }.mkString(",\n")
+    val trainings = (0 until 8).map(s =>
+      lloydCtes(s"_p$s", s"e$s", 8, 16)).mkString(",\n")
+    s"$ivfTrainingCtes,\n$slices,\n$trainings"
+  }
+
+  private val PqEncodeSql: String = {
+    val union = (0 until 8).map(s =>
+      s"SELECT vec_id, $s AS s, cid AS code FROM a3_p$s").mkString("\n  UNION ALL ")
+    s"""WITH $PqCtes
+       |SELECT vec_id, s, code FROM (
+       |  $union) u
+       |ORDER BY vec_id, s""".stripMargin
+  }
+
+  private val PqTopKSql: String = {
+    val dts = (0 until 8).map { s =>
+      s"""dt$s AS (
+         |  SELECT c.cid, ${ivfDotDim("qq.v", "c.v", 8)} AS d
+         |  FROM k2_p$s c, (SELECT list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v
+         |                  FROM emb WHERE vec_id = 0) qq)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until 8).map(s =>
+      s"JOIN a3_p$s a$s ON a$s.vec_id = e.vec_id JOIN dt$s t$s ON t$s.cid = a$s.cid")
+      .mkString("\n")
+    val score = (0 until 8).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH $PqCtes,
+       |$dts
+       |SELECT e.vec_id, e.label, $score AS adc_score
+       |FROM emb e
+       |$joins
+       |WHERE e.vec_id <> 0
+       |ORDER BY adc_score DESC, e.vec_id
+       |LIMIT 20""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1270,6 +1331,26 @@ object SparkEntry {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |         / 2048) AS BIGINT) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // α=1/2 temperature sampling: sqrt is correctly rounded in every
+    // engine, the sqrt quantizes to 2^-20 micro-units, and every ratio
+    // is integer division — all columns engine-exact.
+    "x_mix_temperature" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |q AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576.0) AS BIGINT) AS s
+        |  FROM counts),
+        |t AS (SELECT CAST(sum(s) AS BIGINT) AS s_tot,
+        |             CAST(sum(n_tokens) AS BIGINT) AS t_tot FROM q)
+        |SELECT lang, n_docs, n_tokens,
+        |       (n_tokens * 1000000) // t_tot AS natural_ppm,
+        |       (s * 1000000) // s_tot AS samp_ppm,
+        |       ((s * 1000000) // s_tot * 1000) // greatest((n_tokens * 1000000) // t_tot, 1) AS boost_milli
+        |FROM q, t
+        |ORDER BY lang""".stripMargin,
     "x_dataset_mix" ->
       """WITH shares(lang, pct) AS (
         |  VALUES ('en', 50), ('de', 20), ('fr', 15), ('es', 10), ('zh', 5)),
@@ -1407,6 +1488,32 @@ object SparkEntry {
     "x_ivf_knn"     -> IvfTopKSql,
     "x_ivf_indexed" -> IvfTopKSql,
     "x_semantic_dedup" -> SemanticDedupSql,
+    // PQ: per-subspace deterministic training replayed in SQL, codes =
+    // the per-subspace assignments, ADC = fixed-order table-lookup sum.
+    "x_pq_encode" -> PqEncodeSql,
+    "x_pq_knn"    -> PqTopKSql,
+    // Semantic benchmark decontamination: cosine formulas mirror the
+    // Spark side's evaluation order exactly (norms computed per row,
+    // zero-norm guard identical), and max over an identical multiset of
+    // doubles is engine-free — so the flag is hash-exact.
+    "x_embed_decontaminate" ->
+      s"""WITH b AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+         |  FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id % 20 <> 0),
+         |p AS (
+         |  SELECT c.vec_id,
+         |         CASE WHEN sqrt(${ivfDot("c.v", "c.v")}) * sqrt(${ivfDot("b.bv", "b.bv")}) = 0
+         |              THEN 0.0
+         |              ELSE ${ivfDot("c.v", "b.bv")}
+         |                   / (sqrt(${ivfDot("c.v", "c.v")}) * sqrt(${ivfDot("b.bv", "b.bv")}))
+         |         END AS cos
+         |  FROM c CROSS JOIN b)
+         |SELECT vec_id, max(cos) AS max_cos, max(cos) >= 0.4 AS contaminated
+         |FROM p GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
     "x_embed_near_dup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       list_sum(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))

@@ -267,4 +267,38 @@ object CorpusOps {
         col("cum_before"), col("lang_budget"), col("kept"))
       .orderBy(col("doc_id"))
   }
+
+  /** x_mix_temperature — TEMPERATURE-weighted sampling recipe from the
+    * corpus itself (the standard multilingual/multi-source rebalancing:
+    * sample language i with probability ∝ c_i^α, α < 1, so low-resource
+    * slices are upweighted relative to their natural share). α is fixed
+    * at 1/2: c^(1/2) = sqrt(c) is CORRECTLY ROUNDED in every engine,
+    * unlike pow(c, α) for general α — and the weight normalization runs
+    * in exact integer arithmetic (sqrt quantized to 2^-20 micro-units,
+    * summed as longs, ratios by integer division), so every output
+    * column is engine-exact without any tolerance. Output per language:
+    * natural share, temperature-sampling share (both ppm), and the
+    * boost factor in milli — the upweighting a curriculum applies.
+    *
+    * Scale: one partial+final agg over the corpus (counts only — text
+    * never shuffles), then arithmetic over one row per language joined
+    * against a 1-row broadcast of the totals. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+      .withColumn("s",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * lit(1048576.0))
+          .cast(LongType))
+    val totals = counts.agg(sum(col("s")).as("s_tot"),
+      sum(col("n_tokens")).as("t_tot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000L) div t_tot").as("natural_ppm"),
+        expr("(s * 1000000L) div s_tot").as("samp_ppm"))
+      .withColumn("boost_milli",
+        expr("(samp_ppm * 1000L) div greatest(natural_ppm, 1L)"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Product quantization (Jégou et al. 2011, "Product quantization for
+  * nearest neighbor search"): split the embedding space into `m`
+  * dimension subspaces, k-means each subspace independently, and store
+  * every vector as its m nearest-subcentroid codes — 64-dim float32
+  * (256 bytes) becomes m = 8 small ints (8 bytes, 32×). Approximate
+  * scoring never touches the original vectors: an asymmetric distance
+  * computation (ADC) precomputes the query's dot product against every
+  * subcentroid (m × ksub values — index-header-sized) and scores a
+  * vector as the sum of m table lookups.
+  *
+  * At 100 TB this is the storage answer for embedding search: the code
+  * table is 32× smaller than the vectors, scans of it are
+  * correspondingly cheaper, and the ADC score is m adds per row — the
+  * standard recall/compression trade next to the exact ([[Similarity
+  * .knnCosine]]) and partition-pruned ([[Similarity.annKnnCosineIndexed]],
+  * ivf) paths.
+  *
+  * Determinism: each subspace trains with the SAME micro-unit-quantized
+  * Lloyd protocol as IVF ([[Similarity.lloydTrain]]), so codebooks are
+  * bit-identical across runs and engines, codes are argmin with the
+  * first-minimum tie-break, and the ADC score is a fixed-order
+  * (s = 0..m-1) double sum — all of it DuckDB-replayable, which is what
+  * lets both PQ queries carry full oracles.
+  */
+object PQ {
+
+  val DefaultM = 8
+  val DefaultKsub = 16
+  val Dim = 64
+
+  /** Train the m per-subspace codebooks: codebooks(s)(k) is the k-th
+    * centroid of subspace s (dsub doubles each). */
+  def train(spark: SparkSession, dir: String, m: Int = DefaultM,
+      ksub: Int = DefaultKsub, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val dsub = Dim / m
+    val emb = Tables.embeddings(spark, dir)
+    Array.tabulate(m) { s =>
+      Similarity.lloydTrain(spark,
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * dsub + 1, dsub).as("embedding")),
+        ksub, iters)
+    }
+  }
+
+  /** x_pq_encode — encode every vector as its m subspace codes, one
+    * output row per (vec_id, subspace): the PQ code table a compressed
+    * index stores instead of the vectors. Each subspace's assignment is
+    * one codegen'd nearest_centroid over the dimension slice — m narrow
+    * map passes over the scan, no shuffle before the output sort. */
+  def encode(spark: SparkSession, dir: String, m: Int = DefaultM,
+      ksub: Int = DefaultKsub, iters: Int = 2): DataFrame = {
+    val codebooks = train(spark, dir, m, ksub, iters)
+    encodeWith(spark, dir, codebooks)
+  }
+
+  private def codesCol(m: Int, codebooks: Array[Array[Array[Double]]]) = {
+    val dsub = Dim / m
+    array((0 until m).map { s =>
+      graft.functions.NearestCentroid.assign(
+        slice(col("embedding"), s * dsub + 1, dsub), codebooks(s))
+    }: _*)
+  }
+
+  private def encodeWith(spark: SparkSession, dir: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(codesCol(m, codebooks)).as(Seq("s", "code")))
+      .orderBy(col("vec_id"), col("s"))
+  }
+
+  /** Materialize the PQ code table: (vec_id, label, codes[m]) — 8
+    * bytes of codes standing in for 256 bytes of vector — plus the
+    * codebooks beside it (m × ksub × dsub doubles, the index header;
+    * Double.toString round-trips exactly, the IVF-centroid argument).
+    * Freshness-gated on the source signature + build params, like
+    * every other materialized index. */
+  def pqIndexPath(dir: String): String = graft.ops.Layout.indexPath("pq", dir)
+
+  def ensurePqIndex(spark: SparkSession, dir: String, m: Int = DefaultM,
+      ksub: Int = DefaultKsub,
+      iters: Int = 2): (String, Array[Array[Array[Double]]]) = {
+    val path = pqIndexPath(dir)
+    val bookFile = new java.io.File(path, "_GRAFT_PQ_CODEBOOKS")
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_m${m}_k${ksub}_i${iters}_q32"
+    graft.ops.Layout.ensureSigGated(path, sig) {
+      val codebooks = train(spark, dir, m, ksub, iters)
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast(LongType).as("label"),
+          codesCol(m, codebooks).as("codes"))
+        .write.mode("overwrite").parquet(path)
+      val lines = for {
+        s <- codebooks.indices; k <- codebooks(s).indices
+      } yield s"$s;$k;${codebooks(s)(k).mkString(",")}"
+      java.nio.file.Files.write(bookFile.toPath,
+        lines.mkString("\n").getBytes)
+    }
+    import scala.jdk.CollectionConverters._
+    val parsed = java.nio.file.Files.readAllLines(bookFile.toPath).asScala
+      .map { l =>
+        val Array(s, k, vs) = l.split(";", 3)
+        (s.toInt, k.toInt, vs.split(',').map(_.toDouble))
+      }
+    val mm = parsed.map(_._1).max + 1
+    val kk = parsed.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](mm, kk)
+    parsed.foreach { case (s, k, v) => books(s)(k) = v }
+    (path, books.map(_.toArray))
+  }
+
+  /** x_pq_knn — approximate top-k by ADC over the MATERIALIZED code
+    * table: the query's per-subspace dot-product table is computed on
+    * the DRIVER (m × ksub × dsub flops — index metadata, like IVF probe
+    * ranking), and each stored vector scores as the fixed-order sum of
+    * its m table lookups — m adds per row over an 8-byte code column,
+    * never the vectors. The plan is one narrow projection over the code
+    * scan + TakeOrderedAndProject: no shuffle, no per-row vector math
+    * at all. */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, m: Int = DefaultM, ksub: Int = DefaultKsub,
+      iters: Int = 2): DataFrame = {
+    val dsub = Dim / m
+    val (path, codebooks) = ensurePqIndex(spark, dir, m, ksub, iters)
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // ADC table: dt(s)(k) = dot(q_s, c_{s,k}), left-to-right like every
+    // other dot in the engine
+    val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { kk =>
+        val c = codebooks(s)(kk)
+        (0 until dsub).foldLeft(0.0)((acc, i) =>
+          acc + qvec(s * dsub + i).toDouble * c(i))
+      }
+    }
+    // fixed s = 0..m-1 summation order — the oracle replays it as an
+    // explicit d0 + d1 + … chain
+    val score = (0 until m).map { s =>
+      element_at(array(dt(s).map(lit): _*),
+        element_at(col("codes"), s + 1) + lit(1))
+    }.reduce(_ + _)
+    spark.read.parquet(path)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"), score.as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -108,8 +108,17 @@ object Similarity {
     * computed distributed — assignment via the broadcast codebook
     * ([[withNearestCid]]), means via micro-unit-quantized exact sums. */
   def ivfCentroids(spark: SparkSession, dir: String, nlist: Int,
-      iters: Int = 5): Array[Array[Double]] = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      iters: Int = 5): Array[Array[Double]] =
+    lloydTrain(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      nlist, iters)
+
+  /** The deterministic Lloyd core over any (vec_id, embedding) frame —
+    * shared by the full-vector quantizer ([[ivfCentroids]]) and the
+    * per-subspace product quantizer ([[PQ.train]], which passes
+    * dimension SLICES as the embedding column). */
+  private[graft] def lloydTrain(spark: SparkSession, emb: DataFrame,
+      nlist: Int, iters: Int): Array[Array[Double]] = {
     val n = emb.count()
     var centroids: Array[Array[Double]] = emb
       .filter((col("vec_id") % lit(math.max(1L, n / nlist))) === 0)
@@ -436,6 +445,40 @@ object Similarity {
         (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** x_embed_decontaminate — SEMANTIC benchmark decontamination: flag
+    * every corpus vector whose embedding is τ-close in cosine to ANY
+    * benchmark vector — the embedding-space counterpart of the n-gram
+    * x_decontaminate (a paraphrased eval item shares no 8-gram but
+    * sits right next to the original in embedding space). Benchmark =
+    * vec_id ≡ 0 (mod benchMod), the fixture's stand-in for a held-out
+    * eval set; corpus = the rest.
+    *
+    * Scale plan: eval sets are SMALL by nature (thousands of rows), so
+    * the benchmark side broadcasts and the corpus streams through one
+    * BroadcastNestedLoopJoin with all flops in the codegen'd
+    * vector_dot — corpus-LINEAR, no shuffle of corpus vectors, and the
+    * per-doc max collapses map-side before the single narrow exchange
+    * (the x_decontaminate shape with cosines instead of shingles).
+    * Norms are precomputed once per row on each side. */
+  def embedDecontaminate(spark: SparkSession, dir: String,
+      tau: Double = 0.4, benchMod: Long = 20L): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("nrm", norm(col("embedding")))
+    val bench = emb.filter(col("vec_id") % benchMod === 0)
+      .select(col("embedding").as("bvec"), col("nrm").as("bnrm"))
+    val corpus = emb.filter(col("vec_id") % benchMod =!= 0)
+    val nprod = col("nrm") * col("bnrm")
+    val cos = when(nprod === 0.0, lit(0.0))
+      .otherwise(dot(col("embedding"), col("bvec")) / nprod)
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"), cos.as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= tau).as("contaminated"))
+      .orderBy(col("vec_id"))
   }
 
   /** x_semantic_dedup — SemDeDup-style semantic deduplication of the

@@ -94,6 +94,32 @@ class CorpusSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix upweights low-resource languages; weights are an exact integer recipe") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.CorpusOps.mixTemperature(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("natural_ppm"),
+          r.getAs[Long]("samp_ppm"), r.getAs[Long]("boost_milli"))))
+    assert(rows.length > 1)
+    // driver replica of the α=1/2 integer recipe
+    val sTot = rows.map { case (_, (t, _, _, _)) =>
+      math.floor(math.sqrt(t.toDouble) * 1048576.0).toLong }.sum
+    val tTot = rows.map(_._2._1).sum
+    rows.foreach { case (lang, (t, nat, samp, boost)) =>
+      val s = math.floor(math.sqrt(t.toDouble) * 1048576.0).toLong
+      assert(nat === t * 1000000L / tTot, s"natural_ppm $lang")
+      assert(samp === s * 1000000L / sTot, s"samp_ppm $lang")
+      assert(boost === samp * 1000L / math.max(nat, 1L), s"boost $lang")
+    }
+    // α<1 flattens: the SMALLEST slice is boosted above natural share,
+    // the LARGEST damped below it
+    val byTokens = rows.sortBy(_._2._1)
+    assert(byTokens.head._2._4 > 1000L,
+      s"low-resource ${byTokens.head._1} not upweighted")
+    assert(byTokens.last._2._4 < 1000L,
+      s"high-resource ${byTokens.last._1} not damped")
+  }
+
   test("stratified sample is deterministic and near its per-language rates") {
     val a = CorpusOps.sampleStratified(spark, dir).collect()
       .map(_.getAs[Long]("doc_id")).toSeq

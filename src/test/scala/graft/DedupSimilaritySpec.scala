@@ -320,6 +320,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.values.exists(!_._3), "every doc flagged — filter degenerate")
   }
 
+  test("PQ: codes are per-subspace argmins (driver replica); ADC top-k has usable recall") {
+    import graft.operators.PQ
+    val m = 8; val ksub = 16; val dsub = 8
+    val books = PQ.train(spark, dir, m, ksub, iters = 2)
+    assert(books.length === m)
+    assert(books.forall(b => b.length === ksub && b.forall(_.length === dsub)))
+    // codes equal a driver recompute of the subspace argmin (distance
+    // c2 - 2·dot, first-minimum tie-break — the NearestCentroid law)
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).toMap
+    val got = PQ.encode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(got.size === vecs.size * m)
+    got.foreach { case ((id, s), code) =>
+      val v = vecs(id)
+      val dists = books(s).map { c =>
+        val c2 = c.map(x => x * x).sum
+        var acc = 0.0
+        (0 until dsub).foreach(i => acc += v(s * dsub + i).toDouble * c(i))
+        c2 - 2.0 * acc
+      }
+      assert(code === dists.indexOf(dists.min), s"code ($id, $s)")
+    }
+    // ADC ranking over 8-byte codes still finds a usable share of the
+    // exact top-20 (the compression/recall trade the operator exists for)
+    val brute = Similarity.knnCosine(spark, dir, k = 20).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val adc = PQ.pqTopK(spark, dir, k = 20).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(adc.nonEmpty)
+    val recall = adc.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.2, s"suspiciously low PQ recall: $recall")
+    // served from the materialized code table: a second call hits the
+    // freshness fast path and returns the identical ranking
+    val again = PQ.pqTopK(spark, dir, k = 20).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(again.toSeq === adc.toSeq)
+  }
+
+  test("embedding decontamination equals a driver replica; flag fires both ways") {
+    val tau = 0.4; val benchMod = 20L
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray).sortBy(_._1)
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cosFF(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.sqrt(dotFF(a, a)) * math.sqrt(dotFF(b, b))
+      if (n == 0.0) 0.0 else dotFF(a, b) / n
+    }
+    val bench = vecs.filter(_._1 % benchMod == 0).map(_._2)
+    val want = vecs.filter(_._1 % benchMod != 0).map { case (id, v) =>
+      val m = bench.map(b => cosFF(v, b)).max
+      id -> ((m, m >= tau))
+    }.toMap
+    val got = Similarity.embedDecontaminate(spark, dir, tau, benchMod).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("max_cos"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got === want)
+    assert(got.values.exists(_._2), "no contaminated doc — fixture near-dups should trip it")
+    assert(got.values.exists(!_._2), "everything contaminated — filter degenerate")
+  }
+
   test("semantic dedup equals a driver recompute of cluster/group/keep; prune actually fires") {
     val nlist = 16; val tau = 0.4
     // same deterministic quantizer the operator trains internally

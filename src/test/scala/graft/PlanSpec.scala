@@ -227,6 +227,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("embedding decontamination broadcasts the benchmark; corpus vectors never shuffle") {
+    val p = plan("x_embed_decontaminate")
+    // the small benchmark side rides ONE broadcast into a nested-loop
+    // probe of the corpus scan; the per-doc max collapses map-side
+    // (partial_max), so the only exchanges are the narrow post-agg hash
+    // and the output range sort — corpus embeddings never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_max"), p)
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size === 2, p)
+  }
+
   test("curation funnel composes stage plans without a cartesian; flag joins stay keyed") {
     val p = plan("x_curation_funnel")
     assert(!p.contains("CartesianProduct"), p)
