@@ -32,20 +32,35 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** The events table is written with TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark's vectorized reader rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw INT64
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and expose BOTH:
+  /** The events table exposes BOTH, whatever the generator wrote:
     *   - `ts`    TIMESTAMP (microsecond, UTC) — for calendar functions;
     *   - `ts_ns` BIGINT epoch-nanos — the exact, total ordering key
     *     (equals DuckDB's `epoch_ns(ts)`, so oracle ordering agrees even
     *     if sub-microsecond components ever appear).
+    *
+    * The physical `ts` column has shipped in two shapes across testdata
+    * generations, so normalization is schema-adaptive:
+    *   - TIMESTAMP(NANOS) parquet timestamps, which Spark's vectorized
+    *     reader rejects outright ([PARQUET_TYPE_ILLEGAL]) — read as raw
+    *     INT64 nanos (`spark.sql.legacy.parquet.nanosAsLong`), then
+    *     ts = micros(ns div 1000), ts_ns = the long itself;
+    *   - TIMESTAMP(MICROS) (plain timestamp[us], arriving as NTZ) —
+    *     ts = cast to session-UTC TIMESTAMP, ts_ns = unix_micros × 1000
+    *     (sessions pin UTC, so the NTZ→LTZ cast is deterministic and
+    *     DuckDB's epoch_ns(ts) equals ts_ns exactly).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+          .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -63,10 +63,21 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       s"$prettyName needs array<float|double> input, got ${other.sql}")
   }
 
+  // Fail-loud convention (the PpmCodec / Debezium-decoder stance): a
+  // vector of the wrong dimension, or one containing null elements,
+  // raises instead of yielding a wrong-but-plausible cid from a partial
+  // or garbage dot product.
+  private def badDim(n: Int): Nothing = throw new IllegalArgumentException(
+    s"nearest_centroid: vector has $n elements, codebook dimension is $dim")
+  private def badNull(t: Int): Nothing = throw new IllegalArgumentException(
+    s"nearest_centroid: null element at position $t")
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    if (v.numElements() != dim) badDim(v.numElements())
     val isF = childIsFloat
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) badNull(i); i += 1 }
     var best = -1
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -74,7 +85,7 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       var acc = 0.0
       val off = c * dim
       var t = 0
-      while (t < n) {
+      while (t < dim) {
         val xv = if (isF) v.getFloat(t).toDouble else v.getDouble(t)
         acc += xv * flat(off + t)
         t += 1
@@ -91,22 +102,32 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     val mRef = ctx.addReferenceObj("centMatrix", flat, "double[]")
     val c2Ref = ctx.addReferenceObj("centNorms", c2, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
-      val n = ctx.freshName("n")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
       val c = ctx.freshName("c")
       val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val off = ctx.freshName("off")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: vector has " + $v.numElements() +
+         |    " elements, codebook dimension is " + $dim);
+         |}
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($v.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "nearest_centroid: null element at position " + $i);
+         |  }
+         |}
          |int $best = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < ${cents.length}; $c++) {
          |  double $acc = 0.0;
          |  int $off = $c * $dim;
-         |  for (int $t = 0; $t < $n; $t++) {
+         |  for (int $t = 0; $t < $dim; $t++) {
          |    $acc += ((double) $v.$get($t)) * $mRef[$off + $t];
          |  }
          |  double $d = $c2Ref[$c] - 2.0 * $acc;

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions.col
 
 /** Compaction for the `batch=N` incrementally-appended indexes
   * (postings, signatures, SRP, substring occurrences): re-run the BATCH
-  * builder's layout over the accumulated logical relation and swap the
-  * result in atomically — the executable form of the LSM story the
+  * builder's layout over the accumulated logical relation and publish
+  * the result atomically — the executable form of the LSM story the
   * appenders document ("a periodic re-run of the batch builder IS that
   * compaction"). Consumers are indifferent: both faces read the same
   * logical relation through the same partition-discovery path; what
@@ -20,22 +20,24 @@ import org.apache.spark.sql.functions.col
   * predecessor-style read against it) survives compaction, and the
   * stream simply continues appending at maxId+1.
   *
-  * Swap protocol: write to a `__compacting` sibling, then two renames
-  * (old root → `__precompact`, sibling → root) and a delete. Each
-  * rename is atomic on HDFS-like filesystems, so a reader sees either
-  * the old tree or the new one, never a mix; a crash between the
-  * renames leaves the full data under one of the two siblings —
-  * recovery is a manual rename, never a data loss. On object stores
-  * without atomic rename, run compaction inside an ingest pause (the
-  * same window it already requires — see below).
+  * Publish protocol ([[Snapshots]]): the rewrite streams into a fresh
+  * `_gen-<n>` directory, which becomes the tree readers resolve to via
+  * ONE atomic marker-file create — no rename, no window where the root
+  * is missing, atomic on local FS, HDFS and object stores alike. The
+  * previous tree is retained until the NEXT compaction commits, so a
+  * reader that resolved a moment before the commit keeps reading a
+  * complete snapshot. A crash anywhere before the marker leaves an
+  * invisible partial `_gen-<n>` that the next run deletes — readers
+  * never see a mix and recovery is automatic, not manual.
   *
-  * Concurrency contract: never run concurrently with an in-flight
-  * appendBatch — the natural schedule is between AvailableNow drains,
-  * exactly when LSM engines compact. Replay safety after compaction
-  * holds because foreachBatch only ever replays UNCOMMITTED batch ids:
-  * every id ≤ maxId is committed in the stream's checkpoint (its data
-  * is what compaction just rewrote), so no replay can land on the
-  * compacted directory.
+  * Concurrency contract: READERS need no coordination (they see the
+  * old snapshot or the new one, never a mix, never an error). Only
+  * APPENDERS must not run concurrently with a compaction — the natural
+  * schedule is between AvailableNow drains, exactly when LSM engines
+  * compact. Replay safety after compaction holds because foreachBatch
+  * only ever replays UNCOMMITTED batch ids: every id ≤ maxId is
+  * committed in the stream's checkpoint (its data is what compaction
+  * just rewrote), so no replay can land on the compacted directory.
   */
 object Compaction {
 
@@ -50,20 +52,16 @@ object Compaction {
     val ids = batchIds(spark, root)
     require(ids.nonEmpty, s"nothing to compact under $root")
     val maxId = ids.max
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(root + "__compacting")
-    val trash = new Path(root + "__precompact")
-    fs.delete(tmp, true)
-    fs.delete(trash, true)
-    // the rewrite streams old-root → tmp (different paths, so the read
-    // plan never references directories the swap replaces)
-    write(spark.read.parquet(root).drop("batch"), s"$tmp/batch=$maxId")
-    if (!fs.rename(rootPath, trash))
-      throw new java.io.IOException(s"compaction swap: cannot move $root aside")
-    if (!fs.rename(tmp, rootPath))
-      throw new java.io.IOException(s"compaction swap: cannot install $tmp")
-    fs.delete(trash, true)
+    val source = Snapshots.resolve(spark, root)
+    val gen = Snapshots.nextGen(spark, root)
+    val genDir = new Path(Snapshots.genDir(root, gen))
+    val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(genDir, true) // defensive: ids are never reused, but be sure
+    // the rewrite streams current-snapshot → gen=<n> (underscore-free
+    // but referenced only via resolve(), never via a listing of root)
+    write(spark.read.parquet(source).drop("batch"), s"$genDir/batch=$maxId")
+    Snapshots.commit(spark, root, gen)   // the atomic publish
+    Snapshots.sweep(spark, root)         // retain one predecessor snapshot
   }
 
   /** Compact an [[IncrementalPostings]] root into the batch build's

@@ -22,15 +22,24 @@ private[streaming] object Epochs {
   /** Epoch ids currently materialized under `root` (empty when the root
     * does not exist yet — the stream-start case). `prefix` selects the
     * directory convention: `epoch=` snapshots (the folds) or `batch=`
-    * appenders (the LSM-shaped indexes, [[Compaction]]). */
+    * appenders (the LSM-shaped indexes, [[Compaction]]). Compacted
+    * roots resolve through [[Snapshots]] to the current committed
+    * generation — a no-op for never-compacted roots.
+    *
+    * Only names whose suffix is a parseable non-negative Long count: a
+    * stray `batch=3.tmp` left by a killed writer (or any other junk a
+    * tool drops next to the data) is ignored rather than aborting ALL
+    * epoch discovery for the root with a NumberFormatException. */
   def list(spark: SparkSession, root: String,
       prefix: String = "epoch="): Seq[Long] = {
-    val path = new Path(root)
+    val path = new Path(Snapshots.resolve(spark, root))
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .map(_.getPath.getName.stripPrefix(prefix).toLong)
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix(prefix).toLong).toOption)
+      .filter(_ >= 0L)
   }
 
   /** The newest epoch strictly below `beforeEpoch`, if any — the

@@ -37,7 +37,8 @@ object IncrementalIndex {
     * idempotent per batchId (overwrite of the batch's own directory). */
   def appendBatch(indexRoot: String)(batch: DataFrame, batchId: Long): Unit =
     graft.operators.Dedup.indexRows(batch)
-      .write.mode("overwrite").parquet(s"$indexRoot/batch=$batchId")
+      .write.mode("overwrite").parquet(
+        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
 
   /** Wire a documents stream (doc_id, text, …) into incremental index
     * maintenance. AvailableNow by default: drain what exists, checkpoint,
@@ -55,7 +56,7 @@ object IncrementalIndex {
     * `batch` column is dropped so the schema matches the batch-built
     * index exactly. */
   def read(spark: SparkSession, indexRoot: String): DataFrame =
-    spark.read.parquet(indexRoot).drop("batch")
+    spark.read.parquet(Snapshots.resolve(spark, indexRoot)).drop("batch")
 
   /** Dedup-at-ingest: near-dup pairs CREATED by one micro-batch — every
     * pair between a batch document and the corpus indexed so far

@@ -39,20 +39,25 @@ object IncrementalPostings {
   /** Append one micro-batch of documents' postings — idempotent per
     * batchId (overwrite of the batch's own directory). `partitions`
     * bounds the append's shuffle width AND the batch's file count;
-    * 0 (the default) means the session's `spark.sql.shuffle.partitions`
-    * — a literal constant here would cap append parallelism regardless
-    * of batch size. */
+    * 0 (the default) means min(`spark.sql.shuffle.partitions`, 8) —
+    * capped because a micro-batch is wave-sized by definition, and
+    * inheriting a warehouse-wide shuffle width (commonly 200) would
+    * fan every batch into ~200 tiny files, amplifying exactly the
+    * small-file problem [[Compaction]] exists to undo. Pass an explicit
+    * width for genuinely huge batches (e.g. an initial backfill). */
   def appendBatch(indexRoot: String, partitions: Int = 0)(
       batch: DataFrame, batchId: Long): Unit = {
     val parts =
       if (partitions > 0) partitions
-      else batch.sparkSession.sessionState.conf.numShufflePartitions
+      else math.min(
+        batch.sparkSession.sessionState.conf.numShufflePartitions, 8)
+    val root = Snapshots.resolve(batch.sparkSession, indexRoot)
     Search.postingsOf(batch)
       // term-clustered within the batch, like the batch build: row-group
       // min/max still prune term lookups inside each batch file
       .repartition(parts, col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("overwrite").parquet(s"$indexRoot/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$root/batch=$batchId")
   }
 
   /** Wire a documents stream into incremental postings maintenance.
@@ -67,9 +72,11 @@ object IncrementalPostings {
       .start()
 
   /** The incrementally-maintained index as one postings frame (batch
-    * partition column dropped — same schema as the batch-built index). */
+    * partition column dropped — same schema as the batch-built index).
+    * Resolves through [[Snapshots]] so a compacted root serves its
+    * current committed generation. */
   def read(spark: SparkSession, indexRoot: String): DataFrame =
-    spark.read.parquet(indexRoot).drop("batch")
+    spark.read.parquet(Snapshots.resolve(spark, indexRoot)).drop("batch")
 
   /** Keyword search served from the incremental index. */
   def keywordSearch(spark: SparkSession, indexRoot: String,

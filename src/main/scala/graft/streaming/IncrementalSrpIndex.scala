@@ -43,7 +43,8 @@ object IncrementalSrpIndex {
       .withColumn("bucket",
         srpBucket(col("embedding"), hyperplanes(nPlanes, 64, seed)))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexRoot/batch=$batchId")
+      .parquet(
+        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
 
   /** Wire an embeddings stream into incremental SRP maintenance.
     * AvailableNow by default: drain, checkpoint, stop. */
@@ -59,7 +60,7 @@ object IncrementalSrpIndex {
   /** The incrementally-maintained index as one frame (batch partition
     * column dropped; bucket stays — it is the probe key). */
   def read(spark: SparkSession, indexRoot: String): DataFrame =
-    spark.read.parquet(indexRoot).drop("batch")
+    spark.read.parquet(Snapshots.resolve(spark, indexRoot)).drop("batch")
 
   /** ANN top-k served from the incremental index — same probe set and
     * bit-exact scores as the batch-index query. */

@@ -30,7 +30,8 @@ object IncrementalSubstring {
   def appendBatch(indexRoot: String, w: Int = 10)(batch: DataFrame,
       batchId: Long): Unit =
     Dedup.windowOccurrencesOf(batch, w)
-      .write.mode("overwrite").parquet(s"$indexRoot/batch=$batchId")
+      .write.mode("overwrite").parquet(
+        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
 
   /** Wire a documents stream into occurrence maintenance. AvailableNow
     * by default: drain, checkpoint, stop. */
@@ -45,7 +46,7 @@ object IncrementalSubstring {
   /** The accumulated occurrence relation (batch partition dropped —
     * same schema as the batch build's). */
   def read(spark: SparkSession, indexRoot: String): DataFrame =
-    spark.read.parquet(indexRoot).drop("batch")
+    spark.read.parquet(Snapshots.resolve(spark, indexRoot)).drop("batch")
 
   /** Dup statistics over every document seen so far — the same derive
     * as the batch query, over the maintained relation. */

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Committed-generation indirection for the `batch=N` appender roots.
+  *
+  * [[Compaction]] used to swap the compacted tree in with two renames
+  * (root → `__precompact`, sibling → root), which left a window where
+  * the root did not exist: a concurrent reader got path-not-found, or
+  * [[Epochs.list]] silently returned empty. Renames also are not atomic
+  * on object stores, so the old protocol quietly narrowed the
+  * "ingest-pause" contract into a "nobody may even READ" contract.
+  *
+  * This object replaces the swap with a pointerless manifest
+  * convention, atomic on ANY filesystem that has atomic file create
+  * (all of them — local, HDFS, S3A):
+  *
+  *   - a compacted snapshot lands under `root/_gen-<n>/batch=<maxId>/…`;
+  *   - it becomes visible by creating the empty marker file
+  *     `root/_gen-<n>/_COMMITTED` — one atomic create, no rename, no
+  *     window with no data;
+  *   - readers resolve `root` to the HIGHEST committed generation (or
+  *     to `root` itself while no generation exists — the pre-compaction
+  *     layout, so appender roots never pay the indirection until they
+  *     first compact);
+  *   - a crash before the marker leaves an invisible half-written
+  *     `_gen-<n>` that the next compaction deletes and rewrites — never
+  *     a reader-visible mix, never data loss;
+  *   - the PREVIOUS generation is retained until the next compaction
+  *     commits, so a reader that resolved just before a commit keeps
+  *     reading a complete tree (snapshot isolation with a retention of
+  *     one, the same policy table formats default to).
+  *
+  * Underscore-prefixed names (`_gen-<n>`, `_COMMITTED`) are invisible
+  * to Spark's file listing, so neither the marker nor a generation tree
+  * ever leaks into a partition discovery of `root`; generations are
+  * only ever read via an explicit resolved path.
+  */
+object Snapshots {
+
+  // underscore-prefixed AND equals-free: Spark's hidden-name filter
+  // exempts names containing "=" (partition columns may start with _),
+  // so `_gen=1` would still be discovered — `_gen-1` is genuinely
+  // hidden, and a generation tree under a not-yet-compacted root can
+  // never leak into a partition discovery of `root` itself (which would
+  // otherwise see conflicting `batch=` vs `_gen=/batch=` layouts)
+  private val Marker = "_COMMITTED"
+  private val GenPrefix = "_gen-"
+  private val GenName = raw"_gen-(\d+)".r
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Directory of generation `g` under `root`. */
+  def genDir(root: String, g: Long): String = s"$root/$GenPrefix$g"
+
+  /** All generation ids present under `root`, committed or not. */
+  private def gens(spark: SparkSession, root: String): Seq[(Long, Boolean)] = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    if (!f.exists(rootPath)) Seq.empty
+    else f.listStatus(rootPath).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case GenName(n) =>
+            Some(n.toLong -> f.exists(new Path(st.getPath, Marker)))
+          case _ => None
+        }
+    }.flatten
+  }
+
+  /** The newest committed generation under `root`, if any. */
+  def currentGen(spark: SparkSession, root: String): Option[Long] =
+    gens(spark, root).collect { case (g, true) => g }.sorted.lastOption
+
+  /** The directory consumers should read: the newest committed
+    * generation, or `root` itself while none exists (the plain appender
+    * layout — this function is a no-op until the root first compacts). */
+  def resolve(spark: SparkSession, root: String): String =
+    currentGen(spark, root).map(genDir(root, _)).getOrElse(root)
+
+  /** The generation id the next compaction should write into: one past
+    * everything present, committed or not (a crashed half-write is never
+    * reused in place — it is deleted and its id skipped). */
+  def nextGen(spark: SparkSession, root: String): Long =
+    gens(spark, root).map(_._1).maxOption.getOrElse(0L) + 1L
+
+  /** Atomically publish generation `g`: one marker-file create. The
+    * data under [[genDir]] must be fully written first. */
+  def commit(spark: SparkSession, root: String, g: Long): Unit = {
+    val marker = new Path(genDir(root, g), Marker)
+    val f = fs(spark, marker)
+    // createNewFile semantics: atomic, fails if the marker already exists
+    val out = f.create(marker, false)
+    out.close()
+  }
+
+  /** Delete superseded trees, retaining the current generation and its
+    * immediate predecessor (one-deep snapshot retention for in-flight
+    * readers). The pre-generation layout (`root/batch=*` directly) is
+    * treated as the oldest generation and swept once two committed
+    * generations exist. */
+  def sweep(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(spark, rootPath)
+    val all = gens(spark, root)
+    val committed = all.collect { case (g, true) => g }.sorted
+    if (committed.isEmpty) return
+    val current = committed.last
+    val retain: Set[Long] =
+      Set(current) ++ committed.dropRight(1).lastOption.toSet
+    // half-written (uncommitted) gens below current are dead weight too
+    all.foreach { case (g, _) =>
+      if (!retain.contains(g) && g < current)
+        f.delete(new Path(genDir(root, g)), true)
+    }
+    // the pre-gen layout is the oldest generation of all: it is the
+    // "immediate predecessor" only while a single committed generation
+    // exists, so sweep it once there are two
+    if (committed.size >= 2) {
+      f.listStatus(rootPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .foreach(st => f.delete(st.getPath, true))
+    }
+  }
+}

@@ -3,13 +3,16 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.{Compaction, IncrementalPostings, IncrementalSrpIndex}
+import graft.streaming.{Compaction, IncrementalPostings, IncrementalSrpIndex, Snapshots}
 
 /** Compaction of the batch=N appender indexes: the rewrite must be
   * invisible to every consumer (same logical relation, same query
   * results) while collapsing the per-micro-batch file fan-out back to
   * the batch build's shape — and the stream must be able to keep
-  * appending afterwards. */
+  * appending afterwards. The publish is a single atomic marker-file
+  * create ([[graft.streaming.Snapshots]]): readers resolve to the
+  * newest COMMITTED generation, a half-written generation is invisible,
+  * and the predecessor tree survives until the next commit. */
 class CompactionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = TestSpark.Sf0001
@@ -49,18 +52,56 @@ class CompactionSpec extends AnyFunSuite {
     // (4 waves × 4 partitions → 4 partitions)
     assert(Compaction.batchIds(spark, root) === Seq(3L),
       "compacted relation must live under the newest committed batch id")
-    val filesAfter = parquetFiles(root).size
+    val resolved = Snapshots.resolve(spark, root)
+    assert(resolved === Snapshots.genDir(root, 1L),
+      "first compaction must publish gen=1")
+    val filesAfter = parquetFiles(resolved).size
     assert(filesAfter < filesBefore,
       s"compaction must shrink the file fan-out ($filesBefore -> $filesAfter)")
     assert(filesAfter <= 4, s"expected <=4 term-clustered files, got $filesAfter")
-    // no leftover swap siblings
-    assert(!new java.io.File(root + "__compacting").exists)
-    assert(!new java.io.File(root + "__precompact").exists)
+    // the PREDECESSOR tree (the pre-gen batch dirs) is retained for
+    // in-flight readers — a reader that resolved just before the commit
+    // still reads a complete snapshot
+    assert(rows(spark.read.parquet(root + "/batch=0")).nonEmpty,
+      "predecessor snapshot must survive the first compaction")
     // the stream keeps appending after compaction — and the appended
     // batch is visible through the same read
     IncrementalPostings.appendBatch(root)(Seq(IdxDoc(900001L, "zqx zqx")).toDF(), 4L)
     assert(rows(IncrementalPostings.read(spark, root)) ===
       before + (("zqx", 900001L, 2L)))
+
+    // second compaction: publishes gen=2 atomically, sweeps the pre-gen
+    // layout (now two generations old), retains gen=1
+    Compaction.compactPostings(spark, root, partitions = 4)
+    assert(Snapshots.resolve(spark, root) === Snapshots.genDir(root, 2L))
+    assert(rows(IncrementalPostings.read(spark, root)) ===
+      before + (("zqx", 900001L, 2L)))
+    assert(!new java.io.File(root + "/batch=0").exists,
+      "pre-gen layout must be swept once two committed generations exist")
+    assert(new java.io.File(Snapshots.genDir(root, 1L)).exists,
+      "immediate predecessor generation must be retained")
+  }
+
+  test("a half-written (uncommitted) generation is invisible to readers and recovered by the next compaction") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("compact-crash") + "/index"
+    IncrementalPostings.appendBatch(root, partitions = 2)(
+      Seq(IdxDoc(1L, "alpha beta"), IdxDoc(2L, "beta gamma")).toDF(), 0L)
+    val before = rows(IncrementalPostings.read(spark, root))
+
+    // simulate a compaction that crashed before the marker: data fully
+    // written under gen=1, no _COMMITTED
+    Seq(IdxDoc(99L, "bogus crash leftovers")).toDF()
+      .write.parquet(Snapshots.genDir(root, 1L) + "/batch=0")
+    assert(Snapshots.resolve(spark, root) === root,
+      "uncommitted generation must not become visible")
+    assert(rows(IncrementalPostings.read(spark, root)) === before,
+      "readers must keep seeing the old snapshot after a crashed compaction")
+
+    // the next compaction skips the dead id, writes gen=2, and commits
+    Compaction.compactPostings(spark, root, partitions = 2)
+    assert(Snapshots.resolve(spark, root) === Snapshots.genDir(root, 2L))
+    assert(rows(IncrementalPostings.read(spark, root)) === before)
   }
 
   test("SRP compaction keeps probe results and the bucket partition column") {
@@ -89,5 +130,32 @@ class CompactionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Compaction.compactPostings(spark, root)
     }
+  }
+
+  test("epoch discovery ignores junk directories instead of aborting") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("epochs-junk") + "/index"
+    IncrementalPostings.appendBatch(root, partitions = 2)(
+      Seq(IdxDoc(1L, "alpha beta")).toDF(), 3L)
+    // a killed writer's leftovers and other non-numeric junk
+    assert(new java.io.File(root, "batch=4.tmp").mkdirs())
+    assert(new java.io.File(root, "batch=garbage").mkdirs())
+    assert(new java.io.File(root, "unrelated").mkdirs())
+    assert(Compaction.batchIds(spark, root) === Seq(3L))
+  }
+
+  test("appendBatch default shuffle width is capped, not the session's full width") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("append-cap") + "/index"
+    val wide = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(wide)
+    try {
+      spark.conf.set(wide, "64")
+      val docs = (1L to 200L).map(i => IdxDoc(i, s"tok$i alpha beta gamma"))
+      IncrementalPostings.appendBatch(root)(docs.toDF(), 0L)
+      val files = parquetFiles(root).size
+      assert(files <= 8,
+        s"default append must write <=8 files under a 64-wide session, got $files")
+    } finally spark.conf.set(wide, old)
   }
 }

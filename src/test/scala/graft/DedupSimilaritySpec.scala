@@ -451,4 +451,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
          && got(vecs(i)._1)._3 && got(vecs(j)._1)._3)
       assert(cosFF(vecs(i)._2, vecs(j)._2) < tau)
   }
+
+  test("nearest_centroid fails loudly on dimension mismatch and null elements") {
+    import graft.functions.NearestCentroid
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+
+    // interpreted path, direct eval
+    val expr = NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), cents)
+    // [1,2] is nearer [0,1] than [1,0] → cid 1
+    assert(expr.nullSafeEval(new GenericArrayData(Array[Any](1.0, 2.0))) === 1)
+    val tooShort = intercept[IllegalArgumentException] {
+      expr.nullSafeEval(new GenericArrayData(Array[Any](1.0)))
+    }
+    assert(tooShort.getMessage.contains("codebook dimension"))
+    val nullElem = intercept[IllegalArgumentException] {
+      expr.nullSafeEval(new GenericArrayData(Array[Any](1.0, null)))
+    }
+    assert(nullElem.getMessage.contains("null element"))
+
+    // codegen path, through a real plan: wrong-length vector must kill
+    // the job, not yield a plausible cid from a partial dot product
+    import spark.implicits._
+    val short = Seq(Seq(1.0)).toDF("v")
+    val bad = intercept[Exception] {
+      short.select(NearestCentroid.assign(org.apache.spark.sql.functions
+        .col("v"), cents)).collect()
+    }
+    def rootMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMsgs(e.getCause))
+    assert(rootMsgs(bad).exists(m => m != null && m.contains("codebook dimension")), bad.toString)
+    val withNull = Seq(Seq(Some(1.0), None)).toDF("v")
+    val badNull = intercept[Exception] {
+      withNull.select(NearestCentroid.assign(org.apache.spark.sql.functions
+        .col("v"), cents)).collect()
+    }
+    assert(rootMsgs(badNull).exists(m => m != null && m.contains("null element")), badNull.toString)
+  }
 }
