@@ -121,6 +121,7 @@ object SparkEntry {
     "x_embed_decontaminate" -> ((s: SparkSession, d: String) => operators.Similarity.embedDecontaminate(s, d)),
     "x_pq_encode"           -> ((s: SparkSession, d: String) => operators.PQ.encode(s, d)),
     "x_pq_knn"              -> ((s: SparkSession, d: String) => operators.PQ.pqTopK(s, d)),
+    "x_ivfpq_knn"           -> ((s: SparkSession, d: String) => operators.PQ.ivfpqTopK(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
@@ -505,6 +506,46 @@ object SparkEntry {
        |SELECT vec_id, s, code FROM (
        |  $union) u
        |ORDER BY vec_id, s""".stripMargin
+  }
+
+  /** IVF-PQ oracle (round 9): the coarse IVF assignment (a3 / k2 from
+    * [[ivfTrainingCtes]]) supplies the probe pruning, the per-subspace
+    * chains (PqCtes) supply codes and ADC tables, the top-`refine` ADC
+    * candidates within the probed lists are re-ranked by the exact
+    * cosine — the same expression, evaluation order, and tie-breaks as
+    * IvfTopKSql's. Training for BOTH quantizers is replayed in SQL, so
+    * no value from the system under test appears here. */
+  private val IvfPqTopKSql: String = {
+    val dts = (0 until 8).map { s =>
+      s"""dt$s AS (
+         |  SELECT c.cid, ${ivfDotDim("qq.v", "c.v", 8)} AS d
+         |  FROM k2_p$s c, (SELECT list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v
+         |                  FROM emb WHERE vec_id = 0) qq)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until 8).map(s =>
+      s"JOIN a3_p$s a$s ON a$s.vec_id = e.vec_id JOIN dt$s t$s ON t$s.cid = a$s.cid")
+      .mkString("\n")
+    val score = (0 until 8).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH $PqCtes,
+       |$dts,
+       |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT c.cid FROM k2 c, q
+       |  ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid LIMIT 4),
+       |cand AS (
+       |  SELECT e.vec_id, $score AS adc_score
+       |  FROM emb e
+       |  JOIN a3 iv ON iv.vec_id = e.vec_id
+       |  $joins
+       |  WHERE e.vec_id <> 0 AND iv.cid IN (SELECT cid FROM probes)
+       |  ORDER BY adc_score DESC, e.vec_id
+       |  LIMIT 50)
+       |SELECT e.vec_id, e.label,
+       |       ${ivfDot("e.v", "q.qv")}
+       |       / (sqrt(${ivfDot("e.v", "e.v")}) * sqrt(${ivfDot("q.qv", "q.qv")})) AS cos_sim
+       |FROM cand c JOIN emb e ON e.vec_id = c.vec_id, q
+       |ORDER BY cos_sim DESC, e.vec_id
+       |LIMIT 20""".stripMargin
   }
 
   private val PqTopKSql: String = {
@@ -1492,6 +1533,9 @@ object SparkEntry {
     // the per-subspace assignments, ADC = fixed-order table-lookup sum.
     "x_pq_encode" -> PqEncodeSql,
     "x_pq_knn"    -> PqTopKSql,
+    // IVF-PQ composite: probe pruning from the IVF replay, ADC from the
+    // PQ replay, exact-cosine refine of the top-50 candidates.
+    "x_ivfpq_knn" -> IvfPqTopKSql,
     // Semantic benchmark decontamination: cosine formulas mirror the
     // Spark side's evaluation order exactly (norms computed per row,
     // zero-norm guard identical), and max over an identical multiset of

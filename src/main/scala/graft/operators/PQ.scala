@@ -115,6 +115,26 @@ object PQ {
     (path, books.map(_.toArray))
   }
 
+  /** ADC score column over a `codes` array column: the fixed-order
+    * (s = 0..m-1) sum of the query's precomputed per-subspace dots,
+    * looked up by each row's stored code — m adds per row, never the
+    * vectors. `dt(s)(k)` = dot(q_s, c_{s,k}) computed on the DRIVER. */
+  private def adcScore(dt: Array[Array[Double]]): org.apache.spark.sql.Column =
+    dt.indices.map { s =>
+      element_at(array(dt(s).map(lit): _*),
+        element_at(col("codes"), s + 1) + lit(1))
+    }.reduce(_ + _)
+
+  private def adcTable(qvec: Seq[Float], codebooks: Array[Array[Array[Double]]],
+      dsub: Int): Array[Array[Double]] =
+    Array.tabulate(codebooks.length) { s =>
+      Array.tabulate(codebooks(s).length) { kk =>
+        val c = codebooks(s)(kk)
+        (0 until dsub).foldLeft(0.0)((acc, i) =>
+          acc + qvec(s * dsub + i).toDouble * c(i))
+      }
+    }
+
   /** x_pq_knn — approximate top-k by ADC over the MATERIALIZED code
     * table: the query's per-subspace dot-product table is computed on
     * the DRIVER (m × ksub × dsub flops — index metadata, like IVF probe
@@ -132,24 +152,95 @@ object PQ {
       .filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0)
     // ADC table: dt(s)(k) = dot(q_s, c_{s,k}), left-to-right like every
-    // other dot in the engine
-    val dt: Array[Array[Double]] = Array.tabulate(m) { s =>
-      Array.tabulate(ksub) { kk =>
-        val c = codebooks(s)(kk)
-        (0 until dsub).foldLeft(0.0)((acc, i) =>
-          acc + qvec(s * dsub + i).toDouble * c(i))
-      }
-    }
-    // fixed s = 0..m-1 summation order — the oracle replays it as an
-    // explicit d0 + d1 + … chain
-    val score = (0 until m).map { s =>
-      element_at(array(dt(s).map(lit): _*),
-        element_at(col("codes"), s + 1) + lit(1))
-    }.reduce(_ + _)
+    // other dot in the engine; fixed s = 0..m-1 summation order — the
+    // oracle replays it as an explicit d0 + d1 + … chain
+    val dt = adcTable(qvec, codebooks, dsub)
     spark.read.parquet(path)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), col("label"), score.as("adc_score"))
+      .select(col("vec_id"), col("label"), adcScore(dt).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The IVF-PQ composite (Jégou et al. 2011 §V; the layout FAISS calls
+    * IndexIVFPQ): PQ codes stored PER INVERTED LIST — the code table
+    * joined to its IVF coarse assignment once at BUILD time and written
+    * partitioned by `cid`, so a query's nprobe probe set prunes the
+    * code scan via PartitionFilters and query time does NO join at all.
+    * This is the billion-scale ANN shape: the scan is over 8-byte codes
+    * (32× smaller than vectors) AND restricted to nprobe/nlist of the
+    * corpus — the two reductions compose.
+    *
+    * Freshness is keyed on the source signature plus BOTH builds'
+    * params; the IVF centroids and PQ codebooks are reused from their
+    * own gated builds, so the three indexes can never disagree about
+    * the corpus snapshot they describe. */
+  def ivfpqIndexPath(dir: String): String =
+    graft.ops.Layout.indexPath("ivfpq", dir)
+
+  def ensureIvfPqIndex(spark: SparkSession, dir: String, nlist: Int = 16,
+      m: Int = DefaultM, ksub: Int = DefaultKsub, iters: Int = 2)
+      : (String, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (ivfPath, cents) = Similarity.ensureIvfIndex(spark, dir, nlist, iters)
+    val (pqPath, books) = ensurePqIndex(spark, dir, m, ksub, iters)
+    val path = ivfpqIndexPath(dir)
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}" +
+      s"_l${nlist}_m${m}_k${ksub}_i${iters}_q32"
+    graft.ops.Layout.ensureSigGated(path, sig) {
+      spark.read.parquet(ivfPath).select(col("vec_id"), col("cid"))
+        .join(spark.read.parquet(pqPath), Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+    }
+    (path, cents, books)
+  }
+
+  /** x_ivfpq_knn — IVF-PQ top-k with exact refine: rank the IVF
+    * centroids against the query on the DRIVER (k×dim flops — index
+    * metadata), ADC-score ONLY the nprobe probed lists' codes
+    * (PartitionFilters prune the rest of the corpus), keep the top
+    * `refine` candidates by ADC, then re-rank those few against their
+    * TRUE vectors (exact cosine — the candidate id set is broadcast
+    * into one embeddings scan). Output shape matches x_ivf_knn
+    * (vec_id, label, cos_sim), so the quality ladder brute → IVF →
+    * IVF-PQ is directly comparable.
+    *
+    * Every stage is deterministic (quantized training, first-minimum
+    * codes, fixed-order ADC sum, ties to the smaller vec_id), which is
+    * what lets the whole pipeline — training included — carry a full
+    * DuckDB oracle. */
+  def ivfpqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
+      ksub: Int = DefaultKsub, iters: Int = 2, refine: Int = 50): DataFrame = {
+    val dsub = Dim / m
+    val (path, cents, books) = ensureIvfPqIndex(spark, dir, nlist, m, ksub, iters)
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // probe ranking on the driver: -dot, stable sort → cid tie-break
+    // (the serveIvf protocol)
+    val probes = cents.indices
+      .sortBy { c =>
+        val cent = cents(c)
+        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
+      }
+      .take(nprobe).map(_.toLong)
+    val dt = adcTable(qvec, books, dsub)
+    val candidates = spark.read.parquet(path)
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcScore(dt).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(refine)
+    // exact refine: `refine` ids against one pruned embeddings scan —
+    // the candidate set is broadcast, the vectors never shuffle; the
+    // cosine is the serveIvf convention exactly (same literal array,
+    // same codegen'd dot), so scores are bit-identical to x_ivf_knn's
+    val qcol = array(qvec.map(lit): _*)
+    Tables.embeddings(spark, dir)
+      .join(broadcast(candidates.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), qcol)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 }

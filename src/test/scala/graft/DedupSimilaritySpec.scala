@@ -452,6 +452,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(cosFF(vecs(i)._2, vecs(j)._2) < tau)
   }
 
+  test("IVF-PQ: driver replica reproduces probes, ADC cut, and refined top-k; recall usable") {
+    import graft.operators.PQ
+    val k = 20; val nprobe = 4; val m = 8; val ksub = 16; val dsub = 8
+    val refine = 50
+    val got = PQ.ivfpqTopK(spark, dir, k = k).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getAs[Double]("cos_sim")))
+    assert(got.length === k)
+
+    // replica from the materialized pieces: coarse lists + codes read
+    // back from the composite index, codebooks from their headers
+    val (path, cents, books) = PQ.ensureIvfPqIndex(spark, dir)
+    val idx = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cid"),
+        r.getSeq[Int](r.fieldIndex("codes")).toArray))
+    val vecs = Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label").toLong,
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+    val vmap = vecs.map(v => v._1 -> v).toMap
+    val q = vmap(0L)._3
+    def dotFD(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += a(i).toDouble * c(i); i += 1 }; s
+    }
+    def dotFF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val probes = cents.indices.sortBy(c => -dotFD(q, cents(c)))
+      .take(nprobe).toSet
+    // every scored candidate must live in a probed list (the pruning
+    // contract), and the ADC cut + exact-cosine refine must reproduce
+    // the operator's output exactly
+    val dt = Array.tabulate(m)(s => Array.tabulate(ksub) { kk =>
+      val c = books(s)(kk)
+      (0 until dsub).foldLeft(0.0)((acc, i) =>
+        acc + q(s * dsub + i).toDouble * c(i))
+    })
+    val cand = idx.filter(x => probes.contains(x._2) && x._1 != 0L)
+      .map(x => x._1 -> (0 until m).foldLeft(0.0)((acc, s) => acc + dt(s)(x._3(s))))
+      .sortBy { case (id, adc) => (-adc, id) }.take(refine)
+    val want = cand.map { case (id, _) =>
+      val (vid, lab, v) = vmap(id)
+      val n = math.sqrt(dotFF(v, v)) * math.sqrt(dotFF(q, q))
+      (vid, lab, if (n == 0.0) 0.0 else dotFF(v, q) / n)
+    }.sortBy { case (id, _, cos) => (-cos, id) }.take(k)
+    assert(got.map(g => (g._1, g._2)).toSeq === want.map(w => (w._1, w._2)).toSeq)
+    got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
+      assert(math.abs(g - w) < 1e-12) }
+
+    // usable recall vs the exact top-k, and scores are TRUE cosines
+    val brute = Similarity.knnCosine(spark, dir, k = k).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    got.foreach { case (id, _, cos) =>
+      brute.get(id).foreach(b => assert(math.abs(b - cos) < 1e-12)) }
+    val recall = got.count(g => brute.contains(g._1)).toDouble / brute.size
+    assert(recall >= 0.2, s"suspiciously low IVF-PQ recall: $recall")
+
+    // serving twice hits the freshness fast path and agrees with itself
+    val again = PQ.ivfpqTopK(spark, dir, k = k).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+        r.getAs[Double]("cos_sim")))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("nearest_centroid fails loudly on dimension mismatch and null elements") {
     import graft.functions.NearestCentroid
     import org.apache.spark.sql.catalyst.util.GenericArrayData

@@ -93,6 +93,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(cid"), p)
   }
 
+  test("IVF-PQ probes prune the code scan to list partitions; refine joins by broadcast") {
+    val p = plan("x_ivfpq_knn")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("cid#"), "no partition filter on cid:\n" + p)
+    assert(!p.contains("PushedFilters: [In(cid"), p)
+    // the candidate id set reaches the embeddings scan as a broadcast,
+    // never a shuffle of the vectors
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {
     // the row-level runtime-pruning lever at warehouse scale: when a dim
     // side carries a selective predicate, Catalyst can build a bloom
