@@ -115,6 +115,7 @@ object SparkEntry {
     "x_ann_indexed"         -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosineIndexed(s, d)),
     "x_ivf_knn"             -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosine(s, d)),
     "x_ivf_indexed"         -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnCosineIndexed(s, d)),
+    "x_ivf_batch"           -> ((s: SparkSession, d: String) => operators.Similarity.ivfKnnBatch(s, d)),
     "x_embed_near_dup"      -> ((s: SparkSession, d: String) => operators.Similarity.embeddingNearDupPairs(s, d)),
     "x_embed_near_dup_lsh"  -> ((s: SparkSession, d: String) => operators.Similarity.annNearDupPairs(s, d)),
     "x_semantic_dedup"      -> ((s: SparkSession, d: String) => operators.Similarity.semanticDedup(s, d)),
@@ -507,6 +508,36 @@ object SparkEntry {
        |  $union) u
        |ORDER BY vec_id, s""".stripMargin
   }
+
+  /** Batch-ANN oracle (round 9): Q queries served in one pass. Per-query
+    * probe ranking is the serveIvf protocol as a window (-dot, cid
+    * ties); candidates join through the (qid, cid) probe pairs exactly
+    * like the Spark side's broadcast scoping; per-query top-k by the
+    * same (cos desc, vec_id) ordering. */
+  private val IvfBatchSql: String =
+    s"""WITH $ivfTrainingCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (0, 1, 2, 3)),
+       |pr AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |                              ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid) AS rn
+       |    FROM q CROSS JOIN k2 c) z WHERE rn <= 4),
+       |cand AS (
+       |  SELECT q.qid, a.vec_id, e.label,
+       |         ${ivfDot("a.v", "q.qv")}
+       |         / (sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("q.qv", "q.qv")})) AS cos_sim
+       |  FROM a3 a
+       |  JOIN pr ON pr.cid = a.cid
+       |  JOIN q ON q.qid = pr.qid
+       |  JOIN emb e ON e.vec_id = a.vec_id
+       |  WHERE a.vec_id <> q.qid)
+       |SELECT qid, vec_id, label, cos_sim FROM (
+       |  SELECT cand.*, row_number() OVER (PARTITION BY qid
+       |                                    ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM cand) z
+       |WHERE rk <= 10
+       |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
 
   /** IVF-PQ oracle (round 9): the coarse IVF assignment (a3 / k2 from
     * [[ivfTrainingCtes]]) supplies the probe pruning, the per-subspace
@@ -1528,6 +1559,8 @@ object SparkEntry {
     // training + the shared serve path make them result-identical.
     "x_ivf_knn"     -> IvfTopKSql,
     "x_ivf_indexed" -> IvfTopKSql,
+    // Batch serving: Q queries in one pass over the same index/replay.
+    "x_ivf_batch"   -> IvfBatchSql,
     "x_semantic_dedup" -> SemanticDedupSql,
     // PQ: per-subspace deterministic training replayed in SQL, codes =
     // the per-subspace assignments, ADC = fixed-order table-lookup sum.

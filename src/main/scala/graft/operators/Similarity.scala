@@ -275,6 +275,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** x_ivf_batch — MANY queries served against the materialized IVF
+    * index in ONE pass: the realistic serving shape (a training-data
+    * pipeline scores queries by the thousand, not one at a time).
+    *
+    * Plan: the Q query vectors are fetched in one pruned source job;
+    * per-query probe ranking runs on the driver (Q × nlist × dim flops —
+    * index metadata); the UNION of all probe sets prunes the index scan
+    * via PartitionFilters; a broadcast (qid, cid) pair frame scopes each
+    * scanned row to exactly the queries probing its list (so a query
+    * never scores a list it did not probe); the query vectors join in by
+    * broadcast; per-query top-k is one hash-partitioned window over the
+    * candidate rows. The big side — the index — is scanned once and
+    * never shuffled; only candidate SCORES shuffle, partitioned by qid.
+    * Per-query results are bit-identical to [[ivfKnnCosineIndexed]]
+    * (same probe protocol, same cosine arithmetic — spec-pinned). */
+  def ivfKnnBatch(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (path, cents) = ensureIvfIndex(spark, dir, nlist, trainIters)
+    val qs: Array[(Long, Seq[Float])] = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val probePairs: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
+      cents.indices
+        .sortBy { c => // serveIvf's protocol: -dot, stable sort = cid ties
+          val cent = cents(c)
+          -qv.indices.foldLeft(0.0)((s, i) => s + qv(i).toDouble * cent(i))
+        }
+        .take(nprobe).map(c => qid -> c.toLong)
+    }
+    val allProbes = probePairs.map(_._2).distinct
+    import spark.implicits._
+    val prDf = probePairs.toDF("qid", "cid")
+    val qvDf = qs.toSeq.map { case (qid, v) => (qid, v.toArray) }
+      .toDF("qid", "qvec")
+    val scored = spark.read.parquet(path)
+      .filter(col("cid").isin(allProbes: _*)) // PartitionFilters
+      .join(broadcast(prDf), Seq("cid"))      // scope rows to their probers
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qvDf), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        col("label").cast(LongType).as("label"),
+        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** x_ivf_indexed — [[ivfKnnCosine]] served from a materialized index:
     * the k-means training runs at index-BUILD time (once per corpus
     * snapshot), centroids persist next to the data (k×dim doubles — the

@@ -47,4 +47,23 @@ private[streaming] object Epochs {
   def predecessor(spark: SparkSession, root: String,
       beforeEpoch: Long): Option[Long] =
     list(spark, root).filter(_ < beforeEpoch).sorted.lastOption
+
+  /** Retention sweep for fold-SNAPSHOT roots (each epoch is a complete
+    * state snapshot, so old epochs are superseded, not part of the
+    * relation): delete all but the newest `keep` epoch directories.
+    * `keep` must be ≥ 2 — correctness needs only the newest (a replay
+    * touches an id ABOVE every committed epoch, whose predecessor is
+    * the newest snapshot), and the one extra covers a reader that
+    * resolved just before a concurrent append, the [[Snapshots]]
+    * retention argument. Do NOT use on `batch=` appender roots, where
+    * every directory is live data ([[Compaction]] owns those). */
+  def prune(spark: SparkSession, root: String, keep: Int = 2,
+      prefix: String = "epoch="): Seq[Long] = {
+    require(keep >= 2, s"retention below 2 breaks in-flight readers (keep=$keep)")
+    val doomed = list(spark, root, prefix).sorted.dropRight(keep)
+    val base = new Path(Snapshots.resolve(spark, root))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    doomed.foreach(e => fs.delete(new Path(base, s"$prefix$e"), true))
+    doomed
+  }
 }

@@ -78,6 +78,18 @@ object IncrementalClusters {
       .write.mode("overwrite").parquet(s"$labelsRoot/epoch=$batchId")
   }
 
+  /** Retention sweep: every epoch is a COMPLETE labels snapshot, so all
+    * but the newest `keep` are superseded state — without a sweep the
+    * root grows one full corpus-sized labeling per micro-batch forever,
+    * the classic unbounded-state leak of snapshot folds. Safe anywhere
+    * in the batch schedule (a replay only ever touches ids above every
+    * committed epoch, whose predecessor is the newest snapshot; the
+    * extra retained epoch covers in-flight readers). Returns the swept
+    * epoch ids. */
+  def pruneEpochs(spark: SparkSession, labelsRoot: String,
+      keep: Int = 2): Seq[Long] =
+    Epochs.prune(spark, labelsRoot, keep)
+
   /** Wire a documents stream into incremental index + cluster
     * maintenance. AvailableNow by default: drain, checkpoint, stop. */
   def start(docsStream: DataFrame, indexRoot: String, labelsRoot: String,

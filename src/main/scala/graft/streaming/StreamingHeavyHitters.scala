@@ -65,6 +65,13 @@ object StreamingHeavyHitters {
       .write.mode("overwrite").parquet(s"$root/epoch=$batchId")
   }
 
+  /** Retention sweep for the epoch snapshots (each ≤ k rows, but one
+    * per micro-batch forever without this — see
+    * [[IncrementalClusters.pruneEpochs]] for the safety argument). */
+  def pruneEpochs(spark: SparkSession, root: String,
+      keep: Int = 2): Seq[Long] =
+    Epochs.prune(spark, root, keep)
+
   /** Wire a documents stream into the sketch fold. AvailableNow by
     * default: drain, checkpoint, stop. */
   def start(docsStream: DataFrame, root: String, checkpoint: String,

@@ -452,6 +452,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(cosFF(vecs(i)._2, vecs(j)._2) < tau)
   }
 
+  test("batch ANN serve: per-query slices bit-identical to the single-query indexed serve") {
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val k = 10
+    val batch = Similarity.ivfKnnBatch(spark, dir, queryIds = qids, k = k)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("label"), r.getAs[Double]("cos_sim")))
+    assert(batch.map(_._1).distinct.sorted === qids,
+      "every query must produce results")
+    qids.foreach { qid =>
+      val single = Similarity.ivfKnnCosineIndexed(spark, dir,
+          queryId = qid, k = k).collect()
+        .map(r => (qid, r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+          r.getAs[Double]("cos_sim")))
+      assert(batch.filter(_._1 == qid).toSeq === single.toSeq,
+        s"batch slice for qid=$qid must equal the single-query serve")
+    }
+  }
+
   test("IVF-PQ: driver replica reproduces probes, ADC cut, and refined top-k; recall usable") {
     import graft.operators.PQ
     val k = 20; val nprobe = 4; val m = 8; val ksub = 16; val dsub = 8

@@ -120,6 +120,35 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(IncrementalClusters.readLabels(spark, labelsRoot).count() === 3L)
   }
 
+  test("epoch retention sweep bounds fold state without changing reads or replay") {
+    import spark.implicits._
+    val base = TestSpark.tempDir("incclu-prune")
+    val (indexRoot, labelsRoot) = (s"$base/index", s"$base/labels")
+    val waves = Seq(
+      Seq(IdxDoc(1, "a b c d e f"), IdxDoc(2, "a b c d e g")),
+      Seq(IdxDoc(3, "a b c d e h")),
+      Seq(IdxDoc(4, "z y x w v u")),
+      Seq(IdxDoc(5, "z y x w v t")))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      IncrementalClusters.appendBatch(indexRoot, labelsRoot)(w.toDF(), i.toLong)
+    }
+    val before = labelMap(IncrementalClusters.readLabels(spark, labelsRoot))
+    val swept = IncrementalClusters.pruneEpochs(spark, labelsRoot, keep = 2)
+    assert(swept === Seq(0L, 1L), "oldest snapshots are the superseded ones")
+    assert(!new java.io.File(labelsRoot, "epoch=0").exists)
+    assert(new java.io.File(labelsRoot, "epoch=3").exists)
+    assert(labelMap(IncrementalClusters.readLabels(spark, labelsRoot)) === before,
+      "retention must not change what consumers read")
+    // a replay of the newest batch still folds from its predecessor
+    IncrementalClusters.appendBatch(indexRoot, labelsRoot)(
+      waves.last.toDF(), 3L)
+    assert(labelMap(IncrementalClusters.readLabels(spark, labelsRoot)) === before)
+    // retention below the in-flight-reader floor is refused
+    intercept[IllegalArgumentException] {
+      IncrementalClusters.pruneEpochs(spark, labelsRoot, keep = 1)
+    }
+  }
+
   test("epoch discovery goes through the Hadoop FileSystem API (scheme-qualified root)") {
     import spark.implicits._
     // a java.io.File-based listing cannot resolve a scheme-qualified
