@@ -194,6 +194,17 @@ object PQ {
     (path, cents, books)
   }
 
+  /** The ADC candidate cut — the stage whose scan must open only the
+    * probed cid partitions (PartitionFilters, spec-asserted). */
+  private[graft] def ivfpqCandidates(spark: SparkSession, path: String,
+      probes: Seq[Long], dt: Array[Array[Double]], queryId: Long,
+      refine: Int): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), adcScore(dt).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(refine)
+
   /** x_ivfpq_knn — IVF-PQ top-k with exact refine: rank the IVF
     * centroids against the query on the DRIVER (k×dim flops — index
     * metadata), ADC-score ONLY the nprobe probed lists' codes
@@ -225,18 +236,20 @@ object PQ {
       }
       .take(nprobe).map(_.toLong)
     val dt = adcTable(qvec, books, dsub)
-    val candidates = spark.read.parquet(path)
-      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), adcScore(dt).as("adc_score"))
-      .orderBy(col("adc_score").desc, col("vec_id"))
-      .limit(refine)
-    // exact refine: `refine` ids against one pruned embeddings scan —
-    // the candidate set is broadcast, the vectors never shuffle; the
-    // cosine is the serveIvf convention exactly (same literal array,
-    // same codegen'd dot), so scores are bit-identical to x_ivf_knn's
+    val candidateIds: Array[Long] =
+      ivfpqCandidates(spark, path, probes, dt, queryId, refine)
+        .collect().map(_.getLong(0))
+    // exact refine: the `refine` winners are an id LOOKUP, not a join —
+    // collecting them to the driver (≤ refine longs, index-header-sized
+    // like the probe ranking) turns the fetch into a pushed IN filter,
+    // so parquet row-group min/max statistics skip everything else;
+    // the broadcast-join alternative scanned the FULL vector table to
+    // hash 50 ids (measured 3.5 s vs 0.56 s plain-IVF at 1 M vectors).
+    // The cosine is the serveIvf convention exactly (same literal
+    // array, same codegen'd dot) — scores bit-identical to x_ivf_knn's.
     val qcol = array(qvec.map(lit): _*)
     Tables.embeddings(spark, dir)
-      .join(broadcast(candidates.select(col("vec_id"))), Seq("vec_id"))
+      .filter(col("vec_id").isin(candidateIds: _*))
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
         graft.functions.VectorFunctions.cosine(col("embedding"), qcol)
           .as("cos_sim"))

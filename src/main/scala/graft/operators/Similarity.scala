@@ -334,8 +334,13 @@ object Similarity {
     * classic IVF header), and embeddings are written PARTITIONED BY list
     * id so the nprobe probe set becomes a partition filter. This closes
     * the r1 note that inline training was billed to every query. */
-  def ivfIndexPath(dir: String): String =
-    graft.ops.Layout.indexPath("ivf", dir)
+  /** One directory PER nlist: different list counts are different
+    * indexes (x_ivf's nlist=16 and semantic dedup's corpus-scaled
+    * nlist coexist; a shared path made the sig gate ping-pong a full
+    * rebuild whenever the two alternated — measured 26 s + 106 s per
+    * AnnScaleBench run at 1 M vectors, pure waste). */
+  def ivfIndexPath(dir: String, nlist: Int = 16): String =
+    graft.ops.Layout.indexPath(s"ivf_l$nlist", dir)
 
   /** Build (or reuse) the IVF index; returns (path, centroids). Freshness
     * is keyed on source signature + build params; centroids round-trip
@@ -352,7 +357,7 @@ object Similarity {
     * (this freshness gate) and serve between snapshots. */
   def ensureIvfIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       trainIters: Int = 2): (String, Array[Array[Double]]) = {
-    val path = ivfIndexPath(dir)
+    val path = ivfIndexPath(dir, nlist)
     val centFile = new java.io.File(path, "_GRAFT_CENTROIDS")
     // _q32: micro-unit-quantized deterministic training (round 8) — the
     // sig token forces a rebuild of any index trained by the older

@@ -53,7 +53,10 @@ object ExplainDump {
     "x_semantic_dedup" -> "semantic dedup: IVF-index-served clustering, within-cluster pairs only (never all-pairs)",
     "x_ivf_indexed" -> "materialized IVF index: probe set as PartitionFilters over cid, codegen'd nearest_centroid at build",
     "x_image_decode" -> "real PPM decode: batched partition-local parse, integer stats projection, no shuffle before the sort",
-    "x_curation_funnel" -> "curation funnel: narrow lang/quality projection + doc_id-keyed stage-flag joins, no cartesian")
+    "x_curation_funnel" -> "curation funnel: narrow lang/quality projection + doc_id-keyed stage-flag joins, no cartesian",
+    "x_pq_knn" -> "PQ ADC top-k: driver-computed lookup tables, 8-byte code scan, no shuffle before TakeOrdered",
+    "x_ivfpq_knn" -> "IVF-PQ composite: probe set as PartitionFilters over the per-list code layout, ADC cut, broadcast exact refine",
+    "x_ivf_batch" -> "batch ANN serve: one pruned index scan, broadcast (qid,cid) probe scoping, per-query windowed top-k")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -521,6 +521,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
       assert(math.abs(g - w) < 1e-12) }
 
+    // the ADC candidate stage prunes cid partitions at the scan
+    val candPlan = PQ.ivfpqCandidates(spark, path,
+        probes.toSeq.sorted.map(_.toLong), dt, 0L, refine)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(candPlan).isDefined,
+      "cid probes did not reach PartitionFilters:\n" + candPlan)
+
     // usable recall vs the exact top-k, and scores are TRUE cosines
     val brute = Similarity.knnCosine(spark, dir, k = k).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap

@@ -93,14 +93,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: [In(cid"), p)
   }
 
-  test("IVF-PQ probes prune the code scan to list partitions; refine joins by broadcast") {
+  test("IVF-PQ refine is an id lookup: pushed IN filter on the vector scan") {
+    // the final plan (the refine) fetches the `refine` ADC winners by
+    // id: the filter must reach the parquet scan so row-group min/max
+    // skip everything else — not a join, not a post-scan filter only
     val p = plan("x_ivfpq_knn")
-    assert(p.contains("PartitionFilters: ["), p)
-    assert(p.contains("cid#"), "no partition filter on cid:\n" + p)
-    assert(!p.contains("PushedFilters: [In(cid"), p)
-    // the candidate id set reaches the embeddings scan as a broadcast,
-    // never a shuffle of the vectors
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("PushedFilters: [In(vec_id"), p)
+    // the candidate-cut stage itself prunes cid partitions — asserted
+    // against the candidate subquery's own plan in DedupSimilaritySpec
+    // (the refine plan no longer contains the code scan: the ADC cut
+    // ran eagerly to produce the id list)
   }
 
   test("a selective dim filter injects a runtime bloom filter into the fact scan") {
