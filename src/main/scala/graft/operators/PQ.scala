@@ -51,13 +51,20 @@ object PQ {
 
   /** x_pq_encode — encode every vector as its m subspace codes, one
     * output row per (vec_id, subspace): the PQ code table a compressed
-    * index stores instead of the vectors. Each subspace's assignment is
-    * one codegen'd nearest_centroid over the dimension slice — m narrow
-    * map passes over the scan, no shuffle before the output sort. */
+    * index stores instead of the vectors. Served from the MATERIALIZED
+    * code table ([[ensurePqIndex]] — training runs once per corpus
+    * snapshot behind the freshness gate, the x_ivf_indexed stance), so
+    * the query is a posexplode over an 8-byte column scan; the first
+    * call on a fresh corpus pays the build like every other
+    * materialized index. Assignment at build time is one codegen'd
+    * nearest_centroid per dimension slice — m narrow map passes, no
+    * shuffle before the output sort. */
   def encode(spark: SparkSession, dir: String, m: Int = DefaultM,
       ksub: Int = DefaultKsub, iters: Int = 2): DataFrame = {
-    val codebooks = train(spark, dir, m, ksub, iters)
-    encodeWith(spark, dir, codebooks)
+    val (path, _) = ensurePqIndex(spark, dir, m, ksub, iters)
+    spark.read.parquet(path)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .orderBy(col("vec_id"), col("s"))
   }
 
   private def codesCol(m: Int, codebooks: Array[Array[Array[Double]]]) = {
@@ -66,14 +73,6 @@ object PQ {
       graft.functions.NearestCentroid.assign(
         slice(col("embedding"), s * dsub + 1, dsub), codebooks(s))
     }: _*)
-  }
-
-  private def encodeWith(spark: SparkSession, dir: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(codesCol(m, codebooks)).as(Seq("s", "code")))
-      .orderBy(col("vec_id"), col("s"))
   }
 
   /** Materialize the PQ code table: (vec_id, label, codes[m]) — 8

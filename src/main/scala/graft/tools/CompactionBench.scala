@@ -59,7 +59,12 @@ object CompactionBench {
     val terms = Seq("spark", "merge")
     val kwBefore = IncrementalPostings.keywordSearch(spark, root, terms)
       .collect().map(_.toSeq).toSeq
-    println(s"[compaction] files before: ${files(root)}")
+    // count inside the CURRENT snapshot: after a compaction the root
+    // also retains the predecessor tree for in-flight readers
+    // (Snapshots' retention-one), which is not what queries open
+    def liveFiles(): Int =
+      files(graft.streaming.Snapshots.resolve(spark, root))
+    println(s"[compaction] files before: ${liveFiles()}")
     steady("keyword_search (fan-out)")(
       IncrementalPostings.keywordSearch(spark, root, terms).count())
     steady("tfidf (fan-out)")(
@@ -70,7 +75,8 @@ object CompactionBench {
     val kwAfter = IncrementalPostings.keywordSearch(spark, root, terms)
       .collect().map(_.toSeq).toSeq
     require(kwAfter == kwBefore, "compaction changed results — invalid run")
-    println(s"[compaction] files after: ${files(root)}")
+    println(s"[compaction] files after: ${liveFiles()} " +
+      s"(root incl. retained predecessor snapshot: ${files(root)})")
     steady("keyword_search (compacted)")(
       IncrementalPostings.keywordSearch(spark, root, terms).count())
     steady("tfidf (compacted)")(
