@@ -57,6 +57,13 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
   private def childIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // the null-element scan is only needed when the array TYPE admits
+  // nulls — parquet embedding columns usually do (containsNull=true),
+  // but literal/transform-produced arrays are often containsNull=false
+  // and skip the extra per-row pass entirely
+  private def mayContainNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -76,8 +83,10 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
     val v = input.asInstanceOf[ArrayData]
     if (v.numElements() != dim) badDim(v.numElements())
     val isF = childIsFloat
-    var i = 0
-    while (i < dim) { if (v.isNullAt(i)) badNull(i); i += 1 }
+    if (mayContainNull) {
+      var i = 0
+      while (i < dim) { if (v.isNullAt(i)) badNull(i); i += 1 }
+    }
     var best = -1
     var bestD = Double.PositiveInfinity
     var c = 0
@@ -110,18 +119,21 @@ case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
       val acc = ctx.freshName("acc")
       val off = ctx.freshName("off")
       val d = ctx.freshName("d")
+      val nullScan = if (mayContainNull)
+        s"""for (int $i = 0; $i < $dim; $i++) {
+           |  if ($v.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "nearest_centroid: null element at position " + $i);
+           |  }
+           |}""".stripMargin
+      else ""
       s"""
          |if ($v.numElements() != $dim) {
          |  throw new IllegalArgumentException(
          |    "nearest_centroid: vector has " + $v.numElements() +
          |    " elements, codebook dimension is " + $dim);
          |}
-         |for (int $i = 0; $i < $dim; $i++) {
-         |  if ($v.isNullAt($i)) {
-         |    throw new IllegalArgumentException(
-         |      "nearest_centroid: null element at position " + $i);
-         |  }
-         |}
+         |$nullScan
          |int $best = -1;
          |double $bestD = Double.POSITIVE_INFINITY;
          |for (int $c = 0; $c < ${cents.length}; $c++) {

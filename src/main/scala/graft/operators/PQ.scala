@@ -81,12 +81,18 @@ object PQ {
     * Double.toString round-trips exactly, the IVF-centroid argument).
     * Freshness-gated on the source signature + build params, like
     * every other materialized index. */
-  def pqIndexPath(dir: String): String = graft.ops.Layout.indexPath("pq", dir)
+  /** One directory PER parameterization — different (m, ksub) are
+    * different indexes; a shared path would ping-pong full rebuilds
+    * through the sig gate whenever two callers alternate (the
+    * ivfIndexPath lesson). */
+  def pqIndexPath(dir: String, m: Int = DefaultM,
+      ksub: Int = DefaultKsub): String =
+    graft.ops.Layout.indexPath(s"pq_m${m}_k$ksub", dir)
 
   def ensurePqIndex(spark: SparkSession, dir: String, m: Int = DefaultM,
       ksub: Int = DefaultKsub,
       iters: Int = 2): (String, Array[Array[Array[Double]]]) = {
-    val path = pqIndexPath(dir)
+    val path = pqIndexPath(dir, m, ksub)
     val bookFile = new java.io.File(path, "_GRAFT_PQ_CODEBOOKS")
     val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}_m${m}_k${ksub}_i${iters}_q32"
     graft.ops.Layout.ensureSigGated(path, sig) {
@@ -174,15 +180,18 @@ object PQ {
     * params; the IVF centroids and PQ codebooks are reused from their
     * own gated builds, so the three indexes can never disagree about
     * the corpus snapshot they describe. */
-  def ivfpqIndexPath(dir: String): String =
-    graft.ops.Layout.indexPath("ivfpq", dir)
+  /** Parameter-keyed like [[pqIndexPath]]: the composite of two
+    * quantizers is a different index for every (nlist, m, ksub). */
+  def ivfpqIndexPath(dir: String, nlist: Int = 16, m: Int = DefaultM,
+      ksub: Int = DefaultKsub): String =
+    graft.ops.Layout.indexPath(s"ivfpq_l${nlist}_m${m}_k$ksub", dir)
 
   def ensureIvfPqIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       m: Int = DefaultM, ksub: Int = DefaultKsub, iters: Int = 2)
       : (String, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val (ivfPath, cents) = Similarity.ensureIvfIndex(spark, dir, nlist, iters)
     val (pqPath, books) = ensurePqIndex(spark, dir, m, ksub, iters)
-    val path = ivfpqIndexPath(dir)
+    val path = ivfpqIndexPath(dir, nlist, m, ksub)
     val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}" +
       s"_l${nlist}_m${m}_k${ksub}_i${iters}_q32"
     graft.ops.Layout.ensureSigGated(path, sig) {
@@ -226,14 +235,9 @@ object PQ {
     val qvec = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0)
-    // probe ranking on the driver: -dot, stable sort → cid tie-break
-    // (the serveIvf protocol)
-    val probes = cents.indices
-      .sortBy { c =>
-        val cent = cents(c)
-        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
-      }
-      .take(nprobe).map(_.toLong)
+    // probe ranking on the driver — THE shared protocol
+    // ([[Similarity.probeRanking]]: -dot, stable sort, cid tie-break)
+    val probes = Similarity.probeRanking(qvec, cents, nprobe)
     val dt = adcTable(qvec, books, dsub)
     val candidateIds: Array[Long] =
       ivfpqCandidates(spark, path, probes, dt, queryId, refine)

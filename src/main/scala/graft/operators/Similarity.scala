@@ -254,18 +254,27 @@ object Similarity {
     * which carried the same plan-size cap as literal assignment. The
     * query vector is fetched ONCE and re-ranked as a literal array (no
     * second source scan, no broadcast join, bit-identical scores). */
+  /** THE probe-ranking protocol, shared by every IVF face (single
+    * serve, batch serve, IVF-PQ): rank lists by -dot(query, centroid)
+    * with a STABLE sort so ties break to the smaller cid, take nprobe.
+    * Spec- and oracle-pinned bit-identical across faces — any
+    * tie-break or summation-order change must happen HERE, once. */
+  private[operators] def probeRanking(qvec: Seq[Float],
+      cents: Array[Array[Double]], nprobe: Int): Seq[Long] =
+    cents.indices
+      .sortBy { c =>
+        val cent = cents(c)
+        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
+      }
+      .take(nprobe).map(_.toLong)
+
   private def serveIvf(spark: SparkSession, assigned: DataFrame, dir: String,
       cents: Array[Array[Double]], queryId: Long, k: Int,
       nprobe: Int): DataFrame = {
     val qvec = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === queryId)
       .select(col("embedding")).head().getSeq[Float](0)
-    val probes = cents.indices
-      .sortBy { c => // rank lists by -dot; stable sort = cid tie-break
-        val cent = cents(c)
-        -qvec.indices.foldLeft(0.0)((s, i) => s + qvec(i).toDouble * cent(i))
-      }
-      .take(nprobe).map(_.toLong)
+    val probes = probeRanking(qvec, cents, nprobe)
     val qcol = array(qvec.map(lit): _*)
     assigned
       .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
@@ -300,12 +309,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
     val probePairs: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
-      cents.indices
-        .sortBy { c => // serveIvf's protocol: -dot, stable sort = cid ties
-          val cent = cents(c)
-          -qv.indices.foldLeft(0.0)((s, i) => s + qv(i).toDouble * cent(i))
-        }
-        .take(nprobe).map(c => qid -> c.toLong)
+      probeRanking(qv, cents, nprobe).map(qid -> _)
     }
     val allProbes = probePairs.map(_._2).distinct
     import spark.implicits._

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object AnnScaleBench {
   def main(args: Array[String]): Unit = {
-    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = if (args.length > 1) args(1).toInt else 100
+    // flags may appear anywhere: positionals are the non-"--" args
+    val positional = args.filterNot(_.startsWith("--"))
+    val srcDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (positional.length > 1) positional(1).toInt else 100
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,11 +33,17 @@ object AnnScaleBench {
       println(f"[ann-scale] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_ann_scale$factor"
-    // the replica corpus is a deterministic function of (source, factor),
-    // so an existing one is valid — --reuse-corpus skips the rewrite AND
-    // keeps the freshness-gated index builds warm across invocations
-    if (!(args.contains("--reuse-corpus") &&
-        new java.io.File(s"$scaleDir/embeddings.parquet").isDirectory)) {
+    // the replica corpus is a deterministic function of (source, factor)
+    // — but only while the SOURCE is unchanged, so --reuse-corpus is
+    // gated on the recorded source signature, not mere existence (a
+    // regenerated testdata dir must never be served stale replicas)
+    val srcSig = graft.ops.Layout.dataSig(s"$srcDir/embeddings.parquet")
+    val sigFile = new java.io.File(s"$scaleDir/_GRAFT_SRC_SIG")
+    val reusable = args.contains("--reuse-corpus") &&
+      new java.io.File(s"$scaleDir/embeddings.parquet").isDirectory &&
+      sigFile.isFile &&
+      new String(java.nio.file.Files.readAllBytes(sigFile.toPath)) == srcSig
+    if (!reusable) {
       val emb = graft.Tables.embeddings(spark, srcDir)
       emb.crossJoin(spark.range(factor).toDF("r"))
         .select(
@@ -45,6 +53,7 @@ object AnnScaleBench {
             x => x + col("r").cast("float") * lit(1e-4f)).as("embedding"),
           col("label"))
         .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      java.nio.file.Files.write(sigFile.toPath, srcSig.getBytes)
     }
     val n = spark.read.parquet(s"$scaleDir/embeddings.parquet").count()
     println(s"[ann-scale] corpus: $n vectors")
