@@ -207,11 +207,55 @@ object PQ {
   private[graft] def ivfpqCandidates(spark: SparkSession, path: String,
       probes: Seq[Long], dt: Array[Array[Double]], queryId: Long,
       refine: Int): DataFrame =
-    spark.read.parquet(path)
+    ivfpqCandidatesFrom(spark.read.parquet(path), probes, dt, queryId, refine)
+
+  private[graft] def ivfpqCandidatesFrom(codes: DataFrame, probes: Seq[Long],
+      dt: Array[Array[Double]], queryId: Long, refine: Int): DataFrame =
+    codes
       .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), adcScore(dt).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(refine)
+
+  /** Serve IVF-PQ top-k over ANY (vec_id, cid, codes) relation under
+    * the given quantizers — shared by the batch-built index
+    * ([[ivfpqTopK]]) and the incrementally-appended one
+    * ([[graft.streaming.IncrementalIvfPq.topK]]), which are row-equal
+    * by the frozen-quantizer argument and therefore serve IDENTICAL
+    * results through this one path (spec-pinned). */
+  def ivfpqServe(spark: SparkSession, codes: DataFrame, dir: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queryId: Long = 0L, k: Int = 20, nprobe: Int = 4,
+      refine: Int = 50): DataFrame = {
+    val m = books.length
+    val dsub = Dim / m
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    // probe ranking on the driver — THE shared protocol
+    // ([[Similarity.probeRanking]]: -dot, stable sort, cid tie-break)
+    val probes = Similarity.probeRanking(qvec, cents, nprobe)
+    val dt = adcTable(qvec, books, dsub)
+    val candidateIds: Array[Long] =
+      ivfpqCandidatesFrom(codes, probes, dt, queryId, refine)
+        .collect().map(_.getLong(0))
+    // exact refine: the `refine` winners are an id LOOKUP, not a join —
+    // collecting them to the driver (≤ refine longs, index-header-sized
+    // like the probe ranking) turns the fetch into a pushed IN filter,
+    // so parquet row-group min/max statistics skip everything else;
+    // the broadcast-join alternative scanned the FULL vector table to
+    // hash 50 ids (measured 3.5 s vs 0.56 s plain-IVF at 1 M vectors).
+    // The cosine is the serveIvf convention exactly (same literal
+    // array, same codegen'd dot) — scores bit-identical to x_ivf_knn's.
+    val qcol = array(qvec.map(lit): _*)
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(candidateIds: _*))
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), qcol)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** x_ivfpq_knn — IVF-PQ top-k with exact refine: rank the IVF
     * centroids against the query on the DRIVER (k×dim flops — index
@@ -230,33 +274,8 @@ object PQ {
   def ivfpqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
       ksub: Int = DefaultKsub, iters: Int = 2, refine: Int = 50): DataFrame = {
-    val dsub = Dim / m
     val (path, cents, books) = ensureIvfPqIndex(spark, dir, nlist, m, ksub, iters)
-    val qvec = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0)
-    // probe ranking on the driver — THE shared protocol
-    // ([[Similarity.probeRanking]]: -dot, stable sort, cid tie-break)
-    val probes = Similarity.probeRanking(qvec, cents, nprobe)
-    val dt = adcTable(qvec, books, dsub)
-    val candidateIds: Array[Long] =
-      ivfpqCandidates(spark, path, probes, dt, queryId, refine)
-        .collect().map(_.getLong(0))
-    // exact refine: the `refine` winners are an id LOOKUP, not a join —
-    // collecting them to the driver (≤ refine longs, index-header-sized
-    // like the probe ranking) turns the fetch into a pushed IN filter,
-    // so parquet row-group min/max statistics skip everything else;
-    // the broadcast-join alternative scanned the FULL vector table to
-    // hash 50 ids (measured 3.5 s vs 0.56 s plain-IVF at 1 M vectors).
-    // The cosine is the serveIvf convention exactly (same literal
-    // array, same codegen'd dot) — scores bit-identical to x_ivf_knn's.
-    val qcol = array(qvec.map(lit): _*)
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(candidateIds: _*))
-      .select(col("vec_id"), col("label").cast(LongType).as("label"),
-        graft.functions.VectorFunctions.cosine(col("embedding"), qcol)
-          .as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+    ivfpqServe(spark, spark.read.parquet(path), dir, cents, books,
+      queryId, k, nprobe, refine)
   }
 }

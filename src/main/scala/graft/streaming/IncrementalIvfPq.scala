@@ -82,4 +82,17 @@ object IncrementalIvfPq {
     Compaction.compact(spark, indexRoot) { (df, out) =>
       df.write.partitionBy("cid").parquet(out)
     }
+
+  /** IVF-PQ top-k served from the incremental index — the SAME query
+    * path as the batch-built composite ([[graft.operators.PQ
+    * .ivfpqServe]]): freshly ingested vectors are searchable with no
+    * rebuild, and results are identical to the batch index's whenever
+    * the accumulated rows are (the frozen-quantizer row-equality the
+    * spec pins). */
+  def topK(spark: SparkSession, indexRoot: String, dir: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      queryId: Long = 0L, k: Int = 20, nprobe: Int = 4,
+      refine: Int = 50): DataFrame =
+    PQ.ivfpqServe(spark, read(spark, indexRoot), dir, cents, books,
+      queryId, k, nprobe, refine)
 }

@@ -48,10 +48,23 @@ class IncrementalIvfPqSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
       "cid probe did not reach PartitionFilters:\n" + plan)
 
-    // compaction back to the batch shape is invisible to readers
+    // the SERVE path: top-k from the incremental index is identical to
+    // the batch-built composite's (row-equal index + one shared
+    // ivfpqServe ⇒ same probes, same ADC cut, same refined scores)
+    val servedInc = IncrementalIvfPq.topK(spark, root, dir, cents, books)
+      .collect().map(_.toSeq).toSeq
+    val servedBatch = PQ.ivfpqTopK(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(servedInc === servedBatch,
+      "IVF-PQ served from the incremental index must equal the batch serve")
+
+    // compaction back to the batch shape is invisible to readers AND to
+    // the serve path
     val before = rows(inc)
     IncrementalIvfPq.compact(spark, root)
     assert(rows(IncrementalIvfPq.read(spark, root)) === before)
+    assert(IncrementalIvfPq.topK(spark, root, dir, cents, books)
+      .collect().map(_.toSeq).toSeq === servedInc)
   }
 
   test("replaying a batchId overwrites its own directory (exactly-once append)") {
