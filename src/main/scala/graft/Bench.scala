@@ -67,6 +67,7 @@ object Bench {
     build("build_bucketed_star")(graft.ops.Layout.ensureBucketedStar(spark, sfDir))
     build("build_srp_index")(graft.operators.Similarity.ensureSrpIndex(spark, sfDir))
     build("build_ivf_index")(graft.operators.Similarity.ensureIvfIndex(spark, sfDir))
+    build("build_ivfpq_index")(graft.operators.PQ.ensureIvfPqIndex(spark, sfDir))
     build("build_media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, sfDir))
     build("build_minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, sfDir))
     build("build_postings_index")(graft.operators.Search.ensurePostingsIndex(spark, sfDir))
