@@ -131,13 +131,32 @@ object Bench {
       .map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
+    // Box-load context (round-10): two rounds in a row the driver's
+    // number was dominated by external load (r8: 67 s at 1.98 GHz, r9:
+    // 110 s vs a 50 s idle re-run) — emit 1-min loadavg and current core
+    // clock so the artifact is self-diagnosing. Best-effort: absent
+    // /proc (non-Linux) simply omits the fields.
+    def procField(path: String, pick: Seq[String] => Option[String]): Option[String] =
+      try {
+        val lines = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(path))
+        pick(scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq)
+      } catch { case _: Exception => None }
+    val loadavg = procField("/proc/loadavg",
+      _.headOption.flatMap(_.split(' ').headOption))
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val cpuMhz = procField("/proc/cpuinfo",
+      _.find(_.startsWith("cpu MHz")).map(_.split(':').last.trim))
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    val loadPart = loadavg.map(l => s""","loadavg":${fmt(2)(l)}""").getOrElse("") +
+      cpuMhz.map(m => s""","cpu_mhz":${fmt(0)(m)}""").getOrElse("")
     // stop Spark BEFORE printing so no late executor/log line lands after
     // the payload: the JSON must be the last line this process writes
     spark.stop()
     // full-precision, full-path, errors-always form → durable file
     // fallback (not size-constrained)
     val fileLine =
-      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","errors":$errs,"queries":${qsJson(3)},"queries_cold":${qsColdJson(3)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","errors":$errs,"queries":${qsJson(3)},"queries_cold":${qsColdJson(3)},"sf":"$sfDir"$loadPart}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), fileLine + "\n")
     catch { case e: java.io.IOException =>
@@ -151,7 +170,7 @@ object Bench {
     // driver's round-over-round trend; full precision lives in
     // target/bench_last.json
     val full =
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(1)},"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":${qsJson(1)},"sf":"${new java.io.File(sfDir).getName}"$loadPart}"""
     // hard guard on the 2000-char capture window: if per-query digits or
     // a non-empty errors object push the full form past the window
     // (minus the trailing newline), degrade GRACEFULLY — keep as many of
@@ -161,7 +180,7 @@ object Bench {
     // queries the full form sits ~1.99k, so this path is live.
     def head(qs: String, omitted: Int): String = {
       val om = if (omitted == 0) "" else s""","queries_omitted":$omitted"""
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":$qs$om,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$errPart"queries":$qs$om,"sf":"${new java.io.File(sfDir).getName}"$loadPart}"""
     }
     val stdoutLine =
       if (full.length <= 1980) full

@@ -55,10 +55,12 @@ private[streaming] object Epochs {
     * touches an id ABOVE every committed epoch, whose predecessor is
     * the newest snapshot), and the one extra covers a reader that
     * resolved just before a concurrent append, the [[Snapshots]]
-    * retention argument. Do NOT use on `batch=` appender roots, where
-    * every directory is live data ([[Compaction]] owns those). */
-  def prune(spark: SparkSession, root: String, keep: Int = 2,
-      prefix: String = "epoch="): Seq[Long] = {
+    * retention argument. Hard-wired to `epoch=` snapshot directories:
+    * on a `batch=` appender root EVERY directory is live data, part of
+    * the relation, so a sweep there would delete the index itself —
+    * [[Compaction]] (which rewrites before it retires) owns those. */
+  def prune(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    val prefix = "epoch="
     require(keep >= 2, s"retention below 2 breaks in-flight readers (keep=$keep)")
     val doomed = list(spark, root, prefix).sorted.dropRight(keep)
     val base = new Path(Snapshots.resolve(spark, root))

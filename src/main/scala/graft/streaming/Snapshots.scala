@@ -13,8 +13,15 @@ import org.apache.spark.sql.SparkSession
   * "ingest-pause" contract into a "nobody may even READ" contract.
   *
   * This object replaces the swap with a pointerless manifest
-  * convention, atomic on ANY filesystem that has atomic file create
-  * (all of them — local, HDFS, S3A):
+  * convention built on create-if-absent of a marker file. On local
+  * filesystems and HDFS `create(path, overwrite = false)` is an atomic
+  * check-and-create, so concurrent committers genuinely exclude each
+  * other; on S3A it is a client-side existence check followed by a PUT
+  * — NOT atomic — so writer exclusion there must come from the caller
+  * (see the single-compactor contract at [[commit]]). READERS are safe
+  * on every store regardless: they resolve to the highest generation
+  * whose marker exists, and any committed generation is a complete
+  * tree.
   *
   *   - a compacted snapshot lands under `root/_gen-<n>/batch=<maxId>/…`;
   *   - it becomes visible by creating the empty marker file
@@ -86,12 +93,24 @@ object Snapshots {
   def nextGen(spark: SparkSession, root: String): Long =
     gens(spark, root).map(_._1).maxOption.getOrElse(0L) + 1L
 
-  /** Atomically publish generation `g`: one marker-file create. The
-    * data under [[genDir]] must be fully written first. */
+  /** Publish generation `g`: one marker-file create-if-absent. The data
+    * under [[genDir]] must be fully written first.
+    *
+    * SINGLE-COMPACTOR CONTRACT: at most one compactor may run against a
+    * root at a time (the same exclusion [[Compaction]] already demands
+    * of appenders during compaction). On local/HDFS a violated contract
+    * still fails loudly — `create(overwrite = false)` is atomic there,
+    * so the second committer of the same generation throws (spec-pinned
+    * in CompactionSpec). On S3A the check-then-put is NOT atomic and two
+    * racing committers could both "succeed"; the contract is the guard
+    * there, not this call — stores with conditional-put could upgrade
+    * this to a real compare-and-set, but Hadoop's FileSystem API does
+    * not expose one portably. */
   def commit(spark: SparkSession, root: String, g: Long): Unit = {
     val marker = new Path(genDir(root, g), Marker)
     val f = fs(spark, marker)
-    // createNewFile semantics: atomic, fails if the marker already exists
+    // create-if-absent: fails if the marker already exists (atomicity of
+    // the check is filesystem-dependent — see the contract above)
     val out = f.create(marker, false)
     out.close()
   }

@@ -104,6 +104,24 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows(IncrementalPostings.read(spark, root)) === before)
   }
 
+  test("committing the same generation twice fails loudly (single-compactor contract)") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("compact-double-commit") + "/index"
+    Seq(IdxDoc(1L, "alpha")).toDF()
+      .write.parquet(Snapshots.genDir(root, 1L) + "/batch=0")
+    Snapshots.commit(spark, root, 1L)
+    assert(Snapshots.resolve(spark, root) === Snapshots.genDir(root, 1L))
+    // a second committer of the same generation violates the contract;
+    // on local/HDFS create(overwrite=false) makes the violation throw
+    // rather than silently republish (on S3A the caller-side exclusion
+    // is the only guard — see the Snapshots.commit doc)
+    intercept[java.io.IOException] {
+      Snapshots.commit(spark, root, 1L)
+    }
+    assert(Snapshots.resolve(spark, root) === Snapshots.genDir(root, 1L),
+      "the committed snapshot must be unaffected by the failed double commit")
+  }
+
   test("SRP compaction keeps probe results and the bucket partition column") {
     val root = TestSpark.tempDir("compact-srp") + "/index"
     val emb = Tables.embeddings(spark, dir)
