@@ -114,9 +114,12 @@ object Similarity {
       nlist, iters)
 
   /** The deterministic Lloyd core over any (vec_id, embedding) frame —
-    * shared by the full-vector quantizer ([[ivfCentroids]]) and the
+    * shared by the full-vector quantizer ([[ivfCentroids]]), the
     * per-subspace product quantizer ([[PQ.train]], which passes
-    * dimension SLICES as the embedding column). */
+    * dimension SLICES as the embedding column), and the residual
+    * quantizer ([[PQ.ensureIvfPqIndex]], which passes double-typed
+    * residual slices — hence the element-type dispatch on the seeds;
+    * Float→Double promotion is exact, so float callers are unchanged). */
   private[graft] def lloydTrain(spark: SparkSession, emb: DataFrame,
       nlist: Int, iters: Int): Array[Array[Double]] = {
     val n = emb.count()
@@ -124,7 +127,10 @@ object Similarity {
       .filter((col("vec_id") % lit(math.max(1L, n / nlist))) === 0)
       .orderBy(col("vec_id")).limit(nlist)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(_.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toArray)
     (0 until iters).foreach { _ =>
       val assigned = withNearestCid(spark, emb, centroids)
       val sums = assigned
@@ -259,7 +265,7 @@ object Similarity {
     * with a STABLE sort so ties break to the smaller cid, take nprobe.
     * Spec- and oracle-pinned bit-identical across faces — any
     * tie-break or summation-order change must happen HERE, once. */
-  private[operators] def probeRanking(qvec: Seq[Float],
+  private[graft] def probeRanking(qvec: Seq[Float],
       cents: Array[Array[Double]], nprobe: Int): Seq[Long] =
     cents.indices
       .sortBy { c =>
@@ -284,38 +290,100 @@ object Similarity {
       .limit(k)
   }
 
+  /** Distributed face of [[probeRanking]] for batch serving: the Q query
+    * vectors stay a DataFrame, the codebook rides in as DATA through the
+    * 1-row broadcast ([[codebook]]), and the per-query top-nprobe is one
+    * window over Q × nlist scored rows — no driver flops, no
+    * driver-built pair list, so ranking scales with executors instead of
+    * one driver core. Protocol-identical to the driver face: the dot is
+    * the same left-to-right Float→Double accumulation
+    * ([[graft.functions.FloatArrayDot]] — the codegen'd twin of the
+    * driver fold), `dp DESC` reproduces the stable −dot sort, and the
+    * cid tie-break matches the stable sort's index order. Spec-pinned
+    * equal to [[probeRanking]] per query. Returns (qid, cid). */
+  private[graft] def probeRankingDf(spark: SparkSession, qDf: DataFrame,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    qDf.crossJoin(broadcast(codebook(spark, cents)))
+      .select(col("qid"), col("qvec"), explode(col("cents")).as("c"))
+      .select(col("qid"), col("c.ccid").cast(LongType).as("cid"),
+        dot(col("qvec"), col("c.cvec")).as("dp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("dp").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** Above this Q the batch face ranks probes DISTRIBUTED
+    * ([[probeRankingDf]]); at or below it the driver ranks them in a
+    * loop (Q × nlist × dim flops — index-header arithmetic that beats a
+    * Spark job's fixed cost at interactive Q). Both faces share the one
+    * probe protocol and are spec-pinned bit-identical. */
+  val BatchDriverRankMax = 64
+
   /** x_ivf_batch — MANY queries served against the materialized IVF
     * index in ONE pass: the realistic serving shape (a training-data
     * pipeline scores queries by the thousand, not one at a time).
     *
     * Plan: the Q query vectors are fetched in one pruned source job;
-    * per-query probe ranking runs on the driver (Q × nlist × dim flops —
-    * index metadata); the UNION of all probe sets prunes the index scan
-    * via PartitionFilters; a broadcast (qid, cid) pair frame scopes each
-    * scanned row to exactly the queries probing its list (so a query
-    * never scores a list it did not probe); the query vectors join in by
-    * broadcast; per-query top-k is one hash-partitioned window over the
-    * candidate rows. The big side — the index — is scanned once and
-    * never shuffled; only candidate SCORES shuffle, partitioned by qid.
-    * Per-query results are bit-identical to [[ivfKnnCosineIndexed]]
-    * (same probe protocol, same cosine arithmetic — spec-pinned). */
+    * per-query probe ranking runs distributed through the broadcast
+    * codebook ([[probeRankingDf]]) above [[BatchDriverRankMax]] queries,
+    * on the driver below it (same protocol, spec-pinned identical); the
+    * UNION of all probe sets — at most nlist values, collected from the
+    * ranked pairs — prunes the index scan via PartitionFilters; the
+    * broadcast (qid, cid) pair frame scopes each scanned row to exactly
+    * the queries probing its list (so a query never scores a list it
+    * did not probe); the query vectors join in by broadcast; per-query
+    * top-k is one hash-partitioned window over the candidate rows. The
+    * big side — the index — is scanned once and never shuffled; only
+    * candidate SCORES shuffle, partitioned by qid. Per-query results
+    * are bit-identical to [[ivfKnnCosineIndexed]] (same probe protocol,
+    * same cosine arithmetic — spec-pinned). */
   def ivfKnnBatch(spark: SparkSession, dir: String,
       queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
+      driverRankMax: Int = BatchDriverRankMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (path, cents) = ensureIvfIndex(spark, dir, nlist, trainIters)
-    val qs: Array[(Long, Seq[Float])] = Tables.embeddings(spark, dir)
+    val wanted = queryIds.distinct
+    val qSrc = Tables.embeddings(spark, dir)
       .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1))
-    val probePairs: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
-      probeRanking(qv, cents, nprobe).map(qid -> _)
-    }
-    val allProbes = probePairs.map(_._2).distinct
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     import spark.implicits._
-    val prDf = probePairs.toDF("qid", "cid")
-    val qvDf = qs.toSeq.map { case (qid, v) => (qid, v.toArray) }
-      .toDF("qid", "qvec")
+    // (prDf, qvDf, allProbes): the ranked (qid, cid) probe pairs, the
+    // (qid, qvec) query vectors, and the union of probe sets (bounded by
+    // nlist — index-header-sized regardless of Q, so collecting it stays
+    // driver-safe at any Q), by whichever face fits Q
+    val (prDf, qvDf, allProbes) =
+      if (wanted.size <= driverRankMax) {
+        val qs: Array[(Long, Seq[Float])] = qSrc.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1))
+        // fail-loud (the nearest_centroid badDim stance): a missing query
+        // id must not silently shrink the result frame by one query slice
+        require(qs.length == wanted.size,
+          s"ivfKnnBatch: ${wanted.size - qs.length} of ${wanted.size} query " +
+            s"ids not present in $dir/embeddings.parquet: " +
+            wanted.filterNot(qs.map(_._1).toSet).take(10).mkString(", "))
+        val probePairs: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
+          probeRanking(qv, cents, nprobe).map(qid -> _)
+        }
+        (probePairs.toDF("qid", "cid"),
+          qs.toSeq.map { case (qid, v) => (qid, v.toArray) }.toDF("qid", "qvec"),
+          probePairs.map(_._2).distinct)
+      } else {
+        // localCheckpoint: the fetched vectors and ranked pairs are each
+        // consumed twice (pairs: distinct-cid collect + the scoping join;
+        // vectors: ranking + the score join) — materialize once instead
+        // of re-running the source scan and the ranking window
+        val qDf = qSrc.localCheckpoint()
+        val got = qDf.count()
+        require(got == wanted.size,
+          s"ivfKnnBatch: ${wanted.size - got} of ${wanted.size} query ids " +
+            s"not present in $dir/embeddings.parquet")
+        val pr = probeRankingDf(spark, qDf, cents, nprobe).localCheckpoint()
+        (pr, qDf, pr.select(col("cid")).distinct().as[Long].collect().toSeq)
+      }
     val scored = spark.read.parquet(path)
       .filter(col("cid").isin(allProbes: _*)) // PartitionFilters
       .join(broadcast(prDf), Seq("cid"))      // scope rows to their probers

@@ -75,16 +75,47 @@ object AnnScaleBench {
       graft.operators.Similarity.ivfKnnCosineIndexed(spark, scaleDir).count())
     // IVF-PQ: the code scan is 32× narrower than the vectors AND pruned
     // to nprobe lists — the two reductions compose; refine touches only
-    // `refine` true vectors. Build cost includes PQ training (8 subspace
-    // Lloyd chains) — once per corpus snapshot.
-    time("index/ivfpq_build (once per corpus)")(
+    // `refine` true vectors. Build cost includes residual-PQ training
+    // (8 subspace Lloyd chains over residuals) — once per corpus
+    // snapshot.
+    time("index/ivfpq_build (residual, once per corpus)")(
       graft.operators.PQ.ensureIvfPqIndex(spark, scaleDir))
-    steady("knn/ivfpq_refined")(
+    steady("knn/ivfpq_refined (residual)")(
       graft.operators.PQ.ivfpqTopK(spark, scaleDir).count())
+    // recall@k at FIXED m: residual vs raw-vector composite, against the
+    // exact brute-force truth. Measured at refine = k — the exact-refine
+    // stage re-ranks but cannot add candidates, so this isolates the ADC
+    // ranking quality, the thing residual encoding exists to improve
+    // (with the default refine=50 both composites recover near-full
+    // recall at toy scale and the gap is invisible).
+    time("index/ivfpq_raw_build (comparison anchor)")(
+      graft.operators.PQ.ensureIvfPqRawIndex(spark, scaleDir))
+    val recallK = 20
+    val truth = graft.operators.Similarity.knnCosine(spark, scaleDir, k = recallK)
+      .collect().map(_.getLong(0)).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(_.getLong(0)).count(truth).toDouble / recallK
+    val rRes = recallOf(graft.operators.PQ.ivfpqTopK(
+      spark, scaleDir, k = recallK, refine = recallK))
+    val rRaw = recallOf(graft.operators.PQ.ivfpqTopKRaw(
+      spark, scaleDir, k = recallK, refine = recallK))
+    println(f"[ann-scale] ivfpq recall@$recallK (fixed m, refine=k): " +
+      f"residual=$rRes%.3f raw=$rRaw%.3f")
     // batch serving: 4 queries amortize one pass — the per-query cost
     // is the number to compare against knn/ivf_indexed
     steady("knn/ivf_batch (4 queries, one pass)")(
       graft.operators.Similarity.ivfKnnBatch(spark, scaleDir).count())
+    // large-Q batch serving: above BatchDriverRankMax the probe ranking
+    // runs DISTRIBUTED through the broadcast codebook — the round-9
+    // driver loop (Q × nlist × dim driver flops) is out of the critical
+    // path; per-query cost here is the scale-true serving number
+    val bigQ = {
+      val qn = 1000
+      val step = math.max(1L, n / qn)
+      (0 until qn).map(_ * step)
+    }
+    steady(s"knn/ivf_batch_distributed (Q=${bigQ.size}, one pass)")(
+      graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, bigQ).count())
 
     // --- semantic dedup scale separation: within-cluster pairing vs
     // all-pairs at the same corpus size. The contract under test: with

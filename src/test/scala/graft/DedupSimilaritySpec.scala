@@ -471,6 +471,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("batch ANN serve: distributed probe ranking bit-identical to the driver protocol") {
+    import org.apache.spark.sql.functions.col
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val nprobe = 4
+    val (_, cents) = Similarity.ensureIvfIndex(spark, dir)
+    // 1) the ranked (qid, cid) pairs themselves match the driver loop
+    val qDf = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val distributed = Similarity.probeRankingDf(spark, qDf, cents, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qids.foreach { qid =>
+      val qv = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === qid).select(col("embedding"))
+        .head().getSeq[Float](0)
+      assert(distributed(qid) === Similarity.probeRanking(qv, cents, nprobe).toSet,
+        s"distributed probe set for qid=$qid diverges from the driver protocol")
+    }
+    // 2) end-to-end: forcing the distributed face produces the exact
+    // same frame as the driver fast path
+    def run(driverRankMax: Int) =
+      Similarity.ivfKnnBatch(spark, dir, queryIds = qids, k = 10,
+          driverRankMax = driverRankMax)
+        .collect().map(_.toSeq).toSeq
+    assert(run(0) === run(Similarity.BatchDriverRankMax),
+      "distributed and driver-ranked batch serve must be bit-identical")
+  }
+
+  test("batch ANN serve fails loudly on a missing query id (both ranking faces)") {
+    val missing = Seq(0L, -12345L)
+    Seq(0, Similarity.BatchDriverRankMax).foreach { max =>
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfKnnBatch(spark, dir, queryIds = missing,
+          driverRankMax = max).collect()
+      }
+      assert(e.getMessage.contains("not present"), e.getMessage)
+    }
+  }
+
   test("IVF-PQ: driver replica reproduces probes, ADC cut, and refined top-k; recall usable") {
     import graft.operators.PQ
     val k = 20; val nprobe = 4; val m = 8; val ksub = 16; val dsub = 8
@@ -502,16 +542,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val probes = cents.indices.sortBy(c => -dotFD(q, cents(c)))
       .take(nprobe).toSet
     // every scored candidate must live in a probed list (the pruning
-    // contract), and the ADC cut + exact-cosine refine must reproduce
+    // contract), and the RESIDUAL ADC cut (per-probe distance tables in
+    // residual space, ascending) + exact-cosine refine must reproduce
     // the operator's output exactly
-    val dt = Array.tabulate(m)(s => Array.tabulate(ksub) { kk =>
-      val c = books(s)(kk)
-      (0 until dsub).foldLeft(0.0)((acc, i) =>
-        acc + q(s * dsub + i).toDouble * c(i))
-    })
+    val dts: Map[Int, Array[Array[Double]]] = probes.map { p =>
+      val qr = Array.tabulate(q.length)(i => q(i).toDouble - cents(p)(i))
+      p -> Array.tabulate(m)(s => Array.tabulate(ksub) { kk =>
+        val c = books(s)(kk)
+        (0 until dsub).foldLeft(0.0) { (acc, i) =>
+          val d = qr(s * dsub + i) - c(i); acc + d * d }
+      })
+    }.toMap
     val cand = idx.filter(x => probes.contains(x._2) && x._1 != 0L)
-      .map(x => x._1 -> (0 until m).foldLeft(0.0)((acc, s) => acc + dt(s)(x._3(s))))
-      .sortBy { case (id, adc) => (-adc, id) }.take(refine)
+      .map(x => x._1 ->
+        (0 until m).foldLeft(0.0)((acc, s) => acc + dts(x._2)(s)(x._3(s))))
+      .sortBy { case (id, adc) => (adc, id) }.take(refine)
     val want = cand.map { case (id, _) =>
       val (vid, lab, v) = vmap(id)
       val n = math.sqrt(dotFF(v, v)) * math.sqrt(dotFF(q, q))
@@ -521,9 +566,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.zip(want).foreach { case ((_, _, g), (_, _, w)) =>
       assert(math.abs(g - w) < 1e-12) }
 
+    // the codes on disk are the residual encode under frozen quantizers:
+    // re-derive each row's codes from raw vector − its list's centroid
+    idx.foreach { case (vid, cid, codes) =>
+      val v = vmap(vid)._3
+      val res = Array.tabulate(v.length)(i => v(i).toDouble - cents(cid)(i))
+      (0 until m).foreach { s =>
+        val slice = res.slice(s * dsub, (s + 1) * dsub)
+        val wantCode = books(s).indices.minBy { kk =>
+          val c = books(s)(kk)
+          // same d = |c|² − 2·dot form as NearestCentroid, first minimum
+          c.map(x => x * x).sum -
+            2.0 * slice.indices.foldLeft(0.0)((a, i) => a + slice(i) * c(i))
+        }
+        assert(codes(s) === wantCode,
+          s"vec $vid subspace $s: stored code ${codes(s)} != re-derived $wantCode")
+      }
+    }
+
     // the ADC candidate stage prunes cid partitions at the scan
-    val candPlan = PQ.ivfpqCandidates(spark, path,
-        probes.toSeq.sorted.map(_.toLong), dt, 0L, refine)
+    val candPlan = PQ.ivfpqResidualCandidatesFrom(spark.read.parquet(path),
+        probes.toSeq.sorted.map(_.toLong),
+        dts.map { case (p, t) => p.toLong -> t }, 0L, refine)
       .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(candPlan).isDefined,
       "cid probes did not reach PartitionFilters:\n" + candPlan)
