@@ -539,37 +539,68 @@ object SparkEntry {
        |WHERE rk <= 10
        |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
 
-  /** IVF-PQ oracle (round 9): the coarse IVF assignment (a3 / k2 from
-    * [[ivfTrainingCtes]]) supplies the probe pruning, the per-subspace
-    * chains (PqCtes) supply codes and ADC tables, the top-`refine` ADC
-    * candidates within the probed lists are re-ranked by the exact
+  /** Residual IVF-PQ replay (round 10): the coarse assignment (a3 / k2
+    * from [[ivfTrainingCtes]]) supplies residuals r = v − centroid(cid);
+    * each 8-dim residual slice trains its own deterministic-Lloyd chain
+    * — the same protocol as the raw-PQ replay, over residual sources. */
+  private val ResidualPqCtes: String = {
+    val resBase =
+      s"""r AS (
+         |  SELECT a.vec_id, a.cid,
+         |         list_transform(generate_series(1, 64), i -> a.v[i] - c.v[i]) AS v
+         |  FROM a3 a JOIN k2 c USING (cid))""".stripMargin
+    val slices = (0 until 8).map { s =>
+      s"r$s AS (SELECT vec_id, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM r)"
+    }.mkString(",\n")
+    val trainings = (0 until 8).map(s =>
+      lloydCtes(s"_r$s", s"r$s", 8, 16)).mkString(",\n")
+    s"$ivfTrainingCtes,\n$resBase,\n$slices,\n$trainings"
+  }
+
+  /** IVF-PQ oracle (round 10, residual): coarse probes as in
+    * IvfTopKSql; candidates score by ADC **L2 distance in residual
+    * space** — per probed list c the table dtr_s(code) =
+    * ‖(q − centroid(c)) slice − codeword‖² (one row per (pcid, code)),
+    * a stored row sums its m lookups in ITS list's table, ascending,
+    * ties to the smaller vec_id; the top-`refine` re-rank by the exact
     * cosine — the same expression, evaluation order, and tie-breaks as
-    * IvfTopKSql's. Training for BOTH quantizers is replayed in SQL, so
-    * no value from the system under test appears here. */
+    * IvfTopKSql's. Training for BOTH quantizers (coarse AND residual)
+    * is replayed in SQL, so no value from the system under test appears
+    * here. */
   private val IvfPqTopKSql: String = {
+    def sqDiff(a: String, b: String, dim: Int): String =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val qrSlices = (0 until 8).map { s =>
+      s"qrs$s AS (SELECT cid, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM qr)"
+    }.mkString(",\n")
     val dts = (0 until 8).map { s =>
-      s"""dt$s AS (
-         |  SELECT c.cid, ${ivfDotDim("qq.v", "c.v", 8)} AS d
-         |  FROM k2_p$s c, (SELECT list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v
-         |                  FROM emb WHERE vec_id = 0) qq)""".stripMargin
+      s"""dtr$s AS (
+         |  SELECT q2.cid AS pcid, c.cid AS code, ${sqDiff("q2.v", "c.v", 8)} AS d
+         |  FROM qrs$s q2 CROSS JOIN k2_r$s c)""".stripMargin
     }.mkString(",\n")
     val joins = (0 until 8).map(s =>
-      s"JOIN a3_p$s a$s ON a$s.vec_id = e.vec_id JOIN dt$s t$s ON t$s.cid = a$s.cid")
+      s"JOIN a3_r$s a$s ON a$s.vec_id = e.vec_id " +
+        s"JOIN dtr$s t$s ON t$s.pcid = iv.cid AND t$s.code = a$s.cid")
       .mkString("\n")
     val score = (0 until 8).map(s => s"t$s.d").mkString(" + ")
-    s"""WITH $PqCtes,
-       |$dts,
+    s"""WITH $ResidualPqCtes,
        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
        |probes AS (
        |  SELECT c.cid FROM k2 c, q
        |  ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid LIMIT 4),
+       |qr AS (
+       |  SELECT p.cid,
+       |         list_transform(generate_series(1, 64), i -> q.qv[i] - c.v[i]) AS v
+       |  FROM probes p JOIN k2 c USING (cid), q),
+       |$qrSlices,
+       |$dts,
        |cand AS (
-       |  SELECT e.vec_id, $score AS adc_score
+       |  SELECT e.vec_id, $score AS adc_dist
        |  FROM emb e
        |  JOIN a3 iv ON iv.vec_id = e.vec_id
        |  $joins
        |  WHERE e.vec_id <> 0 AND iv.cid IN (SELECT cid FROM probes)
-       |  ORDER BY adc_score DESC, e.vec_id
+       |  ORDER BY adc_dist ASC, e.vec_id
        |  LIMIT 50)
        |SELECT e.vec_id, e.label,
        |       ${ivfDot("e.v", "q.qv")}
@@ -1048,11 +1079,18 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
     // Misra-Gries at k ≥ vocabulary: no decrement fires, the truncation
-    // threshold is 0, so the sketch output IS the exact term counts
+    // threshold is 0, so the sketch output IS the exact term counts.
+    // err_bound = 2n/(k+1) with k = vocabulary (round 10: the sketch
+    // output self-describes its accuracy contract; the bound is
+    // deterministic even when the approximate regime's survivors are
+    // not — here the oracle re-derives n and vocab from the corpus)
     "x_heavy_hitters_exact" ->
-      """SELECT term, CAST(count(*) AS BIGINT) AS est
-        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        |GROUP BY term ORDER BY est DESC, term""".stripMargin,
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |st AS (SELECT count(*) AS n, count(DISTINCT term) AS vocab FROM toks)
+        |SELECT term, CAST(count(*) AS BIGINT) AS est,
+        |       2.0 * (SELECT n FROM st) / ((SELECT vocab FROM st) + 1) AS err_bound
+        |FROM toks GROUP BY term ORDER BY est DESC, term""".stripMargin,
     "x_substring_dedup" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_transform(

@@ -123,11 +123,19 @@ object PQ {
   /** ADC score column over a `codes` array column: the fixed-order
     * (s = 0..m-1) sum of the query's precomputed per-subspace dots,
     * looked up by each row's stored code — m adds per row, never the
-    * vectors. `dt(s)(k)` = dot(q_s, c_{s,k}) computed on the DRIVER. */
+    * vectors. `dt(s)(k)` = dot(q_s, c_{s,k}) computed on the DRIVER.
+    * A code outside [0, ksub) means a corrupt code table; under
+    * non-ANSI element_at it would become NULL and silently sink the row
+    * to the bottom of the ranking, so the lookup fails loudly instead
+    * (the NearestCentroid badDim/badNull stance). */
   private def adcScore(dt: Array[Array[Double]]): org.apache.spark.sql.Column =
     dt.indices.map { s =>
-      element_at(array(dt(s).map(lit): _*),
-        element_at(col("codes"), s + 1) + lit(1))
+      val code = element_at(col("codes"), s + 1)
+      val ksub = dt(s).length
+      when(code.isNull || code < 0 || code >= ksub,
+        raise_error(concat(lit(s"pq adc: subspace $s code out of [0, $ksub): "),
+          coalesce(code.cast(StringType), lit("null")))).cast(DoubleType))
+        .otherwise(element_at(array(dt(s).map(lit): _*), code + lit(1)))
     }.reduce(_ + _)
 
   private def adcTable(qvec: Seq[Float], codebooks: Array[Array[Array[Double]]],
@@ -168,30 +176,139 @@ object PQ {
   }
 
   /** The IVF-PQ composite (Jégou et al. 2011 §V; the layout FAISS calls
-    * IndexIVFPQ): PQ codes stored PER INVERTED LIST — the code table
-    * joined to its IVF coarse assignment once at BUILD time and written
+    * IndexIVFPQ): PQ codes stored PER INVERTED LIST — written
     * partitioned by `cid`, so a query's nprobe probe set prunes the
     * code scan via PartitionFilters and query time does NO join at all.
     * This is the billion-scale ANN shape: the scan is over 8-byte codes
     * (32× smaller than vectors) AND restricted to nprobe/nlist of the
     * corpus — the two reductions compose.
     *
-    * Freshness is keyed on the source signature plus BOTH builds'
-    * params; the IVF centroids and PQ codebooks are reused from their
-    * own gated builds, so the three indexes can never disagree about
-    * the corpus snapshot they describe. */
+    * RESIDUAL encoding (round 10, the canonical IndexIVFPQ layout): the
+    * PQ quantizer trains on and encodes x − centroid(cid), not the raw
+    * vectors. Within one inverted list the residuals span a far smaller
+    * dynamic range than the vectors themselves (the coarse quantizer
+    * already explains the list's location), so the same m × ksub code
+    * budget buys strictly finer quantization — recall at fixed bytes is
+    * the whole point, measured against the raw composite in
+    * AnnScaleBench. The query side scores candidates by ADC L2 distance
+    * in RESIDUAL space: per probed list c, the table
+    * dt_c(s)(k) = ‖(q − centroid(c))_s − codeword_{s,k}‖² is computed
+    * on the driver (nprobe × m × ksub × dsub flops — index-header
+    * arithmetic), and a row in list c scores as the fixed-order sum of
+    * its m lookups in ITS list's table — still m adds per row, never
+    * the vectors. Candidates rank by ascending distance; the exact
+    * cosine refine is unchanged.
+    *
+    * Freshness is keyed on the source signature plus both quantizers'
+    * params; the IVF centroids are reused from their own gated build,
+    * so the indexes can never disagree about the corpus snapshot. The
+    * residual codebooks train inside THIS gate (they are a function of
+    * the coarse assignment, so they belong to the composite, not to the
+    * standalone PQ index). */
   /** Parameter-keyed like [[pqIndexPath]]: the composite of two
     * quantizers is a different index for every (nlist, m, ksub). */
   def ivfpqIndexPath(dir: String, nlist: Int = 16, m: Int = DefaultM,
       ksub: Int = DefaultKsub): String =
-    graft.ops.Layout.indexPath(s"ivfpq_l${nlist}_m${m}_k$ksub", dir)
+    graft.ops.Layout.indexPath(s"ivfpqr_l${nlist}_m${m}_k$ksub", dir)
+
+  /** The coarse centroids as an nlist-row broadcastable frame
+    * (cid, cvec) — how a per-row residual picks up ITS list's centroid
+    * without literal blow-up or a shuffle. */
+  private[graft] def centroidFrame(spark: SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    cents.zipWithIndex.foreach { case (c, i) => rows.add(Row(i, c.toSeq)) }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Adds `res` = embedding − centroid(cid), Float→Double promoted per
+    * element — the per-row residual under a frame's existing coarse
+    * assignment. One broadcast join on cid, one codegen'd zip_with. */
+  private[graft] def withResidual(spark: SparkSession, assigned: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    assigned.join(broadcast(centroidFrame(spark, cents)), Seq("cid"))
+      .withColumn("res", zip_with(col("embedding"), col("cvec"),
+        (x, c) => x.cast(DoubleType) - c))
+      .drop("cvec")
+
+  /** The m residual codes of a frame carrying `res`, under frozen
+    * residual codebooks — shared by the batch build and the incremental
+    * appender ([[graft.streaming.IncrementalIvfPq]]), so the two are
+    * code-identical by construction. */
+  private[graft] def residualCodesCol(m: Int,
+      books: Array[Array[Array[Double]]]): org.apache.spark.sql.Column = {
+    val dsub = Dim / m
+    array((0 until m).map { s =>
+      graft.functions.NearestCentroid.assign(
+        slice(col("res"), s * dsub + 1, dsub), books(s))
+    }: _*)
+  }
 
   def ensureIvfPqIndex(spark: SparkSession, dir: String, nlist: Int = 16,
       m: Int = DefaultM, ksub: Int = DefaultKsub, iters: Int = 2)
       : (String, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val (ivfPath, cents) = Similarity.ensureIvfIndex(spark, dir, nlist, iters)
-    val (pqPath, books) = ensurePqIndex(spark, dir, m, ksub, iters)
     val path = ivfpqIndexPath(dir, nlist, m, ksub)
+    val bookFile = new java.io.File(path, "_GRAFT_IVFPQ_RESBOOKS")
+    val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}" +
+      s"_res_l${nlist}_m${m}_k${ksub}_i${iters}_q32"
+    graft.ops.Layout.ensureSigGated(path, sig) {
+      val dsub = Dim / m
+      // the residual frame feeds m Lloyd chains (each: seed scan +
+      // iters assignment/mean passes) AND the final encode — checkpoint
+      // it once instead of re-running the parquet scan + zip_with per pass
+      val res = withResidual(spark, spark.read.parquet(ivfPath), cents)
+        .select(col("vec_id"), col("cid"),
+          col("label").cast(LongType).as("label"), col("res"))
+        .localCheckpoint()
+      val books = Array.tabulate(m) { s =>
+        Similarity.lloydTrain(spark,
+          res.select(col("vec_id"),
+            slice(col("res"), s * dsub + 1, dsub).as("embedding")),
+          ksub, iters)
+      }
+      res.select(col("vec_id"), col("cid"), col("label"),
+          residualCodesCol(m, books).as("codes"))
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      val lines = for {
+        s <- books.indices; k <- books(s).indices
+      } yield s"$s;$k;${books(s)(k).mkString(",")}"
+      java.nio.file.Files.write(bookFile.toPath,
+        lines.mkString("\n").getBytes)
+    }
+    import scala.jdk.CollectionConverters._
+    val parsed = java.nio.file.Files.readAllLines(bookFile.toPath).asScala
+      .map { l =>
+        val Array(s, k, vs) = l.split(";", 3)
+        (s.toInt, k.toInt, vs.split(',').map(_.toDouble))
+      }
+    val mm = parsed.map(_._1).max + 1
+    val kk = parsed.map(_._2).max + 1
+    val books = Array.ofDim[Array[Double]](mm, kk)
+    parsed.foreach { case (s, k, v) => books(s)(k) = v }
+    (path, cents, books.map(_.toArray))
+  }
+
+  /** The RAW-vector composite — the pre-round-10 layout, retained as
+    * the recall-comparison anchor for the residual one (AnnScaleBench
+    * measures recall@k of both at fixed m; residual wins — that gap is
+    * the reason the canonical layout encodes residuals). */
+  private[graft] def ivfpqRawIndexPath(dir: String, nlist: Int = 16,
+      m: Int = DefaultM, ksub: Int = DefaultKsub): String =
+    graft.ops.Layout.indexPath(s"ivfpq_l${nlist}_m${m}_k$ksub", dir)
+
+  private[graft] def ensureIvfPqRawIndex(spark: SparkSession, dir: String,
+      nlist: Int = 16, m: Int = DefaultM, ksub: Int = DefaultKsub,
+      iters: Int = 2)
+      : (String, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (ivfPath, cents) = Similarity.ensureIvfIndex(spark, dir, nlist, iters)
+    val (pqPath, books) = ensurePqIndex(spark, dir, m, ksub, iters)
+    val path = ivfpqRawIndexPath(dir, nlist, m, ksub)
     val sig = s"${graft.ops.Layout.dataSig(s"$dir/embeddings.parquet")}" +
       s"_l${nlist}_m${m}_k${ksub}_i${iters}_q32"
     graft.ops.Layout.ensureSigGated(path, sig) {
@@ -217,8 +334,51 @@ object PQ {
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(refine)
 
-  /** Serve IVF-PQ top-k over ANY (vec_id, cid, codes) relation under
-    * the given quantizers — shared by the batch-built index
+  /** Per-probe residual ADC distance tables:
+    * dt_c(s)(k) = ‖(q − centroid(c))_s − codeword_{s,k}‖², each inner
+    * sum a left-to-right double fold of squared diffs (the one float
+    * protocol every face and the DuckDB oracle share). */
+  private def adcResidualTables(qvec: Seq[Float],
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      probes: Seq[Long], dsub: Int): Map[Long, Array[Array[Double]]] =
+    probes.map { p =>
+      val cent = cents(p.toInt)
+      val qr = Array.tabulate(qvec.length)(i => qvec(i).toDouble - cent(i))
+      p -> Array.tabulate(books.length) { s =>
+        Array.tabulate(books(s).length) { kk =>
+          val c = books(s)(kk)
+          (0 until dsub).foldLeft(0.0) { (acc, i) =>
+            val d = qr(s * dsub + i) - c(i); acc + d * d
+          }
+        }
+      }
+    }.toMap
+
+  /** The residual ADC candidate cut: each row scores through ITS list's
+    * per-probe table (a cid dispatch over the nprobe tables — nprobe
+    * branches of m guarded lookups, all literals), ascending distance,
+    * ties to the smaller vec_id. The scan must open only the probed cid
+    * partitions (PartitionFilters, spec-asserted). */
+  private[graft] def ivfpqResidualCandidatesFrom(codes: DataFrame,
+      probes: Seq[Long], dts: Map[Long, Array[Array[Double]]],
+      queryId: Long, refine: Int): DataFrame = {
+    val dist = probes.tail.foldLeft(
+        when(col("cid") === probes.head, adcScore(dts(probes.head)))) {
+      (acc, p) => acc.when(col("cid") === p, adcScore(dts(p)))
+    }.otherwise(raise_error(
+      // unreachable under the isin filter below — fail-loud anyway (the
+      // adcScore corrupt-code stance) rather than a silent NULL sink
+      concat(lit("ivfpq residual: cid outside probed lists: "),
+        col("cid").cast(StringType))).cast(DoubleType))
+    codes
+      .filter(col("cid").isin(probes: _*) && col("vec_id") =!= queryId)
+      .select(col("vec_id"), dist.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(refine)
+  }
+
+  /** Serve residual IVF-PQ top-k over ANY (vec_id, cid, codes) relation
+    * under the given quantizers — shared by the batch-built index
     * ([[ivfpqTopK]]) and the incrementally-appended one
     * ([[graft.streaming.IncrementalIvfPq.topK]]), which are row-equal
     * by the frozen-quantizer argument and therefore serve IDENTICAL
@@ -235,18 +395,23 @@ object PQ {
     // probe ranking on the driver — THE shared protocol
     // ([[Similarity.probeRanking]]: -dot, stable sort, cid tie-break)
     val probes = Similarity.probeRanking(qvec, cents, nprobe)
-    val dt = adcTable(qvec, books, dsub)
+    val dts = adcResidualTables(qvec, cents, books, probes, dsub)
     val candidateIds: Array[Long] =
-      ivfpqCandidatesFrom(codes, probes, dt, queryId, refine)
+      ivfpqResidualCandidatesFrom(codes, probes, dts, queryId, refine)
         .collect().map(_.getLong(0))
-    // exact refine: the `refine` winners are an id LOOKUP, not a join —
-    // collecting them to the driver (≤ refine longs, index-header-sized
-    // like the probe ranking) turns the fetch into a pushed IN filter,
-    // so parquet row-group min/max statistics skip everything else;
-    // the broadcast-join alternative scanned the FULL vector table to
-    // hash 50 ids (measured 3.5 s vs 0.56 s plain-IVF at 1 M vectors).
-    // The cosine is the serveIvf convention exactly (same literal
-    // array, same codegen'd dot) — scores bit-identical to x_ivf_knn's.
+    refineExact(spark, dir, qvec, candidateIds, k)
+  }
+
+  /** Exact refine: the `refine` winners are an id LOOKUP, not a join —
+    * collecting them to the driver (≤ refine longs, index-header-sized
+    * like the probe ranking) turns the fetch into a pushed IN filter,
+    * so parquet row-group min/max statistics skip everything else; the
+    * broadcast-join alternative scanned the FULL vector table to hash
+    * 50 ids (measured 3.5 s vs 0.56 s plain-IVF at 1 M vectors). The
+    * cosine is the serveIvf convention exactly (same literal array,
+    * same codegen'd dot) — scores bit-identical to x_ivf_knn's. */
+  private def refineExact(spark: SparkSession, dir: String,
+      qvec: Seq[Float], candidateIds: Array[Long], k: Int): DataFrame = {
     val qcol = array(qvec.map(lit): _*)
     Tables.embeddings(spark, dir)
       .filter(col("vec_id").isin(candidateIds: _*))
@@ -257,20 +422,51 @@ object PQ {
       .limit(k)
   }
 
-  /** x_ivfpq_knn — IVF-PQ top-k with exact refine: rank the IVF
-    * centroids against the query on the DRIVER (k×dim flops — index
-    * metadata), ADC-score ONLY the nprobe probed lists' codes
-    * (PartitionFilters prune the rest of the corpus), keep the top
-    * `refine` candidates by ADC, then re-rank those few against their
-    * TRUE vectors (exact cosine — the candidate id set is broadcast
-    * into one embeddings scan). Output shape matches x_ivf_knn
-    * (vec_id, label, cos_sim), so the quality ladder brute → IVF →
-    * IVF-PQ is directly comparable.
+  /** The raw-vector composite's serve — retained for the AnnScaleBench
+    * recall comparison only ([[ensureIvfPqRawIndex]]). */
+  private[graft] def ivfpqServeRaw(spark: SparkSession, codes: DataFrame,
+      dir: String, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], queryId: Long = 0L, k: Int = 20,
+      nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    val dsub = Dim / books.length
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probes = Similarity.probeRanking(qvec, cents, nprobe)
+    val dt = adcTable(qvec, books, dsub)
+    val candidateIds: Array[Long] =
+      ivfpqCandidatesFrom(codes, probes, dt, queryId, refine)
+        .collect().map(_.getLong(0))
+    refineExact(spark, dir, qvec, candidateIds, k)
+  }
+
+  private[graft] def ivfpqTopKRaw(spark: SparkSession, dir: String,
+      queryId: Long = 0L, k: Int = 20, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = DefaultM, ksub: Int = DefaultKsub, iters: Int = 2,
+      refine: Int = 50): DataFrame = {
+    val (path, cents, books) =
+      ensureIvfPqRawIndex(spark, dir, nlist, m, ksub, iters)
+    ivfpqServeRaw(spark, spark.read.parquet(path), dir, cents, books,
+      queryId, k, nprobe, refine)
+  }
+
+  /** x_ivfpq_knn — residual IVF-PQ top-k with exact refine: rank the
+    * IVF centroids against the query on the DRIVER (k×dim flops — index
+    * metadata), ADC-score ONLY the nprobe probed lists' codes in
+    * residual space (PartitionFilters prune the rest of the corpus;
+    * per-probe distance tables are driver-computed index-header
+    * arithmetic), keep the `refine` nearest candidates by ADC distance,
+    * then re-rank those few against their TRUE vectors (exact cosine —
+    * the candidate id set is a pushed IN filter on one embeddings
+    * scan). Output shape matches x_ivf_knn (vec_id, label, cos_sim), so
+    * the quality ladder brute → IVF → IVF-PQ is directly comparable.
     *
-    * Every stage is deterministic (quantized training, first-minimum
-    * codes, fixed-order ADC sum, ties to the smaller vec_id), which is
-    * what lets the whole pipeline — training included — carry a full
-    * DuckDB oracle. */
+    * Every stage is deterministic (quantized training of BOTH
+    * quantizers — the residual codebooks train on micro-unit-quantized
+    * sums of exact double residuals — first-minimum codes, fixed-order
+    * ADC sums, ties to the smaller vec_id), which is what lets the
+    * whole pipeline — coarse training, residual training, encoding,
+    * serving — carry a full DuckDB oracle. */
   def ivfpqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
       ksub: Int = DefaultKsub, iters: Int = 2, refine: Int = 50): DataFrame = {

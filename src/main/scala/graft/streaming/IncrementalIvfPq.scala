@@ -38,21 +38,24 @@ import graft.operators.PQ
 object IncrementalIvfPq {
 
   /** Assign one micro-batch of embedding rows under frozen quantizers
-    * and append — idempotent per batchId. */
+    * and append — idempotent per batchId. `books` are the RESIDUAL
+    * codebooks ([[PQ.ensureIvfPqIndex]]): each row is coarse-assigned,
+    * its residual against ITS frozen centroid computed, and the
+    * residual encoded — the same [[PQ.withResidual]] +
+    * [[PQ.residualCodesCol]] the batch build uses, so (cid, codes)
+    * stays a pure per-row function and the rebuild-equality argument
+    * holds unchanged. */
   def appendBatch(indexRoot: String, cents: Array[Array[Double]],
       books: Array[Array[Array[Double]]])(
       batch: DataFrame, batchId: Long): Unit = {
     val m = books.length
-    val dsub = PQ.Dim / m
-    val codes = array((0 until m).map { s =>
-      NearestCentroid.assign(
-        slice(col("embedding"), s * dsub + 1, dsub), books(s))
-    }: _*)
-    batch
-      .select(col("vec_id"),
-        NearestCentroid.assign(col("embedding"), cents).as("cid"),
-        col("label").cast(LongType).as("label"),
-        codes.as("codes"))
+    val assigned = batch.select(col("vec_id"),
+      NearestCentroid.assign(col("embedding"), cents).as("cid"),
+      col("label").cast(LongType).as("label"),
+      col("embedding"))
+    PQ.withResidual(batch.sparkSession, assigned, cents)
+      .select(col("vec_id"), col("cid"), col("label"),
+        PQ.residualCodesCol(m, books).as("codes"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(
         s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
