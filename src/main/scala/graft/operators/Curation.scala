@@ -127,9 +127,22 @@ object Curation {
     * then a per-source conditional-sum aggregation — grouping key
     * cardinality is the source vocabulary, far below doc count, so the
     * final shuffle is tiny; the map side pre-combines. */
-  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
-    val f = funnel(spark, dir)
-    val meta = Tables.documents(spark, dir)
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame =
+    sourceProfileFrom(funnel(spark, dir), Tables.documents(spark, dir))
+
+  /** [[sourceProfile]] over an explicit funnel + documents pair — the
+    * skew-stress face (CurationIngestBench feeds it synthetic source
+    * skews). Skew note: a hot source (80% of a crawl from one domain is
+    * realistic) is absorbed by the partial+final aggregation — every
+    * map task pre-combines its rows to ≤ one row per source before the
+    * exchange, so the final shuffle carries ≤ sources × partitions tiny
+    * rows no matter how skewed the input (PlanSpec pins the partial
+    * agg; the ingest bench measures skewed ≈ uniform). No SkewOps
+    * two-phase salt is needed — that treatment exists for aggregations
+    * whose PER-GROUP state is large (exact distincts), not for
+    * constant-size conditional sums like these. */
+  def sourceProfileFrom(f: DataFrame, docs: DataFrame): DataFrame = {
+    val meta = docs
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).as("n_tokens"))
     f.join(meta, Seq("doc_id"))

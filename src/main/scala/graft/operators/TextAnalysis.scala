@@ -235,10 +235,47 @@ object TextAnalysis {
     * across partitions plus ≤ n/(k+1) by the single truncation), so
     * every term with true count > 2n/(k+1) survives. Rows-only (the
     * surviving set depends on partition boundaries — not
-    * SQL-expressible), spec carries the proof obligations. */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
-    mgMerge(mgPartials(Tables.documents(spark, dir), k), k)
+    * SQL-expressible), spec carries the proof obligations.
+    *
+    * Round 10: the output carries its own `err_bound` = 2n/(k+1) column
+    * — the survivors are partition-dependent but the BOUND is not (n is
+    * the corpus token count), so a consumer reads the accuracy contract
+    * off the row instead of re-deriving it from a spec. n rides out of
+    * the same single token pass as the summaries (a sentinel row per
+    * partition — no second corpus scan), and the tiny (k+1)·partitions
+    * partial frame is checkpointed so splitting it doesn't recompute
+    * the scan. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val parts = mgPartialsWithN(Tables.documents(spark, dir), k)
+      .localCheckpoint()
+    val nDf = parts.filter(col("term") === NTokSentinel)
+      .agg(sum(col("cnt")).as("n"))
+    mgMerge(parts.filter(col("term") =!= NTokSentinel), k)
+      .crossJoin(broadcast(nDf))
+      .select(col("term"), col("est"),
+        (lit(2.0) * col("n") / lit(k + 1)).as("err_bound"))
       .orderBy(col("est").desc, col("term"))
+  }
+
+  /** Sentinel term carrying a partition's token count out of the MG
+    * pass (NUL — the whitespace tokenizer can never produce it). */
+  private[graft] val NTokSentinel = 0.toChar.toString
+
+  /** [[mgPartials]] plus one sentinel row per partition holding the
+    * partition's total token count — same single pass over the corpus;
+    * the batch query needs n for the self-describing error bound. */
+  private def mgPartialsWithN(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(col("text"))).as("tok")).as[String]
+      .mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { t => n += 1; t }
+        // mgSummary drains the iterator, so n is the partition total
+        val summary = graft.functions.HeavyHitters.mgSummary(counted, k)
+        (summary.toSeq :+ (NTokSentinel -> n)).iterator
+      }.toDF("term", "cnt")
+  }
 
   /** Phase 1: per-partition Misra-Gries summaries over a documents
     * frame's tokens — ≤ k (term, cnt) rows per partition regardless of

@@ -97,6 +97,36 @@ object CurationIngestBench {
       s"incremental decision diverged: ${got.size} vs ${want.size} rows")
     println(f"totals over $nWaves refreshes: batch-rebuild ${fmt(batchTotal)}, " +
       f"incremental ${fmt(incrTotal)} (decisions identical, ${want.size} docs)")
+
+    // --- source-skew stress (round 10, SURVEY §6): real crawls are
+    // source-skewed; x_source_profile's per-source aggregation is the
+    // natural hot-key victim. One source carries 80% of the docs vs a
+    // uniform 50-way spread over the SAME corpus and the SAME funnel
+    // (checkpointed once, so only the join + per-source agg is timed).
+    // Expected and measured: skewed ≈ uniform — the partial+final agg
+    // pre-combines the hot source map-side, so the final exchange
+    // carries ≤ sources × partitions rows either way (the mitigation;
+    // PlanSpec pins the partial agg). SkewOps' two-phase salt stays for
+    // large-per-group-state aggs, which this is not.
+    val funnelDone = graft.operators.Curation
+      .funnelOf(train, evalShingles).localCheckpoint()
+    def withSource(src: org.apache.spark.sql.Column) =
+      train.withColumn("source", src)
+    val uniform = withSource(
+      concat(lit("src_"), (col("doc_id") % 50).cast("string")))
+    val skewed = withSource(
+      when(col("doc_id") % 10 < 8, lit("mega"))
+        .otherwise(concat(lit("src_"), (col("doc_id") % 50).cast("string"))))
+    def profile(docs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.sourceProfileFrom(funnelDone, docs)
+    profile(uniform).count() // codegen/broadcast warm-up
+    val (nU, tUni) = time(profile(uniform).count())
+    val (nS, tSkew) = time(profile(skewed).count())
+    val mega = profile(skewed).filter(col("source") === "mega")
+      .select(col("n_docs")).head().getLong(0)
+    println(f"source-skew stress: uniform($nU%d sources) ${fmt(tUni)}, " +
+      f"skewed($nS%d sources, mega=$mega%d docs ≈80%%) ${fmt(tSkew)} — " +
+      f"ratio ${tSkew / tUni}%.2f (partial agg absorbs the hot source)")
     spark.stop()
   }
 }

@@ -242,9 +242,15 @@ class CorpusSearchSpec extends AnyFunSuite {
       .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
     val n = exact.values.sum
     val bound = 2.0 * n / (k + 1)
-    val got = TextAnalysis.heavyHitters(spark, dir, k).collect()
+    val gotRows = TextAnalysis.heavyHitters(spark, dir, k).collect()
+    val got = gotRows
       .map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
     assert(got.nonEmpty && got.size <= k)
+    // round 10: every row self-describes the accuracy contract — the
+    // err_bound column is exactly 2n/(k+1), constant across rows (n is
+    // a corpus statistic, not a partition artifact)
+    assert(gotRows.map(_.getAs[Double]("err_bound")).distinct.toSeq ===
+      Seq(bound), "err_bound column must equal 2n/(k+1) on every row")
     // MG never overcounts, and undercounts by at most 2n/(k+1)
     got.foreach { case (t, est) =>
       assert(est <= exact(t), s"$t overcounted: $est > ${exact(t)}")

@@ -88,6 +88,73 @@ class DebeziumEnvelopeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Debezium leg E1 end-to-end under ProcessingTime: decode → apply(REMOVE) → warehouse → reconcile, ≥2 live batches incl. a REMOVE") {
+    import java.nio.file.{Files, Paths}
+    val root = TestSpark.tempDir("dbz-e2e")
+    val srcDir = s"$root/raw"
+    val wh = s"$root/warehouse"
+    Files.createDirectories(Paths.get(srcDir))
+    def env(op: String, id: Int, v: Int, ts: Long): String = {
+      val img = s"""{"id":$id,"v":$v}"""
+      val (before, after) = if (op == "d") (img, "null") else ("null", img)
+      s"""{"payload":{"op":"$op","before":$before,"after":$after,"ts_ms":$ts}}"""
+    }
+    Files.writeString(Paths.get(s"$srcDir/batch1.json"),
+      env("c", 1, 1, 1000) + "\n" + env("c", 2, 10, 2000) + "\n")
+
+    // reconcile source = the apply semantics over ALL raw envelopes so
+    // far (the replication task's source-side count); target = the
+    // warehouse the stream maintains — both re-read per tick
+    val rec = new graft.cdc.ReconcileMetrics.Recorder
+    val listener = new graft.cdc.ReconcileMetrics.Listener("dbz_e2e",
+      () => ChangelogApply.applyBatch(
+        DebeziumEnvelope.decode(spark.read.text(srcDir).toDF("value")),
+        ChangelogApply.Mode.ApplyRemove),
+      () => spark.read.parquet(wh),
+      rec.publish)
+    spark.streams.addListener(listener)
+
+    val raw = spark.readStream.text(srcDir).toDF("value")
+    val upserts = ChangelogApply.applyStream(
+      DebeziumEnvelope.toChangeEvents(raw), ChangelogApply.Mode.ApplyRemove)
+    def dataBatches(q: org.apache.spark.sql.streaming.StreamingQuery): Int =
+      q.recentProgress.count(_.numInputRows > 0)
+    def waitUntil(cond: => Boolean, what: String, timeoutMs: Long = 60000): Unit = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for $what")
+    }
+    val q = upserts.toDF().writeStream
+      .queryName("dbz_e2e")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ChangelogApply.mergeIntoParquet(spark, b.toDF(), wh)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      waitUntil(dataBatches(q) >= 1, "first live micro-batch")
+      // a MODIFY and a REMOVE arriving WHILE the query runs
+      Files.writeString(Paths.get(s"$srcDir/batch2.json"),
+        env("u", 1, 2, 3000) + "\n" + env("d", 2, 10, 4000) + "\n")
+      waitUntil(dataBatches(q) >= 2, "second live micro-batch (the REMOVE)")
+      // the listener's reconcile must converge to in-sync on the
+      // post-REMOVE state: one live key on both sides
+      waitUntil(rec.all.exists(t =>
+        t.inSync && t.sourceCount == 1 && t.targetCount == 1),
+        "an in-sync reconcile tick after the REMOVE")
+      assert(q.isActive)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    // warehouse ground truth: key 2 deleted, key 1 at its final image
+    val stateRows = spark.read.parquet(wh).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("newImage"))
+    assert(stateRows.map(_._1).toSeq === Seq("1"), "key 2 must be deleted")
+    assert(stateRows.head._2 === """{"id":1,"v":2}""", "key 1 at last image")
+  }
+
   test("decoded envelopes feed applyBatch identically to hand-built ChangeEvents") {
     import spark.implicits._
     def env(op: String, id: Int, name: String, ts: Long): String = {

@@ -168,6 +168,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side partial aggregation:\n" + p)
   }
 
+  test("source profile aggregates partial+final: a hot source combines map-side") {
+    // the skew mitigation for x_source_profile (round 10): an 80%-hot
+    // source never skews the exchange because every map task pre-combines
+    // to ≤ one row per source BEFORE shuffling — the partial HashAggregate
+    // below the exchange IS the treatment (CurationIngestBench measures
+    // skewed ≈ uniform under it; SkewOps two-phase stays for
+    // large-per-group-state aggs, which these constant-size sums are not)
+    val p = plan("x_source_profile")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "no map-side partial aggregation before the per-source exchange:\n" + p)
+  }
+
   test("native vector_dot is planned in knn and compiles under WholeStageCodegen") {
     val knn = SparkEntry.queries("x_knn_cosine")(spark, dir)
     assert(knn.queryExecution.executedPlan.toString.contains("vector_dot"))
