@@ -68,6 +68,11 @@ object Bench {
     build("build_srp_index")(graft.operators.Similarity.ensureSrpIndex(spark, sfDir))
     build("build_ivf_index")(graft.operators.Similarity.ensureIvfIndex(spark, sfDir))
     build("build_ivfpq_index")(graft.operators.PQ.ensureIvfPqIndex(spark, sfDir))
+    // the plain-PQ code table is a DIFFERENT materialization than the
+    // IVF-PQ composite (pq_m8_k256 vs ivfpq_*): without this step, the
+    // first x_pq_encode/x_pq_knn on a fresh box absorbs PQ training +
+    // the code-table write and masquerades as query latency
+    build("build_pq_index")(graft.operators.PQ.ensurePqIndex(spark, sfDir))
     build("build_media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, sfDir))
     build("build_minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, sfDir))
     build("build_postings_index")(graft.operators.Search.ensurePostingsIndex(spark, sfDir))

@@ -624,8 +624,16 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast(LongType)
           .as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+      // verify BEFORE the pair dedup: hamming is a pure function of the
+      // pair (XOR + popcount on the two longs already in the join row),
+      // so filter/dropDuplicates commute — but the dedup is a SHUFFLE of
+      // every banded candidate, and candidates grow with block-collision
+      // density (quadratic in docs per hot block value) while true pairs
+      // grow ~linearly. Measured at 10× docs (FullSurfaceBench): the
+      // dedup-first order shuffled 245-261 MB of candidates; this order
+      // shuffles only verified pairs. Same rows out either way.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

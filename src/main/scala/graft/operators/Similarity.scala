@@ -526,6 +526,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Target per-bucket occupancy for adaptive SRP sizing: within-bucket
+    * candidate pairs are ~occupancy²/2 per bucket, so holding occupancy
+    * flat holds TOTAL candidates ~linear in the corpus. */
+  val TargetOccupancy = 32.0
+
+  /** bits ~ log2(n / occupancy) — bucket count tracks the corpus so
+    * occupancy stays at ~[[TargetOccupancy]]. Floor of 6 keeps small
+    * and test corpora at the original 6-plane design point (specs and
+    * oracle fixtures see byte-identical behavior up to n = 2^6·32). */
+  def adaptivePlanes(n: Long): Int =
+    math.max(6, math.ceil(
+      math.log(math.max(n, 1L) / TargetOccupancy) / math.log(2.0)).toInt)
+
+  /** Tables to hold near-dup-regime recall as bits grow: per-table
+    * collision probability for a pair at angle θ is (1-θ/π)^planes, so
+    * 1-(1-p)^T ≥ recall ⇒ T = ⌈ln(1-recall)/ln(1-p)⌉, evaluated at the
+    * cos-0.9 regime the operator's recall story is written for.
+    * Evaluates to 8 at planes=6 (the original 6×8 design point) and 17
+    * at planes=10 — tables grow geometrically in planes, planes grow
+    * logarithmically in n, so total bucket-compute per vector grows
+    * ~polylog while candidates stay linear. */
+  def adaptiveTables(planes: Int, cosRegime: Double = 0.9,
+      recall: Double = 0.98): Int = {
+    val p = math.pow(1.0 - math.acos(cosRegime) / math.Pi, planes)
+    math.max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - p)).toInt)
+  }
+
   /** x_embed_near_dup_lsh — SRP-bucketed near-dup pairs: the scale path
     * for all-pairs embedding near-dup (the declared query; the cartesian
     * [[embeddingNearDupPairs]] is kept as the DuckDB-oracled ground truth).
@@ -541,14 +568,40 @@ object Similarity {
     * (vec, table, bucket), ONE shuffle on (table, bucket), self-join
     * within buckets, dedup pairs, verify. No BroadcastNestedLoopJoin
     * anywhere — the r1 declared form's O(n²) cartesian is gone from the
-    * scale surface. */
+    * scale surface.
+    *
+    * Sizing is OCCUPANCY-ADAPTIVE by default (pass explicit
+    * nPlanes/nTables to override): with fixed bits, 2^nPlanes buckets
+    * hold a growing corpus, occupancy grows linearly and within-bucket
+    * candidate pairs QUADRATICALLY — measured at 10× vectors
+    * (FullSurfaceBench round-10: 33× wall-clock, ~25 M candidates from
+    * 64 buckets/table). The standard LSH answer (bits ~ log n, the
+    * analogue of IVF's nlist ~ √n) holds occupancy at ~[[TargetOccupancy]]
+    * per bucket ([[adaptivePlanes]]), and [[adaptiveTables]] adds tables
+    * to hold NEAR-DUP-regime recall (cos ≥ 0.9) at the 6×8 design point
+    * ≈0.98 — candidates then grow ~linearly with the corpus. Low-cos
+    * recall decays as bits grow (LSH is a near-neighbor method; the
+    * S-curve's knee moves up with code length) — the declared query is
+    * rows-only with precision-1 + recall specs for exactly this reason. */
   def annNearDupPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, nPlanes: Int = 6, nTables: Int = 8,
+      threshold: Double = 0.4, nPlanes: Int = -1, nTables: Int = -1,
       seed: Long = 42L): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
-    val bucketArr = array((0 until nTables).map(t =>
-      srpBucket(col("embedding"), hyperplanes(nPlanes, 64, seed + t))): _*)
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else adaptivePlanes(Tables.embeddings(spark, dir).count())
+    val tables = if (nTables > 0) nTables else adaptiveTables(planes)
+    // ONE codegen'd node for all tables' buckets: the composed
+    // array(srpBucket…) form grew tables×planes dot nodes and fell out
+    // of whole-stage codegen at adaptive sizing — 18.5 s of bucketing
+    // alone at 17×10 over 20 k vectors, vs a tight loop here
+    // (bit-identical output; SrpBucketsSpec pins it)
+    val allPlanes: Array[Array[Double]] = (0 until tables)
+      .flatMap(t => hyperplanes(planes, 64, seed + t).map(_.toArray))
+      .toArray
+    val bucketArr =
+      graft.functions.SrpBuckets.buckets(col("embedding"), allPlanes, tables)
     // localCheckpoint: tabbed feeds BOTH sides of the bucket self-join,
     // and the nTables×nPlanes hyperplane dot products per vector are the
     // query's dominant compute — without it they run twice (the

@@ -1,0 +1,221 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.{Await, Future, TimeoutException}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Full-surface scale run (SURVEY §6, round-10): EVERY
+  * `SparkEntry.queries` entry executed once against a factor-N replica
+  * of the sf0.1 corpus — the measurement the per-family benches
+  * (Rel/Ann/Scale/CurationIngest/Compaction) cannot make, because a
+  * bottleneck that is fixed-cost-masked at sf0.1 (index header reads,
+  * driver-side candidate collects, a broadcast that silently grew) only
+  * shows up when the whole surface runs at ~sf1 in one sitting.
+  *
+  * Corpus recipe (scale-true, not dup-saturating):
+  *   - facts grow: orders/lineitem keep their join fan-out via the
+  *     orderkey remap `key*factor+r`; events keeps user histories
+  *     growing (user_id NOT remapped) like a real event log;
+  *   - documents replicas are salted near-dups (ScaleBench's recipe:
+  *     component structure grows like a crawl, Jaccard ≈ 0.9 within a
+  *     replica group);
+  *   - embeddings replicas are circularly shifted by r, so replicas are
+  *     DISTINCT directions — replicating identical vectors would make
+  *     every vector a 10-clique and benchmark the pair-proportional
+  *     worst case instead of the corpus-linear path;
+  *   - dims (region/nation/customer/supplier/part) copy unchanged: a
+  *     warehouse grows facts-per-dim, and dims staying broadcastable at
+  *     10× is exactly the property the plans rely on at 100 TB.
+  *
+  * Protocol: same as Bench (`agg(count(*))` ≡ `df.count()`) so numbers
+  * compare across factors run through THIS tool; each query runs under
+  * a watchdog (default 600 s, `cancelJobGroup` on expiry) so a
+  * superlinear anchor cannot wedge the sweep; shuffle-write bytes are
+  * read off each query's own executed plan (the cluster-relevant
+  * number — local shuffles are memory copies, at 1000 executors they
+  * are the network).
+  *
+  * Run (baseline then scale, separate JVMs so page-cache/catalog state
+  * cannot leak between factors):
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.FullSurfaceBench /root/testdata/sf0.1 1"
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.FullSurfaceBench /root/testdata/sf0.1 10"
+  * Output: per-query lines + `target/fullsurface_f<factor>.json`.
+  */
+object FullSurfaceBench {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val capSec = if (args.length > 2) args(2).toInt else 600
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- factor-N corpus (sig-gated: rebuilt only when source data or
+    // factor changes) --------------------------------------------------
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_fullsurface$factor"
+    val sig = s"fs${factor}_${graft.ops.Layout.dataSig(s"$srcDir/lineitem.parquet")}"
+    graft.ops.Layout.ensureSigGated(scaleDir, sig) {
+      val r = spark.range(factor).toDF("r")
+      graft.Tables.orders(spark, srcDir).crossJoin(r)
+        .withColumn("o_orderkey", col("o_orderkey") * factor + col("r"))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$scaleDir/orders.parquet")
+      graft.Tables.lineitem(spark, srcDir).crossJoin(r)
+        .withColumn("l_orderkey", col("l_orderkey") * factor + col("r"))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$scaleDir/lineitem.parquet")
+      // events: remap event_id, keep everything else — per-user history
+      // grows factor×. ts round-trips through Tables.events' normalized
+      // TIMESTAMP form (written back as timestamp[us], which the reader
+      // handles).
+      graft.Tables.events(spark, srcDir).crossJoin(r)
+        .withColumn("event_id", col("event_id") * factor + col("r"))
+        .drop("r", "ts_ns")
+        .write.mode("overwrite").parquet(s"$scaleDir/events.parquet")
+      // documents: ScaleBench's salted near-dup replicas; n_chars must
+      // match the salted text (queries read it as ground truth)
+      graft.Tables.documents(spark, srcDir).crossJoin(r)
+        .withColumn("text",
+          concat(col("text"), lit(" zz"), col("doc_id"), lit("x"), col("r")))
+        .select(
+          (col("doc_id") * factor + col("r")).as("doc_id"),
+          col("text"), col("lang"), col("source"),
+          length(col("text")).cast("bigint").as("n_chars"))
+        .write.mode("overwrite").parquet(s"$scaleDir/documents.parquet")
+      // embeddings: circular shift by r — replicas become distinct
+      // directions (same norm, same per-element distribution), keeping
+      // near-dup density constant instead of saturating it
+      graft.Tables.embeddings(spark, srcDir).crossJoin(r)
+        .select(
+          (col("vec_id") * factor + col("r")).as("vec_id"),
+          when(col("r") === 0, col("embedding")).otherwise(
+            concat(
+              slice(col("embedding"), col("r") + 1,
+                size(col("embedding")) - col("r")),
+              slice(col("embedding"), lit(1), col("r")))).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$scaleDir/embeddings.parquet")
+      Seq("region", "nation", "customer", "supplier", "part").foreach(t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$scaleDir/$t.parquet"))
+    }
+    val nLi = spark.read.parquet(s"$scaleDir/lineitem.parquet").count()
+    val nDoc = spark.read.parquet(s"$scaleDir/documents.parquet").count()
+    println(s"[fullsurface] corpus: factor $factor, $nLi lineitem, $nDoc documents")
+
+    // ---- one-time ETL/index builds (same set as Bench), timed --------
+    def timeIt[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime; val v = f; ((System.nanoTime - t0) / 1e9, v)
+    }
+    val buildTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def build(name: String)(f: => Any): Unit =
+      try { val (t, _) = timeIt(f); buildTimes(name) = t;
+            println(f"[fullsurface] build/$name: $t%.1f s") }
+      catch { case e: Throwable =>
+        println(s"[fullsurface] build/$name FAILED: ${e.toString.take(200)}") }
+    build("warmup") {
+      spark.read.parquet(s"$scaleDir/lineitem.parquet").count()
+      graft.Tables.events(spark, scaleDir).count()
+      spark.sql("SHOW DATABASES").collect()
+      spark.range(100).join(broadcast(spark.range(10)), "id").count()
+    }
+    build("bucketed_star")(graft.ops.Layout.ensureBucketedStar(spark, scaleDir))
+    build("srp_index")(graft.operators.Similarity.ensureSrpIndex(spark, scaleDir))
+    build("ivf_index")(graft.operators.Similarity.ensureIvfIndex(spark, scaleDir))
+    build("ivfpq_index")(graft.operators.PQ.ensureIvfPqIndex(spark, scaleDir))
+    build("pq_index")(graft.operators.PQ.ensurePqIndex(spark, scaleDir))
+    build("media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, scaleDir))
+    build("minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, scaleDir))
+    build("postings_index")(graft.operators.Search.ensurePostingsIndex(spark, scaleDir))
+    build("day_layout")(graft.ops.Layout.ensureDayLayout(spark, scaleDir))
+
+    // ---- shuffle-write bytes off one executed plan -------------------
+    def shuffleMB(df: DataFrame): Double = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val seen = scala.collection.mutable.Set[SparkPlan]()
+      var bytes = 0L
+      def walk(p: SparkPlan): Unit = if (seen.add(p)) {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case e: ShuffleExchangeLike =>
+            bytes += e.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      bytes / 1e6
+    }
+
+    // ---- the sweep: every declared query, watchdogged ----------------
+    // sec is wall-clock to the count result; rows/shufMB are None on
+    // timeout/error. The watchdog cancels through the job group (set in
+    // the submitting thread — job groups are thread-local) so a
+    // superlinear anchor is recorded as "timeout" instead of wedging
+    // the remaining queries.
+    final case class R(name: String, sec: Double, rows: Option[Long],
+                       shufMB: Option[Double], err: Option[String])
+    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime
+        val fut = Future {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          val agg = fn(spark, scaleDir).agg(count(lit(1)).as("cnt"))
+          val n = agg.collect()(0).getLong(0)
+          (n, shuffleMB(agg))
+        }
+        val r =
+          try {
+            val (n, mb) = Await.result(fut, capSec.seconds)
+            R(name, (System.nanoTime - t0) / 1e9, Some(n), Some(mb), None)
+          } catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(name)
+              R(name, (System.nanoTime - t0) / 1e9, None, None, Some("timeout"))
+            case e: Throwable =>
+              R(name, (System.nanoTime - t0) / 1e9, None, None,
+                Some(e.toString.take(200)))
+          }
+        println(f"[fullsurface] ${r.name}%-28s ${r.sec}%7.2f s  " +
+          f"rows=${r.rows.getOrElse(-1L)}%-9d shuffle=${r.shufMB.getOrElse(0.0)}%.1f MB" +
+          r.err.map(e => s"  ERR=$e").getOrElse(""))
+        r
+    }
+
+    val ok = results.filter(_.err.isEmpty)
+    val total = ok.map(_.sec).sum
+    println(f"[fullsurface] total: $total%.1f s over ${ok.size} ok / ${results.size} queries" +
+      s" (errors: ${results.count(_.err.isDefined)})")
+    println("[fullsurface] top 10 by time:")
+    results.sortBy(-_.sec).take(10).foreach(r =>
+      println(f"[fullsurface]   ${r.name}%-28s ${r.sec}%7.2f s  shuffle=${r.shufMB.getOrElse(0.0)}%.1f MB"))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { r =>
+      val err = r.err.map(e => s""","err":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
+      s""""${r.name}":{"sec":${fmt(r.sec)},"rows":${r.rows.getOrElse(-1L)},"shuffle_mb":${fmt(r.shufMB.getOrElse(-1.0))}$err}"""
+    }.mkString("{", ",", "}")
+    val builds = buildTimes.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"factor":$factor,"total_sec":${fmt(total)},"n_queries":${results.size},"n_errors":${results.count(_.err.isDefined)},"builds":$builds,"queries":$qs}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"target/fullsurface_f$factor.json"), line + "\n")
+    println(s"[fullsurface] wrote target/fullsurface_f$factor.json")
+    spark.stop()
+  }
+}

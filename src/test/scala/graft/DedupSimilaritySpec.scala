@@ -144,6 +144,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((annDefault -- brute).isEmpty)
   }
 
+  test("srp_buckets: fused codegen node equals the composed per-table srpBucket form bit-for-bit, both eval paths") {
+    import org.apache.spark.sql.functions.{array, col}
+    import graft.functions.VectorFunctions.{srpBucket, hyperplanes}
+    val emb = Tables.embeddings(spark, dir)
+    val (tables, planes, seed) = (5, 7, 42L)
+    val allPlanes = (0 until tables)
+      .flatMap(t => hyperplanes(planes, 64, seed + t).map(_.toArray)).toArray
+    val fused = emb.select(col("vec_id"),
+        graft.functions.SrpBuckets.buckets(col("embedding"), allPlanes, tables).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = emb.select(col("vec_id"),
+        array((0 until tables).map(t =>
+          srpBucket(col("embedding"), hyperplanes(planes, 64, seed + t))): _*).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === composed)
+    // interpreted eval path (no codegen) agrees with the generated loop
+    val expr = graft.functions.SrpBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array.tabulate(64)(i => (i % 7 - 3).toFloat),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      allPlanes, tables)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val viaDf = spark.range(1).select(
+        graft.functions.SrpBuckets.buckets(
+          org.apache.spark.sql.functions.typedLit(
+            Array.tabulate(64)(i => (i % 7 - 3).toFloat)), allPlanes, tables))
+      .collect().head.getSeq[Long](0)
+    assert(interp.toSeq === viaDf)
+  }
+
   test("dup clusters: canonical is component minimum; pairs share a canonical") {
     val pairs = Dedup.ngramJaccardPairs(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
