@@ -127,12 +127,15 @@ object SparkEntry {
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
     "x_image_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.imageDecodeStats(s, d)),
+    "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
+    "x_audio_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioDecodeStats(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
     "x_heavy_hitters_exact" -> (operators.TextAnalysis.heavyHittersExact _),
     "x_repetition"          -> (operators.TextAnalysis.repetitionStats _),
     "x_decontaminate"       -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminate(s, d)),
+    "x_decontaminate_bloom" -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminateBloom(s, d)),
     "x_curation_funnel"     -> ((s: SparkSession, d: String) => operators.Curation.funnel(s, d)),
     "x_curation_attrition"  -> (operators.Curation.attrition _),
     "x_source_profile"      -> (operators.Curation.sourceProfile _),
@@ -316,6 +319,47 @@ object SparkEntry {
     * cosine top-k with the vec_id tie-break. Scala's shortest-round-trip
     * Double formatting + DuckDB's correctly-rounded parser mean every
     * plane value survives the text trip exactly. */
+  /** The shared decontamination oracle: the exact face and the
+    * bloom-prefiltered face are result-identical by construction (Bloom
+    * admits false positives only; the verify join removes them), so one
+    * SQL gates both. */
+  private val DecontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text,' ')) - 2),
+      |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+      |       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) >= 8 AS contaminated
+      |FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin
+
+  /** The shared image-decode oracle: the synthetic raster rule (byte
+    * j = text byte j mod len over a fixed 16×12 RGB frame) and the
+    * integer channel sums are identical for the PPM corpus and its
+    * PNG round-trip — compression cancels, so one SQL gates the
+    * uncompressed AND the compressed codec end-to-end. */
+  private val ImageDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, strlen(text) AS n FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT d.doc_id, u.j,
+      |         CASE WHEN d.n = 0 THEN 0
+      |              ELSE ord(substr(d.text, CAST(u.j % d.n AS INT) + 1, 1))
+      |         END AS b
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 575)) AS j) u)
+      |SELECT doc_id AS media_id, 16 AS width, 12 AS height,
+      |       CAST(192 AS BIGINT) AS n_px,
+      |       CAST(sum(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS r_sum,
+      |       CAST(sum(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
+      |       CAST(sum(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
   private val SrpAnnTopKSql: String = {
     val planes = graft.functions.VectorFunctions.hyperplanes(8, 64, 42L)
     val rows = planes.zipWithIndex.map { case (p, i) =>
@@ -1116,19 +1160,45 @@ object SparkEntry {
         |       CAST(max(c) AS BIGINT) AS top_bigram_count,
         |       max(c) * 100 >= sum(c) * 10 AS repetitive
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "x_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |           generate_series(1, len(string_split(text,' ')) - 2),
-        |           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')))) AS shingle
-        |  FROM documents),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
-        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-        |       CAST(sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-        |       sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) >= 8 AS contaminated
-        |FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
-        |WHERE s.doc_id % 97 <> 0
-        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "x_decontaminate" -> DecontaminateSql,
+    // The bloom face is DEFINED to produce the exact face's result
+    // (false positives die in the verify join, false negatives cannot
+    // exist), so one oracle pins both — independently, each against
+    // DuckDB.
+    "x_decontaminate_bloom" -> DecontaminateSql,
+    // PNG round-trips the SAME deterministic raster as the PPM corpus
+    // through deflate + predictive filters — the compressed codepath
+    // cancels out, so the oracle replays raster generation + channel
+    // sums exactly as for x_image_decode.
+    "x_png_decode" -> ImageDecodeSql,
+    // Audio: synthesis ((b·251 + k·17) mod 65536 − 32768 over 160
+    // samples) and every feature are small-integer arithmetic; the
+    // zero-crossing count replays via a lag window over the sample
+    // index. The RIFF encode/parse in between round-trips away.
+    "x_audio_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT d.doc_id, u.k,
+        |         ((CASE WHEN d.n = 0 THEN 0
+        |                ELSE ord(substr(d.text, CAST(u.k % d.n AS INT) + 1, 1))
+        |           END * 251 + u.k * 17) % 65536) - 32768 AS smp
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 159)) AS k) u),
+        |sl AS (
+        |  SELECT doc_id, k, smp,
+        |         lag(smp) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(160 AS BIGINT) AS n_samples,
+        |       8000 AS sample_rate, CAST(20 AS BIGINT) AS duration_ms,
+        |       CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL
+        |                      AND ((smp < 0) <> (prev < 0)) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS zero_crossings,
+        |       CAST(sum(smp * smp) AS BIGINT) AS energy
+        |FROM sl GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
     // The funnel CTE chain composes the five stage queries verbatim
     // (train slice only; dedup/decontam document frequency excludes the
     // eval slice by design — see operators.Curation).
@@ -1532,28 +1602,9 @@ object SparkEntry {
         |GROUP BY kind, fp ORDER BY media_id""".stripMargin,
     "x_multimodal_features" -> multimodalFeaturesSql(""),
     "x_multimodal_pruned" -> multimodalFeaturesSql("WHERE doc_id % 3 = 0"),
-    // Real-codec decode (round 8): the synthetic PPM raster is byte
-    // j = text byte (j mod len) over a fixed 16×12 RGB frame, and the
-    // codec's outputs are exact integer channel sums — so the oracle
-    // regenerates the raster from the documents table and sums each
-    // channel (j % 3 picks R/G/B), replaying the real parse end-to-end.
-    "x_image_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, strlen(text) AS n FROM documents
-        |  WHERE doc_id % 3 = 0),
-        |px AS (
-        |  SELECT d.doc_id, u.j,
-        |         CASE WHEN d.n = 0 THEN 0
-        |              ELSE ord(substr(d.text, CAST(u.j % d.n AS INT) + 1, 1))
-        |         END AS b
-        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 575)) AS j) u)
-        |SELECT doc_id AS media_id, 16 AS width, 12 AS height,
-        |       CAST(192 AS BIGINT) AS n_px,
-        |       CAST(sum(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS r_sum,
-        |       CAST(sum(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
-        |       CAST(sum(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum
-        |FROM px GROUP BY doc_id
-        |ORDER BY media_id""".stripMargin,
+    // Real-codec decode (round 8): raster + channel-sum replay; shared
+    // with the PNG face since round 10 (see ImageDecodeSql).
+    "x_image_decode" -> ImageDecodeSql,
     "x_hybrid_search" ->
       """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |t AS (SELECT term, doc_id, count(*) AS tf FROM p

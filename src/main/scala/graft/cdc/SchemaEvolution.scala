@@ -1,0 +1,203 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC schema evolution — the gap between "the pipeline that was
+  * deployed" and "the table the source has become": upstream `ALTER
+  * TABLE ADD COLUMN` lands mid-stream, and change images start carrying
+  * fields the warehouse table has never seen. The reference delegates
+  * this to DMS+Redshift (`source/load_s3_files_to_redshift_lambda/
+  * handler.py` COPYs into a pre-created table and would fail on a new
+  * column); a real engine has to take a position:
+  *
+  *  - **Additive evolution** (the lakehouse rule — Parquet/Delta/Iceberg
+  *    `mergeSchema` semantics): new columns append to the table schema;
+  *    rows from before the column existed read as NULL.
+  *  - **Widening promotions only** (`int→long`, `float→double`,
+  *    `decimal` precision growth): the promotions Parquet schema merge
+  *    itself performs. Anything else — `string` vs `long`, struct vs
+  *    atom — is a REAL upstream contract break and fails loudly with
+  *    the column name, never a silent cast.
+  *  - **Columns never drop**: a source that stops sending a field keeps
+  *    the historical column (absent field in a full-row image = NULL
+  *    for rows written from that image — an image IS the row, so this
+  *    falls out of last-wins, documented at [[mergeIntoParquetEvolving]]).
+  *
+  * Scale: evolution is metadata-only — the merge plan gains a typed-NULL
+  * projection on the narrow side, no extra shuffle, no rewrite of
+  * historical files beyond the merge the operator was already doing.
+  */
+object SchemaEvolution {
+
+  /** Widening promotions Parquet merge performs: these never lose
+    * information, everything else does (or changes meaning). */
+  private def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+    case (x, y) if x == y => Some(x)
+    case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+    case (ShortType, IntegerType) | (IntegerType, ShortType) => Some(IntegerType)
+    case (ShortType, LongType) | (LongType, ShortType) => Some(LongType)
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => Some(DoubleType)
+    case (x: DecimalType, y: DecimalType)
+        if x.scale == y.scale => // precision growth at fixed scale
+      Some(DecimalType(math.max(x.precision, y.precision), x.scale))
+    case (x: StructType, y: StructType) => Some(merge(x, y))
+    case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
+      widened(xe, ye).map(e => ArrayType(e, xn || yn))
+    case _ => None
+  }
+
+  /** Additive schema union: existing field order first, new fields
+    * appended in arrival order; same-name fields must widen. Fails
+    * loudly (with the column name) on any non-widenable conflict. */
+  def merge(existing: StructType, incoming: StructType): StructType = {
+    val byName = incoming.fields.map(f => f.name -> f).toMap
+    val kept = existing.fields.map { f =>
+      byName.get(f.name) match {
+        case None => f
+        case Some(g) =>
+          val t = widened(f.dataType, g.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema evolution conflict on column '${f.name}': " +
+                s"${f.dataType.simpleString} vs ${g.dataType.simpleString} " +
+                "is not a widening promotion — upstream contract break"))
+          // evolution can only RELAX nullability (a column that gains
+          // nulls for historical rows cannot stay required)
+          StructField(f.name, t, f.nullable || g.nullable, f.metadata)
+      }
+    }
+    val existingNames = existing.fieldNames.toSet
+    val added = incoming.fields.filterNot(f => existingNames(f.name))
+      // a column born mid-stream is NULL for every pre-existing row
+      .map(f => f.copy(nullable = true))
+    StructType(kept ++ added)
+  }
+
+  /** Project `df` onto `target`: missing columns become typed NULLs,
+    * present columns cast through their widening (the cast is exact by
+    * [[merge]]'s construction), order follows the target. */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(target.fields.toIndexedSeq.map { f =>
+      have.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** [[ChangelogApply.mergeIntoParquet]] with additive schema evolution:
+    * the warehouse schema becomes `merge(existing, incoming)` before the
+    * last-wins merge, so a micro-batch carrying new columns widens the
+    * table in the same atomic swap that applies it.
+    *
+    * Image semantics under evolution: a change image is the FULL row at
+    * event time. A key upserted by an image that lacks a historical
+    * column gets NULL there — that is last-wins applied to schema, not
+    * data loss (keys untouched by the narrow batch keep their values).
+    */
+  def mergeIntoParquetEvolving(spark: SparkSession, upserts: DataFrame,
+      tableDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tableDir)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
+    // same crash-recovery contract as the fixed-schema merge
+    if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
+    val existing =
+      if (fs.exists(dst)) Some(spark.read.parquet(tableDir)) else None
+    val target = existing match {
+      case Some(e) => merge(e.schema, upserts.schema)
+      case None => upserts.schema
+    }
+    val unioned = existing match {
+      case Some(e) => alignTo(e, target).unionByName(alignTo(upserts, target))
+      case None => alignTo(upserts, target)
+    }
+    val w = Window.partitionBy(col("key")).orderBy(col("ts").desc)
+    val merged = unioned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("newImage").isNotNull)
+      .drop("rn")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+
+  /** Append-mode evolving table: a parquet directory plus a
+    * `_schema.json` sidecar holding the evolved read schema — the
+    * minimal form of what Delta/Iceberg keep in their metadata layer.
+    * Appends NEVER rewrite history: files stay exactly as written, the
+    * sidecar widens, and readers apply it as an explicit read schema —
+    * Spark's parquet reader fills columns missing from a file with
+    * NULLs, and (since Spark 4.0's widening type promotions in the
+    * vectorized reader) reads int32 files as long / float as double.
+    * That is the 100 TB contract: `ALTER TABLE ADD COLUMN` on a
+    * petabyte table must be O(metadata), not O(data).
+    *
+    * Sidecar updates are write-then-rename (atomic on local/HDFS;
+    * single-writer contract on object stores, as
+    * [[graft.streaming.Snapshots]] documents for its markers). */
+  object EvolvingTable {
+    private def sidecar(dir: String) =
+      new org.apache.hadoop.fs.Path(dir, "_schema.json")
+
+    def currentSchema(spark: SparkSession, dir: String): Option[StructType] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val p = sidecar(dir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          Some(DataType.fromJson(new String(bytes, "UTF-8"))
+            .asInstanceOf[StructType])
+        } finally in.close()
+      }
+    }
+
+    /** Append a frame, evolving the table schema additively. The frame
+      * is written AS IS (its own schema — no null-padding of the new
+      * files either; the read schema reconciles both directions). */
+    def append(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+      val target = currentSchema(spark, dir) match {
+        case Some(existing) => merge(existing, df.schema)
+        case None => df.schema
+      }
+      df.write.mode("append").parquet(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_schema.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(target.json.getBytes("UTF-8")) finally out.close()
+      fs.delete(sidecar(dir), false)
+      require(fs.rename(tmp, sidecar(dir)), s"sidecar swap failed under $dir")
+    }
+
+    /** Read through the evolved schema: every file — written under any
+      * generation of the schema — comes back in the current shape. */
+    def read(spark: SparkSession, dir: String): DataFrame = {
+      val schema = currentSchema(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no evolving table at $dir"))
+      spark.read.schema(schema).parquet(dir)
+    }
+  }
+
+  /** Infer the union row schema of a JSON image column the distributed
+    * way (one pass of Spark's JSON inference — the same machinery
+    * `spark.read.json` uses), for pipelines that materialize typed
+    * tables from image envelopes and need the CURRENT shape of the
+    * stream rather than a deploy-time struct. */
+  def inferImageSchema(spark: SparkSession, images: DataFrame,
+      column: String = "newImage"): StructType = {
+    import spark.implicits._
+    spark.read.json(images.select(col(column)).as[String].filter(_ != null))
+      .schema
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter build/probe on Spark's own codegen'd expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
+  * behind Catalyst's runtime-filter injection, reached through the
+  * bridge the way the Column/registry shims are).
+  *
+  * Why this exists as a first-class operator: a broadcast hash relation
+  * costs tens of bytes per key (hashed relation overhead on top of the
+  * 8-byte key), a Bloom filter costs ~`1.44·log2(1/fpp)` BITS per key —
+  * ~10 bits at 1% fpp, a 30-80× reduction. At 100 TB that is the
+  * difference between "the reference set broadcasts" and "it does not":
+  * a 10⁹-entry eval-suite shingle set is a ~1.2 GB filter (one
+  * broadcast, feasible) vs a ≥40 GB hashed relation (not). The filter
+  * admits false POSITIVES only, so callers keep exactness by verifying
+  * survivors against the exact set — which by then is a join whose
+  * probe side has already shrunk to (true hits + fpp·candidates).
+  */
+object BloomFilters {
+
+  /** Optimal bit count for `n` items at false-positive rate `fpp`
+    * (the standard m = −n·ln p ∕ ln²2 formula). */
+  def optimalNumBits(n: Long, fpp: Double): Long = {
+    require(n > 0, s"item count must be positive, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+  }
+
+  /** Aggregate a LongType column into a serialized Bloom filter. The
+    * build is fully distributed (partial filters OR-merge); only the
+    * finished ~n·10-bit sketch returns to the driver. */
+  def buildBloom(df: DataFrame, column: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(df.col(column)),
+      Literal(expectedItems),
+      Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression()
+    val bytes = df.select(ColumnBridge.column(agg)).head.get(0)
+    require(bytes != null, s"bloom build over empty/all-null '$column'")
+    bytes.asInstanceOf[Array[Byte]]
+  }
+
+  /** Membership probe of a LongType column against a serialized filter
+    * — codegen'd, usable anywhere a Column is (including inside
+    * higher-order-function lambdas, which is what lets a caller prune
+    * an ARRAY of candidates before exploding it). */
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), ColumnBridge.expression(value)))
+}

@@ -223,6 +223,62 @@ object CorpusOps {
       .withColumn("contaminated", col("n_overlap") >= minOverlap)
       .orderBy(col("doc_id"))
 
+  /** x_decontaminate_bloom — the BLOOM-PREFILTERED scale path of
+    * [[decontaminate]], result-identical by construction (spec-pinned
+    * and independently oracled): build a ~10-bit-per-key Bloom filter
+    * over the benchmark shingle hashes ([[graft.functions.BloomFilters]]
+    * — Spark's own runtime-filter expressions), prune each document's
+    * candidate shingles against it INSIDE the array (before the
+    * explode), and verify only the survivors against the exact set.
+    *
+    * Why this is the 100 TB face: the exact face broadcasts the
+    * benchmark shingle set as a hashed relation (~tens of bytes/key —
+    * fine for eval suites, gone at 10⁹ reference keys); the filter
+    * costs 1.44·log₂(1∕fpp) bits/key (~1.2 GB at 10⁹ keys, 1% fpp), and
+    * exactness survives because Bloom admits false POSITIVES only: the
+    * verify join sees (true hits + fpp·candidates) rows instead of
+    * every corpus shingle, so it is cheap in EITHER strategy — still
+    * broadcast here, a survivor-sized shuffle join when the reference
+    * set outgrows broadcast. Clean docs contribute one null-key row
+    * each (explode_outer), which no join strategy matches and AQE can
+    * split if the null partition skews. One corpus scan total; the
+    * per-doc denominator (n_shingles) is computed map-side from the
+    * array length, not from the join. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      minOverlap: Int = 8, fpp: Double = 0.01): DataFrame =
+    decontaminateBloomOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % EvalSliceMod =!= 0),
+      benchmarkShingles(spark, dir), minOverlap, fpp)
+
+  /** [[decontaminateBloom]]'s core over explicit inputs (mirrors
+    * [[decontaminateOf]]). */
+  def decontaminateBloomOf(trainDocs: DataFrame, evalShingles: DataFrame,
+      minOverlap: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomFilters
+    import graft.functions.TokenWindowHash.tokenWindowHashes
+    // the reference side is the SMALL side by nature; one count sizes
+    // the filter (Spark's runtime-filter injection does the same from
+    // plan statistics)
+    val nEval = evalShingles.count()
+    val bloom = BloomFilters.buildBloom(evalShingles, "shash",
+      math.max(1L, nEval), fpp)
+    val sh = trainDocs.select(col("doc_id"),
+        array_distinct(tokenWindowHashes(col("text"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val pre = sh.select(col("doc_id"),
+      size(col("shs")).cast(LongType).as("n_shingles"),
+      explode_outer(filter(col("shs"),
+        h => BloomFilters.mightContain(bloom, h))).as("shash"))
+    pre.join(evalShingles.withColumn("hit", lit(1L)), Seq("shash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Target language shares of the training mix in integer PERCENT
     * (sum 100) — the "data recipe" a pretraining run pins. Integer so
     * per-language budgets are exact in any engine (0.15·100000 floors

@@ -318,6 +318,93 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** x_png_decode — REAL COMPRESSED-codec decode: the same deterministic
+    * raster as [[syntheticPpmMedia]], but round-tripped through PNG
+    * ([[PngCodec]] — zlib deflate + per-scanline predictive filters,
+    * cycling the filter type so every unfilter path runs). The decode
+    * is a real inflate + filter reversal + CRC verification, and the
+    * channel statistics are exact integers — so the x_image_decode
+    * oracle argument carries over verbatim: compression round-trips
+    * away, DuckDB replays raster generation + channel sums, and the
+    * whole compressed codepath is gated end-to-end. */
+  def pngDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val px = Array.tabulate(PpmW * PpmH * 3)(j =>
+          if (tb.isEmpty) 0.toByte else tb(j % tb.length))
+        (id, PngCodec.encode(PpmCodec.Image(PpmW, PpmH, 255, px)))
+      }
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec context would be opened here
+          batch.iterator.map { case (id, payload) =>
+            val img = PngCodec.decode(payload)
+            val (r, g, b) = PpmCodec.channelSums(img)
+            (id, img.width, img.height, img.width.toLong * img.height, r, g, b)
+          }
+        }
+      }.toDF("media_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("media_id"))
+  }
+
+  /** PCM synthesis constants for the audio corpus — fixed so the oracle
+    * replays sample generation with literal bounds: 160 samples at
+    * 8 kHz (a 20 ms clip per doc), sample k =
+    * ((b(k mod len)·251 + k·17) mod 65536) − 32768 over the doc's
+    * ASCII bytes (0 for empty text). Pure small-integer arithmetic. */
+  private[graft] val WavN = 160
+  private[graft] val WavRate = 8000
+
+  /** Deterministic synthetic WAV table: every audio-kind document
+    * (doc_id % 3 = 1) becomes a REAL RIFF/WAVE PCM16 payload under the
+    * synthesis rule above. These parse under the real codec
+    * ([[WavCodec.decode]]) — header traversal, fmt validation, sample
+    * extraction. */
+  def syntheticWavMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val samples = Array.tabulate(WavN) { k =>
+          val b = if (tb.isEmpty) 0 else tb(k % tb.length) & 0xff
+          (((b * 251 + k * 17) % 65536) - 32768).toShort
+        }
+        val payload = WavCodec.encode(WavCodec.Audio(WavRate, samples))
+        MediaRow(id, "audio", payload,
+          MediaMeta("wav", -1, -1, WavRate, WavN * 1000L / WavRate))
+      }
+  }
+
+  /** x_audio_decode — REAL-codec audio decode over the synthetic WAV
+    * corpus: batched partition-local RIFF parse emitting exact integer
+    * PCM features (peak, Σ|s|, zero-crossings, Σs²). Same oracle
+    * argument as the image codecs: synthesis and features are integer
+    * arithmetic, so DuckDB replays both around the parse. */
+  def audioDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    syntheticWavMedia(spark, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec context would be opened here
+        batch.iterator.map { m =>
+          val audio = WavCodec.decode(m.payload)
+          val f = WavCodec.features(audio)
+          (m.media_id, f.nSamples, f.sampleRate, f.durationMs,
+            f.peak, f.sumAbs, f.zeroCrossings, f.energy)
+        }
+      }
+    }.toDF("media_id", "n_samples", "sample_rate", "duration_ms",
+        "peak", "sum_abs", "zero_crossings", "energy")
+      .orderBy(col("media_id"))
+  }
+
   /** x_multimodal_features — the end-to-end feature-extraction query
     * (synthetic media → batched decode → per-modality feature stats).
     * DuckDB-oracled since round 7: the synthetic payloads are the

@@ -1,0 +1,187 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, PngCodec, WavCodec}
+import graft.operators.Multimodal.PpmCodec
+
+/** The compressed/audio codecs (round 10): PNG (zlib inflate, CRC
+  * verification, all five filter reversals) and RIFF/WAVE PCM. Each is
+  * round-tripped, fuzz-shaped, failure-injected — and PNG is
+  * cross-validated against the JDK's own independent ImageIO
+  * implementation in both directions. */
+class CodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = TestSpark.Sf0001
+
+  private def testImage(w: Int, h: Int, seed: Int): PpmCodec.Image =
+    PpmCodec.Image(w, h, 255,
+      Array.tabulate(w * h * 3)(i => ((i * 131 + seed * 7919 + 17) % 256).toByte))
+
+  test("PNG: encode/decode round-trip across shapes (all five filters exercised)") {
+    // ≥5 rows cycles every filter type; 1×1 and width-1 hit the
+    // no-left-neighbor edge of Sub/Average/Paeth
+    for ((w, h) <- Seq((1, 1), (1, 7), (16, 12), (7, 5), (33, 9))) {
+      val img = testImage(w, h, w * 100 + h)
+      val back = PngCodec.decode(PngCodec.encode(img))
+      assert(back.width === w && back.height === h)
+      assert(back.pixels.toSeq === img.pixels.toSeq, s"raster mismatch at ${w}x$h")
+    }
+  }
+
+  test("PNG: our decoder reads ImageIO-written files (truecolor and grayscale)") {
+    import java.awt.image.BufferedImage
+    val w = 19; val h = 11
+    // truecolor (ImageIO writes color type 2)
+    val rgb = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      rgb.setRGB(x, y, ((x * 31 + y) % 256 << 16) | ((y * 47 + x) % 256 << 8) | ((x * y + 3) % 256))
+    val rgbBytes = {
+      val bos = new java.io.ByteArrayOutputStream
+      assert(javax.imageio.ImageIO.write(rgb, "png", bos), "no PNG writer in this JDK")
+      bos.toByteArray
+    }
+    val dec = PngCodec.decode(rgbBytes)
+    assert(dec.width === w && dec.height === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = rgb.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert((dec.pixels(o) & 0xff) === ((argb >> 16) & 0xff), s"R at ($x,$y)")
+      assert((dec.pixels(o + 1) & 0xff) === ((argb >> 8) & 0xff), s"G at ($x,$y)")
+      assert((dec.pixels(o + 2) & 0xff) === (argb & 0xff), s"B at ($x,$y)")
+    }
+    // grayscale (color type 0) expands to RGB
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 13 + y * 29) % 256
+      gray.getRaster.setSample(x, y, 0, g)
+    }
+    val gBos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(gray, "png", gBos)
+    val gDec = PngCodec.decode(gBos.toByteArray)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray.getRaster.getSample(x, y, 0)
+      val o = (y * w + x) * 3
+      assert((gDec.pixels(o) & 0xff) === g && (gDec.pixels(o + 1) & 0xff) === g
+        && (gDec.pixels(o + 2) & 0xff) === g, s"gray at ($x,$y)")
+    }
+  }
+
+  test("PNG: ImageIO reads our encoder's files") {
+    val img = testImage(23, 14, 5)
+    val read = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(PngCodec.encode(img)))
+    assert(read != null, "ImageIO could not parse our PNG")
+    assert(read.getWidth === 23 && read.getHeight === 14)
+    for (y <- 0 until 14; x <- 0 until 23) {
+      val argb = read.getRGB(x, y)
+      val o = (y * 23 + x) * 3
+      assert(((argb >> 16) & 0xff) === (img.pixels(o) & 0xff)
+        && ((argb >> 8) & 0xff) === (img.pixels(o + 1) & 0xff)
+        && (argb & 0xff) === (img.pixels(o + 2) & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
+  test("PNG: malformed inputs fail loudly") {
+    val good = PngCodec.encode(testImage(8, 6, 1))
+    // bad signature
+    intercept[IllegalArgumentException](PngCodec.decode("nope".getBytes))
+    // corrupt one raster byte inside IDAT → CRC must catch it
+    val corrupt = good.clone()
+    val idatOff = {
+      var i = 8; var at = -1
+      while (at < 0) {
+        val t = new String(corrupt, i + 4, 4, "US-ASCII")
+        if (t == "IDAT") at = i else {
+          val len = ((corrupt(i) & 0xff) << 24) | ((corrupt(i + 1) & 0xff) << 16) |
+            ((corrupt(i + 2) & 0xff) << 8) | (corrupt(i + 3) & 0xff)
+          i += 12 + len
+        }
+      }
+      at
+    }
+    corrupt(idatOff + 10) = (corrupt(idatOff + 10) ^ 0x55).toByte
+    val e = intercept[IllegalArgumentException](PngCodec.decode(corrupt))
+    assert(e.getMessage.contains("CRC"), s"expected CRC failure, got: ${e.getMessage}")
+    // truncated file
+    intercept[IllegalArgumentException](PngCodec.decode(good.take(good.length - 9)))
+    // unsupported color type (ImageIO writes RGBA as color type 6)
+    val argbImg = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    argbImg.setRGB(1, 1, 0x80ff00ff)
+    val bos = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(argbImg, "png", bos)
+    val e2 = intercept[IllegalArgumentException](PngCodec.decode(bos.toByteArray))
+    assert(e2.getMessage.contains("color type"))
+  }
+
+  test("x_png_decode equals x_image_decode row-for-row (compression cancels)") {
+    val ppm = Multimodal.imageDecodeStats(spark, dir).collect().map(_.toSeq)
+    val png = Multimodal.pngDecodeStats(spark, dir).collect().map(_.toSeq)
+    assert(png.length === ppm.length && png.nonEmpty)
+    png.zip(ppm).foreach { case (p, q) => assert(p === q) }
+  }
+
+  test("WAV: round-trip, metadata-chunk traversal, odd-size padding") {
+    val samples = Array.tabulate(300)(k => ((k * 1103 + 7) % 65536 - 32768).toShort)
+    val audio = WavCodec.Audio(16000, samples)
+    val back = WavCodec.decode(WavCodec.encode(audio))
+    assert(back.sampleRate === 16000 && back.samples.toSeq === samples.toSeq)
+
+    // splice an odd-length LIST chunk (real-world metadata) between
+    // fmt and data: traversal must skip it AND its pad byte
+    val enc = WavCodec.encode(audio)
+    val fmtEnd = 12 + 8 + 16
+    val meta = "INFOsoftware-xy".getBytes("US-ASCII") // 15 bytes — odd
+    assert(meta.length % 2 === 1, "fixture must be odd to exercise the pad byte")
+    val spliced = enc.take(fmtEnd) ++
+      "LIST".getBytes("US-ASCII") ++
+      Array(meta.length.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      meta ++ Array(0.toByte) ++ // pad byte
+      enc.drop(fmtEnd)
+    val viaMeta = WavCodec.decode(spliced)
+    assert(viaMeta.samples.toSeq === samples.toSeq, "LIST chunk broke traversal")
+  }
+
+  test("WAV: malformed and out-of-scope inputs fail loudly") {
+    val good = WavCodec.encode(WavCodec.Audio(8000, Array[Short](1, -2, 3)))
+    intercept[IllegalArgumentException](WavCodec.decode("RIFX".getBytes ++ good.drop(4)))
+    intercept[IllegalArgumentException](WavCodec.decode(good.take(good.length - 2)))
+    // stereo must be rejected, not mis-parsed: flip the channel field
+    val stereo = good.clone(); stereo(12 + 8 + 2) = 2
+    val e = intercept[IllegalArgumentException](WavCodec.decode(stereo))
+    assert(e.getMessage.contains("channel"))
+  }
+
+  test("WAV features: exact integer statistics vs a driver replica") {
+    val samples = Array[Short](0, 5, -3, -1, 0, 2, -32768, 32767, 0, 0)
+    val f = WavCodec.features(WavCodec.Audio(8000, samples))
+    assert(f.nSamples === 10L && f.durationMs === 1L) // 10/8000 s → 1 ms floor
+    assert(f.peak === 32768L)
+    assert(f.sumAbs === samples.map(s => math.abs(s.toLong)).sum)
+    assert(f.energy === samples.map(s => s.toLong * s).sum)
+    // sign changes (0 counts non-negative): 5→-3 yes, -1→0 yes, 2→-32768
+    // yes, -32768→32767 yes
+    assert(f.zeroCrossings === 4L)
+  }
+
+  test("x_audio_decode equals a driver replica over real WAV payloads") {
+    val got = Multimodal.audioDecodeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._1 % 3 == 1)
+    assert(docs.nonEmpty && got.size === docs.length)
+    docs.foreach { case (id, text) =>
+      val tb = text.getBytes("UTF-8")
+      val samples = Array.tabulate(Multimodal.WavN) { k =>
+        val b = if (tb.isEmpty) 0 else tb(k % tb.length) & 0xff
+        (((b * 251 + k * 17) % 65536) - 32768).toShort
+      }
+      val f = WavCodec.features(WavCodec.Audio(Multimodal.WavRate, samples))
+      assert(got(id) === Seq(f.nSamples, f.sampleRate, f.durationMs,
+        f.peak, f.sumAbs, f.zeroCrossings, f.energy), s"doc $id")
+    }
+  }
+}

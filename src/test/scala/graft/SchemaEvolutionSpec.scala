@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cdc.SchemaEvolution
+import graft.cdc.SchemaEvolution.EvolvingTable
+
+/** CDC schema evolution (round 10): additive merge with widening
+  * promotions, typed-null alignment, the evolving warehouse merge, and
+  * the O(metadata) append-mode evolving table. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val ts1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+  private val ts2 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00")
+
+  test("merge: additive append, field order, nullability relax") {
+    val a = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("x", IntegerType, nullable = false)))
+    val b = StructType(Seq(
+      StructField("x", IntegerType, nullable = true),
+      StructField("y", StringType, nullable = false)))
+    val m = SchemaEvolution.merge(a, b)
+    assert(m.fieldNames.toSeq === Seq("k", "x", "y"))
+    assert(!m("k").nullable, "untouched field keeps its nullability")
+    assert(m("x").nullable, "evolution may only RELAX nullability")
+    assert(m("y").nullable, "a column born mid-stream must be nullable")
+  }
+
+  test("merge: widening promotions pass, contract breaks fail with the column name") {
+    def f(n: String, t: DataType) = StructField(n, t)
+    assert(SchemaEvolution.merge(StructType(Seq(f("v", IntegerType))),
+      StructType(Seq(f("v", LongType))))("v").dataType === LongType)
+    assert(SchemaEvolution.merge(StructType(Seq(f("v", FloatType))),
+      StructType(Seq(f("v", DoubleType))))("v").dataType === DoubleType)
+    assert(SchemaEvolution.merge(
+      StructType(Seq(f("v", DecimalType(10, 2)))),
+      StructType(Seq(f("v", DecimalType(14, 2)))))("v").dataType === DecimalType(14, 2))
+    // nested structs merge recursively; arrays widen element-wise
+    val n1 = StructType(Seq(f("s", StructType(Seq(f("a", IntegerType))))))
+    val n2 = StructType(Seq(f("s", StructType(Seq(f("a", LongType), f("b", StringType))))))
+    assert(SchemaEvolution.merge(n1, n2)("s").dataType ===
+      StructType(Seq(f("a", LongType), StructField("b", StringType))))
+    assert(SchemaEvolution.merge(
+      StructType(Seq(f("l", ArrayType(IntegerType)))),
+      StructType(Seq(f("l", ArrayType(LongType)))))("l").dataType === ArrayType(LongType))
+    // type change that is not a widening = upstream contract break
+    val e = intercept[IllegalArgumentException](SchemaEvolution.merge(
+      StructType(Seq(f("price", StringType))), StructType(Seq(f("price", LongType)))))
+    assert(e.getMessage.contains("price"), "error must carry the column name")
+    // decimal SCALE change loses meaning — refuse
+    intercept[IllegalArgumentException](SchemaEvolution.merge(
+      StructType(Seq(f("v", DecimalType(10, 2)))),
+      StructType(Seq(f("v", DecimalType(10, 4))))))
+  }
+
+  test("alignTo: typed nulls for missing columns, target order, widening casts") {
+    val target = StructType(Seq(
+      StructField("k", StringType), StructField("x", LongType),
+      StructField("y", StringType)))
+    val out = SchemaEvolution.alignTo(
+      Seq((7, "a")).toDF("x", "k"), target)
+    assert(out.schema.fieldNames.toSeq === Seq("k", "x", "y"))
+    assert(out.schema("x").dataType === LongType, "int widened to long")
+    val r = out.collect().head
+    assert(r.getString(0) === "a" && r.getLong(1) === 7L && r.isNullAt(2))
+  }
+
+  test("mergeIntoParquetEvolving: columns arrive mid-stream, last-wins holds across shapes") {
+    val dir = TestSpark.tempDir("evolve-merge") + "/table"
+    // batch 1: original deploy shape (key, image, ts, qty)
+    SchemaEvolution.mergeIntoParquetEvolving(spark,
+      Seq(("a", "img-a1", ts0, 10), ("b", "img-b1", ts0, 20))
+        .toDF("key", "newImage", "ts", "qty"), dir)
+    // batch 2: upstream added `price`; also a newer image for a
+    SchemaEvolution.mergeIntoParquetEvolving(spark,
+      Seq(("a", "img-a2", ts1, 11, 99L), ("c", "img-c1", ts1, 30, 77L))
+        .toDF("key", "newImage", "ts", "qty", "price"), dir)
+    val t2 = spark.read.parquet(dir).orderBy("key").collect()
+      .map(r => (r.getString(r.fieldIndex("key")),
+        r.getString(r.fieldIndex("newImage")),
+        if (r.isNullAt(r.fieldIndex("qty"))) null else r.getInt(r.fieldIndex("qty")),
+        if (r.isNullAt(r.fieldIndex("price"))) null else r.getLong(r.fieldIndex("price"))))
+    assert(t2.toSeq === Seq(
+      ("a", "img-a2", 11, 99L),   // updated under the wide shape
+      ("b", "img-b1", 20, null),  // pre-evolution row: new column is NULL
+      ("c", "img-c1", 30, 77L)))
+    // batch 3: a NARROW image (source stopped sending qty) updates b —
+    // an image is the full row, so b.qty becomes NULL; a and c keep theirs
+    SchemaEvolution.mergeIntoParquetEvolving(spark,
+      Seq(("b", "img-b2", ts2, 55L)).toDF("key", "newImage", "ts", "price"), dir)
+    val t3 = spark.read.parquet(dir).orderBy("key").collect()
+      .map(r => (r.getString(r.fieldIndex("key")),
+        if (r.isNullAt(r.fieldIndex("qty"))) null else r.getInt(r.fieldIndex("qty")),
+        if (r.isNullAt(r.fieldIndex("price"))) null else r.getLong(r.fieldIndex("price"))))
+    assert(t3.toSeq === Seq(("a", 11, 99L), ("b", null, 55L), ("c", 30, 77L)))
+  }
+
+  test("EvolvingTable: O(metadata) evolution — files never rewritten, reads reconcile") {
+    val dir = TestSpark.tempDir("evolve-table")
+    EvolvingTable.append(spark, Seq((1, "a")).toDF("v", "s"), dir)
+    val gen1Files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    // evolve: v widens int→long, new column w arrives
+    EvolvingTable.append(spark,
+      Seq((2L, "b", 3.5)).toDF("v", "s", "w"), dir)
+    val out = EvolvingTable.read(spark, dir).orderBy("v")
+    assert(out.schema("v").dataType === LongType,
+      "sidecar must carry the widened type")
+    assert(out.schema.fieldNames.toSeq === Seq("v", "s", "w"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    // the int32 file reads as long (Spark 4 widening promotion);
+    // the pre-evolution row reads w as NULL
+    assert(rows.toSeq === Seq((1L, "a", null), (2L, "b", 3.5)))
+    // history untouched: generation-1 data files still exist unmodified
+    val nowFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    gen1Files.foreach { case (name, mtime) =>
+      assert(nowFiles.get(name).contains(mtime), s"history rewritten: $name")
+    }
+    // a contract break refuses before writing anything
+    intercept[IllegalArgumentException](
+      EvolvingTable.append(spark, Seq(("oops", 1)).toDF("v", "s"), dir))
+    // reading a non-table fails loudly
+    intercept[IllegalArgumentException](
+      EvolvingTable.read(spark, TestSpark.tempDir("empty")))
+  }
+
+  test("inferImageSchema: union shape of an evolving JSON image stream") {
+    val images = Seq(
+      """{"id": 1, "qty": 10}""",
+      """{"id": 2, "qty": 20, "price": 9.5}""",
+      null).toDF("newImage")
+    val s = SchemaEvolution.inferImageSchema(spark, images)
+    assert(s.fieldNames.sorted.toSeq === Seq("id", "price", "qty"))
+    assert(s("price").dataType === DoubleType)
+  }
+}
