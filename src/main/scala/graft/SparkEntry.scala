@@ -35,6 +35,7 @@ object SparkEntry {
     "s_string_funcs"        -> (Scans.stringFuncs _),
     "s_math_funcs"          -> (Scans.mathFuncs _),
     "s_day_pruned"          -> ((s: SparkSession, d: String) => Scans.dayPruned(s, d)),
+    "s_zorder_pruned"       -> ((s: SparkSession, d: String) => Scans.zorderPruned(s, d)),
     // Group F — filters & predicates
     "f_event_type_in"       -> (Filters.eventTypeIn _),
     "f_compound_pred"       -> (Filters.compoundPred _),
@@ -47,6 +48,7 @@ object SparkEntry {
     "g_cube"                -> (Aggregates.cubeAgg _),
     "g_having"              -> ((s: SparkSession, d: String) => Aggregates.havingAgg(s, d)),
     "g_reconcile_counts"    -> (cdc.Reconcile.countsQuery _),
+    "g_fk_audit"            -> (cdc.Reconcile.fkAudit _),
     "g_percentile"          -> (Aggregates.percentileAgg _),
     "g_approx_percentile"   -> ((s: SparkSession, d: String) => Aggregates.approxPercentileAgg(s, d)),
     "g_two_phase_count"     -> (SkewOps.twoPhaseCountQuery _),
@@ -136,6 +138,7 @@ object SparkEntry {
     "x_repetition"          -> (operators.TextAnalysis.repetitionStats _),
     "x_decontaminate"       -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminate(s, d)),
     "x_decontaminate_bloom" -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminateBloom(s, d)),
+    "x_rrf_fusion"          -> ((s: SparkSession, d: String) => operators.Search.rrfFusion(s, d)),
     "x_curation_funnel"     -> ((s: SparkSession, d: String) => operators.Curation.funnel(s, d)),
     "x_curation_attrition"  -> (operators.Curation.attrition _),
     "x_source_profile"      -> (operators.Curation.sourceProfile _),
@@ -800,6 +803,14 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The z-layout changes which bytes the scan touches, never the
+    // result: the oracle is the plain 2-d filter over the raw table.
+    "s_zorder_pruned" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY event_id""".stripMargin,
     "f_event_type_in" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_type IN ('signup', 'purchase')
@@ -862,6 +873,34 @@ object SparkEntry {
         |       s.source_count - t.target_count = 0 AS in_sync
         |FROM (SELECT count(*) AS source_count FROM customer) s,
         |     (SELECT count(DISTINCT o_custkey) AS target_count FROM orders) t""".stripMargin,
+    "g_fk_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customer.nationkey->nation' AS edge,
+        |         CAST(count(*) AS BIGINT) AS n_child,
+        |         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |         sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey->orders', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer', CAST(count(*) AS BIGINT),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |ORDER BY edge""".stripMargin,
     "g_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1619,6 +1658,33 @@ object SparkEntry {
         |FROM c JOIN embeddings e ON e.vec_id = c.doc_id,
         |     (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
         |ORDER BY cos_sim DESC, c.doc_id LIMIT 10""".stripMargin,
+    // RRF: both rank lists replay exactly (total orders; the cosine is
+    // the bit-exact x_knn_cosine formula), and the fused score is
+    // integer nanounits, so the whole fusion hashes.
+    "x_rrf_fusion" ->
+      """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT term, doc_id, count(*) AS tf FROM p
+        |      WHERE term IN ('spark', 'merge') GROUP BY 1, 2),
+        |lex0 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+        |         FROM t GROUP BY doc_id
+        |         HAVING count(DISTINCT term) = 2 AND doc_id <> 0),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY tf_sum DESC, doc_id) AS INTEGER) AS rank_lex
+        |        FROM lex0),
+        |vec0 AS (SELECT e.vec_id AS doc_id,
+        |                list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))
+        |                / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |                   * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))))) AS cos_sim
+        |         FROM embeddings e,
+        |              (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+        |         WHERE e.vec_id <> 0
+        |         ORDER BY cos_sim DESC, e.vec_id LIMIT 50),
+        |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rank_vec
+        |        FROM vec0)
+        |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.rank_lex, v.rank_vec,
+        |       COALESCE(CAST(floor(1000000000 / (60 + l.rank_lex)) AS BIGINT), 0)
+        |         + COALESCE(CAST(floor(1000000000 / (60 + v.rank_vec)) AS BIGINT), 0) AS rrf_nano
+        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+        |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
     "x_embed_quantize" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -39,4 +39,48 @@ object Reconcile {
       .withColumn("diff", lit("ghost_in_target"))
     missing.unionByName(ghost).orderBy(col("diff"), col(keyCol))
   }
+
+  /** One foreign-key edge of [[fkAudit]]: child rows vs the parent key
+    * set, counting orphans in a single keyed join pass (the key column
+    * is all that ships; n_child rides the same aggregation — no second
+    * scan). */
+  private def edgeAudit(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey).as("k"))
+      .join(parent.select(col(parentKey).as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+        (col("n_orphans") === 0L).as("ok"))
+
+  /** g_fk_audit — referential-integrity audit across the star's
+    * foreign-key edges: per edge, child cardinality, orphan count
+    * (child keys with no parent), and a pass flag. The key-level
+    * generalization of the reference's COUNT(*) reconciliation
+    * (`start_dms_replication_task_lambda/handler.py:27-73`): equal row
+    * counts can hide broken references after a partial load or an
+    * out-of-order CDC apply; orphan counts cannot.
+    *
+    * Scale shape: each edge ships ONLY its key column into one keyed
+    * join (dims broadcast under AQE stats; lineitem→orders is the one
+    * genuine big-big edge and rides the same shuffle the star queries
+    * already bucket for), orphan counting collapses map-side into a
+    * 1-row aggregate per edge, and the 5-row union is driver-trivial. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables
+    Seq(
+      edgeAudit("customer.nationkey->nation",
+        t.customer(spark, dir), "c_nationkey", t.nation(spark, dir), "n_nationkey"),
+      edgeAudit("lineitem.orderkey->orders",
+        t.lineitem(spark, dir), "l_orderkey", t.orders(spark, dir), "o_orderkey"),
+      edgeAudit("lineitem.partkey->part",
+        t.lineitem(spark, dir), "l_partkey", t.part(spark, dir), "p_partkey"),
+      edgeAudit("lineitem.suppkey->supplier",
+        t.lineitem(spark, dir), "l_suppkey", t.supplier(spark, dir), "s_suppkey"),
+      edgeAudit("orders.custkey->customer",
+        t.orders(spark, dir), "o_custkey", t.customer(spark, dir), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("edge"))
+  }
 }

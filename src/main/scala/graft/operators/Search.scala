@@ -112,6 +112,59 @@ object Search {
       .limit(k)
   }
 
+  /** The RRF smoothing constant (Cormack/Clarke/Buettcher 2009's k=60,
+    * the value every production fusion uses). */
+  final val RrfK = 60L
+
+  /** x_rrf_fusion — Reciprocal Rank Fusion of the lexical and vector
+    * rankings: score(d) = Σ_lists 1/(k + rank_list(d)) over the UNION
+    * of both top lists — the standard way hybrid retrieval combines
+    * rankings whose raw scores are incommensurable (a BM25 weight and
+    * a cosine live on different scales; ranks don't). Complements
+    * x_hybrid_search, which is the other canonical composition
+    * (lexical recall → vector re-rank).
+    *
+    * Ranks are total-ordered (primary score desc, doc_id asc) and the
+    * fused score is emitted in integer NANOUNITS — floor(1e9∕(k+r)) per
+    * list — so the gate hashes exact integers (the f0_micro argument;
+    * quotients of small integers are ≥0.016 apart, so the floor can
+    * never sit on a cross-engine boundary). Both inputs are top-k
+    * CANDIDATE LISTS (the lexical AND-set, the vector top-`vecK`), so
+    * the unpartitioned rank windows order dozens of rows, not the
+    * corpus — at 100 TB the candidate generators prune (postings
+    * probes, the ANN ladder), fusion stays O(k). */
+  def rrfFusion(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("spark", "merge"), queryId: Long = 0L,
+      vecK: Int = 50, k: Int = 20): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    import org.apache.spark.sql.expressions.Window
+    val lex = andCandidates(spark, dir, terms)
+      .filter(col("doc_id") =!= queryId)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("tf_sum").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    val vec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("qvec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(vecK)
+      .withColumn("rank_vec", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_vec"))
+    def part(r: org.apache.spark.sql.Column) =
+      coalesce(floor(lit(1000000000L) / (lit(RrfK) + r)).cast(LongType), lit(0L))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (part(col("rank_lex")) + part(col("rank_vec"))).as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** x_tfidf — the TF-IDF statistics per (document, term), served from
     * the postings index: tf from the postings, df per term and the
     * corpus size N from two small aggregations OF the postings (no

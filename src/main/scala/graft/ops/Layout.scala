@@ -154,6 +154,65 @@ object Layout {
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(dir).filter(col("day") === day)
 
+  /** Equi-width monotone mapping of `[lo, hi]` into u16 — the
+    * dimension normalization feeding [[graft.functions.ZOrder64]].
+    * LONG arithmetic throughout: micros-scale spans × 65535 stay under
+    * 2⁶³, whereas the double form loses monotonicity past 2⁵³ and a
+    * non-monotone map silently breaks tile locality. Equi-width is the
+    * honest cheap choice (min/max come from stats the warehouse already
+    * has); heavily skewed dimensions want equi-DEPTH boundaries from a
+    * quantile sample — same interleave, different normalization. */
+  private def norm16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    if (hi <= lo) lit(0L)
+    else ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression((c.cast("long") - lit(lo)) * lit(65535L)),
+        ColumnBridge.expression(lit(hi - lo))))
+  }
+
+  /** Write events Z-ORDER clustered on (user_id, ts): both dimensions
+    * normalized to u16, Morton-interleaved (codegen'd [[graft.functions
+    * .ZOrder64]]), range-partitioned and sorted by the code. Row groups
+    * become ~square tiles in (user, time) space, so parquet min/max
+    * stats prune for predicates on EITHER dimension — one clustered
+    * copy serves the whole (user, time) query family, where a linear
+    * sort serves exactly one. The interleave is a write-side cost only:
+    * queries read the ORIGINAL columns; the tiles do their work through
+    * footer stats alone. */
+  def writeZOrdered(events: DataFrame, dir: String, files: Int = 32): Unit = {
+    import graft.functions.ZOrder64.zorder64
+    val spark = events.sparkSession
+    val b = events.agg(
+      min(col("user_id")), max(col("user_id")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    val z = zorder64(
+      norm16(col("user_id"), b.getLong(0), b.getLong(1)),
+      norm16(unix_micros(col("ts")), b.getLong(2), b.getLong(3)))
+    // the layout exists FOR stats pruning, so the timestamp column must
+    // be written as INT64 micros: Spark's legacy INT96 default cannot
+    // carry parquet predicate pushdown at all (a z-layout written as
+    // INT96 silently prunes in one dimension only)
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try events.repartitionByRange(files, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(dir)
+    finally spark.conf.set(key, prev)
+  }
+
+  /** Materialized z-ordered events layout (freshness-gated like the
+    * other layouts). */
+  def ensureZOrderLayout(spark: SparkSession, dir: String): String = {
+    val path = indexPath("events_zorder", dir)
+    // v2: INT64-micros timestamps — invalidates any INT96 v1 layout
+    val sig = s"v2_${dataSig(s"$dir/events.parquet")}"
+    ensureSigGated(path, sig) {
+      writeZOrdered(graft.Tables.events(spark, dir), path)
+    }
+  }
+
   /** Materialized day-partitioned events layout (freshness-gated like
     * the other indexes): the write-side organization that turns every
     * time-range predicate into directory pruning. At 100 TB of events

@@ -165,4 +165,25 @@ object Scans {
         graft.functions.DetMath.sumMoney(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
   }
+
+  /** s_zorder_pruned — a TWO-dimensional range query served from the
+    * Z-ORDER clustered events layout (`Layout.ensureZOrderLayout`):
+    * `user_id` band × `ts` window. The day layout answers time
+    * predicates by directory pruning but nothing helps a user predicate
+    * there; the z-layout's Morton-interleaved sort makes row groups
+    * ~square (user, time) tiles, so parquet min/max footer stats skip
+    * in BOTH dimensions (the Delta/Iceberg OPTIMIZE ZORDER technique;
+    * skip ratios measured in ZOrderSpec against a linear sort). Result
+    * is logically identical to filtering the raw table — the oracle's
+    * form; the layout only changes WHICH bytes the scan touches. */
+  def zorderPruned(spark: SparkSession, dir: String,
+      uLo: Long = 3, uHi: Long = 9,
+      tLo: String = "2024-01-10", tHi: String = "2024-01-20"): DataFrame = {
+    val path = Layout.ensureZOrderLayout(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("ts") >= to_timestamp(lit(tLo)) && col("ts") < to_timestamp(lit(tHi)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
 import graft.operators.{CorpusOps, Search, Similarity}
 
 /** Corpus-preparation + keyword-search operators at sf0.001. */
@@ -307,5 +308,24 @@ class CorpusSearchSpec extends AnyFunSuite {
   test("keyword search probes the postings index with a pushed term filter") {
     val p = Search.keywordSearch(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [In(term"), p)
+  }
+
+  test("RRF fusion: scores recompute from the two rank lists, order total, union semantics") {
+    val rows = Search.rrfFusion(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length, "dup doc_id")
+    def part(r: Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else 1000000000L / (60L + r.getInt(i))
+    rows.foreach { r =>
+      assert(r.getLong(3) === part(r, 1) + part(r, 2), s"score mismatch: $r")
+      assert(!(r.isNullAt(1) && r.isNullAt(2)), "doc in neither list")
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.toSeq === scores.sorted(Ordering[Long].reverse).toSeq)
+    // a doc present in BOTH lists outranks one with only a deep single-
+    // list rank (the point of fusion); with both generators rooted at
+    // query 0 the fused top must include at least one dual-list doc
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      "no dual-list doc in the fused top-k")
   }
 }

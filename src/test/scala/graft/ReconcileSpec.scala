@@ -70,4 +70,28 @@ class ReconcileSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(d === Set((1, "missing_in_target"), (9, "ghost_in_target")))
   }
+
+  test("fkAudit: the fixture star is referentially intact; broken edges surface") {
+    val rows = Reconcile.fkAudit(spark, TestSpark.Sf0001).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"empty child side: ${r.getString(0)}")
+      assert(r.getLong(2) === 0L && r.getBoolean(3),
+        s"fixture should have no orphans: $r")
+    }
+    // equal COUNT(*)s can hide a broken reference — an orphan cannot:
+    // replace one lineitem orderkey with a key orders does not have
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, TestSpark.Sf0001)
+      .withColumn("l_orderkey",
+        when(monotonically_increasing_id() === 0, lit(-999L))
+          .otherwise(col("l_orderkey")))
+    val edge = li.select(col("l_orderkey").as("k"))
+      .join(Tables.orders(spark, TestSpark.Sf0001)
+        .select(col("o_orderkey").as("k")).distinct()
+        .withColumn("hit", lit(1)), Seq("k"), "left")
+      .agg(sum(when(col("hit").isNull, 1L).otherwise(0L))).as[Long].head()
+    assert(edge === 1L, "injected orphan must be counted")
+  }
 }
