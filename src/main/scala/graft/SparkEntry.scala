@@ -131,6 +131,7 @@ object SparkEntry {
     "x_image_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.imageDecodeStats(s, d)),
     "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
     "x_audio_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioDecodeStats(s, d)),
+    "x_audio_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioFrameStats(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
@@ -1199,6 +1200,33 @@ object SparkEntry {
         |       CAST(max(c) AS BIGINT) AS top_bigram_count,
         |       max(c) * 100 >= sum(c) * 10 AS repetitive
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Frame-windowed audio: the same synthesis replay grouped into
+    // 40-sample frames; the zero-crossing lag RESETS per frame
+    // (PARTITION BY doc, frame), matching the codec's frame-independence
+    // contract.
+    "x_audio_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT d.doc_id, u.k, CAST(u.k // 40 AS BIGINT) AS frame,
+        |         ((CASE WHEN d.n = 0 THEN 0
+        |                ELSE ord(substr(d.text, CAST(u.k % d.n AS INT) + 1, 1))
+        |           END * 251 + u.k * 17) % 65536) - 32768 AS smp
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 159)) AS k) u),
+        |sl AS (
+        |  SELECT doc_id, frame, smp,
+        |         lag(smp) OVER (PARTITION BY doc_id, frame ORDER BY k) AS prev
+        |  FROM s)
+        |SELECT doc_id AS media_id, frame,
+        |       CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |       CAST(sum(CASE WHEN prev IS NOT NULL
+        |                      AND ((smp < 0) <> (prev < 0)) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS zero_crossings,
+        |       CAST(sum(smp * smp) AS BIGINT) AS energy
+        |FROM sl GROUP BY doc_id, frame
+        |ORDER BY media_id, frame""".stripMargin,
     "x_decontaminate" -> DecontaminateSql,
     // The bloom face is DEFINED to produce the exact face's result
     // (false positives die in the verify join, false negatives cannot

@@ -405,6 +405,38 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Samples per analysis frame of [[audioFrameStats]] — 40 samples at
+    * 8 kHz = 5 ms frames, 4 frames per synthetic clip. */
+  private[graft] val WavFrame = 40
+
+  /** x_audio_frames — frame-windowed audio features: split each decoded
+    * PCM stream into fixed-length analysis frames and emit per-frame
+    * integer statistics (peak, Σ|s|, in-frame zero-crossings, Σs²) —
+    * the windowing step every audio featurizer (MFCC, VAD, loudness)
+    * runs between decode and model, and the audio analog of the video
+    * frame-sample operator. Frame boundaries RESET the zero-crossing
+    * predecessor (frames must be independently computable, or a
+    * distributed featurizer couldn't process them in isolation).
+    * One decode per clip fans out to nFrames rows — a Generate, no
+    * shuffle; ordering/oracle argument as [[audioDecodeStats]]. */
+  def audioFrameStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    syntheticWavMedia(spark, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec context would be opened here
+        batch.iterator.flatMap { m =>
+          val audio = WavCodec.decode(m.payload)
+          audio.samples.grouped(WavFrame).zipWithIndex.map { case (fr, i) =>
+            val f = WavCodec.features(WavCodec.Audio(audio.sampleRate, fr))
+            (m.media_id, i.toLong, f.peak, f.sumAbs, f.zeroCrossings, f.energy)
+          }
+        }
+      }
+    }.toDF("media_id", "frame", "peak", "sum_abs", "zero_crossings", "energy")
+      .orderBy(col("media_id"), col("frame"))
+  }
+
   /** x_multimodal_features — the end-to-end feature-extraction query
     * (synthetic media → batched decode → per-modality feature stats).
     * DuckDB-oracled since round 7: the synthetic payloads are the

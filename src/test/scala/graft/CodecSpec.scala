@@ -164,6 +164,24 @@ class CodecSpec extends AnyFunSuite {
     assert(f.zeroCrossings === 4L)
   }
 
+  test("x_audio_frames tiles the clip: frame stats re-sum to whole-clip stats") {
+    val whole = Multimodal.audioDecodeStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val frames = Multimodal.audioFrameStats(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(frames.keySet === whole.keySet)
+    frames.foreach { case (id, fs) =>
+      assert(fs.map(_.getLong(1)).sorted.toSeq === (0L until 4L), s"doc $id frames")
+      val w = whole(id)
+      assert(fs.map(_.getLong(2)).max === w.getLong(4), s"peak $id")
+      assert(fs.map(_.getLong(3)).sum === w.getLong(5), s"sum_abs $id")
+      assert(fs.map(_.getLong(5)).sum === w.getLong(7), s"energy $id")
+      // frame-boundary crossings are excluded by design, nothing else is
+      val zcSum = fs.map(_.getLong(4)).sum
+      assert(zcSum <= w.getLong(6) && zcSum >= w.getLong(6) - 3, s"zc $id")
+    }
+  }
+
   test("x_audio_decode equals a driver replica over real WAV payloads") {
     val got = Multimodal.audioDecodeStats(spark, dir).collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap

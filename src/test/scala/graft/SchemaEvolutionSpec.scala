@@ -131,6 +131,32 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       EvolvingTable.read(spark, TestSpark.tempDir("empty")))
   }
 
+  test("streaming ingest across a redeploy: schema evolves between stream generations") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.tempDir("evolve-stream") + "/t"
+    // a streaming source has ONE schema for its lifetime — evolution
+    // arrives at a REDEPLOY (the pipeline restarts against the altered
+    // source), so the contract under test is: generation-2 micro-batches
+    // land in the same table generation-1 built, widening it in place
+    val gen1 = MemoryStream[(String, Int)]
+    val q1 = gen1.toDF().toDF("key", "qty").writeStream
+      .foreachBatch((b: DataFrame, _: Long) => EvolvingTable.append(spark, b, dir))
+      .outputMode("append").start()
+    gen1.addData(("a", 1), ("b", 2))
+    q1.processAllAvailable(); q1.stop()
+    val gen2 = MemoryStream[(String, Int, Double)]
+    val q2 = gen2.toDF().toDF("key", "qty", "price").writeStream
+      .foreachBatch((b: DataFrame, _: Long) => EvolvingTable.append(spark, b, dir))
+      .outputMode("append").start()
+    gen2.addData(("c", 3, 9.9))
+    q2.processAllAvailable(); q2.stop()
+    val out = EvolvingTable.read(spark, dir).orderBy("key").collect().map(r =>
+      (r.getString(0), r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 1, null), ("b", 2, null), ("c", 3, 9.9)))
+  }
+
   test("inferImageSchema: union shape of an evolving JSON image stream") {
     val images = Seq(
       """{"id": 1, "qty": 10}""",
