@@ -75,8 +75,10 @@ object Bench {
     build("build_pq_index")(graft.operators.PQ.ensurePqIndex(spark, sfDir))
     build("build_media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, sfDir))
     build("build_minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, sfDir))
+    build("build_clusters_index")(graft.operators.Dedup.ensureClustersIndex(spark, sfDir))
     build("build_postings_index")(graft.operators.Search.ensurePostingsIndex(spark, sfDir))
     build("build_day_layout")(graft.ops.Layout.ensureDayLayout(spark, sfDir))
+    build("build_zorder_layout")(graft.ops.Layout.ensureZOrderLayout(spark, sfDir))
     // a failed query records an errors entry instead of silently timing
     // the failure — the driver's BENCH JSON then shows breakage explicitly.
     // Variance robustness (round-7): queries at ≥0.3 s cold are re-run

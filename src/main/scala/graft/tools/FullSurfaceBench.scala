@@ -135,8 +135,10 @@ object FullSurfaceBench {
     build("pq_index")(graft.operators.PQ.ensurePqIndex(spark, scaleDir))
     build("media_layout")(graft.operators.Multimodal.ensureMediaLayout(spark, scaleDir))
     build("minhash_index")(graft.operators.Dedup.ensureMinhashIndex(spark, scaleDir))
+    build("clusters_index")(graft.operators.Dedup.ensureClustersIndex(spark, scaleDir))
     build("postings_index")(graft.operators.Search.ensurePostingsIndex(spark, scaleDir))
     build("day_layout")(graft.ops.Layout.ensureDayLayout(spark, scaleDir))
+    build("zorder_layout")(graft.ops.Layout.ensureZOrderLayout(spark, scaleDir))
 
     // ---- shuffle-write bytes off one executed plan -------------------
     def shuffleMB(df: DataFrame): Double = {
