@@ -125,6 +125,7 @@ object SparkEntry {
     "x_pq_encode"           -> ((s: SparkSession, d: String) => operators.PQ.encode(s, d)),
     "x_pq_knn"              -> ((s: SparkSession, d: String) => operators.PQ.pqTopK(s, d)),
     "x_ivfpq_knn"           -> ((s: SparkSession, d: String) => operators.PQ.ivfpqTopK(s, d)),
+    "x_ivfpq_batch"         -> ((s: SparkSession, d: String) => operators.PQ.ivfpqBatch(s, d)),
     "x_multimodal_features" -> (operators.Multimodal.featureStats _),
     "x_multimodal_pruned"   -> ((s: SparkSession, d: String) => operators.Multimodal.featureStatsPruned(s, d)),
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
@@ -656,6 +657,67 @@ object SparkEntry {
        |FROM cand c JOIN emb e ON e.vec_id = c.vec_id, q
        |ORDER BY cos_sim DESC, e.vec_id
        |LIMIT 20""".stripMargin
+  }
+
+  /** Batch IVF-PQ oracle: IvfPqTopKSql's stages with every per-query
+    * artifact keyed by qid — probes via a per-qid window, residual
+    * query slices and ADC tables per (qid, probe), candidate cut and
+    * refine as per-qid windows. Training replay is shared (the
+    * quantizers do not depend on the queries). */
+  private val IvfPqBatchSql: String = {
+    def sqDiff(a: String, b: String, dim: Int): String =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val qrSlices = (0 until 8).map { s =>
+      s"qrs$s AS (SELECT qid, cid, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM qr)"
+    }.mkString(",\n")
+    val dts = (0 until 8).map { s =>
+      s"""dtr$s AS (
+         |  SELECT q2.qid, q2.cid AS pcid, c.cid AS code, ${sqDiff("q2.v", "c.v", 8)} AS d
+         |  FROM qrs$s q2 CROSS JOIN k2_r$s c)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until 8).map(s =>
+      s"JOIN a3_r$s a$s ON a$s.vec_id = e.vec_id " +
+        s"JOIN dtr$s t$s ON t$s.qid = pr.qid AND t$s.pcid = iv.cid AND t$s.code = a$s.cid")
+      .mkString("\n")
+    val score = (0 until 8).map(s => s"t$s.d").mkString(" + ")
+    s"""WITH $ResidualPqCtes,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (0, 1, 2, 3)),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |           row_number() OVER (PARTITION BY q.qid
+       |                              ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid) AS rn
+       |    FROM q CROSS JOIN k2 c) z WHERE rn <= 4),
+       |qr AS (
+       |  SELECT p.qid, p.cid,
+       |         list_transform(generate_series(1, 64), i -> q.qv[i] - c.v[i]) AS v
+       |  FROM probes p JOIN k2 c USING (cid) JOIN q ON q.qid = p.qid),
+       |$qrSlices,
+       |$dts,
+       |cand AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT s.qid, s.vec_id,
+       |           row_number() OVER (PARTITION BY s.qid
+       |                              ORDER BY s.adc_dist ASC, s.vec_id) AS rn
+       |    FROM (
+       |      SELECT pr.qid, e.vec_id, $score AS adc_dist
+       |      FROM emb e
+       |      JOIN a3 iv ON iv.vec_id = e.vec_id
+       |      JOIN probes pr ON pr.cid = iv.cid
+       |      $joins
+       |      WHERE e.vec_id <> pr.qid) s) z
+       |  WHERE rn <= 50),
+       |ref AS (
+       |  SELECT c.qid, e.vec_id, e.label,
+       |         ${ivfDot("e.v", "q.qv")}
+       |         / (sqrt(${ivfDot("e.v", "e.v")}) * sqrt(${ivfDot("q.qv", "q.qv")})) AS cos_sim
+       |  FROM cand c JOIN emb e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid)
+       |SELECT qid, vec_id, label, cos_sim FROM (
+       |  SELECT r.*, row_number() OVER (PARTITION BY qid
+       |                                 ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM ref r) z
+       |WHERE rk <= 10
+       |ORDER BY qid, cos_sim DESC, vec_id""".stripMargin
   }
 
   private val PqTopKSql: String = {
@@ -1752,6 +1814,7 @@ object SparkEntry {
     // IVF-PQ composite: probe pruning from the IVF replay, ADC from the
     // PQ replay, exact-cosine refine of the top-50 candidates.
     "x_ivfpq_knn" -> IvfPqTopKSql,
+    "x_ivfpq_batch" -> IvfPqBatchSql,
     // Semantic benchmark decontamination: cosine formulas mirror the
     // Spark side's evaluation order exactly (norms computed per row,
     // zero-norm guard identical), and max over an identical multiset of

@@ -422,6 +422,131 @@ object PQ {
       .limit(k)
   }
 
+  /** x_ivfpq_batch — Q queries against the residual IVF-PQ composite in
+    * ONE pass: the serving matrix completed (x_ivf_batch is batch ×
+    * IVF; this is batch × the 32×-narrower composite — the shape a
+    * production vector-serving tier actually runs, because at corpus
+    * scale the per-query win of scanning 8-byte codes compounds across
+    * the batch).
+    *
+    * Everything per-query that the single-query face computes on the
+    * driver becomes DATA here:
+    *  - probe ranking: the shared distributed protocol
+    *    ([[Similarity.probeRankingDf]]) above the small-Q cutoff;
+    *  - the per-(query, probe) residual ADC tables: a (qid, cid, dts)
+    *    frame built by joining the probe pairs to the broadcast
+    *    centroid/codebook literals — Q×nprobe rows of m×ksub doubles,
+    *    broadcast to the code scan (the distributed twin of
+    *    `adcResidualTables`, same left-to-right double arithmetic, so
+    *    distances are bit-identical — spec-pinned);
+    *  - the scan: probed cid partitions only (PartitionFilters), each
+    *    code row scoped to the queries probing its list by the
+    *    broadcast join, ADC = m guarded array lookups per (row, query);
+    *  - per-query top-`refine` window, then the exact-cosine re-rank
+    *    (pushed-IN id lookup at interactive Q — Q·refine ids; a keyed
+    *    join above the cutoff, where a pushed literal list would
+    *    outgrow the plan).
+    * The index is scanned once for ALL queries and never shuffled; only
+    * (qid, candidate) scores shuffle, partitioned by qid. Per-query
+    * results are row-identical to [[ivfpqTopK]] (spec-pinned). */
+  def ivfpqBatch(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
+      ksub: Int = DefaultKsub, iters: Int = 2, refine: Int = 50,
+      driverRankMax: Int = Similarity.BatchDriverRankMax): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val (path, cents, books) = ensureIvfPqIndex(spark, dir, nlist, m, ksub, iters)
+    val dsub = Dim / m
+    val wanted = queryIds.distinct
+    val qDf = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(wanted: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    require(qDf.count() == wanted.size,
+      s"ivfpqBatch: some of $wanted missing from $dir/embeddings.parquet")
+    // ranked probes — the one shared protocol, distributed or driver by Q
+    val prDf =
+      (if (wanted.size <= driverRankMax) {
+        val qs = qDf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+        qs.toSeq.flatMap { case (qid, qv) =>
+          Similarity.probeRanking(qv, cents, nprobe).map(qid -> _)
+        }.toDF("qid", "cid")
+      } else Similarity.probeRankingDf(spark, qDf, cents, nprobe))
+        .localCheckpoint()
+    val allProbes = prDf.select(col("cid")).distinct().as[Long].collect().toSeq
+
+    // per-(query, probe) residual ADC tables as DATA: rvec = qvec − c,
+    // then d(s, code) = ‖rvec slice − codeword‖², assembled (s asc,
+    // code asc) into the nested lookup array. Same element order and
+    // double ops as the driver's adcResidualTables — bit-equal.
+    val centsDf = cents.indices.map(c => (c.toLong, cents(c))).toDF("cid", "cvec")
+    val booksDf = (for { s <- books.indices; kk <- books(s).indices }
+      yield (s, kk, books(s)(kk))).toDF("s", "code", "cw")
+    val dtRows = prDf
+      .join(broadcast(qDf), Seq("qid"))
+      .join(broadcast(centsDf), Seq("cid"))
+      .withColumn("rvec", zip_with(
+        transform(col("qvec"), x => x.cast(DoubleType)), col("cvec"),
+        (a, b) => a - b))
+      .crossJoin(broadcast(booksDf))
+      .select(col("qid"), col("cid"), col("s"), col("code"),
+        aggregate(
+          zip_with(slice(col("rvec"), col("s") * dsub + 1, lit(dsub)),
+            col("cw"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+    val adcDf = dtRows
+      .groupBy(col("qid"), col("cid"))
+      .agg(sort_array(collect_list(struct(col("s"), col("code"), col("d"))))
+        .as("flat")) // complete (s, code) grid ⇒ index s·ksub+code
+      .select(col("qid"), col("cid"),
+        transform(sequence(lit(0), lit(m - 1)), si =>
+          transform(sequence(lit(0), lit(ksub - 1)), ci =>
+            element_at(col("flat"), si * ksub + ci + 1).getField("d")))
+          .as("dts"))
+
+    // one pruned scan of the code table, scoped per (row, probing query)
+    val code = (s: Int) => element_at(col("codes"), s + 1)
+    val adcDist = (0 until m).map { s =>
+      when(code(s).isNull || code(s) < 0 || code(s) >= ksub,
+        raise_error(concat(lit(s"ivfpq batch: subspace $s code out of [0, $ksub): "),
+          coalesce(code(s).cast(StringType), lit("null")))).cast(DoubleType))
+        .otherwise(element_at(element_at(col("dts"), s + 1), code(s) + 1))
+    }.reduce(_ + _)
+    val cands = spark.read.parquet(path)
+      .filter(col("cid").isin(allProbes: _*)) // PartitionFilters
+      .join(broadcast(adcDf), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adcDist.as("adc_dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rn") <= refine)
+      .select(col("qid"), col("vec_id"))
+
+    // exact-cosine refine (the serveIvf arithmetic, so scores are
+    // bit-identical to the single-query face's)
+    val refined =
+      if (wanted.size <= driverRankMax) {
+        val ids = cands.select(col("vec_id")).distinct().as[Long].collect()
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id").isin(ids.toIndexedSeq: _*)) // pushed IN
+          .join(broadcast(cands), Seq("vec_id"))
+      } else
+        Tables.embeddings(spark, dir).join(cands, Seq("vec_id"))
+    refined
+      .join(broadcast(qDf), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        col("label").cast(LongType).as("label"),
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec"))
+          .as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rk") <= k).drop("rk")
+      .orderBy(col("qid"), col("cos_sim").desc, col("vec_id"))
+  }
+
   /** The raw-vector composite's serve — retained for the AnnScaleBench
     * recall comparison only ([[ensureIvfPqRawIndex]]). */
   private[graft] def ivfpqServeRaw(spark: SparkSession, codes: DataFrame,

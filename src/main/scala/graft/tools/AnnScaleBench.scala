@@ -116,6 +116,14 @@ object AnnScaleBench {
     }
     steady(s"knn/ivf_batch_distributed (Q=${bigQ.size}, one pass)")(
       graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, bigQ).count())
+    // the composite batch face (round 10): the same amortization over
+    // the 32×-narrower code scan — per-query ADC tables ride as a
+    // broadcast frame instead of plan literals, so Q scales without
+    // the plan growing
+    steady("knn/ivfpq_batch (4 queries, one pass)")(
+      graft.operators.PQ.ivfpqBatch(spark, scaleDir).count())
+    steady(s"knn/ivfpq_batch_distributed (Q=${bigQ.size}, one pass)")(
+      graft.operators.PQ.ivfpqBatch(spark, scaleDir, bigQ).count())
 
     // --- semantic dedup scale separation: within-cluster pairing vs
     // all-pairs at the same corpus size. The contract under test: with

@@ -532,6 +532,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "distributed and driver-ranked batch serve must be bit-identical")
   }
 
+  test("IVF-PQ batch serve: per-query slices row-identical to the single-query composite") {
+    import graft.operators.PQ
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val batch = PQ.ivfpqBatch(spark, dir, queryIds = qids, k = 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("label"), r.getAs[Double]("cos_sim")))
+    assert(batch.map(_._1).distinct.sorted === qids)
+    qids.foreach { qid =>
+      val single = PQ.ivfpqTopK(spark, dir, queryId = qid, k = 10).collect()
+        .map(r => (qid, r.getAs[Long]("vec_id"), r.getAs[Long]("label"),
+          r.getAs[Double]("cos_sim")))
+      assert(batch.filter(_._1 == qid).toSeq === single.toSeq,
+        s"batch slice for qid=$qid must equal the single-query composite")
+    }
+  }
+
+  test("IVF-PQ batch serve: distributed ADC/ranking face bit-identical to the driver face") {
+    import graft.operators.PQ
+    val qids = Seq(0L, 1L, 2L, 3L)
+    def run(max: Int) =
+      PQ.ivfpqBatch(spark, dir, queryIds = qids, k = 10, driverRankMax = max)
+        .collect().map(_.toSeq).toSeq
+    assert(run(0) === run(Similarity.BatchDriverRankMax),
+      "forcing the distributed probe/ADC/refine path must not change a bit")
+    val e = intercept[IllegalArgumentException] {
+      PQ.ivfpqBatch(spark, dir, queryIds = Seq(0L, -77L)).collect()
+    }
+    assert(e.getMessage.contains("missing"), e.getMessage)
+  }
+
   test("batch ANN serve fails loudly on a missing query id (both ranking faces)") {
     val missing = Seq(0L, -12345L)
     Seq(0, Similarity.BatchDriverRankMax).foreach { max =>
