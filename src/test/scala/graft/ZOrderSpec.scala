@@ -54,6 +54,58 @@ class ZOrderSpec extends AnyFunSuite {
     assert(raw.nonEmpty && z.toSeq === raw.toSeq)
   }
 
+  test("equi-depth z-order keeps pruning inside a skewed hot range; equi-width degenerates") {
+    import spark.implicits._
+    // zipf-ish user skew: 80% of rows on users 0..4, the rest spread to
+    // 10k — the shape real event logs have
+    val base = 1704067200L
+    val events = spark.range(40000).select(
+      when(col("id") % 5 =!= 0, col("id") % 5)
+        .otherwise(col("id") * 7919 % 10000).as("user_id"),
+      timestamp_seconds(lit(base) + col("id") * 104729 % 2000000).as("ts"),
+      col("id").as("event_id"))
+    val root = TestSpark.tempDir("zorder-skew")
+    val blockOpt = Map("parquet.block.size" -> (32 * 1024).toString)
+    // equi-width: the hot users all normalize into bucket ~0 — tiles
+    // inside the hot region degenerate to a time sort
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val ewDir = s"$root/ew"
+    val mm = events.agg(min("user_id"), max("user_id"),
+      min(unix_seconds(col("ts"))), max(unix_seconds(col("ts")))).head
+    val ewZ = ZOrder64.zorder64(
+      (col("user_id") - mm.getLong(0)) * 65535L / lit(mm.getLong(1) - mm.getLong(0)) cast "long",
+      (unix_seconds(col("ts")) - mm.getLong(2)) * 65535L / lit(mm.getLong(3) - mm.getLong(2)) cast "long")
+    events.repartitionByRange(4, ewZ).sortWithinPartitions(ewZ)
+      .write.options(blockOpt).parquet(ewDir)
+    val edDir = s"$root/ed"
+    graft.ops.Layout.writeZOrderedEquiDepth(events, edDir, files = 4)
+    // the writer path uses the default block size; rewrite with small
+    // groups so both layouts have the same tile granularity
+    val edSmall = s"$root/ed_small"
+    spark.read.parquet(edDir).write.options(blockOpt).parquet(edSmall)
+
+    def scannedRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .head.metrics("numOutputRows").value
+    }
+    // a slice INSIDE the hot range (~32% of rows: users 0 and 1... user
+    // 1 and 2 are hot; user 0 is cold spread) — use users 1..2
+    val pred = col("user_id").between(1, 2)
+    val ew = scannedRows(ewDir, pred)
+    val ed = scannedRows(edSmall, pred)
+    // equi-width cannot separate the hot users (all in bucket 0):
+    // expect ~everything scanned; equi-depth spreads them over ~2/5 of
+    // the buckets and prunes
+    assert(ew > 30000L, s"equi-width unexpectedly pruned the hot range ($ew)")
+    assert(ed < ew * 7 / 10, s"equi-depth should prune inside the hot range: $ed vs $ew")
+    // identical results either way
+    val a = spark.read.parquet(ewDir).filter(pred).orderBy("event_id").collect()
+    val c = spark.read.parquet(edSmall).filter(pred).orderBy("event_id").collect()
+    assert(a.nonEmpty && a.map(_.toSeq).toSeq === c.map(_.toSeq).toSeq)
+  }
+
   test("z-order tiles skip in BOTH dimensions; a linear sort skips in one") {
     import spark.implicits._
     // synthetic (user, time) events: 40k rows, 200 users, ~23-day span,
