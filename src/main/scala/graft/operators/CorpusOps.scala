@@ -251,17 +251,34 @@ object CorpusOps {
       benchmarkShingles(spark, dir), minOverlap, fpp)
 
   /** [[decontaminateBloom]]'s core over explicit inputs (mirrors
-    * [[decontaminateOf]]). */
+    * [[decontaminateOf]]): builds the filter, then delegates to
+    * [[decontaminateBloomWith]]. */
   def decontaminateBloomOf(trainDocs: DataFrame, evalShingles: DataFrame,
-      minOverlap: Int = 8, fpp: Double = 0.01): DataFrame = {
+      minOverlap: Int = 8, fpp: Double = 0.01): DataFrame =
+    decontaminateBloomWith(trainDocs, evalShingles,
+      buildEvalBloom(evalShingles, fpp), minOverlap)
+
+  /** Build the benchmark-set Bloom filter once — the reference artifact
+    * a streaming ingest pins at stream start next to the exact shingle
+    * set ([[graft.streaming.StreamingDecontaminate]]), instead of
+    * rebuilding it per micro-batch. */
+  def buildEvalBloom(evalShingles: DataFrame, fpp: Double = 0.01): Array[Byte] = {
     import graft.functions.BloomFilters
-    import graft.functions.TokenWindowHash.tokenWindowHashes
     // the reference side is the SMALL side by nature; one count sizes
     // the filter (Spark's runtime-filter injection does the same from
     // plan statistics)
     val nEval = evalShingles.count()
-    val bloom = BloomFilters.buildBloom(evalShingles, "shash",
-      math.max(1L, nEval), fpp)
+    BloomFilters.buildBloom(evalShingles, "shash", math.max(1L, nEval), fpp)
+  }
+
+  /** The bloom-prefiltered check under an ALREADY-BUILT filter — shared
+    * by the whole-corpus face and the per-micro-batch ingest face
+    * (per-doc stateless given (filter, exact set), so streamed epochs
+    * tile the batch result exactly, the decontaminateOf argument). */
+  def decontaminateBloomWith(trainDocs: DataFrame, evalShingles: DataFrame,
+      bloom: Array[Byte], minOverlap: Int = 8): DataFrame = {
+    import graft.functions.BloomFilters
+    import graft.functions.TokenWindowHash.tokenWindowHashes
     val sh = trainDocs.select(col("doc_id"),
         array_distinct(tokenWindowHashes(col("text"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)

@@ -59,4 +59,35 @@ object StreamingDecontaminate {
       .trigger(trigger)
       .start()
   }
+
+  /** The BLOOM-PREFILTERED ingest face (x_decontaminate_bloom's
+    * streaming twin): both reference artifacts — the ~10-bit/key
+    * filter AND the exact shingle set behind the verify join — are
+    * pinned once at stream start; each micro-batch then pays only the
+    * in-array probe plus a survivor-sized verify. Per-doc stateless
+    * under the pinned pair, so the epochs tile the batch bloom face,
+    * which is itself result-identical to the exact face — one
+    * equivalence chain, each link spec-pinned. */
+  def appendBatchBloom(root: String, evalShingles: DataFrame,
+      bloom: Array[Byte], minOverlap: Int = 8)(
+      batch: DataFrame, batchId: Long): Unit =
+    CorpusOps.decontaminateBloomWith(
+        batch.filter(col("doc_id") % CorpusOps.EvalSliceMod =!= 0),
+        evalShingles, bloom, minOverlap)
+      .write.mode("overwrite").parquet(s"$root/epoch=$batchId")
+
+  /** [[start]] with the bloom prefilter pinned at stream start. */
+  def startBloom(docsStream: DataFrame, dir: String, root: String,
+      checkpoint: String, minOverlap: Int = 8, fpp: Double = 0.01,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val evalShingles = CorpusOps
+      .benchmarkShingles(docsStream.sparkSession, dir)
+      .localCheckpoint()
+    val bloom = CorpusOps.buildEvalBloom(evalShingles, fpp)
+    docsStream.writeStream
+      .foreachBatch(appendBatchBloom(root, evalShingles, bloom, minOverlap) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }

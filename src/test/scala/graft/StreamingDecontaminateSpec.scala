@@ -40,6 +40,28 @@ class StreamingDecontaminateSpec extends AnyFunSuite {
     assert(batch.exists(_._4), "no contaminated doc in fixture — test inert")
   }
 
+  test("bloom ingest face: accumulated epochs equal the batch query (filter pinned at start)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val waves = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[IdxDoc].collect()
+      .groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val base = TestSpark.tempDir("decon-stream-bloom")
+    val input = MemoryStream[IdxDoc]
+    waves.foreach { wave =>
+      input.addData(wave.toSeq)
+      val q = StreamingDecontaminate.startBloom(
+        input.toDS().toDF(), dir, s"$base/flags", s"$base/ckpt")
+      q.awaitTermination(60000)
+    }
+    val streamed = asTuples(
+      StreamingDecontaminate.readFlags(spark, s"$base/flags").collect())
+    // the full equivalence chain: streamed-bloom ≡ batch-bloom ≡ exact
+    assert(streamed === asTuples(
+      CorpusOps.decontaminateBloom(spark, dir).collect()))
+    assert(streamed === asTuples(CorpusOps.decontaminate(spark, dir).collect()))
+  }
+
   test("replaying a batchId rewrites the same epoch snapshot (exactly-once)") {
     import spark.implicits._
     val root = TestSpark.tempDir("decon-replay") + "/flags"
