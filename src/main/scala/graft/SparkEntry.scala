@@ -133,6 +133,7 @@ object SparkEntry {
     "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
     "x_audio_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioDecodeStats(s, d)),
     "x_audio_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioFrameStats(s, d)),
+    "x_video_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.videoFrameStats(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
@@ -1288,6 +1289,38 @@ object SparkEntry {
         |            AS BIGINT) AS zero_crossings,
         |       CAST(sum(smp * smp) AS BIGINT) AS energy
         |FROM sl GROUP BY doc_id, frame
+        |ORDER BY media_id, frame""".stripMargin,
+    // Video: the Y4M container round-trips away; plane generation
+    // (Y/U/V byte rules over the doc bytes) and per-frame sums replay
+    // directly, and the motion column replays by pairing each Y byte
+    // with its same-position byte in the previous frame (lag over the
+    // frame index per (doc, pixel)).
+    "x_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT d.doc_id, f.f, u.j,
+        |         CASE WHEN d.n = 0 THEN 0
+        |              ELSE ord(substr(d.text, CAST((f.f * 48 + u.j) % d.n AS INT) + 1, 1)) END AS yb,
+        |         CASE WHEN d.n = 0 THEN 0
+        |              ELSE ord(substr(d.text, CAST((f.f * 48 + u.j + 7) % d.n AS INT) + 1, 1)) END AS ub,
+        |         CASE WHEN d.n = 0 THEN 0
+        |              ELSE ord(substr(d.text, CAST((f.f * 48 + u.j + 13) % d.n AS INT) + 1, 1)) END AS vb
+        |  FROM d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS f) f
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS j) u),
+        |pl AS (
+        |  SELECT doc_id, f, j, yb, ub, vb,
+        |         lag(yb) OVER (PARTITION BY doc_id, j ORDER BY f) AS prev_yb
+        |  FROM px)
+        |SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame,
+        |       CAST(sum(yb) AS BIGINT) AS y_sum,
+        |       CAST(sum(ub) AS BIGINT) AS u_sum,
+        |       CAST(sum(vb) AS BIGINT) AS v_sum,
+        |       CAST(sum(CASE WHEN prev_yb IS NULL THEN 0
+        |                     ELSE abs(yb - prev_yb) END) AS BIGINT) AS motion
+        |FROM pl GROUP BY doc_id, f
         |ORDER BY media_id, frame""".stripMargin,
     "x_decontaminate" -> DecontaminateSql,
     // The bloom face is DEFINED to produce the exact face's result

@@ -437,6 +437,63 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame"))
   }
 
+  /** Dimensions of the synthetic Y4M corpus — fixed so the oracle can
+    * replay plane generation with literal bounds: 8×6 C444, 3 frames,
+    * plane byte rules over the doc's ASCII bytes (0 for empty text):
+    * Y(f, j) = b((f·48 + j) mod n), U offsets by 7, V by 13. */
+  private[graft] val VidW = 8
+  private[graft] val VidH = 6
+  private[graft] val VidFrames = 3
+
+  /** Deterministic synthetic Y4M table: every video-kind document
+    * (doc_id % 3 = 2) becomes a REAL YUV4MPEG2 stream under the rule
+    * above — these parse under the real codec ([[Y4mCodec.decode]]):
+    * tagged header, FRAME traversal, planar reads. */
+  def syntheticY4mMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val px = VidW * VidH
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        def b(k: Int): Byte = if (tb.isEmpty) 0 else tb(k % tb.length)
+        val frames = (0 until VidFrames).map { f =>
+          Y4mCodec.Frame(
+            Array.tabulate(px)(j => b(f * px + j)),
+            Array.tabulate(px)(j => b(f * px + j + 7)),
+            Array.tabulate(px)(j => b(f * px + j + 13)))
+        }
+        val payload = Y4mCodec.encode(
+          Y4mCodec.Video(VidW, VidH, c420 = false, frames))
+        MediaRow(id, "video", payload,
+          MediaMeta("y4m", VidW, VidH, -1, VidFrames * 40L))
+      }
+  }
+
+  /** x_video_frames — REAL-codec video decode over the synthetic Y4M
+    * corpus: batched partition-local container parse emitting exact
+    * per-frame integer plane sums plus FRAME DIFFERENCING (Σ|Y_f −
+    * Y_{f−1}|) — the temporal feature behind scene-cut detection and
+    * static-clip filtering. One decode fans out to nFrames rows (a
+    * Generate, no shuffle); same oracle argument as the image/audio
+    * codecs. */
+  def videoFrameStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    syntheticY4mMedia(spark, dir).mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec context would be opened here
+        batch.iterator.flatMap { m =>
+          val video = Y4mCodec.decode(m.payload)
+          Y4mCodec.frameStats(video).map(s =>
+            (m.media_id, s.frame, s.ySum, s.uSum, s.vSum, s.motion))
+        }
+      }
+    }.toDF("media_id", "frame", "y_sum", "u_sum", "v_sum", "motion")
+      .orderBy(col("media_id"), col("frame"))
+  }
+
   /** x_multimodal_features — the end-to-end feature-extraction query
     * (synthetic media → batched decode → per-modality feature stats).
     * DuckDB-oracled since round 7: the synthetic payloads are the

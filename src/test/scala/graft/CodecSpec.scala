@@ -121,6 +121,89 @@ class CodecSpec extends AnyFunSuite {
     png.zip(ppm).foreach { case (p, q) => assert(p === q) }
   }
 
+  test("Y4M: round-trip (C444 + C420), frame params and unknown tags skipped") {
+    import graft.operators.Y4mCodec
+    def frame(n: Int, cLen: Int, seed: Int) = Y4mCodec.Frame(
+      Array.tabulate(n)(j => ((j * 31 + seed) % 256).toByte),
+      Array.tabulate(cLen)(j => ((j * 17 + seed) % 256).toByte),
+      Array.tabulate(cLen)(j => ((j * 23 + seed) % 256).toByte))
+    val v444 = Y4mCodec.Video(6, 4, c420 = false,
+      (0 until 3).map(f => frame(24, 24, f * 97)))
+    val back = Y4mCodec.decode(Y4mCodec.encode(v444))
+    assert(back.width === 6 && back.height === 4 && !back.c420)
+    assert(back.frames.length === 3)
+    back.frames.zip(v444.frames).foreach { case (a, b) =>
+      assert(a.y.toSeq === b.y.toSeq && a.u.toSeq === b.u.toSeq
+        && a.v.toSeq === b.v.toSeq)
+    }
+    val v420 = Y4mCodec.Video(6, 4, c420 = true,
+      Seq(frame(24, 6, 1), frame(24, 6, 2)))
+    val b420 = Y4mCodec.decode(Y4mCodec.encode(v420))
+    assert(b420.c420 && b420.frames.length === 2)
+    assert(b420.frames.head.u.length === 6)
+    // a stream written by another tool: unknown X-tags in the header,
+    // per-frame parameters after FRAME — both skipped per spec
+    val exotic = ("YUV4MPEG2 W2 H2 F30000:1001 Ip A128:117 C444 XYSCSS=444\n" +
+      "FRAME Xtimecode=00:00:00:01\n").getBytes("US-ASCII") ++
+      Array.tabulate(12)(j => j.toByte)
+    val ex = Y4mCodec.decode(exotic)
+    assert(ex.width === 2 && ex.height === 2 && ex.frames.length === 1)
+    assert(ex.frames.head.y.toSeq === (0 until 4).map(_.toByte))
+  }
+
+  test("Y4M: malformed and out-of-scope inputs fail loudly") {
+    import graft.operators.Y4mCodec
+    val good = Y4mCodec.encode(Y4mCodec.Video(2, 2, c420 = false, Seq(
+      Y4mCodec.Frame(Array[Byte](1, 2, 3, 4), Array[Byte](5, 6, 7, 8),
+        Array[Byte](9, 10, 11, 12)))))
+    intercept[IllegalArgumentException](Y4mCodec.decode("MPEG".getBytes))
+    intercept[IllegalArgumentException](Y4mCodec.decode(good.take(good.length - 3)))
+    intercept[IllegalArgumentException](Y4mCodec.decode(
+      "YUV4MPEG2 W2 H2 C422\nFRAME\n".getBytes ++ Array.fill(8)(0.toByte)))
+    // C420 with odd dimensions is geometrically impossible
+    intercept[IllegalArgumentException](Y4mCodec.decode(
+      "YUV4MPEG2 W3 H2 C420jpeg\nFRAME\n".getBytes ++ Array.fill(9)(0.toByte)))
+  }
+
+  test("Y4M frame stats: plane sums and motion vs a driver replica") {
+    import graft.operators.Y4mCodec
+    val f0 = Y4mCodec.Frame(Array[Byte](10, 20, 30, 40),
+      Array[Byte](1, 1, 1, 1), Array[Byte](2, 2, 2, 2))
+    val f1 = Y4mCodec.Frame(Array[Byte](15, 10, 30, -1), // -1 = 255 unsigned
+      Array[Byte](3, 3, 3, 3), Array[Byte](4, 4, 4, 4))
+    val stats = Y4mCodec.frameStats(Y4mCodec.Video(2, 2, c420 = false, Seq(f0, f1)))
+    assert(stats(0) === Y4mCodec.FrameStats(0, 100, 4, 8, 0))
+    // motion: |15-10| + |10-20| + |30-30| + |255-40| = 5+10+0+215 = 230
+    assert(stats(1) === Y4mCodec.FrameStats(1, 15 + 10 + 30 + 255, 12, 16, 230))
+  }
+
+  test("x_video_frames equals a driver replica over real Y4M payloads") {
+    val got = Multimodal.videoFrameStats(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._1 % 3 == 2)
+    assert(got.keySet === docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val tb = text.getBytes("UTF-8")
+      def b(k: Int): Int = if (tb.isEmpty) 0 else tb(k % tb.length) & 0xff
+      val rows = got(id).sortBy(_.getLong(1))
+      assert(rows.length === Multimodal.VidFrames)
+      for (f <- 0 until Multimodal.VidFrames) {
+        val ys = (0 until 48).map(j => b(f * 48 + j))
+        val us = (0 until 48).map(j => b(f * 48 + j + 7))
+        val vs = (0 until 48).map(j => b(f * 48 + j + 13))
+        val motion = if (f == 0) 0L
+          else (0 until 48).map(j => math.abs(b(f * 48 + j) - b((f - 1) * 48 + j)).toLong).sum
+        assert(rows(f).toSeq.drop(2) ===
+          Seq(ys.sum.toLong, us.sum.toLong, vs.sum.toLong, motion), s"doc $id frame $f")
+      }
+    }
+  }
+
   test("WAV: round-trip, metadata-chunk traversal, odd-size padding") {
     val samples = Array.tabulate(300)(k => ((k * 1103 + 7) % 65536 - 32768).toShort)
     val audio = WavCodec.Audio(16000, samples)
