@@ -56,7 +56,11 @@ object ExplainDump {
     "x_curation_funnel" -> "curation funnel: narrow lang/quality projection + doc_id-keyed stage-flag joins, no cartesian",
     "x_pq_knn" -> "PQ ADC top-k: driver-computed lookup tables, 8-byte code scan, no shuffle before TakeOrdered",
     "x_ivfpq_knn" -> "IVF-PQ composite: probe set as PartitionFilters over the per-list code layout, ADC cut, broadcast exact refine",
-    "x_ivf_batch" -> "batch ANN serve: one pruned index scan, broadcast (qid,cid) probe scoping, per-query windowed top-k")
+    "x_ivf_batch" -> "batch ANN serve: one pruned index scan, broadcast (qid,cid) probe scoping, per-query windowed top-k",
+    "s_zorder_pruned" -> "z-order clustered layout: 2-d predicate pruned by parquet min/max tile stats (PushedFilters on both dims)",
+    "x_decontaminate_bloom" -> "bloom-prefiltered decontamination: might_contain probe inside the array prune, survivor-only verify join",
+    "x_ivfpq_batch" -> "batch IVF-PQ serve: pruned code scan, broadcast per-query ADC tables, per-qid cut + refine windows",
+    "x_video_frames" -> "real Y4M decode: batched container parse, per-frame Generate fan-out, no shuffle before the sort")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
