@@ -37,6 +37,10 @@ object GraftFunctions {
     "dynamo_attr_decode" -> { exprs =>
       require(exprs.length == 1, "dynamo_attr_decode(json) takes 1 argument")
       DynamoAttributeDecode(exprs.head)
+    },
+    "zorder64" -> { exprs =>
+      require(exprs.length == 2, "zorder64(a, b) takes 2 arguments")
+      graft.functions.ZOrder64(exprs(0), exprs(1))
     })
 
   def register(spark: SparkSession): Unit =

@@ -138,5 +138,7 @@ class SkewAndSqlSpec extends AnyFunSuite {
       """SELECT dynamo_attr_decode('{"a":{"N":"2"}}') AS j""")
       .collect().head.getString(0)
     assert(dec === """{"a":2}""")
+    val z = spark.sql("SELECT zorder64(3L, 5L) AS z").collect().head.getLong(0)
+    assert(z === graft.functions.ZOrder64.interleave(3L, 5L))
   }
 }
