@@ -649,9 +649,30 @@ object Similarity {
       tau: Double = 0.4, benchMod: Long = 20L): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("nrm", norm(col("embedding")))
-    val bench = emb.filter(col("vec_id") % benchMod === 0)
-      .select(col("embedding").as("bvec"), col("nrm").as("bnrm"))
-    val corpus = emb.filter(col("vec_id") % benchMod =!= 0)
+    embedDecontaminateOf(
+      emb.filter(col("vec_id") % benchMod =!= 0),
+      benchmarkVectorsOf(emb.filter(col("vec_id") % benchMod === 0)), tau)
+  }
+
+  /** The benchmark vector frame in check-ready form (precomputed norms)
+    * — the reference artifact a streaming ingest pins at stream start
+    * ([[graft.streaming.StreamingDecontaminate.startEmbed]]). */
+  def benchmarkVectors(spark: SparkSession, dir: String,
+      benchMod: Long = 20L): DataFrame =
+    benchmarkVectorsOf(Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % benchMod === 0)
+      .withColumn("nrm", norm(col("embedding"))))
+
+  private def benchmarkVectorsOf(bench: DataFrame): DataFrame =
+    bench.select(col("embedding").as("bvec"), col("nrm").as("bnrm"))
+
+  /** [[embedDecontaminate]]'s core over explicit inputs — per-vector
+    * stateless given the benchmark frame, so per-micro-batch epochs
+    * tile the whole-corpus result exactly (the decontaminateOf
+    * argument, in embedding space). `corpus` carries (vec_id,
+    * embedding, nrm). */
+  def embedDecontaminateOf(corpus: DataFrame, bench: DataFrame,
+      tau: Double = 0.4): DataFrame = {
     val nprod = col("nrm") * col("bnrm")
     val cos = when(nprod === 0.0, lit(0.0))
       .otherwise(dot(col("embedding"), col("bvec")) / nprod)

@@ -76,6 +76,42 @@ object StreamingDecontaminate {
         evalShingles, bloom, minOverlap)
       .write.mode("overwrite").parquet(s"$root/epoch=$batchId")
 
+  /** The EMBEDDING-SPACE ingest face (x_embed_decontaminate's streaming
+    * twin — the n-gram face catches verbatim leakage, this one catches
+    * the paraphrased eval item that shares no 8-gram but sits next to
+    * the original in embedding space): the benchmark vector frame is
+    * pinned once at stream start with precomputed norms; each arriving
+    * vector batch runs one broadcast scan + map-side max. Per-vector
+    * stateless under the pinned frame, so the epochs tile the batch
+    * query exactly. */
+  def appendBatchEmbed(root: String, benchVecs: DataFrame,
+      tau: Double = 0.4)(batch: DataFrame, batchId: Long): Unit =
+    graft.operators.Similarity.embedDecontaminateOf(
+        batch.withColumn("nrm",
+          graft.functions.VectorFunctions.norm(col("embedding"))),
+        benchVecs, tau)
+      .write.mode("overwrite").parquet(s"$root/epoch=$batchId")
+
+  /** Accumulated embedding-contamination flags across the epochs. */
+  def readEmbedFlags(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+      .select(col("vec_id"), col("max_cos"), col("contaminated"))
+      .orderBy(col("vec_id"))
+
+  /** Wire an embedding stream into the semantic ingest check. */
+  def startEmbed(vecStream: DataFrame, dir: String, root: String,
+      checkpoint: String, tau: Double = 0.4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val benchVecs = graft.operators.Similarity
+      .benchmarkVectors(vecStream.sparkSession, dir)
+      .localCheckpoint()
+    vecStream.writeStream
+      .foreachBatch(appendBatchEmbed(root, benchVecs) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** [[start]] with the bloom prefilter pinned at stream start. */
   def startBloom(docsStream: DataFrame, dir: String, root: String,
       checkpoint: String, minOverlap: Int = 8, fpp: Double = 0.01,

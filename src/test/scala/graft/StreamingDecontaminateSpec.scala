@@ -7,6 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.CorpusOps
 import graft.streaming.StreamingDecontaminate
 
+/** Top-level for the state-store/stream encoder (the KeyState rule). */
+case class IdxVec(vec_id: Long, embedding: Array[Float])
+
 /** Ingest-time decontamination across micro-batches: per-epoch flags
   * must TILE the batch query's result for any split of the corpus into
   * arrival waves — the per-doc-stateless contract that lets the check
@@ -60,6 +63,31 @@ class StreamingDecontaminateSpec extends AnyFunSuite {
     assert(streamed === asTuples(
       CorpusOps.decontaminateBloom(spark, dir).collect()))
     assert(streamed === asTuples(CorpusOps.decontaminate(spark, dir).collect()))
+  }
+
+  test("embedding ingest face: accumulated epochs equal x_embed_decontaminate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val waves = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), col("embedding")).as[IdxVec].collect()
+      .groupBy(_.vec_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val base = TestSpark.tempDir("embed-decon-stream")
+    val input = MemoryStream[IdxVec]
+    waves.foreach { wave =>
+      input.addData(wave.toSeq)
+      val q = graft.streaming.StreamingDecontaminate.startEmbed(
+        input.toDS().toDF(), dir, s"$base/flags", s"$base/ckpt")
+      q.awaitTermination(60000)
+    }
+    val streamed = graft.streaming.StreamingDecontaminate
+      .readEmbedFlags(spark, s"$base/flags").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    val batch = graft.operators.Similarity.embedDecontaminate(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(streamed === batch)
+    assert(batch.exists(_._3), "no contaminated vector in fixture — test inert")
   }
 
   test("replaying a batchId rewrites the same epoch snapshot (exactly-once)") {
