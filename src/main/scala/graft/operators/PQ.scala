@@ -478,32 +478,48 @@ object PQ {
 
     // per-(query, probe) residual ADC tables as DATA: rvec = qvec − c,
     // then d(s, code) = ‖rvec slice − codeword‖², assembled (s asc,
-    // code asc) into the nested lookup array. Same element order and
-    // double ops as the driver's adcResidualTables — bit-equal.
-    val centsDf = cents.indices.map(c => (c.toLong, cents(c))).toDF("cid", "cvec")
-    val booksDf = (for { s <- books.indices; kk <- books(s).indices }
-      yield (s, kk, books(s)(kk))).toDF("s", "code", "cw")
-    val dtRows = prDf
-      .join(broadcast(qDf), Seq("qid"))
-      .join(broadcast(centsDf), Seq("cid"))
-      .withColumn("rvec", zip_with(
-        transform(col("qvec"), x => x.cast(DoubleType)), col("cvec"),
-        (a, b) => a - b))
-      .crossJoin(broadcast(booksDf))
-      .select(col("qid"), col("cid"), col("s"), col("code"),
-        aggregate(
-          zip_with(slice(col("rvec"), col("s") * dsub + 1, lit(dsub)),
-            col("cw"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x).as("d"))
-    val adcDf = dtRows
-      .groupBy(col("qid"), col("cid"))
-      .agg(sort_array(collect_list(struct(col("s"), col("code"), col("d"))))
-        .as("flat")) // complete (s, code) grid ⇒ index s·ksub+code
-      .select(col("qid"), col("cid"),
-        transform(sequence(lit(0), lit(m - 1)), si =>
-          transform(sequence(lit(0), lit(ksub - 1)), ci =>
-            element_at(col("flat"), si * ksub + ci + 1).getField("d")))
-          .as("dts"))
+    // code asc) into the nested lookup array. Below the small-Q cutoff
+    // the tables are computed on the driver (Q×nprobe×m×ksub doubles —
+    // index-header arithmetic, the probe-ranking pattern) and shipped
+    // as a local relation; above it the SAME arithmetic runs as a
+    // dataframe over the broadcast codebook literals. Both faces use
+    // identical element order and double ops (adcResidualTables's
+    // left-to-right fold), so they are bit-equal — spec-pinned.
+    val adcDf =
+      if (wanted.size <= driverRankMax) {
+        val probesByQid = prDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val qvecs = qDf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        probesByQid.toSeq.flatMap { case (qid, probes) =>
+          val dts = adcResidualTables(qvecs(qid), cents, books, probes, dsub)
+          probes.map(p => (qid, p, dts(p).map(_.toSeq).toSeq))
+        }.toDF("qid", "cid", "dts")
+      } else {
+        val centsDf = cents.indices.map(c => (c.toLong, cents(c))).toDF("cid", "cvec")
+        val booksDf = (for { s <- books.indices; kk <- books(s).indices }
+          yield (s, kk, books(s)(kk))).toDF("s", "code", "cw")
+        prDf
+          .join(broadcast(qDf), Seq("qid"))
+          .join(broadcast(centsDf), Seq("cid"))
+          .withColumn("rvec", zip_with(
+            transform(col("qvec"), x => x.cast(DoubleType)), col("cvec"),
+            (a, b) => a - b))
+          .crossJoin(broadcast(booksDf))
+          .select(col("qid"), col("cid"), col("s"), col("code"),
+            aggregate(
+              zip_with(slice(col("rvec"), col("s") * dsub + 1, lit(dsub)),
+                col("cw"), (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x).as("d"))
+          .groupBy(col("qid"), col("cid"))
+          .agg(sort_array(collect_list(struct(col("s"), col("code"), col("d"))))
+            .as("flat")) // complete (s, code) grid ⇒ index s·ksub+code
+          .select(col("qid"), col("cid"),
+            transform(sequence(lit(0), lit(m - 1)), si =>
+              transform(sequence(lit(0), lit(ksub - 1)), ci =>
+                element_at(col("flat"), si * ksub + ci + 1).getField("d")))
+              .as("dts"))
+      }
 
     // one pruned scan of the code table, scoped per (row, probing query)
     val code = (s: Int) => element_at(col("codes"), s + 1)
