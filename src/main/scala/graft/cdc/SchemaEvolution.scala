@@ -56,7 +56,10 @@ object SchemaEvolution {
     val byName = incoming.fields.map(f => f.name -> f).toMap
     val kept = existing.fields.map { f =>
       byName.get(f.name) match {
-        case None => f
+        // a column the incoming batch stopped sending gets NULL-filled
+        // for that batch's rows (alignTo / narrow-file reads), so it can
+        // no longer be declared required — same rule as added columns
+        case None => f.copy(nullable = true)
         case Some(g) =>
           val t = widened(f.dataType, g.dataType).getOrElse(
             throw new IllegalArgumentException(

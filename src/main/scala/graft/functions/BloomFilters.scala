@@ -34,16 +34,38 @@ object BloomFilters {
 
   /** Aggregate a LongType column into a serialized Bloom filter. The
     * build is fully distributed (partial filters OR-merge); only the
-    * finished ~n·10-bit sketch returns to the driver. */
+    * finished ~n·10-bit sketch returns to the driver.
+    *
+    * `BloomFilterAggregate`'s analysis-time check caps item/bit counts
+    * at `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (defaults 4M items / 64M bits — sized for Catalyst's AUTOMATIC
+    * runtime-filter injection, where an over-large filter is an
+    * optimizer misfire). Here the caller asked for the filter
+    * explicitly, so the caps are raised to the requested size for the
+    * duration of the build and restored after (the save/restore pattern
+    * `Layout.writeZOrdered` uses for the parquet timestamp conf). */
   def buildBloom(df: DataFrame, column: String, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
+    val numBits = optimalNumBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(df.col(column)),
       Literal(expectedItems),
-      Literal(optimalNumBits(expectedItems, fpp))).toAggregateExpression()
-    val bytes = df.select(ColumnBridge.column(agg)).head.get(0)
-    require(bytes != null, s"bloom build over empty/all-null '$column'")
-    bytes.asInstanceOf[Array[Byte]]
+      Literal(numBits)).toAggregateExpression()
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val savedItems = conf.getOption(itemsKey)
+    val savedBits = conf.getOption(bitsKey)
+    try {
+      conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
+      conf.set(bitsKey, math.max(numBits, 67108864L).toString)
+      val bytes = df.select(ColumnBridge.column(agg)).head.get(0)
+      require(bytes != null, s"bloom build over empty/all-null '$column'")
+      bytes.asInstanceOf[Array[Byte]]
+    } finally {
+      savedItems.fold(conf.unset(itemsKey))(conf.set(itemsKey, _))
+      savedBits.fold(conf.unset(bitsKey))(conf.set(bitsKey, _))
+    }
   }
 
   /** Membership probe of a LongType column against a serialized filter

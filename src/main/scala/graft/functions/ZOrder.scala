@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.graft.{ColumnBridge, LongLongInputTypes}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 64-bit Morton (Z-order) interleave of two 32-bit dimensions — the
@@ -29,17 +28,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * (static call, no virtual dispatch), null-safe.
   */
 case class ZOrder64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with LongLongInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder64"
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs (bigint, bigint), got " +
-        s"(${left.dataType.sql}, ${right.dataType.sql})")
 
   override def nullSafeEval(a: Any, b: Any): Any =
     ZOrder64.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])

@@ -186,6 +186,9 @@ object Layout {
     val b = events.agg(
       min(col("user_id")), max(col("user_id")),
       min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    (0 until 4).foreach(i => require(!b.isNullAt(i),
+      s"writeZOrdered($dir): empty or all-null " +
+        s"${if (i < 2) "user_id" else "ts"} — no bounds to normalize against"))
     val z = zorder64(
       norm16(col("user_id"), b.getLong(0), b.getLong(1)),
       norm16(unix_micros(col("ts")), b.getLong(2), b.getLong(3)))
@@ -224,6 +227,10 @@ object Layout {
     val b = events.select(
       percentile(col("user_id"), qCol).as("ub"),
       percentile(unix_micros(col("ts")), qCol).as("tb")).head
+    Seq("user_id" -> 0, "ts" -> 1).foreach { case (d, i) =>
+      require(!b.isNullAt(i),
+        s"writeZOrderedEquiDepth($dir): empty or all-null $d — " +
+          "no quantile boundaries to bucket against") }
     def bucketOf(c: org.apache.spark.sql.Column, bounds: Seq[Double]) =
       aggregate(array(bounds.map(lit).toIndexedSeq: _*), lit(0L),
         (acc, bd) => acc + when(c.cast("double") >= bd, 1L).otherwise(0L))

@@ -37,6 +37,26 @@ class BloomFilterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BloomFilters.optimalNumBits(10L, 1.5))
   }
 
+  test("bloom build above the optimizer's 4M-item cap; confs restored after") {
+    // BloomFilterAggregate's analysis check enforces
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4M) — sized
+    // for Catalyst's automatic runtime filters, not for an explicit
+    // 10⁹-key reference set. buildBloom raises the caps for the build
+    // and must restore them after.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val before = spark.conf.getOption(itemsKey)
+    val df = spark.range(5000000L).selectExpr("id * 2654435761 as v")
+    val bloom = BloomFilters.buildBloom(df, "v", 5000000L, 0.01)
+    assert(bloom.length * 8L >= BloomFilters.optimalNumBits(5000000L, 0.01) / 2,
+      "filter far smaller than requested — caps likely clamped it")
+    import spark.implicits._
+    val misses = Seq(0L, 2654435761L, 4999999L * 2654435761L).toDF("v")
+      .filter(!BloomFilters.mightContain(bloom, org.apache.spark.sql.functions.col("v")))
+      .count()
+    assert(misses === 0L)
+    assert(spark.conf.getOption(itemsKey) === before, "conf not restored")
+  }
+
   test("x_decontaminate_bloom ≡ x_decontaminate row-for-row") {
     val exact = CorpusOps.decontaminate(spark, dir).collect().map(_.toSeq)
     val bloom = CorpusOps.decontaminateBloom(spark, dir).collect().map(_.toSeq)

@@ -26,9 +26,34 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       StructField("y", StringType, nullable = false)))
     val m = SchemaEvolution.merge(a, b)
     assert(m.fieldNames.toSeq === Seq("k", "x", "y"))
-    assert(!m("k").nullable, "untouched field keeps its nullability")
+    assert(m("k").nullable,
+      "a field the incoming batch stopped sending gets NULL-filled for " +
+        "that batch's rows, so it must relax to nullable")
     assert(m("x").nullable, "evolution may only RELAX nullability")
     assert(m("y").nullable, "a column born mid-stream must be nullable")
+  }
+
+  test("merge: a column the incoming batch dropped relaxes to nullable") {
+    // the narrow batch's rows get NULL-filled there (alignTo / narrow
+    // files under EvolvingTable.read), so keeping nullable=false would
+    // declare a schema the data violates — the optimizer is entitled to
+    // miscompile IS NULL checks against a required column
+    val a = StructType(Seq(
+      StructField("k", StringType, nullable = false),
+      StructField("qty", IntegerType, nullable = false)))
+    val b = StructType(Seq(StructField("k", StringType, nullable = false)))
+    val m = SchemaEvolution.merge(a, b)
+    assert(!m("k").nullable, "shared required field stays required")
+    assert(m("qty").nullable,
+      "a column absent from the incoming schema must relax to nullable")
+    // and the evolving table's read schema reflects it end-to-end
+    val dir = TestSpark.tempDir("evolve-narrow")
+    EvolvingTable.append(spark, Seq(("a", 1)).toDF("k", "qty"), dir)
+    EvolvingTable.append(spark, Seq(Tuple1("b")).toDF("k"), dir)
+    val out = EvolvingTable.read(spark, dir)
+    assert(out.schema("qty").nullable, "read schema must admit the NULLs it serves")
+    // the NULL the narrow file produces must survive an IS NULL predicate
+    assert(out.filter(col("qty").isNull).count() === 1L)
   }
 
   test("merge: widening promotions pass, contract breaks fail with the column name") {

@@ -140,5 +140,8 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(dec === """{"a":2}""")
     val z = spark.sql("SELECT zorder64(3L, 5L) AS z").collect().head.getLong(0)
     assert(z === graft.functions.ZOrder64.interleave(3L, 5L))
+    // integer literals coerce int→bigint like any built-in function
+    val zi = spark.sql("SELECT zorder64(1, 2) AS z").collect().head.getLong(0)
+    assert(zi === graft.functions.ZOrder64.interleave(1L, 2L))
   }
 }

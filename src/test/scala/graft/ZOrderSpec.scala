@@ -13,6 +13,15 @@ class ZOrderSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = TestSpark.Sf0001
 
+  /** Run `body` with INT64-micros parquet timestamps, restoring the
+    * shared session's conf after (no cross-suite bleed). */
+  private def withMicrosTimestamps[T](body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("interleave: bit-exact vs a per-bit reference; range check fails loudly") {
     def slow(a: Long, b: Long): Long = {
       var z = 0L
@@ -68,7 +77,7 @@ class ZOrderSpec extends AnyFunSuite {
     val blockOpt = Map("parquet.block.size" -> (32 * 1024).toString)
     // equi-width: the hot users all normalize into bucket ~0 — tiles
     // inside the hot region degenerate to a time sort
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    withMicrosTimestamps {
     val ewDir = s"$root/ew"
     val mm = events.agg(min("user_id"), max("user_id"),
       min(unix_seconds(col("ts"))), max(unix_seconds(col("ts")))).head
@@ -104,6 +113,7 @@ class ZOrderSpec extends AnyFunSuite {
     val a = spark.read.parquet(ewDir).filter(pred).orderBy("event_id").collect()
     val c = spark.read.parquet(edSmall).filter(pred).orderBy("event_id").collect()
     assert(a.nonEmpty && a.map(_.toSeq).toSeq === c.map(_.toSeq).toSeq)
+    }
   }
 
   test("z-order tiles skip in BOTH dimensions; a linear sort skips in one") {
@@ -118,7 +128,7 @@ class ZOrderSpec extends AnyFunSuite {
     val root = TestSpark.tempDir("zorder-bench")
     // INT64-micros timestamps (INT96 carries no pushdown — the
     // writeZOrdered rationale, verified by this test's own failure mode)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    withMicrosTimestamps {
     // tiny row groups so both layouts have many prunable units — tile
     // granularity IS row-group granularity, so the skip ratio below is
     // a function of this size (16 groups ≈ quarter-dim tiles, right on
@@ -158,5 +168,6 @@ class ZOrderSpec extends AnyFunSuite {
     val a = spark.read.parquet(linDir).filter(boxPred).orderBy("event_id").collect()
     val b = spark.read.parquet(zDir).filter(boxPred).orderBy("event_id").collect()
     assert(a.nonEmpty && a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    }
   }
 }
