@@ -436,9 +436,12 @@ object PQ {
     *  - the per-(query, probe) residual ADC tables: a (qid, cid, dts)
     *    frame built by joining the probe pairs to the broadcast
     *    centroid/codebook literals — Q×nprobe rows of m×ksub doubles,
-    *    broadcast to the code scan (the distributed twin of
-    *    `adcResidualTables`, same left-to-right double arithmetic, so
-    *    distances are bit-identical — spec-pinned);
+    *    joined to the code scan — broadcast at serving Q, a cid-keyed
+    *    shuffle-hash join above [[Similarity.BatchBroadcastMax]] (the
+    *    frame grows linearly with Q; the keyed face has no broadcast
+    *    cliff) — the distributed twin of `adcResidualTables`, same
+    *    left-to-right double arithmetic, so distances are bit-identical
+    *    — spec-pinned;
     *  - the scan: probed cid partitions only (PartitionFilters), each
     *    code row scoped to the queries probing its list by the
     *    broadcast join, ADC = m guarded array lookups per (row, query);
@@ -453,7 +456,8 @@ object PQ {
       queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, m: Int = DefaultM,
       ksub: Int = DefaultKsub, iters: Int = 2, refine: Int = 50,
-      driverRankMax: Int = Similarity.BatchDriverRankMax): DataFrame = {
+      driverRankMax: Int = Similarity.BatchDriverRankMax,
+      broadcastMax: Int = Similarity.BatchBroadcastMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val (path, cents, books) = ensureIvfPqIndex(spark, dir, nlist, m, ksub, iters)
@@ -529,9 +533,19 @@ object PQ {
           coalesce(code(s).cast(StringType), lit("null")))).cast(DoubleType))
         .otherwise(element_at(element_at(col("dts"), s + 1), code(s) + 1))
     }.reduce(_ + _)
+    // the ADC frame is Q×nprobe rows of m×ksub doubles (~1 KB/row at
+    // defaults) — linear in Q, so above [[Similarity.BatchBroadcastMax]]
+    // it stops riding broadcast (≈400 MB at Q=10⁵ would bottleneck on
+    // the driver and every executor's memory) and becomes a cid-keyed
+    // shuffle-hash join: the 8-byte-code scan shuffles by cid once —
+    // linear, executor-distributed — and the ADC tables build the hash
+    // side (Q×nprobe/nlist rows per key). Same keys, same arithmetic,
+    // row-identical results (spec-pinned); only the physical join moves.
+    val bcast = wanted.size <= broadcastMax
     val cands = spark.read.parquet(path)
       .filter(col("cid").isin(allProbes: _*)) // PartitionFilters
-      .join(broadcast(adcDf), Seq("cid"))
+      .join(if (bcast) broadcast(adcDf) else adcDf.hint("shuffle_hash"),
+        Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), adcDist.as("adc_dist"))
       .withColumn("rn", row_number().over(
@@ -551,7 +565,7 @@ object PQ {
       } else
         Tables.embeddings(spark, dir).join(cands, Seq("vec_id"))
     refined
-      .join(broadcast(qDf), Seq("qid"))
+      .join(if (bcast) broadcast(qDf) else qDf, Seq("qid"))
       .select(col("qid"), col("vec_id"),
         col("label").cast(LongType).as("label"),
         graft.functions.VectorFunctions.cosine(col("embedding"), col("qvec"))

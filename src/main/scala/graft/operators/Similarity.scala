@@ -322,6 +322,23 @@ object Similarity {
     * probe protocol and are spec-pinned bit-identical. */
   val BatchDriverRankMax = 64
 
+  /** Above this Q the per-query serving frames stop riding BROADCAST
+    * joins and become keyed SHUFFLE joins: every one of those frames
+    * grows linearly with Q — the probe pairs (Q×nprobe×16 B), the query
+    * vectors (Q×dim×4 B), and the IVF-PQ ADC tables (Q×nprobe×m×ksub×8 B
+    * ≈ 1 KB/row at the default m=8, ksub=16) — so past the vector-tier
+    * Q regime the broadcast is the bottleneck (≈400 MB at Q=10⁵ for the
+    * ADC frame), not the scan. At or below the cutoff the broadcast face
+    * wins because the big side (the index) is scanned in place and never
+    * shuffled; above it the keyed face shuffles the scan by cid/qid —
+    * linear data movement, distributed over executors, no driver-memory
+    * or broadcast-size cliff. 16384 keeps the worst default-parameter
+    * broadcast ≈64 MB; callers with bigger ADC tables (larger m·ksub)
+    * should pass a proportionally lower `broadcastMax`. Both faces are
+    * row-identical (spec-pinned — the join keys and arithmetic are the
+    * same; only the physical join strategy moves). */
+  val BatchBroadcastMax = 16384
+
   /** x_ivf_batch — MANY queries served against the materialized IVF
     * index in ONE pass: the realistic serving shape (a training-data
     * pipeline scores queries by the thousand, not one at a time).
@@ -343,7 +360,8 @@ object Similarity {
   def ivfKnnBatch(spark: SparkSession, dir: String,
       queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
-      driverRankMax: Int = BatchDriverRankMax): DataFrame = {
+      driverRankMax: Int = BatchDriverRankMax,
+      broadcastMax: Int = BatchBroadcastMax): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (path, cents) = ensureIvfIndex(spark, dir, nlist, trainIters)
     val wanted = queryIds.distinct
@@ -384,11 +402,20 @@ object Similarity {
         val pr = probeRankingDf(spark, qDf, cents, nprobe).localCheckpoint()
         (pr, qDf, pr.select(col("cid")).distinct().as[Long].collect().toSeq)
       }
-    val scored = spark.read.parquet(path)
+    // the per-query frames ride broadcast at interactive/serving Q and
+    // switch to keyed shuffle joins above [[BatchBroadcastMax]], where
+    // their linear-in-Q size outgrows a sane broadcast: the probe-pair
+    // join shuffle-hashes on cid (pairs build side — Q×nprobe/nlist rows
+    // per key), the vector join keys on qid (Q distinct keys, even
+    // spread). Row-identical either way — only the join strategy moves.
+    val bcast = wanted.size <= broadcastMax
+    val scoped = spark.read.parquet(path)
       .filter(col("cid").isin(allProbes: _*)) // PartitionFilters
-      .join(broadcast(prDf), Seq("cid"))      // scope rows to their probers
+      .join(if (bcast) broadcast(prDf) else prDf.hint("shuffle_hash"),
+        Seq("cid"))                           // scope rows to their probers
       .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(qvDf), Seq("qid"))
+    val scored = scoped
+      .join(if (bcast) broadcast(qvDf) else qvDf, Seq("qid"))
       .select(col("qid"), col("vec_id"),
         col("label").cast(LongType).as("label"),
         cosine(col("embedding"), col("qvec")).as("cos_sim"))

@@ -562,6 +562,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing"), e.getMessage)
   }
 
+  test("batch ANN serve: keyed-shuffle face row-identical to the broadcast face (both operators)") {
+    // broadcastMax=0 forces the large-Q physical shape — keyed shuffle
+    // joins for the probe pairs / query vectors / ADC frame — on a small
+    // Q where the broadcast face is the oracle. Combined with
+    // driverRankMax=0 this exercises the full large-Q plan end to end:
+    // distributed probe ranking + keyed serving joins, nothing driver-side.
+    import graft.operators.PQ
+    val qids = Seq(0L, 1L, 2L, 3L)
+    val ivfB = Similarity.ivfKnnBatch(spark, dir, queryIds = qids, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val ivfK = Similarity.ivfKnnBatch(spark, dir, queryIds = qids, k = 10,
+        driverRankMax = 0, broadcastMax = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(ivfK === ivfB, "IVF keyed face diverged from broadcast face")
+    val pqB = PQ.ivfpqBatch(spark, dir, queryIds = qids, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val pqK = PQ.ivfpqBatch(spark, dir, queryIds = qids, k = 10,
+        driverRankMax = 0, broadcastMax = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(pqK === pqB, "IVF-PQ keyed face diverged from broadcast face")
+  }
+
   test("batch ANN serve fails loudly on a missing query id (both ranking faces)") {
     val missing = Seq(0L, -12345L)
     Seq(0, Similarity.BatchDriverRankMax).foreach { max =>
