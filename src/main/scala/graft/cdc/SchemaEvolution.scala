@@ -32,6 +32,50 @@ import org.apache.spark.sql.types._
   */
 object SchemaEvolution {
 
+  /** Policy for a SUSPECTED upstream column rename. A rename arrives as
+    * drop+add (CDC images carry field names, not identity), and under
+    * additive evolution the old column silently NULLs out for every key
+    * the renamed stream touches — data that LOOKS lost even though it
+    * moved. The engine cannot distinguish a rename from a genuine
+    * drop+add, so the position is a caller-chosen policy, not a guess:
+    *
+    *  - [[RenamePolicy.FlagAndContinue]] (default): proceed with
+    *    drop+add semantics (the lakehouse default — Delta/Iceberg
+    *    without column-mapping do exactly this) but surface the
+    *    suspected pairs through [[detectRenames]] so a pipeline can
+    *    alert instead of discovering NULLed history in an audit.
+    *  - [[RenamePolicy.Fail]]: refuse the batch, naming the suspected
+    *    pairs — for pipelines where silent NULLing of a renamed
+    *    column's history is worse than stopping ingest.
+    *  - [[RenamePolicy.Apply]]: the operator DECLARES the renames
+    *    (`old → new`); history migrates under the new name in the same
+    *    merge (the Delta `ALTER TABLE RENAME COLUMN` semantic, executed
+    *    as part of the batch that introduced it). */
+  sealed trait RenamePolicy
+  object RenamePolicy {
+    case object FlagAndContinue extends RenamePolicy
+    case object Fail extends RenamePolicy
+    final case class Apply(renames: Map[String, String]) extends RenamePolicy
+  }
+
+  /** Suspected renames between two schemas: (dropped, added) column
+    * pairs of the SAME type, excluding `exempt` names (the merge-key
+    * infrastructure columns). Heuristic by construction — a type match
+    * is the strongest signal schema alone carries; same-type multi-drops
+    * / multi-adds pair ambiguously and are all reported (every pairing
+    * is suspect, the policy decides what that means). */
+  def detectRenames(existing: StructType, incoming: StructType,
+      exempt: Set[String] = Set("key", "ts")): Seq[(String, String)] = {
+    val inNames = incoming.fieldNames.toSet
+    val exNames = existing.fieldNames.toSet
+    val dropped = existing.fields.filter(f =>
+      !inNames(f.name) && !exempt(f.name))
+    val added = incoming.fields.filter(f =>
+      !exNames(f.name) && !exempt(f.name))
+    for (d <- dropped.toSeq; a <- added.toSeq if d.dataType == a.dataType)
+      yield (d.name, a.name)
+  }
+
   /** Widening promotions Parquet merge performs: these never lose
     * information, everything else does (or changes meaning). */
   private def widened(a: DataType, b: DataType): Option[DataType] = (a, b) match {
@@ -101,17 +145,53 @@ object SchemaEvolution {
     * event time. A key upserted by an image that lacks a historical
     * column gets NULL there — that is last-wins applied to schema, not
     * data loss (keys untouched by the narrow batch keep their values).
-    */
+    *
+    * RENAME/DROP CONTRACT: an upstream `RENAME COLUMN` arrives as
+    * drop+add and is indistinguishable from one, so the behavior is the
+    * caller's [[RenamePolicy]]: the default proceeds with drop+add
+    * semantics (old column NULLs for keys the batch touches — the
+    * documented last-wins consequence), `Fail` refuses the batch naming
+    * the suspected pairs, and `Apply(old → new)` migrates history under
+    * the new name inside the same atomic swap — after it, reads see one
+    * column with the full value history, and the old name is gone. */
   def mergeIntoParquetEvolving(spark: SparkSession, upserts: DataFrame,
-      tableDir: String): Unit = {
+      tableDir: String,
+      onSuspectedRename: RenamePolicy = RenamePolicy.FlagAndContinue): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tableDir)
     val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
     // same crash-recovery contract as the fixed-schema merge
     if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
-    val existing =
+    val existing0 =
       if (fs.exists(dst)) Some(spark.read.parquet(tableDir)) else None
+    val existing = (existing0, onSuspectedRename) match {
+      case (Some(e), RenamePolicy.Apply(renames)) =>
+        // declared renames migrate history FIRST, so merge() then sees
+        // the new name on both sides and no drop+add at all
+        renames.foreach { case (from, to) =>
+          require(e.columns.contains(from),
+            s"declared rename '$from' → '$to': '$from' not in $tableDir " +
+              s"(have: ${e.columns.mkString(", ")})")
+          require(!e.columns.contains(to),
+            s"declared rename '$from' → '$to': '$to' already exists in " +
+              s"$tableDir — a rename cannot overwrite a column")
+        }
+        Some(renames.foldLeft(e) { case (df, (from, to)) =>
+          df.withColumnRenamed(from, to) })
+      case (e, RenamePolicy.Fail) =>
+        e.foreach { ex =>
+          val suspects = detectRenames(ex.schema, upserts.schema)
+          if (suspects.nonEmpty) throw new IllegalStateException(
+            s"suspected upstream column rename(s) into $tableDir: " +
+              suspects.map { case (f, t) => s"'$f' → '$t'" }.mkString(", ") +
+              " — drop+add would NULL the old column's history for every " +
+              "key this batch touches; declare RenamePolicy.Apply(...) to " +
+              "migrate, or FlagAndContinue to accept drop+add semantics")
+        }
+        e
+      case (e, _) => e
+    }
     val target = existing match {
       case Some(e) => merge(e.schema, upserts.schema)
       case None => upserts.schema

@@ -89,4 +89,34 @@ object Compaction {
     compact(spark, root) { (df, out) =>
       df.write.partitionBy("bucket").parquet(out)
     }
+
+  /** Generic unclustered append under the `batch=N` convention — the
+    * ingest face of a CLUSTERED table: micro-batches land as written
+    * (no clustering work on the ingest path), readers see them through
+    * the same partition-discovery union as every appender root, and
+    * [[compactZOrdered]] periodically restores the layout. */
+  def appendBatch(df: DataFrame, root: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(
+      s"${Snapshots.resolve(df.sparkSession, root)}/batch=$batchId")
+
+  /** Re-cluster a z-ordered events root (the Delta `OPTIMIZE ZORDER BY`
+    * cadence): streamed appends land UNCLUSTERED — each micro-batch's
+    * files span the full (user, time) envelope, so the tile pruning the
+    * layout exists for decays toward a full scan as batches accumulate.
+    * This rewrite re-runs [[graft.ops.Layout.writeZOrdered]] over the
+    * accumulated relation into a fresh generation: row groups become
+    * ~square (user, time) tiles again and footer-stats skipping is
+    * restored to the batch build's ratio (measured in ZOrderCompactionSpec).
+    *
+    * Scale: the rewrite is one range-partitioned sort of the accumulated
+    * relation — the same cost the initial clustered build paid, amortized
+    * over however many appends ran in between; nothing shuffles twice.
+    * The bounds are recomputed from the accumulated data, so drift in
+    * either dimension (new users, advancing time) re-normalizes instead
+    * of silently saturating a stale [0, hi] mapping at 65535. */
+  def compactZOrdered(spark: SparkSession, root: String,
+      files: Int = 32): Unit =
+    compact(spark, root) { (df, out) =>
+      graft.ops.Layout.writeZOrdered(df, out, files)
+    }
 }

@@ -81,6 +81,43 @@ object Snapshots {
   def currentGen(spark: SparkSession, root: String): Option[Long] =
     gens(spark, root).collect { case (g, true) => g }.sorted.lastOption
 
+  /** All COMMITTED generation ids under `root`, ascending — the
+    * time-travel catalog. With the default retention (current + one
+    * predecessor, [[sweep]]) this has at most two entries; a caller that
+    * sweeps less aggressively sees its full history here. Half-written
+    * (uncommitted) generations never appear. */
+  def generations(spark: SparkSession, root: String): Seq[Long] =
+    gens(spark, root).collect { case (g, true) => g }.sorted
+
+  /** Resolve a SPECIFIC committed generation — time travel. Fails loudly
+    * on an uncommitted or swept generation (reading a half-written tree
+    * would return a silent mix; reading a swept one, nothing), naming
+    * what IS available. Immutability contract: the CURRENT generation is
+    * the live appender target (new `batch=` dirs land inside it via
+    * [[resolve]]), so it is a moving snapshot; a generation becomes
+    * byte-stable the moment a newer one commits — "generation g" as a
+    * time-travel target means "the table as of the commit of g+1", the
+    * same frozen-on-supersede semantic table formats give historical
+    * versions. A superseded generation stays readable until [[sweep]]
+    * retires it, which retention delays until two newer commits exist. */
+  def resolveAt(spark: SparkSession, root: String, g: Long): String = {
+    val committed = generations(spark, root)
+    require(committed.contains(g),
+      s"generation $g is not committed under $root " +
+        s"(committed: ${if (committed.isEmpty) "none" else committed.mkString(", ")})")
+    genDir(root, g)
+  }
+
+  /** Read a specific committed generation — the audit face of the CDC
+    * warehouse (reference: the processed-folder history
+    * `load_s3_files_to_redshift_lambda/handler.py:96-112` keeps loaded
+    * files around precisely so yesterday's state stays inspectable;
+    * here yesterday's state is a complete queryable snapshot, not a pile
+    * of staged files). Same relation shape as reading
+    * [[resolve]] — `batch=` partition discovery included. */
+  def readAt(spark: SparkSession, root: String, g: Long): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(resolveAt(spark, root, g))
+
   /** The directory consumers should read: the newest committed
     * generation, or `root` itself while none exists (the plain appender
     * layout — this function is a no-op until the root first compacts). */

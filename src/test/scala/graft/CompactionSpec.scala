@@ -104,6 +104,53 @@ class CompactionSpec extends AnyFunSuite {
     assert(rows(IncrementalPostings.read(spark, root)) === before)
   }
 
+  test("time travel: readAt serves the predecessor snapshot byte-stable while the new generation serves") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("compact-timetravel") + "/index"
+    IncrementalPostings.appendBatch(root, partitions = 2)(
+      Seq(IdxDoc(1L, "alpha beta"), IdxDoc(2L, "beta gamma")).toDF(), 0L)
+    // no generation yet: time-travel catalog is empty, readAt fails loudly
+    assert(Snapshots.generations(spark, root) === Seq.empty)
+    val e0 = intercept[IllegalArgumentException](
+      Snapshots.readAt(spark, root, 1L))
+    assert(e0.getMessage.contains("none"), e0.getMessage)
+
+    Compaction.compactPostings(spark, root, partitions = 2)
+    IncrementalPostings.appendBatch(root)(Seq(IdxDoc(7L, "delta")).toDF(), 1L)
+    // gen 1 is the LIVE appender target until superseded: its
+    // time-travel content is the state at the moment gen 2 commits
+    val gen1Final = rows(spark.read.parquet(Snapshots.resolve(spark, root)))
+    Compaction.compactPostings(spark, root, partitions = 2)
+
+    // catalog: both commits visible; current resolve = gen 2
+    assert(Snapshots.generations(spark, root) === Seq(1L, 2L))
+    assert(Snapshots.resolve(spark, root) === Snapshots.genDir(root, 2L))
+    // the superseded generation is frozen: appends now land in gen 2 and
+    // must not leak into it — the audit query "what did the warehouse
+    // say before the latest compaction"
+    IncrementalPostings.appendBatch(root)(
+      Seq(IdxDoc(8L, "omega")).toDF(), 2L)
+    assert(rows(Snapshots.readAt(spark, root, 1L)) === gen1Final)
+    assert(gen1Final.contains(("delta", 7L, 1L)),
+      "pre-supersede append is part of gen 1's frozen state")
+    assert(rows(Snapshots.readAt(spark, root, 2L)) ===
+      gen1Final + (("omega", 8L, 1L)))
+    // retention stays bounded: a third commit sweeps gen 1, and readAt
+    // then refuses it BY NAME instead of returning a partial tree
+    Compaction.compactPostings(spark, root, partitions = 2)
+    assert(Snapshots.generations(spark, root) === Seq(2L, 3L))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.readAt(spark, root, 1L))
+    assert(e2.getMessage.contains("2, 3"), e2.getMessage)
+    // an UNCOMMITTED generation is not travelable (half-written tree)
+    Seq(IdxDoc(99L, "crash junk")).toDF()
+      .write.parquet(Snapshots.genDir(root, 9L) + "/batch=0")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.readAt(spark, root, 9L))
+    assert(e1.getMessage.contains("not committed") &&
+      e1.getMessage.contains("2, 3"), e1.getMessage)
+  }
+
   test("committing the same generation twice fails loudly (single-compactor contract)") {
     import spark.implicits._
     val root = TestSpark.tempDir("compact-double-commit") + "/index"

@@ -182,6 +182,66 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", 1, null), ("b", 2, null), ("c", 3, 9.9)))
   }
 
+  test("rename policy: a mid-stream column rename is detected, refusable, and migratable") {
+    // upstream RENAME COLUMN qty -> quantity arrives as drop+add
+    val dir = TestSpark.tempDir("evolve-rename") + "/table"
+    SchemaEvolution.mergeIntoParquetEvolving(spark,
+      Seq(("a", "img-a1", ts0, 10), ("b", "img-b1", ts0, 20))
+        .toDF("key", "newImage", "ts", "qty"), dir)
+    val renamed = Seq(("a", "img-a2", ts1, 11))
+      .toDF("key", "newImage", "ts", "quantity")
+
+    // detection: same-type drop+add pairs, infra columns exempt
+    val t = spark.read.parquet(dir)
+    assert(SchemaEvolution.detectRenames(t.schema, renamed.schema) ===
+      Seq(("qty", "quantity")))
+
+    // Fail: the batch is refused, the table untouched, the pair named
+    val e = intercept[IllegalStateException](
+      SchemaEvolution.mergeIntoParquetEvolving(spark, renamed, dir,
+        SchemaEvolution.RenamePolicy.Fail))
+    assert(e.getMessage.contains("'qty' → 'quantity'"), e.getMessage)
+    assert(spark.read.parquet(dir).columns.toSeq.contains("qty") &&
+      spark.read.parquet(dir).filter(col("key") === "a")
+        .head.getAs[String]("newImage") === "img-a1",
+      "a refused batch must leave the table untouched")
+
+    // Apply: history migrates under the new name in the same merge —
+    // b (untouched by the batch) keeps its VALUE under 'quantity'
+    SchemaEvolution.mergeIntoParquetEvolving(spark, renamed, dir,
+      SchemaEvolution.RenamePolicy.Apply(Map("qty" -> "quantity")))
+    val out = spark.read.parquet(dir).orderBy("key").collect()
+      .map(r => (r.getString(r.fieldIndex("key")),
+        r.getInt(r.fieldIndex("quantity"))))
+    assert(out.toSeq === Seq(("a", 11), ("b", 20)))
+    assert(!spark.read.parquet(dir).columns.contains("qty"),
+      "the old name must be gone after a declared rename")
+
+    // declared-rename preconditions fail loudly
+    intercept[IllegalArgumentException](
+      SchemaEvolution.mergeIntoParquetEvolving(spark, renamed, dir,
+        SchemaEvolution.RenamePolicy.Apply(Map("nope" -> "quantity"))))
+  }
+
+  test("rename policy default (FlagAndContinue): drop+add semantics, documented NULLing") {
+    val dir = TestSpark.tempDir("evolve-rename-flag") + "/table"
+    SchemaEvolution.mergeIntoParquetEvolving(spark,
+      Seq(("a", "img-a1", ts0, 10), ("b", "img-b1", ts0, 20))
+        .toDF("key", "newImage", "ts", "qty"), dir)
+    SchemaEvolution.mergeIntoParquetEvolving(spark,
+      Seq(("a", "img-a2", ts1, 11)).toDF("key", "newImage", "ts", "quantity"),
+      dir)
+    val out = spark.read.parquet(dir).orderBy("key").collect().map(r => (
+      r.getString(r.fieldIndex("key")),
+      if (r.isNullAt(r.fieldIndex("qty"))) null
+      else r.getInt(r.fieldIndex("qty")),
+      if (r.isNullAt(r.fieldIndex("quantity"))) null
+      else r.getInt(r.fieldIndex("quantity"))))
+    // both columns exist; the touched key NULLs the old one (an image is
+    // the full row), the untouched key NULLs the new one
+    assert(out.toSeq === Seq(("a", null, 11), ("b", 20, null)))
+  }
+
   test("inferImageSchema: union shape of an evolving JSON image stream") {
     val images = Seq(
       """{"id": 1, "qty": 10}""",
