@@ -131,6 +131,7 @@ object SparkEntry {
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
     "x_image_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.imageDecodeStats(s, d)),
     "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
+    "x_jpeg_decode"         -> ((s: SparkSession, d: String) => operators.Multimodal.jpegDecodeStats(s, d)),
     "x_audio_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioDecodeStats(s, d)),
     "x_audio_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioFrameStats(s, d)),
     "x_video_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.videoFrameStats(s, d)),
@@ -364,6 +365,29 @@ object SparkEntry {
       |       CAST(sum(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS g_sum,
       |       CAST(sum(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS b_sum
       |FROM px GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
+  /** x_jpeg_decode oracle: the corpus is CONSTANT 8×8 blocks (block i =
+    * text byte i mod len over a 24×16 = 3×2-block frame), which the
+    * lossy DCT pipeline round-trips exactly (DC-only blocks — see
+    * JpegCodec), so the channel sums replay as 64 × the block-byte sum.
+    * Grayscale expands to RGB, so all three channel sums coincide. */
+  private val JpegDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, strlen(text) AS n FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |blk AS (
+      |  SELECT d.doc_id, u.i,
+      |         CASE WHEN d.n = 0 THEN 0
+      |              ELSE ord(substr(d.text, CAST(u.i % d.n AS INT) + 1, 1))
+      |         END AS b
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) u)
+      |SELECT doc_id AS media_id, 24 AS width, 16 AS height,
+      |       CAST(384 AS BIGINT) AS n_px,
+      |       CAST(sum(b) * 64 AS BIGINT) AS r_sum,
+      |       CAST(sum(b) * 64 AS BIGINT) AS g_sum,
+      |       CAST(sum(b) * 64 AS BIGINT) AS b_sum
+      |FROM blk GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
   private val SrpAnnTopKSql: String = {
@@ -1333,6 +1357,7 @@ object SparkEntry {
     // cancels out, so the oracle replays raster generation + channel
     // sums exactly as for x_image_decode.
     "x_png_decode" -> ImageDecodeSql,
+    "x_jpeg_decode" -> JpegDecodeSql,
     // Audio: synthesis ((b·251 + k·17) mod 65536 − 32768 over 160
     // samples) and every feature are small-integer arithmetic; the
     // zero-crossing count replays via a lag window over the sample

@@ -352,6 +352,56 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Dimensions of the synthetic JPEG corpus: multiples of 8 (the DCT
+    * block size), 3×2 blocks — fixed so the oracle can replay the
+    * block-constant raster rule with literal bounds. */
+  private[graft] val JpegW = 24
+  private[graft] val JpegH = 16
+
+  /** x_jpeg_decode — REAL TRANSFORM-codec decode: the rung past PNG
+    * ([[JpegCodec]] — baseline DCT + Huffman, the format that dominates
+    * actual crawl corpora). The synthetic raster is built from CONSTANT
+    * 8×8 blocks (block i's value = text byte i mod len, 0 for empty
+    * text): a constant block carries only its DC coefficient, which
+    * round-trips the lossy pipeline EXACTLY (see [[JpegCodec]]) — so
+    * the decode exercises the full real machinery (marker parse, DHT
+    * canonical codes, bit unstuffing, DC prediction, EOB, dequantize,
+    * IDCT) while the channel statistics stay exact integers that DuckDB
+    * replays: pixel (x,y) = byte((y÷8)·3 + (x÷8) mod len), channel sum
+    * = 64·Σ block bytes. General-coefficient content (AC paths, ZRL,
+    * restarts) is spec-gated in CodecSpec with ImageIO
+    * cross-validation, the PNG pattern. */
+  def jpegDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bw = JpegW / 8
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val g = new Array[Byte](JpegW * JpegH)
+        var j = 0
+        while (j < g.length) {
+          val blockIdx = (j / JpegW / 8) * bw + (j % JpegW) / 8
+          g(j) = if (tb.isEmpty) 0 else tb(blockIdx % tb.length)
+          j += 1
+        }
+        (id, JpegCodec.encodeGray(JpegW, JpegH, g))
+      }
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec context would be opened here
+          batch.iterator.map { case (id, payload) =>
+            val img = JpegCodec.decode(payload)
+            val (r, g, b) = PpmCodec.channelSums(img)
+            (id, img.width, img.height, img.width.toLong * img.height, r, g, b)
+          }
+        }
+      }.toDF("media_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("media_id"))
+  }
+
   /** PCM synthesis constants for the audio corpus — fixed so the oracle
     * replays sample generation with literal bounds: 160 samples at
     * 8 kHz (a 20 ms clip per doc), sample k =

@@ -121,6 +121,133 @@ class CodecSpec extends AnyFunSuite {
     png.zip(ppm).foreach { case (p, q) => assert(p === q) }
   }
 
+  test("JPEG: constant-block images round-trip EXACTLY (the DC-only lossless case)") {
+    import graft.operators.JpegCodec
+    // 3×2 blocks of distinct constants, incl. the 0 and 255 extremes
+    val vals = Array(0, 255, 128, 17, 200, 65)
+    val g = Array.tabulate(24 * 16) { j =>
+      val blockIdx = (j / 24 / 8) * 3 + (j % 24) / 8
+      vals(blockIdx).toByte
+    }
+    val (w, h, back) = JpegCodec.decodeGray(JpegCodec.encodeGray(24, 16, g))
+    assert(w === 24 && h === 16)
+    assert(back.toSeq === g.toSeq,
+      "DC-only blocks must round-trip the lossy pipeline losslessly")
+  }
+
+  test("JPEG: general content round-trips within quantization error; AC/ZRL/restart/edge paths run") {
+    import graft.operators.JpegCodec
+    // smooth gradient + texture: plenty of nonzero AC coefficients, runs
+    // of zeros (ZRL), non-multiple-of-8 dims (edge replication), and a
+    // restart interval (RSTn alignment + DC predictor reset)
+    for ((w, h, rst) <- Seq((24, 16, 0), (21, 13, 0), (40, 24, 3), (8, 8, 1))) {
+      val g = Array.tabulate(w * h) { j =>
+        val x = j % w; val y = j / w
+        ((x * 5 + y * 3 + ((x * y) % 7)) % 256).toByte
+      }
+      val enc = JpegCodec.encodeGray(w, h, g, restartEvery = rst)
+      val (dw, dh, back) = JpegCodec.decodeGray(enc)
+      assert(dw === w && dh === h)
+      val maxErr = g.indices.map(i => math.abs((g(i) & 0xff) - (back(i) & 0xff))).max
+      assert(maxErr <= 2,
+        s"round-trip error $maxErr at ${w}x$h rst=$rst exceeds flat-quant tolerance")
+    }
+  }
+
+  test("JPEG: our decoder agrees with ImageIO on ImageIO-written grayscale files") {
+    import graft.operators.JpegCodec
+    import java.awt.image.BufferedImage
+    val w = 29; val h = 18
+    val gray = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      gray.getRaster.setSample(x, y, 0, (x * 11 + y * 23 + (x * y) % 13) % 256)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(gray, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    // two independent decoders on the SAME bytes: identical coefficients,
+    // so any difference is IDCT implementation rounding (ISO 10918
+    // permits small variation; libjpeg's integer IDCT vs our double one)
+    val (dw, dh, ours) = JpegCodec.decodeGray(bytes)
+    assert(dw === w && dh === h)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(theirs != null, "ImageIO could not parse its own JPEG")
+    val maxDiff = (for (y <- 0 until h; x <- 0 until w) yield
+      math.abs((ours(y * w + x) & 0xff) - theirs.getRaster.getSample(x, y, 0))).max
+    assert(maxDiff <= 2, s"decoder disagreement $maxDiff exceeds IDCT tolerance")
+  }
+
+  test("JPEG: ImageIO reads our encoder's files (cross-validation, encode direction)") {
+    import graft.operators.JpegCodec
+    val w = 24; val h = 16
+    val g = Array.tabulate(w * h)(j => ((j * 37 + 11) % 256).toByte)
+    val enc = JpegCodec.encodeGray(w, h, g)
+    val read = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(read != null, "ImageIO could not parse our JPEG")
+    assert(read.getWidth === w && read.getHeight === h)
+    val (_, _, ours) = JpegCodec.decodeGray(enc)
+    val maxDiff = (for (y <- 0 until h; x <- 0 until w) yield
+      math.abs((ours(y * w + x) & 0xff) - read.getRaster.getSample(x, y, 0))).max
+    assert(maxDiff <= 2, s"ImageIO disagrees with our decode by $maxDiff")
+  }
+
+  test("JPEG: malformed and out-of-scope inputs fail loudly") {
+    import graft.operators.JpegCodec
+    import java.awt.image.BufferedImage
+    // not a JPEG
+    intercept[IllegalArgumentException](JpegCodec.decodeGray("nope".getBytes))
+    // truncated entropy stream
+    val good = JpegCodec.encodeGray(24, 16,
+      Array.tabulate(24 * 16)(j => (j % 251).toByte))
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeGray(good.take(good.length - 20)))
+    // progressive (SOF2) refused by name
+    val gray = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(gray, null, null), p)
+    ios.close(); writer.dispose()
+    val e = intercept[IllegalArgumentException](
+      JpegCodec.decodeGray(bos.toByteArray))
+    assert(e.getMessage.contains("progressive"), e.getMessage)
+    // color (3-component) refused by name — chroma is out of scope
+    val rgbImg = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    val bos2 = new java.io.ByteArrayOutputStream
+    javax.imageio.ImageIO.write(rgbImg, "jpg", bos2)
+    val e2 = intercept[IllegalArgumentException](
+      JpegCodec.decodeGray(bos2.toByteArray))
+    assert(e2.getMessage.contains("component"), e2.getMessage)
+  }
+
+  test("x_jpeg_decode: channel sums equal the block-constant replay (the oracle rule)") {
+    val got = Multimodal.jpegDecodeStats(spark, dir).collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val tb = docs(id).getBytes("UTF-8")
+      val want = (0 until 6).map(i =>
+        if (tb.isEmpty) 0L else (tb(i % tb.length) & 0xff).toLong).sum * 64
+      assert(r.getAs[Int]("width") === 24 && r.getAs[Int]("height") === 16)
+      assert(r.getAs[Long]("r_sum") === want, s"doc $id")
+      assert(r.getAs[Long]("g_sum") === want && r.getAs[Long]("b_sum") === want)
+    }
+  }
+
   test("Y4M: round-trip (C444 + C420), frame params and unknown tags skipped") {
     import graft.operators.Y4mCodec
     def frame(n: Int, cLen: Int, seed: Int) = Y4mCodec.Frame(
