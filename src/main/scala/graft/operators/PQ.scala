@@ -463,8 +463,14 @@ object PQ {
     val (path, cents, books) = ensureIvfPqIndex(spark, dir, nlist, m, ksub, iters)
     val dsub = Dim / m
     val wanted = queryIds.distinct
-    val qDf = Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(wanted: _*))
+    // pushed-IN fetch at interactive Q; broadcast-joined id frame above
+    // the cutoff, where a 10⁵-literal IN would bloat the plan itself
+    val qDf = (if (wanted.size <= broadcastMax)
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id").isin(wanted: _*))
+      else
+        Tables.embeddings(spark, dir)
+          .join(broadcast(wanted.toDF("vec_id")), Seq("vec_id")))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .localCheckpoint()
     require(qDf.count() == wanted.size,

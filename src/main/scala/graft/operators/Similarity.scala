@@ -365,10 +365,18 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val (path, cents) = ensureIvfIndex(spark, dir, nlist, trainIters)
     val wanted = queryIds.distinct
-    val qSrc = Tables.embeddings(spark, dir)
-      .filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     import spark.implicits._
+    // query fetch: a pushed-IN literal list at interactive Q (row-group
+    // stats prune the scan); above the broadcast cutoff the literal list
+    // would bloat the PLAN itself (10⁵ literals analyze in minutes), so
+    // the id set rides as a broadcast-joined frame instead
+    val qSrc = (if (wanted.size <= broadcastMax)
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id").isin(wanted: _*))
+      else
+        Tables.embeddings(spark, dir)
+          .join(broadcast(wanted.toDF("vec_id")), Seq("vec_id")))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     // (prDf, qvDf, allProbes): the ranked (qid, cid) probe pairs, the
     // (qid, qvec) query vectors, and the union of probe sets (bounded by
     // nlist — index-header-sized regardless of Q, so collecting it stays

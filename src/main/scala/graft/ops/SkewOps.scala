@@ -38,6 +38,31 @@ object SkewOps {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hot-key ISOLATION join — the fact⋈fact skew mitigation (classic
+    * MapReduce "skewed join" / pre-AQE Spark folklore): [[saltedJoin]]
+    * replicates the ENTIRE build side `factor`×, which is right when
+    * that side is a dimension but catastrophic when it is itself a fact
+    * (measured in RelScaleBench: a 32×-replicated orders side planned
+    * as a 5.2 GB broadcast). Isolation splits by key temperature
+    * instead: the declared hot keys' build rows — a HANDFUL of rows, a
+    * hot key is hot because of its PROBE fan-in — broadcast to meet the
+    * probe side map-side with no shuffle of the hot rows at all; every
+    * other key rides the normal shuffle join untouched. Semantically
+    * invisible (the two branches partition the key space; spec-pinned
+    * equal to the plain join); the hot branch's cost is a broadcast of
+    * |hotKeys| rows, the cold branch's skew is gone by construction.
+    * At 100 TB the hot-key list comes from the warehouse's frequency
+    * statistics (x_heavy_hitters is exactly that query). */
+  def isolatedSkewJoin(large: DataFrame, small: DataFrame, key: String,
+      hotKeys: Seq[Long]): DataFrame = {
+    require(hotKeys.nonEmpty, "no hot keys declared — use a plain join")
+    val hotL = large.filter(col(key).isin(hotKeys: _*))
+    val coldL = large.filter(!col(key).isin(hotKeys: _*))
+    val hotS = small.filter(col(key).isin(hotKeys: _*))
+    val coldS = small.filter(!col(key).isin(hotKeys: _*))
+    hotL.join(broadcast(hotS), Seq(key)).unionByName(coldL.join(coldS, Seq(key)))
+  }
+
   /** j_salted_skew — the salted join as a declared, oracled query:
     * revenue per brand via lineitem ⋈ part, salted 8 ways. The oracle is
     * the PLAIN join's SQL — salting must be semantically invisible

@@ -124,6 +124,37 @@ object AnnScaleBench {
       graft.operators.PQ.ivfpqBatch(spark, scaleDir).count())
     steady(s"knn/ivfpq_batch_distributed (Q=${bigQ.size}, one pass)")(
       graft.operators.PQ.ivfpqBatch(spark, scaleDir, bigQ).count())
+    // large-Q serving faces (round 11): the per-query frames — probe
+    // pairs, query vectors, IVF-PQ ADC tables — grow linearly with Q,
+    // so above BatchBroadcastMax they switch from broadcast joins to
+    // keyed shuffle joins. Measure BOTH physical faces at Q=10⁴ (the
+    // broadcast face is still legal there: ADC ≈ 40 MB) to pin the
+    // cutover empirically; at Q=10⁵ (--bigq) the broadcast face's ADC
+    // frame is ~400 MB — the regime the keyed face exists for.
+    val q10k = {
+      val step = math.max(1L, n / 10000)
+      (0 until 10000).map(_ * step)
+    }
+    steady(s"knn/ivfpq_batch_broadcast (Q=${q10k.size})")(
+      graft.operators.PQ.ivfpqBatch(spark, scaleDir, q10k,
+        broadcastMax = Int.MaxValue).count())
+    steady(s"knn/ivfpq_batch_keyed (Q=${q10k.size})")(
+      graft.operators.PQ.ivfpqBatch(spark, scaleDir, q10k,
+        broadcastMax = 0).count())
+    steady(s"knn/ivf_batch_broadcast (Q=${q10k.size})")(
+      graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, q10k,
+        broadcastMax = Int.MaxValue).count())
+    steady(s"knn/ivf_batch_keyed (Q=${q10k.size})")(
+      graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, q10k,
+        broadcastMax = 0).count())
+    if (args.contains("--bigq")) {
+      val q100k = {
+        val step = math.max(1L, n / 100000)
+        (0 until 100000).map(_ * step)
+      }
+      steady(s"knn/ivfpq_batch_keyed (Q=${q100k.size})")(
+        graft.operators.PQ.ivfpqBatch(spark, scaleDir, q100k).count())
+    }
 
     // --- semantic dedup scale separation: within-cluster pairing vs
     // all-pairs at the same corpus size. The contract under test: with

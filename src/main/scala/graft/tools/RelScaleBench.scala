@@ -140,6 +140,12 @@ object RelScaleBench {
     val nLi = spark.read.parquet(s"$scaleDir/lineitem.parquet").count()
     println(s"[relscale] corpus: factor $factor, $nLi lineitem rows")
 
+    // --skew-only re-runs just the skewed-star section (its fixture and
+    // measurements are self-contained; the earlier sections' numbers
+    // are already on record)
+    val skewOnly = args.contains("--skew-only")
+
+    if (!skewOnly) {
     // --- star join: per-query shuffle vs bucketed ---------------------
     def shuffled = graft.ops.Joins.multiwayStar(spark, scaleDir)
     time(s"star/bucketed_build_etl (once per snapshot)")(
@@ -307,6 +313,129 @@ object RelScaleBench {
       lmChecksum(lmNew))
     steady("lm_score/new no-checkpoint (shuffle-byte face)")(
       lmChecksum(lmNewPlan))
+    } // end !skewOnly
+
+    // --- skewed star: one zipf-hot fact key vs AQE skew-join, the
+    // bucketed-scan trap, and the salted mitigation --------------------
+    // 80% of the replicated lineitem rows collapse onto ONE orderkey
+    // (orderkey 1's replica 0): the hot SMJ partition holds ~0.8·n rows
+    // while its siblings hold n/(0.2·nkeys). The questions this fixture
+    // answers: (1) does AQE's skew split absorb it in the SHUFFLED star;
+    // (2) what happens in the BUCKETED star, whose scans have no
+    // exchange for AQE to split (the known trap: OptimizeSkewedJoin
+    // rewrites shuffle reads, bucketed SMJs read files directly);
+    // (3) does the salted fact-fact join (SkewOps) recover it.
+    val skewDir = s"$scaleDir-skew"
+    graft.ops.Layout.ensureSigGated(skewDir, sig) {
+      val r = spark.range(factor).toDF("r")
+      graft.Tables.orders(spark, srcDir).crossJoin(r)
+        .withColumn("o_orderkey", col("o_orderkey") * factor + col("r"))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$skewDir/orders.parquet")
+      graft.Tables.lineitem(spark, srcDir).crossJoin(r)
+        .withColumn("l_orderkey",
+          when(pmod(col("l_orderkey") * factor + col("r"), lit(5)) < 4,
+            lit(1L * factor)) // 80% hot: orderkey 1, replica 0
+            .otherwise(col("l_orderkey") * factor + col("r")))
+        .drop("r")
+        .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
+      Seq("customer", "nation", "region").foreach(t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$skewDir/$t.parquet"))
+    }
+    val hotShare = spark.read.parquet(s"$skewDir/lineitem.parquet")
+      .filter(col("l_orderkey") === 1L * factor).count().toDouble /
+      spark.read.parquet(s"$skewDir/lineitem.parquet").count()
+    println(f"[relscale] skew fixture: ${hotShare * 100}%.1f%% of lineitem on one orderkey")
+    def skShuffled = graft.ops.Joins.multiwayStar(spark, skewDir)
+    time("skewstar/bucketed_build_etl (once per snapshot)")(
+      graft.ops.Layout.ensureBucketedStar(spark, skewDir))
+    def skBucketed = graft.ops.Joins.multiwayStarBucketed(spark, skewDir)
+    assert(skShuffled.collect().toSeq == skBucketed.collect().toSeq,
+      "skewed star: bucketed must equal shuffled")
+    // salted mitigation: the fact-fact join spreads the hot key over 32
+    // sub-keys; the star tail is unchanged (dims broadcast, same agg)
+    def skSalted = {
+      val li = graft.Tables.lineitem(spark, skewDir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = graft.Tables.orders(spark, skewDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.ops.SkewOps.saltedJoin(li, ord, "l_orderkey", factor = 32)
+        .join(graft.Tables.customer(spark, skewDir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(graft.Tables.nation(spark, skewDir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(graft.Tables.region(spark, skewDir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          graft.functions.DetMath.sumMoneyCents(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))
+    }
+    assert(skShuffled.collect().toSeq == skSalted.collect().toSeq,
+      "skewed star: salted must equal shuffled (salting is semantically invisible)")
+    // hot-key ISOLATION — the fact⋈fact mitigation that scales: the one
+    // hot key's build row broadcasts (1 row!), the cold 99.99% of keys
+    // ride the normal SMJ with their skew gone by construction
+    def skIsolated = {
+      val li = graft.Tables.lineitem(spark, skewDir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = graft.Tables.orders(spark, skewDir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.ops.SkewOps.isolatedSkewJoin(li, ord, "l_orderkey",
+          hotKeys = Seq(1L * factor))
+        .join(graft.Tables.customer(spark, skewDir),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(graft.Tables.nation(spark, skewDir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(graft.Tables.region(spark, skewDir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          graft.functions.DetMath.sumMoneyCents(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))
+    }
+    assert(skShuffled.collect().toSeq == skIsolated.collect().toSeq,
+      "skewed star: isolated must equal shuffled (isolation is semantically invisible)")
+    // thresholds: the hot partition is ~hundreds of MB here — below the
+    // 256 MB default — so pin the skew trigger to the fixture's scale
+    // the way a cluster job would tune it
+    val SkewSplit = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16m")
+    withConf(NoBroadcast ++ SkewSplit: _*) {
+      steady("skewstar/shuffled forced-SMJ, AQE skew split ON")(skShuffled)
+      // record whether the split actually fired: AQEShuffleRead prints
+      // "skewed" in the executed plan when OptimizeSkewedJoin rewrote it
+      val df = skShuffled; df.collect()
+      val planStr = df.queryExecution.executedPlan.toString
+      println(s"[relscale] skewstar/shuffled AQE plan mentions skew: " +
+        s"${planStr.toLowerCase.contains("skew")}")
+    }
+    withConf((NoBroadcast :+
+      ("spark.sql.adaptive.skewJoin.enabled" -> "false")): _*) {
+      steady("skewstar/shuffled forced-SMJ, skew split OFF (unmitigated)")(skShuffled)
+    }
+    withConf(NoBroadcast ++ SkewSplit: _*) {
+      steady("skewstar/bucketed (no exchange -> AQE cannot split the hot bucket)")(skBucketed)
+    }
+    // measured under NoBroadcast: unconstrained, the planner broadcast
+    // the 32×-replicated orders side (5.2 GB build — the measurement
+    // that exposed saltedJoin as the WRONG shape for fact⋈fact; it
+    // belongs to large⋈small). Kept as the negative exhibit.
+    withConf(NoBroadcast: _*) {
+      steady("skewstar/salted 32-way fact join (wrong-shape exhibit)")(skSalted)
+    }
+    // the RIGHT fact⋈fact mitigation: hot-key isolation — broadcast is
+    // |hotKeys| build rows, cold side's skew gone by construction
+    withConf(NoBroadcast: _*) {
+      steady("skewstar/isolated hot-key join (SkewOps.isolatedSkewJoin)")(skIsolated)
+    }
 
     spark.stop()
   }

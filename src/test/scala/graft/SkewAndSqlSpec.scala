@@ -24,6 +24,28 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("isolated hot-key join equals plain join; hot branch broadcasts; empty hot list refused") {
+    import spark.implicits._
+    val large = spark.range(10000)
+      .select((when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")))
+        .as("k"), col("id").as("payload"))
+    val small = Seq((1L, "hot"), (2L, "a"), (30L, "b"), (40L, "c"))
+      .toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val iso = SkewOps.isolatedSkewJoin(large, small, "k", hotKeys = Seq(1L))
+    assert(iso.select("k", "payload", "name").collect().map(_.toSeq).toSet
+      === plain)
+    assert(plain.nonEmpty)
+    // the hot branch is physically a broadcast join (the point: the hot
+    // key's build rows meet the probe side map-side, no hot shuffle)
+    val plan = iso.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot branch should broadcast, plan was:\n$plan")
+    intercept[IllegalArgumentException](
+      SkewOps.isolatedSkewJoin(large, small, "k", hotKeys = Seq.empty))
+  }
+
   test("two-phase count equals plain count under skew") {
     import spark.implicits._
     val df = spark.range(5000)
