@@ -391,6 +391,10 @@ object JpegCodec {
         case 0xdb => // DQT: one or more tables
           var p = i + 4
           while (p < i + 2 + len) {
+            // each table must fit inside the DECLARED segment, not just
+            // the buffer — else a short len reads following marker
+            // bytes as quant values instead of failing loudly
+            require(p + 65 <= i + 2 + len, "truncated DQT table")
             val pq = (payload(p) & 0xff) >> 4; val tq = payload(p) & 0x0f
             require(pq == 0, "16-bit quant tables not supported (baseline is 8)")
             val t = new Array[Int](64)
@@ -402,9 +406,11 @@ object JpegCodec {
         case 0xc4 => // DHT: one or more tables
           var p = i + 4
           while (p < i + 2 + len) {
+            require(p + 17 <= i + 2 + len, "truncated DHT table header")
             val tc = (payload(p) & 0xff) >> 4; val th = payload(p) & 0x0f
             val bits = Array.tabulate(16)(j => payload(p + 1 + j) & 0xff)
             val n = bits.sum
+            require(p + 17 + n <= i + 2 + len, "truncated DHT table values")
             val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + n)
             val t = new DecodeTable(bits, vals)
             if (tc == 0) dcTables(th) = t else acTables(th) = t
@@ -470,6 +476,11 @@ object JpegCodec {
           else if (sym == 0xf0) k += 16
           else {
             val run = sym >> 4; val sz = sym & 0x0f
+            // size=0 is only legal as EOB (0x00) or ZRL (0xF0), both
+            // handled above; anything else (e.g. 0x30) would read zero
+            // bits and lean on negative-shift masking in EXTEND —
+            // a silent zero coefficient instead of a loud failure.
+            require(sz > 0, f"invalid baseline AC symbol 0x$sym%02x (size=0)")
             k += run
             require(k < 64, s"AC index $k overran the block")
             val v = br.bits(sz)

@@ -227,6 +227,22 @@ class CodecSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       JpegCodec.decodeGray(bos2.toByteArray))
     assert(e2.getMessage.contains("component"), e2.getMessage)
+    // per-table bounds inside a DECLARED segment length: a short DQT/DHT
+    // len must fail loudly, not read following marker bytes as table data
+    val dqtAt = good.indexOfSlice(Seq(0xff.toByte, 0xdb.toByte))
+    assert(dqtAt > 0)
+    val shortDqt = good.clone()
+    shortDqt(dqtAt + 2) = 0; shortDqt(dqtAt + 3) = 0x10
+    val e3 = intercept[IllegalArgumentException](
+      JpegCodec.decodeGray(shortDqt))
+    assert(e3.getMessage.contains("truncated DQT"), e3.getMessage)
+    val dhtAt = good.indexOfSlice(Seq(0xff.toByte, 0xc4.toByte))
+    assert(dhtAt > 0)
+    val shortDht = good.clone()
+    shortDht(dhtAt + 2) = 0; shortDht(dhtAt + 3) = 0x05
+    val e4 = intercept[IllegalArgumentException](
+      JpegCodec.decodeGray(shortDht))
+    assert(e4.getMessage.contains("truncated DHT"), e4.getMessage)
   }
 
   test("x_jpeg_decode: channel sums equal the block-constant replay (the oracle rule)") {
