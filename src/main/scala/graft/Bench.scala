@@ -5,7 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .config(graft.Sessions.conf(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // UTC regardless of host JVM zone: the day-partitioned layout this

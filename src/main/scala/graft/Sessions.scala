@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Master-mode plumbing shared by every driver-invoked main.
+  *
+  * `SPARK_GRAFT_MASTER=local-cluster[2,4,4096]` switches any main from
+  * the default single-JVM `local[cpus]` to Spark's pseudo-cluster: a
+  * standalone Master + Worker in the driver JVM and each executor as a
+  * SEPARATE `CoarseGrainedExecutorBackend` process. That is the mode
+  * where task binaries, broadcasts, block fetches and accumulator
+  * round-trips actually cross process boundaries — the closest a
+  * single box gets to the reference's own multi-process topology
+  * (four Lambda hops + a DMS instance). Every plan-node payload the
+  * engine ships in tasks (IVF codebooks, SRP hyperplanes, PQ
+  * sub-codebooks) and every listener-attributed metric must survive
+  * it unchanged.
+  *
+  * In local-cluster mode the forked driver's own `java.class.path`
+  * (app classes + /opt/spark/jars, all machine-local paths) is handed
+  * to executors via `spark.executor.extraClassPath`; the Worker's own
+  * launcher classpath lacks the application classes, and there is no
+  * shared-filesystem jar distribution step in this environment.
+  */
+object Sessions {
+
+  /** The resolved master for this run — env override or single-JVM
+    * default at `cpus` threads. */
+  def master(cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  /** [[master]] plus any mode-dependent config, as a builder-ready map
+    * (drop-in for the `.master(...)` call in each main). */
+  def conf(cpus: String): Map[String, String] = {
+    val m = master(cpus)
+    val base = Map("spark.master" -> m)
+    if (m.startsWith("local-cluster"))
+      base + ("spark.executor.extraClassPath" -> sys.props("java.class.path"))
+    else base
+  }
+}

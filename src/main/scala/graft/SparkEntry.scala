@@ -132,6 +132,7 @@ object SparkEntry {
     "x_image_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.imageDecodeStats(s, d)),
     "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
     "x_jpeg_decode"         -> ((s: SparkSession, d: String) => operators.Multimodal.jpegDecodeStats(s, d)),
+    "x_jpeg_color_decode"   -> ((s: SparkSession, d: String) => operators.Multimodal.jpegColorDecodeStats(s, d)),
     "x_audio_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioDecodeStats(s, d)),
     "x_audio_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioFrameStats(s, d)),
     "x_video_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.videoFrameStats(s, d)),
@@ -388,6 +389,44 @@ object SparkEntry {
       |       CAST(sum(b) * 64 AS BIGINT) AS g_sum,
       |       CAST(sum(b) * 64 AS BIGINT) AS b_sum
       |FROM blk GROUP BY doc_id
+      |ORDER BY media_id""".stripMargin
+
+  /** x_jpeg_color_decode oracle: the 32×16 4:2:0 corpus is constant
+    * 8×8 blocks per YCbCr component (Y cell j = byte(j mod n) over the
+    * 4×2 luma grid; chroma cell c = bytes((8+c)/(10+c) mod n) over the
+    * 2×1 subsampled grid), which the lossy pipeline round-trips exactly
+    * and replication-upsampling maps each luma cell to chroma cell
+    * (j%4)÷2. The JFIF YCbCr→RGB conversion runs on a decimal
+    * fixed-point grid (scale 10⁶, round-half-up) — exact integer
+    * rationals both sides, so floor((num+half)/scale) agrees
+    * bit-for-bit between Long floorDiv (Spark) and double floor
+    * (DuckDB; numerators < 2⁵³ divide exactly). Channel sums are then
+    * 64 × the per-cell RGB sums. */
+  private val JpegColorDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, strlen(text) AS n FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |cell AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN d.n = 0 THEN 0
+      |              ELSE ord(substr(d.text, CAST(u.j % d.n AS INT) + 1, 1)) END AS y,
+      |         CASE WHEN d.n = 0 THEN 0
+      |              ELSE ord(substr(d.text, CAST((8 + (u.j % 4) // 2) % d.n AS INT) + 1, 1)) END AS cb,
+      |         CASE WHEN d.n = 0 THEN 0
+      |              ELSE ord(substr(d.text, CAST((10 + (u.j % 4) // 2) % d.n AS INT) + 1, 1)) END AS cr
+      |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) u),
+      |px AS (
+      |  SELECT doc_id,
+      |    greatest(0, least(255, CAST(floor((1000000*y + 1402000*(cr-128) + 500000) / 1000000.0) AS BIGINT))) AS r,
+      |    greatest(0, least(255, CAST(floor((1000000*y - 344136*(cb-128) - 714136*(cr-128) + 500000) / 1000000.0) AS BIGINT))) AS g,
+      |    greatest(0, least(255, CAST(floor((1000000*y + 1772000*(cb-128) + 500000) / 1000000.0) AS BIGINT))) AS b
+      |  FROM cell)
+      |SELECT doc_id AS media_id, 32 AS width, 16 AS height,
+      |       CAST(512 AS BIGINT) AS n_px,
+      |       CAST(sum(r) * 64 AS BIGINT) AS r_sum,
+      |       CAST(sum(g) * 64 AS BIGINT) AS g_sum,
+      |       CAST(sum(b) * 64 AS BIGINT) AS b_sum
+      |FROM px GROUP BY doc_id
       |ORDER BY media_id""".stripMargin
 
   private val SrpAnnTopKSql: String = {
@@ -1358,6 +1397,7 @@ object SparkEntry {
     // sums exactly as for x_image_decode.
     "x_png_decode" -> ImageDecodeSql,
     "x_jpeg_decode" -> JpegDecodeSql,
+    "x_jpeg_color_decode" -> JpegColorDecodeSql,
     // Audio: synthesis ((b·251 + k·17) mod 65536 − 32768 over 160
     // samples) and every feature are small-integer arithmetic; the
     // zero-crossing count replays via a lag window over the sample

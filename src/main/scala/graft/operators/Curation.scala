@@ -67,7 +67,7 @@ object Curation {
     composeFlags(
       perDocFlags(train, minTokens, alphaPctMin),
       Dedup.substringFlagsFrom(
-          Dedup.windowOccurrencesOf(train).localCheckpoint())
+          Dedup.windowOccurrencesOf(train).localCheckpoint(true, graft.ops.Pin.Level))
         .select(col("doc_id"), col("dup_heavy")),
       CorpusOps.decontaminateOf(train, evalShingles)
         .select(col("doc_id"), col("contaminated")))

@@ -96,7 +96,7 @@ object Dedup {
     // sides AND the per-doc size aggregation — the self-join sides share
     // an exchange, but `sizes` would re-run the whole tokenize+window
     // pipeline a second time without this
-    val sh = explodedShingles(docs, n).localCheckpoint()
+    val sh = explodedShingles(docs, n).localCheckpoint(true, graft.ops.Pin.Level)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -148,7 +148,7 @@ object Dedup {
     // variant gets the same effect from the parquet index; this is the
     // inline query's equivalent materialization.
     nearDupFromSignatures(
-      signatures(spark, dir, n, numHashes).localCheckpoint(),
+      signatures(spark, dir, n, numHashes).localCheckpoint(true, graft.ops.Pin.Level),
       numHashes, bands, threshold)
 
   /** Per-doc MinHash signatures + shingle sets — the artifact a corpus
@@ -375,10 +375,10 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
-      .localCheckpoint() // pairs are small; cut the growing lineage
+      .localCheckpoint(true, graft.ops.Pin.Level) // pairs are small; cut the growing lineage
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canon"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -409,7 +409,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("c1"), coalesce(col("jcanon"), col("c1"))).as("canon"),
           (least(col("c1"), coalesce(col("jcanon"), col("c1"))) < col("c0")).as("changed"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(false, graft.ops.Pin.Level)
       converged = next.filter(col("changed")).count() == 0L
       labels = next.select(col("doc_id"), col("canon"))
       it += 1
@@ -594,7 +594,7 @@ object Dedup {
     // localCheckpoint: (doc_id, sim) is 2 longs/doc; materializing it
     // once spares the 60-aggregate simhash job from running for each
     // side of the block self-join (see minhashNearDup for the pattern)
-    simhashFromDocs(simhashDocs(spark, dir).localCheckpoint(), maxHamming)
+    simhashFromDocs(simhashDocs(spark, dir).localCheckpoint(true, graft.ops.Pin.Level), maxHamming)
 
   /** x_simhash_indexed — [[simhashNearDup]] served from the materialized
     * signature index: the per-token hashing ran at index-build time, so
@@ -668,7 +668,7 @@ object Dedup {
     // the occurrence relation feeds both the document-frequency agg and
     // the final join — checkpointed so the scan runs once
     substringFlagsFrom(
-      windowOccurrencesOf(Tables.documents(spark, dir), w).localCheckpoint(),
+      windowOccurrencesOf(Tables.documents(spark, dir), w).localCheckpoint(true, graft.ops.Pin.Level),
       heavyPct)
 
   /** Per-(doc, window-hash) multiplicities — the PURE per-document

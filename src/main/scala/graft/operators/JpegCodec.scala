@@ -9,14 +9,15 @@ package graft.operators
   * only in the SPEC, as the independent cross-validation decoder).
   *
   * Scope (honest and loud): baseline sequential DCT (SOF0/SOF1),
-  * 8-bit samples, SINGLE-component (grayscale), Huffman coding,
-  * restart markers, any DQT/DHT layout (tables are read from the
-  * stream, so foreign encoders' optimized tables decode fine).
-  * Progressive (SOF2), arithmetic coding, 12-bit, and multi-component
-  * scans are refused BY NAME — chroma handling is a color-space detail
-  * this rung does not claim; the machinery under test is the
-  * entropy-decode → dequantize → IDCT pipeline, which is identical per
-  * component. Malformed input fails loudly (the PpmCodec convention).
+  * 8-bit samples, grayscale AND 3-component YCbCr color (4:4:4 /
+  * 4:2:2 / 4:2:0 — interleaved MCUs, subsampled chroma, JFIF
+  * fixed-point color transforms), Huffman coding, restart markers,
+  * any DQT/DHT layout (tables are read from the stream, so foreign
+  * encoders' optimized tables decode fine). Progressive (SOF2),
+  * arithmetic coding, 12-bit, 4-component CMYK/YCCK, multi-scan
+  * (non-interleaved color) files and chroma sampling factors beyond
+  * the Y-subsampled shapes are refused BY NAME. Malformed input fails
+  * loudly (the PpmCodec convention).
   *
   * Determinism and the oracle: the decoder's IDCT runs in doubles over
   * a StrictMath cosine table (bit-identical on every JVM), with
@@ -75,10 +76,74 @@ object JpegCodec {
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa).map(_.toByte)
 
+  /** Annex K.3.3 typical DC chrominance table (BITS, HUFFVAL). */
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).map(_.toByte).toArray
+
+  /** Annex K.3.4 typical AC chrominance table. */
+  private val AcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals: Array[Byte] = Array[Int](
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
   /** A flat all-ones quantization table: the near-lossless setting the
     * synthetic corpus uses (DC of a constant block quantizes exactly;
     * a real deployment would scale Annex K.1 by quality instead). */
   val FlatQuant: Array[Int] = Array.fill(64)(1)
+
+  // ---- JFIF color transforms (fixed-point, exactly replayable) -------
+  //
+  // The BT.601 full-range conversions JFIF specifies, computed on a
+  // decimal fixed-point grid (scale 10^6, round-half-up): the same
+  // exact-rational arithmetic runs on the Scala side (Long floorDiv)
+  // and in the DuckDB oracle (integer ops / exact double floor), so a
+  // decoded color raster can sit under a hash oracle the way the
+  // grayscale one does. libjpeg makes the same move with binary
+  // fixed-point (FIX(1.40200) at 2^16); decimal keeps the SQL replay
+  // one line instead of a shift-twiddling exercise.
+
+  private val ColorScale = 1000000L
+  private val ColorHalf = 500000L
+  @inline private def clamp255(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  /** YCbCr → RGB (JFIF): r = y + 1.402(cr−128), g = y − 0.344136(cb−128)
+    * − 0.714136(cr−128), b = y + 1.772(cb−128), round-half-up, clamped. */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val r = Math.floorDiv(ColorScale * y + 1402000L * (cr - 128) + ColorHalf, ColorScale)
+    val g = Math.floorDiv(ColorScale * y - 344136L * (cb - 128) - 714136L * (cr - 128) + ColorHalf, ColorScale)
+    val b = Math.floorDiv(ColorScale * y + 1772000L * (cb - 128) + ColorHalf, ColorScale)
+    (clamp255(r), clamp255(g), clamp255(b))
+  }
+
+  /** RGB → YCbCr (JFIF): y = 0.299r + 0.587g + 0.114b,
+    * cb = 128 − 0.168736r − 0.331264g + 0.5b,
+    * cr = 128 + 0.5r − 0.418688g − 0.081312b, round-half-up, clamped. */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val y  = Math.floorDiv(299000L * r + 587000L * g + 114000L * b + ColorHalf, ColorScale)
+    val cb = 128 + Math.floorDiv(-168736L * r - 331264L * g + 500000L * b + ColorHalf, ColorScale)
+    val cr = 128 + Math.floorDiv(500000L * r - 418688L * g - 81312L * b + ColorHalf, ColorScale)
+    (clamp255(y), clamp255(cb), clamp255(cr))
+  }
 
   /** StrictMath cosine basis — bit-identical on every JVM, which is what
     * makes the decode deterministic enough to sit under a hash oracle. */
@@ -257,6 +322,58 @@ object JpegCodec {
 
   // ---- encoder -------------------------------------------------------
 
+  /** Forward-DCT, quantize and entropy-code one level-shifted block;
+    * returns the new DC predictor (the block's quantized DC). */
+  private def encodeBlock(bw: BitWriter, block: Array[Int], quant: Array[Int],
+      dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)], pred: Int): Int = {
+    val q = fdctQuant(block, quant)
+    // DC: differential, category + offset bits (F.1.2.1)
+    val diff = q(0) - pred
+    val s = bitSize(diff)
+    require(s <= 11, s"DC difference $diff out of baseline range")
+    bw.write(dcEnc(s)._1, dcEnc(s)._2)
+    if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    // AC: run-length in zigzag order (F.1.2.2)
+    var run = 0; var k = 1
+    while (k < 64) {
+      val c = q(ZigZag(k))
+      if (c == 0) run += 1
+      else {
+        while (run > 15) { // ZRL
+          bw.write(acEnc(0xf0)._1, acEnc(0xf0)._2); run -= 16
+        }
+        val sz = bitSize(c)
+        require(sz <= 10, s"AC coefficient $c out of baseline range " +
+          "(quant table too fine for this content)")
+        val sym = (run << 4) | sz
+        bw.write(acEnc(sym)._1, acEnc(sym)._2)
+        bw.write(if (c < 0) c + (1 << sz) - 1 else c, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.write(acEnc(0x00)._1, acEnc(0x00)._2) // EOB
+    q(0)
+  }
+
+  /** Gather one level-shifted 8×8 block from a plane, edge-replicated. */
+  private def gatherBlock(plane: Array[Byte], w: Int, h: Int,
+      bx: Int, by: Int): Array[Int] = {
+    val block = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(by * 8 + y, h - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bx * 8 + x, w - 1)
+        block(y * 8 + x) = (plane(sy * w + sx) & 0xff) - 128
+        x += 1
+      }
+      y += 1
+    }
+    block
+  }
+
   /** Encode an 8-bit grayscale raster as a baseline JPEG (SOF0, Annex K
     * typical luminance Huffman tables, one quant table). `restartEvery`
     * > 0 inserts DRI/RSTn markers every that many MCUs (the resync
@@ -308,46 +425,8 @@ object JpegCodec {
           rstN = (rstN + 1) % 8
           pred = 0
         }
-        // gather the level-shifted block, edge-replicated
-        val block = new Array[Int](64)
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by * 8 + y, height - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, width - 1)
-            block(y * 8 + x) = (samples(sy * width + sx) & 0xff) - 128
-            x += 1
-          }
-          y += 1
-        }
-        val q = fdctQuant(block, quant)
-        // DC: differential, category + offset bits (F.1.2.1)
-        val diff = q(0) - pred; pred = q(0)
-        val s = bitSize(diff)
-        require(s <= 11, s"DC difference $diff out of baseline range")
-        bw.write(dcEnc(s)._1, dcEnc(s)._2)
-        if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        // AC: run-length in zigzag order (F.1.2.2)
-        var run = 0; var k = 1
-        while (k < 64) {
-          val c = q(ZigZag(k))
-          if (c == 0) run += 1
-          else {
-            while (run > 15) { // ZRL
-              bw.write(acEnc(0xf0)._1, acEnc(0xf0)._2); run -= 16
-            }
-            val sz = bitSize(c)
-            require(sz <= 10, s"AC coefficient $c out of baseline range " +
-              "(quant table too fine for this content)")
-            val sym = (run << 4) | sz
-            bw.write(acEnc(sym)._1, acEnc(sym)._2)
-            bw.write(if (c < 0) c + (1 << sz) - 1 else c, sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) bw.write(acEnc(0x00)._1, acEnc(0x00)._2) // EOB
+        pred = encodeBlock(bw,
+          gatherBlock(samples, width, height, bx, by), quant, dcEnc, acEnc, pred)
         mcu += 1
         bx += 1
       }
@@ -359,19 +438,184 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode YCbCr planes as a 3-component baseline JPEG (SOF0, Annex K
+    * typical luminance + chrominance Huffman tables, two quant tables).
+    * `sh`/`sv` are the LUMA sampling factors relative to 1×1 chroma:
+    * (2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) = 4:4:4. The chroma planes
+    * must already be at their subsampled resolution
+    * (ceil(w/sh) × ceil(h/sv)) — JPEG's native space is YCbCr, and a
+    * camera/ISP pipeline hands the codec exactly this shape; [[encodeColor]]
+    * is the RGB-in convenience face on top. `restartEvery` > 0 inserts
+    * DRI/RSTn every that many MCUs, resetting all three DC predictors. */
+  def encodeYcc(width: Int, height: Int,
+      yP: Array[Byte], cbP: Array[Byte], crP: Array[Byte],
+      sh: Int = 2, sv: Int = 2,
+      quantY: Array[Int] = FlatQuant, quantC: Array[Int] = FlatQuant,
+      restartEvery: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require((sh == 1 || sh == 2) && (sv == 1 || sv == 2),
+      s"unsupported luma sampling ${sh}x$sv (supported: 1–2 each)")
+    val cw = (width + sh - 1) / sh; val ch = (height + sv - 1) / sv
+    require(yP.length == width * height, "luma plane size mismatch")
+    require(cbP.length == cw * ch && crP.length == cw * ch,
+      s"chroma plane size must be ${cw}x$ch for ${sh}x$sv sampling")
+    for (q <- Seq(quantY, quantC))
+      require(q.length == 64 && q.forall(v => v >= 1 && v <= 255),
+        "quant table must be 64 entries in [1, 255]")
+
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00.toByte) ++ ZigZag.map(nat => quantY(nat).toByte))
+    seg(0xdb, Array(0x01.toByte) ++ ZigZag.map(nat => quantC(nat).toByte))
+    // SOF0: 8-bit, 3 components — Y (id 1, sampling sh×sv, quant 0),
+    // Cb (id 2, 1×1, quant 1), Cr (id 3, 1×1, quant 1)
+    seg(0xc0, Array[Byte](8,
+      (height >>> 8).toByte, height.toByte,
+      (width >>> 8).toByte, width.toByte,
+      3,
+      1, ((sh << 4) | sv).toByte, 0,
+      2, 0x11, 1,
+      3, 0x11, 1))
+    seg(0xc4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals)
+    seg(0xc4, Array(0x10.toByte) ++ AcBits.map(_.toByte) ++ AcVals)
+    seg(0xc4, Array(0x01.toByte) ++ DcChromaBits.map(_.toByte) ++ DcChromaVals)
+    seg(0xc4, Array(0x11.toByte) ++ AcChromaBits.map(_.toByte) ++ AcChromaVals)
+    if (restartEvery > 0)
+      seg(0xdd, Array[Byte]((restartEvery >>> 8).toByte, restartEvery.toByte))
+    // SOS: Y → DC0/AC0, Cb/Cr → DC1/AC1, full spectral selection
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+    val dcEncY = buildEncodeTable(DcBits, DcVals)
+    val acEncY = buildEncodeTable(AcBits, AcVals)
+    val dcEncC = buildEncodeTable(DcChromaBits, DcChromaVals)
+    val acEncC = buildEncodeTable(AcChromaBits, AcChromaVals)
+    val bw = new BitWriter
+    val mcusX = (width + 8 * sh - 1) / (8 * sh)
+    val mcusY = (height + 8 * sv - 1) / (8 * sv)
+    var predY = 0; var predCb = 0; var predCr = 0
+    var mcu = 0; var rstN = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartEvery > 0 && mcu > 0 && mcu % restartEvery == 0) {
+          bw.align()
+          bw.markerByte(0xff); bw.markerByte(0xd0 + rstN)
+          rstN = (rstN + 1) % 8
+          predY = 0; predCb = 0; predCr = 0
+        }
+        // interleaved MCU (A.2.3): Y's sh×sv blocks in raster order,
+        // then one Cb block, then one Cr block
+        var v = 0
+        while (v < sv) {
+          var h = 0
+          while (h < sh) {
+            predY = encodeBlock(bw,
+              gatherBlock(yP, width, height, mx * sh + h, my * sv + v),
+              quantY, dcEncY, acEncY, predY)
+            h += 1
+          }
+          v += 1
+        }
+        predCb = encodeBlock(bw, gatherBlock(cbP, cw, ch, mx, my),
+          quantC, dcEncC, acEncC, predCb)
+        predCr = encodeBlock(bw, gatherBlock(crP, cw, ch, mx, my),
+          quantC, dcEncC, acEncC, predCr)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    val tail = bw.toBytes
+    out.write(tail, 0, tail.length)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode an interleaved RGB raster as a color baseline JPEG: the
+    * JFIF fixed-point forward transform ([[rgbToYcc]]) builds the
+    * full-resolution YCbCr planes, chroma is box-averaged down to the
+    * `sh`×`sv` grid (round-half-up — libjpeg's plain h2v2 downsample),
+    * and [[encodeYcc]] does the transform coding. */
+  def encodeColor(width: Int, height: Int, rgb: Array[Byte],
+      sh: Int = 2, sv: Int = 2,
+      quantY: Array[Int] = FlatQuant, quantC: Array[Int] = FlatQuant,
+      restartEvery: Int = 0): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"raster size ${rgb.length} != ${width}x${height}x3")
+    val yP = new Array[Byte](width * height)
+    val cbF = new Array[Byte](width * height)
+    val crF = new Array[Byte](width * height)
+    var j = 0
+    while (j < width * height) {
+      val (y, cb, cr) = rgbToYcc(
+        rgb(3 * j) & 0xff, rgb(3 * j + 1) & 0xff, rgb(3 * j + 2) & 0xff)
+      yP(j) = y.toByte; cbF(j) = cb.toByte; crF(j) = cr.toByte
+      j += 1
+    }
+    val cw = (width + sh - 1) / sh; val ch = (height + sv - 1) / sv
+    def downsample(full: Array[Byte]): Array[Byte] =
+      if (sh == 1 && sv == 1) full
+      else {
+        val outP = new Array[Byte](cw * ch)
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            var sum = 0; var n = 0
+            var dy = 0
+            while (dy < sv) {
+              val yy = cy * sv + dy
+              if (yy < height) {
+                var dx = 0
+                while (dx < sh) {
+                  val xx = cx * sh + dx
+                  if (xx < width) { sum += full(yy * width + xx) & 0xff; n += 1 }
+                  dx += 1
+                }
+              }
+              dy += 1
+            }
+            outP(cy * cw + cx) = ((sum + n / 2) / n).toByte
+            cx += 1
+          }
+          cy += 1
+        }
+        outP
+      }
+    encodeYcc(width, height, yP, downsample(cbF), downsample(crF),
+      sh, sv, quantY, quantC, restartEvery)
+  }
+
   // ---- decoder -------------------------------------------------------
 
-  /** Decode a baseline grayscale JPEG to (width, height, samples).
+  /** One decoded component: sampling factors and its PADDED plane
+    * (`pw`×`ph` = full MCU-grid multiples; the caller crops/upsamples). */
+  private final case class Plane(h: Int, v: Int, pw: Int, ph: Int,
+      samples: Array[Byte])
+
+  /** Shared header-parse + entropy-decode for 1- and 3-component
+    * baseline JPEG: interleaved MCU traversal (T.81 A.2.3) with
+    * per-component Huffman tables, quant tables and DC predictors.
     * Tables come from the stream; anything outside the supported subset
     * is refused by name. */
-  private[graft] def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+  private def decodePlanes(payload: Array[Byte]): (Int, Int, Array[Plane]) = {
     require(payload.length >= 4 &&
       (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
       "not a JPEG: missing SOI")
     var i = 2
     var width = -1; var height = -1
-    var quantId = -1
-    var dcId = -1; var acId = -1
+    var nComp = 0
+    // per-component (in SOF order): id, h, v, quant id, dc id, ac id
+    val cId = new Array[Int](3); val cH = new Array[Int](3)
+    val cV = new Array[Int](3); val cTq = new Array[Int](3)
+    val cDc = new Array[Int](3); val cAc = new Array[Int](3)
     var restartInterval = 0
     val quants = new Array[Array[Int]](4)
     val dcTables = new Array[DecodeTable](4)
@@ -419,11 +663,30 @@ object JpegCodec {
         case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
           require((payload(i + 4) & 0xff) == 8, "only 8-bit precision supported")
           height = u16(i + 5); width = u16(i + 7)
-          val nComp = payload(i + 9) & 0xff
-          require(nComp == 1,
-            s"$nComp-component JPEG not supported (codec scope is grayscale; " +
-              "chroma is out of this rung's claim)")
-          quantId = payload(i + 12) & 0xff
+          nComp = payload(i + 9) & 0xff
+          require(nComp == 1 || nComp == 3,
+            s"$nComp-component JPEG not supported (codec scope is grayscale " +
+              "and YCbCr; 4-component CMYK/YCCK is out of this rung's claim)")
+          var c = 0
+          while (c < nComp) {
+            cId(c) = payload(i + 10 + 3 * c) & 0xff
+            val hv = payload(i + 11 + 3 * c) & 0xff
+            cH(c) = hv >> 4; cV(c) = hv & 0x0f
+            cTq(c) = payload(i + 12 + 3 * c) & 0xff
+            c += 1
+          }
+          if (nComp == 1) {
+            // a single-component scan is non-interleaved: its MCU is one
+            // data unit and declared sampling factors are ignored
+            // (T.81 A.2.2), which libjpeg-written grayscale relies on
+            cH(0) = 1; cV(0) = 1
+          } else {
+            require(cH(0) >= 1 && cH(0) <= 2 && cV(0) >= 1 && cV(0) <= 2,
+              s"luma sampling ${cH(0)}x${cV(0)} not supported (scope: 1-2 each)")
+            require(cH(1) == 1 && cV(1) == 1 && cH(2) == 1 && cV(2) == 1,
+              "chroma sampling factors other than 1x1 not supported " +
+                "(scope: 4:4:4 / 4:2:2 / 4:2:0 with subsampled chroma)")
+          }
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) not supported (codec scope is baseline)")
         case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
@@ -431,97 +694,199 @@ object JpegCodec {
             f"unsupported SOF marker FF$mm%02x (codec scope is baseline Huffman)")
         case 0xdd => restartInterval = u16(i + 4)
         case 0xda => // SOS
-          require((payload(i + 4) & 0xff) == 1, "multi-component scan")
-          dcId = (payload(i + 6) & 0xff) >> 4; acId = payload(i + 6) & 0x0f
+          require(nComp > 0, "SOS before SOF")
+          val ns = payload(i + 4) & 0xff
+          require(ns == nComp,
+            s"$ns-component scan over a $nComp-component frame not supported " +
+              "(codec scope is one interleaved scan)")
+          var sc = 0
+          while (sc < ns) {
+            val cs = payload(i + 5 + 2 * sc) & 0xff
+            val tb = payload(i + 6 + 2 * sc) & 0xff
+            val c = cId.indexWhere(_ == cs)
+            require(c >= 0 && c < nComp, s"scan references unknown component $cs")
+            cDc(c) = tb >> 4; cAc(c) = tb & 0x0f
+            sc += 1
+          }
           scanStart = i + 2 + len
         case _ => () // APPn, COM, ... — skip
       }
       i += 2 + len
     }
     require(width > 0 && height > 0, "missing SOF before SOS")
-    val quant = quants(quantId)
-    require(quant != null, s"scan references undefined quant table $quantId")
-    val dcT = dcTables(dcId); val acT = acTables(acId)
-    require(dcT != null && acT != null,
-      s"scan references undefined Huffman tables (dc=$dcId ac=$acId)")
+    val hMax = (0 until nComp).map(cH).max
+    val vMax = (0 until nComp).map(cV).max
+    val quant = Array.tabulate(nComp) { c =>
+      val q = quants(cTq(c))
+      require(q != null, s"scan references undefined quant table ${cTq(c)}")
+      q
+    }
+    val dcT = Array.tabulate(nComp) { c =>
+      val t = dcTables(cDc(c))
+      require(t != null, s"scan references undefined DC table ${cDc(c)}")
+      t
+    }
+    val acT = Array.tabulate(nComp) { c =>
+      val t = acTables(cAc(c))
+      require(t != null, s"scan references undefined AC table ${cAc(c)}")
+      t
+    }
 
     val br = new BitReader(payload, scanStart)
-    val blocksX = (width + 7) / 8; val blocksY = (height + 7) / 8
-    val samples = new Array[Byte](width * height)
-    var pred = 0
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planes = Array.tabulate(nComp) { c =>
+      Plane(cH(c), cV(c), mcusX * 8 * cH(c), mcusY * 8 * cV(c),
+        new Array[Byte](mcusX * 8 * cH(c) * mcusY * 8 * cV(c)))
+    }
+    val pred = new Array[Int](nComp)
     var mcu = 0; var rstN = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+
+    def decodeBlock(c: Int, bx: Int, by: Int): Unit = {
+      val coefs = new Array[Int](64)
+      // DC (F.2.2.1)
+      val s = br.decode(dcT(c))
+      require(s <= 11, s"DC category $s out of range")
+      val diff = if (s == 0) 0 else {
+        val v = br.bits(s)
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v // EXTEND
+      }
+      pred(c) += diff
+      coefs(0) = pred(c)
+      // AC (F.2.2.2)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val sym = br.decode(acT(c))
+        if (sym == 0x00) eob = true
+        else if (sym == 0xf0) k += 16
+        else {
+          val run = sym >> 4; val sz = sym & 0x0f
+          // size=0 is only legal as EOB (0x00) or ZRL (0xF0), both
+          // handled above; anything else (e.g. 0x30) would read zero
+          // bits and lean on negative-shift masking in EXTEND —
+          // a silent zero coefficient instead of a loud failure.
+          require(sz > 0, f"invalid baseline AC symbol 0x$sym%02x (size=0)")
+          k += run
+          require(k < 64, s"AC index $k overran the block")
+          val v = br.bits(sz)
+          coefs(ZigZag(k)) =
+            if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+          k += 1
+        }
+      }
+      val px = idct(coefs, quant(c))
+      val pl = planes(c)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          pl.samples((by * 8 + y) * pl.pw + bx * 8 + x) = px(y * 8 + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          br.restart(rstN); rstN = (rstN + 1) % 8; pred = 0
+          br.restart(rstN); rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(pred, 0)
         }
-        val coefs = new Array[Int](64)
-        // DC (F.2.2.1)
-        val s = br.decode(dcT)
-        require(s <= 11, s"DC category $s out of range")
-        val diff = if (s == 0) 0 else {
-          val v = br.bits(s)
-          if (v < (1 << (s - 1))) v - (1 << s) + 1 else v // EXTEND
-        }
-        pred += diff
-        coefs(0) = pred
-        // AC (F.2.2.2)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val sym = br.decode(acT)
-          if (sym == 0x00) eob = true
-          else if (sym == 0xf0) k += 16
-          else {
-            val run = sym >> 4; val sz = sym & 0x0f
-            // size=0 is only legal as EOB (0x00) or ZRL (0xF0), both
-            // handled above; anything else (e.g. 0x30) would read zero
-            // bits and lean on negative-shift masking in EXTEND —
-            // a silent zero coefficient instead of a loud failure.
-            require(sz > 0, f"invalid baseline AC symbol 0x$sym%02x (size=0)")
-            k += run
-            require(k < 64, s"AC index $k overran the block")
-            val v = br.bits(sz)
-            coefs(ZigZag(k)) =
-              if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
-            k += 1
-          }
-        }
-        val px = idct(coefs, quant)
-        var y = 0
-        while (y < 8) {
-          val sy = by * 8 + y
-          if (sy < height) {
-            var x = 0
-            while (x < 8) {
-              val sx = bx * 8 + x
-              if (sx < width) samples(sy * width + sx) = px(y * 8 + x).toByte
-              x += 1
+        var c = 0
+        while (c < nComp) {
+          var v = 0
+          while (v < cV(c)) {
+            var h = 0
+            while (h < cH(c)) {
+              decodeBlock(c, mx * cH(c) + h, my * cV(c) + v)
+              h += 1
             }
+            v += 1
           }
-          y += 1
+          c += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    (width, height, samples)
+    (width, height, planes)
   }
 
-  /** Decode to the shared RGB [[Image]] shape (grayscale expands to RGB,
-    * the PngCodec convention, so downstream channel statistics see one
-    * shape across the whole codec ladder). */
-  def decode(payload: Array[Byte]): Image = {
-    val (w, h, g) = decodeGray(payload)
-    val rgb = new Array[Byte](w * h * 3)
-    var j = 0
-    while (j < g.length) {
-      rgb(j * 3) = g(j); rgb(j * 3 + 1) = g(j); rgb(j * 3 + 2) = g(j)
-      j += 1
+  /** Decode a baseline grayscale JPEG to (width, height, samples).
+    * A color (3-component) payload is refused by name here — use
+    * [[decode]], which handles both. */
+  private[graft] def decodeGray(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, planes) = decodePlanes(payload)
+    require(planes.length == 1,
+      s"${planes.length}-component JPEG not supported by the grayscale " +
+        "entry point (decode handles color)")
+    val pl = planes(0)
+    val samples = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(pl.samples, y * pl.pw, samples, y * w, w)
+      y += 1
     }
-    Image(w, h, 255, rgb)
+    (w, h, samples)
+  }
+
+  /** Decode a 3-component YCbCr baseline JPEG to interleaved RGB:
+    * chroma upsampled by replication (deterministic and exact on the
+    * subsampling grid; T.81 leaves the upsampling filter to the
+    * implementation), then the JFIF fixed-point inverse transform. */
+  private[graft] def decodeColor(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, planes) = decodePlanes(payload)
+    require(planes.length == 3,
+      s"${planes.length}-component JPEG is not color (use decode)")
+    val Array(py, pcb, pcr) = planes
+    val hMax = planes.map(_.h).max; val vMax = planes.map(_.v).max
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yv = py.samples((y * py.v / vMax) * py.pw + x * py.h / hMax) & 0xff
+        val cb = pcb.samples((y * pcb.v / vMax) * pcb.pw + x * pcb.h / hMax) & 0xff
+        val cr = pcr.samples((y * pcr.v / vMax) * pcr.pw + x * pcr.h / hMax) & 0xff
+        val (r, g, b) = yccToRgb(yv, cb, cr)
+        val j = (y * w + x) * 3
+        rgb(j) = r.toByte; rgb(j + 1) = g.toByte; rgb(j + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, rgb)
+  }
+
+  /** Decode to the shared RGB [[Image]] shape: grayscale expands to RGB
+    * (the PngCodec convention) and color goes through the JFIF inverse
+    * transform, so downstream channel statistics see one shape across
+    * the whole codec ladder. */
+  def decode(payload: Array[Byte]): Image = {
+    val (w, h, planes) = decodePlanes(payload)
+    if (planes.length == 1) {
+      val pl = planes(0)
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = pl.samples(y * pl.pw + x)
+          val j = (y * w + x) * 3
+          rgb(j) = g; rgb(j + 1) = g; rgb(j + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+      Image(w, h, 255, rgb)
+    } else {
+      val (_, _, rgb) = decodeColor(payload)
+      Image(w, h, 255, rgb)
+    }
   }
 }

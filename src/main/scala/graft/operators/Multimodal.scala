@@ -402,6 +402,60 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Dimensions of the synthetic COLOR JPEG corpus: one 32×16 frame =
+    * 2×1 MCUs at 4:2:0 (4×2 luma blocks, 2×1 chroma blocks in the
+    * 16×8 subsampled planes) — fixed so the oracle replays with
+    * literal bounds. */
+  private[graft] val JpegCW = 32
+  private[graft] val JpegCH = 16
+
+  /** x_jpeg_color_decode — the color rung of the transform codec:
+    * 3-component YCbCr baseline JPEG at 4:2:0 ([[JpegCodec.encodeYcc]]
+    * / [[JpegCodec.decode]] — interleaved MCUs, subsampled chroma,
+    * per-component Huffman tables and DC predictors, JFIF fixed-point
+    * inverse color transform). The synthetic planes are CONSTANT 8×8
+    * blocks built from doc text bytes (Y cell j = byte(j mod n) over a
+    * 4×2 grid; chroma cell c = bytes((8+c) mod n)/((10+c) mod n) over
+    * the 2×1 subsampled grid), so every component is DC-only and
+    * round-trips the lossy pipeline EXACTLY; replication upsampling is
+    * exact on the subsampling grid; and the YCbCr→RGB conversion runs
+    * on a decimal fixed-point grid (scale 10⁶, round-half-up) that
+    * DuckDB replays bit-for-bit — the full color machinery sits under
+    * a hash oracle. General-coefficient color content (AC paths,
+    * restarts, 4:2:2, ImageIO cross-validation both directions) is
+    * spec-gated in CodecSpec. */
+  def jpegColorDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val w = JpegCW; val h = JpegCH
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        def b(i: Int): Byte = if (tb.isEmpty) 0 else tb(i % tb.length)
+        val yP = Array.tabulate(w * h) { j =>
+          val cell = (j / w / 8) * 4 + (j % w) / 8
+          b(cell)
+        }
+        val cw = w / 2; val ch = h / 2
+        val cbP = Array.tabulate(cw * ch)(j => b(8 + (j % cw) / 8))
+        val crP = Array.tabulate(cw * ch)(j => b(10 + (j % cw) / 8))
+        (id, JpegCodec.encodeYcc(w, h, yP, cbP, crP, 2, 2))
+      }
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec context would be opened here
+          batch.iterator.map { case (id, payload) =>
+            val img = JpegCodec.decode(payload)
+            val (r, g, b) = PpmCodec.channelSums(img)
+            (id, img.width, img.height, img.width.toLong * img.height, r, g, b)
+          }
+        }
+      }.toDF("media_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("media_id"))
+  }
+
   /** PCM synthesis constants for the audio corpus — fixed so the oracle
     * replays sample generation with literal bounds: 160 samples at
     * 8 kHz (a 20 ms clip per doc), sample k =

@@ -265,7 +265,7 @@ object PQ {
       val res = withResidual(spark, spark.read.parquet(ivfPath), cents)
         .select(col("vec_id"), col("cid"),
           col("label").cast(LongType).as("label"), col("res"))
-        .localCheckpoint()
+        .localCheckpoint(true, graft.ops.Pin.Level)
       val books = Array.tabulate(m) { s =>
         Similarity.lloydTrain(spark,
           res.select(col("vec_id"),
@@ -472,7 +472,7 @@ object PQ {
         Tables.embeddings(spark, dir)
           .join(broadcast(wanted.toDF("vec_id")), Seq("vec_id")))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     require(qDf.count() == wanted.size,
       s"ivfpqBatch: some of $wanted missing from $dir/embeddings.parquet")
     // ranked probes — the one shared protocol, distributed or driver by Q
@@ -483,7 +483,7 @@ object PQ {
           Similarity.probeRanking(qv, cents, nprobe).map(qid -> _)
         }.toDF("qid", "cid")
       } else Similarity.probeRankingDf(spark, qDf, cents, nprobe))
-        .localCheckpoint()
+        .localCheckpoint(true, graft.ops.Pin.Level)
     val allProbes = prDf.select(col("cid")).distinct().as[Long].collect().toSeq
 
     // per-(query, probe) residual ADC tables as DATA: rvec = qvec − c,

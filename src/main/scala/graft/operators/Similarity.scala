@@ -402,12 +402,12 @@ object Similarity {
         // consumed twice (pairs: distinct-cid collect + the scoping join;
         // vectors: ranking + the score join) — materialize once instead
         // of re-running the source scan and the ranking window
-        val qDf = qSrc.localCheckpoint()
+        val qDf = qSrc.localCheckpoint(true, graft.ops.Pin.Level)
         val got = qDf.count()
         require(got == wanted.size,
           s"ivfKnnBatch: ${wanted.size - got} of ${wanted.size} query ids " +
             s"not present in $dir/embeddings.parquet")
-        val pr = probeRankingDf(spark, qDf, cents, nprobe).localCheckpoint()
+        val pr = probeRankingDf(spark, qDf, cents, nprobe).localCheckpoint(true, graft.ops.Pin.Level)
         (pr, qDf, pr.select(col("cid")).distinct().as[Long].collect().toSeq)
       }
     // the per-query frames ride broadcast at interactive/serving Q and
@@ -645,7 +645,7 @@ object Similarity {
     // computation (IncrementalSrpIndex / ensureSrpIndex).
     val tabbed = emb.select(col("vec_id"),
         posexplode(bucketArr).as(Seq("tbl", "bucket")))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val candidates = tabbed.as("a")
       .join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") &&
@@ -770,7 +770,7 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         col("cos_centroid"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val nprod = col("a.nrm") * col("b.nrm")
     val pairCos = when(nprod === 0.0, lit(0.0))
       .otherwise(dot(col("a.embedding"), col("b.embedding")) / nprod)

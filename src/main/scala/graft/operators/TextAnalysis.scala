@@ -174,7 +174,7 @@ object TextAnalysis {
           (b, t) => struct(b.as("bgh"), t.as("w1h")))).as("z"))
       .groupBy(col("doc_id"), col("z.bgh").as("bgh"), col("z.w1h").as("w1h"))
       .agg(count(lit(1)).as("k"))
-    val perDoc = if (checkpoint) pre.localCheckpoint() else pre
+    val perDoc = if (checkpoint) pre.localCheckpoint(true, graft.ops.Pin.Level) else pre
     val bc = perDoc.groupBy(col("bgh"), col("w1h")).agg(sum(col("k")).as("bc"))
     val uc = bc.groupBy(col("w1h")).agg(sum(col("bc")).as("uc"))
     perDoc.join(
@@ -247,7 +247,7 @@ object TextAnalysis {
     * the scan. */
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val parts = mgPartialsWithN(Tables.documents(spark, dir), k)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val nDf = parts.filter(col("term") === NTokSentinel)
       .agg(sum(col("cnt")).as("n"))
     mgMerge(parts.filter(col("term") =!= NTokSentinel), k)

@@ -45,7 +45,7 @@ object IncrementalCuration {
     // batch source would be re-scanned per write
     val train = batch
       .filter(col("doc_id") % CorpusOps.EvalSliceMod =!= 0)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     Curation.perDocFlags(train, minTokens, alphaPctMin)
       .write.mode("overwrite").parquet(s"$root/flags/epoch=$batchId")
     Dedup.windowOccurrencesOf(train, w)
@@ -62,7 +62,7 @@ object IncrementalCuration {
       : StreamingQuery = {
     val evalShingles = CorpusOps
       .benchmarkShingles(docsStream.sparkSession, dir)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     docsStream.writeStream
       .foreachBatch(appendBatch(root, evalShingles) _)
       .option("checkpointLocation", checkpoint)

@@ -52,7 +52,7 @@ object StreamingDecontaminate {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val evalShingles = CorpusOps
       .benchmarkShingles(docsStream.sparkSession, dir)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     docsStream.writeStream
       .foreachBatch(appendBatch(root, evalShingles, minOverlap) _)
       .option("checkpointLocation", checkpoint)
@@ -104,7 +104,7 @@ object StreamingDecontaminate {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val benchVecs = graft.operators.Similarity
       .benchmarkVectors(vecStream.sparkSession, dir)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     vecStream.writeStream
       .foreachBatch(appendBatchEmbed(root, benchVecs) _)
       .option("checkpointLocation", checkpoint)
@@ -118,7 +118,7 @@ object StreamingDecontaminate {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val evalShingles = CorpusOps
       .benchmarkShingles(docsStream.sparkSession, dir)
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val bloom = CorpusOps.buildEvalBloom(evalShingles, fpp)
     docsStream.writeStream
       .foreachBatch(appendBatchBloom(root, evalShingles, bloom, minOverlap) _)

@@ -22,7 +22,7 @@ object AnnScaleBench {
     val factor = if (positional.length > 1) positional(1).toInt else 100
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .config(graft.Sessions.conf(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -52,7 +52,7 @@ object BucketProbe {
     time("stage/bucket_compute (composed per-plane dots — the pre-r10 form)")(
       emb.select(col("vec_id"),
         posexplode(composedArr).as(Seq("tbl", "bucket"))).count())
-    val ck = time("stage/bucket_checkpoint")(tabbed.localCheckpoint())
+    val ck = time("stage/bucket_checkpoint")(tabbed.localCheckpoint(true, graft.ops.Pin.Level))
     val cand = ck.as("a")
       .join(ck.as("b"),
         col("a.tbl") === col("b.tbl") &&

@@ -27,7 +27,7 @@ object CompactionBench {
     val nWaves = if (args.length > 1) args(1).toInt else 40
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .config(graft.Sessions.conf(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

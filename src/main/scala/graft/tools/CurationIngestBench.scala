@@ -35,7 +35,7 @@ object CurationIngestBench {
     val nWaves = if (args.length > 2) args(2).toInt else 5
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .config(graft.Sessions.conf(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -54,11 +54,11 @@ object CurationIngestBench {
       .withColumn("text",
         concat(col("text"), lit(" zz"), col("doc_id"), lit("x"), col("r")))
       .select((col("doc_id") * factor + col("r")).as("doc_id"), col("text"))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val evalShingles = CorpusOps
       .benchmarkShinglesOf(
         all.filter(col("doc_id") % CorpusOps.EvalSliceMod === 0))
-      .localCheckpoint()
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val root = java.nio.file.Files
       .createTempDirectory("curation-ingest").toString
 
@@ -109,7 +109,7 @@ object CurationIngestBench {
     // PlanSpec pins the partial agg). SkewOps' two-phase salt stays for
     // large-per-group-state aggs, which this is not.
     val funnelDone = graft.operators.Curation
-      .funnelOf(train, evalShingles).localCheckpoint()
+      .funnelOf(train, evalShingles).localCheckpoint(true, graft.ops.Pin.Level)
     def withSource(src: org.apache.spark.sql.Column) =
       train.withColumn("source", src)
     val uniform = withSource(

@@ -90,9 +90,17 @@ object FullSurfaceBench {
     val factor = if (args.length > 1) args(1).toInt else 10
     val capSec = if (args.length > 2) args(2).toInt else 600
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions scale with the DATA, not the core count: a
+    // partition's working set must fit the executor's memory share at
+    // the target factor, so fewer cores must NOT mean fatter partitions.
+    // (The first local-cluster run pinned partitions to 8 cores at
+    // factor 10 — 4× the per-task working set of the 32-partition
+    // single-JVM run — and the quadratic anchors OOM'd 4 GB executors.)
+    // AQE coalesces the excess at small factors.
+    val shufflePartitions = math.max(cpus.toInt, 4 * factor)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config(graft.Sessions.conf(cpus))
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()
@@ -260,13 +268,19 @@ object FullSurfaceBench {
       println(f"[fullsurface]   ${r.name}%-28s ${r.sec}%7.2f s  shuffle=${r.shufMB.getOrElse(0.0)}%.1f MB"))
 
     // ---- ratio bound-asserts vs the factor-1 artifact ----------------
+    // Artifacts are per-execution-mode: a local-cluster f10 must be
+    // compared against a local-cluster f1 (different fixed overheads,
+    // different parallelism), so the filename carries an `lc_` prefix
+    // in that mode and the single-JVM pair is left untouched.
+    val modeTag =
+      if (graft.Sessions.master(cpus).startsWith("local-cluster")) "lc_" else ""
     // f1 per-query seconds, parsed off our own writer's format
     val f1Secs: Map[String, Double] =
       if (factor <= 1) Map.empty
       else {
-        val p = java.nio.file.Paths.get("target/fullsurface_f1.json")
+        val p = java.nio.file.Paths.get(s"target/fullsurface_${modeTag}f1.json")
         if (!java.nio.file.Files.exists(p)) {
-          println("[fullsurface] WARN: no target/fullsurface_f1.json — " +
+          println(s"[fullsurface] WARN: no target/fullsurface_${modeTag}f1.json — " +
             "bound-asserts skipped (run factor 1 first)")
           Map.empty
         } else {
@@ -310,7 +324,19 @@ object FullSurfaceBench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { r =>
-      val err = r.err.map(e => s""","err":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}"""").getOrElse("")
+      // escape ALL control chars, not just backslash/quote: multi-line
+      // Spark error messages (stage-failure reports) otherwise produce
+      // an artifact json.load rejects
+      def jesc(e: String): String = e.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val err = r.err.map(e => s""","err":"${jesc(e)}"""").getOrElse("")
       val spill = if (r.spillMemMB > 0 || r.spillDiskMB > 0)
         s""","spill_mem_mb":${fmt(r.spillMemMB)},"spill_disk_mb":${fmt(r.spillDiskMB)}"""
       else ""
@@ -323,11 +349,11 @@ object FullSurfaceBench {
       s"""{"query":"$n","ratio":${fmt(ratio)}}""" }.mkString("[", ",", "]")
     val totalSpill = results.map(r => r.spillMemMB + r.spillDiskMB).sum
     val line =
-      s"""{"factor":$factor,"total_sec":${fmt(total)},"n_queries":${results.size},"n_errors":${results.count(_.err.isDefined)},"heap_max_mb":${fmt(heapMaxMB)},"spill_total_mb":${fmt(totalSpill)},"bound_violations":$vio,"builds":$builds,"queries":$qs}"""
+      s"""{"factor":$factor,"total_sec":${fmt(total)},"n_queries":${results.size},"n_errors":${results.count(_.err.isDefined)},"master":"${graft.Sessions.master(cpus)}","heap_max_mb":${fmt(heapMaxMB)},"spill_total_mb":${fmt(totalSpill)},"bound_violations":$vio,"builds":$builds,"queries":$qs}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"target/fullsurface_f$factor.json"), line + "\n")
-    println(s"[fullsurface] wrote target/fullsurface_f$factor.json")
+      java.nio.file.Paths.get(s"target/fullsurface_${modeTag}f$factor.json"), line + "\n")
+    println(s"[fullsurface] wrote target/fullsurface_${modeTag}f$factor.json")
     spark.stop()
     // fail AFTER the artifact is on disk: the gate is loud, the evidence
     // durable. SPARK_GRAFT_BOUNDS=off downgrades to the printed warning

@@ -154,6 +154,175 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG color: constant-block YCbCr planes round-trip EXACTLY at 4:2:0 and 4:4:4") {
+    import graft.operators.JpegCodec
+    // 32×16 frame: Y plane 4×2 blocks, chroma planes (4:2:0) 16×8 = 2×1
+    // blocks — all constant, so every component is DC-only and the lossy
+    // pipeline round-trips losslessly; replication upsampling is exact
+    val w = 32; val h = 16
+    val yv = Array(10, 255, 0, 130, 77, 200, 33, 99)
+    val cbv = Array(40, 220); val crv = Array(180, 66)
+    val yP = Array.tabulate(w * h) { j =>
+      val bx = (j % w) / 8; val by = j / w / 8
+      yv(by * 4 + bx).toByte
+    }
+    for ((sh, sv) <- Seq((2, 2), (1, 1))) {
+      val cw = w / sh; val ch = h / sv
+      val cbP = Array.tabulate(cw * ch) { j => cbv((j % cw) / 8 min 1).toByte }
+      val crP = Array.tabulate(cw * ch) { j => crv((j % cw) / 8 min 1).toByte }
+      // at 4:4:4 the chroma "blocks" repeat per 8 columns; derive the
+      // expected per-pixel chroma from full-res position instead
+      val enc = JpegCodec.encodeYcc(w, h, yP, cbP, crP, sh, sv)
+      val (dw, dh, rgb) = JpegCodec.decodeColor(enc)
+      assert(dw === w && dh === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val cb = cbP((y / sv) * cw + x / sh) & 0xff
+        val cr = crP((y / sv) * cw + x / sh) & 0xff
+        val (er, eg, eb) = JpegCodec.yccToRgb(yP(y * w + x) & 0xff, cb, cr)
+        val j = (y * w + x) * 3
+        assert((rgb(j) & 0xff) === er, s"R at ($x,$y) sh=$sh")
+        assert((rgb(j + 1) & 0xff) === eg, s"G at ($x,$y) sh=$sh")
+        assert((rgb(j + 2) & 0xff) === eb, s"B at ($x,$y) sh=$sh")
+      }
+    }
+  }
+
+  test("JPEG color: RGB round-trip within tolerance at 4:4:4/4:2:2/4:2:0; restarts; odd dims") {
+    import graft.operators.JpegCodec
+    for ((w, h, sh, sv, rst) <- Seq(
+        (32, 16, 1, 1, 0), (21, 13, 1, 1, 0), (32, 16, 2, 1, 0),
+        (32, 16, 2, 2, 0), (40, 24, 2, 2, 2), (17, 9, 2, 2, 0))) {
+      // smooth content (chroma varies slowly, as photographic content
+      // does) so subsampling loss stays small and measurable
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (y * w + x) * 3
+        rgb(j) = ((x * 3 + y * 2) % 256).toByte
+        rgb(j + 1) = ((x * 2 + y * 3 + 40) % 256).toByte
+        rgb(j + 2) = ((x + y + 90) % 256).toByte
+      }
+      val enc = JpegCodec.encodeColor(w, h, rgb, sh, sv, restartEvery = rst)
+      val (dw, dh, back) = JpegCodec.decodeColor(enc)
+      assert(dw === w && dh === h)
+      val errs = rgb.indices.map(i => math.abs((rgb(i) & 0xff) - (back(i) & 0xff)))
+      val maxErr = errs.max
+      val meanErr = errs.sum.toDouble / errs.size
+      // 4:4:4: only DCT + two color-transform roundings (±3); subsampled
+      // shapes also pay replication-upsampling loss on the chroma slope
+      val bound = if (sh == 1 && sv == 1) 3 else 14
+      assert(maxErr <= bound && meanErr <= 4.0,
+        s"color round-trip max=$maxErr mean=$meanErr at ${w}x$h ${sh}x$sv rst=$rst")
+    }
+  }
+
+  test("JPEG color: our decoder agrees with ImageIO on ImageIO-written color files") {
+    import graft.operators.JpegCodec
+    import java.awt.image.BufferedImage
+    val w = 36; val h = 20
+    // constant-chroma content (r=g=b): upsampling-filter differences
+    // between libjpeg's fancy triangle filter and our replication vanish
+    // on constant chroma, leaving only IDCT + color-convert rounding
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 11 + (x * y) % 5) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    val (dw, dh, ours) = JpegCodec.decodeColor(bytes)
+    assert(dw === w && dh === h)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(theirs != null)
+    val diffs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+      val t = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      math.abs((ours((y * w + x) * 3 + c) & 0xff) - t)
+    }
+    assert(diffs.max <= 4,
+      s"color decoder disagreement ${diffs.max} exceeds IDCT+convert tolerance")
+  }
+
+  test("JPEG color: varying-chroma ImageIO files decode close (upsampling filters differ)") {
+    import graft.operators.JpegCodec
+    import java.awt.image.BufferedImage
+    val w = 48; val h = 32
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 5 % 256) << 16) | ((y * 7 % 256) << 8) | ((x + y) % 256))
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    val (dw, dh, ours) = JpegCodec.decodeColor(bytes)
+    assert(dw === w && dh === h)
+    val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val diffs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+      val t = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      math.abs((ours((y * w + x) * 3 + c) & 0xff) - t)
+    }
+    val mean = diffs.sum.toDouble / diffs.size
+    // replication vs libjpeg's triangle filter: bounded by the chroma
+    // slope per subsampled pixel, not by content magnitude
+    assert(mean <= 3.0 && diffs.max <= 40,
+      s"varying-chroma disagreement mean=$mean max=${diffs.max}")
+  }
+
+  test("JPEG color: ImageIO reads our color encoder's files (encode direction)") {
+    import graft.operators.JpegCodec
+    val w = 32; val h = 16
+    // constant-chroma again for a tight bound in THEIR decoder too
+    val rgb = new Array[Byte](w * h * 3)
+    for (j <- 0 until w * h) {
+      val v = ((j * 29 + 7) % 256).toByte
+      rgb(3 * j) = v; rgb(3 * j + 1) = v; rgb(3 * j + 2) = v
+    }
+    for ((sh, sv) <- Seq((1, 1), (2, 2))) {
+      val enc = JpegCodec.encodeColor(w, h, rgb, sh, sv)
+      val read = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(read != null, s"ImageIO could not parse our ${sh}x$sv color JPEG")
+      assert(read.getWidth === w && read.getHeight === h)
+      val (_, _, ours) = JpegCodec.decodeColor(enc)
+      val diffs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+        val t = (read.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        math.abs((ours((y * w + x) * 3 + c) & 0xff) - t)
+      }
+      assert(diffs.max <= 4, s"ImageIO disagrees by ${diffs.max} at ${sh}x$sv")
+    }
+  }
+
+  test("JPEG color: out-of-scope component layouts refused by name") {
+    import graft.operators.JpegCodec
+    val w = 16; val h = 16
+    val rgb = Array.fill(w * h * 3)(100.toByte)
+    val good = JpegCodec.encodeColor(w, h, rgb)
+    // 4-component (CMYK-shaped) SOF refused
+    val sofAt = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(sofAt > 0)
+    val cmyk = good.clone(); cmyk(sofAt + 9) = 4
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decodeColor(cmyk))
+    assert(e1.getMessage.contains("4-component"), e1.getMessage)
+    // chroma sampling 2x2 (super-sampled chroma) refused
+    val weird = good.clone(); weird(sofAt + 14) = 0x22 // Cb h,v = 2,2
+    val e2 = intercept[IllegalArgumentException](JpegCodec.decodeColor(weird))
+    assert(e2.getMessage.contains("chroma sampling"), e2.getMessage)
+    // the grayscale entry point refuses color by name
+    val e3 = intercept[IllegalArgumentException](JpegCodec.decodeGray(good))
+    assert(e3.getMessage.contains("component"), e3.getMessage)
+  }
+
   test("JPEG: our decoder agrees with ImageIO on ImageIO-written grayscale files") {
     import graft.operators.JpegCodec
     import java.awt.image.BufferedImage
@@ -261,6 +430,33 @@ class CodecSpec extends AnyFunSuite {
       assert(r.getAs[Int]("width") === 24 && r.getAs[Int]("height") === 16)
       assert(r.getAs[Long]("r_sum") === want, s"doc $id")
       assert(r.getAs[Long]("g_sum") === want && r.getAs[Long]("b_sum") === want)
+    }
+  }
+
+  test("x_jpeg_color_decode: channel sums equal the fixed-point YCbCr replay (the oracle rule)") {
+    import graft.operators.JpegCodec
+    val got = Multimodal.jpegColorDecodeStats(spark, dir).collect()
+    assert(got.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      val tb = docs(id).getBytes("UTF-8")
+      def b(i: Int): Int = if (tb.isEmpty) 0 else tb(i % tb.length) & 0xff
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (j <- 0 until 8) {
+        val c = (j % 4) / 2
+        val (pr, pg, pb) = JpegCodec.yccToRgb(b(j), b(8 + c), b(10 + c))
+        rs += pr; gs += pg; bs += pb
+      }
+      assert(r.getAs[Int]("width") === 32 && r.getAs[Int]("height") === 16)
+      assert(r.getAs[Long]("n_px") === 512L)
+      assert(r.getAs[Long]("r_sum") === rs * 64, s"doc $id r")
+      assert(r.getAs[Long]("g_sum") === gs * 64, s"doc $id g")
+      assert(r.getAs[Long]("b_sum") === bs * 64, s"doc $id b")
     }
   }
 
