@@ -13,12 +13,13 @@ import scala.collection.mutable
   * al., "Mergeable Summaries", PODS'12). */
 object HeavyHitters {
 
-  /** One pass of Misra-Gries with k counters over a partition's tokens.
+  /** One pass of Misra-Gries with k counters over a partition's items
+    * (terms for the text query, join keys for skew statistics).
     * Deterministic for a given input order (Spark's parquet partition
-    * row order is stable), O(k) space, amortized O(1) per token. */
-  def mgSummary(it: Iterator[String], k: Int): Map[String, Long] = {
+    * row order is stable), O(k) space, amortized O(1) per item. */
+  def mgSummary[T](it: Iterator[T], k: Int): Map[T, Long] = {
     require(k > 0, s"heavy-hitters needs k > 0, got $k")
-    val counters = mutable.Map.empty[String, Long]
+    val counters = mutable.Map.empty[T, Long]
     it.foreach { t =>
       counters.get(t) match {
         case Some(c) => counters.update(t, c + 1)
@@ -26,7 +27,7 @@ object HeavyHitters {
         case None =>
           // decrement-all step: every counter gives up 1; zeros drop.
           // This is the step that charges the undercount bound n/(k+1).
-          val dead = mutable.ArrayBuffer.empty[String]
+          val dead = mutable.ArrayBuffer.empty[T]
           counters.mapValuesInPlace { (_, c) => c - 1 }
           counters.foreach { case (key, c) => if (c == 0L) dead += key }
           dead.foreach(counters.remove)

@@ -63,6 +63,62 @@ object SkewOps {
     hotL.join(broadcast(hotS), Seq(key)).unionByName(coldL.join(coldS, Seq(key)))
   }
 
+  /** Hot-key detection from frequency STATISTICS — the missing producer
+    * for [[isolatedSkewJoin]]'s hot-key list (at 100 TB nobody
+    * hand-declares hot keys; the warehouse's frequency sketch does).
+    * Runs the same distributed Misra-Gries pass as x_heavy_hitters over
+    * the join-key column: each partition ships ≤ k+1 (key, count) rows
+    * regardless of table size, the merge is order-free, and the result
+    * is a driver-sized (≤ k-row) list — no full GROUP BY of a 100 TB
+    * fact's key column.
+    *
+    * Detection contract: with k ≥ 4/frac counters the total MG
+    * undercount is ≤ 2n/(k+1) < frac·n/2, so keeping merged estimates
+    * > frac·n/2 GUARANTEES every key with true frequency ≥ frac·n is
+    * returned; any extra keys returned have true frequency > frac·n/2
+    * (mildly warm — harmless to isolate, their build rows broadcast a
+    * few extra rows). Spec-pinned on a zipf fixture in SkewAndSqlSpec. */
+  def hotKeysFromStats(df: DataFrame, key: String, frac: Double = 0.01,
+      kOverride: Int = 0): Seq[Long] = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val k = if (kOverride > 0) kOverride
+            else math.max(16, math.ceil(4.0 / frac).toInt)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one pass: MG summary per partition plus a sentinel row carrying
+    // the partition's row count (flag column — no key value is reserved)
+    val parts = df.select(col(key).cast("long")).as[Long]
+      .mapPartitions { it =>
+        var n = 0L
+        val counted = it.map { t => n += 1; t }
+        val s = graft.functions.HeavyHitters.mgSummary(counted, k)
+        (s.iterator.map { case (kk, c) => (kk, c, false) } ++
+          Iterator.single((0L, n, true)))
+      }.toDF("k", "cnt", "is_n")
+      .localCheckpoint(true, graft.ops.Pin.Level)
+    val nDf = parts.filter(col("is_n")).agg(sum(col("cnt")).as("n"))
+    val summed = parts.filter(!col("is_n"))
+      .groupBy(col("k")).agg(sum(col("cnt")).as("c"))
+    val thr = summed.orderBy(col("c").desc, col("k"))
+      .limit(k + 1).agg(
+        when(count(lit(1)) > k, min(col("c"))).otherwise(lit(0L)).as("thr"))
+    summed.crossJoin(broadcast(thr)).crossJoin(broadcast(nDf))
+      .select(col("k"), (col("c") - col("thr")).as("est"), col("n"))
+      .filter(col("est") > col("n") * frac / 2)
+      .orderBy(col("est").desc, col("k"))
+      .collect().map(_.getLong(0)).toSeq // ≤ k rows by construction
+  }
+
+  /** [[isolatedSkewJoin]] with the hot-key list DETECTED from the probe
+    * side's own frequency statistics ([[hotKeysFromStats]]); falls back
+    * to the plain join when nothing crosses the hotness threshold. */
+  def isolatedSkewJoinAuto(large: DataFrame, small: DataFrame, key: String,
+      frac: Double = 0.01): DataFrame = {
+    val hot = hotKeysFromStats(large, key, frac)
+    if (hot.isEmpty) large.join(small, Seq(key))
+    else isolatedSkewJoin(large, small, key, hot)
+  }
+
   /** j_salted_skew — the salted join as a declared, oracled query:
     * revenue per brand via lineitem ⋈ part, salted 8 ways. The oracle is
     * the PLAIN join's SQL — salting must be semantically invisible

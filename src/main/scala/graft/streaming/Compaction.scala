@@ -119,4 +119,63 @@ object Compaction {
     compact(spark, root) { (df, out) =>
       graft.ops.Layout.writeZOrdered(df, out, files)
     }
+
+  // ---- cadence: WHEN to compact -------------------------------------
+
+  /** Accumulated-append count in the LIVE tree — the observable decay
+    * metric both index families share. Every metric the layouts exist
+    * for decays monotonically in it: an LSM term/bucket lookup opens one
+    * file set PER BATCH (fan-out grows linearly), and a z-order tile
+    * query scans every unclustered batch's full envelope (pruning ratio
+    * decays toward a full scan). Compaction resets it to 1, so the count
+    * is exactly "appends since the layout was last restored". */
+  def appendDebt(spark: SparkSession, root: String): Int =
+    batchIds(spark, root).size
+
+  /** The cadence decision: compact once the live tree carries more than
+    * `maxBatches` accumulated appends. The reference automates its
+    * analog with an S3 lifecycle sweeping processed staging files on a
+    * fixed clock (`cdk_infrastructure/__init__.py:300-307`, A15); a
+    * layout's decay is proportional to append count, not wall-clock, so
+    * the trigger here reads the observable debt instead. Thresholds:
+    * LSM lookups tolerate ~a dozen file sets before open-cost dominates;
+    * z-order pruning at `maxBatches` unclustered appends bounds the
+    * extra scan to maxBatches×(batch size). */
+  def shouldCompact(spark: SparkSession, root: String,
+      maxBatches: Int = 8): Boolean = {
+    require(maxBatches >= 1, "maxBatches must be at least 1")
+    appendDebt(spark, root) > maxBatches
+  }
+
+  /** Maintenance registry: every appender index a deployment keeps live
+    * registers its root + compaction routine once; one scheduled
+    * [[Maintenance.runDue]] call then sweeps them ALL, compacting
+    * exactly those whose append debt crossed the threshold — the
+    * warehouse-side equivalent of the reference's lifecycle rule, with
+    * the decision made from observed decay instead of wall-clock age. */
+  object Maintenance {
+    import scala.collection.mutable
+    private val registry =
+      mutable.LinkedHashMap.empty[String, SparkSession => Unit]
+
+    /** Register (or replace) an index root's compaction routine. */
+    def register(root: String, compactFn: SparkSession => Unit): Unit =
+      registry.synchronized { registry.update(root, compactFn) }
+
+    def deregister(root: String): Unit =
+      registry.synchronized { registry.remove(root) }
+
+    def registered: Seq[String] = registry.synchronized { registry.keys.toSeq }
+
+    /** Sweep every registered index: compact the ones whose debt crossed
+      * `maxBatches`, leave the rest untouched. Returns (root → ran?). */
+    def runDue(spark: SparkSession, maxBatches: Int = 8): Seq[(String, Boolean)] = {
+      val snapshot = registry.synchronized { registry.toSeq }
+      snapshot.map { case (root, fn) =>
+        val due = shouldCompact(spark, root, maxBatches)
+        if (due) fn(spark)
+        root -> due
+      }
+    }
+  }
 }

@@ -143,21 +143,79 @@ object Snapshots {
     * there, not this call — stores with conditional-put could upgrade
     * this to a real compare-and-set, but Hadoop's FileSystem API does
     * not expose one portably. */
-  def commit(spark: SparkSession, root: String, g: Long): Unit = {
+  def commit(spark: SparkSession, root: String, g: Long,
+      commitTsMillis: Long = System.currentTimeMillis()): Unit = {
     val marker = new Path(genDir(root, g), Marker)
     val f = fs(spark, marker)
     // create-if-absent: fails if the marker already exists (atomicity of
-    // the check is filesystem-dependent — see the contract above)
+    // the check is filesystem-dependent — see the contract above). The
+    // marker BODY is the commit timestamp (epoch millis, one decimal
+    // line) — the metadata [[resolveAsOf]] needs; an injectable ts keeps
+    // specs deterministic.
     val out = f.create(marker, false)
+    out.write(commitTsMillis.toString.getBytes("UTF-8"))
     out.close()
   }
 
+  /** Commit timestamp of generation `g` (epoch millis): the marker body,
+    * falling back to the marker file's modification time for markers
+    * written before the body carried it (round-11 format). None if `g`
+    * is not committed. */
+  def commitTime(spark: SparkSession, root: String, g: Long): Option[Long] = {
+    val marker = new Path(genDir(root, g), Marker)
+    val f = fs(spark, marker)
+    if (!f.exists(marker)) None
+    else {
+      val in = f.open(marker)
+      val body = try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+      } finally in.close()
+      Some(body.toLongOption.getOrElse(f.getFileStatus(marker).getModificationTime))
+    }
+  }
+
+  /** The time-travel catalog WITH commit metadata: (generation,
+    * commit epoch millis), ascending by generation. */
+  def generationsWithTimes(spark: SparkSession, root: String): Seq[(Long, Long)] =
+    generations(spark, root).flatMap(g =>
+      commitTime(spark, root, g).map(g -> _))
+
+  /** Resolve "the table as of time `tsMillis`": the NEWEST generation
+    * committed at-or-before that instant — so "as of yesterday" needs a
+    * wall-clock, not out-of-band knowledge of generation ids. Fails
+    * loudly (naming the available window) when every retained commit is
+    * newer than the asked instant: silently serving a later state would
+    * be a wrong answer, and the earlier state is swept — the same
+    * contract table formats give a time-travel query past retention. */
+  def resolveAsOf(spark: SparkSession, root: String, tsMillis: Long): String = {
+    val cat = generationsWithTimes(spark, root)
+    val atOrBefore = cat.filter(_._2 <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"no generation committed at or before $tsMillis under $root " +
+        s"(committed: ${
+          if (cat.isEmpty) "none"
+          else cat.map { case (g, t) => s"gen $g @ $t" }.mkString(", ")})")
+    genDir(root, atOrBefore.maxBy(_._2)._1)
+  }
+
+  /** Read the table as of a wall-clock instant — [[resolveAsOf]] +
+    * partition discovery, the timestamp face of [[readAt]]. */
+  def readAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(resolveAsOf(spark, root, tsMillis))
+
   /** Delete superseded trees, retaining the current generation and its
-    * immediate predecessor (one-deep snapshot retention for in-flight
-    * readers). The pre-generation layout (`root/batch=*` directly) is
-    * treated as the oldest generation and swept once two committed
-    * generations exist. */
-  def sweep(spark: SparkSession, root: String): Unit = {
+    * `retainPredecessors` most recent predecessors (default 1: one-deep
+    * snapshot retention for in-flight readers — table formats' default).
+    * A deeper knob widens the [[resolveAsOf]] window at the cost of
+    * keeping that many full snapshots on disk. The pre-generation layout
+    * (`root/batch=*` directly) is treated as the oldest generation and
+    * swept once it falls outside the retained window. */
+  def sweep(spark: SparkSession, root: String,
+      retainPredecessors: Int = 1): Unit = {
+    require(retainPredecessors >= 0, "retention cannot be negative")
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
     val all = gens(spark, root)
@@ -165,16 +223,16 @@ object Snapshots {
     if (committed.isEmpty) return
     val current = committed.last
     val retain: Set[Long] =
-      Set(current) ++ committed.dropRight(1).lastOption.toSet
+      (Set(current) ++ committed.dropRight(1).takeRight(retainPredecessors))
     // half-written (uncommitted) gens below current are dead weight too
     all.foreach { case (g, _) =>
       if (!retain.contains(g) && g < current)
         f.delete(new Path(genDir(root, g)), true)
     }
-    // the pre-gen layout is the oldest generation of all: it is the
-    // "immediate predecessor" only while a single committed generation
-    // exists, so sweep it once there are two
-    if (committed.size >= 2) {
+    // the pre-gen layout is the oldest generation of all: it occupies
+    // one predecessor slot while fewer committed generations exist than
+    // the window holds, so sweep it once the window is full of real ones
+    if (committed.size >= retainPredecessors + 1) {
       f.listStatus(rootPath).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .foreach(st => f.delete(st.getPath, true))

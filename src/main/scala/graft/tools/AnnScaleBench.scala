@@ -28,9 +28,14 @@ object AnnScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // every timed entry lands in the artifact (round 12) — the crossover
+    // claims below need recorded numbers, not scrollback
+    val recorded = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime; val r = f
-      println(f"[ann-scale] $name: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
+      val dt = (System.nanoTime - t0) / 1e9
+      recorded(name) = dt
+      println(f"[ann-scale] $name: $dt%.2f s"); r
     }
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_ann_scale$factor"
     // the replica corpus is a deterministic function of (source, factor)
@@ -124,36 +129,52 @@ object AnnScaleBench {
       graft.operators.PQ.ivfpqBatch(spark, scaleDir).count())
     steady(s"knn/ivfpq_batch_distributed (Q=${bigQ.size}, one pass)")(
       graft.operators.PQ.ivfpqBatch(spark, scaleDir, bigQ).count())
-    // large-Q serving faces (round 11): the per-query frames — probe
+    // large-Q serving faces (rounds 11-12): the per-query frames — probe
     // pairs, query vectors, IVF-PQ ADC tables — grow linearly with Q,
     // so above BatchBroadcastMax they switch from broadcast joins to
-    // keyed shuffle joins. Measure BOTH physical faces at Q=10⁴ (the
-    // broadcast face is still legal there: ADC ≈ 40 MB) to pin the
-    // cutover empirically; at Q=10⁵ (--bigq) the broadcast face's ADC
-    // frame is ~400 MB — the regime the keyed face exists for.
-    val q10k = {
-      val step = math.max(1L, n / 10000)
-      (0 until 10000).map(_ * step)
+    // keyed shuffle joins. Round 11 measured only Q=10⁴ (below the
+    // cutoff, broadcast's regime); this sweep runs BOTH physical faces
+    // at Q = 10⁴ / 3×10⁴ / 10⁵ so the crossover — and the cutoff
+    // constant — comes from measurements on both sides (the ADC frame
+    // is ~4 KB/query: ≈40 MB, ≈120 MB, ≈400 MB broadcast respectively).
+    // A broadcast-face failure at large Q is recorded as a result (the
+    // cliff is a finding, not a crash); Q=10⁴ keeps the run-twice
+    // steady-state discipline for continuity with the r11 numbers,
+    // larger Qs run once (the JVM is warm by then).
+    def qSet(qn: Int): Seq[Long] = {
+      val step = math.max(1L, n / qn)
+      (0 until qn).map(_ * step)
     }
-    steady(s"knn/ivfpq_batch_broadcast (Q=${q10k.size})")(
-      graft.operators.PQ.ivfpqBatch(spark, scaleDir, q10k,
-        broadcastMax = Int.MaxValue).count())
-    steady(s"knn/ivfpq_batch_keyed (Q=${q10k.size})")(
-      graft.operators.PQ.ivfpqBatch(spark, scaleDir, q10k,
-        broadcastMax = 0).count())
-    steady(s"knn/ivf_batch_broadcast (Q=${q10k.size})")(
-      graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, q10k,
-        broadcastMax = Int.MaxValue).count())
-    steady(s"knn/ivf_batch_keyed (Q=${q10k.size})")(
-      graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, q10k,
-        broadcastMax = 0).count())
-    if (args.contains("--bigq")) {
-      val q100k = {
-        val step = math.max(1L, n / 100000)
-        (0 until 100000).map(_ * step)
+    def faceAttempt(name: String)(f: => Long): Unit =
+      try time(name)(f)
+      catch { case e: Throwable =>
+        recorded(name) = -1.0
+        println(s"[ann-scale] $name: FAILED ${e.toString.take(160)}")
       }
-      steady(s"knn/ivfpq_batch_keyed (Q=${q100k.size})")(
-        graft.operators.PQ.ivfpqBatch(spark, scaleDir, q100k).count())
+    for (qn <- Seq(10000, 30000, 100000)) {
+      val qs = qSet(qn)
+      val once = qn > 10000
+      if (once) {
+        faceAttempt(s"knn/ivfpq_batch_broadcast (Q=$qn)")(
+          graft.operators.PQ.ivfpqBatch(spark, scaleDir, qs,
+            broadcastMax = Int.MaxValue).count())
+        faceAttempt(s"knn/ivfpq_batch_keyed (Q=$qn)")(
+          graft.operators.PQ.ivfpqBatch(spark, scaleDir, qs,
+            broadcastMax = 0).count())
+      } else {
+        steady(s"knn/ivfpq_batch_broadcast (Q=$qn)")(
+          graft.operators.PQ.ivfpqBatch(spark, scaleDir, qs,
+            broadcastMax = Int.MaxValue).count())
+        steady(s"knn/ivfpq_batch_keyed (Q=$qn)")(
+          graft.operators.PQ.ivfpqBatch(spark, scaleDir, qs,
+            broadcastMax = 0).count())
+        steady(s"knn/ivf_batch_broadcast (Q=$qn)")(
+          graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, qs,
+            broadcastMax = Int.MaxValue).count())
+        steady(s"knn/ivf_batch_keyed (Q=$qn)")(
+          graft.operators.Similarity.ivfKnnBatch(spark, scaleDir, qs,
+            broadcastMax = 0).count())
+      }
     }
 
     // --- semantic dedup scale separation: within-cluster pairing vs
@@ -181,6 +202,18 @@ object AnnScaleBench {
     else
       println("[ann-scale] semdedup/all_pairs: skipped (quadratic — " +
         "not runnable at this factor; that is the point)")
+
+    // artifact (round 12): every timed entry + environment, one JSON line
+    def fmtD(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rs = recorded.map { case (k, v) =>
+      s""""${k.replace("\"", "'")}":${fmtD(v)}""" }.mkString("{", ",", "}")
+    val line =
+      s"""{"factor":$factor,"n_vectors":$n,"master":"${graft.Sessions.master(cpus)}","heap_max_mb":${fmtD(Runtime.getRuntime.maxMemory / 1e6)},"results":$rs}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"target/annscale_f$factor.json"), line + "\n")
+    println(s"[ann-scale] wrote target/annscale_f$factor.json")
     spark.stop()
   }
 }

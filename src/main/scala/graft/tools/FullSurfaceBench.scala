@@ -97,10 +97,27 @@ object FullSurfaceBench {
     // factor 10 — 4× the per-task working set of the 32-partition
     // single-JVM run — and the quadratic anchors OOM'd 4 GB executors.)
     // AQE coalesces the excess at small factors.
-    val shufflePartitions = math.max(cpus.toInt, 4 * factor)
+    val shufflePartitions = math.max(cpus.toInt, 16 * factor)
+    // Scan splits must shrink with the factor too: shuffle.partitions
+    // only sizes REDUCE-side tasks, but the partial (map-side) hash
+    // aggregate runs at the SCAN's partitioning — 8 file splits of a
+    // factor-10 corpus meant ~3M exploded shingles per task, hundreds of
+    // spill files each, and Spark's merge phase opens a 1 MB read-ahead
+    // buffer per spill file at once (HashAggregateExec.finishAggregate →
+    // UnsafeSorterSpillReader), which OOM'd 4 GB executors. Splitting
+    // the scan 10× finer keeps per-task spill counts flat as the corpus
+    // grows — the knob a real cluster sizes to executor memory.
+    val maxPartitionBytes = s"${math.max(8, 128 / factor)}m"
     val spark = SparkSession.builder()
       .config(graft.Sessions.conf(cpus))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      // spill-merge reads allocate 2 MB of read-ahead buffers PER SPILL
+      // FILE, all open at once (UnsafeSorterSpillReader) — on a
+      // memory-capped executor that un-accounted allocation is what tips
+      // a many-spill quadratic-anchor task over the heap; trade merge
+      // streaming speed for bounded memory
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport()

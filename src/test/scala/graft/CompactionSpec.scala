@@ -151,6 +151,97 @@ class CompactionSpec extends AnyFunSuite {
       e1.getMessage.contains("2, 3"), e1.getMessage)
   }
 
+  test("cadence: shouldCompact fires at the append-debt threshold and maintenance compacts exactly the due indexes") {
+    import spark.implicits._
+    val hot = TestSpark.tempDir("compact-cadence") + "/hot"
+    val cold = TestSpark.tempDir("compact-cadence") + "/cold"
+    IncrementalPostings.appendBatch(cold, partitions = 2)(
+      Seq(IdxDoc(1L, "cold index")).toDF(), 0L)
+    // drive appends until the trigger fires: debt counts appends since
+    // the layout was last restored, so it must fire at maxBatches+1
+    val maxBatches = 3
+    var batch = 0L
+    while (!Compaction.shouldCompact(spark, hot, maxBatches)) {
+      IncrementalPostings.appendBatch(hot, partitions = 2)(
+        Seq(IdxDoc(100L + batch, s"hot wave$batch term$batch")).toDF(), batch)
+      batch += 1
+    }
+    assert(batch === maxBatches + 1,
+      s"trigger must fire exactly when debt exceeds $maxBatches")
+    val before = rows(IncrementalPostings.read(spark, hot))
+    val coldBefore = rows(IncrementalPostings.read(spark, cold))
+
+    Compaction.Maintenance.register(hot,
+      s => Compaction.compactPostings(s, hot, partitions = 2))
+    Compaction.Maintenance.register(cold,
+      s => Compaction.compactPostings(s, cold, partitions = 2))
+    try {
+      val ran = Compaction.Maintenance.runDue(spark, maxBatches).toMap
+      assert(ran === Map(hot -> true, cold -> false),
+        "maintenance must compact exactly the indexes whose debt crossed")
+      // compaction restored the measured metric: debt back to 1, results
+      // identical, the trigger disarmed
+      assert(Compaction.appendDebt(spark, hot) === 1)
+      assert(!Compaction.shouldCompact(spark, hot, maxBatches))
+      assert(rows(IncrementalPostings.read(spark, hot)) === before)
+      assert(rows(IncrementalPostings.read(spark, cold)) === coldBefore)
+      // and the stream keeps appending on the restored layout
+      IncrementalPostings.appendBatch(hot)(
+        Seq(IdxDoc(999L, "post maintenance")).toDF(), batch)
+      assert(Compaction.appendDebt(spark, hot) === 2)
+    } finally {
+      Compaction.Maintenance.deregister(hot)
+      Compaction.Maintenance.deregister(cold)
+    }
+  }
+
+  test("time travel by timestamp: resolveAsOf picks the newest commit at-or-before; retention knob honored") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("compact-asof") + "/index"
+    // three generations with INJECTED commit times (1s, 2s, 3s) — the
+    // injectable ts is what keeps this deterministic
+    for (g <- 1L to 3L) {
+      Seq(IdxDoc(g, s"gen$g content")).toDF()
+        .write.parquet(Snapshots.genDir(root, g) + "/batch=0")
+      Snapshots.commit(spark, root, g, commitTsMillis = g * 1000L)
+    }
+    assert(Snapshots.generationsWithTimes(spark, root) ===
+      Seq(1L -> 1000L, 2L -> 2000L, 3L -> 3000L))
+    // as-of resolution: newest commit at-or-before the instant
+    assert(Snapshots.resolveAsOf(spark, root, 1000L) === Snapshots.genDir(root, 1L))
+    assert(Snapshots.resolveAsOf(spark, root, 1999L) === Snapshots.genDir(root, 1L))
+    assert(Snapshots.resolveAsOf(spark, root, 2000L) === Snapshots.genDir(root, 2L))
+    assert(Snapshots.resolveAsOf(spark, root, 999999L) === Snapshots.genDir(root, 3L))
+    // before the first commit: refused loudly, naming the window
+    val e = intercept[IllegalArgumentException](
+      Snapshots.resolveAsOf(spark, root, 999L))
+    assert(e.getMessage.contains("gen 1 @ 1000"), e.getMessage)
+    // the read face returns the right snapshot's content
+    assert(Snapshots.readAsOf(spark, root, 2500L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // retention knob: a 2-deep window keeps all three; the default (1)
+    // sweeps gen 1; zero predecessors leaves only current
+    Snapshots.sweep(spark, root, retainPredecessors = 2)
+    assert(Snapshots.generations(spark, root) === Seq(1L, 2L, 3L))
+    Snapshots.sweep(spark, root)
+    assert(Snapshots.generations(spark, root) === Seq(2L, 3L))
+    Snapshots.sweep(spark, root, retainPredecessors = 0)
+    assert(Snapshots.generations(spark, root) === Seq(3L))
+    // round-11 markers had an empty body: commitTime falls back to the
+    // marker file's mtime, so old roots stay as-of-resolvable
+    val legacyRoot = TestSpark.tempDir("compact-asof-legacy") + "/index"
+    Seq(IdxDoc(1L, "legacy")).toDF()
+      .write.parquet(Snapshots.genDir(legacyRoot, 1L) + "/batch=0")
+    val marker = new org.apache.hadoop.fs.Path(
+      Snapshots.genDir(legacyRoot, 1L), "_COMMITTED")
+    val f = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    f.create(marker, false).close() // empty body, r11 format
+    val t = Snapshots.commitTime(spark, legacyRoot, 1L)
+    assert(t.exists(_ > 0L), s"legacy marker must fall back to mtime, got $t")
+    assert(Snapshots.resolveAsOf(spark, legacyRoot, System.currentTimeMillis() + 60000)
+      === Snapshots.genDir(legacyRoot, 1L))
+  }
+
   test("committing the same generation twice fails loudly (single-compactor contract)") {
     import spark.implicits._
     val root = TestSpark.tempDir("compact-double-commit") + "/index"

@@ -46,6 +46,39 @@ class SkewAndSqlSpec extends AnyFunSuite {
       SkewOps.isolatedSkewJoin(large, small, "k", hotKeys = Seq.empty))
   }
 
+  test("hot keys detected from MG statistics match the declared skew; auto-isolation equals plain join") {
+    import spark.implicits._
+    // zipf-ish fixture: key 7 takes 60% of rows, key 13 takes 20%,
+    // the rest spread thin over 500 cold keys (each ≤ 0.05%)
+    val large = spark.range(20000)
+      .select(
+        when(col("id") % 10 < 6, lit(7L))
+          .when(col("id") % 10 < 8, lit(13L))
+          .otherwise(col("id") % 500 + 1000).as("k"),
+        col("id").as("payload"))
+      .repartition(8) // multiple partitions: the merge path must run
+    val detected = SkewOps.hotKeysFromStats(large, "k", frac = 0.1)
+    assert(detected.toSet === Set(7L, 13L),
+      s"expected the two declared hot keys, got $detected")
+    // detection feeds isolation; result must be semantically invisible
+    val small = (Seq(7L, 13L) ++ (1000L until 1100L)).map(k => (k, s"n$k"))
+      .toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val auto = SkewOps.isolatedSkewJoinAuto(large, small, "k", frac = 0.1)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(auto === plain && plain.nonEmpty)
+    // no skew → no isolation, still the plain result
+    val uniform = spark.range(2000).select((col("id") % 400).as("k"),
+      col("id").as("payload"))
+    val uniSmall = (0L until 400L).map(k => (k, s"u$k")).toDF("k", "name")
+    val uniPlain = uniform.join(uniSmall, Seq("k"))
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    val uniAuto = SkewOps.isolatedSkewJoinAuto(uniform, uniSmall, "k", frac = 0.1)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(uniAuto === uniPlain)
+  }
+
   test("two-phase count equals plain count under skew") {
     import spark.implicits._
     val df = spark.range(5000)
