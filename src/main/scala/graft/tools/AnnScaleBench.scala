@@ -29,13 +29,29 @@ object AnnScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // every timed entry lands in the artifact (round 12) — the crossover
-    // claims below need recorded numbers, not scrollback
+    // claims below need recorded numbers, not scrollback. The artifact is
+    // REWRITTEN after every entry: the large-Q faces run for many minutes
+    // each, and an end-only write makes the whole sweep all-or-nothing
+    // against a kill/OOM — measured walls must survive a partial run.
     val recorded = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def fmtD(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    var corpusN = 0L
+    def writeArtifact(factor: Int, complete: Boolean): Unit = {
+      val rs = recorded.map { case (k, v) =>
+        s""""${k.replace("\"", "'")}":${fmtD(v)}""" }.mkString("{", ",", "}")
+      val line =
+        s"""{"factor":$factor,"n_vectors":$corpusN,"master":"${graft.Sessions.master(cpus)}","heap_max_mb":${fmtD(Runtime.getRuntime.maxMemory / 1e6)},"complete":$complete,"results":$rs}"""
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"target/annscale_f$factor.json"), line + "\n")
+    }
     def time[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime; val r = f
       val dt = (System.nanoTime - t0) / 1e9
       recorded(name) = dt
-      println(f"[ann-scale] $name: $dt%.2f s"); r
+      println(f"[ann-scale] $name: $dt%.2f s")
+      writeArtifact(factor, complete = false); r
     }
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft_ann_scale$factor"
     // the replica corpus is a deterministic function of (source, factor)
@@ -61,6 +77,7 @@ object AnnScaleBench {
       java.nio.file.Files.write(sigFile.toPath, srcSig.getBytes)
     }
     val n = spark.read.parquet(s"$scaleDir/embeddings.parquet").count()
+    corpusN = n
     println(s"[ann-scale] corpus: $n vectors")
 
     // steady-state: run each query twice, report the second (first run
@@ -150,6 +167,7 @@ object AnnScaleBench {
       catch { case e: Throwable =>
         recorded(name) = -1.0
         println(s"[ann-scale] $name: FAILED ${e.toString.take(160)}")
+        writeArtifact(factor, complete = false)
       }
     for (qn <- Seq(10000, 30000, 100000)) {
       val qs = qSet(qn)
@@ -203,16 +221,8 @@ object AnnScaleBench {
       println("[ann-scale] semdedup/all_pairs: skipped (quadratic — " +
         "not runnable at this factor; that is the point)")
 
-    // artifact (round 12): every timed entry + environment, one JSON line
-    def fmtD(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rs = recorded.map { case (k, v) =>
-      s""""${k.replace("\"", "'")}":${fmtD(v)}""" }.mkString("{", ",", "}")
-    val line =
-      s"""{"factor":$factor,"n_vectors":$n,"master":"${graft.Sessions.master(cpus)}","heap_max_mb":${fmtD(Runtime.getRuntime.maxMemory / 1e6)},"results":$rs}"""
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"target/annscale_f$factor.json"), line + "\n")
+    // final artifact write flips the completeness flag
+    writeArtifact(factor, complete = true)
     println(s"[ann-scale] wrote target/annscale_f$factor.json")
     spark.stop()
   }
