@@ -71,6 +71,7 @@ object SparkEntry {
     "j_salted_skew"         -> (SkewOps.saltedJoinQuery _),
     "j_range_band"          -> (Joins.rangeBandJoin _),
     "j_full_outer"          -> (Joins.fullOuterReconcile _),
+    "j_cbo_broadcast"       -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboBroadcastJoin(s, d)),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -1083,6 +1084,13 @@ object SparkEntry {
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j_cbo_broadcast" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_customers,
         |       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal
