@@ -110,6 +110,7 @@ object SparkEntry {
     "x_simhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDupIndexed(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
     "x_token_stats"         -> (operators.TextAnalysis.tokenStats _),
+    "x_subword_tokenize"    -> (operators.Subword.subwordTokenize _),
     "x_text_quality"        -> (operators.TextAnalysis.textQuality _),
     "x_lang_id"             -> (operators.TextAnalysis.langId _),
     "x_doc_fingerprint"     -> (operators.TextAnalysis.docFingerprint _),
@@ -1496,6 +1497,46 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN first_fail = 'contamination' THEN 1 ELSE 0 END) AS BIGINT) AS killed_contamination
         |FROM fun JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    // x_subword_tokenize: full training + encode replay — vocabulary =
+    // top-512 substrings (≤5 chars) of the lowercased [A-Za-z]+ word
+    // model by total corpus occurrences (ties by token), encode = greedy
+    // longest-match as a recursive CTE advancing longest-vocab-match-or-
+    // one-char per step; counts identical to the codegen'd expression.
+    "x_subword_tokenize" ->
+      """WITH RECURSIVE wocc AS (
+        |  SELECT d.doc_id, lower(t.w) AS word
+        |  FROM documents d, LATERAL unnest(regexp_extract_all(d.text, '[A-Za-z]+')) AS t(w)
+        |),
+        |wcnt AS (SELECT word, count(*) AS cnt FROM wocc GROUP BY word),
+        |cand AS (
+        |  SELECT substr(w.word, CAST(p.p AS INT), CAST(l.l AS INT)) AS tok, sum(w.cnt) AS freq
+        |  FROM wcnt w,
+        |       LATERAL unnest(range(1, length(w.word)+1)) AS p(p),
+        |       LATERAL unnest(range(1, least(5, length(w.word)-p.p+1)+1)) AS l(l)
+        |  GROUP BY tok
+        |),
+        |vocab AS (SELECT tok FROM cand ORDER BY freq DESC, tok LIMIT 512),
+        |dwords AS (SELECT DISTINCT word FROM wcnt),
+        |enc AS (
+        |  SELECT word, 1 AS pos, 0 AS toks FROM dwords
+        |  UNION ALL
+        |  SELECT word,
+        |    pos + CASE
+        |      WHEN length(word)-pos+1 >= 5 AND substr(word,pos,5) IN (SELECT tok FROM vocab) THEN 5
+        |      WHEN length(word)-pos+1 >= 4 AND substr(word,pos,4) IN (SELECT tok FROM vocab) THEN 4
+        |      WHEN length(word)-pos+1 >= 3 AND substr(word,pos,3) IN (SELECT tok FROM vocab) THEN 3
+        |      WHEN length(word)-pos+1 >= 2 AND substr(word,pos,2) IN (SELECT tok FROM vocab) THEN 2
+        |      ELSE 1 END,
+        |    toks + 1
+        |  FROM enc WHERE pos <= length(word)
+        |),
+        |wtoks AS (SELECT word, toks FROM enc WHERE pos > length(word))
+        |SELECT d.doc_id, count(o.word) AS n_words,
+        |       CAST(coalesce(sum(w.toks), 0) AS BIGINT) AS n_subwords
+        |FROM documents d
+        |LEFT JOIN wocc o ON o.doc_id = d.doc_id
+        |LEFT JOIN wtoks w ON w.word = o.word
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
