@@ -326,18 +326,27 @@ object Similarity {
     * joins and become keyed SHUFFLE joins: every one of those frames
     * grows linearly with Q — the probe pairs (Q×nprobe×16 B), the query
     * vectors (Q×dim×4 B), and the IVF-PQ ADC tables (Q×nprobe×m×ksub×8 B
-    * ≈ 1 KB/row at the default m=8, ksub=16) — so past the vector-tier
-    * Q regime the broadcast is the bottleneck (≈400 MB at Q=10⁵ for the
-    * ADC frame), not the scan. At or below the cutoff the broadcast face
-    * wins because the big side (the index) is scanned in place and never
-    * shuffled; above it the keyed face shuffles the scan by cid/qid —
-    * linear data movement, distributed over executors, no driver-memory
-    * or broadcast-size cliff. 16384 keeps the worst default-parameter
-    * broadcast ≈64 MB; callers with bigger ADC tables (larger m·ksub)
-    * should pass a proportionally lower `broadcastMax`. Both faces are
-    * row-identical (spec-pinned — the join keys and arithmetic are the
-    * same; only the physical join strategy moves). */
-  val BatchBroadcastMax = 16384
+    * ≈ 1 KB/row at the default m=8, ksub=16). At or below the cutoff the
+    * broadcast face wins because the big side (the index) is scanned in
+    * place and never shuffled; above it the keyed face shuffles the scan
+    * by cid/qid — linear data movement, distributed over executors, no
+    * driver-memory or broadcast-size cliff.
+    *
+    * The cutoff is set from the round-12 measured envelope (AnnScaleBench
+    * factor 100, 200 k vectors, 8 g executor-sized heap,
+    * `target/annscale_f100.json`): the broadcast face is ~2× FASTER than
+    * keyed everywhere it survives — Q=10⁴ 77 s vs 168 s, Q=3×10⁴
+    * (≈120 MB ADC frame) 341 s vs 687 s — and DIES at Q=10⁵ (≈400 MB
+    * frame): executor `OutOfMemoryError` building the broadcast hash
+    * relation, recorded as the -1 entry. So the wall-clock crossover
+    * never arrives before the memory cliff, and the constant is a MEMORY
+    * envelope: 32768 keeps the worst default-parameter ADC broadcast
+    * ≈128 MB — inside the measured-safe 3×10⁴ point with 3× margin to
+    * the measured 10⁵ cliff. Callers with bigger ADC tables (larger
+    * m·ksub) should pass a proportionally lower `broadcastMax`. Both
+    * faces are row-identical (spec-pinned — the join keys and arithmetic
+    * are the same; only the physical join strategy moves). */
+  val BatchBroadcastMax = 32768
 
   /** x_ivf_batch — MANY queries served against the materialized IVF
     * index in ONE pass: the realistic serving shape (a training-data

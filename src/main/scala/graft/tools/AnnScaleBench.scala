@@ -34,6 +34,22 @@ object AnnScaleBench {
     // each, and an end-only write makes the whole sweep all-or-nothing
     // against a kill/OOM — measured walls must survive a partial run.
     val recorded = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // --resume: reload a prior (possibly partial) artifact and SKIP every
+    // already-recorded entry — the crash-resume path. In local mode an
+    // executor OOM (e.g. the broadcast serving face past its memory
+    // cliff) kills the whole SparkContext, so entries after the cliff
+    // never ran; resuming re-runs exactly those, keeping recorded
+    // failures (-1) as the finding they are instead of re-dying on them.
+    val artifactPath = java.nio.file.Paths.get(s"target/annscale_f$factor.json")
+    if (args.contains("--resume") && java.nio.file.Files.exists(artifactPath)) {
+      val txt = new String(java.nio.file.Files.readAllBytes(artifactPath))
+      val entry = "\"([^\"]+)\":(-?\\d+\\.\\d+)".r
+      val startAt = txt.indexOf("\"results\":")
+      entry.findAllMatchIn(txt.substring(math.max(0, startAt))).foreach { m =>
+        recorded(m.group(1)) = m.group(2).toDouble
+      }
+      println(s"[ann-scale] resume: ${recorded.size} recorded entries loaded, will skip them")
+    }
     def fmtD(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     var corpusN = 0L
@@ -47,6 +63,10 @@ object AnnScaleBench {
         java.nio.file.Paths.get(s"target/annscale_f$factor.json"), line + "\n")
     }
     def time[T](name: String)(f: => T): T = {
+      if (recorded.contains(name)) {
+        println(f"[ann-scale] $name: skipped (resume, recorded ${recorded(name)}%.2f)")
+        return null.asInstanceOf[T]
+      }
       val t0 = System.nanoTime; val r = f
       val dt = (System.nanoTime - t0) / 1e9
       recorded(name) = dt
@@ -83,6 +103,10 @@ object AnnScaleBench {
     // steady-state: run each query twice, report the second (first run
     // in a fresh JVM absorbs codegen + page-cache warm-up)
     def steady(name: String)(f: => Long): Unit = {
+      if (recorded.contains(name)) {
+        println(f"[ann-scale] $name: skipped (resume, recorded ${recorded(name)}%.2f)")
+        return
+      }
       f; time(name)(f); ()
     }
     steady("knn/brute_exact")(
