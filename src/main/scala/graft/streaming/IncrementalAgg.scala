@@ -22,9 +22,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * CDC changelog-apply path, `cdc/ChangelogApply`, which keeps full
   * rows precisely because it must retract).
   *
-  * Exactly-once by epoch overwrite (the [[IncrementalIndex]] pattern):
-  * a replayed batchId rewrites its own epoch partition rather than
-  * double-counting — sums are safe under at-least-once delivery.
+  * The partial relation rides the SHARED appender machinery
+  * ([[Compaction.appendBatch]] into the [[Snapshots]]-resolved tree):
+  * exactly-once by batch-dir overwrite, append debt observable by the
+  * same [[Compaction.appendDebt]] metric, and [[compact]] folds all
+  * accumulated partials into ONE partial row-set per group through the
+  * atomic generation publish — replay-safe because foreachBatch only
+  * replays batch ids the checkpoint has not committed, and every folded
+  * id is committed (the [[Compaction]] contract). Register with
+  * [[Compaction.Maintenance]] to sweep it on the shared cadence.
+  *
   * The reference recomputes its reconciliation aggregates by full
   * COUNT(*) rescan per task run
   * (`start_dms_replication_task_lambda/handler.py:27-73`); this face is
@@ -42,11 +49,19 @@ object IncrementalAgg {
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"))
 
-  /** Append one batch's partial — idempotent per batchId (epoch
-    * overwrite). */
+  /** The partial-merge: same shape in, same shape out — [[read]] folds
+    * through it once; [[compact]] persists its result as the new base. */
+  private def mergePartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+
+  /** Append one batch's partial — idempotent per batchId (batch-dir
+    * overwrite into the resolved snapshot tree). */
   def appendBatch(root: String)(batch: DataFrame, batchId: Long): Unit =
-    partialOf(batch)
-      .write.mode("overwrite").parquet(s"$root/partials/epoch=$batchId")
+    Compaction.appendBatch(partialOf(batch), root, batchId)
 
   /** Wire an events stream into view maintenance. AvailableNow by
     * default: drain, checkpoint, stop. */
@@ -58,18 +73,28 @@ object IncrementalAgg {
       .trigger(trigger)
       .start()
 
-  /** The maintained view: merge all epoch partials with the algebraic
-    * merge (sum of counts, sum of cent-sums, min of mins, max of maxes).
-    * Equals the whole-corpus batch aggregate after every batch
+  /** The raw partial relation (all accumulated epochs). */
+  def partials(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(Snapshots.resolve(spark, root)).drop("batch")
+
+  /** The maintained view: fold the partial relation with the algebraic
+    * merge. Equals the whole-corpus batch aggregate after every batch
     * (IncrementalAggSpec) at |epochs|×|groups| read cost. */
   def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/partials").drop("epoch")
-      .groupBy(col("event_type"))
-      .agg(sum(col("cnt")).as("cnt"),
-        (sum(col("sum_cents")).cast("double") / lit(100.0)).as("sum_value"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
+    mergePartials(partials(spark, root))
+      .select(col("event_type"), col("cnt"),
+        (col("sum_cents").cast("double") / lit(100.0)).as("sum_value"),
+        col("min_v"), col("max_v"))
       .orderBy(col("event_type"))
+
+  /** Fold every accumulated partial into one |groups|-row base partial
+    * published as a fresh committed generation — the view's compaction
+    * (refresh cost drops back to |groups| rows read). Safe between
+    * drains, like every appender compaction. */
+  def compact(spark: SparkSession, root: String): Unit =
+    Compaction.compact(spark, root) { (df, out) =>
+      mergePartials(df).coalesce(1).write.mode("overwrite").parquet(out)
+    }
 
   /** The equivalent one-shot batch aggregate (the spec's ground truth
     * and the rebuild a refresh would otherwise pay). */

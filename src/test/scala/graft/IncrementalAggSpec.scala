@@ -55,9 +55,26 @@ class IncrementalAggSpec extends AnyFunSuite {
       "replayed epoch must not change the view")
     // the refresh reads the partial relation, not the corpus: per epoch
     // at most |groups| rows
-    val partials = spark.read.parquet(s"$root/partials")
     val nTypes = events.map(_.event_type).distinct.length.toLong
-    assert(partials.count() <= waves.length * nTypes,
+    assert(IncrementalAgg.partials(spark, root).count() <=
+      waves.length * nTypes,
       "partial relation must be |epochs|x|groups|-bounded")
+    // compaction folds all epochs into one |groups|-row base partial,
+    // resets the append debt, and changes NOTHING about the view; the
+    // appender continues on top of the compacted base
+    assert(graft.streaming.Compaction.appendDebt(spark, root) ===
+      waves.length)
+    IncrementalAgg.compact(spark, root)
+    assert(graft.streaming.Compaction.appendDebt(spark, root) === 1)
+    assert(IncrementalAgg.partials(spark, root).count() === nTypes)
+    assert(canon(IncrementalAgg.read(spark, root)) === canon(expect),
+      "compaction must not change the view")
+    val extra = waves.head
+    IncrementalAgg.appendBatch(root)(extra.toSeq.toDS().toDF(),
+      waves.length.toLong)
+    val expect2 = IncrementalAgg.batchAggregate(
+      (seen ++ extra).toSeq.toDS().toDF())
+    assert(canon(IncrementalAgg.read(spark, root)) === canon(expect2),
+      "append after compaction must fold on the compacted base")
   }
 }
