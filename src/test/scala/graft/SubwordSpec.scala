@@ -67,7 +67,16 @@ class SubwordSpec extends AnyFunSuite {
     assert(v1.toSeq === v2.toSeq, "vocab must be deterministic")
     assert(v1.length <= Subword.VocabSize)
     assert(v1.distinct.length === v1.length)
-    val rows = Subword.subwordTokenize(spark, dir).collect()
+    val q = Subword.subwordTokenize(spark, dir)
+    // plan audit: encode is ONE narrow codegen'd pass — the vocab is
+    // expression state, so the only exchanges are the per-doc agg and
+    // the output sort; no join anywhere
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("subword_count"), p)
+    assert(!p.contains("Join"), "encode must not join against the vocab")
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_count"), p)
+    val rows = q.collect()
     val nDocs = Tables.documents(spark, dir).count()
     assert(rows.length.toLong === nDocs, "every doc must appear")
     rows.foreach { r =>
