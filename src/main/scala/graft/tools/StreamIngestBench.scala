@@ -9,7 +9,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * paths sustain. This bench drives three live `Trigger.ProcessingTime`
   * queries at factor-N corpus scale and records per-batch latency and
   * a sustained rows/s figure for each, in the FullSurfaceBench artifact
-  * discipline (one JSON line, mode-tagged, under `target/`):
+  * discipline (one JSON line, mode-tagged, under `target/`); a fourth
+  * face (round-12 addition) drives the incremental aggregate view:
   *
   *  1. `cdc_apply` — the A17 path end-to-end: the `cdc-gen` rate source
   *     → [[graft.cdc.ChangelogApply.applyStream]] (flatMapGroupsWithState
@@ -186,6 +187,31 @@ object StreamIngestBench {
     }
     report(face3)
 
+    // ---- face 4: incremental aggregate view fold ---------------------
+    // the IVM path: per-batch algebraic partials into the shared
+    // appender tree; the sustained rate is the cost of keeping a
+    // dashboard aggregate corpus-fresh per arriving wave.
+    val face4 = {
+      val events = graft.Tables.events(spark, srcDir)
+        .select(col("event_id"), col("event_type"), col("value")).crossJoin(r)
+        .select((col("event_id") * factor + col("r")).as("event_id"),
+          col("event_type"), col("value"))
+        .localCheckpoint(true, graft.ops.Pin.Level)
+      val root = s"$work/agg_view"
+      val waves = (0 until nWaves).map(i =>
+        events.filter(pmod(col("event_id"), lit(nWaves)) === i))
+      val f = driveFileWaves("incr_agg_fold", waves, inDir =>
+        graft.streaming.IncrementalAgg.start(
+          spark.readStream.schema(events.schema).parquet(inDir),
+          root, s"$work/agg_ckpt",
+          Trigger.ProcessingTime("200 milliseconds")))
+      val total = graft.streaming.IncrementalAgg.read(spark, root)
+        .agg(sum(col("cnt"))).collect()(0).getLong(0)
+      require(total == events.count(), s"view must count every event, got $total")
+      f
+    }
+    report(face4)
+
     // ---- artifact ----------------------------------------------------
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -197,7 +223,7 @@ object StreamIngestBench {
     val modeTag =
       if (graft.Sessions.master(cpus).startsWith("local-cluster")) "lc_" else ""
     val line =
-      s"""{"factor":$factor,"n_waves":$nWaves,"master":"${graft.Sessions.master(cpus)}","reference_envelope_rows_per_sec":20,"faces":{${Seq(face1, face2, face3).map(faceJson).mkString(",")}}}"""
+      s"""{"factor":$factor,"n_waves":$nWaves,"master":"${graft.Sessions.master(cpus)}","reference_envelope_rows_per_sec":20,"faces":{${Seq(face1, face2, face3, face4).map(faceJson).mkString(",")}}}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/streamingest_${modeTag}f$factor.json"),
