@@ -208,6 +208,9 @@ object FullSurfaceBench {
     build("postings_index")(graft.operators.Search.ensurePostingsIndex(spark, scaleDir))
     build("day_layout")(graft.ops.Layout.ensureDayLayout(spark, scaleDir))
     build("zorder_layout")(graft.ops.Layout.ensureZOrderLayout(spark, scaleDir))
+    build("subword_vocab")(graft.operators.Subword.ensureVocab(spark, scaleDir))
+    build("stats_catalog")(graft.ops.TableStats.ensureCatalog(spark, scaleDir,
+      "customer", Seq("c_custkey", "c_nationkey", "c_mktsegment")))
 
     // ---- shuffle-write bytes off one executed plan -------------------
     def shuffleMB(df: DataFrame): Double = {
