@@ -83,11 +83,12 @@ object Subword {
       .select(col("tok")).collect().map(_.getString(0))
   }
 
-  /** x_subword_tokenize — per-document word and subword-token counts
-    * under the corpus-trained vocabulary. */
-  def subwordTokenize(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = ensureVocab(spark, dir)
-    wordOcc(Tables.documents(spark, dir))
+  /** Per-doc word/subword counts of an arbitrary documents frame under
+    * a FIXED vocabulary — the shared core of the batch query and the
+    * streaming ingest face ([[graft.streaming.StreamingSubword]]);
+    * per-doc stateless given the vocab, so epoch outputs tile. */
+  def countsOf(docs: DataFrame, vocab: Array[String]): DataFrame =
+    wordOcc(docs)
       .select(col("doc_id"),
         col("word"),
         graft.functions.SubwordCount
@@ -95,6 +96,10 @@ object Subword {
       .groupBy(col("doc_id"))
       .agg(count(col("word")).as("n_words"),
         coalesce(sum(col("toks")), lit(0L)).as("n_subwords"))
+
+  /** x_subword_tokenize — per-document word and subword-token counts
+    * under the corpus-trained vocabulary. */
+  def subwordTokenize(spark: SparkSession, dir: String): DataFrame =
+    countsOf(Tables.documents(spark, dir), ensureVocab(spark, dir))
       .orderBy(col("doc_id"))
-  }
 }
