@@ -81,7 +81,7 @@ object Bench {
     build("build_zorder_layout")(graft.ops.Layout.ensureZOrderLayout(spark, sfDir))
     build("build_subword_vocab")(graft.operators.Subword.ensureVocab(spark, sfDir))
     build("build_stats_catalog")(graft.ops.TableStats.ensureCatalog(spark, sfDir,
-      "customer", Seq("c_custkey", "c_nationkey", "c_mktsegment")))
+      "customer", graft.ops.TableStats.CustomerStatCols))
     // a failed query records an errors entry instead of silently timing
     // the failure — the driver's BENCH JSON then shows breakage explicitly.
     // Variance robustness (round-7): queries at ≥0.3 s cold are re-run

@@ -72,6 +72,7 @@ object SparkEntry {
     "j_range_band"          -> (Joins.rangeBandJoin _),
     "j_full_outer"          -> (Joins.fullOuterReconcile _),
     "j_cbo_broadcast"       -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboBroadcastJoin(s, d)),
+    "j_cbo_range"           -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboRangeJoin(s, d)),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -1091,6 +1092,13 @@ object SparkEntry {
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "j_cbo_range" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal BETWEEN 0.0 AND 2500.0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_customers,

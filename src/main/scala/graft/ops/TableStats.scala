@@ -137,23 +137,52 @@ object TableStats {
     * execution, unlike AQE's post-map-write conversion. At 100 TB the
     * same catalog row makes the same call without reading the customer
     * table at all. */
+  /** The one customer catalog both CBO faces share (a per-face column
+    * subset would sig-invalidate the other face's catalog on every
+    * alternation). */
+  val CustomerStatCols: Seq[String] =
+    Seq("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+
   def cboBroadcastJoin(spark: SparkSession, dir: String,
       segment: String = "BUILDING",
       thresholdBytes: Long = 10L << 20): DataFrame = {
-    val statCols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
-    val cat = readCatalog(spark, dir, "customer", statCols)
+    val cat = readCatalog(spark, dir, "customer", CustomerStatCols)
     val sel = equalitySelectivity(cat("c_mktsegment"))
-    val est = estimatedBytes(cat, statCols, sel)
+    val est = estimatedBytes(cat,
+      Seq("c_custkey", "c_nationkey", "c_mktsegment"), sel)
     val dim = graft.Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === segment)
       .select(col("c_custkey"), col("c_nationkey"))
     val planned = broadcastIfEstimatedSmall(dim, est, thresholdBytes)
+    ordersPerNation(spark, dir, planned)
+  }
+
+  /** j_cbo_range — the same catalog decision driven by the RANGE
+    * estimator: customers with account balance in [lo, hi] (uniform
+    * span-ratio selectivity against the catalog min/max) joined to
+    * orders. Integer-representable bounds keep the BETWEEN exact
+    * cross-engine. */
+  def cboRangeJoin(spark: SparkSession, dir: String,
+      lo: Double = 0.0, hi: Double = 2500.0,
+      thresholdBytes: Long = 10L << 20): DataFrame = {
+    val cat = readCatalog(spark, dir, "customer", CustomerStatCols)
+    val sel = rangeSelectivity(cat("c_acctbal"), lo, hi)
+    val est = estimatedBytes(cat,
+      Seq("c_custkey", "c_nationkey", "c_acctbal"), sel)
+    val dim = graft.Tables.customer(spark, dir)
+      .filter(col("c_acctbal").between(lo, hi))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val planned = broadcastIfEstimatedSmall(dim, est, thresholdBytes)
+    ordersPerNation(spark, dir, planned)
+  }
+
+  private def ordersPerNation(spark: SparkSession, dir: String,
+      dim: DataFrame): DataFrame =
     graft.Tables.orders(spark, dir)
-      .join(planned, col("o_custkey") === col("c_custkey"))
+      .join(dim, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_orders"),
         graft.functions.DetMath.sumMoney(col("o_totalprice"))
           .as("sum_price"))
       .orderBy(col("c_nationkey"))
-  }
 }

@@ -210,7 +210,7 @@ object FullSurfaceBench {
     build("zorder_layout")(graft.ops.Layout.ensureZOrderLayout(spark, scaleDir))
     build("subword_vocab")(graft.operators.Subword.ensureVocab(spark, scaleDir))
     build("stats_catalog")(graft.ops.TableStats.ensureCatalog(spark, scaleDir,
-      "customer", Seq("c_custkey", "c_nationkey", "c_mktsegment")))
+      "customer", graft.ops.TableStats.CustomerStatCols))
 
     // ---- shuffle-write bytes off one executed plan -------------------
     def shuffleMB(df: DataFrame): Double = {

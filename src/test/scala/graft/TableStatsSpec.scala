@@ -47,7 +47,7 @@ class TableStatsSpec extends AnyFunSuite {
   }
 
   test("catalog round-trips sig-gated; estimate sits far under the bar") {
-    val cols = Seq("c_custkey", "c_nationkey", "c_mktsegment")
+    val cols = TableStats.CustomerStatCols
     val cat = TableStats.readCatalog(spark, dir, "customer", cols)
     val rows = graft.Tables.customer(spark, dir).count()
     assert(cat("c_custkey").nRows === rows)
@@ -72,6 +72,22 @@ class TableStatsSpec extends AnyFunSuite {
       val smj = TableStats.cboBroadcastJoin(spark, dir, thresholdBytes = 0L)
       val ps = smj.queryExecution.executedPlan.toString
       assert(!ps.contains("BroadcastHashJoin"), ps)
+      assert(bhj.collect().toSeq === smj.collect().toSeq)
+      assert(bhj.count() > 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("j_cbo_range: the range estimator drives the same decision; " +
+      "rows identical either way") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bhj = TableStats.cboRangeJoin(spark, dir)
+      val pb = bhj.queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastHashJoin"), pb)
+      val smj = TableStats.cboRangeJoin(spark, dir, thresholdBytes = 0L)
+      assert(!smj.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
       assert(bhj.collect().toSeq === smj.collect().toSeq)
       assert(bhj.count() > 0L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
