@@ -36,6 +36,7 @@ object SparkEntry {
     "s_math_funcs"          -> (Scans.mathFuncs _),
     "s_day_pruned"          -> ((s: SparkSession, d: String) => Scans.dayPruned(s, d)),
     "s_zorder_pruned"       -> ((s: SparkSession, d: String) => Scans.zorderPruned(s, d)),
+    "s_analyze_stats"       -> (graft.ops.TableStats.analyzeStats _),
     // Group F — filters & predicates
     "f_event_type_in"       -> (Filters.eventTypeIn _),
     "f_compound_pred"       -> (Filters.compoundPred _),
@@ -941,6 +942,36 @@ object SparkEntry {
         |WHERE user_id BETWEEN 3 AND 9
         |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY event_id""".stripMargin,
+    // s_analyze_stats: exact per-column statistics in the BIGINT/STRING
+    // domain (money as floor-cents), one UNION branch per column.
+    "s_analyze_stats" ->
+      """WITH s AS (
+        |  SELECT 'customer' AS tbl, 'c_custkey' AS col, count(*) AS n_rows, sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, count(DISTINCT c_custkey) AS n_distinct, CAST(min(c_custkey) AS VARCHAR) AS min_v, CAST(max(c_custkey) AS VARCHAR) AS max_v FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_nationkey', count(*), sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_mktsegment', count(*), sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END), count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer', 'c_acctbal_cents', count(*), sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END), count(DISTINCT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)), CAST(min(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS VARCHAR), CAST(max(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey', count(*), sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', count(*), sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderstatus', count(*), sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_totalprice_cents', count(*), sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), count(DISTINCT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)), CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS VARCHAR), CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderpriority', count(*), sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders
+        |  UNION ALL
+        |  SELECT 'nation', 'n_nationkey', count(*), sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT n_nationkey), CAST(min(n_nationkey) AS VARCHAR), CAST(max(n_nationkey) AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nation', 'n_name', count(*), sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END), count(DISTINCT n_name), min(n_name), max(n_name) FROM nation
+        |)
+        |SELECT tbl, col, CAST(n_rows AS BIGINT) AS n_rows,
+        |       CAST(n_nulls AS BIGINT) AS n_nulls,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v
+        |FROM s ORDER BY tbl, col""".stripMargin,
     "f_event_type_in" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events WHERE event_type IN ('signup', 'purchase')

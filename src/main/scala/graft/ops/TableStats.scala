@@ -185,4 +185,57 @@ object TableStats {
         graft.functions.DetMath.sumMoney(col("o_totalprice"))
           .as("sum_price"))
       .orderBy(col("c_nationkey"))
+
+  /** s_analyze_stats — the ANALYZE sweep as a QUERY: exact per-column
+    * statistics (rows, nulls, distinct, min, max) across warehouse
+    * tables in information-schema shape, one aggregation pass per
+    * table, melted in-plan (no driver loop). This is the hash-oracled
+    * face of the catalog ([[ensureCatalog]] keeps the approximate
+    * serving copy; a planner consumes HLL ndv because an exact
+    * distinct is its own shuffle — this face pays that shuffle
+    * deliberately, it IS the audit). Exactness discipline: every
+    * statistic lives in the BIGINT/STRING domain (money as integer
+    * cents) so min/max/distinct agree bit-for-bit cross-engine —
+    * doubles would hit engine-specific string formatting. */
+  def analyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def statsOf(df: DataFrame, table: String,
+        cols: Seq[(String, Column)]): DataFrame = {
+      val aggs: Seq[Column] = Seq(count(lit(1)).as("_n")) ++
+        cols.flatMap { case (n, c) =>
+          Seq(
+            sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+            countDistinct(c).as(s"${n}__ndv"),
+            min(c).cast("string").as(s"${n}__min"),
+            max(c).cast("string").as(s"${n}__max"))
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val entries = cols.map { case (n, _) =>
+        struct(
+          lit(table).as("tbl"), lit(n).as("col"),
+          col("_n").as("n_rows"),
+          col(s"${n}__nulls").as("n_nulls"),
+          col(s"${n}__ndv").as("n_distinct"),
+          col(s"${n}__min").as("min_v"),
+          col(s"${n}__max").as("max_v"))
+      }
+      one.select(explode(array(entries: _*)).as("s")).select(col("s.*"))
+    }
+    val cents = graft.functions.DetMath.cents _
+    val c = statsOf(graft.Tables.customer(spark, dir), "customer", Seq(
+      "c_custkey" -> col("c_custkey").cast("long"),
+      "c_nationkey" -> col("c_nationkey").cast("long"),
+      "c_mktsegment" -> col("c_mktsegment"),
+      "c_acctbal_cents" -> cents(col("c_acctbal"))))
+    val o = statsOf(graft.Tables.orders(spark, dir), "orders", Seq(
+      "o_orderkey" -> col("o_orderkey").cast("long"),
+      "o_custkey" -> col("o_custkey").cast("long"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice_cents" -> cents(col("o_totalprice")),
+      "o_orderpriority" -> col("o_orderpriority")))
+    val n = statsOf(graft.Tables.nation(spark, dir), "nation", Seq(
+      "n_nationkey" -> col("n_nationkey").cast("long"),
+      "n_name" -> col("n_name")))
+    c.unionByName(o).unionByName(n).orderBy(col("tbl"), col("col"))
+  }
 }

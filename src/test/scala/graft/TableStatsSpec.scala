@@ -77,6 +77,22 @@ class TableStatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("s_analyze_stats: information-schema sweep is exact per table") {
+    val rows = graft.ops.TableStats.analyzeStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val nNation = Tables.nation(spark, dir).count()
+    val nk = rows(("nation", "n_nationkey"))
+    assert(nk.getAs[Long]("n_rows") === nNation)
+    assert(nk.getAs[Long]("n_distinct") === nNation)
+    assert(nk.getAs[Long]("n_nulls") === 0L)
+    assert(nk.getAs[String]("min_v") === "0")
+    val seg = rows(("customer", "c_mktsegment"))
+    assert(seg.getAs[Long]("n_distinct") === 5L)
+    // money stats live in the integer-cent domain
+    val bal = rows(("customer", "c_acctbal_cents"))
+    assert(bal.getAs[String]("min_v").matches("-?\\d+"))
+  }
+
   test("j_cbo_range: the range estimator drives the same decision; " +
       "rows identical either way") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
