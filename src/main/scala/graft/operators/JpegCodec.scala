@@ -621,6 +621,7 @@ object JpegCodec {
     val dcTables = new Array[DecodeTable](4)
     val acTables = new Array[DecodeTable](4)
     var scanStart = -1
+    var adobeTransform = -1 // APP14 "Adobe" transform byte; -1 = absent
 
     def u16(off: Int): Int = ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
 
@@ -709,11 +710,31 @@ object JpegCodec {
             sc += 1
           }
           scanStart = i + 2 + len
+        case 0xee => // APP14: Adobe color-transform declaration
+          if (len >= 14 &&
+              new String(payload, i + 4, 5, "ISO-8859-1") == "Adobe")
+            adobeTransform = payload(i + 2 + len - 1) & 0xff
         case _ => () // APPn, COM, ... — skip
       }
       i += 2 + len
     }
     require(width > 0 && height > 0, "missing SOF before SOS")
+    if (nComp == 3) {
+      // Color-space discipline: the YCbCr inverse transform is only
+      // correct for YCbCr-coded planes. Adobe APP14 transform=0 declares
+      // RGB-coded components, and non-JFIF component ids (JFIF mandates
+      // 1/2/3) signal an unknown layout — both decode to wrong colors
+      // silently if assumed YCbCr, so refuse by name like the other
+      // out-of-scope shapes.
+      require(adobeTransform != 0,
+        "Adobe APP14 transform=0 (RGB-coded components) not supported " +
+          "(codec scope is JFIF/Adobe YCbCr)")
+      require(adobeTransform == 1 ||
+        (adobeTransform == -1 && cId(0) == 1 && cId(1) == 2 && cId(2) == 3),
+        s"3-component layout ids=${cId.mkString("/")} transform=" +
+          s"${if (adobeTransform < 0) "absent" else adobeTransform} not " +
+          "supported (scope: JFIF ids 1/2/3 or Adobe APP14 transform=1 YCbCr)")
+    }
     val hMax = (0 until nComp).map(cH).max
     val vMax = (0 until nComp).map(cV).max
     val quant = Array.tabulate(nComp) { c =>

@@ -86,8 +86,12 @@ object SkewOps {
     val spark = df.sparkSession
     import spark.implicits._
     // one pass: MG summary per partition plus a sentinel row carrying
-    // the partition's row count (flag column — no key value is reserved)
-    val parts = df.select(col(key).cast("long")).as[Long]
+    // the partition's row count (flag column — no key value is reserved).
+    // NULL join keys are dropped before the Long decode: they can never
+    // be hot keys of an inner join (they match nothing), and a null
+    // would otherwise fail the non-nullable decoder with an opaque NPE.
+    val parts = df.select(col(key).cast("long"))
+      .filter(col(key).isNotNull).as[Long]
       .mapPartitions { it =>
         var n = 0L
         val counted = it.map { t => n += 1; t }

@@ -167,10 +167,15 @@ object Snapshots {
     if (!f.exists(marker)) None
     else {
       val in = f.open(marker)
+      // read to EOF: a single read() may legally return a prefix (e.g.
+      // on HDFS), and a truncated "16" would parse as a valid-but-wrong
+      // epoch — the silent corruption resolveAsOf's loud contract bans
       val body = try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        if (n <= 0) "" else new String(buf, 0, n, "UTF-8").trim
+        val bos = new java.io.ByteArrayOutputStream(32)
+        val buf = new Array[Byte](64)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8").trim
       } finally in.close()
       Some(body.toLongOption.getOrElse(f.getFileStatus(marker).getModificationTime))
     }

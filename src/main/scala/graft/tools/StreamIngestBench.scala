@@ -66,13 +66,17 @@ object StreamIngestBench {
 
     val work = java.nio.file.Files.createTempDirectory("streamingest").toString
 
+    // Progress accumulates through a listener, NOT q.recentProgress: that
+    // buffer is capped (spark.sql.streaming.numRecentProgressUpdates,
+    // default 100) and with 200 ms triggers the many empty-batch entries
+    // evict data batches — undercounting waitUntil (spurious timeout) and
+    // silently truncating the sustained/p50 statistics at higher nWaves.
+    val recorder = new ProgressRecorder
+    spark.streams.addListener(recorder)
     def dataBatches(q: StreamingQuery): Seq[(Long, Double)] =
-      q.recentProgress.toSeq.filter(_.numInputRows > 0).map(p =>
-        (p.numInputRows,
-          Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000)
-            .getOrElse(0.0)))
+      recorder.batches(q.id).filter(_._1 > 0)
     def processedRows(q: StreamingQuery): Long =
-      q.recentProgress.toSeq.map(_.numInputRows).sum
+      recorder.batches(q.id).map(_._1).sum
     def waitUntil(cond: => Boolean, what: String, timeoutMs: Long = 300000): Unit = {
       val deadline = System.currentTimeMillis() + timeoutMs
       while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
@@ -230,6 +234,34 @@ object StreamIngestBench {
       line + "\n")
     println(s"[streamingest] wrote target/streamingest_${modeTag}f$factor.json")
     spark.stop()
+  }
+
+  /** Unbounded per-query batch log fed by the listener bus: every
+    * micro-batch's (numInputRows, triggerExecution sec), keyed by the
+    * query's stable id. The bus is async but waitUntil polls, so the
+    * slight delivery lag only delays the observation, never loses it. */
+  private final class ProgressRecorder
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val byQuery =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID,
+        scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val buf = byQuery.computeIfAbsent(p.id,
+        _ => scala.collection.mutable.ArrayBuffer.empty)
+      buf.synchronized {
+        buf += ((p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000)
+            .getOrElse(0.0)))
+      }
+    }
+    def batches(id: java.util.UUID): Seq[(Long, Double)] = {
+      val buf = byQuery.get(id)
+      if (buf == null) Seq.empty else buf.synchronized(buf.toSeq)
+    }
   }
 
   private def report(f: Face): Unit =
