@@ -138,6 +138,42 @@ object ChangelogApply extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** A retraction-aware change: the key's materialized image BEFORE and
+    * AFTER a micro-batch (None = absent/deleted on that side). This is
+    * the changelog shape incremental VIEW maintenance needs: a MODIFY
+    * must retract the old image's contribution and add the new one's,
+    * and a REMOVE must retract — information the plain [[Upsert]] (after
+    * image only, like the reference's NEW_IMAGE-only stream,
+    * `cdk_infrastructure/__init__.py:290`) cannot carry. The keyed state
+    * store already holds the before image; this face surfaces it. */
+  case class Delta(key: String, before: Option[String],
+      after: Option[String], ts: java.sql.Timestamp)
+
+  /** [[applyStream]] with retraction information: same [[reduceKeyBatch]]
+    * core and state schema, but each emitted change carries the key's
+    * prior materialized image alongside the new one. Feeds
+    * [[graft.streaming.IncrementalAggCdc]]. */
+  def applyStreamDelta(events: Dataset[ChangeEvent],
+      mode: Mode): Dataset[Delta] = {
+    import events.sparkSession.implicits._
+    val dropRemove = mode == Mode.DropRemove
+
+    def update(key: String, batch: Iterator[ChangeEvent],
+        state: GroupState[KeyState]): Iterator[Delta] = {
+      val prior = state.getOption
+      reduceKeyBatch(dropRemove, key, batch, prior) match {
+        case Some((st, up)) =>
+          val before = prior.filterNot(_.removed).map(_.newImage)
+          state.update(st)
+          Iterator.single(Delta(key, before, up.newImage, up.ts))
+        case None => Iterator.empty
+      }
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming apply on the Spark 4 arbitrary-state API
     * (`transformWithState` + [[ChangelogProcessor]]): byte-identical
     * semantics to [[applyStream]] (same [[reduceKeyBatch]] core), but on
