@@ -93,6 +93,48 @@ class TableStatsSpec extends AnyFunSuite {
     assert(bal.getAs[String]("min_v").matches("-?\\d+"))
   }
 
+  test("j_cbo_star: the catalog orders the star most-selective-first, " +
+      "the physical join order follows it, rows are order-invariant") {
+    val edges = TableStats.cboStarEdges(spark, dir)
+    val ordered = TableStats.starOrder(edges)
+    // the decision is the catalog's own ascending-survival sort
+    assert(ordered.map(_.survival) === ordered.map(_.survival).sorted)
+    assert(ordered.toSet === edges.toSet)
+    // at this fixture the estimates rank part (span ratio of p_size ≤ 5
+    // ≈ 0.08) < supplier (1/ndv(s_nationkey) = 1/10 — the sf0.001
+    // supplier table covers only 10 nations) < orders
+    // (1/ndv(o_orderpriority) = 1/5) — pin the concrete ranking so a
+    // silent estimator regression cannot reorder unnoticed
+    assert(ordered.map(_.dim) === Seq("part", "supplier", "orders"),
+      ordered.toString)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = TableStats.cboStarJoin(spark, dir)
+      // logical Join nodes print outermost-first; reversed = execution
+      // order. Each edge's condition names exactly one dim key.
+      import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+      val conds = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin => j.condition.map(_.toString).getOrElse("")
+      }
+      val planOrder = conds.reverse.map {
+        case c if c.contains("s_suppkey") => "supplier"
+        case c if c.contains("p_partkey") => "part"
+        case c if c.contains("o_orderkey") => "orders"
+        case c => fail(s"join condition matches no star edge: $c")
+      }
+      assert(planOrder === ordered.map(_.dim),
+        s"physical order $planOrder != catalog order ${ordered.map(_.dim)}")
+      // planning is semantics-free: forcing every edge to shuffle (no
+      // catalog broadcast) changes the plan, never the rows
+      val noBc = TableStats.cboStarJoin(spark, dir, thresholdBytes = 0L)
+      assert(!noBc.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(df.collect().toSeq === noBc.collect().toSeq)
+      assert(df.count() > 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("j_cbo_range: the range estimator drives the same decision; " +
       "rows identical either way") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
