@@ -74,6 +74,7 @@ object SparkEntry {
     "j_full_outer"          -> (Joins.fullOuterReconcile _),
     "j_cbo_broadcast"       -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboBroadcastJoin(s, d)),
     "j_cbo_range"           -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboRangeJoin(s, d)),
+    "j_cbo_star"            -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboStarJoin(s, d)),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "t_interval_batch"      -> (streaming.WindowedStreams.intervalJoinBatch _),
     "t_interval_outer"      -> (streaming.WindowedStreams.intervalJoinOuterBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
+    "t_incr_agg_cdc"        -> (streaming.IncrementalAggCdc.batchDeltaQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -273,12 +275,12 @@ object SparkEntry {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |p AS (
+      |p AS MATERIALIZED (
       |  SELECT doc_a, doc_b FROM common
       |  JOIN sizes sa ON sa.doc_id = doc_a
       |  JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
       |          UNION ALL SELECT doc_b, doc_a FROM p),
       |reach AS (
       |  SELECT doc_id AS doc, doc_id AS r FROM documents
@@ -487,29 +489,29 @@ object SparkEntry {
       nlist: Int): String = {
     def dot(a: String, b: String) = ivfDotDim(a, b, dim)
     def lloyd(i: Int, kin: String, kout: String): String =
-      s"""d$i$tag AS (
+      s"""d$i$tag AS MATERIALIZED (
          |  SELECT e.vec_id, e.v, c.cid,
          |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
          |  FROM $vsrc e CROSS JOIN $kin c),
-         |a$i$tag AS (
+         |a$i$tag AS MATERIALIZED (
          |  SELECT vec_id, v, cid FROM (
          |    SELECT vec_id, v, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
          |    FROM d$i$tag) z WHERE rn = 1),
-         |s$i$tag AS (
+         |s$i$tag AS MATERIALIZED (
          |  SELECT a.cid, u.pos,
          |         sum(CAST(floor(a.v[u.pos] * 4294967296.0) AS HUGEINT)) AS s,
          |         count(*) AS c
          |  FROM a$i$tag a CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS pos) u
          |  GROUP BY a.cid, u.pos),
-         |m$i$tag AS (
+         |m$i$tag AS MATERIALIZED (
          |  SELECT cid, list(CAST(s AS DOUBLE) / 4294967296.0 / c ORDER BY pos) AS v
          |  FROM s$i$tag GROUP BY cid),
-         |$kout AS (
+         |$kout AS MATERIALIZED (
          |  SELECT k.cid, coalesce(m$i$tag.v, k.v) AS v,
          |         list_sum(list_transform(coalesce(m$i$tag.v, k.v), x -> x * x)) AS c2
          |  FROM $kin k LEFT JOIN m$i$tag USING (cid))""".stripMargin
-    s"""k0$tag AS (
+    s"""k0$tag AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, v,
        |         list_sum(list_transform(v, x -> x * x)) AS c2
        |  FROM (SELECT vec_id, v FROM $vsrc
@@ -517,11 +519,11 @@ object SparkEntry {
        |        ORDER BY vec_id LIMIT $nlist) seeds),
        |${lloyd(1, s"k0$tag", s"k1$tag")},
        |${lloyd(2, s"k1$tag", s"k2$tag")},
-       |d3$tag AS (
+       |d3$tag AS MATERIALIZED (
        |  SELECT e.vec_id, e.v, c.cid,
        |         c.c2 - 2.0 * ${dot("e.v", "c.v")} AS d
        |  FROM $vsrc e CROSS JOIN k2$tag c),
-       |a3$tag AS (
+       |a3$tag AS MATERIALIZED (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT vec_id, v, cid,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -540,7 +542,7 @@ object SparkEntry {
     * engines); empty lists keep their previous centroid (the LEFT JOIN
     * + coalesce). */
   private def ivfTrainingCtes: String =
-    s"""emb AS (
+    s"""emb AS MATERIALIZED (
        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -548,8 +550,8 @@ object SparkEntry {
 
   private val IvfTopKSql: String =
     s"""WITH $ivfTrainingCtes,
-       |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
-       |probes AS (
+       |q AS MATERIALIZED (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |probes AS MATERIALIZED (
        |  SELECT c.cid FROM k2 c, q
        |  ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid LIMIT 4)
        |SELECT a.vec_id, e.label,
@@ -574,7 +576,7 @@ object SparkEntry {
     * independent second witness. */
   private val SemanticDedupSql: String =
     s"""WITH RECURSIVE $ivfTrainingCtes,
-       |av AS (
+       |av AS MATERIALIZED (
        |  SELECT a.vec_id, a.v, a.cid,
        |         sqrt(${ivfDot("a.v", "a.v")}) AS nrm,
        |         CASE WHEN sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("c.v", "c.v")}) = 0
@@ -583,12 +585,12 @@ object SparkEntry {
        |                   / (sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("c.v", "c.v")}))
        |         END AS cos_centroid
        |  FROM a3 a JOIN k2 c USING (cid)),
-       |p AS (
+       |p AS MATERIALIZED (
        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
        |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |  WHERE CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
        |             ELSE ${ivfDot("a.v", "b.v")} / (a.nrm * b.nrm) END >= 0.4),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
        |          UNION ALL SELECT doc_b, doc_a FROM p),
        |reach AS (
        |  SELECT vec_id AS doc, vec_id AS r FROM emb
@@ -610,7 +612,7 @@ object SparkEntry {
     * side's left-assoc reduce. */
   private val PqCtes: String = {
     val slices = (0 until 8).map { s =>
-      s"e$s AS (SELECT vec_id, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM emb)"
+      s"e$s AS MATERIALIZED (SELECT vec_id, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM emb)"
     }.mkString(",\n")
     val trainings = (0 until 8).map(s =>
       lloydCtes(s"_p$s", s"e$s", 8, 16)).mkString(",\n")
@@ -633,14 +635,14 @@ object SparkEntry {
     * same (cos desc, vec_id) ordering. */
   private val IvfBatchSql: String =
     s"""WITH $ivfTrainingCtes,
-       |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (0, 1, 2, 3)),
-       |pr AS (
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (0, 1, 2, 3)),
+       |pr AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT q.qid, c.cid,
        |           row_number() OVER (PARTITION BY q.qid
        |                              ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid) AS rn
        |    FROM q CROSS JOIN k2 c) z WHERE rn <= 4),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT q.qid, a.vec_id, e.label,
        |         ${ivfDot("a.v", "q.qv")}
        |         / (sqrt(${ivfDot("a.v", "a.v")}) * sqrt(${ivfDot("q.qv", "q.qv")})) AS cos_sim
@@ -662,12 +664,12 @@ object SparkEntry {
     * — the same protocol as the raw-PQ replay, over residual sources. */
   private val ResidualPqCtes: String = {
     val resBase =
-      s"""r AS (
+      s"""r AS MATERIALIZED (
          |  SELECT a.vec_id, a.cid,
          |         list_transform(generate_series(1, 64), i -> a.v[i] - c.v[i]) AS v
          |  FROM a3 a JOIN k2 c USING (cid))""".stripMargin
     val slices = (0 until 8).map { s =>
-      s"r$s AS (SELECT vec_id, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM r)"
+      s"r$s AS MATERIALIZED (SELECT vec_id, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM r)"
     }.mkString(",\n")
     val trainings = (0 until 8).map(s =>
       lloydCtes(s"_r$s", s"r$s", 8, 16)).mkString(",\n")
@@ -688,10 +690,10 @@ object SparkEntry {
     def sqDiff(a: String, b: String, dim: Int): String =
       s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
     val qrSlices = (0 until 8).map { s =>
-      s"qrs$s AS (SELECT cid, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM qr)"
+      s"qrs$s AS MATERIALIZED (SELECT cid, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM qr)"
     }.mkString(",\n")
     val dts = (0 until 8).map { s =>
-      s"""dtr$s AS (
+      s"""dtr$s AS MATERIALIZED (
          |  SELECT q2.cid AS pcid, c.cid AS code, ${sqDiff("q2.v", "c.v", 8)} AS d
          |  FROM qrs$s q2 CROSS JOIN k2_r$s c)""".stripMargin
     }.mkString(",\n")
@@ -701,17 +703,17 @@ object SparkEntry {
       .mkString("\n")
     val score = (0 until 8).map(s => s"t$s.d").mkString(" + ")
     s"""WITH $ResidualPqCtes,
-       |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
-       |probes AS (
+       |q AS MATERIALIZED (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |probes AS MATERIALIZED (
        |  SELECT c.cid FROM k2 c, q
        |  ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid LIMIT 4),
-       |qr AS (
+       |qr AS MATERIALIZED (
        |  SELECT p.cid,
        |         list_transform(generate_series(1, 64), i -> q.qv[i] - c.v[i]) AS v
        |  FROM probes p JOIN k2 c USING (cid), q),
        |$qrSlices,
        |$dts,
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT e.vec_id, $score AS adc_dist
        |  FROM emb e
        |  JOIN a3 iv ON iv.vec_id = e.vec_id
@@ -736,10 +738,10 @@ object SparkEntry {
     def sqDiff(a: String, b: String, dim: Int): String =
       s"list_sum(list_transform(generate_series(1, $dim), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
     val qrSlices = (0 until 8).map { s =>
-      s"qrs$s AS (SELECT qid, cid, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM qr)"
+      s"qrs$s AS MATERIALIZED (SELECT qid, cid, list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v FROM qr)"
     }.mkString(",\n")
     val dts = (0 until 8).map { s =>
-      s"""dtr$s AS (
+      s"""dtr$s AS MATERIALIZED (
          |  SELECT q2.qid, q2.cid AS pcid, c.cid AS code, ${sqDiff("q2.v", "c.v", 8)} AS d
          |  FROM qrs$s q2 CROSS JOIN k2_r$s c)""".stripMargin
     }.mkString(",\n")
@@ -749,20 +751,20 @@ object SparkEntry {
       .mkString("\n")
     val score = (0 until 8).map(s => s"t$s.d").mkString(" + ")
     s"""WITH $ResidualPqCtes,
-       |q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (0, 1, 2, 3)),
-       |probes AS (
+       |q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id IN (0, 1, 2, 3)),
+       |probes AS MATERIALIZED (
        |  SELECT qid, cid FROM (
        |    SELECT q.qid, c.cid,
        |           row_number() OVER (PARTITION BY q.qid
        |                              ORDER BY -(${ivfDot("q.qv", "c.v")}), c.cid) AS rn
        |    FROM q CROSS JOIN k2 c) z WHERE rn <= 4),
-       |qr AS (
+       |qr AS MATERIALIZED (
        |  SELECT p.qid, p.cid,
        |         list_transform(generate_series(1, 64), i -> q.qv[i] - c.v[i]) AS v
        |  FROM probes p JOIN k2 c USING (cid) JOIN q ON q.qid = p.qid),
        |$qrSlices,
        |$dts,
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT qid, vec_id FROM (
        |    SELECT s.qid, s.vec_id,
        |           row_number() OVER (PARTITION BY s.qid
@@ -790,7 +792,7 @@ object SparkEntry {
 
   private val PqTopKSql: String = {
     val dts = (0 until 8).map { s =>
-      s"""dt$s AS (
+      s"""dt$s AS MATERIALIZED (
          |  SELECT c.cid, ${ivfDotDim("qq.v", "c.v", 8)} AS d
          |  FROM k2_p$s c, (SELECT list_slice(v, ${s * 8 + 1}, ${s * 8 + 8}) AS v
          |                  FROM emb WHERE vec_id = 0) qq)""".stripMargin
@@ -1131,6 +1133,17 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_acctbal BETWEEN 0.0 AND 2500.0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // j_cbo_star: the oracle is join-order-free SQL — the Spark side's
+    // catalog-chosen order must be semantically invisible (hash-exact).
+    "j_cbo_star" ->
+      """SELECT p_brand,
+        |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey AND p_size <= 5
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = 3
+        |JOIN orders   ON l_orderkey = o_orderkey AND o_orderpriority = '1-URGENT'
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "j_broadcast_dim" ->
       """SELECT r_name, count(*) AS n_customers,
         |       CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_acctbal
@@ -1300,12 +1313,12 @@ object SparkEntry {
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |p AS (
+        |p AS MATERIALIZED (
         |  SELECT doc_a, doc_b FROM common
         |  JOIN sizes sa ON sa.doc_id = doc_a
         |  JOIN sizes sb ON sb.doc_id = doc_b
         |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
         |          UNION ALL SELECT doc_b, doc_a FROM p),
         |reach AS (
         |  SELECT doc_id AS doc, doc_id AS r FROM documents
@@ -1547,7 +1560,7 @@ object SparkEntry {
         |  FROM documents d, LATERAL unnest(regexp_extract_all(d.text, '[A-Za-z]+')) AS t(w)
         |),
         |wcnt AS (SELECT word, count(*) AS cnt FROM wocc GROUP BY word),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT substr(w.word, CAST(p.p AS INT), CAST(l.l AS INT)) AS tok, sum(w.cnt) AS freq
         |  FROM wcnt w,
         |       LATERAL unnest(range(1, length(w.word)+1)) AS p(p),
@@ -1718,6 +1731,26 @@ object SparkEntry {
         |       max(us) + 1800000000 AS sess_end_us, count(*) AS cnt
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, sess_start_us""".stripMargin,
+    // t_incr_agg_cdc: the Spark side aggregates THROUGH the retraction
+    // algebra (signed add/retract deltas per changelog row, value-count
+    // partials for min/max); the oracle derives the same result the
+    // independent way — last event per key, drop removed keys, aggregate
+    // the live state — so a hash match proves the algebra, not a replay.
+    "t_incr_agg_cdc" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, ts, event_id,
+        |         event_type, value, (event_id % 7 = 0) AS is_remove
+        |  FROM events),
+        |last AS (
+        |  SELECT key, event_type, value, is_remove,
+        |         row_number() OVER (PARTITION BY key
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ch),
+        |live AS (SELECT event_type, value FROM last WHERE rn = 1 AND NOT is_remove)
+        |SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
+        |       min(value) AS min_v, max(value) AS max_v
+        |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j_range_band" ->
       """WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
         |t(tier, lo_cents, hi_cents) AS (VALUES
@@ -2012,7 +2045,7 @@ object SparkEntry {
          |c AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings WHERE vec_id % 20 <> 0),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT c.vec_id,
          |         CASE WHEN sqrt(${ivfDot("c.v", "c.v")}) * sqrt(${ivfDot("b.bv", "b.bv")}) = 0
          |              THEN 0.0
