@@ -17,11 +17,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * [[GraftFunctions.register]], the per-session programmatic form; both
   * share one builder table so the two surfaces cannot drift). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // SQL `TIMESTAMP AS OF` / `VERSION AS OF` over snapshot roots
+    // registered via [[graft.plans.SnapshotSqlCatalog.register]]
+    ext.injectResolutionRule(session =>
+      new graft.plans.SnapshotTimeTravelRule(session))
+  }
 }

@@ -1,0 +1,108 @@
+package graft.plans
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.TimestampType
+
+import graft.streaming.Snapshots
+
+/** SQL `TIMESTAMP AS OF` / `VERSION AS OF` over [[Snapshots]] roots —
+  * the parser face of the time-travel API. Spark's own parser already
+  * produces [[RelationTimeTravel]] for the standard syntax
+  *
+  * {{{
+  *   SELECT * FROM wh TIMESTAMP AS OF '2026-08-15 00:00:00'
+  *   SELECT * FROM wh VERSION   AS OF 3
+  * }}}
+  *
+  * so no grammar extension is needed: this is a RESOLUTION rule
+  * (injected by [[graft.GraftExtensions]]) that resolves the node for
+  * table names registered against a snapshot root via
+  * [[SnapshotSqlCatalog.register]], turning the clause into
+  * [[Snapshots.resolveAsOf]] / [[Snapshots.resolveAt]] — the same
+  * at-or-before resolution and LOUD pre-window refusal as the API,
+  * surfaced as an `AnalysisException` naming the available commits
+  * (the contract table formats give a time-travel query past
+  * retention). Names not registered here fall through untouched for
+  * the built-in analyzer to handle, so the rule composes with real
+  * catalogs.
+  *
+  * Reference grounding: the warehouse history face of
+  * `/root/reference/source/load_s3_files_to_redshift_lambda/handler.py:96-112`
+  * (processed-folder retention — yesterday's loaded state stays
+  * inspectable); here yesterday's state is a complete queryable
+  * snapshot addressable from plain SQL. */
+class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def refuse(msg: String): Nothing =
+    throw new AnalysisException("USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> msg))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).isDefined =>
+        val name = u.multipartIdentifier.mkString(".")
+        val root = SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).get
+        val dir = (ts, ver) match {
+          case (Some(expr), None) =>
+            if (!expr.foldable) refuse(
+              s"time travel over snapshot table $name needs a constant " +
+                s"timestamp; got non-foldable expression ${expr.sql}")
+            val micros = Cast(expr, TimestampType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone))
+              .eval(null)
+            if (micros == null) refuse(
+              s"time travel timestamp ${expr.sql} for snapshot table " +
+                s"$name did not parse as a timestamp")
+            val millis = Math.floorDiv(micros.asInstanceOf[Long], 1000L)
+            try Snapshots.resolveAsOf(spark, root, millis)
+            catch { case e: IllegalArgumentException => refuse(e.getMessage) }
+          case (None, Some(v)) =>
+            val g = v.toLongOption.getOrElse(refuse(
+              s"VERSION AS OF over snapshot table $name takes a " +
+                s"generation number; got '$v'"))
+            try Snapshots.resolveAt(spark, root, g)
+            catch { case e: IllegalArgumentException => refuse(e.getMessage) }
+          case _ =>
+            // the parser rejects both-or-neither before this rule runs
+            refuse(s"invalid time travel spec on snapshot table $name")
+        }
+        // the resolved relation: a plain parquet read of the pinned
+        // generation dir (batch= partition discovery included), exactly
+        // what the readAsOf/readAt API returns
+        spark.read.parquet(dir).queryExecution.analyzed
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, _, _)
+          if u.multipartIdentifier.size == 1 &&
+            SnapshotSqlCatalog.registered(spark).nonEmpty &&
+            !spark.catalog.tableExists(u.multipartIdentifier.head) =>
+        // a plausible-but-unregistered bare name: refuse loudly naming
+        // what IS registered, instead of the opaque built-in error
+        refuse(s"table ${u.multipartIdentifier.head} is not registered " +
+          s"for snapshot time travel (registered: " +
+          s"${SnapshotSqlCatalog.registered(spark).toSeq.sorted.mkString(", ")})")
+    }
+}
+
+/** The name → snapshot-root registry the SQL face reads. Entries live in
+  * the session conf (`graft.snapshots.table.<name>`), so they are scoped,
+  * inspectable with `SET`, and clonable with `newSession` — no engine
+  * global. */
+object SnapshotSqlCatalog {
+  private val Prefix = "graft.snapshots.table."
+
+  def register(spark: SparkSession, name: String, root: String): Unit =
+    spark.conf.set(Prefix + name.toLowerCase(java.util.Locale.ROOT), root)
+
+  def rootOf(spark: SparkSession, nameParts: Seq[String]): Option[String] =
+    if (nameParts.size != 1) None
+    else spark.conf.getOption(
+      Prefix + nameParts.head.toLowerCase(java.util.Locale.ROOT))
+
+  def registered(spark: SparkSession): Set[String] =
+    spark.conf.getAll.keysIterator
+      .filter(_.startsWith(Prefix)).map(_.stripPrefix(Prefix)).toSet
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SnapshotSqlCatalog
+import graft.streaming.Snapshots
+
+/** SQL `TIMESTAMP AS OF` / `VERSION AS OF` — the parser face of time
+  * travel: the SQL text must resolve the SAME generation as the
+  * readAsOf/readAt API, and the pre-window refusal must surface as an
+  * AnalysisException naming the available commits. */
+class SnapshotTimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("SQL time travel resolves the same generation as the API; refusals name the window") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("sql-asof") + "/wh"
+    for (g <- 1L to 3L) {
+      Seq((g, s"gen$g")).toDF("doc_id", "body")
+        .write.parquet(Snapshots.genDir(root, g) + "/batch=0")
+      Snapshots.commit(spark, root, g, commitTsMillis = g * 1000L)
+    }
+    // a session with the library extensions installed — the deployment
+    // shape (spark.sql.extensions=graft.GraftExtensions)
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      SnapshotSqlCatalog.register(ext, "wh", root)
+
+      def bodies(sql: String): Seq[String] =
+        ext.sql(sql).select("body").collect().map(_.getString(0)).toSeq
+
+      // TIMESTAMP AS OF: newest commit at-or-before the instant —
+      // 2.5s after epoch → gen 2, same as the API
+      assert(bodies("SELECT * FROM wh TIMESTAMP AS OF '1970-01-01 00:00:02.5'")
+        === Seq("gen2"))
+      assert(Snapshots.readAsOf(ext, root, 2500L)
+        .select("body").collect().map(_.getString(0)).toSeq === Seq("gen2"))
+      // exact commit instant is inclusive
+      assert(bodies("SELECT * FROM wh TIMESTAMP AS OF '1970-01-01 00:00:01'")
+        === Seq("gen1"))
+      // projections/filters compose over the travelled relation
+      assert(ext.sql("SELECT doc_id FROM wh TIMESTAMP AS OF " +
+          "'1970-01-01 00:00:59' WHERE body = 'gen3'")
+        .collect().map(_.getLong(0)).toSeq === Seq(3L))
+      // VERSION AS OF: a committed generation number
+      assert(bodies("SELECT * FROM wh VERSION AS OF 1") === Seq("gen1"))
+
+      // pre-window: AnalysisException NAMING the available commits
+      val pre = intercept[AnalysisException](
+        ext.sql("SELECT * FROM wh TIMESTAMP AS OF '1970-01-01 00:00:00.5'")
+          .collect())
+      assert(pre.getMessage.contains("gen 1 @ 1000"), pre.getMessage)
+      // unknown generation: AnalysisException naming committed gens
+      val badGen = intercept[AnalysisException](
+        ext.sql("SELECT * FROM wh VERSION AS OF 9").collect())
+      assert(badGen.getMessage.contains("committed: 1, 2, 3"),
+        badGen.getMessage)
+      // a plausible-but-unregistered name: refused naming what IS
+      // registered, not the opaque builtin error
+      val noReg = intercept[AnalysisException](
+        ext.sql("SELECT * FROM nope TIMESTAMP AS OF '1970-01-01'")
+          .collect())
+      assert(noReg.getMessage.contains("registered: wh"), noReg.getMessage)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
