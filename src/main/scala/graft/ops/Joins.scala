@@ -68,6 +68,42 @@ object Joins {
         col("l_orderkey") === col("o_orderkey")))
   }
 
+  /** The bucketed star with STATISTICS-DRIVEN hot-key isolation — the
+    * mitigation for the measured bucketed-skew trap (RelScaleBench:
+    * a zipf-hot orderkey lands every hot row in ONE bucket, and AQE's
+    * OptimizeSkewedJoin cannot split it because the bucketed SMJ has no
+    * exchange to rewrite; the hot bucket becomes the straggler task).
+    * [[SkewOps.hotKeysFromStats]] runs its Misra-Gries pass over the
+    * bucketed fact (≤ k+1 rows shipped per partition — at 100 TB this
+    * reads the key column once, shuffles nothing of the fact), and any
+    * detected hot keys are ISOLATED before the bucket-local join: the
+    * hot keys' orders rows (a handful — hot keys are hot by PROBE
+    * fan-in) broadcast to meet the hot lineitem rows map-side, while
+    * the cold branch keeps the exchange-free bucket-to-bucket SMJ —
+    * filters preserve the scan's bucket partitioning, so isolation
+    * costs the cold path nothing. No hot keys detected → exactly
+    * [[multiwayStarBucketed]]'s plan. Semantically invisible
+    * (branches partition the key space; spec-pinned equal rows). */
+  def multiwayStarBucketedSkewAware(spark: SparkSession, dir: String,
+      frac: Double = 0.01): DataFrame = {
+    val (li, ord) = Layout.ensureBucketedStar(spark, dir)
+    val liT = spark.table(li)
+    val ordT = spark.table(ord)
+    val cond = col("l_orderkey") === col("o_orderkey")
+    val hot = SkewOps.hotKeysFromStats(liT, "l_orderkey", frac)
+    val factJoin =
+      if (hot.isEmpty) liT.join(ordT, cond)
+      else {
+        val hotLi = liT.filter(col("l_orderkey").isin(hot: _*))
+        val coldLi = liT.filter(!col("l_orderkey").isin(hot: _*))
+        val hotOrd = ordT.filter(col("o_orderkey").isin(hot: _*))
+        val coldOrd = ordT.filter(!col("o_orderkey").isin(hot: _*))
+        hotLi.join(broadcast(hotOrd), cond)
+          .unionByName(coldLi.join(coldOrd, cond))
+      }
+    starAgg(spark, dir, factJoin)
+  }
+
   /** Shared star tail: fact-join frame ⋈ dims → revenue by region. */
   private def starAgg(spark: SparkSession, dir: String,
       factJoin: DataFrame): DataFrame =

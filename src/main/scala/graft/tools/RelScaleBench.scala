@@ -353,6 +353,14 @@ object RelScaleBench {
     def skBucketed = graft.ops.Joins.multiwayStarBucketed(spark, skewDir)
     assert(skShuffled.collect().toSeq == skBucketed.collect().toSeq,
       "skewed star: bucketed must equal shuffled")
+    // statistics-driven mitigation for the bucketed trap: MG detection
+    // over the bucketed fact, hot key isolated to a broadcast branch,
+    // cold buckets keep the exchange-free SMJ
+    def skBucketedAuto =
+      graft.ops.Joins.multiwayStarBucketedSkewAware(spark, skewDir)
+    assert(skShuffled.collect().toSeq == skBucketedAuto.collect().toSeq,
+      "skewed star: skew-aware bucketed must equal shuffled " +
+        "(isolation is semantically invisible)")
     // salted mitigation: the fact-fact join spreads the hot key over 32
     // sub-keys; the star tail is unchanged (dims broadcast, same agg)
     def skSalted = {
@@ -423,6 +431,9 @@ object RelScaleBench {
     }
     withConf(NoBroadcast ++ SkewSplit: _*) {
       steady("skewstar/bucketed (no exchange -> AQE cannot split the hot bucket)")(skBucketed)
+    }
+    withConf(NoBroadcast ++ SkewSplit: _*) {
+      steady("skewstar/bucketed_auto (MG-detected hot key isolated; cold buckets exchange-free)")(skBucketedAuto)
     }
     // measured under NoBroadcast: unconstrained, the planner broadcast
     // the 32×-replicated orders side (5.2 GB build — the measurement

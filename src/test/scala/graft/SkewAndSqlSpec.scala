@@ -79,6 +79,54 @@ class SkewAndSqlSpec extends AnyFunSuite {
     assert(uniAuto === uniPlain)
   }
 
+  test("skew-aware bucketed star: MG stats isolate the hot bucket; rows pinned to the plain star") {
+    import graft.ops.{Joins, Layout}
+    // a zipf-hot copy of sf0.001: 80% of lineitem rows collapse onto the
+    // smallest orderkey — the exact fixture where the bucketed SMJ traps
+    // the skew in one bucket AQE cannot split (no exchange to rewrite)
+    val src = TestSpark.Sf0001
+    val skewDir = TestSpark.tempDir("skewstar")
+    val hotKey = Tables.orders(spark, src)
+      .agg(min(col("o_orderkey"))).collect().head.getLong(0)
+    Tables.lineitem(spark, src)
+      .withColumn("l_orderkey",
+        when(pmod(col("l_orderkey"), lit(5)) < 4, lit(hotKey))
+          .otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$skewDir/lineitem.parquet")
+    Seq("orders", "customer", "nation", "region").foreach(t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$skewDir/$t.parquet"))
+
+    val plain = Joins.multiwayStar(spark, skewDir).collect().toSeq
+    val auto = Joins.multiwayStarBucketedSkewAware(spark, skewDir)
+    assert(auto.collect().toSeq === plain,
+      "isolation must be semantically invisible")
+    assert(plain.nonEmpty)
+    // the detection fired: the hot orderkey is found from the bucketed
+    // fact's MG statistics, so the plan has BOTH branches — a broadcast
+    // hot join and the cold bucket-to-bucket SMJ under a union
+    val (liName, _) = Layout.ensureBucketedStar(spark, skewDir)
+    assert(SkewOps.hotKeysFromStats(spark.table(liName), "l_orderkey")
+      .contains(hotKey))
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot branch should broadcast:\n$plan")
+    assert(plan.contains("Union"), s"expected two-branch union:\n$plan")
+    // the cold branch keeps the exchange-free bucketed join: filters
+    // preserve the scans' bucket partitioning
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (li, ord) = Layout.ensureBucketedStar(spark, skewDir)
+      val cold = spark.table(li).filter(col("l_orderkey") =!= hotKey)
+        .join(spark.table(ord).filter(col("o_orderkey") =!= hotKey),
+          col("l_orderkey") === col("o_orderkey"))
+      val coldPlan = cold.queryExecution.executedPlan.toString
+      assert(!coldPlan.contains("Exchange"),
+        "cold branch lost bucket co-location:\n" + coldPlan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("two-phase count equals plain count under skew") {
     import spark.implicits._
     val df = spark.range(5000)
