@@ -138,6 +138,7 @@ object SparkEntry {
     "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
     "x_jpeg_decode"         -> ((s: SparkSession, d: String) => operators.Multimodal.jpegDecodeStats(s, d)),
     "x_jpeg_color_decode"   -> ((s: SparkSession, d: String) => operators.Multimodal.jpegColorDecodeStats(s, d)),
+    "x_jpeg_progressive_decode" -> ((s: SparkSession, d: String) => operators.Multimodal.jpegProgressiveDecodeStats(s, d)),
     "x_audio_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioDecodeStats(s, d)),
     "x_audio_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.audioFrameStats(s, d)),
     "x_video_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.videoFrameStats(s, d)),
@@ -1459,6 +1460,11 @@ object SparkEntry {
     "x_png_decode" -> ImageDecodeSql,
     "x_jpeg_decode" -> JpegDecodeSql,
     "x_jpeg_color_decode" -> JpegColorDecodeSql,
+    // Progressive: constant blocks make all four SOF2 scans exact (DC
+    // point transform + refinement reconstruct dc bit-for-bit, AC bands
+    // are pure EOB runs), so the block-replay formula is the SAME
+    // independent derivation — the hash gates the multi-scan machine.
+    "x_jpeg_progressive_decode" -> JpegDecodeSql,
     // Audio: synthesis ((b·251 + k·17) mod 65536 − 32768 over 160
     // samples) and every feature are small-integer arithmetic; the
     // zero-crossing count replays via a lag window over the sample

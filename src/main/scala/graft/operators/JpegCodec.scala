@@ -8,15 +8,18 @@ package graft.operators
   * external libraries, no ImageIO in the codec path (ImageIO appears
   * only in the SPEC, as the independent cross-validation decoder).
   *
-  * Scope (honest and loud): baseline sequential DCT (SOF0/SOF1),
-  * 8-bit samples, grayscale AND 3-component YCbCr color (4:4:4 /
-  * 4:2:2 / 4:2:0 — interleaved MCUs, subsampled chroma, JFIF
+  * Scope (honest and loud): sequential DCT (SOF0/SOF1) AND
+  * progressive DCT (SOF2 — T.81 Annex G: spectral selection,
+  * successive approximation, DC/AC first and refinement scans, EOB
+  * runs), 8-bit samples, grayscale AND 3-component YCbCr color
+  * (4:4:4 / 4:2:2 / 4:2:0 — interleaved MCUs, subsampled chroma, JFIF
   * fixed-point color transforms), Huffman coding, restart markers,
   * any DQT/DHT layout (tables are read from the stream, so foreign
-  * encoders' optimized tables decode fine). Progressive (SOF2),
-  * arithmetic coding, 12-bit, 4-component CMYK/YCCK, multi-scan
-  * (non-interleaved color) files and chroma sampling factors beyond
-  * the Y-subsampled shapes are refused BY NAME. Malformed input fails
+  * encoders' optimized tables decode fine; progressive files may
+  * redefine tables between scans). Arithmetic coding, 12-bit,
+  * 4-component CMYK/YCCK, sequential multi-scan (non-interleaved
+  * baseline color) files and chroma sampling factors beyond the
+  * Y-subsampled shapes are refused BY NAME. Malformed input fails
   * loudly (the PpmCodec convention).
   *
   * Determinism and the oracle: the decoder's IDCT runs in doubles over
@@ -438,6 +441,136 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** AC Huffman table for the PROGRESSIVE encoder: the Annex K tables
+    * lack the EOBn symbols (r<<4 for r ≥ 1) progressive band coding
+    * emits, so the encoder declares its own — every (run, size ≤ 10)
+    * symbol, ZRL, and EOB runs up to 63 blocks (r ≤ 5), as a canonical
+    * code of 112 8-bit + 55 9-bit codes (incomplete: the all-ones code
+    * stays unused, as B.2.4.2 effectively requires). Decoders read
+    * tables from the stream, so interop is unaffected. */
+  private val AcProgVals: Array[Byte] = {
+    val syms = (for (size <- 1 to 10; run <- 0 to 15) yield (run << 4) | size) ++
+      Seq(0xf0) ++ (0 to 5).map(r => r << 4)
+    syms.map(_.toByte).toArray
+  }
+  private val AcProgBits: Array[Int] = {
+    val n = AcProgVals.length // 167
+    Array(0, 0, 0, 0, 0, 0, 0, 112, n - 112, 0, 0, 0, 0, 0, 0, 0)
+  }
+
+  /** Encode an 8-bit grayscale raster as a PROGRESSIVE JPEG (SOF2,
+    * T.81 Annex G): four scans — DC first with successive approximation
+    * (Al=1), two spectral-selection AC bands (1–5, 6–63) with EOB-run
+    * coding, and the DC refinement scan delivering the deferred low
+    * bit. Quantized coefficients are identical to [[encodeGray]]'s
+    * (same [[fdctQuant]]), so the progressive file decodes to the SAME
+    * raster as the sequential one — the scan structure is a transport
+    * reordering, not a different approximation (spec-pinned). */
+  def encodeGrayProgressive(width: Int, height: Int, samples: Array[Byte],
+      quant: Array[Int] = FlatQuant): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(samples.length == width * height,
+      s"raster size ${samples.length} != ${width}x$height")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 entries in [1, 255]")
+    val out = new java.io.ByteArrayOutputStream
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, Array(0x00.toByte) ++ ZigZag.map(nat => quant(nat).toByte))
+    // SOF2: 8-bit, 1 component (id 1, sampling 1x1, quant table 0)
+    seg(0xc2, Array[Byte](8,
+      (height >>> 8).toByte, height.toByte,
+      (width >>> 8).toByte, width.toByte,
+      1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00.toByte) ++ DcBits.map(_.toByte) ++ DcVals)
+    seg(0xc4, Array(0x10.toByte) ++ AcProgBits.map(_.toByte) ++ AcProgVals)
+
+    val dcEnc = buildEncodeTable(DcBits, DcVals)
+    val acEnc = buildEncodeTable(AcProgBits, AcProgVals)
+    val blocksX = (width + 7) / 8; val blocksY = (height + 7) / 8
+    // quantize once; the scans are views over the same coefficients
+    val qb = Array.tabulate(blocksY * blocksX) { b =>
+      fdctQuant(gatherBlock(samples, width, height,
+        b % blocksX, b / blocksX), quant)
+    }
+    val dcAl = 1
+
+    // scan 1: DC first, Ah=0 Al=1 — sequential coding of dc >> 1
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 0, 0x01))
+    locally {
+      val bw = new BitWriter
+      var pred = 0
+      qb.foreach { coefs =>
+        val v = coefs(0) >> dcAl
+        val diff = v - pred; pred = v
+        val s = bitSize(diff)
+        require(s <= 11, s"DC difference $diff out of range")
+        bw.write(dcEnc(s)._1, dcEnc(s)._2)
+        if (s > 0) bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      val t = bw.toBytes; out.write(t, 0, t.length)
+    }
+
+    // spectral-selection AC bands with EOB-run coding (G.1.2.2)
+    def acScan(ss: Int, se: Int): Unit = {
+      seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte, 0x00))
+      val bw = new BitWriter
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bw.write(acEnc(r << 4)._1, acEnc(r << 4)._2)
+        if (r > 0) bw.write(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      qb.foreach { coefs =>
+        var kk = se
+        while (kk >= ss && coefs(ZigZag(kk)) == 0) kk -= 1
+        if (kk < ss) { // whole band zero: the block joins the EOB run
+          eobrun += 1
+          if (eobrun == 63) flushEob() // table carries EOBn up to r=5
+        } else {
+          flushEob()
+          var run = 0; var k = ss
+          while (k <= kk) {
+            val cv = coefs(ZigZag(k))
+            if (cv == 0) run += 1
+            else {
+              while (run > 15) {
+                bw.write(acEnc(0xf0)._1, acEnc(0xf0)._2); run -= 16
+              }
+              val sz = bitSize(cv)
+              require(sz <= 10, s"AC coefficient $cv out of range")
+              bw.write(acEnc((run << 4) | sz)._1, acEnc((run << 4) | sz)._2)
+              bw.write(if (cv < 0) cv + (1 << sz) - 1 else cv, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (kk < se) eobrun += 1 // trailing zeros: ends early, joins run
+        }
+      }
+      flushEob()
+      val t = bw.toBytes; out.write(t, 0, t.length)
+    }
+    acScan(1, 5)
+    acScan(6, 63)
+
+    // final scan: DC refinement, Ah=1 Al=0 — one raw bit per block
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 0, 0x10))
+    locally {
+      val bw = new BitWriter
+      qb.foreach(coefs => bw.write(coefs(0) & 1, 1))
+      val t = bw.toBytes; out.write(t, 0, t.length)
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Encode YCbCr planes as a 3-component baseline JPEG (SOF0, Annex K
     * typical luminance + chrominance Huffman tables, two quant tables).
     * `sh`/`sv` are the LUMA sampling factors relative to 1×1 chroma:
@@ -622,8 +755,69 @@ object JpegCodec {
     val acTables = new Array[DecodeTable](4)
     var scanStart = -1
     var adobeTransform = -1 // APP14 "Adobe" transform byte; -1 = absent
+    var progressive = false
+    // first scan's header (progressive: Ss/Se/Ah/Al + component subset)
+    var scanComps: Array[Int] = null
+    var scanSs = 0; var scanSe = 63; var scanAh = 0; var scanAl = 0
 
     def u16(off: Int): Int = ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
+
+    // segment parsers shared by the pre-scan header loop and (for
+    // progressive files) the between-scans marker loop — tables MAY be
+    // redefined between scans (libjpeg emits per-scan DHTs)
+    def parseDqt(start: Int, end: Int): Unit = {
+      var p = start
+      while (p < end) {
+        // each table must fit inside the DECLARED segment, not just
+        // the buffer — else a short len reads following marker
+        // bytes as quant values instead of failing loudly
+        require(p + 65 <= end, "truncated DQT table")
+        val pq = (payload(p) & 0xff) >> 4; val tq = payload(p) & 0x0f
+        require(pq == 0, "16-bit quant tables not supported (baseline is 8)")
+        val t = new Array[Int](64)
+        var k = 0
+        while (k < 64) { t(ZigZag(k)) = payload(p + 1 + k) & 0xff; k += 1 }
+        quants(tq) = t
+        p += 65
+      }
+    }
+    def parseDht(start: Int, end: Int): Unit = {
+      var p = start
+      while (p < end) {
+        require(p + 17 <= end, "truncated DHT table header")
+        val tc = (payload(p) & 0xff) >> 4; val th = payload(p) & 0x0f
+        val bits = Array.tabulate(16)(j => payload(p + 1 + j) & 0xff)
+        val n = bits.sum
+        require(p + 17 + n <= end, "truncated DHT table values")
+        val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + n)
+        val t = new DecodeTable(bits, vals)
+        if (tc == 0) dcTables(th) = t else acTables(th) = t
+        p += 17 + n
+      }
+    }
+    def parseSos(at: Int, len: Int): Unit = {
+      require(nComp > 0, "SOS before SOF")
+      val ns = payload(at + 4) & 0xff
+      require(if (progressive) ns >= 1 && ns <= nComp else ns == nComp,
+        s"$ns-component scan over a $nComp-component frame not supported " +
+          (if (progressive) "" else "(sequential scope is one interleaved scan)"))
+      scanComps = new Array[Int](ns)
+      var sc = 0
+      while (sc < ns) {
+        val cs = payload(at + 5 + 2 * sc) & 0xff
+        val tb = payload(at + 6 + 2 * sc) & 0xff
+        val c = cId.indexWhere(_ == cs)
+        require(c >= 0 && c < nComp, s"scan references unknown component $cs")
+        cDc(c) = tb >> 4; cAc(c) = tb & 0x0f
+        scanComps(sc) = c
+        sc += 1
+      }
+      scanSs = payload(at + 5 + 2 * ns) & 0xff
+      scanSe = payload(at + 6 + 2 * ns) & 0xff
+      val ahal = payload(at + 7 + 2 * ns) & 0xff
+      scanAh = ahal >> 4; scanAl = ahal & 0x0f
+      scanStart = at + 2 + len
+    }
 
     while (scanStart < 0) {
       require(i + 4 <= payload.length, "truncated marker segment")
@@ -633,35 +827,10 @@ object JpegCodec {
       val len = u16(i + 2)
       require(i + 2 + len <= payload.length, f"truncated segment FF$m%02x")
       m match {
-        case 0xdb => // DQT: one or more tables
-          var p = i + 4
-          while (p < i + 2 + len) {
-            // each table must fit inside the DECLARED segment, not just
-            // the buffer — else a short len reads following marker
-            // bytes as quant values instead of failing loudly
-            require(p + 65 <= i + 2 + len, "truncated DQT table")
-            val pq = (payload(p) & 0xff) >> 4; val tq = payload(p) & 0x0f
-            require(pq == 0, "16-bit quant tables not supported (baseline is 8)")
-            val t = new Array[Int](64)
-            var k = 0
-            while (k < 64) { t(ZigZag(k)) = payload(p + 1 + k) & 0xff; k += 1 }
-            quants(tq) = t
-            p += 65
-          }
-        case 0xc4 => // DHT: one or more tables
-          var p = i + 4
-          while (p < i + 2 + len) {
-            require(p + 17 <= i + 2 + len, "truncated DHT table header")
-            val tc = (payload(p) & 0xff) >> 4; val th = payload(p) & 0x0f
-            val bits = Array.tabulate(16)(j => payload(p + 1 + j) & 0xff)
-            val n = bits.sum
-            require(p + 17 + n <= i + 2 + len, "truncated DHT table values")
-            val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + n)
-            val t = new DecodeTable(bits, vals)
-            if (tc == 0) dcTables(th) = t else acTables(th) = t
-            p += 17 + n
-          }
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xdb => parseDqt(i + 4, i + 2 + len)
+        case 0xc4 => parseDht(i + 4, i + 2 + len)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          progressive = m == 0xc2
           require((payload(i + 4) & 0xff) == 8, "only 8-bit precision supported")
           height = u16(i + 5); width = u16(i + 7)
           nComp = payload(i + 9) & 0xff
@@ -688,28 +857,12 @@ object JpegCodec {
               "chroma sampling factors other than 1x1 not supported " +
                 "(scope: 4:4:4 / 4:2:2 / 4:2:0 with subsampled chroma)")
           }
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) not supported (codec scope is baseline)")
         case mm if mm >= 0xc3 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 =>
           throw new IllegalArgumentException(
-            f"unsupported SOF marker FF$mm%02x (codec scope is baseline Huffman)")
+            f"unsupported SOF marker FF$mm%02x (codec scope is sequential " +
+              "and progressive Huffman)")
         case 0xdd => restartInterval = u16(i + 4)
-        case 0xda => // SOS
-          require(nComp > 0, "SOS before SOF")
-          val ns = payload(i + 4) & 0xff
-          require(ns == nComp,
-            s"$ns-component scan over a $nComp-component frame not supported " +
-              "(codec scope is one interleaved scan)")
-          var sc = 0
-          while (sc < ns) {
-            val cs = payload(i + 5 + 2 * sc) & 0xff
-            val tb = payload(i + 6 + 2 * sc) & 0xff
-            val c = cId.indexWhere(_ == cs)
-            require(c >= 0 && c < nComp, s"scan references unknown component $cs")
-            cDc(c) = tb >> 4; cAc(c) = tb & 0x0f
-            sc += 1
-          }
-          scanStart = i + 2 + len
+        case 0xda => parseSos(i, len)
         case 0xee => // APP14: Adobe color-transform declaration
           if (len >= 14 &&
               new String(payload, i + 4, 5, "ISO-8859-1") == "Adobe")
@@ -737,6 +890,262 @@ object JpegCodec {
     }
     val hMax = (0 until nComp).map(cH).max
     val vMax = (0 until nComp).map(cV).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    val planes = Array.tabulate(nComp) { c =>
+      Plane(cH(c), cV(c), mcusX * 8 * cH(c), mcusY * 8 * cV(c),
+        new Array[Byte](mcusX * 8 * cH(c) * mcusY * 8 * cV(c)))
+    }
+
+    // ---- progressive (SOF2): Annex G multi-scan decode ---------------
+    //
+    // Coefficients accumulate across scans in per-component full-frame
+    // arrays; samples exist only after the last scan's IDCT. Four scan
+    // kinds (G.1.1.1): DC first (sequential DC coding of the
+    // point-transformed value), DC refinement (one raw bit per block),
+    // AC first (run/size coding within the spectral band, EOB runs
+    // spanning blocks), AC refinement (correction bits — the G.1.2.3
+    // algorithm, in libjpeg's formulation). DC scans may interleave
+    // all components; AC scans are single-component non-interleaved
+    // (G.1.1.1.1), dimensioned by the component's own block grid.
+    if (progressive) {
+      def extend(v: Int, s: Int): Int =
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+      // padded (MCU-grid) block geometry per component — where DC scans
+      // and the final IDCT live
+      val bWc = Array.tabulate(nComp)(c => mcusX * cH(c))
+      val bHc = Array.tabulate(nComp)(c => mcusY * cV(c))
+      val coefA = Array.tabulate(nComp)(c => new Array[Int](bWc(c) * bHc(c) * 64))
+
+      // decode the current scan's entropy data; returns the position of
+      // the byte after it (at the next marker)
+      def decodeScan(entry: Int): Int = {
+        val br = new BitReader(payload, entry)
+        val pred = new Array[Int](nComp)
+        var eobrun = 0
+        val comps = scanComps
+        val ss = scanSs; val se = scanSe; val ah = scanAh; val al = scanAl
+        require(ss <= se && se < 64, s"bad spectral selection $ss..$se")
+        if (ss == 0) require(se == 0,
+          "progressive scan mixes DC and AC coefficients (G.1.1.1.1 " +
+            "requires Se=0 when Ss=0)")
+        else require(comps.length == 1,
+          "progressive AC scan must be single-component (G.1.1.1.1)")
+        val dcTab: Array[DecodeTable] =
+          if (ss == 0 && ah == 0) comps.map { c =>
+            val t = dcTables(cDc(c))
+            require(t != null, s"scan references undefined DC table ${cDc(c)}")
+            t
+          } else null
+        val acTab: DecodeTable =
+          if (ss > 0) {
+            val t = acTables(cAc(comps(0)))
+            require(t != null,
+              s"scan references undefined AC table ${cAc(comps(0))}")
+            t
+          } else null
+
+        def unit(ci: Int, c: Int, off: Int): Unit = {
+          val A = coefA(c)
+          if (ss == 0) {
+            if (ah == 0) { // DC first: sequential coding of dc >> Al
+              val s = br.decode(dcTab(ci))
+              require(s <= 11, s"DC category $s out of range")
+              val diff = if (s == 0) 0 else extend(br.bits(s), s)
+              pred(c) += diff
+              A(off) = pred(c) << al
+            } else { // DC refinement: append bit Al (works in two's
+              // complement because first-scan DC was an arithmetic shift)
+              if (br.bit() == 1) A(off) |= 1 << al
+            }
+          } else if (ah == 0) { // AC first (G.1.2.2)
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var ended = false
+              while (k <= se && !ended) {
+                val sym = br.decode(acTab)
+                val r = sym >> 4; val s = sym & 0x0f
+                if (s == 0) {
+                  if (r < 15) { // EOBn: run of 2^r + bits(r) blocks,
+                    // this block included
+                    eobrun = (1 << r) - 1
+                    if (r > 0) eobrun += br.bits(r)
+                    ended = true
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  require(k <= se, s"AC index $k overran band $ss..$se")
+                  A(off + ZigZag(k)) = extend(br.bits(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else { // AC refinement (G.1.2.3)
+            val p1 = 1 << al; val m1 = -p1
+            def correct(z: Int): Unit =
+              if (br.bit() == 1 && (A(z) & p1) == 0)
+                A(z) += (if (A(z) >= 0) p1 else m1)
+            var k = ss
+            if (eobrun == 0) {
+              var ended = false
+              while (k <= se && !ended) {
+                val sym = br.decode(acTab)
+                var r = sym >> 4; val s = sym & 0x0f
+                var newval = 0
+                if (s == 0) {
+                  if (r < 15) {
+                    eobrun = 1 << r
+                    if (r > 0) eobrun += br.bits(r)
+                    ended = true
+                  } // r == 15: ZRL — skip 16 zero-history coefficients
+                } else {
+                  require(s == 1,
+                    f"AC refinement symbol 0x$sym%02x must have size 1")
+                  newval = if (br.bit() == 1) p1 else m1
+                }
+                if (!ended) {
+                  // advance over r zero-history coefficients, emitting
+                  // correction bits for nonzero-history ones passed
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val z = off + ZigZag(k)
+                    if (A(z) != 0) correct(z)
+                    else if (r == 0) { A(z) = newval; placed = true }
+                    else r -= 1
+                    k += 1
+                  }
+                }
+              }
+            }
+            if (eobrun > 0) { // correction bits to the end of the band
+              while (k <= se) {
+                val z = off + ZigZag(k)
+                if (A(z) != 0) correct(z)
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+        }
+
+        var n = 0; var rstN = 0
+        def maybeRestart(): Unit =
+          if (restartInterval > 0 && n > 0 && n % restartInterval == 0) {
+            br.restart(rstN); rstN = (rstN + 1) % 8
+            java.util.Arrays.fill(pred, 0)
+            eobrun = 0
+          }
+        if (comps.length == 1) {
+          // non-interleaved: the component's own grid (ceil of its
+          // scaled dimensions — NOT the padded MCU grid, T.81 A.2.2)
+          val c = comps(0)
+          val nbx = ((width * cH(c) + hMax - 1) / hMax + 7) / 8
+          val nby = ((height * cV(c) + vMax - 1) / vMax + 7) / 8
+          var by = 0
+          while (by < nby) {
+            var bx = 0
+            while (bx < nbx) {
+              maybeRestart()
+              unit(0, c, (by * bWc(c) + bx) * 64)
+              n += 1; bx += 1
+            }
+            by += 1
+          }
+        } else { // interleaved DC scan: MCU traversal as in sequential
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              maybeRestart()
+              var ci = 0
+              while (ci < comps.length) {
+                val c = comps(ci)
+                var v = 0
+                while (v < cV(c)) {
+                  var h = 0
+                  while (h < cH(c)) {
+                    unit(ci, c,
+                      ((my * cV(c) + v) * bWc(c) + mx * cH(c) + h) * 64)
+                    h += 1
+                  }
+                  v += 1
+                }
+                ci += 1
+              }
+              n += 1; mx += 1
+            }
+            my += 1
+          }
+        }
+        br.pos
+      }
+
+      // scan loop: entropy data, then markers (DHT/DQT/DRI may redefine
+      // state between scans) until the next SOS or EOI
+      var pos = scanStart
+      var done = false
+      while (!done) {
+        pos = decodeScan(pos)
+        var nextScan = false
+        while (!nextScan && !done) {
+          require(pos + 2 <= payload.length, "truncated between scans")
+          require((payload(pos) & 0xff) == 0xff,
+            f"expected marker between scans, found ${payload(pos) & 0xff}%02x at $pos")
+          val m = payload(pos + 1) & 0xff
+          if (m == 0xd9) done = true // EOI
+          else {
+            require(pos + 4 <= payload.length, "truncated between scans")
+            val len = u16(pos + 2)
+            require(pos + 2 + len <= payload.length, f"truncated segment FF$m%02x")
+            m match {
+              case 0xdb => parseDqt(pos + 4, pos + 2 + len)
+              case 0xc4 => parseDht(pos + 4, pos + 2 + len)
+              case 0xdd => restartInterval = u16(pos + 4)
+              case 0xda => parseSos(pos, len); nextScan = true
+              case 0xee | 0xfe => () // APP14 fixed pre-frame; COM — skip
+              case mm if mm >= 0xe0 && mm <= 0xef => ()
+              case mm => throw new IllegalArgumentException(
+                f"unexpected marker FF$mm%02x between progressive scans")
+            }
+            pos += 2 + len
+          }
+        }
+        if (nextScan) pos = scanStart
+      }
+
+      // all scans folded in: dequantize + IDCT every padded block
+      var c = 0
+      while (c < nComp) {
+        val q = quants(cTq(c))
+        require(q != null, s"component $c references undefined quant table ${cTq(c)}")
+        val pl = planes(c)
+        val block = new Array[Int](64)
+        var by = 0
+        while (by < bHc(c)) {
+          var bx = 0
+          while (bx < bWc(c)) {
+            System.arraycopy(coefA(c), (by * bWc(c) + bx) * 64, block, 0, 64)
+            val px = idct(block, q)
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                pl.samples((by * 8 + y) * pl.pw + bx * 8 + x) =
+                  px(y * 8 + x).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      return (width, height, planes)
+    }
+
     val quant = Array.tabulate(nComp) { c =>
       val q = quants(cTq(c))
       require(q != null, s"scan references undefined quant table ${cTq(c)}")
@@ -754,12 +1163,6 @@ object JpegCodec {
     }
 
     val br = new BitReader(payload, scanStart)
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    val planes = Array.tabulate(nComp) { c =>
-      Plane(cH(c), cV(c), mcusX * 8 * cH(c), mcusY * 8 * cV(c),
-        new Array[Byte](mcusX * 8 * cH(c) * mcusY * 8 * cV(c)))
-    }
     val pred = new Array[Int](nComp)
     var mcu = 0; var rstN = 0
 

@@ -402,6 +402,53 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** x_jpeg_progressive_decode — the PROGRESSIVE rung of the transform
+    * codec (T.81 Annex G — the scan structure that dominates real crawl
+    * JPEGs): the same constant-block corpus as [[jpegDecodeStats]], but
+    * encoded as a four-scan SOF2 file ([[JpegCodec.encodeGrayProgressive]]
+    * — DC first with successive approximation Al=1, two spectral AC
+    * bands with EOB-run coding, DC refinement) and decoded through the
+    * multi-scan coefficient-accumulation machine. Constant blocks make
+    * every scan exact: the DC point transform is an arithmetic shift
+    * whose dropped bit the refinement scan restores, and the AC bands
+    * are pure EOB runs — so the raster equals the sequential one and
+    * the SAME channel-sum formula replays in DuckDB. The oracle's hash
+    * equality against an INDEPENDENT derivation (not against
+    * x_jpeg_decode's output) is what gates the progressive machinery;
+    * general-coefficient progressive content (SA on AC, refinement
+    * correction bits, ImageIO's standard progression script both
+    * directions) is spec-gated in CodecSpec. */
+  def jpegProgressiveDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bw = JpegW / 8
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val g = new Array[Byte](JpegW * JpegH)
+        var j = 0
+        while (j < g.length) {
+          val blockIdx = (j / JpegW / 8) * bw + (j % JpegW) / 8
+          g(j) = if (tb.isEmpty) 0 else tb(blockIdx % tb.length)
+          j += 1
+        }
+        (id, JpegCodec.encodeGrayProgressive(JpegW, JpegH, g))
+      }
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch codec context would be opened here
+          batch.iterator.map { case (id, payload) =>
+            val img = JpegCodec.decode(payload)
+            val (r, g, b) = PpmCodec.channelSums(img)
+            (id, img.width, img.height, img.width.toLong * img.height, r, g, b)
+          }
+        }
+      }.toDF("media_id", "width", "height", "n_px", "r_sum", "g_sum", "b_sum")
+      .orderBy(col("media_id"))
+  }
+
   /** Dimensions of the synthetic COLOR JPEG corpus: one 32×16 frame =
     * 2×1 MCUs at 4:2:0 (4×2 luma blocks, 2×1 chroma blocks in the
     * 16×8 subsampled planes) — fixed so the oracle replays with

@@ -376,19 +376,6 @@ class CodecSpec extends AnyFunSuite {
       Array.tabulate(24 * 16)(j => (j % 251).toByte))
     intercept[IllegalArgumentException](
       JpegCodec.decodeGray(good.take(good.length - 20)))
-    // progressive (SOF2) refused by name
-    val gray = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val p = writer.getDefaultWriteParam
-    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-    val bos = new java.io.ByteArrayOutputStream
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(gray, null, null), p)
-    ios.close(); writer.dispose()
-    val e = intercept[IllegalArgumentException](
-      JpegCodec.decodeGray(bos.toByteArray))
-    assert(e.getMessage.contains("progressive"), e.getMessage)
     // color (3-component) refused by name — chroma is out of scope
     val rgbImg = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
     val bos2 = new java.io.ByteArrayOutputStream
@@ -602,6 +589,130 @@ class CodecSpec extends AnyFunSuite {
       val zcSum = fs.map(_.getLong(4)).sum
       assert(zcSum <= w.getLong(6) && zcSum >= w.getLong(6) - 3, s"zc $id")
     }
+  }
+
+  test("progressive JPEG: four-scan encode decodes IDENTICAL to the sequential file") {
+    import graft.operators.JpegCodec
+    // same fdctQuant coefficients ride both scan structures, so the
+    // decoded rasters must be bit-identical — on GENERAL content (AC
+    // paths, ZRL, EOB runs, both spectral bands, DC SA + refinement)
+    for ((w, h) <- Seq((24, 16), (29, 18), (8, 8), (17, 9))) {
+      val g = Array.tabulate(w * h)(j =>
+        ((j * 37 + (j / w) * 91 + 11) % 256).toByte)
+      val prog = JpegCodec.encodeGrayProgressive(w, h, g)
+      // really progressive: SOF2 present, 4 SOS markers
+      def count(m: Int) = prog.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+      assert(count(0xc2) === 1 && count(0xda) === 4, s"${w}x$h scan script")
+      val (pw, ph, ours) = JpegCodec.decodeGray(prog)
+      assert(pw === w && ph === h)
+      val (_, _, seqv) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, g))
+      assert(ours.toSeq === seqv.toSeq,
+        s"progressive != sequential raster at ${w}x$h")
+    }
+  }
+
+  test("progressive JPEG: constant blocks round-trip EXACTLY (the oracled DC path)") {
+    import graft.operators.JpegCodec
+    val w = 24; val h = 16
+    val g = Array.tabulate(w * h) { j =>
+      val cell = (j / w / 8) * 3 + (j % w) / 8
+      (cell * 40 + 7).toByte
+    }
+    val (dw, dh, dec) = JpegCodec.decodeGray(
+      JpegCodec.encodeGrayProgressive(w, h, g))
+    assert(dw === w && dh === h)
+    assert(dec.toSeq === g.toSeq, "DC-only progressive round-trip must be lossless")
+  }
+
+  test("progressive JPEG: ImageIO reads our progressive files (encode direction)") {
+    import graft.operators.JpegCodec
+    val w = 24; val h = 16
+    val g = Array.tabulate(w * h)(j => ((j * 53 + 29) % 256).toByte)
+    val enc = JpegCodec.encodeGrayProgressive(w, h, g)
+    val read = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(read != null, "ImageIO could not parse our progressive JPEG")
+    assert(read.getWidth === w && read.getHeight === h)
+    val (_, _, ours) = JpegCodec.decodeGray(enc)
+    val maxDiff = (for (y <- 0 until h; x <- 0 until w) yield
+      math.abs((ours(y * w + x) & 0xff) - read.getRaster.getSample(x, y, 0))).max
+    assert(maxDiff <= 2, s"ImageIO disagrees with our progressive decode by $maxDiff")
+  }
+
+  test("progressive JPEG: our decoder agrees with ImageIO on ImageIO-written progressive files (SA + AC refinement script)") {
+    import graft.operators.JpegCodec
+    import java.awt.image.BufferedImage
+    for ((w, h, color) <- Seq((29, 18, false), (32, 16, true))) {
+      val img = new BufferedImage(w, h,
+        if (color) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        // smooth gradient (the baseline varying-chroma fixture): the
+        // replication-vs-triangle upsampling gap is bounded by chroma
+        // slope, so the comparison isolates the progressive machinery
+        if (color) img.setRGB(x, y,
+          ((x * 5 % 256) << 16) | ((y * 7 % 256) << 8) | ((x + y) % 256))
+        else img.getRaster.setSample(x, y, 0, (x * 11 + y * 23 + (x * y) % 13) % 256)
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      // the libjpeg standard progression script: DC SA, AC bands at
+      // Al=2, then THREE refinement scans — the G.1.2.3 decode paths
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      assert(bytes.sliding(2).exists(q =>
+        (q(0) & 0xff) == 0xff && (q(1) & 0xff) == 0xc2),
+        "ImageIO did not write a progressive (SOF2) file — test is vacuous")
+      val theirs = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(theirs != null)
+      if (color) {
+        val (dw, dh, ours) = JpegCodec.decodeColor(bytes)
+        assert(dw === w && dh === h)
+        // same bounds as the baseline varying-chroma cross-validation:
+        // the residual gap is the upsampling filter, not the scans
+        val diffs = for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+          val t = (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+          math.abs((ours((y * w + x) * 3 + c) & 0xff) - t)
+        }
+        val mean = diffs.sum.toDouble / diffs.size
+        assert(mean <= 3.0 && diffs.max <= 40,
+          s"progressive color disagreement mean=$mean max=${diffs.max}")
+      } else {
+        val (dw, dh, ours) = JpegCodec.decodeGray(bytes)
+        assert(dw === w && dh === h)
+        val maxDiff = (for (y <- 0 until h; x <- 0 until w) yield
+          math.abs((ours(y * w + x) & 0xff) -
+            theirs.getRaster.getSample(x, y, 0))).max
+        assert(maxDiff <= 2,
+          s"progressive decoder disagreement $maxDiff exceeds IDCT tolerance")
+      }
+    }
+  }
+
+  test("progressive JPEG: malformed scan scripts fail loudly") {
+    import graft.operators.JpegCodec
+    val g = Array.tabulate(24 * 16)(j => (j % 251).toByte)
+    val enc = JpegCodec.encodeGrayProgressive(24, 16, g)
+    // truncated mid-scan
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeGray(enc.take(enc.length - 10)))
+    // corrupt a scan header: find the second SOS and set Ss=0,Se=63 on
+    // it (a progressive scan may not mix DC and AC — G.1.1.1.1)
+    val idx = (0 until enc.length - 1).filter(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xda)
+    assert(idx.length === 4)
+    val bad = enc.clone()
+    val sosAt = idx(1) // 1-component scan: Ss at +7, Se at +8
+    bad(sosAt + 7) = 0; bad(sosAt + 8) = 63
+    val e = intercept[IllegalArgumentException](JpegCodec.decodeGray(bad))
+    assert(e.getMessage.contains("G.1.1.1.1"), e.getMessage)
   }
 
   test("x_audio_decode equals a driver replica over real WAV payloads") {
