@@ -8,7 +8,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -126,7 +126,16 @@ private case class TcpRangePartition(host: String, port: Int,
   * start and the server's current length, so checkpoint recovery cannot
   * regress or skip a range. */
 private class TcpChangelogStream(host: String, port: Int, perBatch: Int)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow pins "available" at query start: without this,
+  // the wrapper would read ONE admission-capped batch as the drain
+  // target and strand the rest of the backlog. The pinned end is a
+  // server-side position, so the drain stays exactly-once re-fetchable.
+  @volatile private var pinnedEnd: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedEnd = TcpChangelog.serverEnd(host, port)
 
   override def initialOffset(): Offset = TcpOffset(0L)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -135,7 +144,8 @@ private class TcpChangelogStream(host: String, port: Int, perBatch: Int)
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TcpOffset].count
-    TcpOffset(math.min(s + perBatch, math.max(s, TcpChangelog.serverEnd(host, port))))
+    val end = if (pinnedEnd >= 0) pinnedEnd else TcpChangelog.serverEnd(host, port)
+    TcpOffset(math.min(s + perBatch, math.max(s, end)))
   }
   override def deserializeOffset(json: String): Offset = TcpOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -97,4 +97,59 @@ class IncrementalAggCdcSpec extends AnyFunSuite {
     assert(folded.filter($"d" === 0).count() === 0,
       "compacted base must hold only net-live multiplicities")
   }
+
+  test("wire-to-view: the retractable view fed from a live TCP changelog " +
+      "equals the batch aggregate, across a restart") {
+    // the full round-13 CDC composition — socket transport
+    // (tcp-changelog) → Debezium decode → keyed state delta emission →
+    // signed-partial view maintenance — the reference's E2 path with
+    // the aggregate maintained instead of rebuilt
+    import graft.cdc.DebeziumEnvelope
+    import graft.sources.TcpChangelogServer
+    import org.apache.spark.sql.streaming.Trigger
+    val server = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("tcpview")
+      val root = s"$work/view"
+      val ckpt = s"$work/ckpt"
+
+      def dz(op: String, id: String, t: String, v: Double, ts: Long): String = {
+        val image = s"""{"id":"$id","event_type":"$t","value":$v}"""
+        op match {
+          case "d" => s"""{"op":"d","before":$image,"after":null,"ts_ms":$ts}"""
+          case _   => s"""{"op":"$op","before":null,"after":$image,"ts_ms":$ts}"""
+        }
+      }
+      def runOnce(): Unit = {
+        val raw = spark.readStream.format("tcp-changelog")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("eventsPerBatch", 3) // forces multi-batch waves
+          .load()
+        val q = IncrementalAggCdc.start(
+          DebeziumEnvelope.toChangeEvents(raw), root, ckpt,
+          trigger = Trigger.ProcessingTime("100 milliseconds"))
+        q.processAllAvailable()
+        q.stop()
+      }
+
+      server.append(Seq(
+        dz("c", "k0", "a", 1.0, 1000), dz("c", "k1", "a", 5.0, 1001),
+        dz("c", "k2", "b", 10.0, 1002), dz("c", "k3", "c", 2.5, 1003)))
+      runOnce()
+      assert(canon(IncrementalAggCdc.read(spark, root)) === Seq(
+        ("a", 2L, 6.0, 1.0, 5.0), ("b", 1L, 10.0, 10.0, 10.0),
+        ("c", 1L, 2.5, 2.5, 2.5)))
+
+      // between runs (query down): modify k2 out of b, delete a's min —
+      // both retractions must travel the wire and resume from checkpoint
+      server.append(Seq(
+        dz("u", "k2", "a", 7.0, 2000),
+        dz("d", "k0", "a", 1.0, 2001)))
+      runOnce()
+      assert(canon(IncrementalAggCdc.read(spark, root)) === Seq(
+        ("a", 2L, 12.0, 5.0, 7.0), ("c", 1L, 2.5, 2.5, 2.5)),
+        "b must vanish (modify-out), a's min must climb (delete) — " +
+          "through the socket, the state store, and the signed partials")
+    } finally server.close()
+  }
 }

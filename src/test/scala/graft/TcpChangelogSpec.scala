@@ -86,4 +86,31 @@ class TcpChangelogSpec extends AnyFunSuite {
       q2.stop()
     } finally server.close()
   }
+
+  test("Trigger.AvailableNow drains the WHOLE backlog in admission-capped " +
+      "batches, then terminates") {
+    // SupportsTriggerAvailableNow pins the server end at query start;
+    // without it the wrapper would take ONE capped batch as the drain
+    // target and strand the rest (found by the wire-to-view spec)
+    val server = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("tcpdrain")
+      server.append((0 until 11).map(i => dz("c", s"k$i", i * 1.0, 1000L + i)))
+      val raw = spark.readStream.format("tcp-changelog")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("eventsPerBatch", 4) // 11 events -> 3 batches
+        .load()
+      val q = raw.writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.read.parquet(s"$work/out")
+      assert(got.count() === 11, "AvailableNow must drain past the cap")
+      assert(got.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+        === (0L until 11L).toSeq)
+    } finally server.close()
+  }
 }
