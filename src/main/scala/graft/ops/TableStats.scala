@@ -234,8 +234,17 @@ object TableStats {
     * preserves the declared join order, so the fold below IS the
     * physical order (plan-asserted in TableStatsSpec). */
   def cboStarJoin(spark: SparkSession, dir: String,
+      thresholdBytes: Long = 10L << 20): DataFrame =
+    starJoinInOrder(spark, dir, starOrder(cboStarEdges(spark, dir)),
+      thresholdBytes)
+
+  /** The same star folded in a CALLER-CHOSEN edge order — the face
+    * RelScaleBench uses to measure the catalog's order against the
+    * worst-first one (same broadcast decisions, same rows either way:
+    * ordering is semantics-free, only the intermediate sizes move). */
+  def starJoinInOrder(spark: SparkSession, dir: String,
+      ordered: Seq[StarEdge],
       thresholdBytes: Long = 10L << 20): DataFrame = {
-    val ordered = starOrder(cboStarEdges(spark, dir))
     val dims: Map[String, (DataFrame, Column)] = Map(
       "part" -> ((graft.Tables.part(spark, dir)
         .filter(col("p_size") <= 5)

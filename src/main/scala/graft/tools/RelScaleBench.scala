@@ -448,6 +448,45 @@ object RelScaleBench {
       steady("skewstar/isolated hot-key join (SkewOps.isolatedSkewJoin)")(skIsolated)
     }
 
+    // --- CBO star ordering: the catalog's most-selective-first order
+    // vs the worst-first order, at factor — same filtered dimensions,
+    // same per-edge broadcast decisions, same rows (order is
+    // semantics-free); the measured gap is what the ANALYZE catalog
+    // buys at plan time without reading a dimension ------------------
+    val cboDir = s"$scaleDir-cbo"
+    graft.ops.Layout.ensureSigGated(cboDir, sig) {
+      val r = spark.range(factor).toDF("r")
+      graft.Tables.lineitem(spark, srcDir).crossJoin(r).drop("r")
+        .write.mode("overwrite").parquet(s"$cboDir/lineitem.parquet")
+      Seq("part", "supplier", "orders").foreach(t =>
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$cboDir/$t.parquet"))
+    }
+    val cboEdges = graft.ops.TableStats.cboStarEdges(spark, cboDir)
+    val cboBestOrder = graft.ops.TableStats.starOrder(cboEdges)
+    val cboWorstOrder = cboBestOrder.reverse
+    println(s"[relscale] cbo star: catalog order = " +
+      cboBestOrder.map(e => f"${e.dim}(${e.survival}%.3f)").mkString(" -> "))
+    def cboBest = graft.ops.TableStats.starJoinInOrder(spark, cboDir, cboBestOrder)
+    def cboWorst = graft.ops.TableStats.starJoinInOrder(spark, cboDir, cboWorstOrder)
+    assert(cboBest.collect().toSeq == cboWorst.collect().toSeq,
+      "cbo star: join order must be semantics-free")
+    // broadcast face: hints still apply under NoBroadcast (the catalog,
+    // not the planner's size estimate, decides) — the gap is probe rows
+    // reaching the later joins
+    withConf(NoBroadcast: _*) {
+      steady("cbostar/catalog order (most-selective-first, broadcast edges)")(cboBest)
+      steady("cbostar/worst-first order (same broadcast edges)")(cboWorst)
+    }
+    // shuffle face: every edge forced to SMJ (threshold 0) — the gap is
+    // the intermediate SHUFFLE volume between joins
+    def cboBestS = graft.ops.TableStats.starJoinInOrder(spark, cboDir, cboBestOrder, 0L)
+    def cboWorstS = graft.ops.TableStats.starJoinInOrder(spark, cboDir, cboWorstOrder, 0L)
+    withConf(NoBroadcast: _*) {
+      steady("cbostar/catalog order (all edges shuffled)")(cboBestS)
+      steady("cbostar/worst-first order (all edges shuffled)")(cboWorstS)
+    }
+
     spark.stop()
   }
 }
