@@ -75,6 +75,7 @@ object SparkEntry {
     "j_cbo_broadcast"       -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboBroadcastJoin(s, d)),
     "j_cbo_range"           -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboRangeJoin(s, d)),
     "j_cbo_star"            -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboStarJoin(s, d)),
+    "j_dpp"                 -> (Joins.dppWeekend _),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "x_dup_clusters_lsh"    -> ((s: SparkSession, d: String) => operators.Dedup.dupClusters(s, d)),
     "x_dedup_keep_best"     -> (operators.Dedup.dedupKeepBest _),
     "x_substring_dedup"     -> ((s: SparkSession, d: String) => operators.Dedup.substringDedup(s, d)),
+    "x_paragraph_dedup"     -> ((s: SparkSession, d: String) => operators.Dedup.paragraphDedup(s, d)),
     "x_simhash_near_dup"    -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDup(s, d)),
     "x_simhash_indexed"     -> ((s: SparkSession, d: String) => operators.Dedup.simhashNearDupIndexed(s, d)),
     "x_text_tokenize_counts" -> ((s: SparkSession, d: String) => operators.TextAnalysis.tokenizeCounts(s, d)),
@@ -171,6 +173,7 @@ object SparkEntry {
     "t_interval_outer"      -> (streaming.WindowedStreams.intervalJoinOuterBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
     "t_incr_agg_cdc"        -> (streaming.IncrementalAggCdc.batchDeltaQuery _),
+    "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -931,6 +934,16 @@ object SparkEntry {
         |       least(l_discount, l_tax) AS min_rate,
         |       l_extendedprice / l_quantity AS unit_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // DPP only changes which partition directories the fact scan opens;
+    // the oracle is the logical form — the weekend predicate applied
+    // directly (dow arithmetic identical to the calendar dim's: epoch
+    // days + 4 mod 7, 0 = Sunday, engine-numbering-free).
+    "j_dpp" ->
+      """SELECT event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events
+        |WHERE ((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7) + 11) % 7 IN (0, 6)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s_day_pruned" ->
       """SELECT event_type, count(*) AS cnt,
         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
@@ -1376,6 +1389,27 @@ object SparkEntry {
         |       sum(CASE WHEN ndocs >= 2 THEN k ELSE 0 END) * 100 >= sum(k) * 50 AS dup_heavy
         |FROM occ JOIN dfp USING (w)
         |GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin,
+    // Corpus-rewriting span dedup: segment each doc into non-overlapping
+    // 20-word spans, keep only the globally FIRST occurrence of each
+    // distinct span (ordered by doc_id, span index), reassemble. The
+    // engine groups by md5(span) (digest-only shuffle); the oracle
+    // groups by the span text itself — identical answers absent md5
+    // collisions, the same contract x_fingerprint_dedup already carries.
+    "x_paragraph_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sp AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |         array_to_string(list_slice(ws, i * 20 + 1, i * 20 + 20), ' ') AS span
+        |  FROM words, LATERAL unnest(generate_series(
+        |         0, CAST(ceil(len(ws) / 20.0) AS BIGINT) - 1)) AS t(i)),
+        |k AS (SELECT doc_id, idx, span,
+        |        row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        |      FROM sp)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(span, ' ' ORDER BY idx) FILTER (rn = 1), '')
+        |         AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_repetition" ->
       """WITH bg AS (
         |  SELECT doc_id, unnest(list_transform(
@@ -1757,6 +1791,25 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // MERGE INTO replay: the copy-on-write table's post-merge state must
+    // equal the net effect of the change batch applied logically —
+    // updates double %10=3, deletes drop %10=7, inserts re-key %10=1
+    // past the domain, and the %100=42 conflict resolves to its
+    // higher-seq change (×3+500). Money in exact integer cents.
+    "t_merge_into" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 100 = 42 THEN price_cents * 3 + 500
+        |            WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |            ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey % 10 <> 7
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
+        |FROM base WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "j_range_band" ->
       """WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
         |t(tier, lo_cents, hi_cents) AS (VALUES

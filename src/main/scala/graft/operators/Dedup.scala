@@ -699,4 +699,56 @@ object Dedup {
         col("n_dup_windows") * 100L >= col("n_windows") * heavyPct)
       .orderBy(col("doc_id"))
   }
+
+  /** x_paragraph_dedup — corpus REWRITING span dedup (the
+    * MassiveText/RefinedWeb "remove duplicated paragraphs, keep the
+    * rest" pass; Rae et al. 2021 §A.2, Penedo et al. 2023 §4.3): unlike
+    * [[substringDedup]], which FLAGS documents, this emits the cleaned
+    * corpus. Each document is segmented into non-overlapping `w`-word
+    * spans (the paragraph analog for this corpus's flat word streams;
+    * the last span may be shorter); every later occurrence of a span
+    * already seen anywhere in the corpus — ordered by (doc_id, span
+    * index) — is dropped, and the survivors are reassembled in order.
+    *
+    * Scale shape (what moves at 100 TB): document text crosses the wire
+    * exactly ONCE (the final reassembly join on doc_id). Everything
+    * before that shuffles 16-byte md5 digests + two ids: the global
+    * keep-first owner per distinct span is `min(struct(doc_id, idx))`
+    * under a digest-keyed groupBy (map-side partial min), the surviving
+    * occurrence set folds back to one int-array row per document, and
+    * the rewrite itself is a per-row lambda over the already-held span
+    * array — no exploded text ever reaches an exchange. */
+  def paragraphDedup(spark: SparkSession, dir: String, w: Int = 20): DataFrame =
+    paragraphDedupOf(Tables.documents(spark, dir), w)
+
+  /** [[paragraphDedup]] over a caller-supplied (doc_id, text) frame. */
+  def paragraphDedupOf(documents: DataFrame, w: Int = 20): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"),
+        expr(s"""transform(
+                 |  sequence(0, cast(ceil(size(split(text, ' ')) / $w.0d) as int) - 1),
+                 |  i -> array_join(slice(split(text, ' '), i * $w + 1, $w), ' '))"""
+          .stripMargin).as("spans"))
+    // digest-only occurrence relation: (doc_id, span idx, 32-hex md5)
+    val occ = docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("idx", "span")))
+      .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+        md5(col("span")).as("fp"))
+    // global first occurrence per distinct span, lexicographic on
+    // (doc_id, idx) — one digest-keyed shuffle with map-side partial min
+    val owner = occ.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("o"))
+    // surviving span indexes folded to ONE array row per doc (ids only)
+    val keptIdx = occ.join(owner, Seq("fp"))
+      .where(col("doc_id") === col("o.doc_id") && col("idx") === col("o.idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    docs.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("spans")).cast(LongType).as("n_spans"),
+        coalesce(size(col("kept")).cast(LongType), lit(0L)).as("n_kept"),
+        expr("array_join(transform(coalesce(kept, array()), " +
+          "i -> element_at(spans, cast(i as int) + 1)), ' ')").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
 }

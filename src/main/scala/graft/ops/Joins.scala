@@ -215,4 +215,30 @@ object Joins {
         sum(col("cents")).as("sum_cents"))
       .orderBy(col("tier"))
   }
+
+  /** j_dpp — DYNAMIC PARTITION PRUNING: the day-partitioned events fact
+    * (`Layout.ensureDayLayout`) joined on its PARTITION column to the
+    * calendar dimension (`Layout.ensureCalendarDim`) filtered on a dim
+    * ATTRIBUTE (weekend: dow_idx ∈ {0, 6}). The qualifying day values
+    * are not statically known — they exist only in the dim — so static
+    * partition pruning cannot fire; Catalyst instead plants a
+    * `dynamicpruning` subquery in the fact scan's PartitionFilters that
+    * REUSES the join's broadcast of the filtered dim, and the fact scan
+    * opens only the surviving day directories (PlanSpec-asserted). At
+    * 100 TB this is the difference between scanning every day and
+    * opening 2/7 of them, decided at runtime with zero extra reads —
+    * the dim was being broadcast for the join anyway. Compare
+    * `s_day_pruned` (static pruning: the day is a literal) and the
+    * runtime bloom filter (row-level pruning when the join key is NOT
+    * the partition column). */
+  def dppWeekend(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(Layout.ensureDayLayout(spark, dir))
+    val dim = spark.read.parquet(Layout.ensureCalendarDim(spark, dir))
+      .filter(col("dow_idx").isin(0, 6))
+    fact.join(broadcast(dim), Seq("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.DetMath.sumMoney(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
 }

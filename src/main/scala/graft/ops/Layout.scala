@@ -271,4 +271,31 @@ object Layout {
       writePartitionedByDay(graft.Tables.events(spark, dir), path)
     }
   }
+
+  /** Materialized CALENDAR DIMENSION over the event data's day domain —
+    * the standard warehouse date dim, one row per distinct day with
+    * derived attributes. `dow_idx` is computed arithmetically from the
+    * epoch-day count (1970-01-01 was a Thursday; 0 = Sunday … 6 =
+    * Saturday) rather than via an engine dayofweek() whose numbering
+    * differs between engines — so the DuckDB oracle can replay the
+    * attribute exactly. Joining a day-partitioned fact to this dim on
+    * `day` with a filter on a dim ATTRIBUTE is the canonical dynamic
+    * partition pruning shape ([[graft.ops.Joins.dppWeekend]]). */
+  def ensureCalendarDim(spark: SparkSession, dir: String): String = {
+    val path = indexPath("calendar_dim", dir)
+    val sig = s"v1_${dataSig(s"$dir/events.parquet")}"
+    ensureSigGated(path, sig) {
+      graft.Tables.events(spark, dir)
+        .select(floor(unix_micros(col("ts")) / 86400000000L)
+          .cast("int").as("epoch_day"))
+        .distinct()
+        .select(
+          date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+            col("epoch_day")).cast("string").as("day"),
+          col("epoch_day").cast("long").as("epoch_day"),
+          (((col("epoch_day") % 7) + 7 + 4) % 7).cast("int").as("dow_idx"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+    }
+  }
 }

@@ -730,4 +730,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(rootMsgs(badNull).exists(m => m != null && m.contains("null element")), badNull.toString)
   }
+
+  test("paragraph dedup: keeps exactly the distinct spans, rewrites losslessly, empties exact-duplicate copies") {
+    import org.apache.spark.sql.functions._
+    val w = 20
+    val out = Dedup.paragraphDedup(spark, dir, w).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // sum(n_kept) over the corpus == number of DISTINCT spans, computed
+    // independently (distinct over the exploded span text itself)
+    val docs = graft.Tables.documents(spark, dir)
+    val spanExpr = expr(s"""explode(transform(
+      sequence(0, cast(ceil(size(split(text,' ')) / $w.0d) as int) - 1),
+      i -> array_join(slice(split(text,' '), i * $w + 1, $w), ' ')))""")
+    val nDistinct = docs.select(spanExpr.as("span")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_kept")).sum === nDistinct)
+
+    // a doc that lost nothing rewrites to its EXACT original text
+    // (single-space corpus: join(spans) is the identity)
+    val originals = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = out.filter(r =>
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_spans"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(r.getAs[String]("clean_text") ===
+        originals(r.getAs[Long]("doc_id")))
+    }
+
+    // every non-first copy of an exact-duplicate doc keeps ZERO spans:
+    // all its spans are owned by the earlier copy. The corpus has no
+    // exact duplicates, so append derived copies of 3 docs under fresh
+    // higher doc_ids and run over the augmented frame.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val dupes = docs.where(col("doc_id") < 3)
+      .select((col("doc_id") + lit(maxId + 1)).as("doc_id"), col("text"))
+    val augmented = docs.select(col("doc_id"), col("text")).union(dupes)
+    val aug = Dedup.paragraphDedupOf(augmented, w).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0L until 3L).foreach { orig =>
+      val copy = aug(orig + maxId + 1)
+      assert(copy.getAs[Long]("n_kept") === 0L, s"copy of doc $orig")
+      assert(copy.getAs[String]("clean_text") === "", s"copy of doc $orig")
+      // and the ORIGINAL keeps what the unaugmented run kept
+      assert(aug(orig).getAs[Long]("n_kept") ===
+        byId(orig).getAs[Long]("n_kept"), s"doc $orig")
+    }
+  }
 }

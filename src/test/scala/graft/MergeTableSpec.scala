@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{MergeTable, Snapshots}
+
+/** Copy-on-write MERGE INTO over the manifest-based snapshot table:
+  * net-effect correctness, file-level pruning (untouched files carried
+  * by REFERENCE), time travel through the inherited generation
+  * protocol, reference-counted sweep, crash-orphan collection. */
+class MergeTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files
+      .createTempDirectory(s"graft-merge-$tag").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "table").getAbsolutePath
+  }
+
+  private def baseDf(n: Int) =
+    spark.range(n).select(col("id").as("k"),
+      (col("id") * 10).as("v"), lit("base").as("tag"))
+
+  test("merge applies updates, deletes, inserts; result equals the logical net effect") {
+    val root = freshRoot("net")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val changes = Seq(
+      ("u", 1L, 7L, 700L, "upd"),   // update k=7
+      ("d", 1L, 13L, 0L, ""),       // delete k=13
+      ("c", 1L, 200L, 42L, "new"),  // insert k=200
+      ("d", 1L, 999L, 0L, "")       // delete of a key that never existed
+    ).toDF("op", "seq", "k", "v", "tag")
+    MergeTable.merge(spark, root, changes, "k", commitTsMillis = 20L)
+    val got = MergeTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expected = ((0L until 100L).filter(_ != 13L).map {
+      case 7L => (7L, 700L, "upd")
+      case k  => (k, k * 10, "base")
+    } :+ (200L, 42L, "new")).sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
+
+  test("intra-batch conflicts resolve last-wins by seq") {
+    val root = freshRoot("lastwins")
+    MergeTable.create(spark, root, baseDf(10), "k", commitTsMillis = 10L)
+    val changes = Seq(
+      ("u", 1L, 3L, 111L, "first"),
+      ("u", 3L, 3L, 333L, "third"),
+      ("u", 2L, 3L, 222L, "second"),
+      ("u", 1L, 4L, 444L, "upd"),
+      ("d", 2L, 4L, 0L, "")          // update then delete: net = delete
+    ).toDF("op", "seq", "k", "v", "tag")
+    MergeTable.merge(spark, root, changes, "k", commitTsMillis = 20L)
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK(3L) === ((333L, "third")))
+    assert(!byK.contains(4L))
+  }
+
+  test("file-level pruning: a narrow merge rewrites only overlapping files; the rest carry by reference") {
+    val root = freshRoot("prune")
+    // 8 range-disjoint files over 0..799
+    MergeTable.create(spark, root, baseDf(800), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    val before = MergeTable.currentManifest(spark, root)
+    assert(before.size >= 4, s"want several files, got ${before.size}")
+    // touch exactly one key — only the file whose range holds it rewrites
+    val changes = Seq(("u", 1L, 5L, 5000L, "hot"))
+      .toDF("op", "seq", "k", "v", "tag")
+    val (touched, carried) = MergeTable.merge(spark, root, changes, "k",
+      nFiles = 1, commitTsMillis = 20L)
+    assert(touched === 1, s"one file should be touched, got $touched")
+    assert(carried === before.size - 1)
+    val after = MergeTable.currentManifest(spark, root)
+    // the carried entries are the SAME file names — referenced, not copied
+    val beforeNames = before.map(_.name).toSet
+    val afterNames = after.map(_.name).toSet
+    assert((afterNames intersect beforeNames).size === carried)
+    // and the data still reads back complete + updated
+    val got = MergeTable.read(spark, root)
+    assert(got.count() === 800L)
+    assert(got.where(col("k") === 5L).head().getLong(1) === 5000L)
+  }
+
+  test("time travel reads the pre-merge generation; sweep GCs unreferenced files only") {
+    val root = freshRoot("travel")
+    MergeTable.create(spark, root, baseDf(50), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val g1 = Snapshots.currentGen(spark, root).get
+    MergeTable.merge(spark, root,
+      Seq(("d", 1L, 0L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    // pre-merge state intact through the old manifest
+    assert(MergeTable.readAt(spark, root, g1).count() === 50L)
+    assert(MergeTable.read(spark, root).count() === 49L)
+    // retention 0: only the current gen remains; gen-1-only files die
+    val referencedBefore = MergeTable.currentManifest(spark, root)
+      .map(_.name).toSet
+    MergeTable.sweep(spark, root, retainPredecessors = 0)
+    // java.io sees Hadoop's hidden .crc sidecars; compare visible files
+    val filesLeft = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .toSet
+    assert(filesLeft === referencedBefore,
+      s"sweep must keep exactly the referenced files: $filesLeft vs $referencedBefore")
+    assert(MergeTable.read(spark, root).count() === 49L)
+    intercept[IllegalArgumentException] {
+      MergeTable.readAt(spark, root, g1)
+    }
+  }
+
+  test("a crashed merge (files landed, no commit) is invisible and its orphans are collected") {
+    val root = freshRoot("crash")
+    MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // simulate the crash: land a data file in files/ with no manifest
+    val orphan = new java.io.File(s"$root/files/f-9-0-deadbeef.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(MergeTable.read(spark, root).count() === 20L) // reader unaffected
+    val collected = MergeTable.sweep(spark, root)
+    assert(collected === 1)
+    assert(!orphan.exists())
+    assert(MergeTable.read(spark, root).count() === 20L)
+  }
+}

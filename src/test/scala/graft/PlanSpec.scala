@@ -78,6 +78,16 @@ class PlanSpec extends AnyFunSuite {
       "day must prune partitions, not filter rows:\n" + p)
   }
 
+  test("calendar-dim join dynamically prunes fact day partitions") {
+    // the day values live only in the filtered dim, so the fact scan's
+    // PartitionFilters must carry a runtime dynamicpruning subquery —
+    // not a static In(day,…) and not a row-level pushed filter
+    val p = plan("j_dpp")
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.contains("dynamicpruning"), "no DPP subquery on the fact scan:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("indexed ANN probes prune to bucket partitions at the scan") {
     val p = plan("x_ann_indexed")
     assert(p.contains("PartitionFilters: ["), p)
