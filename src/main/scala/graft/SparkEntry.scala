@@ -76,6 +76,7 @@ object SparkEntry {
     "j_cbo_range"           -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboRangeJoin(s, d)),
     "j_cbo_star"            -> ((s: SparkSession, d: String) => graft.ops.TableStats.cboStarJoin(s, d)),
     "j_dpp"                 -> (Joins.dppWeekend _),
+    "j_fuzzy"               -> (Joins.fuzzyNameJoin _),
     // Group W — window functions
     "w_last_wins_dedup"     -> (Windows.lastWinsDedup _),
     "w_ntile_pctrank"       -> (Windows.ntilePctRank _),
@@ -118,6 +119,7 @@ object SparkEntry {
     "x_subword_tokenize"    -> (operators.Subword.subwordTokenize _),
     "x_text_quality"        -> (operators.TextAnalysis.textQuality _),
     "x_lang_id"             -> (operators.TextAnalysis.langId _),
+    "x_quality_classifier"  -> (operators.QualityModel.qualityClassifier _),
     "x_doc_fingerprint"     -> (operators.TextAnalysis.docFingerprint _),
     "x_knn_cosine"          -> ((s: SparkSession, d: String) => operators.Similarity.knnCosine(s, d)),
     "x_ann_lsh"             -> ((s: SparkSession, d: String) => operators.Similarity.annKnnCosine(s, d)),
@@ -934,6 +936,36 @@ object SparkEntry {
         |       least(l_discount, l_tax) AS min_rate,
         |       l_extendedprice / l_quantity AS unit_price
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // FastSS replay: the deletion-neighborhood identity is a theorem
+    // (lev ≤ 1 ⟺ {self}∪D₁ sets intersect), so the oracle derives the
+    // same pair set through DuckDB's own unnest/list machinery and an
+    // independent levenshtein — candidates by construction, verify by
+    // the metric itself.
+    "j_fuzzy" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_id,
+        |         substr(c_name, 1, p - 1) || substr(c_name, p + 1) AS d_name
+        |  FROM (SELECT c_custkey, c_name,
+        |               (c_custkey % (length(c_name) - 2)) + 2 AS p
+        |        FROM customer WHERE c_custkey % 3 = 1)),
+        |dv AS (
+        |  SELECT d_id, d_name, unnest(list_append(list_transform(
+        |           generate_series(1, length(d_name)),
+        |           i -> substr(d_name, 1, i - 1) || substr(d_name, i + 1)),
+        |         d_name)) AS v
+        |  FROM dirty),
+        |mv AS (
+        |  SELECT c_custkey AS m_id, c_name AS m_name,
+        |         unnest(list_append(list_transform(
+        |           generate_series(1, length(c_name)),
+        |           i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+        |         c_name)) AS v
+        |  FROM customer)
+        |SELECT DISTINCT d_id, m_id,
+        |       CAST(levenshtein(d_name, m_name) AS BIGINT) AS dist
+        |FROM dv JOIN mv USING (v)
+        |WHERE levenshtein(d_name, m_name) <= 1
+        |ORDER BY d_id, m_id""".stripMargin,
     // DPP only changes which partition directories the fact scan opens;
     // the oracle is the logical form — the weekend predicate applied
     // directly (dow arithmetic identical to the calendar dim's: epoch
@@ -1642,6 +1674,53 @@ object SparkEntry {
         |       floor((CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to','in','is','for','on','with'], t))) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1)) * 100.0 + 0.5) / 100.0 AS stopword_ratio,
         |       floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / greatest(length(text), 1)) * 100.0 + 0.5) / 100.0 AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Trained quality model: the oracle re-derives the WEIGHTS through
+    // the same fixed-point GD (12 recursive-CTE steps over the exact
+    // integer sufficient statistics XᵀX / Xᵀy; HUGEINT products; `//`
+    // truncation = the engine's driver-side Long division), then scores
+    // every doc — training AND serving both under the hash gate.
+    "x_quality_classifier" ->
+      """WITH RECURSIVE feat AS MATERIALIZED (
+        |  SELECT CAST(32 AS BIGINT) AS x0,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) // 4 AS x2,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x3,
+        |         CAST(CASE WHEN len(string_split(text, ' ')) >= 20
+        |                    AND 2 * len(regexp_extract_all(text, '[A-Za-z]')) >= length(text)
+        |              THEN 1048576 ELSE 0 END AS BIGINT) AS y
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |st AS MATERIALIZED (
+        |  SELECT sum(x0*x0) a00, sum(x0*x1) a01, sum(x0*x2) a02, sum(x0*x3) a03,
+        |         sum(x1*x1) a11, sum(x1*x2) a12, sum(x1*x3) a13,
+        |         sum(x2*x2) a22, sum(x2*x3) a23, sum(x3*x3) a33,
+        |         sum(x0*y) b0, sum(x1*y) b1, sum(x2*y) b2, sum(x3*y) b3,
+        |         count(*) * 16384 AS denom
+        |  FROM feat),
+        |it AS (
+        |  SELECT 0 AS i, CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+        |         CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3
+        |  UNION ALL
+        |  SELECT i + 1,
+        |    w0 - (st.a00*w0 + st.a01*w1 + st.a02*w2 + st.a03*w3 - st.b0) // st.denom,
+        |    w1 - (st.a01*w0 + st.a11*w1 + st.a12*w2 + st.a13*w3 - st.b1) // st.denom,
+        |    w2 - (st.a02*w0 + st.a12*w1 + st.a22*w2 + st.a23*w3 - st.b2) // st.denom,
+        |    w3 - (st.a03*w0 + st.a13*w1 + st.a23*w2 + st.a33*w3 - st.b3) // st.denom
+        |  FROM it, st WHERE i < 48),
+        |w AS (SELECT w0, w1, w2, w3 FROM it WHERE i = 48),
+        |af AS (
+        |  SELECT doc_id, CAST(32 AS BIGINT) AS x0,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) // 4 AS x2,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x3,
+        |         CAST(CASE WHEN len(string_split(text, ' ')) >= 20
+        |                    AND 2 * len(regexp_extract_all(text, '[A-Za-z]')) >= length(text)
+        |              THEN 1048576 ELSE 0 END AS BIGINT) AS y
+        |  FROM documents)
+        |SELECT af.doc_id,
+        |       CAST(w.w0*af.x0 + w.w1*af.x1 + w.w2*af.x2 + w.w3*af.x3 AS BIGINT) AS pred,
+        |       (w.w0*af.x0 + w.w1*af.x1 + w.w2*af.x2 + w.w3*af.x3) * 2 >= 1048576 AS pred_pass,
+        |       af.y > 0 AS label_pass
+        |FROM af, w ORDER BY af.doc_id""".stripMargin,
     "x_lang_id" ->
       """SELECT doc_id, lang AS lang_labeled,
         |       CASE WHEN s_de = best AND best > 0 THEN 'de'

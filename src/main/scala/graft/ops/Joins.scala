@@ -216,6 +216,46 @@ object Joins {
       .orderBy(col("tier"))
   }
 
+  /** j_fuzzy — FUZZY ENTITY-MATCHING join at edit distance ≤ 1 via the
+    * FastSS deletion-neighborhood identity (Bocek et al. 2007):
+    * lev(a, b) ≤ 1 ⟺ the sets {a} ∪ deletions₁(a) and {b} ∪
+    * deletions₁(b) intersect — so the candidate step is an EXACT
+    * equi-join on exploded variants (each row fans out to len+1 short
+    * strings; one hash shuffle on the variant) and a codegen'd
+    * `levenshtein` verify kills the ≤-distance-2 false candidates the
+    * identity admits. NO pairwise pass ever happens: cost is
+    * O(rows × len) candidates vs the O(n²) cross-join-levenshtein a
+    * naive matcher runs — at 100 TB of entities the latter does not
+    * terminate. The dirty side is a deterministic 1-char-deletion
+    * corruption of the %3=1 customers (the classic dirty-record
+    * linkage fixture, derived from the table itself so the DuckDB
+    * oracle replays it exactly); ambiguous dirty records legitimately
+    * match several masters and ALL verified pairs are emitted. */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    def withVariants(df: DataFrame, nameCol: String, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+ explode(expr(
+        s"""array_union(array($nameCol), transform(
+           |  sequence(1, length($nameCol)),
+           |  i -> concat(substring($nameCol, 1, i - 1),
+           |              substring($nameCol, i + 1, length($nameCol)))))"""
+          .stripMargin)).as("v"): _*)
+    val master = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("m_id"), col("c_name").as("m_name"))
+    val dirty = Tables.customer(spark, dir)
+      .where(col("c_custkey") % 3 === 1)
+      .select(col("c_custkey").as("d_id"),
+        expr("""concat(substring(c_name, 1, (c_custkey % (length(c_name) - 2)) + 1),
+               |       substring(c_name, (c_custkey % (length(c_name) - 2)) + 3,
+               |                 length(c_name)))""".stripMargin).as("d_name"))
+    withVariants(dirty, "d_name", Seq("d_id", "d_name"))
+      .join(withVariants(master, "m_name", Seq("m_id", "m_name")), Seq("v"))
+      .where(levenshtein(col("d_name"), col("m_name")) <= 1)
+      .select(col("d_id"), col("m_id"),
+        levenshtein(col("d_name"), col("m_name")).cast("long").as("dist"))
+      .distinct()
+      .orderBy(col("d_id"), col("m_id"))
+  }
+
   /** j_dpp — DYNAMIC PARTITION PRUNING: the day-partitioned events fact
     * (`Layout.ensureDayLayout`) joined on its PARTITION column to the
     * calendar dimension (`Layout.ensureCalendarDim`) filtered on a dim
