@@ -140,6 +140,7 @@ object SparkEntry {
     "x_media_dedup"         -> (operators.Multimodal.mediaDedup _),
     "x_image_decode"        -> ((s: SparkSession, d: String) => operators.Multimodal.imageDecodeStats(s, d)),
     "x_png_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.pngDecodeStats(s, d)),
+    "x_gif_decode"          -> ((s: SparkSession, d: String) => operators.Multimodal.gifDecodeStats(s, d)),
     "x_jpeg_decode"         -> ((s: SparkSession, d: String) => operators.Multimodal.jpegDecodeStats(s, d)),
     "x_jpeg_color_decode"   -> ((s: SparkSession, d: String) => operators.Multimodal.jpegColorDecodeStats(s, d)),
     "x_jpeg_progressive_decode" -> ((s: SparkSession, d: String) => operators.Multimodal.jpegProgressiveDecodeStats(s, d)),
@@ -1524,6 +1525,25 @@ object SparkEntry {
     // cancels out, so the oracle replays raster generation + channel
     // sums exactly as for x_image_decode.
     "x_png_decode" -> ImageDecodeSql,
+    // GIF: LZW is lossless and the fixture palette is the identity
+    // grayscale map, so raster replay is the pixel rule itself;
+    // n_colors = distinct bytes used (the palette-index statistic).
+    "x_gif_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         CASE WHEN d.n = 0 THEN 0
+        |              ELSE ord(substr(d.text, CAST(u.j % d.n AS INT) + 1, 1))
+        |         END AS b
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 279)) AS j) u)
+        |SELECT doc_id AS media_id, 20 AS width, 14 AS height,
+        |       CAST(280 AS BIGINT) AS n_px,
+        |       CAST(sum(b) AS BIGINT) AS gray_sum,
+        |       CAST(count(DISTINCT b) AS BIGINT) AS n_colors
+        |FROM px GROUP BY doc_id
+        |ORDER BY media_id""".stripMargin,
     "x_jpeg_decode" -> JpegDecodeSql,
     "x_jpeg_color_decode" -> JpegColorDecodeSql,
     // Progressive: constant blocks make all four SOF2 scans exact (DC

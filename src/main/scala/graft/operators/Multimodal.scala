@@ -352,6 +352,48 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Dimensions of the synthetic GIF corpus (any size works — LZW is
+    * lossless — these are fixed so the oracle replays the raster rule
+    * with literal bounds). */
+  private[graft] val GifW = 20
+  private[graft] val GifH = 14
+
+  /** x_gif_decode — the DICTIONARY-coder rung of the codec family
+    * ([[GifCodec]] — GIF89a LZW, variable code width, sub-block
+    * framing): palette-indexed like no other codec here, and lossless,
+    * so the full parse + LZW machine sits under the DuckDB hash oracle
+    * with the PNG argument verbatim — pixel j = text byte (j mod len)
+    * through an identity 256-gray palette, statistics are exact
+    * integers (`n_colors` = distinct palette indices actually used:
+    * the palette-specific statistic). Same batched mapPartitions
+    * serving shape as every decoder. */
+  def gifDecodeStats(spark: SparkSession, dir: String,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 3 === 2)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val tb = text.getBytes("UTF-8")
+        val px = Array.tabulate(GifW * GifH)(j =>
+          if (tb.isEmpty) 0.toByte else tb(j % tb.length))
+        (id, GifCodec.encodeGray(GifCodec.Gray(GifW, GifH, px)))
+      }
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val img = GifCodec.decode(payload)
+            var s = 0L
+            val seen = new Array[Boolean](256)
+            img.pixels.foreach { b => s += (b & 0xff); seen(b & 0xff) = true }
+            (id, img.width, img.height, img.width.toLong * img.height,
+              s, seen.count(identity).toLong)
+          }
+        }
+      }.toDF("media_id", "width", "height", "n_px", "gray_sum", "n_colors")
+      .orderBy(col("media_id"))
+  }
+
   /** Dimensions of the synthetic JPEG corpus: multiples of 8 (the DCT
     * block size), 3×2 blocks — fixed so the oracle can replay the
     * block-constant raster rule with literal bounds. */

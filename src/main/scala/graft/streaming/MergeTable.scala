@@ -60,24 +60,39 @@ object MergeTable {
 
   private def filePath(root: String, name: String) = s"$root/$FilesDir/$name"
 
-  /** Parse the manifest of a resolved generation directory. */
-  def manifest(spark: SparkSession, genDir: String): Seq[FileEntry] = {
+  private def manifestText(spark: SparkSession, genDir: String): String = {
     val p = new Path(genDir, ManifestName)
     val f = fs(spark, p)
     require(f.exists(p), s"no $ManifestName under $genDir — not a MergeTable generation")
     val in = f.open(p)
-    val body = try {
+    try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
       new String(bos.toByteArray, "UTF-8")
     } finally in.close()
-    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
-      val Array(name, lo, hi) = line.split("\t")
-      FileEntry(name, lo.toLong, hi.toLong)
-    }.toSeq
   }
+
+  /** Parse the manifest of a resolved generation directory (metadata
+    * lines, `#key=value`, are skipped — see [[appliedBatchId]]). */
+  def manifest(spark: SparkSession, genDir: String): Seq[FileEntry] =
+    manifestText(spark, genDir).split("\n").iterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(name, lo, hi) = line.split("\t")
+        FileEntry(name, lo.toLong, hi.toLong)
+      }.toSeq
+
+  /** The streaming batch id recorded at the CURRENT generation's commit,
+    * if it was written by [[mergeExactlyOnce]] — the watermark a
+    * restarted stream compares its replayed batch ids against. */
+  def appliedBatchId(spark: SparkSession, root: String): Option[Long] =
+    Snapshots.currentGen(spark, root).flatMap { g =>
+      manifestText(spark, Snapshots.genDir(root, g)).split("\n").iterator
+        .map(_.trim).collectFirst {
+          case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+        }
+    }
 
   /** Current-generation manifest. */
   def currentManifest(spark: SparkSession, root: String): Seq[FileEntry] = {
@@ -143,15 +158,28 @@ object MergeTable {
   }
 
   private def writeManifest(spark: SparkSession, root: String, gen: Long,
-      entries: Seq[FileEntry]): Unit = {
+      entries: Seq[FileEntry], key: String,
+      batchId: Option[Long] = None): Unit = {
     val dir = new Path(Snapshots.genDir(root, gen))
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
-    out.write(entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("")
+    out.write((meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
+      .mkString("", "\n", "\n")).getBytes("UTF-8"))
     out.close()
+  }
+
+  /** The merge key, from the current manifest's metadata. */
+  def tableKey(spark: SparkSession, root: String): String = {
+    val g = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    manifestText(spark, Snapshots.genDir(root, g)).split("\n").iterator
+      .map(_.trim).collectFirst {
+        case l if l.startsWith("#key=") => l.stripPrefix("#key=")
+      }.getOrElse(throw new IllegalStateException(
+        s"manifest of gen $g under $root carries no #key metadata"))
   }
 
   /** Create the table: `df` becomes generation 1. */
@@ -160,7 +188,7 @@ object MergeTable {
       commitTsMillis: Long = System.currentTimeMillis()): Unit = {
     val gen = Snapshots.nextGen(spark, root)
     val entries = writeFiles(spark, root, df, key, gen, nFiles)
-    writeManifest(spark, root, gen, entries)
+    writeManifest(spark, root, gen, entries, key)
     Snapshots.commit(spark, root, gen, commitTsMillis)
   }
 
@@ -175,7 +203,9 @@ object MergeTable {
     * Returns (touched files rewritten, files carried by reference). */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
       key: String, nFiles: Int = 4,
-      commitTsMillis: Long = System.currentTimeMillis()): (Int, Int) = {
+      commitTsMillis: Long = System.currentTimeMillis(),
+      batchId: Option[Long] = None,
+      pruneFiles: Boolean = true): (Int, Int) = {
     val cur = currentManifest(spark, root)
     val targetCols = read(spark, root).columns.toSeq
     // 1. collapse to one NET change per key (one id-width shuffle)
@@ -189,11 +219,17 @@ object MergeTable {
     // 2. PRUNE: a file is touched iff some net-change key falls inside
     //    its manifest [min,max] — |files| manifest rows broadcast
     //    against the change keys; zero reads of the table itself
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
-    val touchedNames = filesDf
-      .join(net.select(col(key).cast("long").as("k")),
-        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
-      .select("name").collect().map(_.getString(0)).toSet
+    // pruneFiles=false is the full-rewrite baseline RelScaleBench
+    // measures the manifest pruning against — never the production path
+    val touchedNames: Set[String] =
+      if (!pruneFiles) cur.map(_.name).toSet
+      else {
+        val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
+        filesDf
+          .join(net.select(col(key).cast("long").as("k")),
+            col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
+          .select("name").collect().map(_.getString(0)).toSet
+      }
     val (touched, carried) = cur.partition(e => touchedNames.contains(e.name))
     // 3. REWRITE only the touched files: drop keys with a net change,
     //    then add back the net upserts (deletes simply never come back).
@@ -207,10 +243,26 @@ object MergeTable {
         .unionByName(upserts)
     val gen = Snapshots.nextGen(spark, root)
     val entries = writeFiles(spark, root, merged, key, gen, nFiles)
-    writeManifest(spark, root, gen, carried ++ entries)
+    writeManifest(spark, root, gen, carried ++ entries, key, batchId)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size)
   }
+
+  /** [[merge]] with STREAMING idempotence: a replayed `foreachBatch`
+    * invocation (same batch id as the current commit, Structured
+    * Streaming's at-least-once delivery after a restart) is detected
+    * from the committed manifest metadata and skipped — the
+    * marker+manifest publish is atomic, so a batch is either fully
+    * applied-and-recorded or invisible, never half-applied. Batch ids
+    * must be the stream's own monotone ids. Returns None on a skipped
+    * replay. */
+  def mergeExactlyOnce(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, batchId: Long,
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis()): Option[(Int, Int)] =
+    if (appliedBatchId(spark, root).exists(_ >= batchId)) None
+    else Some(merge(spark, root, changes, key, nFiles, commitTsMillis,
+      Some(batchId)))
 
   /** t_merge_into — the oracled batch face: a MergeTable built from
     * `orders` (money as exact integer cents), hit with one deterministic
@@ -257,6 +309,26 @@ object MergeTable {
         commitTsMillis = 2000L)
     }
     read(spark, root).orderBy(col("o_orderkey"))
+  }
+
+  /** COMPACT the table: rewrite the current file set as `nFiles`
+    * range-disjoint files in one new generation. Every micro-batch
+    * MERGE adds a small file (change-set-sized), so a streamed-into
+    * table fragments linearly with batch count — the same append-debt
+    * decay [[Compaction]] tracks for the epoch roots; this is the
+    * MergeTable face of the cure. Readers never block (generation
+    * publish is atomic), time travel to pre-compaction generations
+    * still works until [[sweep]], and the rewritten layout restores
+    * narrow manifest key ranges so future merges prune well again. */
+  def compact(spark: SparkSession, root: String, nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis()): Int = {
+    val cur = currentManifest(spark, root)
+    val key = tableKey(spark, root)
+    val gen = Snapshots.nextGen(spark, root)
+    val entries = writeFiles(spark, root, read(spark, root), key, gen, nFiles)
+    writeManifest(spark, root, gen, entries, key)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    cur.size
   }
 
   /** Retire old generations ([[Snapshots.sweep]] semantics) and GC data

@@ -448,6 +448,55 @@ object RelScaleBench {
       steady("skewstar/isolated hot-key join (SkewOps.isolatedSkewJoin)")(skIsolated)
     }
 
+    // --- MERGE INTO at factor: manifest-pruned copy-on-write vs the
+    // full-rewrite baseline. Two identical tables from factor-scaled
+    // lineitem (keyed uniquely), one narrow change batch (~0.5% of the
+    // key space) applied to each — the pruned face must rewrite a small
+    // fixed file subset while the baseline rewrites the corpus; results
+    // pinned identical before timing -------------------------------
+    {
+      import graft.streaming.MergeTable
+      val mergeBase = graft.Tables.lineitem(spark, srcDir)
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .select((col("l_orderkey") * lit(1000L) + col("l_linenumber") * lit(100L)
+          + col("rep")).as("k"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+      val maxK = 15000L * 1000L
+      def buildTable(tag: String): String = {
+        val root = new java.io.File(
+          s"target/graft-index/mergebench_${tag}_f$factor").getAbsolutePath
+        val rootDir = new java.io.File(root)
+        if (rootDir.exists) org.apache.commons.io.FileUtils.deleteDirectory(rootDir)
+        MergeTable.create(spark, root, mergeBase, "k",
+          nFiles = 32, commitTsMillis = 1L)
+        root
+      }
+      val nBase = mergeBase.count()
+      val prunedRoot = time(s"mergebench/build table (pruned face), $nBase rows")(buildTable("pruned"))
+      val fullRoot = buildTable("full")
+      // narrow change batch: updates confined to one 0.5%-wide key band
+      val changes = mergeBase
+        .where(col("k") < lit(maxK / 200L))
+        .select(lit("u").as("op"), col("k").as("seq"), col("k"),
+          (col("qty") + 1.0).as("qty"), col("price"))
+      val nChanges = changes.count()
+      val (tP, cP) = time(s"mergebench/PRUNED merge of $nChanges changes") {
+        MergeTable.merge(spark, prunedRoot, changes, "k", nFiles = 4)
+      }
+      println(s"[relscale] mergebench/pruned: touched=$tP carried=$cP")
+      val (tF, cF) = time(s"mergebench/FULL-REWRITE merge of $nChanges changes") {
+        MergeTable.merge(spark, fullRoot, changes, "k", nFiles = 32,
+          pruneFiles = false)
+      }
+      println(s"[relscale] mergebench/full: touched=$tF carried=$cF")
+      // same final table either way — a fast wrong merge is not a result
+      val diff = MergeTable.read(spark, prunedRoot)
+        .unionByName(MergeTable.read(spark, fullRoot))
+        .groupBy("k", "qty", "price").count().where(col("count") =!= 2)
+        .count()
+      assert(diff == 0L, s"pruned vs full merge diverged on $diff rows")
+    }
+
     // --- CBO star ordering: the catalog's most-selective-first order
     // vs the worst-first order, at factor — same filtered dimensions,
     // same per-edge broadcast decisions, same rows (order is

@@ -735,4 +735,96 @@ class CodecSpec extends AnyFunSuite {
         f.peak, f.sumAbs, f.zeroCrossings, f.energy), s"doc $id")
     }
   }
+
+  // ------------------------------------------------------------- GIF / LZW
+
+  import graft.operators.GifCodec
+
+  private def grayImg(w: Int, h: Int, f: Int => Int): GifCodec.Gray =
+    GifCodec.Gray(w, h, Array.tabulate(w * h)(i => (f(i) & 0xff).toByte))
+
+  test("GIF: LZW round-trip across shapes, incl. code-width growth, cScSc runs, and 4096-dict CLEAR") {
+    val shapes = Seq(
+      grayImg(20, 14, i => i * 131 + 17),         // mixed content
+      grayImg(33, 7, _ => 42),                    // constant: cScSc chain
+      grayImg(1, 1, _ => 255),                    // minimal
+      grayImg(16, 16, i => (i / 7) * 13),         // short runs
+      // ~16k px of high-entropy bytes: dictionary hits 4096 → CLEAR
+      grayImg(128, 128, i => (i * 2654435761L % 251).toInt))
+    for (img <- shapes) {
+      val dec = GifCodec.decode(GifCodec.encodeGray(img))
+      assert(dec.width === img.width && dec.height === img.height)
+      assert(dec.pixels.toSeq === img.pixels.toSeq,
+        s"round-trip diverged at ${img.width}x${img.height}")
+    }
+  }
+
+  test("GIF: our decoder reads ImageIO-written files (interlaced — the JDK default)") {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    val w = 20; val h = 14
+    val lut = Array.tabulate(256)(_.toByte)
+    val cm = new IndexColorModel(8, 256, lut, lut, lut)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 13 + y * 29) % 256)
+    val bos = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "no GIF writer in this JDK")
+    val dec = GifCodec.decode(bos.toByteArray)
+    assert(dec.width === w && dec.height === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((dec.pixels(y * w + x) & 0xff) === img.getRaster.getSample(x, y, 0),
+        s"pixel ($x,$y)")
+  }
+
+  test("GIF: ImageIO reads our encoder's files") {
+    val img = grayImg(20, 14, i => i * 7 + 3)
+    val read = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(GifCodec.encodeGray(img)))
+    assert(read.getWidth === 20 && read.getHeight === 14)
+    for (y <- 0 until 14; x <- 0 until 20) {
+      val expect = img.pixels(y * 20 + x) & 0xff
+      val argb = read.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) === expect, s"pixel ($x,$y)")
+      assert(((argb >> 8) & 0xff) === expect && (argb & 0xff) === expect)
+    }
+  }
+
+  test("GIF: malformed and out-of-scope inputs fail loudly, by name") {
+    def msgOf(bytes: Array[Byte]): String =
+      intercept[IllegalArgumentException](GifCodec.decode(bytes)).getMessage
+    assert(msgOf("NOTAGIF!".getBytes).contains("signature"))
+    val good = GifCodec.encodeGray(grayImg(20, 14, i => i))
+    assert(msgOf(good.dropRight(20)).contains("truncated"))
+    // animated: duplicate the image descriptor block before the trailer
+    val desc = {
+      val start = 13 + 768 // header + LSD + global table
+      good.slice(start, good.length - 1)
+    }
+    val animated = good.dropRight(1) ++ desc ++ Array(0x3b.toByte)
+    assert(msgOf(animated).contains("animated"))
+    // local color table flag
+    val local = good.clone()
+    local(13 + 768 + 9) = (local(13 + 768 + 9) | 0x80).toByte
+    assert(msgOf(local).contains("local color table"))
+    // transparency flag inside a GCE
+    val gce = Array(0x21, 0xf9, 4, 0x01, 0, 0, 0, 0).map(_.toByte)
+    val withGce = good.take(13 + 768) ++ gce ++ good.drop(13 + 768)
+    assert(msgOf(withGce).contains("transparency"))
+  }
+
+  test("x_gif_decode: gray sums and color counts equal the raster-rule replay") {
+    val rows = Multimodal.gifDecodeStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 2)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows) {
+      val id = r.getAs[Long]("media_id")
+      val tb = docs(id).getBytes("UTF-8")
+      val px = Array.tabulate(280)(j => if (tb.isEmpty) 0 else tb(j % tb.length) & 0xff)
+      assert(r.getAs[Long]("gray_sum") === px.map(_.toLong).sum, s"doc $id")
+      assert(r.getAs[Long]("n_colors") === px.distinct.length.toLong, s"doc $id")
+    }
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TcpChangelogServer
+import graft.streaming.{MergeStream, MergeTable, Snapshots}
+
+/** Live wire → copy-on-write lake table: the TCP Debezium changelog
+  * merged into a MergeTable one atomic generation per micro-batch,
+  * exactly-once across a forced restart and against a direct replay. */
+class MergeStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Fields = Seq("id" -> LongType.asInstanceOf[org.apache.spark.sql.types.DataType],
+    "value" -> DoubleType)
+
+  private def dz(op: String, id: Long, v: Double): String = {
+    val img = s"""{"id":$id,"value":$v}"""
+    if (op == "d") s"""{"op":"d","before":$img,"after":null,"ts_ms":0}"""
+    else s"""{"op":"$op","before":null,"after":$img,"ts_ms":0}"""
+  }
+
+  private def tableState(root: String): Map[Long, Double] =
+    MergeTable.read(spark, root).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
+
+  test("changelog stream merges into the table exactly-once across a restart; deletes flow through") {
+    val server = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("mergestream")
+      val root = s"$work/table"
+      val ckpt = s"$work/ckpt"
+      MergeTable.create(spark, root,
+        spark.range(10).select(col("id"), (col("id") * 1.0).as("value")),
+        "id", nFiles = 4, commitTsMillis = 1L)
+
+      def startQuery() = {
+        val raw = spark.readStream.format("tcp-changelog")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("eventsPerBatch", 4)
+          .load()
+        MergeStream.intoTable(raw, root, "id", Fields, ckpt)
+      }
+
+      // wave 1: updates + inserts, > 1 admission-capped batch
+      val q1 = startQuery()
+      server.append((0L to 5L).map(i => dz("u", i, 100.0 + i)) ++
+        (10L to 13L).map(i => dz("c", i, 1000.0 + i)))
+      q1.processAllAvailable()
+      val afterW1 = tableState(root)
+      assert(afterW1(0L) === 100.0 && afterW1(5L) === 105.0)
+      assert(afterW1(13L) === 1013.0 && afterW1(7L) === 7.0)
+      q1.stop() // forced restart boundary
+
+      // wave 2 lands while no query runs; the restarted query drains it
+      server.append(Seq(dz("d", 2L, 0.0), dz("d", 3L, 0.0),
+        dz("u", 0L, 200.0)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val finalState = tableState(root)
+      val expected = (Map.empty[Long, Double]
+        ++ (0L to 9L).map(i => i -> i.toDouble)
+        ++ (0L to 5L).map(i => i -> (100.0 + i))
+        ++ (10L to 13L).map(i => i -> (1000.0 + i))
+        + (0L -> 200.0)) -- Seq(2L, 3L)
+      assert(finalState === expected)
+
+      // a replayed batch id (at-least-once delivery) is refused: same
+      // changes, same id → no new generation, table unchanged
+      val genBefore = Snapshots.currentGen(spark, root).get
+      val lastBatch = MergeTable.appliedBatchId(spark, root).get
+      val replay = Seq(("u", lastBatch * 1000L, 0L, 99999.0))
+        .toDF("op", "seq", "id", "value")
+      assert(MergeTable.mergeExactlyOnce(spark, root, replay, "id",
+        lastBatch).isEmpty)
+      assert(Snapshots.currentGen(spark, root).get === genBefore)
+      assert(tableState(root) === expected)
+      // and each applied batch left its id in the committed manifest
+      assert(lastBatch >= 1L)
+    } finally server.close()
+  }
+}

@@ -112,6 +112,33 @@ class MergeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compact defragments a streamed-into table: files collapse, data and key metadata survive") {
+    val root = freshRoot("compact")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // 6 insert-only merges land beyond every file's key range: nothing
+    // is touched, each batch becomes a standalone fragment file
+    (1 to 6).foreach { i =>
+      MergeTable.merge(spark, root,
+        Seq(("c", 1L, 1000L + i, i * 1000L, s"m$i")).toDF("op", "seq", "k", "v", "tag"),
+        "k", nFiles = 1, commitTsMillis = 10L + i)
+    }
+    val fragmented = MergeTable.currentManifest(spark, root).size
+    assert(fragmented >= 6, s"expected fragment growth, got $fragmented files")
+    val before = MergeTable.read(spark, root).orderBy("k").collect().toSeq
+    val rewritten = MergeTable.compact(spark, root, nFiles = 2,
+      commitTsMillis = 100L)
+    assert(rewritten === fragmented)
+    assert(MergeTable.currentManifest(spark, root).size <= 2)
+    assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === before)
+    assert(MergeTable.tableKey(spark, root) === "k")
+    // a post-compaction merge still works (key metadata carried through)
+    MergeTable.merge(spark, root,
+      Seq(("d", 1L, 99L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 200L)
+    assert(MergeTable.read(spark, root).count() === before.size - 1L)
+  }
+
   test("a crashed merge (files landed, no commit) is invisible and its orphans are collected") {
     val root = freshRoot("crash")
     MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
