@@ -176,6 +176,7 @@ object SparkEntry {
     "t_interval_outer"      -> (streaming.WindowedStreams.intervalJoinOuterBatch _),
     "t_session_batch"       -> (streaming.WindowedStreams.sessionCountsBatch _),
     "t_incr_agg_cdc"        -> (streaming.IncrementalAggCdc.batchDeltaQuery _),
+    "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
   )
 
@@ -1890,6 +1891,29 @@ object SparkEntry {
         |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
         |       min(value) AS min_v, max(value) AS max_v
         |FROM live GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // t_scd2_apply: type-2 history over the shared synthetic changelog —
+    // each upsert opens a version at its timestamp, the next change of
+    // ANY kind (including REMOVE) closes it, version numbers count only
+    // upserts. The oracle derives the same table independently with
+    // DuckDB window functions; the hash gates interval closure, version
+    // numbering, and REMOVE-closes-without-reopening at once.
+    "t_scd2_apply" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS us,
+        |         event_id, event_type, value, (event_id % 7 = 0) AS is_remove
+        |  FROM events),
+        |v AS (
+        |  SELECT key, us, event_type, value, is_remove,
+        |         lead(us) OVER w AS valid_to_us,
+        |         sum(CASE WHEN is_remove THEN 0 ELSE 1 END)
+        |           OVER (PARTITION BY key ORDER BY us, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS version
+        |  FROM ch WINDOW w AS (PARTITION BY key ORDER BY us, event_id))
+        |SELECT key, CAST(version AS BIGINT) AS version, event_type, value,
+        |       us AS valid_from_us, valid_to_us,
+        |       valid_to_us IS NULL AS is_current
+        |FROM v WHERE NOT is_remove
+        |ORDER BY key, version""".stripMargin,
     // MERGE INTO replay: the copy-on-write table's post-merge state must
     // equal the net effect of the change batch applied logically —
     // updates double %10=3, deletes drop %10=7, inserts re-key %10=1
