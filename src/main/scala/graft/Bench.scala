@@ -79,6 +79,7 @@ object Bench {
     build("build_postings_index")(graft.operators.Search.ensurePostingsIndex(spark, sfDir))
     build("build_day_layout")(graft.ops.Layout.ensureDayLayout(spark, sfDir))
     build("build_zorder_layout")(graft.ops.Layout.ensureZOrderLayout(spark, sfDir))
+    build("build_hilbert_layout")(graft.ops.Layout.ensureHilbertLayout(spark, sfDir))
     build("build_subword_vocab")(graft.operators.Subword.ensureVocab(spark, sfDir))
     build("build_stats_catalog")(graft.ops.TableStats.ensureCatalog(spark, sfDir,
       "customer", graft.ops.TableStats.CustomerStatCols))

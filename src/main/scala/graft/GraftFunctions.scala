@@ -41,6 +41,10 @@ object GraftFunctions {
     "zorder64" -> { exprs =>
       require(exprs.length == 2, "zorder64(a, b) takes 2 arguments")
       graft.functions.ZOrder64(exprs(0), exprs(1))
+    },
+    "hilbert32" -> { exprs =>
+      require(exprs.length == 2, "hilbert32(a, b) takes 2 arguments")
+      graft.functions.Hilbert32(exprs(0), exprs(1))
     })
 
   def register(spark: SparkSession): Unit =

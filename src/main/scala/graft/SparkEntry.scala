@@ -36,6 +36,7 @@ object SparkEntry {
     "s_math_funcs"          -> (Scans.mathFuncs _),
     "s_day_pruned"          -> ((s: SparkSession, d: String) => Scans.dayPruned(s, d)),
     "s_zorder_pruned"       -> ((s: SparkSession, d: String) => Scans.zorderPruned(s, d)),
+    "s_hilbert_pruned"      -> ((s: SparkSession, d: String) => Scans.hilbertPruned(s, d)),
     "s_analyze_stats"       -> (graft.ops.TableStats.analyzeStats _),
     // Group F — filters & predicates
     "f_event_type_in"       -> (Filters.eventTypeIn _),
@@ -987,6 +988,14 @@ object SparkEntry {
     // The z-layout changes which bytes the scan touches, never the
     // result: the oracle is the plain 2-d filter over the raw table.
     "s_zorder_pruned" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY event_id""".stripMargin,
+    // Same logical query, Hilbert-clustered layout — like the z face,
+    // the layout changes which bytes are read, never the result.
+    "s_hilbert_pruned" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE user_id BETWEEN 3 AND 9

@@ -257,6 +257,44 @@ object Layout {
     }
   }
 
+  /** Write events HILBERT-clustered on (user_id, ts): same u16
+    * normalization, same range-partition + in-partition sort machinery
+    * as [[writeZOrdered]], only the interleave swapped for the
+    * continuous curve ([[graft.functions.Hilbert32]] — no power-of-two
+    * locality seams, so a query box decomposes into fewer contiguous
+    * key runs = fewer row groups touched; measured head-to-head in
+    * HilbertSpec). Write cost is identical to the z layout. */
+  def writeHilbert(events: DataFrame, dir: String, files: Int = 32): Unit = {
+    import graft.functions.Hilbert32.hilbert32
+    val spark = events.sparkSession
+    val b = events.agg(
+      min(col("user_id")), max(col("user_id")),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    (0 until 4).foreach(i => require(!b.isNullAt(i),
+      s"writeHilbert($dir): empty or all-null " +
+        s"${if (i < 2) "user_id" else "ts"} — no bounds to normalize against"))
+    val h = hilbert32(
+      norm16(col("user_id"), b.getLong(0), b.getLong(1)),
+      norm16(unix_micros(col("ts")), b.getLong(2), b.getLong(3)))
+    // INT64-micros timestamps — same pushdown rationale as writeZOrdered
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try events.repartitionByRange(files, h)
+      .sortWithinPartitions(h)
+      .write.mode("overwrite").parquet(dir)
+    finally spark.conf.set(key, prev)
+  }
+
+  /** Materialized Hilbert-clustered events layout (freshness-gated). */
+  def ensureHilbertLayout(spark: SparkSession, dir: String): String = {
+    val path = indexPath("events_hilbert", dir)
+    val sig = s"v1_${dataSig(s"$dir/events.parquet")}"
+    ensureSigGated(path, sig) {
+      writeHilbert(graft.Tables.events(spark, dir), path)
+    }
+  }
+
   /** Materialized day-partitioned events layout (freshness-gated like
     * the other indexes): the write-side organization that turns every
     * time-range predicate into directory pruning. At 100 TB of events

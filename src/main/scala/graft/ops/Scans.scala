@@ -186,4 +186,18 @@ object Scans {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
   }
+
+  /** The same 2-d box over the HILBERT-clustered layout
+    * (`s_hilbert_pruned`): identical logical result, the scan touches
+    * the row groups the continuous curve's (fewer) runs intersect. */
+  def hilbertPruned(spark: SparkSession, dir: String,
+      uLo: Long = 3, uHi: Long = 9,
+      tLo: String = "2024-01-10", tHi: String = "2024-01-20"): DataFrame = {
+    val path = Layout.ensureHilbertLayout(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("ts") >= to_timestamp(lit(tLo)) && col("ts") < to_timestamp(lit(tHi)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
 }
