@@ -152,6 +152,7 @@ object SparkEntry {
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
     "x_heavy_hitters_exact" -> (operators.TextAnalysis.heavyHittersExact _),
+    "x_pagerank"            -> (operators.GraphOps.pagerank _),
     "x_repetition"          -> (operators.TextAnalysis.repetitionStats _),
     "x_decontaminate"       -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminate(s, d)),
     "x_decontaminate_bloom" -> ((s: SparkSession, d: String) => operators.CorpusOps.decontaminateBloom(s, d)),
@@ -1419,6 +1420,11 @@ object SparkEntry {
         |SELECT term, CAST(count(*) AS BIGINT) AS est,
         |       2.0 * (SELECT n FROM st) / ((SELECT vocab FROM st) + 1) AS err_bound
         |FROM toks GROUP BY term ORDER BY est DESC, term""".stripMargin,
+    // x_pagerank: ten exact fixed-point supersteps over the symmetrized
+    // customer–supplier graph, unrolled as chained CTEs; every division
+    // truncates (Spark `div` ≡ DuckDB `//` on positives), so the replay
+    // is bit-exact — the same discipline as the k-means/GD oracles.
+    "x_pagerank" -> operators.GraphOps.pagerankOracleSql,
     "x_substring_dedup" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_transform(

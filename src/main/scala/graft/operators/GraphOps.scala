@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics — the Pregel-shaped operator family
+  * (message passing = one shuffle per superstep) the curation stack
+  * needs for link-structure quality signals: crawl pipelines weigh
+  * documents by the centrality of their hosts (PageRank / harmonic
+  * centrality over the web graph — Page et al. 1999; Common Crawl
+  * publishes exactly this ranking), and the engine already walks
+  * graphs for dup-clusters (min-label propagation); this adds the
+  * NUMERIC propagation face.
+  *
+  * Scale shape: one superstep = join(edges, ranks) on src + groupBy dst
+  * — two hash shuffles over the edge list, no driver state beyond the
+  * node count and the loop counter. The edge relation is materialized
+  * once ([[org.apache.spark.sql.Dataset.localCheckpoint]]) so ten
+  * supersteps read it ten times instead of re-deriving it; at web-graph
+  * scale the same code runs with the edges bucketed by src so every
+  * superstep's join is exchange-free on one side, and ranks
+  * checkpointed every few supersteps to cut lineage. Nothing here is
+  * quadratic: cost = O(iterations × |edges|).
+  *
+  * Determinism contract: ranks are FIXED-POINT Longs (SCALE = 10¹²) and
+  * every division is integer truncation, so Spark's `div` and DuckDB's
+  * `//` agree bit-for-bit and the oracle replays all ten supersteps
+  * exactly — the same replay discipline as the k-means and GD oracles.
+  */
+object GraphOps {
+
+  val Scale = 1000000000000L // 10^12 fixed-point
+  val Damping = 85L          // ×/100 — the classic 0.85
+  val Iterations = 10
+
+  /** The bipartite supply graph, symmetrized: customer c and supplier s
+    * are linked iff some lineitem of c's order was supplied by s. Node
+    * ids disambiguate the two key domains by parity (custkey×2 even,
+    * suppkey×2+1 odd). */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Ten exact supersteps of damped PageRank over the supply graph
+    * (`x_pagerank`): r'(v) = base + 0.85 · Σ_{u→v} ⌊r(u)/deg(u)⌋, all in
+    * truncating fixed-point. The symmetric graph has no dangling nodes,
+    * so no leak-redistribution term is needed (truncation dust is
+    * deterministic and replayed by the oracle). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankOf(edges(spark, dir), Iterations)
+
+  /** The superstep loop over any (src, dst) edge list. Every node must
+    * have out-degree ≥ 1 (symmetrize the graph first — a dangling node
+    * would leak its mass silently, so the node set is DEFINED as the
+    * sources). */
+  def pagerankOf(edgeList: DataFrame, iterations: Int): DataFrame = {
+    // materialize the edge list once: the supersteps then read a
+    // compact cached relation instead of re-deriving the join
+    val e = edgeList.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val edgesD = e.join(deg, "src").localCheckpoint()
+    // node count: one scalar of driver state (the same bounded-metadata
+    // allowance as the stats catalog), fixing the per-iteration base
+    val n = deg.count()
+    val base = Scale * 15L / 100L / n
+    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = edgesD
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("r div d").as("c"))
+      ranks = contribs.groupBy(col("id"))
+        .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))
+    }
+    ranks.select(col("id").as("node_id"), col("r").as("pr"))
+      .orderBy(col("node_id"))
+  }
+
+  /** The oracle: the same ten supersteps unrolled as chained CTEs (the
+    * recursive-term aggregation standard SQL forbids, written out — the
+    * iteration count is a compile-time constant, so unrolling is exact,
+    * not an approximation). */
+  def pagerankOracleSql: String = {
+    val head =
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |p0 AS (SELECT src AS id,
+         |       CAST($Scale // (SELECT n FROM n) AS BIGINT) AS r FROM deg)""".stripMargin
+    val steps = (1 to Iterations).map { i =>
+      // CAST back to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, and
+      // the intermediate genuinely fits (85 × total mass < 2^63)
+      s"""p$i AS (
+         |  SELECT e.dst AS id,
+         |         CAST((${Scale * 15L / 100L} // (SELECT n FROM n))
+         |           + ($Damping * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
+         |  FROM edges e
+         |  JOIN p${i - 1} p ON p.id = e.src
+         |  JOIN deg ON deg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT id AS node_id, r AS pr FROM p$Iterations ORDER BY node_id"
+  }
+}
