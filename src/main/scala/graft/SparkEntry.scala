@@ -163,6 +163,7 @@ object SparkEntry {
     "x_pii_scrub"           -> (operators.CorpusOps.piiScrub _),
     "x_chunk_pack"          -> ((s: SparkSession, d: String) => operators.CorpusOps.chunkTokenWindows(s, d)),
     "x_sample_stratified"   -> (operators.CorpusOps.sampleStratified _),
+    "x_sample_exact_k"      -> ((s: SparkSession, d: String) => operators.CorpusOps.sampleExactK(s, d)),
     "x_pack_budget"         -> ((s: SparkSession, d: String) => operators.CorpusOps.packBudget(s, d)),
     "x_dataset_mix"         -> ((s: SparkSession, d: String) => operators.CorpusOps.datasetMix(s, d)),
     "x_mix_temperature"     -> ((s: SparkSession, d: String) => operators.CorpusOps.mixTemperature(s, d)),
@@ -2048,6 +2049,17 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
         |      < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
         |ORDER BY doc_id""".stripMargin,
+    // x_sample_exact_k: the oracle is the window form of the same
+    // min-k-by-hash ranking (fixed-width lowercase hex compares
+    // lexicographically ≡ numerically; doc_id breaks ties on both sides)
+    "x_sample_exact_k" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+        |FROM (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15),
+        |                        doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 25 ORDER BY lang, rank""".stripMargin,
     "x_pack_budget" ->
       """SELECT doc_id, lang,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -103,6 +103,36 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** x_sample_exact_k — EXACTLY k documents per stratum, uniform without
+    * replacement, deterministic: rank by md5(doc_id) within each
+    * language and keep the k smallest hashes. [[sampleStratified]]'s
+    * hash-Bernoulli keeps a FRACTION (binomial count per stratum);
+    * eval/holdout set construction needs fixed SIZES — and the hash
+    * ranking gives the prefix property for free (the k=10 sample is a
+    * subset of the k=25 sample, so growing a holdout never resamples).
+    * Scale: rides [[graft.functions.TopKAggregator]]'s bounded heap —
+    * ≤ k rows per stratum per partition cross the shuffle, vs a window
+    * row_number() sorting the whole corpus ("pick 10k eval docs" at
+    * 100 TB must not sort 100 TB). */
+  def sampleExactK(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        // 15 hex chars = 60 bits, positive; negate so the max-oriented
+        // heap keeps the SMALLEST hashes (score DESC ≡ hash ASC)
+        (-conv(substring(md5(col("doc_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType)).as("score"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .toDF("lang", "topk")
+      .select(col("lang"), posexplode(col("topk")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col._2").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   /** x_embed_quantize — int8 absmax quantization of the embedding
     * column: per-vector scale = max |x|, each element → round(x/scale·127)
     * ∈ [-127, 127]. The standard 4× storage/bandwidth compression for a

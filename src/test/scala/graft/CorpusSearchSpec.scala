@@ -134,6 +134,38 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(rate > 0.15 && rate < 0.65, s"sample rate $rate out of range")
   }
 
+  test("exact-k sampling: exact per-stratum sizes, prefix property, " +
+      "agreement with a full-sort reference") {
+    import org.apache.spark.sql.functions._
+    val k = 7
+    val got = CorpusOps.sampleExactK(spark, dir, k).collect()
+    val strata = Tables.documents(spark, dir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = got.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    strata.foreach { case (lang, n) =>
+      assert(sizes.getOrElse(lang, 0) === math.min(k.toLong, n).toInt,
+        s"stratum $lang: want min($k, $n)")
+    }
+    // prefix property: the k=3 sample is exactly the rank ≤ 3 slice
+    val small = CorpusOps.sampleExactK(spark, dir, 3).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    val prefix = got.filter(_.getAs[Long]("rank") <= 3)
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"))).toSet
+    assert(small === prefix, "growing k must never resample the prefix")
+    // bounded-heap result ≡ the window-sort reference
+    val ref = Tables.documents(spark, dir)
+      .withColumn("h", conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("h"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(got.map(_.toSeq).toSet === ref)
+  }
+
   test("range sharding: a shard holds at most budget + one spanning document") {
     val budget = 2048
     val rows = CorpusOps.packBudget(spark, dir, budget).collect()
