@@ -181,6 +181,7 @@ object SparkEntry {
     "t_incr_agg_cdc"        -> (streaming.IncrementalAggCdc.batchDeltaQuery _),
     "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
+    "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -1948,6 +1949,33 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
         |FROM base WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_dv: the merge-on-read table after TWO MOR waves — wave 1
+    // is t_merge_into's net effect; wave 2 deletes %10=9, re-updates the
+    // %100=42 conflict keys (+7), and re-inserts the %100=77 keys wave 1
+    // deleted (price+999). The read path composes deletion vectors from
+    // both generations with appends that resurrect a DV'd key.
+    "t_merge_dv" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |w1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 100 = 42 THEN price_cents * 3 + 500
+        |              WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |              ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 100 = 42 THEN price_cents + 7
+        |            ELSE price_cents END AS price_cents
+        |FROM w1 WHERE o_orderkey % 10 <> 9
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 999
+        |FROM base WHERE o_orderkey % 100 = 77
         |ORDER BY o_orderkey""".stripMargin,
     "j_range_band" ->
       """WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),

@@ -94,6 +94,16 @@ object MergeTable {
         }
     }
 
+  /** The DELETION VECTORS a generation references (`#dv=` manifest
+    * metadata lines): parquet sidecars of (file, pos) positional deletes,
+    * the merge-on-read half of the table format (Iceberg v2 position
+    * deletes / Delta deletion vectors). Order preserved = append order. */
+  def dvNames(spark: SparkSession, genDir: String): Seq[String] =
+    manifestText(spark, genDir).split("\n").iterator
+      .map(_.trim).collect {
+        case l if l.startsWith("#dv=") => l.stripPrefix("#dv=")
+      }.toSeq
+
   /** Current-generation manifest. */
   def currentManifest(spark: SparkSession, root: String): Seq[FileEntry] = {
     val g = Snapshots.currentGen(spark, root).getOrElse(
@@ -101,19 +111,51 @@ object MergeTable {
     manifest(spark, Snapshots.genDir(root, g))
   }
 
-  /** Read the current table state (manifest-directed path-list scan). */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readFiles(spark, root, currentManifest(spark, root))
+  private def currentGenDir(spark: SparkSession, root: String): String = {
+    val g = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    Snapshots.genDir(root, g)
+  }
 
-  /** Time travel: the table as of committed generation `g`. */
-  def readAt(spark: SparkSession, root: String, g: Long): DataFrame =
-    readFiles(spark, root,
-      manifest(spark, Snapshots.resolveAt(spark, root, g)))
+  /** Read the current table state: manifest-directed path-list scan,
+    * minus the generation's deletion vectors (if any). */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val genDir = currentGenDir(spark, root)
+    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
+  }
+
+  /** Time travel: the table as of committed generation `g` (with that
+    * generation's own deletion-vector view). */
+  def readAt(spark: SparkSession, root: String, g: Long): DataFrame = {
+    val genDir = Snapshots.resolveAt(spark, root, g)
+    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
+  }
 
   private def readFiles(spark: SparkSession, root: String,
-      entries: Seq[FileEntry]): DataFrame = {
+      entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty): DataFrame = {
     require(entries.nonEmpty, s"empty manifest under $root")
-    spark.read.parquet(entries.map(e => filePath(root, e.name)): _*)
+    val base = spark.read.parquet(entries.map(e => filePath(root, e.name)): _*)
+    if (dvs.isEmpty) base
+    else {
+      // merge-on-read: anti-join the scan against the union of the
+      // generation's DVs on (file name, row position). The DV relation
+      // is change-set-sized (broadcast side); `_metadata.row_index` is
+      // parquet's stable in-file position, so no key column is needed
+      // and duplicate DV rows (a position deleted twice across
+      // generations) are harmless to an anti-join.
+      val cols = base.columns.toSeq
+      val dvDf = spark.read
+        .parquet(dvs.map(filePath(root, _)): _*)
+        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+      base
+        .withColumn("__file",
+          element_at(split(expr("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", expr("_metadata.row_index"))
+        .join(broadcast(dvDf),
+          col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+          "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   /** Write `df` as new immutable data files; return their manifest
@@ -159,13 +201,15 @@ object MergeTable {
 
   private def writeManifest(spark: SparkSession, root: String, gen: Long,
       entries: Seq[FileEntry], key: String,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None,
+      dvs: Seq[String] = Seq.empty): Unit = {
     val dir = new Path(Snapshots.genDir(root, gen))
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
-    val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("")
+    val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("") +
+      dvs.map(d => s"#dv=$d\n").mkString
     out.write((meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
     out.close()
@@ -206,16 +250,12 @@ object MergeTable {
       commitTsMillis: Long = System.currentTimeMillis(),
       batchId: Option[Long] = None,
       pruneFiles: Boolean = true): (Int, Int) = {
-    val cur = currentManifest(spark, root)
+    val genDir0 = currentGenDir(spark, root)
+    val cur = manifest(spark, genDir0)
+    val curDvs = dvNames(spark, genDir0)
     val targetCols = read(spark, root).columns.toSeq
     // 1. collapse to one NET change per key (one id-width shuffle)
-    val net = changes
-      .groupBy(col(key))
-      .agg(max_by(struct(col("op") +: targetCols.filter(_ != key)
-        .map(col): _*), col("seq")).as("w"))
-      .select(col(key) +: (col("w.op").as("op") +:
-        targetCols.filter(_ != key).map(c => col(s"w.$c").as(c))): _*)
-      .localCheckpoint(true)
+    val net = netChanges(changes, key, targetCols)
     // 2. PRUNE: a file is touched iff some net-change key falls inside
     //    its manifest [min,max] — |files| manifest rows broadcast
     //    against the change keys; zero reads of the table itself
@@ -235,17 +275,105 @@ object MergeTable {
     //    then add back the net upserts (deletes simply never come back).
     //    Inserts of brand-new keys ride the same new-file batch.
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
+    // touched files are read THROUGH the current deletion vectors — a
+    // copy-on-write rewrite over a merge-on-read table must not
+    // resurrect DV-deleted rows (carried files keep their names, so the
+    // carried-forward DV rows still apply to them; rewritten files get
+    // fresh names the old DV rows can never match)
     val merged =
       if (touched.isEmpty) upserts
-      else readFiles(spark, root, touched)
+      else readFiles(spark, root, touched, curDvs)
         .join(net.select(col(key)), Seq(key), "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
     val gen = Snapshots.nextGen(spark, root)
     val entries = writeFiles(spark, root, merged, key, gen, nFiles)
-    writeManifest(spark, root, gen, carried ++ entries, key, batchId)
+    writeManifest(spark, root, gen, carried ++ entries, key, batchId,
+      dvs = if (carried.isEmpty) Seq.empty else curDvs)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size)
+  }
+
+  /** One NET change per key: its highest-`seq` change — the shared
+    * last-wins collapse of both merge paths. */
+  private def netChanges(changes: DataFrame, key: String,
+      targetCols: Seq[String]): DataFrame =
+    changes
+      .groupBy(col(key))
+      .agg(max_by(struct(col("op") +: targetCols.filter(_ != key)
+        .map(col): _*), col("seq")).as("w"))
+      .select(col(key) +: (col("w.op").as("op") +:
+        targetCols.filter(_ != key).map(c => col(s"w.$c").as(c))): _*)
+      .localCheckpoint(true)
+
+  /** MERGE-ON-READ: apply the change batch WITHOUT rewriting any data
+    * file. Existing rows of changed keys are killed by appending a
+    * positional DELETION VECTOR (a parquet sidecar of (file, pos) rows,
+    * found by scanning only the manifest-pruned candidate files); net
+    * upserts land as new appended files; every current data file AND
+    * every current DV carries into the new manifest by reference.
+    *
+    * This is the delete-heavy/CDC-heavy half of the table format
+    * (Iceberg v2 position deletes, Delta deletion vectors): merge cost
+    * ∝ change set + touched-file SCAN, with ZERO write amplification —
+    * where [[merge]] (copy-on-write) rewrites every touched file to
+    * serve reads clean. The trade is read-side: every read anti-joins
+    * the accumulated DVs until [[compact]] folds them away (read() of a
+    * compacted generation is DV-free — compact IS the purge).
+    *
+    * Returns (dv rows written, files appended). */
+  def mergeMor(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      batchId: Option[Long] = None): (Long, Int) = {
+    val genDir0 = currentGenDir(spark, root)
+    val cur = manifest(spark, genDir0)
+    val curDvs = dvNames(spark, genDir0)
+    val targetCols = readFiles(spark, root, cur).columns.toSeq
+    val net = netChanges(changes, key, targetCols)
+    // candidate files: manifest interval pruning, zero table reads
+    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
+    val touchedNames = filesDf
+      .join(net.select(col(key).cast("long").as("k")),
+        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
+      .select("name").collect().map(_.getString(0)).toSet
+    val touched = cur.filter(e => touchedNames.contains(e.name))
+    val gen = Snapshots.nextGen(spark, root)
+    // positional deletes: live rows (current DVs already applied — a
+    // position must not be re-deleted) of touched files whose key has
+    // ANY net change ('d' removes it; 'c'/'u' re-add the new image below)
+    val newDvName =
+      if (touched.isEmpty) None
+      else {
+        val delRows = readFiles(spark, root, touched, curDvs)
+          .withColumn("file",
+            element_at(split(expr("_metadata.file_path"), "/"), -1))
+          .withColumn("pos", expr("_metadata.row_index"))
+          .join(net.select(col(key)), Seq(key), "left_semi")
+          .select(col("file"), col("pos"))
+        if (delRows.isEmpty) None
+        else {
+          val tmp = s"$root/_tmp-dv-$gen"
+          delRows.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = fs(spark, new Path(tmp))
+          val part = f.listStatus(new Path(tmp)).toSeq
+            .map(_.getPath).filter(_.getName.startsWith("part-")).head
+          val name = s"dv-$gen-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+          val filesDir = new Path(s"$root/$FilesDir")
+          if (!f.exists(filesDir)) f.mkdirs(filesDir)
+          require(f.rename(part, new Path(filesDir, name)), s"rename failed for $part")
+          f.delete(new Path(tmp), true)
+          Some(name)
+        }
+      }
+    val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
+    val appended = writeFiles(spark, root, upserts, key, gen, nFiles)
+    writeManifest(spark, root, gen, cur ++ appended, key, batchId,
+      dvs = curDvs ++ newDvName)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    val nDv = newDvName.map(n => spark.read
+      .parquet(filePath(root, n)).count()).getOrElse(0L)
+    (nDv, appended.size)
   }
 
   /** [[merge]] with STREAMING idempotence: a replayed `foreachBatch`
@@ -311,6 +439,66 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** t_merge_dv — the oracled merge-on-read face: the same base table
+    * and first change batch as [[mergeOrdersQuery]] but applied through
+    * [[mergeMor]] (positional DVs + appends, zero rewrites), followed by
+    * a SECOND MOR wave — deletes (key%10=9), a re-update of the wave-1
+    * conflict keys (key%100=42, +7 on their merged price), and the
+    * RE-INSERT of keys deleted in wave 1 (key%100=77 ⊂ the %10=7
+    * deletes) — so the read path must compose DVs accumulated across
+    * two generations with appended files that resurrect a DV'd key.
+    * The oracle replays both waves' net effect in plain SQL. */
+  def mergeDvOrdersQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("merge_dv_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8, commitTsMillis = 1000L)
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      val updates = base.where(col("o_orderkey") % 10 === 3)
+        .select(payload :+ (col("price_cents") * 2).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val deletes = base.where(col("o_orderkey") % 10 === 7)
+        .select(payload :+ col("price_cents"): _*)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      val conflictA = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") * 3).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val conflictB = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") * 3 + 500).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(2L))
+      val inserts = base.where(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey") +:
+          (col("o_custkey") +: col("o_orderstatus") +:
+            (col("price_cents") + 100L).as("price_cents") +: Nil): _*)
+        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+      val wave1 = updates.unionByName(deletes).unionByName(conflictA)
+        .unionByName(conflictB).unionByName(inserts)
+      mergeMor(spark, root, wave1, "o_orderkey", nFiles = 4,
+        commitTsMillis = 2000L)
+      val del9 = base.where(col("o_orderkey") % 10 === 9)
+        .select(payload :+ col("price_cents"): _*)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      val reupd42 = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") * 3 + 507).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val reins77 = base.where(col("o_orderkey") % 100 === 77)
+        .select(payload :+ (col("price_cents") + 999L).as("price_cents"): _*)
+        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+      val wave2 = del9.unionByName(reupd42).unionByName(reins77)
+      mergeMor(spark, root, wave2, "o_orderkey", nFiles = 4,
+        commitTsMillis = 3000L)
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** COMPACT the table: rewrite the current file set as `nFiles`
     * range-disjoint files in one new generation. Every micro-batch
     * MERGE adds a small file (change-set-sized), so a streamed-into
@@ -319,7 +507,11 @@ object MergeTable {
     * MergeTable face of the cure. Readers never block (generation
     * publish is atomic), time travel to pre-compaction generations
     * still works until [[sweep]], and the rewritten layout restores
-    * narrow manifest key ranges so future merges prune well again. */
+    * narrow manifest key ranges so future merges prune well again.
+    * Doubles as the [[mergeMor]] PURGE: read() folds the deletion
+    * vectors in, the rewrite emits clean files, and the new manifest
+    * carries no `#dv=` lines — the standard MOR maintenance cycle
+    * (accumulate cheap positional deletes, fold them at compaction). */
   def compact(spark: SparkSession, root: String, nFiles: Int = 8,
       commitTsMillis: Long = System.currentTimeMillis()): Int = {
     val cur = currentManifest(spark, root)
@@ -338,9 +530,11 @@ object MergeTable {
   def sweep(spark: SparkSession, root: String,
       retainPredecessors: Int = 1): Int = {
     Snapshots.sweep(spark, root, retainPredecessors)
-    val referenced = Snapshots.generations(spark, root)
-      .flatMap(g => manifest(spark, Snapshots.genDir(root, g)))
-      .map(_.name).toSet
+    // referenced = data files AND deletion vectors of retained manifests
+    val referenced = Snapshots.generations(spark, root).flatMap { g =>
+      val gd = Snapshots.genDir(root, g)
+      manifest(spark, gd).map(_.name) ++ dvNames(spark, gd)
+    }.toSet
     val filesDir = new Path(s"$root/$FilesDir")
     val f = fs(spark, filesDir)
     if (!f.exists(filesDir)) return 0

@@ -139,6 +139,81 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).count() === before.size - 1L)
   }
 
+  test("merge-on-read: zero rewrites (every data file carried by name), " +
+      "result ≡ the copy-on-write merge, DVs accumulate across waves") {
+    val rootMor = freshRoot("mor")
+    val rootCow = freshRoot("cow")
+    val changes1 = Seq(
+      ("u", 1L, 7L, 700L, "upd"),
+      ("d", 1L, 13L, 0L, ""),
+      ("c", 1L, 200L, 42L, "new"),
+      ("u", 1L, 7L, 770L, "upd2"), // same-key conflict, lower seq loses
+      ("u", 2L, 7L, 777L, "upd3")
+    ).toDF("op", "seq", "k", "v", "tag")
+    Seq(rootMor, rootCow).foreach(r =>
+      MergeTable.create(spark, r, baseDf(100), "k", nFiles = 4,
+        commitTsMillis = 10L))
+    val before = MergeTable.currentManifest(spark, rootMor).map(_.name).toSet
+    val (dvRows, appended) =
+      MergeTable.mergeMor(spark, rootMor, changes1, "k", commitTsMillis = 20L)
+    MergeTable.merge(spark, rootCow, changes1, "k", commitTsMillis = 20L)
+    // zero write amplification: every original file still referenced
+    val after = MergeTable.currentManifest(spark, rootMor).map(_.name).toSet
+    assert(before.subsetOf(after), "MOR must carry every data file by name")
+    assert(appended >= 1 && dvRows === 2L, // k=7 and k=13 had live rows
+      s"dvRows=$dvRows appended=$appended")
+    // identical table state on both paths
+    def state(r: String) = MergeTable.read(spark, r).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(state(rootMor) === state(rootCow))
+    // wave 2: delete the key wave 1 updated (its live row is in an
+    // APPENDED file), re-insert the key wave 1 deleted — DV composition
+    val changes2 = Seq(
+      ("d", 1L, 7L, 0L, ""),
+      ("c", 1L, 13L, 130L, "back")
+    ).toDF("op", "seq", "k", "v", "tag")
+    MergeTable.mergeMor(spark, rootMor, changes2, "k", commitTsMillis = 30L)
+    MergeTable.merge(spark, rootCow, changes2, "k", commitTsMillis = 30L)
+    assert(state(rootMor) === state(rootCow))
+    val byK = MergeTable.read(spark, rootMor).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(!byK.contains(7L) && byK(13L) === ((130L, "back")))
+    // two generations of DVs referenced
+    val genDir = Snapshots.genDir(rootMor,
+      Snapshots.currentGen(spark, rootMor).get)
+    assert(MergeTable.dvNames(spark, genDir).size === 2)
+  }
+
+  test("MOR time travel sees each generation's own DV view; compact " +
+      "purges DVs; sweep keeps referenced DV files, GCs retired ones") {
+    val root = freshRoot("morpurge")
+    MergeTable.create(spark, root, baseDf(40), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val g1 = Snapshots.currentGen(spark, root).get
+    MergeTable.mergeMor(spark, root,
+      Seq(("d", 1L, 5L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    val g2 = Snapshots.currentGen(spark, root).get
+    // time travel: pre-delete generation is DV-free and complete
+    assert(MergeTable.readAt(spark, root, g1).count() === 40L)
+    assert(MergeTable.readAt(spark, root, g2).count() === 39L)
+    // sweep with the DV generation retained must NOT GC its DV file
+    MergeTable.sweep(spark, root, retainPredecessors = 1)
+    assert(MergeTable.read(spark, root).count() === 39L)
+    val before = MergeTable.read(spark, root).orderBy("k").collect().toSeq
+    // compact = purge: same data, no #dv lines, DV file becomes orphan
+    MergeTable.compact(spark, root, nFiles = 2, commitTsMillis = 30L)
+    assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === before)
+    val genDir = Snapshots.genDir(root, Snapshots.currentGen(spark, root).get)
+    assert(MergeTable.dvNames(spark, genDir).isEmpty, "compact must purge DVs")
+    MergeTable.sweep(spark, root, retainPredecessors = 0)
+    val filesLeft = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    assert(!filesLeft.exists(_.startsWith("dv-")),
+      "retired DV files must be GC'd after purge+sweep")
+    assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === before)
+  }
+
   test("a crashed merge (files landed, no commit) is invisible and its orphans are collected") {
     val root = freshRoot("crash")
     MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
