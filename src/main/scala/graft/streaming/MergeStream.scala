@@ -44,16 +44,23 @@ object MergeStream {
   }
 
   /** Wire a changelog stream into `root` as exactly-once MERGE commits.
-    * One merge (= one table generation) per non-empty micro-batch. */
+    * One merge (= one table generation) per non-empty micro-batch.
+    * `mor = true` applies batches through the merge-on-read path
+    * ([[MergeTable.mergeMorExactlyOnce]] — positional DVs + appends,
+    * zero rewrites per batch): the right sink shape for delete-heavy
+    * CDC, with [[MergeTable.compact]] folding the DVs on the
+    * maintenance cadence instead of on every batch. */
   def intoTable(stream: DataFrame, root: String, key: String,
       fields: Seq[(String, DataType)], checkpoint: String,
-      triggerMs: Long = 100L): StreamingQuery =
+      triggerMs: Long = 100L, mor: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val changes = debeziumToChanges(batch, fields)
         if (!changes.isEmpty) {
-          MergeTable.mergeExactlyOnce(batch.sparkSession, root, changes,
+          if (mor) MergeTable.mergeMorExactlyOnce(batch.sparkSession, root,
+            changes, key, batchId)
+          else MergeTable.mergeExactlyOnce(batch.sparkSession, root, changes,
             key, batchId)
           ()
         }

@@ -392,6 +392,18 @@ object MergeTable {
     else Some(merge(spark, root, changes, key, nFiles, commitTsMillis,
       Some(batchId)))
 
+  /** [[mergeMor]] with the same streaming idempotence contract as
+    * [[mergeExactlyOnce]] — the delete-heavy lake sink: a replayed
+    * micro-batch is refused from the committed manifest's batch id, so
+    * a restart never appends a duplicate DV or duplicate files. */
+  def mergeMorExactlyOnce(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, batchId: Long,
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis()): Option[(Long, Int)] =
+    if (appliedBatchId(spark, root).exists(_ >= batchId)) None
+    else Some(mergeMor(spark, root, changes, key, nFiles, commitTsMillis,
+      Some(batchId)))
+
   /** t_merge_into — the oracled batch face: a MergeTable built from
     * `orders` (money as exact integer cents), hit with one deterministic
     * MERGE batch exercising every clause — updates (key%10=3 doubles the

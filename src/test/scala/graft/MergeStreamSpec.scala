@@ -83,4 +83,46 @@ class MergeStreamSpec extends AnyFunSuite {
       assert(lastBatch >= 1L)
     } finally server.close()
   }
+
+  test("merge-on-read sink: same wire, same final state, zero data-file " +
+      "rewrites; replayed batch ids refused") {
+    val server = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("mergestream-mor")
+      val root = s"$work/table"
+      val ckpt = s"$work/ckpt"
+      MergeTable.create(spark, root,
+        spark.range(10).select(col("id"), (col("id") * 1.0).as("value")),
+        "id", nFiles = 4, commitTsMillis = 1L)
+      val baseFiles = MergeTable.currentManifest(spark, root).map(_.name).toSet
+
+      val raw = spark.readStream.format("tcp-changelog")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("eventsPerBatch", 4)
+        .load()
+      val q = MergeStream.intoTable(raw, root, "id", Fields, ckpt, mor = true)
+      server.append((0L to 5L).map(i => dz("u", i, 100.0 + i)) ++
+        Seq(dz("d", 7L, 0.0), dz("c", 20L, 2020.0)))
+      q.processAllAvailable()
+      q.stop()
+
+      val expected = (Map.empty[Long, Double]
+        ++ (0L to 9L).map(i => i -> i.toDouble)
+        ++ (0L to 5L).map(i => i -> (100.0 + i))
+        + (20L -> 2020.0)) - 7L
+      assert(tableState(root) === expected)
+      // zero write amplification across every micro-batch: the original
+      // files are all still referenced by name, deletes live in DVs
+      val genDir = Snapshots.genDir(root, Snapshots.currentGen(spark, root).get)
+      val nowFiles = MergeTable.currentManifest(spark, root).map(_.name).toSet
+      assert(baseFiles.subsetOf(nowFiles), "MOR sink must never rewrite")
+      assert(MergeTable.dvNames(spark, genDir).nonEmpty)
+      // replay refusal on the MOR path
+      val lastBatch = MergeTable.appliedBatchId(spark, root).get
+      val replay = Seq(("u", 1L, 0L, 99999.0)).toDF("op", "seq", "id", "value")
+      assert(MergeTable.mergeMorExactlyOnce(spark, root, replay, "id",
+        lastBatch).isEmpty)
+      assert(tableState(root) === expected)
+    } finally server.close()
+  }
 }
