@@ -182,6 +182,7 @@ object SparkEntry {
     "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
+    "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -1977,6 +1978,28 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents + 999
         |FROM base WHERE o_orderkey % 100 = 77
         |ORDER BY o_orderkey""".stripMargin,
+    // t_change_feed: the row-level diff between t_merge_dv's two MOR
+    // generations — deletes are the %10=9 wave-1 rows plus the old
+    // %100=42 images, inserts the re-updated 42s and re-born 77s. The
+    // oracle derives the same feed from the two logical states; the
+    // Spark side reads it from manifests + the DV delta alone.
+    "t_change_feed" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT 'd' AS change, o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base WHERE o_orderkey % 10 = 9
+        |UNION ALL
+        |SELECT 'd', o_orderkey, o_custkey, o_orderstatus, price_cents * 3 + 500
+        |FROM base WHERE o_orderkey % 100 = 42
+        |UNION ALL
+        |SELECT 'i', o_orderkey, o_custkey, o_orderstatus, price_cents * 3 + 507
+        |FROM base WHERE o_orderkey % 100 = 42
+        |UNION ALL
+        |SELECT 'i', o_orderkey, o_custkey, o_orderstatus, price_cents + 999
+        |FROM base WHERE o_orderkey % 100 = 77
+        |ORDER BY change, o_orderkey""".stripMargin,
     "j_range_band" ->
       """WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
         |t(tier, lo_cents, hi_cents) AS (VALUES

@@ -214,6 +214,48 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === before)
   }
 
+  test("change data feed: manifest+DV-delta diff equals the set-diff of " +
+      "states across MOR waves, composes across generations, and is " +
+      "row-exact (no rewrite noise)") {
+    val root = freshRoot("cdf")
+    MergeTable.create(spark, root, baseDf(60), "k", nFiles = 3,
+      commitTsMillis = 10L)
+    val g1 = Snapshots.currentGen(spark, root).get
+    MergeTable.mergeMor(spark, root, Seq(
+      ("u", 1L, 7L, 700L, "upd"),
+      ("d", 1L, 13L, 0L, ""),
+      ("c", 1L, 200L, 42L, "new")
+    ).toDF("op", "seq", "k", "v", "tag"), "k", commitTsMillis = 20L)
+    val g2 = Snapshots.currentGen(spark, root).get
+    MergeTable.mergeMor(spark, root, Seq(
+      ("d", 1L, 7L, 0L, ""),        // delete the row wave 1 appended
+      ("c", 1L, 13L, 130L, "back")  // re-birth of a deleted key
+    ).toDF("op", "seq", "k", "v", "tag"), "k", commitTsMillis = 30L)
+    val g3 = Snapshots.currentGen(spark, root).get
+
+    def state(g: Long): Set[Seq[Any]] =
+      MergeTable.readAt(spark, root, g).collect().map(_.toSeq).toSet
+    def feed(a: Long, b: Long): (Set[Seq[Any]], Set[Seq[Any]]) = {
+      val rows = MergeTable.changesBetween(spark, root, a, b).collect()
+      val (i, d) = rows.partition(_.getAs[String]("change") == "i")
+      (i.map(_.toSeq.dropRight(1)).toSet, d.map(_.toSeq.dropRight(1)).toSet)
+    }
+    // the ground truth: set difference of the two states (valid because
+    // the history is pure MOR — no rewrites re-filing unchanged rows)
+    for ((a, b) <- Seq((g1, g2), (g2, g3), (g1, g3))) {
+      val (ins, del) = feed(a, b)
+      assert(ins === (state(b) -- state(a)), s"inserts wrong for $a->$b")
+      assert(del === (state(a) -- state(b)), s"deletes wrong for $a->$b")
+    }
+    // pin the interesting window: wave 2 deleted an APPENDED file's row
+    // via DV and re-birthed a DV-deleted key via append
+    val (ins23, del23) = feed(g2, g3)
+    assert(del23.map(_.head) === Set(7L) && ins23.map(_.head) === Set(13L))
+    // empty window: no changes between a generation and itself
+    val (insSame, delSame) = feed(g2, g2)
+    assert(insSame.isEmpty && delSame.isEmpty)
+  }
+
   test("a crashed merge (files landed, no commit) is invisible and its orphans are collected") {
     val root = freshRoot("crash")
     MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
