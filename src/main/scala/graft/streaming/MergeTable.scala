@@ -472,6 +472,13 @@ object MergeTable {
     * Returns the target schema plus `change` ∈ 'i'/'d'. */
   def changesBetween(spark: SparkSession, root: String,
       gFrom: Long, gTo: Long): DataFrame = {
+    // window from "before the table existed": the whole gTo state is the
+    // insert set (the backfill window of a change-feed consumer)
+    if (gFrom == 0L) {
+      val dirTo = Snapshots.resolveAt(spark, root, gTo)
+      return readFiles(spark, root, manifest(spark, dirTo),
+        dvNames(spark, dirTo)).withColumn("change", lit("i"))
+    }
     val dirFrom = Snapshots.resolveAt(spark, root, gFrom)
     val dirTo = Snapshots.resolveAt(spark, root, gTo)
     val mFrom = manifest(spark, dirFrom)
