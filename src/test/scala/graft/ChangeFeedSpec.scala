@@ -77,6 +77,76 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(late === tableRows)
   }
 
+  test("kappa loop: TCP Debezium wire → exactly-once MOR lake table → " +
+      "change feed → incremental downstream aggregate, across restarts " +
+      "at every stage") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.sources.TcpChangelogServer
+    import graft.streaming.MergeStream
+    val server = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("kappa")
+      val root = s"$work/table"
+      val ckpt = s"$work/ckpt"
+      val fields = Seq(
+        "id" -> LongType.asInstanceOf[org.apache.spark.sql.types.DataType],
+        "value" -> DoubleType)
+      def dz(op: String, id: Long, v: Double): String = {
+        val img = s"""{"id":$id,"value":$v}"""
+        if (op == "d") s"""{"op":"d","before":$img,"after":null,"ts_ms":0}"""
+        else s"""{"op":"$op","before":null,"after":$img,"ts_ms":0}"""
+      }
+      MergeTable.create(spark, root,
+        spark.range(8).select(col("id"), (col("id") * 1.0).as("value")),
+        "id", nFiles = 2, commitTsMillis = 1L)
+
+      // downstream: an incrementally-maintained SUM over the table,
+      // fed ONLY from feed windows (cents-exact signed fold)
+      var sumCents = 0L
+      def drainDownstream(): Unit =
+        ChangeFeed.drain(spark, root, "sum") { (df, a, b) =>
+          val d = df.agg(sum(when(col("change") === "i", 1L).otherwise(-1L) *
+            (col("value") * 100.0).cast("long"))).head
+          if (!d.isNullAt(0)) sumCents += d.getLong(0)
+        }
+      def tableSumCents: Long = {
+        val r = MergeTable.read(spark, root)
+          .agg(sum((col("value") * 100.0).cast("long"))).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+
+      def runWire(): Unit = {
+        val raw = spark.readStream.format("tcp-changelog")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("eventsPerBatch", 3)
+          .load()
+        val q = MergeStream.intoTable(raw, root, "id", fields, ckpt, mor = true)
+        q.processAllAvailable()
+        q.stop()
+      }
+
+      drainDownstream() // backfill: 0+1+...+7 = 28.00
+      assert(sumCents === 2800L && sumCents === tableSumCents)
+
+      server.append(Seq(dz("u", 0L, 100.0), dz("d", 3L, 0.0),
+        dz("c", 20L, 5.5)))
+      runWire() // wire restart boundary is q.stop() itself
+      drainDownstream()
+      assert(sumCents === tableSumCents,
+        "downstream sum must track the table through the feed")
+
+      // more changes while BOTH consumers are down; each resumes from
+      // its own checkpoint/cursor and converges
+      server.append(Seq(dz("d", 20L, 0.0), dz("u", 1L, 9.25)))
+      runWire()
+      drainDownstream()
+      assert(sumCents === tableSumCents)
+      assert(sumCents === (100.0 + 9.25 + 2 + 4 + 5 + 6 + 7).toLong * 100 +
+        25, s"concrete end state: $sumCents")
+    } finally server.close()
+  }
+
   test("retention outrunning the cursor fails loudly, not silently") {
     val root = freshRoot("retention")
     MergeTable.create(spark, root,
