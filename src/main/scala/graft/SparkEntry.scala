@@ -168,6 +168,8 @@ object SparkEntry {
     "x_dataset_mix"         -> ((s: SparkSession, d: String) => operators.CorpusOps.datasetMix(s, d)),
     "x_mix_temperature"     -> ((s: SparkSession, d: String) => operators.CorpusOps.mixTemperature(s, d)),
     "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
+    "x_phrase_search"       -> ((s: SparkSession, d: String) => operators.Search.phraseSearch(s, d)),
+    "x_domain_cap"          -> ((s: SparkSession, d: String) => operators.CorpusOps.domainCap(s, d)),
     "x_tfidf"               -> (operators.Search.tfidf _),
     "x_bm25"                -> (operators.Search.bm25 _),
     "x_hybrid_search"       -> ((s: SparkSession, d: String) => operators.Search.hybridSearch(s, d)),
@@ -2166,6 +2168,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
         |FROM t GROUP BY doc_id HAVING count(DISTINCT term) = 2
         |ORDER BY tf_sum DESC, doc_id""".stripMargin,
+    // x_phrase_search: the same per-slot leg construction in SQL,
+    // positions from the zipped unnest/generate_subscripts (0-based to
+    // match posexplode); built next to the Spark legs so the two faces
+    // can never drift
+    "x_phrase_search" -> operators.Search.phraseOracleSql(),
+    // x_domain_cap: the window form of the same quality ranking
+    // (n_chars DESC, doc_id ASC — the heap's built-in tiebreak)
+    "x_domain_cap" ->
+      """SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, n_chars
+        |FROM (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 20 ORDER BY source, rank""".stripMargin,
     // integer domain only (tf, df, n_docs): the ln-based weight is
     // spec-verified in tfidfScored, not hash-gated — ln() can differ in
     // the last ulp across engines and flip a quantization floor()

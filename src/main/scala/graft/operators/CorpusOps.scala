@@ -133,6 +133,32 @@ object CorpusOps {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** x_domain_cap — per-SOURCE document cap, quality-ordered: keep at
+    * most k documents per source, the BEST first (longest here — the
+    * cheap quality proxy; any integer score drops in), doc_id breaking
+    * ties. The C4/RefinedWeb-style per-domain cap: without it a single
+    * crawler-friendly domain dominates the mix, and the cap must keep
+    * the domain's best documents, not a uniform sample — which is what
+    * separates this from [[sampleExactK]]'s hash ranking (uniform;
+    * holdouts) vs this quality ranking (curation; caps). Same bounded-
+    * heap scale shape: ≤ k rows per source per partition cross the
+    * shuffle ("cap every domain at 10k docs" over 100 TB must not sort
+    * 100 TB — a window row_number() would). */
+  def domainCap(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(k)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars").as("score"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .toDF("source", "topk")
+      .select(col("source"), posexplode(col("topk")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** x_embed_quantize — int8 absmax quantization of the embedding
     * column: per-vector scale = max |x|, each element → round(x/scale·127)
     * ∈ [-127, 127]. The standard 4× storage/bandwidth compression for a

@@ -86,6 +86,80 @@ object Search {
     andCandidates(spark, dir, terms)
       .orderBy(col("tf_sum").desc, col("doc_id"))
 
+  /** Positional postings rows: one row per TOKEN OCCURRENCE (term,
+    * doc, position) — the layout phrase and proximity queries need,
+    * where the tf postings only answer bag-of-words. Pure per-document
+    * (a doc's occurrences depend on that doc alone), so the same
+    * incremental-append argument as [[postingsOf]] applies. */
+  def positionalPostingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast(LongType).as("pos"))
+
+  def positionalIndexPath(dir: String): String =
+    graft.ops.Layout.indexPath("postings_pos", dir)
+
+  /** Materialize the positional index term-sorted (row-group min/max →
+    * term-lookup skipping, same argument as [[ensurePostingsIndex]]).
+    * ~|tokens| rows vs the tf index's |distinct (term,doc)| — the
+    * classic positional-index size trade, paid once per snapshot. */
+  def ensurePositionalIndex(spark: SparkSession, dir: String): String = {
+    val sig = graft.ops.Layout.dataSig(s"$dir/documents.parquet")
+    graft.ops.Layout.ensureSigGated(positionalIndexPath(dir), sig) {
+      positionalPostingsOf(Tables.documents(spark, dir))
+        .repartition(8, col("term"))
+        .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+        .write.mode("overwrite").parquet(positionalIndexPath(dir))
+    }
+  }
+
+  /** x_phrase_search — EXACT PHRASE query served from the positional
+    * index: documents containing the query terms at consecutive
+    * positions, with the occurrence count. The classic positional
+    * intersection (Manning/Raghavan/Schütze IR ch. 2): one leg per
+    * phrase slot reads ONLY that term's postings (pushed term filter —
+    * term-sorted row groups skip the rest), normalized to the
+    * occurrence START the slot implies (`pos - i`), then the legs
+    * equi-join on (doc, start) — every surviving row is one phrase
+    * occurrence. Shuffles are candidate-sized (the probed terms'
+    * postings), never corpus-sized; Catalyst/AQE orders the join chain
+    * by the observed leg sizes, the rarest-first heuristic for free.
+    * Repeated terms in the phrase need no special casing: each slot is
+    * its own leg over the same postings with a different offset. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = spark.read.parquet(ensurePositionalIndex(spark, dir))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id"))
+  }
+
+  /** The phrase oracle: the same per-slot leg construction in SQL —
+    * positions from DuckDB's zipped unnest/generate_subscripts (0-based
+    * to match posexplode). */
+  def phraseOracleSql(phrase: Seq[String] = Seq("spark", "merge")): String = {
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      s"l$i AS (SELECT doc_id, pos - $i AS start FROM pp WHERE term = '$t')"
+    }
+    val joins = (1 until phrase.size)
+      .map(i => s"JOIN l$i USING (doc_id, start)").mkString(" ")
+    s"""WITH pp AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+       |  FROM documents),
+       |${legs.mkString(",\n")}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+       |FROM l0 $joins
+       |GROUP BY doc_id ORDER BY n_occ DESC, doc_id""".stripMargin
+  }
+
   /** x_hybrid_search — lexical recall + vector re-rank, the standard
     * two-stage retrieval: the postings index yields the boolean-AND
     * candidate set (pushed term filter — touches only probed postings),

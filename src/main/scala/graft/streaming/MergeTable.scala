@@ -124,6 +124,37 @@ object MergeTable {
     readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
   }
 
+  /** The current manifest entries whose key range intersects [lo, hi]
+    * — the file set a key-predicate read must touch. Pure metadata:
+    * |files| interval tests, zero reads. */
+  def prunedEntries(spark: SparkSession, root: String,
+      lo: Long, hi: Long): Seq[FileEntry] =
+    currentManifest(spark, root).filter(e => e.maxKey >= lo && e.minKey <= hi)
+
+  /** Key-predicate read: the table rows with key in [lo, hi], scanning
+    * ONLY the manifest-pruned files (through the generation's deletion
+    * vectors). The point-lookup/serving face of the manifest stats: a
+    * single-key probe of a 100 TB table opens the one file whose range
+    * covers the key — the same footer-stats argument as the z-ordered
+    * layouts, lifted to file granularity with zero footer reads (the
+    * ranges live in the manifest, computed once at write). The residual
+    * filter still runs (a file's range can over-approximate), and
+    * parquet row-group stats prune WITHIN the file because [[merge]]'s
+    * writer range-partitions + the key filter is pushed. */
+  def readWhereKey(spark: SparkSession, root: String,
+      lo: Long, hi: Long): DataFrame = {
+    val genDir = currentGenDir(spark, root)
+    val key = tableKey(spark, root)
+    val entries = prunedEntries(spark, root, lo, hi)
+    if (entries.isEmpty)
+      // no file can hold the key: an empty frame in the table's schema
+      // (derived from any current file — the manifest is never empty)
+      readFiles(spark, root, currentManifest(spark, root).take(1)).limit(0)
+    else
+      readFiles(spark, root, entries, dvNames(spark, genDir))
+        .filter(col(key).cast("long").between(lo, hi))
+  }
+
   /** Time travel: the table as of committed generation `g` (with that
     * generation's own deletion-vector view). */
   def readAt(spark: SparkSession, root: String, g: Long): DataFrame = {

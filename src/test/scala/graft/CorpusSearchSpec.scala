@@ -360,4 +360,54 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)),
       "no dual-list doc in the fused top-k")
   }
+
+  private def phraseRef(phrase: Seq[String]): Map[Long, Long] =
+    Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .map { case (id, toks) =>
+        id -> toks.sliding(phrase.size).count(_.sameElements(phrase)).toLong }
+      .filter(_._2 > 0).toMap
+
+  test("phrase search counts exactly the consecutive occurrences; subset of the AND set") {
+    val phrase = Seq("spark", "merge")
+    val got = Search.phraseSearch(spark, dir, phrase).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    assert(got === phraseRef(phrase))
+    // the phrase matches are a refinement of the bag-of-words AND set
+    val kw = Search.keywordSearch(spark, dir, phrase).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got.keySet.subsetOf(kw), "phrase doc outside its AND set")
+  }
+
+  test("phrase search: repeated-term phrase counts overlapping occurrences") {
+    val phrase = Seq("table", "table")
+    val got = Search.phraseSearch(spark, dir, phrase).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    assert(got === phraseRef(phrase))
+    assert(got.nonEmpty, "fixture should contain at least one 'table table'")
+  }
+
+  test("phrase search probes the positional index with pushed per-term filters") {
+    val p = Search.phraseSearch(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)"), p)
+    assert(p.contains("EqualTo(term,merge)"), p)
+  }
+
+  test("domain cap keeps exactly the k best-by-length docs per source (window-equal)") {
+    val k = 3
+    val got = CorpusOps.domainCap(spark, dir, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = Tables.documents(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_chars")))
+      .groupBy(_._1).toSeq.flatMap { case (s, ds) =>
+        ds.sortBy(d => (-d._3, d._2)).take(k).zipWithIndex
+          .map { case (d, i) => (s, i + 1L, d._2, d._3) }
+      }
+    assert(got.toSet === ref.toSet)
+    // every source is capped AT k (sf0.001 has >k docs per source)
+    got.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.length == k, s"source $s kept ${rs.length} != $k")
+    }
+  }
 }

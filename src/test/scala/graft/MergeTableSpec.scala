@@ -85,6 +85,33 @@ class MergeTableSpec extends AnyFunSuite {
     assert(got.where(col("k") === 5L).head().getLong(1) === 5000L)
   }
 
+  test("point/range lookup scans only the manifest-pruned files, through DVs") {
+    val root = freshRoot("point")
+    MergeTable.create(spark, root, baseDf(800), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    val files = MergeTable.currentManifest(spark, root)
+    assert(files.size >= 4)
+    // a point probe touches exactly the files whose range covers the key
+    val pruned = MergeTable.prunedEntries(spark, root, 5L, 5L)
+    assert(pruned.nonEmpty && pruned.size < files.size,
+      s"point probe should prune: ${pruned.size} of ${files.size}")
+    val got = MergeTable.readWhereKey(spark, root, 5L, 5L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((5L, 50L)))
+    // range probe ≡ full-read filter
+    val range = MergeTable.readWhereKey(spark, root, 100L, 260L)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(range === (100L to 260L).toSeq)
+    // a MOR delete must not resurrect in a pruned read
+    MergeTable.mergeMor(spark, root,
+      Seq(("d", 1L, 5L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    assert(MergeTable.readWhereKey(spark, root, 5L, 5L).isEmpty,
+      "DV-deleted row resurrected in a pruned read")
+    // outside every file's range: empty, in the table's schema
+    val none = MergeTable.readWhereKey(spark, root, 10000L, 10001L)
+    assert(none.isEmpty && none.columns.toSeq === Seq("k", "v", "tag"))
+  }
+
   test("time travel reads the pre-merge generation; sweep GCs unreferenced files only") {
     val root = freshRoot("travel")
     MergeTable.create(spark, root, baseDf(50), "k", nFiles = 2,
