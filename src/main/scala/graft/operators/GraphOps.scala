@@ -58,24 +58,72 @@ object GraphOps {
   def pagerank(spark: SparkSession, dir: String): DataFrame =
     pagerankOf(edges(spark, dir), Iterations)
 
+  /** Broadcast the per-superstep rank relation while the graph has at
+    * most this many nodes; above it, co-partitioned keyed joins (the
+    * same two-regime serving split as batch ANN's BatchBroadcastMax —
+    * measured there as an executor-memory cliff, applied here to the
+    * |nodes|-sized rank vector). 2²⁰ nodes × 16 bytes ≈ 16 MB broadcast
+    * — comfortably under executor memory, far under the cliff. */
+  val BroadcastMaxNodes: Long = 1L << 20
+
   /** The superstep loop over any (src, dst) edge list. Every node must
     * have out-degree ≥ 1 (symmetrize the graph first — a dangling node
     * would leak its mass silently, so the node set is DEFINED as the
     * sources). */
-  def pagerankOf(edgeList: DataFrame, iterations: Int): DataFrame = {
-    // materialize the edge list once: the supersteps then read a
-    // compact cached relation instead of re-deriving the join
-    val e = edgeList.localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val edgesD = e.join(deg, "src").localCheckpoint()
-    // node count: one scalar of driver state (the same bounded-metadata
-    // allowance as the stats catalog), fixing the per-iteration base
-    val n = deg.count()
+  def pagerankOf(edgeList: DataFrame, iterations: Int,
+      broadcastMaxNodes: Long = BroadcastMaxNodes): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Degree-annotated edges in ONE shuffle: the count-over-window
+    // partitions (and sorts) the edge list by src, and localCheckpoint
+    // PRESERVES that partitioning and ordering — so no superstep ever
+    // re-exchanges or re-sorts the edge side of its join (measured:
+    // the former join-then-checkpoint shape re-shuffled the whole edge
+    // list every superstep, GraphProbe). This is the single-JVM analog
+    // of bucketing the edges by src on disk: pay the distribution once,
+    // ride it for all iterations.
+    // Build WITH adaptive execution on: AQE right-sizes the
+    // materialized edge partitions (a toy/medium graph coalesces to a
+    // few fat partitions — measured the dominant superstep cost at
+    // sf0.1 is task scheduling, and pinning 32 thin partitions ran
+    // 2-3× slower than letting AQE coalesce; GraphProbe).
+    val edgesSmall = edgeList
+      .select(col("src"), col("dst"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("d"))
+      .localCheckpoint()
+    // node set and count from the in-memory edges: one scalar of driver
+    // state (the same bounded-metadata allowance as the stats catalog)
+    val nodes = edgesSmall.select(col("src")).distinct()
+    val n = nodes.count()
     val base = Scale * 15L / 100L / n
-    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
+    var ranks = nodes.select(col("src").as("id"), lit(Scale / n).as("r"))
+    // Two join regimes, split on the node count now in hand (the same
+    // serving split as batch ANN's BatchBroadcastMax): while the
+    // |nodes|-sized rank vector fits a broadcast, each superstep is one
+    // broadcast join over the never-moving edges + the one edge-sized
+    // groupBy(dst) shuffle — the message pass itself. Above the cutoff
+    // the ranks must shuffle, so the EDGES must not: re-pin the
+    // checkpoint's src-partitioning with AQE disabled (adaptive
+    // coalescing rewrites the stage's partitioning to one the
+    // checkpoint cannot carry — observed as a full edge re-exchange
+    // EVERY superstep), making the keyed join exchange-free and
+    // sort-free on the edge side for all iterations.
+    val bcast = n <= broadcastMaxNodes
+    val edgesD =
+      if (bcast) edgesSmall
+      else {
+        val ss = edgeList.sparkSession
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val prevAqe = ss.conf.get(aqeKey, "true")
+        try {
+          ss.conf.set(aqeKey, "false")
+          edgesSmall.repartition(col("src"))
+            .sortWithinPartitions(col("src")).localCheckpoint()
+        } finally ss.conf.set(aqeKey, prevAqe)
+      }
     for (_ <- 1 to iterations) {
+      val r = ranks.withColumnRenamed("id", "src")
       val contribs = edgesD
-        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(if (bcast) broadcast(r) else r, "src")
         .select(col("dst").as("id"), expr("r div d").as("c"))
       ranks = contribs.groupBy(col("id"))
         .agg((lit(base) + expr("(85 * sum(c)) div 100")).as("r"))

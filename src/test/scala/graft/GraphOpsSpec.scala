@@ -45,6 +45,16 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed (beyond-broadcast) face ≡ broadcast face ≡ reference") {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    // broadcastMaxNodes = 0 forces the co-partitioned keyed regime the
+    // big-graph path uses; results must be identical bit-for-bit
+    val keyed = GraphOps.pagerankOf(df, 10, broadcastMaxNodes = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed === reference(edges, 10))
+  }
+
   test("mass is conserved up to truncation dust; hubs outrank leaves") {
     import spark.implicits._
     val got = GraphOps.pagerankOf(edges.toDF("src", "dst"), 10).collect()
