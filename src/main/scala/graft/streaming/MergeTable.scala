@@ -55,6 +55,15 @@ object MergeTable {
   /** One manifest row: an immutable data file + its key range. */
   final case class FileEntry(name: String, minKey: Long, maxKey: Long)
 
+  /** One per-file NON-KEY column range (`#cstat=` manifest line): the
+    * Iceberg-manifest-column-stats idea — file skipping on ANY integral
+    * column, not just the clustering key, with zero footer reads. Stats
+    * are computed in the same single write-time pass as the key range,
+    * carried by file name across generations (a file is immutable, so
+    * its stats never change), and are PURELY ADDITIVE metadata: every
+    * pre-existing reader skips `#` lines it doesn't know. */
+  final case class FileStat(file: String, col: String, lo: Long, hi: Long)
+
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -102,6 +111,15 @@ object MergeTable {
     manifestText(spark, genDir).split("\n").iterator
       .map(_.trim).collect {
         case l if l.startsWith("#dv=") => l.stripPrefix("#dv=")
+      }.toSeq
+
+  /** The generation's per-file column ranges (`#cstat=` lines). */
+  def colStats(spark: SparkSession, genDir: String): Seq[FileStat] =
+    manifestText(spark, genDir).split("\n").iterator
+      .map(_.trim).collect {
+        case l if l.startsWith("#cstat=") =>
+          val p = l.stripPrefix("#cstat=").split("\t")
+          FileStat(p(0), p(1), p(2).toLong, p(3).toLong)
       }.toSeq
 
   /** Current-generation manifest. */
@@ -155,6 +173,33 @@ object MergeTable {
         .filter(col(key).cast("long").between(lo, hi))
   }
 
+  /** [[readWhereKey]] generalized to ANY integral column via the
+    * manifest's `#cstat=` per-file ranges: scan only the files whose
+    * recorded range for `column` intersects [lo, hi]. A file with NO
+    * recorded range for the column is UNKNOWN and always read —
+    * pruning may only ever skip provably-disjoint files — so the read
+    * stays correct over manifests written before the stats existed (or
+    * over an all-NULL file). This is the Iceberg-manifest-column-stats
+    * move: non-key predicates skip files with zero footer reads, which
+    * at 100 TB is the difference between scanning a value band and
+    * scanning the table — the merge writer range-partitions by KEY, so
+    * key-correlated columns (timestamps, monotone ids) cluster into
+    * narrow per-file ranges for free. */
+  def readWhereCol(spark: SparkSession, root: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val genDir = currentGenDir(spark, root)
+    val entries = manifest(spark, genDir)
+    val ranges = colStats(spark, genDir).filter(_.col == column)
+      .map(s => s.file -> s).toMap
+    val candidates = entries.filter(e =>
+      ranges.get(e.name).forall(s => s.hi >= lo && s.lo <= hi))
+    if (candidates.isEmpty)
+      readFiles(spark, root, entries.take(1)).limit(0)
+    else
+      readFiles(spark, root, candidates, dvNames(spark, genDir))
+        .filter(col(column).cast("long").between(lo, hi))
+  }
+
   /** Time travel: the table as of committed generation `g` (with that
     * generation's own deletion-vector view). */
   def readAt(spark: SparkSession, root: String, g: Long): DataFrame = {
@@ -196,7 +241,7 @@ object MergeTable {
     * written bytes (grouped on `_metadata.file_path`) — the write-time
     * cost that buys read-free pruning on every later merge. */
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
-      key: String, gen: Long, nFiles: Int): Seq[FileEntry] = {
+      key: String, gen: Long, nFiles: Int): (Seq[FileEntry], Seq[FileStat]) = {
     val tmp = s"$root/_tmp-write-$gen"
     val tmpPath = new Path(tmp)
     val f = fs(spark, tmpPath)
@@ -213,34 +258,57 @@ object MergeTable {
       name
     }
     f.delete(tmpPath, true)
-    if (named.isEmpty) Seq.empty
+    if (named.isEmpty) (Seq.empty, Seq.empty)
     else {
-      val stats = spark.read.parquet(named.map(filePath(root, _)): _*)
-        .select(col(key).cast("long").as("k"),
-          expr("_metadata.file_path").as("fp"))
+      // every integral NON-key column gets a file range in the SAME
+      // column-pruned pass that computes the key range — the write-time
+      // cost that buys read-free pruning on any of those columns
+      val statCols = df.schema.fields.collect {
+        case f if f.name != key &&
+          (f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType) => f.name
+      }.toSeq
+      val aggs = Seq(min(col("k")).as("lo"), max(col("k")).as("hi")) ++
+        statCols.flatMap(c => Seq(
+          min(col(c).cast("long")).as(s"lo_$c"),
+          max(col(c).cast("long")).as(s"hi_$c")))
+      val rows = spark.read.parquet(named.map(filePath(root, _)): _*)
+        .select(col(key).cast("long").as("k") +:
+          expr("_metadata.file_path").as("fp") +: statCols.map(col): _*)
         .groupBy(col("fp"))
-        .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => r.getString(0).split("/").last ->
-          (r.getLong(1), r.getLong(2))).toMap
+      val byName = rows.map(r => r.getString(0).split("/").last -> r).toMap
       // a range partition can come out empty → part file with no rows →
       // no stats row; an empty file carries an empty range and is
       // dropped from the manifest (nothing references it; sweep GCs it)
-      named.flatMap(n => stats.get(n).map { case (lo, hi) => FileEntry(n, lo, hi) })
+      val entries = named.flatMap(n => byName.get(n).map(r =>
+        FileEntry(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+      val cstats = named.flatMap(n => byName.get(n).toSeq.flatMap(r =>
+        statCols.flatMap { c =>
+          // an all-NULL column in a file has no range: no stats line —
+          // unknown is never prunable, so correctness is unaffected
+          if (r.isNullAt(r.fieldIndex(s"lo_$c"))) Seq.empty
+          else Seq(FileStat(n, c,
+            r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c")))
+        }))
+      (entries, cstats)
     }
   }
 
   private def writeManifest(spark: SparkSession, root: String, gen: Long,
       entries: Seq[FileEntry], key: String,
       batchId: Option[Long] = None,
-      dvs: Seq[String] = Seq.empty): Unit = {
+      dvs: Seq[String] = Seq.empty,
+      cstats: Seq[FileStat] = Seq.empty): Unit = {
     val dir = new Path(Snapshots.genDir(root, gen))
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
     val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("") +
-      dvs.map(d => s"#dv=$d\n").mkString
+      dvs.map(d => s"#dv=$d\n").mkString +
+      cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
     out.write((meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
     out.close()
@@ -262,8 +330,8 @@ object MergeTable {
       nFiles: Int = 8,
       commitTsMillis: Long = System.currentTimeMillis()): Unit = {
     val gen = Snapshots.nextGen(spark, root)
-    val entries = writeFiles(spark, root, df, key, gen, nFiles)
-    writeManifest(spark, root, gen, entries, key)
+    val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
+    writeManifest(spark, root, gen, entries, key, cstats = cstats)
     Snapshots.commit(spark, root, gen, commitTsMillis)
   }
 
@@ -318,9 +386,14 @@ object MergeTable {
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
     val gen = Snapshots.nextGen(spark, root)
-    val entries = writeFiles(spark, root, merged, key, gen, nFiles)
+    val (entries, cstats) = writeFiles(spark, root, merged, key, gen, nFiles)
+    // carried files keep their (immutable) column ranges by name
+    val carriedNames = carried.map(_.name).toSet
+    val carriedStats = colStats(spark, genDir0)
+      .filter(s => carriedNames.contains(s.file))
     writeManifest(spark, root, gen, carried ++ entries, key, batchId,
-      dvs = if (carried.isEmpty) Seq.empty else curDvs)
+      dvs = if (carried.isEmpty) Seq.empty else curDvs,
+      cstats = carriedStats ++ cstats)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size)
   }
@@ -398,9 +471,12 @@ object MergeTable {
         }
       }
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
-    val appended = writeFiles(spark, root, upserts, key, gen, nFiles)
+    val (appended, appendedStats) = writeFiles(spark, root, upserts, key, gen, nFiles)
     writeManifest(spark, root, gen, cur ++ appended, key, batchId,
-      dvs = curDvs ++ newDvName)
+      dvs = curDvs ++ newDvName,
+      // every current file carries (MOR rewrites nothing) — so do all
+      // its column ranges, plus the appended files' fresh ones
+      cstats = colStats(spark, genDir0) ++ appendedStats)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     val nDv = newDvName.map(n => spark.read
       .parquet(filePath(root, n)).count()).getOrElse(0L)
@@ -653,8 +729,9 @@ object MergeTable {
     val cur = currentManifest(spark, root)
     val key = tableKey(spark, root)
     val gen = Snapshots.nextGen(spark, root)
-    val entries = writeFiles(spark, root, read(spark, root), key, gen, nFiles)
-    writeManifest(spark, root, gen, entries, key)
+    val (entries, cstats) =
+      writeFiles(spark, root, read(spark, root), key, gen, nFiles)
+    writeManifest(spark, root, gen, entries, key, cstats = cstats)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
   }

@@ -112,6 +112,52 @@ class MergeTableSpec extends AnyFunSuite {
     assert(none.isEmpty && none.columns.toSeq === Seq("k", "v", "tag"))
   }
 
+  test("column stats: non-key predicates prune files; stats carry across " +
+      "COW/MOR generations; unknown columns never prune") {
+    val root = freshRoot("cstat")
+    // v = k*10 is key-correlated → per-file v-ranges are narrow
+    MergeTable.create(spark, root, baseDf(800), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    def genDir = graft.streaming.Snapshots.genDir(root,
+      graft.streaming.Snapshots.currentGen(spark, root).get)
+    val stats0 = MergeTable.colStats(spark, genDir)
+    val files0 = MergeTable.currentManifest(spark, root)
+    assert(stats0.map(_.col).distinct.sorted === Seq("v"),
+      "v is the only integral non-key column (tag is a string)")
+    assert(stats0.size === files0.size, "one v-range per file")
+    // a narrow v-band reads a strict file subset and exactly its rows
+    val band = MergeTable.readWhereCol(spark, root, "v", 1000L, 1200L)
+    assert(band.orderBy("k").collect().map(_.getLong(0)).toSeq
+      === (100L to 120L).toSeq)
+    val overlapping = stats0.count(s => s.hi >= 1000L && s.lo <= 1200L)
+    assert(overlapping < files0.size,
+      s"v-band should prune: $overlapping of ${files0.size}")
+    // COW merge: carried files keep their ranges, rewritten get fresh ones
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 5L, -999L, "hot")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 20L)
+    val stats1 = MergeTable.colStats(spark, genDir)
+    assert(stats1.size === MergeTable.currentManifest(spark, root).size)
+    assert(stats1.exists(_.lo === -999L), "rewritten file's fresh v-range")
+    assert(MergeTable.readWhereCol(spark, root, "v", -999L, -999L)
+      .collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // MOR merge: every carried file keeps its range; appended adds one
+    MergeTable.mergeMor(spark, root,
+      Seq(("c", 1L, 900L, 424242L, "new")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 30L)
+    val stats2 = MergeTable.colStats(spark, genDir)
+    assert(stats2.toSet.intersect(stats1.toSet) === stats1.toSet,
+      "MOR must carry every existing range (files are immutable)")
+    assert(MergeTable.readWhereCol(spark, root, "v", 424242L, 424242L)
+      .collect().map(_.getLong(0)).toSeq === Seq(900L))
+    // a column with no recorded stats is unknown: all files read, result
+    // still exact (pruning may only skip provably-disjoint files)
+    val viaKeyCol = MergeTable.readWhereCol(spark, root, "k", 100L, 120L)
+    assert(viaKeyCol.orderBy("k").collect().map(_.getLong(0)).toSeq
+      === (100L to 120L).toSeq,
+      "key column has no #cstat line — must fall back to reading all files")
+  }
+
   test("time travel reads the pre-merge generation; sweep GCs unreferenced files only") {
     val root = freshRoot("travel")
     MergeTable.create(spark, root, baseDf(50), "k", nFiles = 2,
