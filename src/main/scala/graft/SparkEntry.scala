@@ -169,6 +169,7 @@ object SparkEntry {
     "x_mix_temperature"     -> ((s: SparkSession, d: String) => operators.CorpusOps.mixTemperature(s, d)),
     "x_keyword_search"      -> ((s: SparkSession, d: String) => operators.Search.keywordSearch(s, d)),
     "x_phrase_search"       -> ((s: SparkSession, d: String) => operators.Search.phraseSearch(s, d)),
+    "x_proximity_search"    -> ((s: SparkSession, d: String) => operators.Search.proximitySearch(s, d)),
     "x_domain_cap"          -> ((s: SparkSession, d: String) => operators.CorpusOps.domainCap(s, d)),
     "x_tfidf"               -> (operators.Search.tfidf _),
     "x_bm25"                -> (operators.Search.bm25 _),
@@ -2173,6 +2174,19 @@ object SparkEntry {
     // match posexplode); built next to the Spark legs so the two faces
     // can never drift
     "x_phrase_search" -> operators.Search.phraseOracleSql(),
+    // x_proximity_search: the same two positional legs with the
+    // |pa−pb| ≤ slop band as the residual predicate
+    "x_proximity_search" ->
+      """WITH pp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |a AS (SELECT doc_id, pos AS pa FROM pp WHERE term = 'spark'),
+        |b AS (SELECT doc_id, pos AS pb FROM pp WHERE term = 'merge')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM a JOIN b USING (doc_id)
+        |WHERE abs(pa - pb) <= 5
+        |GROUP BY doc_id ORDER BY n_pairs DESC, doc_id""".stripMargin,
     // x_domain_cap: the window form of the same quality ranking
     // (n_chars DESC, doc_id ASC — the heap's built-in tiebreak)
     "x_domain_cap" ->

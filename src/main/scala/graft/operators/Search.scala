@@ -128,9 +128,16 @@ object Search {
     * Repeated terms in the phrase need no special casing: each slot is
     * its own leg over the same postings with a different offset. */
   def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = Seq("spark", "merge")): DataFrame = {
+      phrase: Seq[String] = Seq("spark", "merge")): DataFrame =
+    phraseSearchFrom(
+      spark.read.parquet(ensurePositionalIndex(spark, dir)), phrase)
+
+  /** [[phraseSearch]] over an arbitrary positional-postings frame —
+    * shared with the incrementally-maintained index
+    * ([[graft.streaming.IncrementalPostings.appendPositionalBatch]]). */
+  private[graft] def phraseSearchFrom(post: DataFrame,
+      phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
-    val post = spark.read.parquet(ensurePositionalIndex(spark, dir))
     val legs = phrase.zipWithIndex.map { case (t, i) =>
       post.filter(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
@@ -158,6 +165,29 @@ object Search {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
        |FROM l0 $joins
        |GROUP BY doc_id ORDER BY n_occ DESC, doc_id""".stripMargin
+  }
+
+  /** x_proximity_search — UNORDERED within-k co-occurrence from the
+    * same positional index: documents where the two terms appear within
+    * `slop` token positions of each other (either order), with the
+    * co-occurrence pair count — the NEAR operator of classic IR, the
+    * relevance signal between exact-phrase (slop ≡ 1, ordered) and
+    * bag-of-words AND (slop ≡ ∞). Plan shape: two pushed-term postings
+    * legs equi-join on doc_id with the |pa − pb| ≤ slop band as a
+    * residual predicate — candidate-sized like the phrase legs. */
+  def proximitySearch(spark: SparkSession, dir: String,
+      termA: String = "spark", termB: String = "merge",
+      slop: Int = 5): DataFrame = {
+    val post = spark.read.parquet(ensurePositionalIndex(spark, dir))
+    val a = post.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = post.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= slop)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("doc_id"))
   }
 
   /** x_hybrid_search — lexical recall + vector re-rank, the standard

@@ -46,17 +46,33 @@ object IncrementalPostings {
     * small-file problem [[Compaction]] exists to undo. Pass an explicit
     * width for genuinely huge batches (e.g. an initial backfill). */
   def appendBatch(indexRoot: String, partitions: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit =
+    appendWith(Search.postingsOf, Seq("term", "doc_id"),
+      indexRoot, partitions)(batch, batchId)
+
+  /** [[appendBatch]] for the POSITIONAL index (the phrase/proximity
+    * query faces, [[graft.operators.Search.ensurePositionalIndex]]):
+    * the same exactness argument — (term, doc, pos) rows are a pure
+    * per-document function — and the same idempotent per-batch
+    * overwrite and term clustering. */
+  def appendPositionalBatch(indexRoot: String, partitions: Int = 0)(
+      batch: DataFrame, batchId: Long): Unit =
+    appendWith(Search.positionalPostingsOf, Seq("term", "doc_id", "pos"),
+      indexRoot, partitions)(batch, batchId)
+
+  private def appendWith(rows: DataFrame => DataFrame,
+      sortCols: Seq[String], indexRoot: String, partitions: Int)(
       batch: DataFrame, batchId: Long): Unit = {
     val parts =
       if (partitions > 0) partitions
       else math.min(
         batch.sparkSession.sessionState.conf.numShufflePartitions, 8)
     val root = Snapshots.resolve(batch.sparkSession, indexRoot)
-    Search.postingsOf(batch)
+    rows(batch)
       // term-clustered within the batch, like the batch build: row-group
       // min/max still prune term lookups inside each batch file
       .repartition(parts, col("term"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$root/batch=$batchId")
   }
 
@@ -67,6 +83,16 @@ object IncrementalPostings {
       partitions: Int = 0): StreamingQuery =
     docsStream.writeStream
       .foreachBatch(appendBatch(indexRoot, partitions) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** [[start]] for the positional index. */
+  def startPositional(docsStream: DataFrame, indexRoot: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow(),
+      partitions: Int = 0): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch(appendPositionalBatch(indexRoot, partitions) _)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -349,6 +349,15 @@ object MergeTable {
       commitTsMillis: Long = System.currentTimeMillis(),
       batchId: Option[Long] = None,
       pruneFiles: Boolean = true): (Int, Int) = {
+    val (t, c, _) = mergeCore(spark, root, changes, key, nFiles,
+      commitTsMillis, batchId, pruneFiles, commit = true)
+    (t, c)
+  }
+
+  private def mergeCore(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, nFiles: Int,
+      commitTsMillis: Long, batchId: Option[Long],
+      pruneFiles: Boolean, commit: Boolean): (Int, Int, Long) = {
     val genDir0 = currentGenDir(spark, root)
     val cur = manifest(spark, genDir0)
     val curDvs = dvNames(spark, genDir0)
@@ -394,8 +403,81 @@ object MergeTable {
     writeManifest(spark, root, gen, carried ++ entries, key, batchId,
       dvs = if (carried.isEmpty) Seq.empty else curDvs,
       cstats = carriedStats ++ cstats)
+    if (commit) Snapshots.commit(spark, root, gen, commitTsMillis)
+    (touched.size, carried.size, gen)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, stage step: run the full COW merge but leave
+    * the generation UNCOMMITTED — files and manifest land, no
+    * `_COMMITTED` marker, so every reader still serves the previous
+    * generation (the same invisibility the crash contract guarantees,
+    * used deliberately). Audit the staged state with [[readStaged]];
+    * then [[publishStaged]] (atomic marker — the data becomes visible
+    * in one rename-equivalent step) or [[discardStaged]]. This is the
+    * lakehouse WAP gate: bad data is caught BEFORE it is servable,
+    * with zero copies (the staged generation IS the would-be commit).
+    * Contract: single writer; don't run [[Snapshots.sweep]]-based
+    * maintenance while a staged generation is pending (to a sweeper an
+    * unpublished generation is indistinguishable from a crashed one).
+    * Returns the staged generation id. */
+  def stageMerge(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, nFiles: Int = 4,
+      batchId: Option[Long] = None): Long =
+    mergeCore(spark, root, changes, key, nFiles, 0L, batchId,
+      pruneFiles = true, commit = false)._3
+
+  /** Read a STAGED (uncommitted) generation — the audit step. Bypasses
+    * generation resolution on purpose: committed readers can never see
+    * this state. */
+  def readStaged(spark: SparkSession, root: String, gen: Long): DataFrame = {
+    val gd = Snapshots.genDir(root, gen)
+    readFiles(spark, root, manifest(spark, gd), dvNames(spark, gd))
+  }
+
+  /** Publish a staged generation: the atomic marker commit. Refuses if
+    * a LATER generation has been committed since staging (the staged
+    * state would silently shadow it — single-writer discipline broke). */
+  def publishStaged(spark: SparkSession, root: String, gen: Long,
+      commitTsMillis: Long = System.currentTimeMillis()): Unit = {
+    val cur = Snapshots.currentGen(spark, root)
+    require(cur.forall(_ < gen),
+      s"staged gen $gen is not newer than committed gen ${cur.get} under $root")
+    val p = new Path(Snapshots.genDir(root, gen), ManifestName)
+    require(fs(spark, p).exists(p), s"no staged manifest for gen $gen under $root")
     Snapshots.commit(spark, root, gen, commitTsMillis)
-    (touched.size, carried.size)
+  }
+
+  /** Discard a staged generation: its manifest dir is removed, its data
+    * files become unreferenced orphans ([[sweep]] collects them).
+    * Refuses to touch a COMMITTED generation — history is never
+    * deleted here. */
+  def discardStaged(spark: SparkSession, root: String, gen: Long): Unit = {
+    require(!Snapshots.generations(spark, root).contains(gen),
+      s"gen $gen is committed — discardStaged never deletes history")
+    val d = new Path(Snapshots.genDir(root, gen))
+    val f = fs(spark, d)
+    if (f.exists(d)) f.delete(d, true)
+  }
+
+  /** ROLLBACK (Delta RESTORE): commit a NEW generation whose manifest
+    * is a copy of committed generation `g`'s — files by reference, DVs
+    * and column stats included, nothing moved or deleted, history fully
+    * preserved (time travel still reaches the rolled-back-over states,
+    * and the change feed shows the rollback as ordinary row changes).
+    * Cost: O(manifest). Returns the new generation id. */
+  def rollbackTo(spark: SparkSession, root: String, g: Long,
+      commitTsMillis: Long = System.currentTimeMillis()): Long = {
+    val srcDir = Snapshots.resolveAt(spark, root, g) // must be committed
+    val srcKey = manifestText(spark, srcDir).split("\n").iterator
+      .map(_.trim).collectFirst {
+        case l if l.startsWith("#key=") => l.stripPrefix("#key=")
+      }.getOrElse(throw new IllegalStateException(
+        s"manifest of gen $g under $root carries no #key metadata"))
+    val gen = Snapshots.nextGen(spark, root)
+    writeManifest(spark, root, gen, manifest(spark, srcDir), srcKey,
+      dvs = dvNames(spark, srcDir), cstats = colStats(spark, srcDir))
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    gen
   }
 
   /** One NET change per key: its highest-`seq` change — the shared

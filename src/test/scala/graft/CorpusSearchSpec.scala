@@ -387,6 +387,24 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain at least one 'table table'")
   }
 
+  test("proximity search counts within-slop pairs both orders; slop=∞ ≡ AND-pair product") {
+    val (ta, tb, slop) = ("spark", "merge", 5)
+    val ref = Tables.documents(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1))
+      .map { case (id, toks) =>
+        val pa = toks.zipWithIndex.collect { case (t, i) if t == ta => i }
+        val pb = toks.zipWithIndex.collect { case (t, i) if t == tb => i }
+        id -> pa.flatMap(x => pb.filter(y => math.abs(x - y) <= slop)).length.toLong
+      }.filter(_._2 > 0).toMap
+    val got = Search.proximitySearch(spark, dir, ta, tb, slop).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got === ref)
+    // any phrase match is a proximity match (slop ≥ 1 covers adjacency)
+    val phrase = Search.phraseSearch(spark, dir, Seq(ta, tb)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(phrase.subsetOf(got.keySet))
+  }
+
   test("phrase search probes the positional index with pushed per-term filters") {
     val p = Search.phraseSearch(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)"), p)

@@ -55,6 +55,43 @@ class IncrementalPostingsSpec extends AnyFunSuite {
       "term filter did not reach the incremental index scan:\n" + plan)
   }
 
+  test("incremental POSITIONAL append equals the batch positional build; " +
+      "phrase search identical; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = TestSpark.tempDir("incpos") + "/index"
+    val ckpt = TestSpark.tempDir("incpos-ckpt")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[IdxDoc].collect()
+    val waves = docs.groupBy(_.doc_id % 3).toSeq.sortBy(_._1).map(_._2)
+    val input = MemoryStream[IdxDoc]
+    waves.foreach { wave =>
+      input.addData(wave.toSeq)
+      val q = IncrementalPostings.startPositional(input.toDS().toDF(), root, ckpt)
+      q.awaitTermination(60000)
+    }
+    def posRows(df: DataFrame): Set[(String, Long, Long)] =
+      df.select(col("term"), col("doc_id"), col("pos")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = IncrementalPostings.read(spark, root)
+    assert(posRows(inc) === posRows(
+      Search.positionalPostingsOf(Tables.documents(spark, dir))),
+      "incremental positional postings must equal the batch build")
+    // the phrase face sees no seam
+    val phrase = Seq("spark", "merge")
+    val viaInc = Search.phraseSearchFrom(inc, phrase)
+      .collect().map(_.toSeq).toSeq
+    val viaBatch = Search.phraseSearch(spark, dir, phrase)
+      .collect().map(_.toSeq).toSeq
+    assert(viaInc === viaBatch, "phrase search must not see the seam")
+    // replay idempotence rides the same per-batch overwrite
+    val one = Seq(IdxDoc(900001, "x y x")).toDF()
+    IncrementalPostings.appendPositionalBatch(root)(one, 99L)
+    val once = posRows(IncrementalPostings.read(spark, root))
+    IncrementalPostings.appendPositionalBatch(root)(one, 99L)
+    assert(posRows(IncrementalPostings.read(spark, root)) === once)
+  }
+
   test("replaying a batchId overwrites its own directory — no duplicate postings") {
     import spark.implicits._
     val root = TestSpark.tempDir("incpost-replay") + "/index"

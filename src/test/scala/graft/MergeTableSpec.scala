@@ -329,6 +329,65 @@ class MergeTableSpec extends AnyFunSuite {
     assert(insSame.isEmpty && delSame.isEmpty)
   }
 
+  test("write-audit-publish: staged merge invisible until published; discard leaves no trace") {
+    val root = freshRoot("wap")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val before = MergeTable.read(spark, root).orderBy("k").collect().toSeq
+    // stage a merge: the bad batch a WAP gate would catch
+    val g = MergeTable.stageMerge(spark, root,
+      Seq(("u", 1L, 7L, -1L, "bad")).toDF("op", "seq", "k", "v", "tag"), "k")
+    // invisible: readers still serve the previous generation
+    assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === before)
+    assert(Snapshots.currentGen(spark, root).get < g)
+    // auditable: the staged state is exactly the would-be commit
+    val staged = MergeTable.readStaged(spark, root, g)
+    assert(staged.where(col("k") === 7L).head().getLong(1) === -1L)
+    assert(staged.count() === 100L)
+    // audit fails → discard; the staged generation vanishes, orphans GC'd
+    MergeTable.discardStaged(spark, root, g)
+    intercept[IllegalArgumentException](MergeTable.readStaged(spark, root, g))
+    assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === before)
+    MergeTable.sweep(spark, root)
+    assert(MergeTable.read(spark, root).count() === 100L, "sweep ate live files")
+    // stage again, audit passes → publish: atomic flip to the staged state
+    val g2 = MergeTable.stageMerge(spark, root,
+      Seq(("u", 1L, 7L, 777L, "ok")).toDF("op", "seq", "k", "v", "tag"), "k")
+    MergeTable.publishStaged(spark, root, g2, commitTsMillis = 20L)
+    assert(MergeTable.read(spark, root).where(col("k") === 7L)
+      .head().getLong(1) === 777L)
+    // a committed generation can never be "discarded"
+    intercept[IllegalArgumentException](MergeTable.discardStaged(spark, root, g2))
+    // publishing a stale staged gen (≤ committed) is refused
+    intercept[IllegalArgumentException](MergeTable.publishStaged(spark, root, g2))
+  }
+
+  test("rollback commits a manifest copy: state restored, history intact, O(manifest)") {
+    val root = freshRoot("rollback")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val g1 = Snapshots.currentGen(spark, root).get
+    val v1 = MergeTable.read(spark, root).orderBy("k").collect().toSeq
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 7L, -1L, "bad"), ("d", 1L, 13L, 0L, ""))
+        .toDF("op", "seq", "k", "v", "tag"), "k", commitTsMillis = 20L)
+    val g2 = Snapshots.currentGen(spark, root).get
+    val rb = MergeTable.rollbackTo(spark, root, g1, commitTsMillis = 30L)
+    assert(rb > g2)
+    // state is back to g1, bit for bit — including column stats
+    assert(MergeTable.read(spark, root).orderBy("k").collect().toSeq === v1)
+    assert(MergeTable.readWhereCol(spark, root, "v", 130L, 130L)
+      .collect().map(_.getLong(0)).toSeq === Seq(13L),
+      "rolled-back manifest must carry the column ranges")
+    // files referenced, not copied: rollback manifest names ⊆ g1 names
+    val names1 = MergeTable.manifest(spark, Snapshots.genDir(root, g1)).map(_.name).toSet
+    val namesRb = MergeTable.currentManifest(spark, root).map(_.name).toSet
+    assert(namesRb === names1)
+    // the rolled-back-over state remains time-travelable history
+    assert(MergeTable.readAt(spark, root, g2).where(col("k") === 7L)
+      .head().getLong(1) === -1L)
+  }
+
   test("a crashed merge (files landed, no commit) is invisible and its orphans are collected") {
     val root = freshRoot("crash")
     MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
