@@ -150,6 +150,7 @@ object SparkEntry {
     "x_video_frames"        -> ((s: SparkSession, d: String) => operators.Multimodal.videoFrameStats(s, d)),
     "x_rolling_fingerprint" -> (operators.TextAnalysis.rollingFingerprints _),
     "x_lm_score"            -> (operators.TextAnalysis.lmBigramStats _),
+    "x_collocations"        -> ((s: SparkSession, d: String) => operators.TextAnalysis.collocations(s, d)),
     "x_heavy_hitters"       -> ((s: SparkSession, d: String) => operators.TextAnalysis.heavyHitters(s, d)),
     "x_heavy_hitters_exact" -> (operators.TextAnalysis.heavyHittersExact _),
     "x_pagerank"            -> (operators.GraphOps.pagerank _),
@@ -2174,6 +2175,23 @@ object SparkEntry {
     // match posexplode); built next to the Spark legs so the two faces
     // can never drift
     "x_phrase_search" -> operators.Search.phraseOracleSql(),
+    // x_collocations: PMI ranking without log (monotone), integer
+    // micro-units with the division order fixed and mirrored —
+    // c_ab ≤ c_a makes the first quotient ≤ 10⁶, so no overflow
+    "x_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |u AS (SELECT unnest(ts) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM u),
+        |bg AS (SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2 FROM t),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2)
+        |SELECT bc.w1, bc.w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |       CAST(a.c AS BIGINT) AS c_a, CAST(b.c AS BIGINT) AS c_b,
+        |       CAST(n.n AS BIGINT) AS n_tokens,
+        |       CAST((((c_ab * 1000000) // a.c) * n.n) // b.c AS BIGINT) AS pmi_micro
+        |FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, n
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
     // x_proximity_search: the same two positional legs with the
     // |pa−pb| ≤ slop band as the residual predicate
     "x_proximity_search" ->

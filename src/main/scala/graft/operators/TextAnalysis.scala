@@ -152,6 +152,46 @@ object TextAnalysis {
     *    (the disease minhashNearDup cured the same way, Dedup.scala).
     * bc and uc stay KEYED shuffles (vocabulary grows with the corpus —
     * never broadcast); both reuse perDoc's checkpoint. */
+  /** x_collocations — COLLOCATION extraction (Manning/Schütze ch. 5):
+    * adjacent word pairs that co-occur far more than their unigram
+    * frequencies predict, ranked by pointwise mutual information. This
+    * is also exactly the merge-candidate scoring signal BPE/WordPiece
+    * tokenizer training ranks ([[Subword]] trains greedily on pair
+    * counts; PMI is the statistically-normalized view of the same
+    * relation). PMI ordering needs no log: log is monotone, so ranking
+    * by N·c(ab)/(c(a)·c(b)) is ranking by PMI — emitted in integer
+    * MICRO-units with the division order fixed as
+    * ((c_ab·10⁶ div c_a) · N) div c_b, which cannot overflow
+    * (c_ab ≤ c_a ⇒ first quotient ≤ 10⁶) for any corpus under ~10¹²
+    * tokens, and is mirrored token-for-token in the oracle.
+    * Plan: one explode → pair counts, one explode → unigram counts
+    * (vocabulary-sized → broadcast joins), a total-order top-k. The
+    * min-count gate is the standard collocation noise floor. */
+  def collocations(spark: SparkSession, dir: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTokens = toks.select(sum(size(col("ts"))).as("n"))
+    val pairs = toks.select(explode(zip_with(
+        slice(col("ts"), lit(1), size(col("ts")) - 1),
+        slice(col("ts"), lit(2), size(col("ts")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), Seq("w2"))
+      .crossJoin(broadcast(nTokens))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n").as("n_tokens"),
+        expr("((c_ab * 1000000) div c_a * n) div c_b").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   private def bigramRelation(spark: SparkSession, dir: String) =
     bigramRelationOf(Tables.documents(spark, dir))
 

@@ -28,6 +28,8 @@ object ExplainDump {
     "x_minhash_indexed" -> "MinHash near-dup from the materialized signature index: banding + verify only, no corpus re-shingle",
     "x_keyword_search" -> "postings-index probe: pushed term filter (row-group skip), candidate-only aggregation",
     "x_hybrid_search" -> "lexical candidates (pushed term filter) + broadcast join + exact cosine re-rank",
+    "x_phrase_search" -> "positional intersection: pushed per-term legs normalized to occurrence starts, (doc,start) equi-join chain",
+    "x_collocations" -> "PMI collocations: pair counts + broadcast vocabulary-sized unigram joins, integer score, total-order top-k",
     "x_chunk_pack" -> "token-window chunking: one Generate + projection, zero shuffles",
     "o_unpivot" -> "long-format melt as a zero-shuffle Expand",
     "g_pivot" -> "explicit-value pivot: ONE partial+final hash aggregation",

@@ -411,6 +411,31 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(p.contains("EqualTo(term,merge)"), p)
   }
 
+  test("collocations: counts and integer PMI equal a driver recompute; ranking is PMI-monotone") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.collocations(spark, dir, minCount = 3L, k = 20).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir).collect()
+      .map(_.getAs[String]("text").split(" ", -1))
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = docs.map(_.length.toLong).sum
+    val bi = docs.flatMap(t => t.init.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val cab = bi((w1, w2))
+      assert(r.getAs[Long]("c_ab") === cab)
+      assert(r.getAs[Long]("c_a") === uni(w1))
+      assert(r.getAs[Long]("c_b") === uni(w2))
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("pmi_micro") ===
+        cab * 1000000L / uni(w1) * n / uni(w2))
+    }
+    // emitted in PMI order (desc), total
+    val scores = rows.map(_.getAs[Long]("pmi_micro"))
+    assert(scores.toSeq === scores.sorted(Ordering[Long].reverse).toSeq)
+  }
+
   test("domain cap keeps exactly the k best-by-length docs per source (window-equal)") {
     val k = 3
     val got = CorpusOps.domainCap(spark, dir, k).collect()
