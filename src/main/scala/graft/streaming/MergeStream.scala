@@ -67,4 +67,55 @@ object MergeStream {
       }
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .start()
+
+  /** One gated micro-batch: stage → audit → publish-or-dead-letter.
+    * Factored out of [[intoTableGated]] so the replay contract is
+    * directly testable. Idempotence: a replayed PUBLISHED batch is
+    * refused from the committed manifest's batch id (as in
+    * [[MergeTable.mergeExactlyOnce]]); a replayed REJECTED batch
+    * re-stages, re-fails the same deterministic audit, and OVERWRITES
+    * its own dead-letter directory — same end state either way. A
+    * crash between stage and publish leaves an uncommitted orphan the
+    * sweep collects; the replay simply stages afresh. */
+  def applyGatedBatch(root: String, key: String,
+      fields: Seq[(String, DataType)], audit: DataFrame => Boolean,
+      rejectsDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val changes = debeziumToChanges(batch, fields)
+    if (!changes.isEmpty &&
+      !MergeTable.appliedBatchId(spark, root).exists(_ >= batchId)) {
+      val g = MergeTable.stageMerge(spark, root, changes, key,
+        batchId = Some(batchId))
+      if (audit(MergeTable.readStaged(spark, root, g)))
+        MergeTable.publishStaged(spark, root, g)
+      else {
+        MergeTable.discardStaged(spark, root, g)
+        changes.write.mode("overwrite").parquet(s"$rejectsDir/batch=$batchId")
+      }
+    }
+  }
+
+  /** [[intoTable]] with a WRITE-AUDIT-PUBLISH gate per micro-batch —
+    * the streaming data-quality gate: every batch is staged as an
+    * uncommitted generation ([[MergeTable.stageMerge]]), the `audit`
+    * predicate inspects the WOULD-BE table state (not just the batch —
+    * cross-row invariants like key uniqueness or non-negative balances
+    * are checkable against the full staged relation at zero extra
+    * copies), and only a passing batch is atomically published. A
+    * failing batch is discarded and its decoded changes land in
+    * `rejectsDir/batch=<id>` — the dead-letter queue, idempotent by
+    * batch directory overwrite. Readers never observe a bad batch, not
+    * even transiently: the gate happens BEFORE visibility, which is the
+    * entire point of WAP over validate-after-commit + rollback.
+    * `audit` must be deterministic (a replayed batch must re-decide the
+    * same way). */
+  def intoTableGated(stream: DataFrame, root: String, key: String,
+      fields: Seq[(String, DataType)], checkpoint: String,
+      audit: DataFrame => Boolean, rejectsDir: String,
+      triggerMs: Long = 100L): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(applyGatedBatch(root, key, fields, audit, rejectsDir) _)
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .start()
 }

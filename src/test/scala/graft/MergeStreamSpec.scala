@@ -84,6 +84,72 @@ class MergeStreamSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("WAP-gated sink: a poisoned batch is dead-lettered BEFORE visibility, " +
+      "good batches publish, replays idempotent for both verdicts") {
+    import org.apache.spark.sql.DataFrame
+    val server = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("mergestream-wap")
+      val root = s"$work/table"
+      val ckpt = s"$work/ckpt"
+      val rejects = s"$work/rejects"
+      MergeTable.create(spark, root,
+        spark.range(10).select(col("id"), (col("id") * 1.0).as("value")),
+        "id", nFiles = 4, commitTsMillis = 1L)
+      // the cross-row invariant the gate enforces on the WOULD-BE state
+      val audit: DataFrame => Boolean = df => df.filter(col("value") < 0).isEmpty
+      def startQuery() = {
+        val raw = spark.readStream.format("tcp-changelog")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("eventsPerBatch", 4)
+          .load()
+        MergeStream.intoTableGated(raw, root, "id", Fields, ckpt, audit, rejects)
+      }
+      // waves appended while no query runs: the restarted query drains
+      // the backlog in admission-capped batches of exactly 4, so batch
+      // composition (and thus the gate's batch granularity) is pinned
+      server.append(Seq(dz("u", 0, 100.0), dz("u", 1, 101.0),
+        dz("c", 20, 2020.0), dz("u", 2, 102.0)))
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      assert(tableState(root)(0L) === 100.0 && tableState(root)(20L) === 2020.0)
+      val gensAfterGood = Snapshots.generations(spark, root)
+      // wave 2: ONE poisoned row — the WHOLE batch must be rejected
+      // (batch is the atomicity unit; a partial apply would tear it)
+      server.append(Seq(dz("u", 3, -103.0), dz("u", 4, 104.0),
+        dz("u", 5, 105.0), dz("u", 6, 106.0)))
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      assert(Snapshots.generations(spark, root) === gensAfterGood,
+        "a rejected batch must not commit any generation")
+      assert(tableState(root)(4L) === 4.0, "no partial apply of a rejected batch")
+      val rej = spark.read.parquet(s"$rejects/batch=1")
+      assert(rej.collect().map(_.getAs[Long]("id")).sorted.toSeq
+        === Seq(3L, 4L, 5L, 6L), "dead letter must carry the decoded batch")
+      // replay of the REJECTED batch (at-least-once redelivery): same
+      // deterministic verdict, dead letter overwritten, still no commit
+      val wave2 = Seq(
+        (4L, dz("u", 3, -103.0)), (5L, dz("u", 4, 104.0)),
+        (6L, dz("u", 5, 105.0)), (7L, dz("u", 6, 106.0))
+      ).toDF("offset", "value")
+      MergeStream.applyGatedBatch(root, "id", Fields, audit, rejects)(wave2, 1L)
+      assert(Snapshots.generations(spark, root) === gensAfterGood)
+      assert(spark.read.parquet(s"$rejects/batch=1")
+        .collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(3L, 4L, 5L, 6L))
+      // wave 3: the gate reopens for clean data
+      server.append(Seq(dz("u", 7, 107.0), dz("d", 8, 0.0),
+        dz("u", 9, 109.0), dz("c", 21, 2121.0)))
+      val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+      val fin = tableState(root)
+      assert(fin(7L) === 107.0 && fin(21L) === 2121.0 && !fin.contains(8L))
+      assert(fin(3L) === 3.0 && fin(4L) === 4.0, "rejected batch stayed out")
+      // replay of a PUBLISHED batch id: refused from the manifest
+      val gens = Snapshots.generations(spark, root)
+      val lastId = MergeTable.appliedBatchId(spark, root).get
+      MergeStream.applyGatedBatch(root, "id", Fields, audit, rejects)(wave2, lastId)
+      assert(Snapshots.generations(spark, root) === gens)
+      assert(tableState(root) === fin)
+    } finally server.close()
+  }
+
   test("merge-on-read sink: same wire, same final state, zero data-file " +
       "rewrites; replayed batch ids refused") {
     val server = new TcpChangelogServer
