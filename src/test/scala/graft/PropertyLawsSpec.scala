@@ -44,6 +44,54 @@ class PropertyLawsSpec extends AnyFunSuite {
     (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(42L + i))
       .getOrElse(fail(s"generator exhausted at $i")))
 
+  test("positional-search laws on generated corpora: phrase ≡ sliding window, " +
+      "proximity ≡ pair count, phrase ⊆ proximity ⊆ AND") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // tiny alphabet → dense collisions, repeated terms, adjacent dups
+    val genDoc: Gen[String] = Gen.chooseNum(1, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")))
+      .map(_.mkString(" "))
+    val texts = samples(genDoc, 60)
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val post = graft.operators.Search.positionalPostingsOf(docs)
+      .localCheckpoint(true)
+    for (phrase <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("b", "a", "c"))) {
+      val got = graft.operators.Search.phraseSearchFrom(post, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ", -1).sliding(phrase.size)
+          .count(_.sameElements(phrase)).toLong
+      }.filter(_._2 > 0).toMap
+      assert(got === want, s"phrase $phrase")
+    }
+    // proximity law + the containment chain at slop 2
+    val slop = 2
+    val prox = post.filter(col("term") === "a")
+      .select(col("doc_id"), col("pos").as("pa"))
+      .join(post.filter(col("term") === "b")
+        .select(col("doc_id"), col("pos").as("pb")), Seq("doc_id"))
+      .filter(org.apache.spark.sql.functions.abs(col("pa") - col("pb")) <= slop)
+      .groupBy(col("doc_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val proxWant = texts.zipWithIndex.map { case (t, i) =>
+      val toks = t.split(" ", -1)
+      val pa = toks.zipWithIndex.collect { case ("a", p) => p }
+      val pb = toks.zipWithIndex.collect { case ("b", p) => p }
+      i.toLong -> pa.flatMap(x => pb.filter(y => math.abs(x - y) <= slop)).length.toLong
+    }.filter(_._2 > 0).toMap
+    assert(prox === proxWant)
+    val phraseDocs = graft.operators.Search
+      .phraseSearchFrom(post, Seq("a", "b"))
+      .collect().map(_.getLong(0)).toSet
+    val andDocs = texts.zipWithIndex.collect {
+      case (t, i) if { val s = t.split(" ", -1).toSet; s("a") && s("b") } => i.toLong
+    }.toSet
+    assert(phraseDocs.subsetOf(prox.keySet), "phrase ⊄ proximity")
+    assert(prox.keySet.subsetOf(andDocs), "proximity ⊄ AND")
+  }
+
   private val genEvent: Gen[ChangeEvent] = for {
     name <- Gen.oneOf(ChangeEvent.Known)
     key <- Gen.choose(0, 6).map(i => s"k$i")
