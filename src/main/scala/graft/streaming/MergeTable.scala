@@ -200,6 +200,95 @@ object MergeTable {
         .filter(col(column).cast("long").between(lo, hi))
   }
 
+  /** Conservative per-column integral bounds extracted from a
+    * predicate's CONJUNCTS: =, <, <=, >, >= and BETWEEN over literal
+    * ints/longs (either operand order). Anything unrecognized — a
+    * disjunction, a non-literal comparison, another type — simply
+    * extracts nothing for its columns, which makes the pruning built on
+    * it unconditionally safe (an unknown never skips a file). */
+  private[graft] def extractBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Long] = x match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      // the analyzer wraps literals in implicit casts when the column
+      // type differs (k > 5 on a LONG column) — unwrap, the VALUE is
+      // what bounds the range
+      case c: Cast => litVal(c.child)
+      case _ => None
+    }
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val perConjunct: Seq[(String, (Long, Long))] = conjuncts(e).flatMap {
+      case EqualTo(a, b) =>
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (v, v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (v, v) }
+      case LessThan(a, b) =>
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (Long.MinValue, v - 1) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (v + 1, Long.MaxValue) }
+      case LessThanOrEqual(a, b) =>
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (Long.MinValue, v) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (v, Long.MaxValue) }
+      case GreaterThan(a, b) =>
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (v + 1, Long.MaxValue) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, v - 1) }
+      case GreaterThanOrEqual(a, b) =>
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (v, Long.MaxValue) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, v) }
+      case _ => Seq.empty
+    }
+    perConjunct.groupBy(_._1).view.mapValues(_.map(_._2)
+      .reduce((x, y) => (math.max(x._1, y._1), math.min(x._2, y._2)))).toMap
+  }
+
+  /** Predicate-driven read — [[readWhereKey]]/[[readWhereCol]] unified
+    * behind the API a query engine actually presents: extract
+    * conservative per-column bounds from the predicate's conjuncts,
+    * intersect them with the manifest's per-file ranges (the key range
+    * from the entry line, every other integral column from its
+    * `#cstat=` line), scan ONLY the files no bound excludes, and apply
+    * the FULL predicate as the residual filter over the DV-applied
+    * scan. Mirrors what a DSv2 pushdown would do, with the manifest as
+    * the statistics source — zero footer reads to prune. */
+  def readWhere(spark: SparkSession, root: String,
+      predicate: Column): DataFrame = {
+    val genDir = currentGenDir(spark, root)
+    val entries = manifest(spark, genDir)
+    val key = tableKey(spark, root)
+    // resolve the Column against the table schema by analyzing a
+    // zero-row probe: the Filter node's condition is the catalyst
+    // expression (with the analyzer's implicit casts in place) the
+    // bounds walk consumes — the public-API route to what a DSv2
+    // pushFilters hook would be handed
+    val probeCond = readFiles(spark, root, entries.take(1)).limit(0)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val bounds = probeCond.map(extractBounds).getOrElse(Map.empty)
+    val ranges: Map[(String, String), (Long, Long)] =
+      colStats(spark, genDir).map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
+        entries.map(e => (e.name, key) -> (e.minKey, e.maxKey)).toMap
+    val candidates = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
+      ranges.get((e.name, c)).forall(r => r._2 >= lo && r._1 <= hi)
+    })
+    if (candidates.isEmpty)
+      readFiles(spark, root, entries.take(1)).limit(0).filter(predicate)
+    else
+      readFiles(spark, root, candidates, dvNames(spark, genDir))
+        .filter(predicate)
+  }
+
   /** Time travel: the table as of committed generation `g` (with that
     * generation's own deletion-vector view). */
   def readAt(spark: SparkSession, root: String, g: Long): DataFrame = {

@@ -329,6 +329,47 @@ class MergeTableSpec extends AnyFunSuite {
     assert(insSame.isEmpty && delSame.isEmpty)
   }
 
+  test("predicate-driven readWhere: conjunct bounds prune; unknowns and " +
+      "disjunctions never prune; result always ≡ full-scan filter") {
+    val root = freshRoot("where")
+    MergeTable.create(spark, root, baseDf(800), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    def toExpr(c: org.apache.spark.sql.Column) =
+      baseDf(1).filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+    def sameAsFullScan(p: org.apache.spark.sql.Column): Unit = {
+      val got = MergeTable.readWhere(spark, root, p)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      val want = MergeTable.read(spark, root).filter(p)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(got === want, s"predicate $p")
+    }
+    // conjunct bounds: both key and non-key columns extracted
+    val p1 = col("v") >= 1000L && col("v") <= 1200L && col("tag") === "base"
+    assert(MergeTable.extractBounds(toExpr(p1)) === Map("v" -> (1000L, 1200L)))
+    sameAsFullScan(p1)
+    // literal-on-the-left and strict comparisons normalize correctly
+    assert(MergeTable.extractBounds(toExpr(lit(10L) > col("k")))
+      === Map("k" -> (Long.MinValue, 9L)))
+    assert(MergeTable.extractBounds(toExpr(col("k") > 5 && col("k") < 8))
+      === Map("k" -> (6L, 7L)))
+    sameAsFullScan(col("k") > 5 && col("k") < 8)
+    // a disjunction extracts nothing — every file stays in, result exact
+    assert(MergeTable.extractBounds(
+      toExpr(col("v") === 10L || col("v") === 7990L)) === Map.empty)
+    sameAsFullScan(col("v") === 10L || col("v") === 7990L)
+    // contradictory bounds short-circuit to empty, schema intact
+    val none = MergeTable.readWhere(spark, root, col("k") > 100L && col("k") < 50L)
+    assert(none.isEmpty && none.columns.toSeq === Seq("k", "v", "tag"))
+    // the same probe as readWhereKey: equal results through both faces
+    val a = MergeTable.readWhere(spark, root, col("k") === 5L)
+      .collect().map(_.toSeq).toSeq
+    val b = MergeTable.readWhereKey(spark, root, 5L, 5L)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("write-audit-publish: staged merge invisible until published; discard leaves no trace") {
     val root = freshRoot("wap")
     MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
