@@ -44,9 +44,17 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-          if SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).isDefined =>
+          if SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).isDefined ||
+            SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
         val name = u.multipartIdentifier.mkString(".")
-        val root = SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).get
+        // a MERGE-registered name resolves through the SAME commit
+        // markers (MergeTable inherits the Snapshots protocol) but must
+        // read manifest-directed THROUGH the generation's deletion
+        // vectors — a plain directory read of a MergeTable generation
+        // would return raw files incl. DV-deleted rows
+        val mergeRoot = SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier)
+        val root = mergeRoot.getOrElse(
+          SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).get)
         val dir = (ts, ver) match {
           case (Some(expr), None) =>
             if (!expr.foldable) refuse(
@@ -71,10 +79,15 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // the parser rejects both-or-neither before this rule runs
             refuse(s"invalid time travel spec on snapshot table $name")
         }
-        // the resolved relation: a plain parquet read of the pinned
-        // generation dir (batch= partition discovery included), exactly
-        // what the readAsOf/readAt API returns
-        spark.read.parquet(dir).queryExecution.analyzed
+        // the resolved relation: for a snapshot root a plain parquet
+        // read of the pinned generation dir (batch= partition discovery
+        // included) — exactly what readAsOf/readAt return; for a merge
+        // root the manifest-directed, DV-applied read of that generation
+        val df = mergeRoot match {
+          case Some(mr) => graft.streaming.MergeTable.readResolved(spark, mr, dir)
+          case None => spark.read.parquet(dir)
+        }
+        df.queryExecution.analyzed
       case tt @ RelationTimeTravel(u: UnresolvedRelation, _, _)
           if u.multipartIdentifier.size == 1 &&
             SnapshotSqlCatalog.registered(spark).nonEmpty &&
@@ -93,16 +106,29 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * global. */
 object SnapshotSqlCatalog {
   private val Prefix = "graft.snapshots.table."
+  private val MergePrefix = "graft.merge.table."
 
   def register(spark: SparkSession, name: String, root: String): Unit =
     spark.conf.set(Prefix + name.toLowerCase(java.util.Locale.ROOT), root)
+
+  /** Register a [[graft.streaming.MergeTable]] root: SQL time travel
+    * then reads manifest-directed and DV-applied, not directory-raw. */
+  def registerMerge(spark: SparkSession, name: String, root: String): Unit =
+    spark.conf.set(MergePrefix + name.toLowerCase(java.util.Locale.ROOT), root)
 
   def rootOf(spark: SparkSession, nameParts: Seq[String]): Option[String] =
     if (nameParts.size != 1) None
     else spark.conf.getOption(
       Prefix + nameParts.head.toLowerCase(java.util.Locale.ROOT))
 
+  def mergeRootOf(spark: SparkSession, nameParts: Seq[String]): Option[String] =
+    if (nameParts.size != 1) None
+    else spark.conf.getOption(
+      MergePrefix + nameParts.head.toLowerCase(java.util.Locale.ROOT))
+
   def registered(spark: SparkSession): Set[String] =
-    spark.conf.getAll.keysIterator
-      .filter(_.startsWith(Prefix)).map(_.stripPrefix(Prefix)).toSet
+    spark.conf.getAll.keysIterator.collect {
+      case k if k.startsWith(Prefix) => k.stripPrefix(Prefix)
+      case k if k.startsWith(MergePrefix) => k.stripPrefix(MergePrefix)
+    }.toSet
 }

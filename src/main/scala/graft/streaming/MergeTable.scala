@@ -296,6 +296,14 @@ object MergeTable {
     readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
   }
 
+  /** Read an already-resolved generation directory (manifest + that
+    * generation's DV view) — the hook the SQL time-travel rule uses
+    * after [[Snapshots.resolveAsOf]]/[[Snapshots.resolveAt]] picked the
+    * directory. */
+  private[graft] def readResolved(spark: SparkSession, root: String,
+      genDir: String): DataFrame =
+    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
+
   private def readFiles(spark: SparkSession, root: String,
       entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty): DataFrame = {
     require(entries.nonEmpty, s"empty manifest under $root")

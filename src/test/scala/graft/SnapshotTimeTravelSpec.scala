@@ -74,4 +74,47 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("SQL time travel over a MERGE table reads manifest-directed and DV-applied") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.MergeTable
+    val root = TestSpark.tempDir("sql-merge-asof") + "/table"
+    val base = spark
+    import base.implicits._
+    MergeTable.create(spark, root,
+      spark.range(10).select(col("id").as("k"), (col("id") * 10).as("v")),
+      "k", nFiles = 2, commitTsMillis = 1000L)
+    // gen 2: a MOR delete — raw directory reads would resurrect k=3
+    MergeTable.mergeMor(spark, root,
+      Seq(("d", 1L, 3L, 0L), ("u", 2L, 5L, 555L)).toDF("op", "seq", "k", "v"),
+      "k", commitTsMillis = 2000L)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      SnapshotSqlCatalog.registerMerge(ext, "lake", root)
+      // current generation through SQL: DV applied (no k=3), upsert seen
+      val cur = ext.sql("SELECT k, v FROM lake TIMESTAMP AS OF " +
+          "'1970-01-01 00:00:10' ORDER BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!cur.contains(3L), "DV-deleted row resurrected through SQL")
+      assert(cur(5L) === 555L)
+      assert(cur.size === 9)
+      // VERSION AS OF the pre-merge generation: the delete not yet applied
+      val g1 = ext.sql("SELECT k, v FROM lake VERSION AS OF 1 ORDER BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(g1(3L) === 30L && g1(5L) === 50L && g1.size === 10)
+      // the refusal face lists merge-registered names too
+      val noReg = intercept[AnalysisException](
+        ext.sql("SELECT * FROM nope2 TIMESTAMP AS OF '1970-01-01'").collect())
+      assert(noReg.getMessage.contains("lake"), noReg.getMessage)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
