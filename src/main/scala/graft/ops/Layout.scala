@@ -162,7 +162,7 @@ object Layout {
     * honest cheap choice (min/max come from stats the warehouse already
     * has); heavily skewed dimensions want equi-DEPTH boundaries from a
     * quantile sample — same interleave, different normalization. */
-  private def norm16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+  private[graft] def norm16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
     import org.apache.spark.sql.graft.ColumnBridge
     if (hi <= lo) lit(0L)
     else ColumnBridge.column(

@@ -338,12 +338,21 @@ object MergeTable {
     * written bytes (grouped on `_metadata.file_path`) — the write-time
     * cost that buys read-free pruning on every later merge. */
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
-      key: String, gen: Long, nFiles: Int): (Seq[FileEntry], Seq[FileStat]) = {
+      key: String, gen: Long, nFiles: Int,
+      cluster: Option[Column] = None): (Seq[FileEntry], Seq[FileStat]) = {
     val tmp = s"$root/_tmp-write-$gen"
     val tmpPath = new Path(tmp)
     val f = fs(spark, tmpPath)
-    df.repartitionByRange(math.max(1, nFiles), col(key))
-      .write.mode("overwrite").parquet(tmp)
+    // default: range-disjoint on the key (narrow future touch sets);
+    // with a cluster expression (z-index): range-partitioned AND
+    // row-group-sorted by it, so per-file #cstat ranges become ~square
+    // tiles over the interleaved dimensions
+    val arranged = cluster match {
+      case Some(z) => df.repartitionByRange(math.max(1, nFiles), z)
+        .sortWithinPartitions(z)
+      case None => df.repartitionByRange(math.max(1, nFiles), col(key))
+    }
+    arranged.write.mode("overwrite").parquet(tmp)
     val parts = f.listStatus(tmpPath).toSeq
       .filter(st => st.getPath.getName.startsWith("part-"))
       .map(_.getPath).sortBy(_.getName)
@@ -910,6 +919,45 @@ object MergeTable {
     val gen = Snapshots.nextGen(spark, root)
     val (entries, cstats) =
       writeFiles(spark, root, read(spark, root), key, gen, nFiles)
+    writeManifest(spark, root, gen, entries, key, cstats = cstats)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    cur.size
+  }
+
+  /** Z-ORDER CLUSTERED compaction — [[compact]] with the rewrite
+    * arranged by the Morton interleave of (key, `dim2`) instead of the
+    * key alone (Delta/Iceberg `OPTIMIZE ZORDER BY`): both columns
+    * equi-width-normalized to u16 from the table's own min/max
+    * (one aggregation), interleaved by the codegen'd
+    * [[graft.functions.ZOrder64]], range-partitioned + sorted by the
+    * code. Files become ~square tiles in (key, dim2) space, so the
+    * manifest's key ranges AND `#cstat` dim2 ranges BOTH prune —
+    * where key-range compaction leaves an UNCORRELATED dim2 spanning
+    * the full domain in every file (no dim2 predicate can ever skip).
+    * The trade is the classic one: per-file key ranges widen (≈√ the
+    * tile), so point merges touch a few files instead of one — the
+    * price of serving the whole 2-d query family from one clustered
+    * copy. DVs fold in like [[compact]] (the rewrite reads through
+    * them); dim2 must be integral (same domain as the stats). */
+  def compactZOrder(spark: SparkSession, root: String, dim2: String,
+      nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis()): Int = {
+    import graft.functions.ZOrder64.zorder64
+    val cur = currentManifest(spark, root)
+    val key = tableKey(spark, root)
+    val df = read(spark, root)
+    val b = df.agg(
+      min(col(key).cast("long")), max(col(key).cast("long")),
+      min(col(dim2).cast("long")), max(col(dim2).cast("long"))).head
+    (0 until 4).foreach(i => require(!b.isNullAt(i),
+      s"compactZOrder($root): empty table or all-null " +
+        s"${if (i < 2) key else dim2} — no bounds to normalize against"))
+    val z = zorder64(
+      graft.ops.Layout.norm16(col(key), b.getLong(0), b.getLong(1)),
+      graft.ops.Layout.norm16(col(dim2), b.getLong(2), b.getLong(3)))
+    val gen = Snapshots.nextGen(spark, root)
+    val (entries, cstats) =
+      writeFiles(spark, root, df, key, gen, nFiles, cluster = Some(z))
     writeManifest(spark, root, gen, entries, key, cstats = cstats)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size

@@ -329,6 +329,52 @@ class MergeTableSpec extends AnyFunSuite {
     assert(insSame.isEmpty && delSame.isEmpty)
   }
 
+  test("z-order compaction makes an UNCORRELATED dimension prunable; " +
+      "key-range layout cannot; both read exactly") {
+    val root = freshRoot("zcompact")
+    // v = (k * 7919) % 8000: spans the full domain in any key range —
+    // the layout where key-range files give v-predicates nothing
+    val df = spark.range(4000).select(col("id").as("k"),
+      (col("id") * 7919 % 8000).as("v"), lit("x").as("tag"))
+    MergeTable.create(spark, root, df, "k", nFiles = 16, commitTsMillis = 10L)
+    def genDir = Snapshots.genDir(root,
+      Snapshots.currentGen(spark, root).get)
+    def vCandidates(lo: Long, hi: Long): Int = {
+      val ranges = MergeTable.colStats(spark, genDir).filter(_.col == "v")
+        .map(s => s.file -> s).toMap
+      MergeTable.currentManifest(spark, root)
+        .count(e => ranges.get(e.name).forall(s => s.hi >= lo && s.lo <= hi))
+    }
+    val files0 = MergeTable.currentManifest(spark, root).size
+    assert(vCandidates(100L, 300L) === files0,
+      "uncorrelated v should be unprunable under the key-range layout")
+    val want = MergeTable.read(spark, root)
+      .filter(col("v").between(100L, 300L))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    // a DV first, so the clustered rewrite must fold it (purge check)
+    MergeTable.mergeMor(spark, root,
+      Seq(("d", 1L, 17L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    MergeTable.compactZOrder(spark, root, "v", nFiles = 16,
+      commitTsMillis = 30L)
+    val filesZ = MergeTable.currentManifest(spark, root).size
+    val vCand = vCandidates(100L, 300L)
+    assert(vCand < filesZ,
+      s"v-band should prune after z-compaction: $vCand of $filesZ")
+    // the key dimension still prunes too (tiles, not a v-sort)
+    val kRanges = MergeTable.currentManifest(spark, root)
+    val kCand = kRanges.count(e => e.maxKey >= 100L && e.minKey <= 300L)
+    assert(kCand < filesZ,
+      s"k-band should still prune after z-compaction: $kCand of $filesZ")
+    // reads stay exact: the v-band through readWhere ≡ pre-compact truth
+    // minus the DV'd key, and the manifest carries no #dv lines (purged)
+    val got = MergeTable.readWhere(spark, root, col("v").between(100L, 300L))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(got === want.filterNot(_.head == 17L))
+    assert(MergeTable.dvNames(spark, genDir).isEmpty, "compaction must purge DVs")
+    assert(MergeTable.read(spark, root).count() === 3999L)
+  }
+
   test("predicate-driven readWhere: conjunct bounds prune; unknowns and " +
       "disjunctions never prune; result always ≡ full-scan filter") {
     val root = freshRoot("where")
