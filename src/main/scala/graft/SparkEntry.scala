@@ -185,6 +185,8 @@ object SparkEntry {
     "t_incr_agg_cdc"        -> (streaming.IncrementalAggCdc.batchDeltaQuery _),
     "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
+    "t_merge_read_pruned"   -> (streaming.MergeTable.mergeReadPrunedQuery _),
+    "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
@@ -1954,6 +1956,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
         |FROM base WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_read_pruned: the net-effect replay restricted to the
+    // probe band — a pruning bug's failure mode is silent row loss,
+    // which the hash gate catches
+    "t_merge_read_pruned" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 100 = 42 THEN price_cents * 3 + 500
+        |              WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |              ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM merged
+        |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_zorder_read: the price band recomputed from raw orders — the
+    // clustered table's pruned read must return exactly these rows
+    "t_zorder_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      BETWEEN 1000000 AND 5000000
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_dv: the merge-on-read table after TWO MOR waves — wave 1
     // is t_merge_into's net effect; wave 2 deletes %10=9, re-updates the

@@ -699,6 +699,49 @@ object MergeTable {
     else Some(mergeMor(spark, root, changes, key, nFiles, commitTsMillis,
       Some(batchId)))
 
+  /** t_merge_read_pruned — the ORACLED face of the predicate-driven
+    * pruned read: t_merge_into's merged orders table served through
+    * [[readWhere]] with a conjunct predicate (key band × status) whose
+    * key bound prunes via the manifest, while the oracle recomputes the
+    * logical net effect with the same WHERE. The failure mode of every
+    * stats-pruning bug is SILENT ROW LOSS — exactly what the result
+    * hash catches, which is why this face is gated and not just
+    * spec'd. */
+  def mergeReadPrunedQuery(spark: SparkSession, dir: String): DataFrame = {
+    mergeOrdersQuery(spark, dir) // sig-gated build of the merged table
+    val root = graft.ops.Layout.indexPath("merge_orders", dir)
+    readWhere(spark, root,
+      col("o_orderkey").between(1000L, 3000L) && col("o_orderstatus") === "O")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** t_zorder_read — the ORACLED face of z-order clustered compaction:
+    * an orders table created key-range-partitioned, re-clustered by
+    * [[compactZOrder]] on the UNCORRELATED price dimension, then served
+    * a price-band predicate through [[readWhere]] — the read prunes via
+    * the post-compaction `#cstat` tiles, and the oracle recomputes the
+    * band from raw orders. Gates the whole chain: normalize →
+    * interleave → clustered write → stats carry → prune → residual. */
+  def zorderReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("zorder_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8, commitTsMillis = 1000L)
+      compactZOrder(spark, root, "price_cents", nFiles = 8,
+        commitTsMillis = 2000L)
+    }
+    readWhere(spark, root,
+      col("price_cents").between(1000000L, 5000000L))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** t_merge_into — the oracled batch face: a MergeTable built from
     * `orders` (money as exact integer cents), hit with one deterministic
     * MERGE batch exercising every clause — updates (key%10=3 doubles the
