@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   * to executors via `spark.executor.extraClassPath`; the Worker's own
   * launcher classpath lacks the application classes, and there is no
   * shared-filesystem jar distribution step in this environment.
+  *
+  * ALSO export `SPARK_SCALA_VERSION=2.13` for local-cluster runs: the
+  * Worker spawns executors through the launcher library directly (not
+  * `bin/spark-class`, which sources `load-spark-env.sh` to set it), and
+  * without the variable the launcher probes `$SPARK_HOME/launcher/
+  * target/scala-*` build dirs — absent in a binary dist — and dies with
+  * "Cannot find any build directories." before the executor starts.
   */
 object Sessions {
 

@@ -55,8 +55,11 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * Ratio bound-asserts (round-11): at factor > 1 the run compares every
   * query against `target/fullsurface_f1.json` and FAILS (exit 2, after
   * writing its artifact) if a declared scale path degrades superlinearly
-  * — ratio > [[BoundFactorSlack]]×factor with both walls above the
-  * jitter floor. The three declared exact quadratic anchors
+  * — ratio > [[BoundFactorSlack]]×max(factor, output-rows growth) with
+  * both walls above the jitter floor (the rows term: a pair-emitting
+  * face whose RESULT legitimately outgrows the input — 44× rows at
+  * factor 10 measured for the near-dup pair queries under the salted
+  * replica corpus — is doing work proportional to what it must emit). The three declared exact quadratic anchors
   * (x_embed_near_dup, x_ngram_jaccard, x_dup_clusters) are exempt BY
   * NAME: they are oracle anchors for their LSH/index twins and scale
   * pair-proportionally by construction. This turns the round-10 judge
@@ -294,8 +297,8 @@ object FullSurfaceBench {
     // in that mode and the single-JVM pair is left untouched.
     val modeTag =
       if (graft.Sessions.master(cpus).startsWith("local-cluster")) "lc_" else ""
-    // f1 per-query seconds, parsed off our own writer's format
-    val f1Secs: Map[String, Double] =
+    // f1 per-query (seconds, rows), parsed off our own writer's format
+    val f1Secs: Map[String, (Double, Long)] =
       if (factor <= 1) Map.empty
       else {
         val p = java.nio.file.Paths.get(s"target/fullsurface_${modeTag}f1.json")
@@ -305,8 +308,11 @@ object FullSurfaceBench {
           Map.empty
         } else {
           val txt = java.nio.file.Files.readString(p)
-          val parsed = raw""""(\w+)":\{"sec":([0-9.]+)""".r.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val parsed =
+            raw""""(\w+)":\{"sec":([0-9.]+),"rows":(-?[0-9]+)""".r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toLong))
+              .toMap
           // A present-but-unparseable f1 artifact must not silently
           // disarm the gate: fail loudly so the writer/reader formats
           // are kept in lockstep.
@@ -327,18 +333,27 @@ object FullSurfaceBench {
         // the baseline is FLOORED at [[BoundBaseFloor]]: a query at
         // 0.25 s f1 / 3.1 s f10 is scheduler noise (3.1 < 1.2·10·0.5),
         // while a genuine superlinear blow-up past 6 s still fails.
-        case Some(base) if r.err.isEmpty && !BoundExempt(r.name) &&
-            r.sec >= BoundMinSec && base > 0 &&
-            r.sec / math.max(base, BoundBaseFloor) >
-              BoundFactorSlack * factor =>
+        // The allowance is slack × max(factor, OUTPUT-rows growth):
+        // a pair-emitting face (near-dup pairs under the replicated
+        // corpus) legitimately produces superlinear OUTPUT — measured
+        // 44× rows at factor 10 for x_embed_near_dup_lsh — and work
+        // proportional to what a query must EMIT is not a regression;
+        // a query whose rows grow ≤ factor keeps the plain bound.
+        case Some((base, baseRows)) if r.err.isEmpty && !BoundExempt(r.name) &&
+            r.sec >= BoundMinSec && base > 0 && {
+              val rowsRatio =
+                r.rows.map(_.toDouble / math.max(baseRows, 1L)).getOrElse(1.0)
+              r.sec / math.max(base, BoundBaseFloor) >
+                BoundFactorSlack * math.max(factor.toDouble, rowsRatio)
+            } =>
           Some((r.name, r.sec / math.max(base, BoundBaseFloor)))
         case _ => None
       }
     }
     violations.foreach { case (n, ratio) =>
       println(f"[fullsurface] BOUND VIOLATION: $n%-28s ${ratio}%.1f× at " +
-        f"factor $factor (bound ${BoundFactorSlack * factor}%.1f×) — " +
-        "superlinear regression on a declared scale path")
+        f"factor $factor (bound ${BoundFactorSlack * factor}%.1f× or " +
+        "output-growth-scaled) — superlinear regression on a declared scale path")
     }
 
     def fmt(v: Double): String =
