@@ -128,21 +128,39 @@ object Search {
     * Repeated terms in the phrase need no special casing: each slot is
     * its own leg over the same postings with a different offset. */
   def phraseSearch(spark: SparkSession, dir: String,
-      phrase: Seq[String] = Seq("spark", "merge")): DataFrame =
+      phrase: Seq[String] = Seq("spark", "merge")): DataFrame = {
+    // RAREST-FIRST join ordering, made real rather than hoped-for:
+    // per-term document frequencies come from the tf postings index
+    // (one pushed-term probe of |phrase| terms' rows — the classic
+    // query-planning read every search engine does), and the leg chain
+    // intersects the rarest term's occurrences first, so every later
+    // join's left side is already no bigger than the scarcest list.
+    // The (doc, start) equi-joins are inner and key-preserving, so leg
+    // order never changes results (spec + oracle pin that).
+    val tf = spark.read.parquet(ensurePostingsIndex(spark, dir))
+    val df = tf.filter(col("term").isin(phrase.distinct: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val order = phrase.indices.sortBy(i => (df.getOrElse(phrase(i), 0L), i))
     phraseSearchFrom(
-      spark.read.parquet(ensurePositionalIndex(spark, dir)), phrase)
+      spark.read.parquet(ensurePositionalIndex(spark, dir)), phrase, order)
+  }
 
   /** [[phraseSearch]] over an arbitrary positional-postings frame —
     * shared with the incrementally-maintained index
-    * ([[graft.streaming.IncrementalPostings.appendPositionalBatch]]). */
+    * ([[graft.streaming.IncrementalPostings.appendPositionalBatch]]).
+    * `legOrder` permutes which phrase slot anchors the join chain
+    * (default: phrase order). */
   private[graft] def phraseSearchFrom(post: DataFrame,
-      phrase: Seq[String]): DataFrame = {
+      phrase: Seq[String], legOrder: Seq[Int] = Seq.empty): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     val legs = phrase.zipWithIndex.map { case (t, i) =>
       post.filter(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
     }
-    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+    val ordered =
+      if (legOrder.isEmpty) legs else legOrder.map(legs)
+    ordered.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("doc_id"))

@@ -377,6 +377,12 @@ class CorpusSearchSpec extends AnyFunSuite {
     val kw = Search.keywordSearch(spark, dir, phrase).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(got.keySet.subsetOf(kw), "phrase doc outside its AND set")
+    // leg order is result-free (the rarest-first planner may pick any)
+    val reversed = Search.phraseSearchFrom(
+      spark.read.parquet(Search.ensurePositionalIndex(spark, dir)),
+      phrase, phrase.indices.reverse)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap
+    assert(reversed === got, "leg permutation changed results")
   }
 
   test("phrase search: repeated-term phrase counts overlapping occurrences") {
