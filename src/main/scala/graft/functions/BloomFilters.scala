@@ -68,6 +68,42 @@ object BloomFilters {
     }
   }
 
+  /** Per-GROUP Bloom filters in one distributed pass: one serialized
+    * filter per value of `groupCol` (all sized for `expectedItems`, the
+    * max group cardinality). The grouped form of [[buildBloom]] — used
+    * for per-FILE filters in the lake table's bloom registry, where the
+    * group is `_metadata.file_path`'s basename. Same cap save/restore. */
+  def perGroupBlooms(df: DataFrame, groupCol: String, valueCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val numBits = optimalNumBits(math.max(expectedItems, 1L), fpp)
+    val agg = new BloomFilterAggregate(
+      ColumnBridge.expression(df.col(valueCol)),
+      Literal(math.max(expectedItems, 1L)),
+      Literal(numBits)).toAggregateExpression()
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val savedItems = conf.getOption(itemsKey)
+    val savedBits = conf.getOption(bitsKey)
+    try {
+      conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
+      conf.set(bitsKey, math.max(numBits, 67108864L).toString)
+      df.groupBy(df.col(groupCol))
+        .agg(ColumnBridge.column(agg).as("bloom"))
+    } finally {
+      savedItems.fold(conf.unset(itemsKey))(conf.set(itemsKey, _))
+      savedBits.fold(conf.unset(bitsKey))(conf.set(bitsKey, _))
+    }
+  }
+
+  /** Driver-side membership probe of a serialized filter — the
+    * metadata-plane twin of [[mightContain]] (a query planner holding
+    * per-file filters probes them locally, no job). */
+  def mightContainLong(bloom: Array[Byte], value: Long): Boolean =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloom))
+      .mightContainLong(value)
+
   /** Membership probe of a LongType column against a serialized filter
     * — codegen'd, usable anywhere a Column is (including inside
     * higher-order-function lambdas, which is what lets a caller prune

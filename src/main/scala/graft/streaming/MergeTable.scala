@@ -252,6 +252,68 @@ object MergeTable {
       .reduce((x, y) => (math.max(x._1, y._1), math.min(x._2, y._2)))).toMap
   }
 
+  private def bloomDir(root: String, column: String): String =
+    s"$root/blooms/$column"
+
+  /** Build (or top up) the per-FILE Bloom registry for `column` — the
+    * point-probe complement of the `#cstat` ranges: a range prunes
+    * bands, but an UNCORRELATED column's per-file ranges all span the
+    * domain, so an equality probe prunes nothing by range — while a
+    * ~10-bit-per-row bloom answers "is value v possibly in this file?"
+    * per file with no reads at query time (Iceberg's puffin-stats
+    * move). Opt-in like the other materialized indexes; one
+    * distributed pass builds filters for every current file MISSING an
+    * entry (files are immutable ⇒ so are their filters; files appended
+    * later simply have no entry — unknown, never pruned — until the
+    * next ensure). Registry rows for retired files are inert (file
+    * names are unique, lookups are by name). False positives only ADD
+    * files to a scan; a file containing v can never be skipped.
+    * Returns how many file filters were built. */
+  def ensureBloomIndex(spark: SparkSession, root: String, column: String,
+      fpp: Double = 0.01): Int = {
+    val cur = currentManifest(spark, root).map(_.name)
+    val dir = new Path(bloomDir(root, column))
+    val f = fs(spark, dir)
+    val existing: Set[String] =
+      if (!f.exists(dir)) Set.empty
+      else spark.read.parquet(bloomDir(root, column))
+        .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val missing = cur.filterNot(existing)
+    if (missing.isEmpty) return 0
+    val scan = spark.read.parquet(missing.map(filePath(root, _)): _*)
+      .select(col(column).cast("long").as("v"),
+        element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"))
+      .where(col("v").isNotNull)
+    // filters sized for the largest file (same size everywhere keeps
+    // the build one pass; a file's fpp only ever improves)
+    val maxRows = scan.groupBy(col("file")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    graft.functions.BloomFilters
+      .perGroupBlooms(scan, "file", "v", maxRows, fpp)
+      .coalesce(1)
+      .write.mode("append").parquet(bloomDir(root, column))
+    missing.size
+  }
+
+  /** The equality-probe refinement [[readWhere]] applies when a bloom
+    * registry exists for a probed column: drop candidate files whose
+    * filter proves the value absent. Planner-side (|candidates| local
+    * probes), zero jobs beyond the registry read. */
+  private[graft] def bloomRefine(spark: SparkSession, root: String,
+      candidates: Seq[FileEntry], column: String, v: Long): Seq[FileEntry] = {
+    val dir = new Path(bloomDir(root, column))
+    if (!fs(spark, dir).exists(dir)) candidates
+    else {
+      val names = candidates.map(_.name).toSet
+      val blooms = spark.read.parquet(bloomDir(root, column))
+        .filter(col("file").isin(names.toSeq: _*))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom"))
+        .toMap
+      candidates.filter(e => blooms.get(e.name).forall(b =>
+        graft.functions.BloomFilters.mightContainLong(b, v)))
+    }
+  }
+
   /** Predicate-driven read — [[readWhereKey]]/[[readWhereCol]] unified
     * behind the API a query engine actually presents: extract
     * conservative per-column bounds from the predicate's conjuncts,
@@ -279,9 +341,16 @@ object MergeTable {
     val ranges: Map[(String, String), (Long, Long)] =
       colStats(spark, genDir).map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
         entries.map(e => (e.name, key) -> (e.minKey, e.maxKey)).toMap
-    val candidates = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
+    val byRange = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
       ranges.get((e.name, c)).forall(r => r._2 >= lo && r._1 <= hi)
     })
+    // equality conjuncts additionally consult the per-file bloom
+    // registry when one was built (ensureBloomIndex) — the point-probe
+    // pruning ranges cannot give an uncorrelated column
+    val candidates = bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
+      .foldLeft(byRange) { case (cand, (c, v)) =>
+        if (cand.isEmpty) cand else bloomRefine(spark, root, cand, c, v)
+      }
     if (candidates.isEmpty)
       readFiles(spark, root, entries.take(1)).limit(0).filter(predicate)
     else

@@ -329,6 +329,43 @@ class MergeTableSpec extends AnyFunSuite {
     assert(insSame.isEmpty && delSame.isEmpty)
   }
 
+  test("bloom registry: equality probes skip files ranges cannot; " +
+      "unknown files always read; false positives only widen") {
+    val root = freshRoot("bloom")
+    // v = (k*7919) % 8000: every file's v-RANGE spans ~the domain, so a
+    // point probe prunes nothing by range — the bloom's whole case
+    val df = spark.range(4000).select(col("id").as("k"),
+      (col("id") * 7919 % 8000).as("v"), lit("x").as("tag"))
+    MergeTable.create(spark, root, df, "k", nFiles = 16, commitTsMillis = 10L)
+    val files = MergeTable.currentManifest(spark, root)
+    val built = MergeTable.ensureBloomIndex(spark, root, "v")
+    assert(built === files.size, s"one filter per file, got $built")
+    assert(MergeTable.ensureBloomIndex(spark, root, "v") === 0, "idempotent")
+    // a present value: found exactly, through a strict candidate subset
+    val v = 1234L * 7919L % 8000L
+    val cand = MergeTable.bloomRefine(spark, root, files, "v", v)
+    assert(cand.nonEmpty && cand.size < files.size,
+      s"bloom should prune a point probe: ${cand.size} of ${files.size}")
+    val got = MergeTable.readWhere(spark, root, col("v") === v)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1234L))
+    // an absent (in-domain) value: blooms empty the candidate set but
+    // the result is simply empty — never wrong
+    val absent = 4001L * 7919L % 8000L // k stops at 3999; residues unique
+    assert(MergeTable.readWhere(spark, root, col("v") === absent).isEmpty)
+    // a file appended AFTER the build has no filter: unknown ⇒ read ⇒
+    // the new value is found even though no bloom knows it
+    MergeTable.mergeMor(spark, root,
+      Seq(("c", 1L, 9000L, 4321L, "new")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    assert(MergeTable.readWhere(spark, root, col("v") === 4321L)
+      .collect().map(_.getLong(0)).toSeq === Seq(9000L))
+    // top-up builds exactly the missing file's filter
+    assert(MergeTable.ensureBloomIndex(spark, root, "v") === 1)
+    assert(MergeTable.readWhere(spark, root, col("v") === 4321L)
+      .collect().map(_.getLong(0)).toSeq === Seq(9000L))
+  }
+
   test("z-order compaction makes an UNCORRELATED dimension prunable; " +
       "key-range layout cannot; both read exactly") {
     val root = freshRoot("zcompact")
