@@ -187,6 +187,7 @@ object SparkEntry {
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
     "t_merge_read_pruned"   -> (streaming.MergeTable.mergeReadPrunedQuery _),
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
+    "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
@@ -1986,6 +1987,19 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
         |      BETWEEN 1000000 AND 5000000
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_bloom_read: the same price band's minimum over keys 100-200 is
+    // the probe value; the oracle recomputes the equality slice from
+    // raw orders — a false-negative bloom would silently drop rows
+    "t_bloom_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |v AS (SELECT min(price_cents) AS v FROM base
+        |      WHERE o_orderkey BETWEEN 100 AND 200)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base, v WHERE price_cents = v.v
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_dv: the merge-on-read table after TWO MOR waves — wave 1
     // is t_merge_into's net effect; wave 2 deletes %10=9, re-updates the

@@ -95,6 +95,27 @@ object MergeStream {
     }
   }
 
+  /** Re-admit a corrected DEAD-LETTER batch: read the decoded changes
+    * the gate rejected (`rejectsDir/batch=<batchId>`), apply the
+    * caller's `fix`, and push the result back through the SAME
+    * stage-audit-publish gate — the ops loop WAP implies (bad data is
+    * quarantined, repaired upstream or by transform, re-admitted under
+    * scrutiny, never force-committed). Returns true iff the fixed
+    * batch passed the audit and published. A fix that doesn't actually
+    * fix is re-refused and the staged attempt discarded — re-admission
+    * grants no bypass. */
+  def replayReject(root: String, key: String, rejectsDir: String,
+      batchId: Long, audit: DataFrame => Boolean)(
+      fix: DataFrame => DataFrame)(implicit spark: SparkSession): Boolean = {
+    val changes = fix(spark.read.parquet(s"$rejectsDir/batch=$batchId"))
+    val g = MergeTable.stageMerge(spark, root, changes, key)
+    if (audit(MergeTable.readStaged(spark, root, g))) {
+      MergeTable.publishStaged(spark, root, g); true
+    } else {
+      MergeTable.discardStaged(spark, root, g); false
+    }
+  }
+
   /** [[intoTable]] with a WRITE-AUDIT-PUBLISH gate per micro-batch —
     * the streaming data-quality gate: every batch is staged as an
     * uncommitted generation ([[MergeTable.stageMerge]]), the `audit`

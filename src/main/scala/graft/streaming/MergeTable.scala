@@ -811,6 +811,27 @@ object MergeTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** t_bloom_read — the ORACLED face of the bloom registry: the
+    * z-clustered orders table (t_zorder_read's fixture) gains per-file
+    * price blooms, then serves an EQUALITY probe on the uncorrelated
+    * price dimension — the shape where even the z-tiles' ranges keep
+    * most files (a point is in every straddling tile's range) and only
+    * the bloom can prove absence per file. The oracle recomputes the
+    * probe from raw orders: a false-negative bloom (the impossible
+    * failure this gate exists to catch) would silently drop the row. */
+  def bloomReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    zorderReadQuery(spark, dir) // sig-gated build of the clustered table
+    val root = graft.ops.Layout.indexPath("zorder_orders", dir)
+    ensureBloomIndex(spark, root, "price_cents")
+    // the probe value: an actual price from the table, chosen
+    // deterministically (min price of orderkey band 100-200)
+    val v = read(spark, root)
+      .filter(col("o_orderkey").between(100L, 200L))
+      .agg(min(col("price_cents"))).head.getLong(0)
+    readWhere(spark, root, col("price_cents") === v)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** t_merge_into — the oracled batch face: a MergeTable built from
     * `orders` (money as exact integer cents), hit with one deterministic
     * MERGE batch exercising every clause — updates (key%10=3 doubles the
@@ -1034,6 +1055,26 @@ object MergeTable {
     writeManifest(spark, root, gen, entries, key, cstats = cstats)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
+  }
+
+  /** DESCRIBE HISTORY — one row per committed generation: commit
+    * instant, file/DV counts, the recorded streaming batch id (if the
+    * generation came from an exactly-once sink). The operational
+    * audit face every table format exposes (Delta DESCRIBE HISTORY,
+    * Iceberg snapshots table); O(generations × manifest) METADATA
+    * reads, zero data touched — the question "what happened to this
+    * table and when" must never cost a table scan. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    Snapshots.generationsWithTimes(spark, root).map { case (g, ts) =>
+      val gd = Snapshots.genDir(root, g)
+      val batch = manifestText(spark, gd).split("\n").iterator
+        .map(_.trim).collectFirst {
+          case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+        }
+      (g, ts, manifest(spark, gd).size, dvNames(spark, gd).size, batch)
+    }.toDF("generation", "commit_ts_millis", "n_files", "n_dvs", "batch_id")
+      .orderBy(col("generation"))
   }
 
   /** Z-ORDER CLUSTERED compaction — [[compact]] with the rewrite

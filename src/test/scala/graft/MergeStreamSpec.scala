@@ -147,6 +147,26 @@ class MergeStreamSpec extends AnyFunSuite {
       MergeStream.applyGatedBatch(root, "id", Fields, audit, rejects)(wave2, lastId)
       assert(Snapshots.generations(spark, root) === gens)
       assert(tableState(root) === fin)
+      // dead-letter REPLAY: an identity "fix" is re-refused by the same
+      // gate (re-admission grants no bypass); a real fix publishes
+      implicit val ss: org.apache.spark.sql.SparkSession = spark
+      assert(!MergeStream.replayReject(root, "id", rejects, 1L, audit)(identity))
+      assert(tableState(root) === fin, "refused replay must change nothing")
+      assert(MergeStream.replayReject(root, "id", rejects, 1L, audit)(
+        df => df.withColumn("value", abs(col("value")))))
+      val repaired = tableState(root)
+      assert(repaired(3L) === 103.0 && repaired(4L) === 104.0 &&
+        repaired(5L) === 105.0 && repaired(6L) === 106.0,
+        s"repaired batch must land: $repaired")
+      // DESCRIBE HISTORY: create + 2 published waves + the repair, with
+      // the sink-recorded batch ids on the streamed generations only
+      val hist = MergeTable.history(spark, root).collect()
+      assert(hist.map(_.getLong(0)).toSeq === hist.map(_.getLong(0)).toSeq.sorted)
+      assert(hist.length === 4, hist.mkString(", "))
+      val batchIds = hist.flatMap(r =>
+        if (r.isNullAt(4)) None else Some(r.getLong(4))).toSeq
+      assert(batchIds === Seq(0L, 2L), s"sink batch ids: $batchIds")
+      assert(hist.forall(_.getInt(2) > 0), "every generation references files")
     } finally server.close()
   }
 
