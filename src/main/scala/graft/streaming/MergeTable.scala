@@ -1134,6 +1134,27 @@ object MergeTable {
     val orphans = f.listStatus(filesDir).toSeq
       .map(_.getPath).filterNot(p => referenced.contains(p.getName))
     orphans.foreach(p => f.delete(p, false))
+    // bloom registries: rows keyed by retired file names are inert for
+    // correctness (lookups are by name) but accumulate forever — the
+    // sweep rewrites each registry down to the rows still referenced.
+    // The rewrite goes through a temp dir + delete + rename so a reader
+    // racing the sweep sees either the old registry or NO registry
+    // (unknown = read unpruned — the safe direction), never a partial.
+    val bloomsRoot = new Path(s"$root/blooms")
+    if (f.exists(bloomsRoot)) {
+      f.listStatus(bloomsRoot).filter(_.isDirectory).foreach { st =>
+        val dir = st.getPath.toString
+        val rows = spark.read.parquet(dir)
+        val keep = rows.filter(col("file").isin(referenced.toSeq: _*))
+        if (keep.count() < rows.count()) {
+          val tmp = s"$dir-sweep-tmp"
+          keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+          f.delete(st.getPath, true)
+          require(f.rename(new Path(tmp), st.getPath),
+            s"bloom registry sweep rename failed for $dir")
+        }
+      }
+    }
     orphans.size
   }
 }

@@ -364,6 +364,18 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.ensureBloomIndex(spark, root, "v") === 1)
     assert(MergeTable.readWhere(spark, root, col("v") === 4321L)
       .collect().map(_.getLong(0)).toSeq === Seq(9000L))
+    // sweep rewrites the registry down to live files' rows; probes
+    // still exact through the fresh (post-compaction) filters
+    MergeTable.compact(spark, root, nFiles = 4, commitTsMillis = 30L)
+    MergeTable.ensureBloomIndex(spark, root, "v")
+    MergeTable.sweep(spark, root, retainPredecessors = 0)
+    val regFiles = spark.read.parquet(s"$root/blooms/v")
+      .select(col("file")).distinct().collect().map(_.getString(0)).toSet
+    val live = MergeTable.currentManifest(spark, root).map(_.name).toSet
+    assert(regFiles.subsetOf(live),
+      s"swept registry references dead files: ${regFiles -- live}")
+    assert(MergeTable.readWhere(spark, root, col("v") === 4321L)
+      .collect().map(_.getLong(0)).toSeq === Seq(9000L))
   }
 
   test("z-order compaction makes an UNCORRELATED dimension prunable; " +
