@@ -189,6 +189,7 @@ object SparkEntry {
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
     "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
+    "t_merge_occ"           -> (streaming.MergeTable.mergeOccQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -1957,6 +1958,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
         |FROM base WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_occ: two optimistic writers from one base snapshot —
+    // A updates low keys, B deletes high keys + inserts beyond the
+    // domain; disjoint, so the serial replay is order-free. The
+    // thresholds are quartiles of the max key (integer division on
+    // both sides: Spark Long `/` = DuckDB `//` for positives)
+    "t_merge_occ" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 3
+        |                 AND o_orderkey <= (SELECT mx // 4 FROM b)
+        |            THEN price_cents * 2 ELSE price_cents END AS price_cents
+        |FROM base
+        |WHERE NOT (o_orderkey % 10 = 7
+        |           AND o_orderkey >= (SELECT mx * 3 // 4 FROM b))
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |       price_cents + 100
+        |FROM base
+        |WHERE o_orderkey % 10 = 1
+        |  AND o_orderkey >= (SELECT mx * 3 // 4 FROM b)
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_read_pruned: the net-effect replay restricted to the
     // probe band — a pruning bug's failure mode is silent row loss,

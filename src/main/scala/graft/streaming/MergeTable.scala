@@ -471,6 +471,16 @@ object MergeTable {
     }
   }
 
+  private def manifestBytes(entries: Seq[FileEntry], key: String,
+      batchId: Option[Long], dvs: Seq[String],
+      cstats: Seq[FileStat]): Array[Byte] = {
+    val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("") +
+      dvs.map(d => s"#dv=$d\n").mkString +
+      cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
+    (meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
+      .mkString("", "\n", "\n")).getBytes("UTF-8")
+  }
+
   private def writeManifest(spark: SparkSession, root: String, gen: Long,
       entries: Seq[FileEntry], key: String,
       batchId: Option[Long] = None,
@@ -481,11 +491,7 @@ object MergeTable {
     if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
-    val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("") +
-      dvs.map(d => s"#dv=$d\n").mkString +
-      cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
-    out.write((meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
-      .mkString("", "\n", "\n")).getBytes("UTF-8"))
+    out.write(manifestBytes(entries, key, batchId, dvs, cstats))
     out.close()
   }
 
@@ -879,6 +885,57 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** Oracled face of the OPTIMISTIC path ([[prepareMerge]] /
+    * [[commitPrepared]]): two writers prepared against the SAME base
+    * snapshot — A updating low keys, B deleting high keys and inserting
+    * beyond the domain — committed in sequence, so B's base is stale at
+    * commit time and the conflict rules arbitrate (disjoint envelopes →
+    * B rebases with zero data recomputation; the hash gate holds either
+    * way because a replay is also exact). Final state must equal both
+    * change sets applied to the base — order-free because disjoint. */
+  def mergeOccQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("merge_occ", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val mx = currentManifest(spark, root).map(_.maxKey).max
+      val loT = mx / 4
+      val hiT = mx * 3 / 4
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      val aChanges = base
+        .where(col("o_orderkey") % 10 === 3 && col("o_orderkey") <= loT)
+        .select(payload :+ (col("price_cents") * 2).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val bDel = base
+        .where(col("o_orderkey") % 10 === 7 && col("o_orderkey") >= hiT)
+        .select(payload :+ col("price_cents"): _*)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      val bIns = base
+        .where(col("o_orderkey") % 10 === 1 && col("o_orderkey") >= hiT)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey") +:
+          (col("o_custkey") +: col("o_orderstatus") +:
+            (col("price_cents") + 100L).as("price_cents") +: Nil): _*)
+        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+      val hA = prepareMerge(spark, root, aChanges, "o_orderkey", nFiles = 2)
+      val hB = prepareMerge(spark, root, bDel.unionByName(bIns),
+        "o_orderkey", nFiles = 2)
+      val a = commitPrepared(spark, root, hA, commitTsMillis = 2000L)
+      val b = commitPrepared(spark, root, hB, commitTsMillis = 3000L)
+      require(a.path == "clean" && b.gen > a.gen,
+        s"occ face: unexpected outcomes $a / $b")
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** CHANGE DATA FEED: the row-level diff between two committed
     * generations, derived from the manifests alone — no table-state
     * comparison, no full scans (the Delta CDF / Iceberg changelog-scan
@@ -1156,5 +1213,205 @@ object MergeTable {
       }
     }
     orphans.size
+  }
+
+  // ========== OPTIMISTIC CONCURRENCY (multi-writer MERGE) ==========
+  //
+  // Everything above assumes the single-writer contract the reference
+  // gets from its Step Function serialization (one state machine owns
+  // the warehouse load end-to-end, `cdk_infrastructure/__init__.py`).
+  // At 100 TB with many ingest pipelines that serialization IS the
+  // bottleneck, so table formats replace it with optimistic MVCC
+  // (Armbrust et al., VLDB 2020 §3.2): writers compute against a base
+  // snapshot without locks, and COMMIT arbitrates — an atomic claim of
+  // the next generation id, with file-granular conflict rules deciding
+  // whether a loser's work is still valid (manifest-only REBASE) or
+  // must be recomputed against the winner's state (REPLAY). Correctness
+  // contract: the committed history is equivalent to SOME serial order
+  // of the merges (each commit's state = its change set applied to the
+  // previous commit's state).
+
+  /** A merge computed against a base snapshot but not yet committed.
+    * Its data files are on disk under `files/` (uuid-named and
+    * UNREFERENCED — invisible to every reader; [[sweep]] collects them
+    * if the handle is abandoned). `changeLo/changeHi` is the net change
+    * set's key envelope: conflict tests are file-range-vs-envelope, so
+    * the handle stays O(files) metadata at any change-set size — the
+    * trade is an occasional false conflict (safe: it only forces a
+    * replay, never a wrong state). */
+  final case class PreparedMerge(
+      baseGen: Long, key: String, nFiles: Int,
+      touchedNames: Set[String],
+      newEntries: Seq[FileEntry], newCstats: Seq[FileStat],
+      changeLo: Long, changeHi: Long,
+      changes: DataFrame)
+
+  /** `path`: "clean" (no concurrent commit since base), "rebased"
+    * (concurrent commits were disjoint — staged files reused verbatim,
+    * manifest-only arbitration), "replayed" (true conflict — the merge
+    * recomputed against the winner's state). */
+  final case class OccOutcome(gen: Long, attempts: Int, path: String)
+
+  /** Compute a merge against the CURRENT committed snapshot without
+    * committing it — the optimistic writer's work phase. Same change
+    * contract as [[merge]] (`op`/`seq` + payload, last-wins per key). */
+  def prepareMerge(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, nFiles: Int = 4): PreparedMerge = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareAgainst(spark, root, g0, changes, key, nFiles)
+  }
+
+  private def prepareAgainst(spark: SparkSession, root: String, g0: Long,
+      changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
+    val genDir0 = Snapshots.genDir(root, g0)
+    val cur = manifest(spark, genDir0)
+    val curDvs = dvNames(spark, genDir0)
+    val targetCols = readResolved(spark, root, genDir0).columns.toSeq
+    val net = netChanges(changes, key, targetCols)
+    val bounds = net.agg(min(col(key).cast("long")),
+      max(col(key).cast("long"))).head
+    require(!bounds.isNullAt(0),
+      s"prepareMerge($root): empty change set — nothing to merge")
+    val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
+    // identical pruning + rewrite shape as the single-writer merge
+    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
+    val touchedNames = filesDf
+      .join(net.select(col(key).cast("long").as("k")),
+        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
+      .select("name").collect().map(_.getString(0)).toSet
+    val touched = cur.filter(e => touchedNames.contains(e.name))
+    val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
+    val merged =
+      if (touched.isEmpty) upserts
+      else readFiles(spark, root, touched, curDvs)
+        .join(net.select(col(key)), Seq(key), "left_anti")
+        .select(targetCols.map(col): _*)
+        .unionByName(upserts)
+    val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1, nFiles)
+    PreparedMerge(g0, key, nFiles, touchedNames, entries, cstats,
+      kLo, kHi, changes)
+  }
+
+  /** File-granular conflict test between what `h` read/affected at its
+    * base and everything committed since (the Delta commit-conflict
+    * rules, envelope-coarse on inserts):
+    *   C1 — a file we REWROTE was itself rewritten/compacted/rolled
+    *        away: the rows we merged from are no longer the table's;
+    *   C2 — a deletion vector added since base targets a file we
+    *        rewrote: same staleness through the MOR path;
+    *   C3 — a file ADDED since base overlaps our change-key envelope:
+    *        the winner wrote rows for keys we also changed (or deleted),
+    *        and carrying their file next to our rewrite would duplicate
+    *        or resurrect them.
+    * Any hit → replay. A swept base is indistinguishable from a
+    * conflict (nothing to diff against) and also replays. */
+  private def hasConflict(spark: SparkSession, root: String,
+      h: PreparedMerge, gNow: Long): Boolean = {
+    if (!Snapshots.generations(spark, root).contains(h.baseGen)) return true
+    val baseDir = Snapshots.genDir(root, h.baseGen)
+    val nowDir = Snapshots.genDir(root, gNow)
+    val baseNames = manifest(spark, baseDir).map(_.name).toSet
+    val nowMan = manifest(spark, nowDir)
+    if (!h.touchedNames.subsetOf(nowMan.map(_.name).toSet)) return true // C1
+    val newDvs = (dvNames(spark, nowDir).toSet --
+      dvNames(spark, baseDir).toSet).toSeq.sorted
+    if (newDvs.nonEmpty) { // C2: DV sidecars are change-set-sized reads
+      val targets = spark.read.parquet(newDvs.map(filePath(root, _)): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      if (targets.exists(h.touchedNames)) return true
+    }
+    nowMan.exists(e => !baseNames.contains(e.name) && // C3
+      e.minKey <= h.changeHi && e.maxKey >= h.changeLo)
+  }
+
+  /** Atomically claim generation `target` by renaming a fully-staged
+    * tmp dir onto it. Hadoop's rename(src, existingDir) NESTS src
+    * inside dst instead of failing, so a lost race is detected by the
+    * nested dir and undone. True iff the claim landed. */
+  private def claimGeneration(f: org.apache.hadoop.fs.FileSystem,
+      root: String, target: Long, tmp: Path): Boolean = {
+    val dst = new Path(Snapshots.genDir(root, target))
+    if (f.exists(dst)) return false
+    if (!f.rename(tmp, dst)) return false
+    val nested = new Path(dst, tmp.getName)
+    if (f.exists(nested)) { f.delete(nested, true); return false }
+    f.exists(new Path(dst, ManifestName))
+  }
+
+  /** Commit a prepared merge — the optimistic CAS loop. Each attempt:
+    * read the current committed state; if it moved past our base, run
+    * the conflict rules (disjoint → REBASE: splice our staged files
+    * into the winner's manifest, zero data work; conflict → REPLAY:
+    * delete our staged files and recompute against the winner's state);
+    * then stage `_MANIFEST` in a tmp dir and atomically claim the next
+    * generation id. A lost claim loops. The arbitration cost of a
+    * rebase is O(manifest) metadata — at 100 TB concurrent writers on
+    * disjoint key ranges (the normal partitioned-ingest shape) never
+    * reread or rewrite a byte of data.
+    *
+    * Residual window (documented, same class as [[Snapshots.commit]]):
+    * the claim is atomic on filesystems with atomic dst-exists-fails
+    * rename (local, HDFS); on raw S3 an external lock or a
+    * conditional-put commit log is required. */
+  def commitPrepared(spark: SparkSession, root: String,
+      prepared: PreparedMerge,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 5): OccOutcome = {
+    val f = fs(spark, new Path(root))
+    var h = prepared
+    var path = "clean"
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val gNow = Snapshots.currentGen(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed generation under $root"))
+      if (gNow != h.baseGen) {
+        require(tableKey(spark, root) == h.key,
+          s"table key changed under prepared merge (${h.key})")
+        if (hasConflict(spark, root, h, gNow)) {
+          h.newEntries.foreach(e =>
+            f.delete(new Path(filePath(root, e.name)), false))
+          h = prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
+          path = "replayed"
+        } else if (path == "clean") path = "rebased"
+      }
+      // splice against the CURRENT state: for gNow == baseGen this is
+      // exactly the single-writer merge manifest; after a clean rebase
+      // it is the winner's manifest with our touched files swapped out
+      val stateDir = Snapshots.genDir(root, gNow)
+      val stateMan = manifest(spark, stateDir)
+      val carried = stateMan.filterNot(e => h.touchedNames.contains(e.name))
+      val carriedNames = carried.map(_.name).toSet
+      val entries = carried ++ h.newEntries
+      val dvs = if (carried.isEmpty) Seq.empty[String]
+        else dvNames(spark, stateDir)
+      val cstats = colStats(spark, stateDir)
+        .filter(s => carriedNames.contains(s.file)) ++ h.newCstats
+      val tmp = new Path(
+        s"$root/_occ-${java.util.UUID.randomUUID().toString.take(8)}")
+      f.mkdirs(tmp)
+      val out = f.create(new Path(tmp, ManifestName), false)
+      out.write(manifestBytes(entries, h.key, None, dvs, cstats))
+      out.close()
+      val target = Snapshots.nextGen(spark, root)
+      if (claimGeneration(f, root, target, tmp)) {
+        Snapshots.commit(spark, root, target, commitTsMillis)
+        return OccOutcome(target, attempt, path)
+      }
+      f.delete(tmp, true) // lost the claim (or rename nested) — retry
+    }
+    throw new IllegalStateException(
+      s"optimistic merge on $root gave up after $maxAttempts attempts " +
+        "(sustained commit contention)")
+  }
+
+  /** Abandon a prepared merge: its staged files are deleted now rather
+    * than waiting for [[sweep]]'s orphan collection. */
+  def discardPrepared(spark: SparkSession, root: String,
+      prepared: PreparedMerge): Unit = {
+    val f = fs(spark, new Path(root))
+    prepared.newEntries.foreach(e =>
+      f.delete(new Path(filePath(root, e.name)), false))
   }
 }

@@ -378,6 +378,115 @@ class MergeTableSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(9000L))
   }
 
+  test("optimistic merge: disjoint concurrent writers — loser rebases " +
+    "with its staged files spliced in verbatim; state = both change sets") {
+    val root = freshRoot("occ-disjoint")
+    MergeTable.create(spark, root, baseDf(1000), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val aChanges = spark.range(100).select(lit("u").as("op"),
+      lit(1L).as("seq"), col("id").as("k"),
+      (col("id") * 10 + 1).as("v"), lit("a").as("tag"))
+    val bChanges = spark.range(900, 950).select(lit("d").as("op"),
+      lit(1L).as("seq"), col("id").as("k"), lit(0L).as("v"),
+      lit("").as("tag"))
+      .unionByName(spark.range(2000, 2010).select(lit("c").as("op"),
+        lit(1L).as("seq"), col("id").as("k"),
+        (col("id") * 10).as("v"), lit("b").as("tag")))
+    // both writers prepare against the SAME committed snapshot
+    val hA = MergeTable.prepareMerge(spark, root, aChanges, "k", nFiles = 2)
+    val hB = MergeTable.prepareMerge(spark, root, bChanges, "k", nFiles = 2)
+    val a = MergeTable.commitPrepared(spark, root, hA, commitTsMillis = 20L)
+    assert(a.path === "clean" && a.attempts === 1)
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 30L)
+    // B's base is stale but its file/key footprint is disjoint from A's
+    // commit: manifest-only rebase, staged data files reused VERBATIM
+    assert(b.path === "rebased" && b.gen > a.gen)
+    val finalNames = MergeTable.currentManifest(spark, root).map(_.name).toSet
+    hB.newEntries.foreach(e => assert(finalNames.contains(e.name),
+      s"rebase did not reuse staged file ${e.name}"))
+    val got = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val expected = ((0L until 1000L).filterNot(k => k >= 900 && k < 950).map {
+      case k if k < 100 => k -> ((k * 10 + 1, "a"))
+      case k            => k -> ((k * 10, "base"))
+    } ++ (2000L until 2010L).map(k => k -> ((k * 10, "b")))).toMap
+    assert(got === expected)
+  }
+
+  test("optimistic merge: overlapping writers — loser replays against " +
+    "the winner's state (serial last-wins); superseded staging deleted") {
+    val root = freshRoot("occ-overlap")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    def upd(v: Long) = Seq(("u", 1L, 50L, v, "w")).toDF("op", "seq", "k", "v", "tag")
+    val hA = MergeTable.prepareMerge(spark, root, upd(111L), "k", nFiles = 1)
+    val hB = MergeTable.prepareMerge(spark, root, upd(222L), "k", nFiles = 1)
+    assert(MergeTable.commitPrepared(spark, root, hA,
+      commitTsMillis = 20L).path === "clean")
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 30L)
+    // both rewrote the file holding k=50: C1 fires, B recomputes
+    assert(b.path === "replayed")
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(50L) === 222L) // B serialized after A
+    assert(byK.size === 100)
+    // the replay deleted B's superseded first-attempt files
+    val f = new java.io.File(s"$root/files")
+    val onDisk = f.listFiles().map(_.getName).toSet
+    hB.newEntries.foreach(e => assert(!onDisk.contains(e.name),
+      s"superseded staged file ${e.name} survived the replay"))
+  }
+
+  test("optimistic merge: a deletion vector landed since base targets a " +
+    "touched file (C2) — replay; abandoned prepares leave no trace") {
+    val root = freshRoot("occ-dv")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val hB = MergeTable.prepareMerge(spark, root,
+      Seq(("u", 1L, 10L, 777L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1)
+    // winner: a MOR delete of a DIFFERENT key in the SAME file — file
+    // names all carry, so C1 passes; the DV delta is what must conflict
+    MergeTable.mergeMor(spark, root,
+      Seq(("d", 1L, 20L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 30L)
+    assert(b.path === "replayed")
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(10L) === 777L && !byK.contains(20L) && byK.size === 99)
+    // an abandoned prepare: never visible, discarded without residue
+    val before = MergeTable.read(spark, root).count()
+    val hX = MergeTable.prepareMerge(spark, root,
+      Seq(("u", 1L, 0L, 1L, "x")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1)
+    assert(MergeTable.read(spark, root).count() === before)
+    MergeTable.discardPrepared(spark, root, hX)
+    val onDisk = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).toSet
+    hX.newEntries.foreach(e => assert(!onDisk.contains(e.name)))
+  }
+
+  test("optimistic merge: concurrent inserts of the SAME new key (C3) — " +
+    "the loser replays, one row survives with the later value") {
+    val root = freshRoot("occ-ins")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    def ins(v: Long) = Seq(("c", 1L, 200L, v, "i")).toDF("op", "seq", "k", "v", "tag")
+    val hA = MergeTable.prepareMerge(spark, root, ins(1L), "k", nFiles = 1)
+    val hB = MergeTable.prepareMerge(spark, root, ins(2L), "k", nFiles = 1)
+    assert(MergeTable.commitPrepared(spark, root, hA,
+      commitTsMillis = 20L).path === "clean")
+    // B touched NO base file (new key) — without the added-file-vs-
+    // envelope rule a rebase would carry BOTH inserts: two rows for 200
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 30L)
+    assert(b.path === "replayed")
+    val rows = MergeTable.read(spark, root).where(col("k") === 200L)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(rows === Seq(2L))
+    assert(MergeTable.read(spark, root).count() === 101)
+  }
+
   test("z-order compaction makes an UNCORRELATED dimension prunable; " +
       "key-range layout cannot; both read exactly") {
     val root = freshRoot("zcompact")
