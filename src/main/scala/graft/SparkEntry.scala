@@ -190,6 +190,7 @@ object SparkEntry {
     "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
     "t_merge_occ"           -> (streaming.MergeTable.mergeOccQuery _),
+    "t_merge_evolve"        -> (streaming.MergeTable.mergeEvolveQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -1983,6 +1984,18 @@ object SparkEntry {
         |FROM base
         |WHERE o_orderkey % 10 = 1
         |  AND o_orderkey >= (SELECT mx * 3 // 4 FROM b)
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_evolve: additive evolution — updated rows carry the new
+    // column, everything else (including untouched files read through
+    // the recorded schema) null-fills it; deletes still apply
+    "t_merge_evolve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, price_cents,
+        |       CASE WHEN o_orderkey % 10 = 3 THEN price_cents % 7 END AS o_flag
+        |FROM base WHERE o_orderkey % 10 <> 7
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_read_pruned: the net-effect replay restricted to the
     // probe band — a pruning bug's failure mode is silent row loss,

@@ -135,11 +135,38 @@ object MergeTable {
     Snapshots.genDir(root, g)
   }
 
+  /** The generation's RECORDED table schema (`#schema=` manifest line,
+    * compact Catalyst json) — what makes additive evolution serveable
+    * without footer reads: files written before a column existed are
+    * read THROUGH this schema and null-fill it. Absent on manifests
+    * written before evolution support (then the footer schema rules,
+    * which is correct because such tables never evolved). */
+  def tableSchema(spark: SparkSession,
+      genDir: String): Option[org.apache.spark.sql.types.StructType] =
+    manifestText(spark, genDir).split("\n").iterator.map(_.trim).collectFirst {
+      case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** All fields nullable — the shape schema-on-read demands (an old
+    * file null-fills evolved columns, so nothing may claim non-null). */
+  private def asNullable(s: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** The generation's effective schema: recorded if present, else the
+    * (never-evolved) footer schema. */
+  private def genSchema(spark: SparkSession, root: String,
+      genDir: String): org.apache.spark.sql.types.StructType =
+    tableSchema(spark, genDir).getOrElse(
+      readFiles(spark, root, manifest(spark, genDir).take(1)).schema)
+
   /** Read the current table state: manifest-directed path-list scan,
     * minus the generation's deletion vectors (if any). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val genDir = currentGenDir(spark, root)
-    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
+    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir),
+      tableSchema(spark, genDir))
   }
 
   /** The current manifest entries whose key range intersects [lo, hi]
@@ -167,9 +194,11 @@ object MergeTable {
     if (entries.isEmpty)
       // no file can hold the key: an empty frame in the table's schema
       // (derived from any current file — the manifest is never empty)
-      readFiles(spark, root, currentManifest(spark, root).take(1)).limit(0)
+      readFiles(spark, root, currentManifest(spark, root).take(1),
+        schema = tableSchema(spark, genDir)).limit(0)
     else
-      readFiles(spark, root, entries, dvNames(spark, genDir))
+      readFiles(spark, root, entries, dvNames(spark, genDir),
+        tableSchema(spark, genDir))
         .filter(col(key).cast("long").between(lo, hi))
   }
 
@@ -194,9 +223,11 @@ object MergeTable {
     val candidates = entries.filter(e =>
       ranges.get(e.name).forall(s => s.hi >= lo && s.lo <= hi))
     if (candidates.isEmpty)
-      readFiles(spark, root, entries.take(1)).limit(0)
+      readFiles(spark, root, entries.take(1),
+        schema = tableSchema(spark, genDir)).limit(0)
     else
-      readFiles(spark, root, candidates, dvNames(spark, genDir))
+      readFiles(spark, root, candidates, dvNames(spark, genDir),
+        tableSchema(spark, genDir))
         .filter(col(column).cast("long").between(lo, hi))
   }
 
@@ -333,7 +364,8 @@ object MergeTable {
     // expression (with the analyzer's implicit casts in place) the
     // bounds walk consumes — the public-API route to what a DSv2
     // pushFilters hook would be handed
-    val probeCond = readFiles(spark, root, entries.take(1)).limit(0)
+    val probeCond = readFiles(spark, root, entries.take(1),
+      schema = tableSchema(spark, genDir)).limit(0)
       .filter(predicate).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
@@ -352,9 +384,11 @@ object MergeTable {
         if (cand.isEmpty) cand else bloomRefine(spark, root, cand, c, v)
       }
     if (candidates.isEmpty)
-      readFiles(spark, root, entries.take(1)).limit(0).filter(predicate)
+      readFiles(spark, root, entries.take(1),
+        schema = tableSchema(spark, genDir)).limit(0).filter(predicate)
     else
-      readFiles(spark, root, candidates, dvNames(spark, genDir))
+      readFiles(spark, root, candidates, dvNames(spark, genDir),
+        tableSchema(spark, genDir))
         .filter(predicate)
   }
 
@@ -362,7 +396,8 @@ object MergeTable {
     * generation's own deletion-vector view). */
   def readAt(spark: SparkSession, root: String, g: Long): DataFrame = {
     val genDir = Snapshots.resolveAt(spark, root, g)
-    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
+    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir),
+      tableSchema(spark, genDir))
   }
 
   /** Read an already-resolved generation directory (manifest + that
@@ -371,12 +406,18 @@ object MergeTable {
     * directory. */
   private[graft] def readResolved(spark: SparkSession, root: String,
       genDir: String): DataFrame =
-    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir))
+    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir),
+      tableSchema(spark, genDir))
 
   private def readFiles(spark: SparkSession, root: String,
-      entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty): DataFrame = {
+      entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     require(entries.nonEmpty, s"empty manifest under $root")
-    val base = spark.read.parquet(entries.map(e => filePath(root, e.name)): _*)
+    // an explicit schema (the generation's recorded one) null-fills
+    // columns a pre-evolution file lacks, with zero footer reads
+    val rdr = schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))
+    val base = rdr.parquet(entries.map(e => filePath(root, e.name)): _*)
     if (dvs.isEmpty) base
     else {
       // merge-on-read: anti-join the scan against the union of the
@@ -473,8 +514,10 @@ object MergeTable {
 
   private def manifestBytes(entries: Seq[FileEntry], key: String,
       batchId: Option[Long], dvs: Seq[String],
-      cstats: Seq[FileStat]): Array[Byte] = {
+      cstats: Seq[FileStat],
+      schema: Option[org.apache.spark.sql.types.StructType]): Array[Byte] = {
     val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("") +
+      schema.map(s => s"#schema=${asNullable(s).json}\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString +
       cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
     (meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
@@ -485,14 +528,50 @@ object MergeTable {
       entries: Seq[FileEntry], key: String,
       batchId: Option[Long] = None,
       dvs: Seq[String] = Seq.empty,
-      cstats: Seq[FileStat] = Seq.empty): Unit = {
+      cstats: Seq[FileStat] = Seq.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val dir = new Path(Snapshots.genDir(root, gen))
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
-    out.write(manifestBytes(entries, key, batchId, dvs, cstats))
+    out.write(manifestBytes(entries, key, batchId, dvs, cstats, schema))
     out.close()
+  }
+
+  /** The schema a merge commits: the table's, plus (under explicit
+    * `evolveSchema`) the change batch's NEW columns appended — the
+    * additive half of Delta's `mergeSchema`. Shared columns must agree
+    * in type (a silent cast is the evolution bug formats refuse loudly);
+    * a batch LACKING a table column is refused (the merge contract is
+    * full payload); extra columns without the flag are refused so a
+    * typo'd producer column can never widen a table by accident. */
+  private def evolvedSchema(tbl: org.apache.spark.sql.types.StructType,
+      changes: DataFrame,
+      evolve: Boolean): org.apache.spark.sql.types.StructType = {
+    val meta = Set("op", "seq")
+    val tblNames = tbl.fieldNames.toSet
+    val missing = tbl.fieldNames.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"change batch lacks table columns: ${missing.mkString(", ")}")
+    changes.schema.fields.filterNot(f => meta.contains(f.name)).foreach { f =>
+      if (tblNames.contains(f.name))
+        require(f.dataType == tbl(f.name).dataType,
+          s"schema evolution conflict on column '${f.name}': table " +
+            s"${tbl(f.name).dataType.simpleString} vs change batch " +
+            s"${f.dataType.simpleString}")
+    }
+    val extra = changes.schema.fields
+      .filterNot(f => meta.contains(f.name) || tblNames.contains(f.name))
+    if (extra.isEmpty) tbl
+    else {
+      require(evolve,
+        "change batch carries columns not in the table schema: " +
+          s"${extra.map(_.name).mkString(", ")} — additive evolution " +
+          "must be requested explicitly (evolveSchema = true)")
+      org.apache.spark.sql.types.StructType(
+        tbl.fields ++ extra.map(_.copy(nullable = true)))
+    }
   }
 
   /** The merge key, from the current manifest's metadata. */
@@ -512,7 +591,8 @@ object MergeTable {
       commitTsMillis: Long = System.currentTimeMillis()): Unit = {
     val gen = Snapshots.nextGen(spark, root)
     val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
-    writeManifest(spark, root, gen, entries, key, cstats = cstats)
+    writeManifest(spark, root, gen, entries, key, cstats = cstats,
+      schema = Some(df.schema))
     Snapshots.commit(spark, root, gen, commitTsMillis)
   }
 
@@ -529,20 +609,24 @@ object MergeTable {
       key: String, nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis(),
       batchId: Option[Long] = None,
-      pruneFiles: Boolean = true): (Int, Int) = {
+      pruneFiles: Boolean = true,
+      evolveSchema: Boolean = false): (Int, Int) = {
     val (t, c, _) = mergeCore(spark, root, changes, key, nFiles,
-      commitTsMillis, batchId, pruneFiles, commit = true)
+      commitTsMillis, batchId, pruneFiles, commit = true, evolveSchema)
     (t, c)
   }
 
   private def mergeCore(spark: SparkSession, root: String,
       changes: DataFrame, key: String, nFiles: Int,
       commitTsMillis: Long, batchId: Option[Long],
-      pruneFiles: Boolean, commit: Boolean): (Int, Int, Long) = {
+      pruneFiles: Boolean, commit: Boolean,
+      evolveSchema: Boolean = false): (Int, Int, Long) = {
     val genDir0 = currentGenDir(spark, root)
     val cur = manifest(spark, genDir0)
     val curDvs = dvNames(spark, genDir0)
-    val targetCols = read(spark, root).columns.toSeq
+    val unionSchema = evolvedSchema(genSchema(spark, root, genDir0),
+      changes, evolveSchema)
+    val targetCols = unionSchema.fieldNames.toSeq
     // 1. collapse to one NET change per key (one id-width shuffle)
     val net = netChanges(changes, key, targetCols)
     // 2. PRUNE: a file is touched iff some net-change key falls inside
@@ -571,7 +655,7 @@ object MergeTable {
     // fresh names the old DV rows can never match)
     val merged =
       if (touched.isEmpty) upserts
-      else readFiles(spark, root, touched, curDvs)
+      else readFiles(spark, root, touched, curDvs, Some(unionSchema))
         .join(net.select(col(key)), Seq(key), "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
@@ -583,7 +667,8 @@ object MergeTable {
       .filter(s => carriedNames.contains(s.file))
     writeManifest(spark, root, gen, carried ++ entries, key, batchId,
       dvs = if (carried.isEmpty) Seq.empty else curDvs,
-      cstats = carriedStats ++ cstats)
+      cstats = carriedStats ++ cstats,
+      schema = Some(unionSchema))
     if (commit) Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size, gen)
   }
@@ -612,7 +697,8 @@ object MergeTable {
     * this state. */
   def readStaged(spark: SparkSession, root: String, gen: Long): DataFrame = {
     val gd = Snapshots.genDir(root, gen)
-    readFiles(spark, root, manifest(spark, gd), dvNames(spark, gd))
+    readFiles(spark, root, manifest(spark, gd), dvNames(spark, gd),
+      tableSchema(spark, gd))
   }
 
   /** Publish a staged generation: the atomic marker commit. Refuses if
@@ -656,7 +742,8 @@ object MergeTable {
         s"manifest of gen $g under $root carries no #key metadata"))
     val gen = Snapshots.nextGen(spark, root)
     writeManifest(spark, root, gen, manifest(spark, srcDir), srcKey,
-      dvs = dvNames(spark, srcDir), cstats = colStats(spark, srcDir))
+      dvs = dvNames(spark, srcDir), cstats = colStats(spark, srcDir),
+      schema = tableSchema(spark, srcDir))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     gen
   }
@@ -692,11 +779,14 @@ object MergeTable {
   def mergeMor(spark: SparkSession, root: String, changes: DataFrame,
       key: String, nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis(),
-      batchId: Option[Long] = None): (Long, Int) = {
+      batchId: Option[Long] = None,
+      evolveSchema: Boolean = false): (Long, Int) = {
     val genDir0 = currentGenDir(spark, root)
     val cur = manifest(spark, genDir0)
     val curDvs = dvNames(spark, genDir0)
-    val targetCols = readFiles(spark, root, cur).columns.toSeq
+    val unionSchema = evolvedSchema(genSchema(spark, root, genDir0),
+      changes, evolveSchema)
+    val targetCols = unionSchema.fieldNames.toSeq
     val net = netChanges(changes, key, targetCols)
     // candidate files: manifest interval pruning, zero table reads
     val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
@@ -739,7 +829,8 @@ object MergeTable {
       dvs = curDvs ++ newDvName,
       // every current file carries (MOR rewrites nothing) — so do all
       // its column ranges, plus the appended files' fresh ones
-      cstats = colStats(spark, genDir0) ++ appendedStats)
+      cstats = colStats(spark, genDir0) ++ appendedStats,
+      schema = Some(unionSchema))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     val nDv = newDvName.map(n => spark.read
       .parquet(filePath(root, n)).count()).getOrElse(0L)
@@ -936,6 +1027,41 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** Oracled face of ADDITIVE SCHEMA EVOLUTION: a merge whose change
+    * batch carries a column the table lacks (`o_flag`), applied with
+    * `evolveSchema = true`. Updated rows carry the new value; every
+    * other row — including rows in files the merge never touched, read
+    * through the recorded `#schema=` with zero rewrites — null-fills
+    * it. The oracle recomputes the same shape from raw orders, so a
+    * silently-dropped column OR a wrongly-backfilled value both break
+    * the hash. */
+  def mergeEvolveQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("merge_evolve", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val upd = base.where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+          (col("price_cents") % 7).as("o_flag"))
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val del = base.where(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+          lit(null).cast("long").as("o_flag"))
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      merge(spark, root, upd.unionByName(del), "o_orderkey", nFiles = 4,
+        commitTsMillis = 2000L, evolveSchema = true)
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** CHANGE DATA FEED: the row-level diff between two committed
     * generations, derived from the manifests alone — no table-state
     * comparison, no full scans (the Delta CDF / Iceberg changelog-scan
@@ -962,7 +1088,8 @@ object MergeTable {
     if (gFrom == 0L) {
       val dirTo = Snapshots.resolveAt(spark, root, gTo)
       return readFiles(spark, root, manifest(spark, dirTo),
-        dvNames(spark, dirTo)).withColumn("change", lit("i"))
+        dvNames(spark, dirTo), tableSchema(spark, dirTo))
+        .withColumn("change", lit("i"))
     }
     val dirFrom = Snapshots.resolveAt(spark, root, gFrom)
     val dirTo = Snapshots.resolveAt(spark, root, gTo)
@@ -972,7 +1099,10 @@ object MergeTable {
     val namesTo = mTo.map(_.name).toSet
     val dvFrom = dvNames(spark, dirFrom)
     val dvTo = dvNames(spark, dirTo)
-    val cols = readFiles(spark, root, mTo).columns.toSeq
+    // both sides read through gTo's schema: the feed's shape is the TO
+    // state's, and pre-evolution files null-fill columns they predate
+    val toSchema = tableSchema(spark, dirTo)
+    val cols = readFiles(spark, root, mTo, schema = toSchema).columns.toSeq
 
     def dvRel(dvs: Seq[String]): DataFrame =
       if (dvs.isEmpty)
@@ -985,7 +1115,7 @@ object MergeTable {
 
     def rowsOf(entries: Seq[FileEntry], dvs: Seq[String], tag: String) =
       if (entries.isEmpty) None
-      else Some(readFiles(spark, root, entries, dvs)
+      else Some(readFiles(spark, root, entries, dvs, toSchema)
         .select(cols.map(col): _*).withColumn("change", lit(tag)))
     // positions named by a DV delta, read from ONLY the files it names
     def rowsAt(positions: DataFrame, live: Seq[FileEntry], tag: String) = {
@@ -993,7 +1123,7 @@ object MergeTable {
         .collect().map(_.getString(0)).toSet
       val entries = live.filter(e => touched.contains(e.name))
       if (entries.isEmpty) None
-      else Some(readFiles(spark, root, entries)
+      else Some(readFiles(spark, root, entries, schema = toSchema)
         .withColumn("__file",
           element_at(split(expr("_metadata.file_path"), "/"), -1))
         .withColumn("__pos", expr("_metadata.row_index"))
@@ -1010,7 +1140,7 @@ object MergeTable {
     require(parts.nonEmpty || mTo.nonEmpty,
       s"empty manifests under $root")
     parts.reduceOption(_ unionByName _).getOrElse(
-      readFiles(spark, root, mTo).limit(0)
+      readFiles(spark, root, mTo, schema = toSchema).limit(0)
         .select(cols.map(col): _*).withColumn("change", lit("i")))
   }
 
@@ -1107,9 +1237,10 @@ object MergeTable {
     val cur = currentManifest(spark, root)
     val key = tableKey(spark, root)
     val gen = Snapshots.nextGen(spark, root)
-    val (entries, cstats) =
-      writeFiles(spark, root, read(spark, root), key, gen, nFiles)
-    writeManifest(spark, root, gen, entries, key, cstats = cstats)
+    val df = read(spark, root) // evolved schema folds into the rewrite
+    val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
+    writeManifest(spark, root, gen, entries, key, cstats = cstats,
+      schema = Some(df.schema))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
   }
@@ -1168,7 +1299,8 @@ object MergeTable {
     val gen = Snapshots.nextGen(spark, root)
     val (entries, cstats) =
       writeFiles(spark, root, df, key, gen, nFiles, cluster = Some(z))
-    writeManifest(spark, root, gen, entries, key, cstats = cstats)
+    writeManifest(spark, root, gen, entries, key, cstats = cstats,
+      schema = Some(df.schema))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
   }
@@ -1284,7 +1416,8 @@ object MergeTable {
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val merged =
       if (touched.isEmpty) upserts
-      else readFiles(spark, root, touched, curDvs)
+      else readFiles(spark, root, touched, curDvs,
+        tableSchema(spark, genDir0))
         .join(net.select(col(key)), Seq(key), "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
@@ -1392,7 +1525,10 @@ object MergeTable {
         s"$root/_occ-${java.util.UUID.randomUUID().toString.take(8)}")
       f.mkdirs(tmp)
       val out = f.create(new Path(tmp, ManifestName), false)
-      out.write(manifestBytes(entries, h.key, None, dvs, cstats))
+      // the schema is the CURRENT state's (a winner may have evolved it;
+      // our staged files simply null-fill any column they predate)
+      out.write(manifestBytes(entries, h.key, None, dvs, cstats,
+        tableSchema(spark, stateDir)))
       out.close()
       val target = Snapshots.nextGen(spark, root)
       if (claimGeneration(f, root, target, tmp)) {

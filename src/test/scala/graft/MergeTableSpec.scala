@@ -378,6 +378,79 @@ class MergeTableSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(9000L))
   }
 
+  test("additive schema evolution: new column appends, old rows and " +
+    "untouched files null-fill via the recorded schema; refusals by name") {
+    val root = freshRoot("evolve")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val evolving = Seq(
+      ("u", 1L, 5L, 555L, "upd", 55L),
+      ("c", 1L, 200L, 42L, "new", 77L)
+    ).toDF("op", "seq", "k", "v", "tag", "w")
+    // refused without the flag, naming the column
+    val e1 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root, evolving, "k", commitTsMillis = 20L)
+    }
+    assert(e1.getMessage.contains("w") &&
+      e1.getMessage.contains("evolveSchema"))
+    MergeTable.merge(spark, root, evolving, "k", commitTsMillis = 20L,
+      evolveSchema = true)
+    val got = MergeTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "v", "tag", "w"))
+    val byK = got.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(byK(5L) === ((555L, Some(55L))))
+    assert(byK(200L) === ((42L, Some(77L))))
+    // a row in a file the merge never TOUCHED (k=99 is in the top range
+    // file; changes hit low keys + a fresh insert) null-fills w
+    assert(byK(99L) === ((990L, None)))
+    assert(byK.size === 101)
+    // time travel: the pre-evolution generation keeps its own shape
+    assert(MergeTable.readAt(spark, root, 1L).columns.toSeq ===
+      Seq("k", "v", "tag"))
+    // later batches must carry the evolved column (full-payload contract)
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root,
+        Seq(("u", 1L, 6L, 666L, "x")).toDF("op", "seq", "k", "v", "tag"),
+        "k", commitTsMillis = 30L)
+    }
+    assert(e2.getMessage.contains("lacks table columns: w"))
+    // a type conflict on a shared column is refused by name
+    val e3 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, root,
+        Seq(("u", 1L, 6L, "oops", "x", 1L))
+          .toDF("op", "seq", "k", "v", "tag", "w"),
+        "k", commitTsMillis = 30L, evolveSchema = true)
+    }
+    assert(e3.getMessage.contains("conflict on column 'v'"))
+  }
+
+  test("schema evolution through MOR appends; compact folds the evolved " +
+    "schema into clean files; stats on the new column serve reads") {
+    val root = freshRoot("evolve-mor")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    MergeTable.mergeMor(spark, root,
+      Seq(("u", 1L, 10L, 101L, "m", 1000L), ("d", 1L, 20L, 0L, "", 0L))
+        .toDF("op", "seq", "k", "v", "tag", "w"),
+      "k", commitTsMillis = 20L, evolveSchema = true)
+    val got = MergeTable.read(spark, root)
+    assert(got.columns.toSeq === Seq("k", "v", "tag", "w"))
+    val byK = got.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(byK(10L) === Some(1000L) && !byK.contains(20L) &&
+      byK(50L) === None && byK.size === 99)
+    // compact folds: every file now physically carries w
+    MergeTable.compact(spark, root, nFiles = 3, commitTsMillis = 30L)
+    val after = MergeTable.read(spark, root)
+    assert(after.columns.toSeq === Seq("k", "v", "tag", "w"))
+    assert(after.where(col("w") === 1000L).count() === 1)
+    // the evolved column is a first-class pruning citizen post-compact
+    val probe = MergeTable.readWhereCol(spark, root, "w", 1000L, 1000L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe === Seq(10L))
+  }
+
   test("optimistic merge: disjoint concurrent writers — loser rebases " +
     "with its staged files spliced in verbatim; state = both change sets") {
     val root = freshRoot("occ-disjoint")
