@@ -191,6 +191,8 @@ object SparkEntry {
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
     "t_merge_occ"           -> (streaming.MergeTable.mergeOccQuery _),
     "t_merge_evolve"        -> (streaming.MergeTable.mergeEvolveQuery _),
+    "t_delete_where"        -> (streaming.MergeTable.deleteWhereQuery _),
+    "t_update_where"        -> (streaming.MergeTable.updateWhereQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -1996,6 +1998,36 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, price_cents,
         |       CASE WHEN o_orderkey % 10 = 3 THEN price_cents % 7 END AS o_flag
         |FROM base WHERE o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_delete_where: predicate delete (DV path) — keys %10=4 in the
+    // lower half are gone; silent resurrection or over-delete breaks
+    // the hash
+    "t_delete_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base
+        |WHERE NOT (o_orderkey % 10 = 4
+        |           AND o_orderkey <= (SELECT mx // 2 FROM b))
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_update_where: predicate update (pruned COW) applied OVER the
+    // delete — the rewrite reads through the DVs, so a deleted row
+    // must not resurrect with the updated value
+    "t_update_where" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderstatus = 'F' THEN price_cents + 55
+        |            ELSE price_cents END AS price_cents
+        |FROM base
+        |WHERE NOT (o_orderkey % 10 = 4
+        |           AND o_orderkey <= (SELECT mx // 2 FROM b))
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_read_pruned: the net-effect replay restricted to the
     // probe band — a pruning bug's failure mode is silent row loss,

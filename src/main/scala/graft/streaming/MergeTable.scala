@@ -354,9 +354,14 @@ object MergeTable {
     * the FULL predicate as the residual filter over the DV-applied
     * scan. Mirrors what a DSv2 pushdown would do, with the manifest as
     * the statistics source — zero footer reads to prune. */
-  def readWhere(spark: SparkSession, root: String,
-      predicate: Column): DataFrame = {
-    val genDir = currentGenDir(spark, root)
+  /** The manifest entries a predicate read/DML must touch: conjunct
+    * bounds extracted from the ANALYZED condition, intersected against
+    * the manifest's key + `#cstat` ranges, then equality conjuncts
+    * refined through the bloom registry. Shared by [[readWhere]],
+    * [[deleteWhere]] and [[updateWhere]] — predicate DML prunes exactly
+    * like a predicate read. */
+  private def prunedByPredicate(spark: SparkSession, root: String,
+      genDir: String, predicate: Column): Seq[FileEntry] = {
     val entries = manifest(spark, genDir)
     val key = tableKey(spark, root)
     // resolve the Column against the table schema by analyzing a
@@ -379,10 +384,17 @@ object MergeTable {
     // equality conjuncts additionally consult the per-file bloom
     // registry when one was built (ensureBloomIndex) — the point-probe
     // pruning ranges cannot give an uncorrelated column
-    val candidates = bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
+    bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
       .foldLeft(byRange) { case (cand, (c, v)) =>
         if (cand.isEmpty) cand else bloomRefine(spark, root, cand, c, v)
       }
+  }
+
+  def readWhere(spark: SparkSession, root: String,
+      predicate: Column): DataFrame = {
+    val genDir = currentGenDir(spark, root)
+    val entries = manifest(spark, genDir)
+    val candidates = prunedByPredicate(spark, root, genDir, predicate)
     if (candidates.isEmpty)
       readFiles(spark, root, entries.take(1),
         schema = tableSchema(spark, genDir)).limit(0).filter(predicate)
@@ -390,6 +402,93 @@ object MergeTable {
       readFiles(spark, root, candidates, dvNames(spark, genDir),
         tableSchema(spark, genDir))
         .filter(predicate)
+  }
+
+  /** DELETE WHERE — predicate delete without change rows (the Delta
+    * `DELETE FROM t WHERE ...` face; the reference's NoSQL path only
+    * ever deletes by key, `load_data_to_dynamodb_lambda/handler.py:17`,
+    * but curation at 100 TB deletes by PREDICATE: "drop every row
+    * matching X"). Merge-on-read shape: the manifest prunes to
+    * candidate files, ONLY those are scanned for matching positions,
+    * and one DV sidecar kills them — zero rewrites, zero reads of
+    * non-candidate files, cost ∝ candidates + matches. A no-match
+    * delete commits nothing (idempotent no-op). [[compact]] folds the
+    * DVs as usual; the change feed shows the deletes row-exactly.
+    * Returns rows deleted. */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+      commitTsMillis: Long = System.currentTimeMillis()): Long = {
+    val genDir = currentGenDir(spark, root)
+    val candidates = prunedByPredicate(spark, root, genDir, predicate)
+    if (candidates.isEmpty) return 0L
+    val curDvs = dvNames(spark, genDir)
+    val gen = Snapshots.nextGen(spark, root)
+    val delRows = readFiles(spark, root, candidates, curDvs,
+      tableSchema(spark, genDir))
+      .filter(predicate)
+      .select(
+        element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
+        expr("_metadata.row_index").as("pos"))
+      .localCheckpoint(true)
+    writeDv(spark, root, gen, delRows) match {
+      case None => 0L // predicate matched nothing: no new generation
+      case Some(dvName) =>
+        writeManifest(spark, root, gen, manifest(spark, genDir),
+          tableKey(spark, root),
+          dvs = curDvs :+ dvName,
+          cstats = colStats(spark, genDir),
+          schema = tableSchema(spark, genDir))
+        Snapshots.commit(spark, root, gen, commitTsMillis)
+        spark.read.parquet(filePath(root, dvName)).count()
+    }
+  }
+
+  /** UPDATE WHERE — predicate update with column assignments (the
+    * Delta `UPDATE t SET ... WHERE ...` face). Copy-on-write shape:
+    * candidate files (manifest-pruned like any predicate read) are
+    * rewritten with the assignments applied to MATCHING rows only,
+    * reading through the current DVs (no resurrection); every other
+    * file carries by reference with its stats. Assignments must name
+    * existing non-key columns — updating the clustering key is a
+    * re-keying, which is [[merge]]'s job (delete + insert), and an
+    * unknown column is a refused typo, not silent evolution.
+    * Returns (files rewritten, files carried). */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column],
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis()): (Int, Int) = {
+    val genDir = currentGenDir(spark, root)
+    val key = tableKey(spark, root)
+    val schema = genSchema(spark, root, genDir)
+    require(set.nonEmpty, "updateWhere: no assignments")
+    require(!set.contains(key),
+      s"updateWhere: assigning the merge key '$key' re-keys rows — " +
+        "express it as a merge (delete + insert)")
+    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"updateWhere: unknown columns ${unknown.mkString(", ")} — " +
+        "schema evolution goes through merge(evolveSchema = true)")
+    val entries = manifest(spark, genDir)
+    val touched = prunedByPredicate(spark, root, genDir, predicate)
+    if (touched.isEmpty) return (0, entries.size)
+    val touchedNames = touched.map(_.name).toSet
+    val carried = entries.filterNot(e => touchedNames.contains(e.name))
+    val curDvs = dvNames(spark, genDir)
+    val cols = schema.fieldNames.toSeq
+    val rewritten = readFiles(spark, root, touched, curDvs, Some(schema))
+      .select(cols.map(c => set.get(c)
+        .map(a => when(predicate, a).otherwise(col(c)).as(c))
+        .getOrElse(col(c))): _*)
+    val gen = Snapshots.nextGen(spark, root)
+    val (newEntries, newStats) =
+      writeFiles(spark, root, rewritten, key, gen, nFiles)
+    val carriedNames = carried.map(_.name).toSet
+    writeManifest(spark, root, gen, carried ++ newEntries, key,
+      dvs = if (carried.isEmpty) Seq.empty else curDvs,
+      cstats = colStats(spark, genDir)
+        .filter(s => carriedNames.contains(s.file)) ++ newStats,
+      schema = Some(schema))
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    (touched.size, carried.size)
   }
 
   /** Time travel: the table as of committed generation `g` (with that
@@ -776,6 +875,24 @@ object MergeTable {
     * compacted generation is DV-free — compact IS the purge).
     *
     * Returns (dv rows written, files appended). */
+  /** Persist a (file, pos) relation as a DV sidecar under `files/`;
+    * None if the relation is empty. */
+  private def writeDv(spark: SparkSession, root: String, gen: Long,
+      delRows: DataFrame): Option[String] = {
+    if (delRows.isEmpty) return None
+    val tmp = s"$root/_tmp-dv-$gen"
+    delRows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = fs(spark, new Path(tmp))
+    val part = f.listStatus(new Path(tmp)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val name = s"dv-$gen-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    val filesDir = new Path(s"$root/$FilesDir")
+    if (!f.exists(filesDir)) f.mkdirs(filesDir)
+    require(f.rename(part, new Path(filesDir, name)), s"rename failed for $part")
+    f.delete(new Path(tmp), true)
+    Some(name)
+  }
+
   def mergeMor(spark: SparkSession, root: String, changes: DataFrame,
       key: String, nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis(),
@@ -808,20 +925,7 @@ object MergeTable {
           .withColumn("pos", expr("_metadata.row_index"))
           .join(net.select(col(key)), Seq(key), "left_semi")
           .select(col("file"), col("pos"))
-        if (delRows.isEmpty) None
-        else {
-          val tmp = s"$root/_tmp-dv-$gen"
-          delRows.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val f = fs(spark, new Path(tmp))
-          val part = f.listStatus(new Path(tmp)).toSeq
-            .map(_.getPath).filter(_.getName.startsWith("part-")).head
-          val name = s"dv-$gen-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-          val filesDir = new Path(s"$root/$FilesDir")
-          if (!f.exists(filesDir)) f.mkdirs(filesDir)
-          require(f.rename(part, new Path(filesDir, name)), s"rename failed for $part")
-          f.delete(new Path(tmp), true)
-          Some(name)
-        }
+        writeDv(spark, root, gen, delRows)
       }
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val (appended, appendedStats) = writeFiles(spark, root, upserts, key, gen, nFiles)
@@ -1024,6 +1128,51 @@ object MergeTable {
       require(a.path == "clean" && b.gen > a.gen,
         s"occ face: unexpected outcomes $a / $b")
     }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
+  /** One sig-gated orders table carrying the predicate-DML history the
+    * two DML faces read: gen 1 = create, gen 2 = [[deleteWhere]] (DV
+    * path — keys %10=4 in the lower key half), gen 3 = [[updateWhere]]
+    * (pruned COW path — +55 cents on status F). Composing them on one
+    * table exercises update-through-DVs: the rewrite must not resurrect
+    * deleted rows. */
+  private def ensureDmlOrders(spark: SparkSession, dir: String): String = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("dml_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val mx = currentManifest(spark, root).map(_.maxKey).max
+      val nDel = deleteWhere(spark, root,
+        col("o_orderkey") % 10 === 4 && col("o_orderkey") <= mx / 2,
+        commitTsMillis = 2000L)
+      require(nDel > 0, s"dml face: delete matched nothing under $dir")
+      updateWhere(spark, root, col("o_orderstatus") === "F",
+        Map("price_cents" -> (col("price_cents") + 55L)),
+        nFiles = 4, commitTsMillis = 3000L)
+    }
+    root
+  }
+
+  /** t_delete_where — the post-delete generation (gen 2): a predicate
+    * delete served through one DV sidecar, zero rewrites. */
+  def deleteWhereQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureDmlOrders(spark, dir)
+    readAt(spark, root, 2L).orderBy(col("o_orderkey"))
+  }
+
+  /** t_update_where — the current state: the predicate update applied
+    * OVER the delete (rewritten candidates read through the DVs). */
+  def updateWhereQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureDmlOrders(spark, dir)
     read(spark, root).orderBy(col("o_orderkey"))
   }
 

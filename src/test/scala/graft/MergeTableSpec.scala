@@ -378,6 +378,71 @@ class MergeTableSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(9000L))
   }
 
+  test("deleteWhere: predicate delete via one DV sidecar — zero " +
+    "rewrites, pruned scan, idempotent no-op, time travel intact") {
+    val root = freshRoot("delwhere")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val namesBefore = MergeTable.currentManifest(spark, root)
+      .map(_.name).toSet
+    val n = MergeTable.deleteWhere(spark, root,
+      col("k") < 25L && col("tag") === "base", commitTsMillis = 20L)
+    assert(n === 25L)
+    // zero rewrites: every data file carried by name; one DV appeared
+    val gd2 = s"$root/_gen-2"
+    assert(MergeTable.currentManifest(spark, root).map(_.name).toSet ===
+      namesBefore)
+    val dvs = MergeTable.dvNames(spark, gd2)
+    assert(dvs.size === 1)
+    // the DV only names files whose range could hold k<25 (pruned scan)
+    val dvFiles = spark.read.parquet(s"$root/files/${dvs.head}")
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val couldMatch = MergeTable.manifest(spark, gd2)
+      .filter(_.minKey < 25L).map(_.name).toSet
+    assert(dvFiles.subsetOf(couldMatch))
+    assert(MergeTable.read(spark, root).count() === 75)
+    assert(MergeTable.readAt(spark, root, 1L).count() === 100)
+    // a no-match predicate commits NOTHING (no empty generations)
+    assert(MergeTable.deleteWhere(spark, root, col("v") === -1L,
+      commitTsMillis = 30L) === 0L)
+    assert(Snapshots.generations(spark, root) === Seq(1L, 2L))
+  }
+
+  test("updateWhere: pruned copy-on-write — matching rows updated, " +
+    "carried files by reference, deletes never resurrect, refusals") {
+    val root = freshRoot("updwhere")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    // layer a DV first: the update's rewrite must read THROUGH it
+    MergeTable.deleteWhere(spark, root, col("k") === 10L,
+      commitTsMillis = 20L)
+    val namesBefore = MergeTable.currentManifest(spark, root)
+      .map(_.name).toSet
+    val (touched, carried) = MergeTable.updateWhere(spark, root,
+      col("k") < 25L, Map("v" -> (col("v") + 1L), "tag" -> lit("upd")),
+      commitTsMillis = 30L)
+    assert(touched === 1 && carried === 3) // only the low file rewritten
+    val nowNames = MergeTable.currentManifest(spark, root).map(_.name).toSet
+    assert((namesBefore -- nowNames).size === 1) // one file replaced
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK(5L) === ((51L, "upd")))
+    assert(byK(30L) === ((300L, "base"))) // untouched file, untouched row
+    assert(!byK.contains(10L)) // DV'd row did not resurrect updated
+    assert(byK.size === 99)
+    // refusals by name
+    val eKey = intercept[IllegalArgumentException] {
+      MergeTable.updateWhere(spark, root, col("k") === 1L,
+        Map("k" -> lit(999L)))
+    }
+    assert(eKey.getMessage.contains("re-keys"))
+    val eCol = intercept[IllegalArgumentException] {
+      MergeTable.updateWhere(spark, root, col("k") === 1L,
+        Map("nope" -> lit(1L)))
+    }
+    assert(eCol.getMessage.contains("nope"))
+  }
+
   test("additive schema evolution: new column appends, old rows and " +
     "untouched files null-fill via the recorded schema; refusals by name") {
     val root = freshRoot("evolve")
