@@ -193,6 +193,7 @@ object SparkEntry {
     "t_merge_evolve"        -> (streaming.MergeTable.mergeEvolveQuery _),
     "t_delete_where"        -> (streaming.MergeTable.deleteWhereQuery _),
     "t_update_where"        -> (streaming.MergeTable.updateWhereQuery _),
+    "t_optimize"            -> (streaming.MergeTable.optimizeQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -2028,6 +2029,21 @@ object SparkEntry {
         |FROM base
         |WHERE NOT (o_orderkey % 10 = 4
         |           AND o_orderkey <= (SELECT mx // 2 FROM b))
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_optimize: bin-packed small-file compaction is pure LAYOUT —
+    // the read after it must equal the logical state of the two merges
+    // (band update + band delete) it repacked
+    "t_optimize" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey <= (SELECT mx // 20 FROM b)
+        |            THEN price_cents + 7 ELSE price_cents END AS price_cents
+        |FROM base
+        |WHERE o_orderkey <= (SELECT mx - mx // 8 FROM b)
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_read_pruned: the net-effect replay restricted to the
     // probe band — a pruning bug's failure mode is silent row loss,

@@ -155,12 +155,21 @@ object Compaction {
     * the decision made from observed decay instead of wall-clock age. */
   object Maintenance {
     import scala.collection.mutable
-    private val registry =
-      mutable.LinkedHashMap.empty[String, SparkSession => Unit]
+    private val registry = mutable.LinkedHashMap
+      .empty[String, (SparkSession => Unit, Option[SparkSession => Boolean])]
 
-    /** Register (or replace) an index root's compaction routine. */
+    /** Register (or replace) an index root's compaction routine, due
+      * when its append debt crosses [[runDue]]'s threshold. */
     def register(root: String, compactFn: SparkSession => Unit): Unit =
-      registry.synchronized { registry.update(root, compactFn) }
+      registry.synchronized { registry.update(root, (compactFn, None)) }
+
+    /** Register with a CUSTOM due-predicate — for roots whose decay is
+      * not append-batch-count (a [[MergeTable]]'s small-file debt, a
+      * DV-row ratio): the same single maintenance sweep then serves
+      * appender indexes and lake tables alike. */
+    def register(root: String, compactFn: SparkSession => Unit,
+        due: SparkSession => Boolean): Unit =
+      registry.synchronized { registry.update(root, (compactFn, Some(due))) }
 
     def deregister(root: String): Unit =
       registry.synchronized { registry.remove(root) }
@@ -168,11 +177,13 @@ object Compaction {
     def registered: Seq[String] = registry.synchronized { registry.keys.toSeq }
 
     /** Sweep every registered index: compact the ones whose debt crossed
-      * `maxBatches`, leave the rest untouched. Returns (root → ran?). */
+      * `maxBatches` (or whose custom due-predicate fired), leave the
+      * rest untouched. Returns (root → ran?). */
     def runDue(spark: SparkSession, maxBatches: Int = 8): Seq[(String, Boolean)] = {
       val snapshot = registry.synchronized { registry.toSeq }
-      snapshot.map { case (root, fn) =>
-        val due = shouldCompact(spark, root, maxBatches)
+      snapshot.map { case (root, (fn, dueFn)) =>
+        val due = dueFn.map(_(spark))
+          .getOrElse(shouldCompact(spark, root, maxBatches))
         if (due) fn(spark)
         root -> due
       }

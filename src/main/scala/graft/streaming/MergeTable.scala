@@ -1131,6 +1131,48 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** t_optimize — the ORACLED face of bin-packed small-file compaction:
+    * two narrow merges leave small rewrite files next to the creation
+    * files; [[optimize]] (threshold = half the largest file) packs the
+    * small ones and carries the rest, and the read after it must be
+    * byte-for-byte the logical merged state — OPTIMIZE is pure layout,
+    * so ANY row drift (a dropped DV, a resurrected delete, a double-
+    * packed file) breaks the hash. */
+  def optimizeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("optimize_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 6,
+        commitTsMillis = 1000L)
+      val mx = currentManifest(spark, root).map(_.maxKey).max
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      merge(spark, root, base.where(col("o_orderkey") <= mx / 20)
+        .select(payload :+ (col("price_cents") + 7L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L)),
+        "o_orderkey", nFiles = 2, commitTsMillis = 2000L)
+      merge(spark, root, base.where(col("o_orderkey") > mx - mx / 8)
+        .select(payload :+ col("price_cents"): _*)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L)),
+        "o_orderkey", nFiles = 2, commitTsMillis = 3000L)
+      val maxLen = currentManifest(spark, root).map(e =>
+        f.getFileStatus(new Path(filePath(root, e.name))).getLen).max
+      val (packedN, carriedN) = optimize(spark, root,
+        smallBytes = maxLen / 2, targetBytes = Long.MaxValue,
+        commitTsMillis = 4000L)
+      require(packedN >= 2 && carriedN >= 1,
+        s"optimize face: unexpected layout ($packedN packed, $carriedN carried)")
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** One sig-gated orders table carrying the predicate-DML history the
     * two DML faces read: gen 1 = create, gen 2 = [[deleteWhere]] (DV
     * path — keys %10=4 in the lower key half), gen 3 = [[updateWhere]]
@@ -1392,6 +1434,63 @@ object MergeTable {
       schema = Some(df.schema))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
+  }
+
+  /** OPTIMIZE — bin-packed SMALL-FILE compaction (the Delta/Iceberg
+    * OPTIMIZE production tables actually run: at 100 TB, [[compact]]'s
+    * whole-table rewrite is a petabyte of IO, while streaming sinks and
+    * narrow merges keep minting KB-scale files; OPTIMIZE rewrites ONLY
+    * files under `smallBytes`, repacked into ~`targetBytes`
+    * range-partitioned outputs, and carries every right-sized file by
+    * reference — IO ∝ small-file bytes, never table bytes). DVs
+    * targeting rewritten files fold in (a scoped purge); DVs on carried
+    * files keep applying by name. Fewer than 2 small files = already
+    * optimal: no-op, no generation. Returns (files packed, carried). */
+  def optimize(spark: SparkSession, root: String,
+      smallBytes: Long = 8L << 20, targetBytes: Long = 64L << 20,
+      commitTsMillis: Long = System.currentTimeMillis()): (Int, Int) = {
+    val genDir = currentGenDir(spark, root)
+    val entries = manifest(spark, genDir)
+    val key = tableKey(spark, root)
+    val f = fs(spark, new Path(root))
+    val sized = entries.map(e =>
+      e -> f.getFileStatus(new Path(filePath(root, e.name))).getLen)
+    val small = sized.collect { case (e, len) if len < smallBytes => e }
+    if (small.size < 2) return (0, entries.size)
+    val schema = tableSchema(spark, genDir)
+    val dvs = dvNames(spark, genDir)
+    val nOut = math.max(1, math.ceil(
+      sized.collect { case (_, len) if len < smallBytes => len }
+        .sum.toDouble / targetBytes).toInt)
+    val packed = readFiles(spark, root, small, dvs, schema)
+    val gen = Snapshots.nextGen(spark, root)
+    val (newEntries, newStats) = writeFiles(spark, root, packed, key, gen, nOut)
+    val carried = sized.collect { case (e, len) if len >= smallBytes => e }
+    val carriedNames = carried.map(_.name).toSet
+    writeManifest(spark, root, gen, carried ++ newEntries, key,
+      dvs = if (carried.isEmpty) Seq.empty else dvs,
+      cstats = colStats(spark, genDir)
+        .filter(s => carriedNames.contains(s.file)) ++ newStats,
+      schema = schema)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    (small.size, carried.size)
+  }
+
+  /** OPTIMIZE's debt metric: small files in the current manifest. */
+  def optimizeDebt(spark: SparkSession, root: String,
+      smallBytes: Long = 8L << 20): Int = {
+    val f = fs(spark, new Path(root))
+    currentManifest(spark, root).count(e =>
+      f.getFileStatus(new Path(filePath(root, e.name))).getLen < smallBytes)
+  }
+
+  /** The OPTIMIZE cadence decision — pair with
+    * [[Compaction.Maintenance.register]]'s custom-due overload so one
+    * scheduled sweep serves appender indexes and lake tables alike. */
+  def shouldOptimize(spark: SparkSession, root: String,
+      smallBytes: Long = 8L << 20, maxSmall: Int = 8): Boolean = {
+    require(maxSmall >= 1, "maxSmall must be at least 1")
+    optimizeDebt(spark, root, smallBytes) > maxSmall
   }
 
   /** DESCRIBE HISTORY — one row per committed generation: commit

@@ -378,6 +378,71 @@ class MergeTableSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(9000L))
   }
 
+  test("optimize: bin-packs ONLY small files — big files carried by " +
+    "name, DVs respected both ways, no-op when already optimal") {
+    val root = freshRoot("optimize")
+    MergeTable.create(spark, root, baseDf(1000), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // three tiny insert-only merges: classic streaming-sink debris
+    Seq((2000L, 20L), (3000L, 30L), (4000L, 40L)).foreach { case (k0, ts) =>
+      MergeTable.merge(spark, root,
+        spark.range(k0, k0 + 20).select(lit("c").as("op"), lit(1L).as("seq"),
+          col("id").as("k"), (col("id") * 10).as("v"), lit("ins").as("tag")),
+        "k", nFiles = 1, commitTsMillis = ts)
+    }
+    // DV on a BIG file (must keep applying) and on a SMALL file (folds)
+    MergeTable.deleteWhere(spark, root, col("k") === 500L,
+      commitTsMillis = 50L)
+    MergeTable.deleteWhere(spark, root, col("k") === 2005L,
+      commitTsMillis = 60L)
+    val f = new java.io.File(s"$root/files")
+    def len(n: String) = new java.io.File(f, n).length()
+    val sizes = MergeTable.currentManifest(spark, root)
+      .map(e => e.name -> len(e.name)).toMap
+    val small = sizes.values.max / 2
+    assert(MergeTable.optimizeDebt(spark, root, small) === 3)
+    assert(MergeTable.shouldOptimize(spark, root, small, maxSmall = 2))
+    val bigNames = sizes.collect { case (n, l) if l >= small => n }.toSet
+    val (packed, carried) = MergeTable.optimize(spark, root,
+      smallBytes = small, targetBytes = Long.MaxValue, commitTsMillis = 70L)
+    assert(packed === 3 && carried === bigNames.size)
+    val now = MergeTable.currentManifest(spark, root).map(_.name)
+    // every big file carried BY NAME; the three small ones became one
+    assert(bigNames.subsetOf(now.toSet))
+    assert(now.size === bigNames.size + 1)
+    val got = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0)).toSet
+    val expected = ((0L until 1000L).toSet - 500L) ++
+      ((2000L until 2020L).toSet - 2005L) ++
+      (3000L until 3020L).toSet ++ (4000L until 4020L).toSet
+    assert(got === expected)
+    // the packed output is itself still under the threshold — ONE small
+    // file is optimal by definition (the <2 rule prevents thrashing)
+    assert(MergeTable.optimizeDebt(spark, root, small) === 1)
+    // already optimal: no-op, no new generation
+    val gens = Snapshots.generations(spark, root)
+    assert(MergeTable.optimize(spark, root, smallBytes = small,
+      commitTsMillis = 80L) === ((0, bigNames.size + 1)))
+    assert(Snapshots.generations(spark, root) === gens)
+    // one maintenance sweep serves lake tables via the custom due-
+    // predicate: more debris → due → the sweep optimizes it back
+    import graft.streaming.Compaction.Maintenance
+    MergeTable.merge(spark, root,
+      spark.range(5000, 5010).select(lit("c").as("op"), lit(1L).as("seq"),
+        col("id").as("k"), (col("id") * 10).as("v"), lit("ins").as("tag")),
+      "k", nFiles = 1, commitTsMillis = 90L)
+    Maintenance.register(root,
+      s => { MergeTable.optimize(s, root, smallBytes = small,
+        commitTsMillis = 100L); () },
+      due = s => MergeTable.shouldOptimize(s, root, small, maxSmall = 1))
+    try {
+      val ran = Maintenance.runDue(spark).toMap
+      assert(ran(root) === true)
+      assert(!MergeTable.shouldOptimize(spark, root, small, maxSmall = 1))
+      assert(Maintenance.runDue(spark).toMap.apply(root) === false)
+    } finally Maintenance.deregister(root)
+  }
+
   test("deleteWhere: predicate delete via one DV sidecar — zero " +
     "rewrites, pruned scan, idempotent no-op, time travel intact") {
     val root = freshRoot("delwhere")
