@@ -41,8 +41,11 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> msg))
 
+  // TOP-DOWN on purpose: RelationTimeTravel must claim its child
+  // relation before the bare-name case below could resolve it to the
+  // CURRENT state (which would silently defeat the AS OF clause)
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    plan.resolveOperatorsDown {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           if SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).isDefined ||
             SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
@@ -97,6 +100,44 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         refuse(s"table ${u.multipartIdentifier.head} is not registered " +
           s"for snapshot time travel (registered: " +
           s"${SnapshotSqlCatalog.registered(spark).toSeq.sorted.mkString(", ")})")
+
+      // ---- SQL DML over registered merge tables --------------------
+      // `DELETE FROM lake WHERE ...` / `UPDATE lake SET ... WHERE ...`
+      // become the manifest-pruned DV delete / scoped COW update. The
+      // statement's expressions travel as SQL text re-parsed against
+      // the table's own frame at RUN time — see MergeTableDml.
+      case org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable(u: UnresolvedRelation, cond)
+          if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
+        MergeTableDml.MergeTableDeleteCommand(
+          SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).get,
+          cond.sql)
+      case org.apache.spark.sql.catalyst.plans.logical
+          .UpdateTable(u: UnresolvedRelation, assigns, cond)
+          if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
+        MergeTableDml.MergeTableUpdateCommand(
+          SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).get,
+          MergeTableDml.assignmentPairs(assigns,
+            u.multipartIdentifier.mkString(".")),
+          cond.map(_.sql))
+
+      // ---- bare registered names are directly queryable ------------
+      // `SELECT * FROM lake` = the current committed state: manifest-
+      // directed and DV-applied for a merge root, newest-generation
+      // parquet for a snapshot root. Registration is explicit and
+      // session-scoped, so nothing in a real catalog can be shadowed
+      // accidentally; time travel never reaches here (the TT case above
+      // rewrote the whole node first, top-down).
+      case u: UnresolvedRelation
+          if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
+        graft.streaming.MergeTable.read(spark,
+          SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).get)
+          .queryExecution.analyzed
+      case u: UnresolvedRelation
+          if SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).isDefined =>
+        spark.read.parquet(Snapshots.resolve(spark,
+          SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).get))
+          .queryExecution.analyzed
     }
 }
 

@@ -277,6 +277,11 @@ object MergeTable {
       case GreaterThanOrEqual(a, b) =>
         name(a).zip(litVal(b)).map { case (n, v) => n -> (v, Long.MaxValue) } ++
           name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, v) }
+      // SQL-parsed BETWEEN survives analysis as a first-class Between
+      // expression in Spark 4 (the Column API still expands to >=/<=)
+      case Between(a, lo, hi, _) =>
+        name(a).zip(litVal(lo).zip(litVal(hi)))
+          .map { case (n, (l, h)) => n -> (l, h) }
       case _ => Seq.empty
     }
     perConjunct.groupBy(_._1).view.mapValues(_.map(_._2)

@@ -117,4 +117,51 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("SQL DML over a registered merge table: DELETE via DVs, UPDATE " +
+    "via scoped COW, bare SELECT serves the current state") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.MergeTable
+    val root = TestSpark.tempDir("sql-dml") + "/table"
+    val base = spark
+    MergeTable.create(spark, root,
+      spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v"),
+        lit("base").as("tag")),
+      "k", nFiles = 4, commitTsMillis = 1000L)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      SnapshotSqlCatalog.registerMerge(ext, "lake_dml", root)
+      // DELETE: returns the deleted count; lands as one DV generation
+      val del = ext.sql("DELETE FROM lake_dml WHERE k < 10").collect()
+      assert(del.map(_.getLong(0)).toSeq === Seq(10L))
+      // UPDATE: scoped rewrite, returns (rewritten, carried)
+      val upd = ext.sql("UPDATE lake_dml SET v = v + 1, tag = 'sqlupd' " +
+        "WHERE k BETWEEN 10 AND 19").collect()
+      assert(upd.head.getInt(0) === 1 && upd.head.getInt(1) === 3)
+      // bare SELECT = the current committed, DV-applied state
+      val got = ext.sql("SELECT k, v, tag FROM lake_dml ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.length === 90 && got.head === ((10L, 101L, "sqlupd")))
+      assert(got.find(_._1 == 50L).get === ((50L, 500L, "base")))
+      // time travel composes with DML history: VERSION AS OF 1 is pre-DML
+      assert(ext.sql("SELECT count(*) AS c FROM lake_dml VERSION AS OF 1")
+        .head().getLong(0) === 100L)
+      // the API's refusals surface through SQL too (key re-assignment)
+      val eKey = intercept[Exception](
+        ext.sql("UPDATE lake_dml SET k = 1 WHERE v = 500").collect())
+      assert(eKey.getMessage.contains("re-keys"), eKey.getMessage)
+      // an UNREGISTERED name is untouched by the rule (Spark's own error)
+      intercept[Exception](
+        ext.sql("DELETE FROM not_registered WHERE k = 1").collect())
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
