@@ -1271,10 +1271,13 @@ object MergeTable {
     *     scanning ONLY the files the DV delta names.
     *
     * Cost ∝ changed files + DV delta — at 100 TB a day's CDF reads a
-    * day's changes. Granularity contract: row-exact across [[mergeMor]]
-    * history; a copy-on-write rewrite or [[compact]] re-files unchanged
-    * rows, which then appear as delete+insert pairs (the standard
-    * limitation of file-granular diffing without per-row lineage ids).
+    * day's changes. Granularity contract: ROW-EXACT across the whole
+    * history — MOR windows diff by DV delta, and rows a copy-on-write
+    * rewrite (or [[compact]]/[[optimize]]) merely RE-FILED cancel via
+    * bag-EXCEPT between the added-file and removed-file sides (what
+    * other formats need per-row lineage ids for). One shape remains
+    * visible by design: a row deleted AND re-inserted with identical
+    * values inside one window reports as its real d+i event pair.
     *
     * Returns the target schema plus `change` ∈ 'i'/'d'. */
   def changesBetween(spark: SparkSession, root: String,
@@ -1309,10 +1312,10 @@ object MergeTable {
     val newDels = dvRel(dvTo).exceptAll(dvRel(dvFrom)).localCheckpoint(true)
     val unDels = dvRel(dvFrom).exceptAll(dvRel(dvTo)).localCheckpoint(true)
 
-    def rowsOf(entries: Seq[FileEntry], dvs: Seq[String], tag: String) =
+    def rowsOf(entries: Seq[FileEntry], dvs: Seq[String]) =
       if (entries.isEmpty) None
       else Some(readFiles(spark, root, entries, dvs, toSchema)
-        .select(cols.map(col): _*).withColumn("change", lit(tag)))
+        .select(cols.map(col): _*))
     // positions named by a DV delta, read from ONLY the files it names
     def rowsAt(positions: DataFrame, live: Seq[FileEntry], tag: String) = {
       val touched = positions.select("file").distinct()
@@ -1328,9 +1331,25 @@ object MergeTable {
         .select(cols.map(col): _*).withColumn("change", lit(tag)))
     }
     val common = mTo.filter(e => namesFrom.contains(e.name))
+    // a COW rewrite (or compact/optimize) re-files UNCHANGED rows under
+    // new names, putting identical values on both the added-file and
+    // removed-file sides — bag-EXCEPT cancels them, so the feed is
+    // row-exact across rewrites too, not just MOR history. Cost ∝
+    // changed-file rows, which the diff was already scanning; a full
+    // compact makes that the whole table (the one window where the
+    // feed's cost matches a rewrite it must prove empty)
+    val (insNet, delNet) =
+      (rowsOf(mTo.filterNot(e => namesFrom.contains(e.name)), dvTo),
+        rowsOf(mFrom.filterNot(e => namesTo.contains(e.name)), dvFrom)) match {
+        case (Some(i0), Some(d0)) =>
+          val i = i0.localCheckpoint(true)
+          val d = d0.localCheckpoint(true)
+          (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+        case other => other
+      }
     val parts = Seq(
-      rowsOf(mTo.filterNot(e => namesFrom.contains(e.name)), dvTo, "i"),
-      rowsOf(mFrom.filterNot(e => namesTo.contains(e.name)), dvFrom, "d"),
+      insNet.map(_.withColumn("change", lit("i"))),
+      delNet.map(_.withColumn("change", lit("d"))),
       rowsAt(newDels, common, "d"),
       rowsAt(unDels, common, "i")).flatten
     require(parts.nonEmpty || mTo.nonEmpty,

@@ -327,6 +327,24 @@ class MergeTableSpec extends AnyFunSuite {
     // empty window: no changes between a generation and itself
     val (insSame, delSame) = feed(g2, g2)
     assert(insSame.isEmpty && delSame.isEmpty)
+    // COW wave: the rewrite re-files every unchanged row of the touched
+    // file under a new name — the feed must cancel those and report
+    // ONLY the real change (row-exactness across rewrites)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 2L, 222L, "cow")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 40L)
+    val g4 = Snapshots.currentGen(spark, root).get
+    val (ins34, del34) = feed(g3, g4)
+    assert(ins34 === Set(Seq(2L, 222L, "cow")), s"rewrite noise: $ins34")
+    assert(del34 === Set(Seq(2L, 20L, "base")), s"rewrite noise: $del34")
+    assert(ins34 === (state(g4) -- state(g3)) &&
+      del34 === (state(g3) -- state(g4)))
+    // a compact-only window re-files EVERYTHING and changes NOTHING
+    MergeTable.compact(spark, root, nFiles = 2, commitTsMillis = 50L)
+    val g5 = Snapshots.currentGen(spark, root).get
+    val (ins45, del45) = feed(g4, g5)
+    assert(ins45.isEmpty && del45.isEmpty,
+      s"compaction must be invisible to the feed: $ins45 / $del45")
   }
 
   test("bloom registry: equality probes skip files ranges cannot; " +
