@@ -554,7 +554,10 @@ object MergeTable {
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       key: String, gen: Long, nFiles: Int,
       cluster: Option[Column] = None): (Seq[FileEntry], Seq[FileStat]) = {
-    val tmp = s"$root/_tmp-write-$gen"
+    // uuid-suffixed: concurrent optimistic preparers may compute the
+    // SAME next gen — their staging must never share a directory
+    val tmp = s"$root/_tmp-write-$gen-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val tmpPath = new Path(tmp)
     val f = fs(spark, tmpPath)
     // default: range-disjoint on the key (narrow future touch sets);
@@ -885,7 +888,8 @@ object MergeTable {
   private def writeDv(spark: SparkSession, root: String, gen: Long,
       delRows: DataFrame): Option[String] = {
     if (delRows.isEmpty) return None
-    val tmp = s"$root/_tmp-dv-$gen"
+    val tmp = s"$root/_tmp-dv-$gen-" +
+      java.util.UUID.randomUUID().toString.take(8)
     delRows.coalesce(1).write.mode("overwrite").parquet(tmp)
     val f = fs(spark, new Path(tmp))
     val part = f.listStatus(new Path(tmp)).toSeq
@@ -1730,11 +1734,15 @@ object MergeTable {
       e.minKey <= h.changeHi && e.maxKey >= h.changeLo)
   }
 
-  /** Atomically claim generation `target` by renaming a fully-staged
-    * tmp dir onto it. Hadoop's rename(src, existingDir) NESTS src
-    * inside dst instead of failing, so a lost race is detected by the
-    * nested dir and undone. True iff the claim landed. */
-  private def claimGeneration(f: org.apache.hadoop.fs.FileSystem,
+  /** Atomically PUBLISH a fully-committed staged dir (manifest AND
+    * marker already inside) as generation `target` — one rename, so the
+    * claim IS the commit: there is no window where a generation id is
+    * taken but uncommitted, and no commit can interleave between a
+    * writer's state read and its publish (any such commit must itself
+    * be `target`, and the rename admits exactly one winner). Hadoop's
+    * rename(src, existingDir) NESTS src inside dst instead of failing,
+    * so a lost race is detected by the nested dir and undone. */
+  private def publishGeneration(f: org.apache.hadoop.fs.FileSystem,
       root: String, target: Long, tmp: Path): Boolean = {
     val dst = new Path(Snapshots.genDir(root, target))
     if (f.exists(dst)) return false
@@ -1745,20 +1753,28 @@ object MergeTable {
   }
 
   /** Commit a prepared merge — the optimistic CAS loop. Each attempt:
-    * read the current committed state; if it moved past our base, run
-    * the conflict rules (disjoint → REBASE: splice our staged files
+    * read the current committed state gNow; if it moved past our base,
+    * run the conflict rules (disjoint → REBASE: splice our staged files
     * into the winner's manifest, zero data work; conflict → REPLAY:
     * delete our staged files and recompute against the winner's state);
-    * then stage `_MANIFEST` in a tmp dir and atomically claim the next
-    * generation id. A lost claim loops. The arbitration cost of a
-    * rebase is O(manifest) metadata — at 100 TB concurrent writers on
-    * disjoint key ranges (the normal partitioned-ingest shape) never
-    * reread or rewrite a byte of data.
+    * stage a COMPLETE generation dir (manifest + marker) and rename it
+    * onto exactly `gNow + 1`. The rename is the serialization point:
+    * committing `t` requires winning the rename of `t`, `t` is always
+    * read-state + 1, and generation ids stay dense (a crashed writer
+    * leaves only an `_occ-*` tmp, never a half-claimed id) — so the
+    * winner's manifest is ALWAYS built against the newest committed
+    * generation, with no lost-update window. A lost rename loops.
+    * Rebase arbitration costs O(manifest) metadata — at 100 TB
+    * concurrent writers on disjoint key ranges (the normal
+    * partitioned-ingest shape) never reread or rewrite a byte of data.
     *
-    * Residual window (documented, same class as [[Snapshots.commit]]):
-    * the claim is atomic on filesystems with atomic dst-exists-fails
-    * rename (local, HDFS); on raw S3 an external lock or a
-    * conditional-put commit log is required. */
+    * Scope (documented, same class as [[Snapshots.commit]]): rename
+    * with dst-exists-fails atomicity (local, HDFS). On raw S3 an
+    * external lock or conditional-put commit log is required. Do not
+    * interleave LEGACY two-step writers ([[merge]], [[stageMerge]])
+    * with optimistic committers: a crashed legacy staging under
+    * `_gen-(gNow+1)` blocks the rename until discarded
+    * ([[discardStaged]]) — the give-up error names it. */
   def commitPrepared(spark: SparkSession, root: String,
       prepared: PreparedMerge,
       commitTsMillis: Long = System.currentTimeMillis(),
@@ -1802,16 +1818,23 @@ object MergeTable {
       out.write(manifestBytes(entries, h.key, None, dvs, cstats,
         tableSchema(spark, stateDir)))
       out.close()
-      val target = Snapshots.nextGen(spark, root)
-      if (claimGeneration(f, root, target, tmp)) {
-        Snapshots.commit(spark, root, target, commitTsMillis)
+      val mk = f.create(new Path(tmp, Snapshots.markerName), false)
+      mk.write(commitTsMillis.toString.getBytes("UTF-8"))
+      mk.close()
+      val target = gNow + 1
+      if (publishGeneration(f, root, target, tmp))
         return OccOutcome(target, attempt, path)
-      }
-      f.delete(tmp, true) // lost the claim (or rename nested) — retry
+      f.delete(tmp, true) // lost the rename (or it nested) — retry
     }
+    val blockDir = new Path(Snapshots.genDir(root,
+      Snapshots.currentGen(spark, root).map(_ + 1).getOrElse(1L)))
+    val blocked = f.exists(blockDir) &&
+      !f.exists(new Path(blockDir, Snapshots.markerName))
     throw new IllegalStateException(
-      s"optimistic merge on $root gave up after $maxAttempts attempts " +
-        "(sustained commit contention)")
+      s"optimistic merge on $root gave up after $maxAttempts attempts" +
+        (if (blocked) s" — $blockDir exists without a commit marker " +
+          "(a crashed legacy staging?); discardStaged it to unblock"
+        else " (sustained commit contention)"))
   }
 
   /** Abandon a prepared merge: its staged files are deleted now rather

@@ -53,6 +53,11 @@ object Snapshots {
   // never leak into a partition discovery of `root` itself (which would
   // otherwise see conflicting `batch=` vs `_gen=/batch=` layouts)
   private val Marker = "_COMMITTED"
+
+  /** The commit-marker file name — for protocol extensions that stage a
+    * FULLY-COMMITTED generation dir and publish it with one atomic
+    * rename ([[MergeTable.commitPrepared]]'s claim-is-commit). */
+  private[graft] def markerName: String = Marker
   private val GenPrefix = "_gen-"
   private val GenName = raw"_gen-(\d+)".r
 

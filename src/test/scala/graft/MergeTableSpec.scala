@@ -708,6 +708,52 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).count() === 101)
   }
 
+  test("optimistic merge under REAL thread contention: every writer's " +
+    "commit lands exactly once, state = all change sets applied") {
+    val root = freshRoot("occ-threads")
+    MergeTable.create(spark, root, baseDf(4000), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    // 4 writers × 3 sequential merges each, on disjoint key bands —
+    // racing prepare/claim/commit for real (same-target rename races,
+    // concurrent staging, concurrent manifest reads all exercised)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.MergeTable.OccOutcome]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { i =>
+            val lo = w * 1000L + i * 100L
+            val changes = spark.range(lo, lo + 100L).select(
+              lit("u").as("op"), lit(1L).as("seq"), col("id").as("k"),
+              (col("id") + 7L).as("v"), lit(s"w$w").as("tag"))
+            val h = MergeTable.prepareMerge(spark, root, changes, "k",
+              nFiles = 1)
+            outcomes.add(MergeTable.commitPrepared(spark, root, h,
+              commitTsMillis = 100L + w * 10 + i, maxAttempts = 30))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val all = outcomes.asScala.toSeq
+    assert(all.size === 12)
+    // every commit claimed a DISTINCT generation (no lost updates)
+    assert(all.map(_.gen).distinct.size === 12)
+    assert(Snapshots.generations(spark, root).size === 13)
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK.size === 4000)
+    (0 until 4).foreach { w =>
+      (w * 1000L until w * 1000L + 300L).foreach { k =>
+        assert(byK(k) === ((k + 7L, s"w$w")), s"lost update at k=$k")
+      }
+    }
+    assert(byK(3500L) === ((35000L, "base"))) // untouched band untouched
+  }
+
   test("z-order compaction makes an UNCORRELATED dimension prunable; " +
       "key-range layout cannot; both read exactly") {
     val root = freshRoot("zcompact")
