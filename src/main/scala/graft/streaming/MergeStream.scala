@@ -68,6 +68,32 @@ object MergeStream {
       .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
       .start()
 
+  /** [[intoTable]] for the MANY-PIPELINES-ONE-TABLE shape: each stream
+    * commits through the optimistic protocol
+    * ([[MergeTable.mergeOccExactlyOnce]]) under its own `streamId`
+    * replay fence, so N independent changelog streams (per-source CDC
+    * pipelines) merge into one table concurrently — disjoint batches
+    * arbitrate as metadata-only rebases, true conflicts replay, and a
+    * restart-replay of any one stream is refused no matter how many
+    * commits the others landed in between. The reference serializes
+    * this shape behind one Step Function; the optimistic sink removes
+    * the serialization without giving up exactly-once. */
+  def intoTableOcc(stream: DataFrame, root: String, key: String,
+      fields: Seq[(String, DataType)], checkpoint: String,
+      streamId: String, triggerMs: Long = 100L): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val changes = debeziumToChanges(batch, fields)
+        if (!changes.isEmpty) {
+          MergeTable.mergeOccExactlyOnce(batch.sparkSession, root,
+            changes, key, streamId, batchId)
+          ()
+        }
+      }
+      .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+      .start()
+
   /** One gated micro-batch: stage → audit → publish-or-dead-letter.
     * Factored out of [[intoTableGated]] so the replay contract is
     * directly testable. Idempotence: a replayed PUBLISHED batch is

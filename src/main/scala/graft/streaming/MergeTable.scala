@@ -96,12 +96,33 @@ object MergeTable {
     * if it was written by [[mergeExactlyOnce]] — the watermark a
     * restarted stream compares its replayed batch ids against. */
   def appliedBatchId(spark: SparkSession, root: String): Option[Long] =
-    Snapshots.currentGen(spark, root).flatMap { g =>
-      manifestText(spark, Snapshots.genDir(root, g)).split("\n").iterator
-        .map(_.trim).collectFirst {
-          case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
-        }
-    }
+    Snapshots.currentGen(spark, root).flatMap(g =>
+      batchIdOf(spark, Snapshots.genDir(root, g)))
+
+  private def batchIdOf(spark: SparkSession, genDir: String): Option[Long] =
+    manifestText(spark, genDir).split("\n").iterator
+      .map(_.trim).collectFirst {
+        case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+      }
+
+  /** Per-STREAM applied batch ids (`#sbatch=` manifest lines) — the
+    * multi-writer generalization of [[appliedBatchId]]: N independent
+    * streams share one table, each with its own replay fence. Carried
+    * forward by every commit (merge, maintenance, DML, rollback), so a
+    * compaction between a batch and its restart-replay never forgets
+    * that the batch already applied. */
+  def appliedStreamBatchIds(spark: SparkSession,
+      root: String): Map[String, Long] =
+    Snapshots.currentGen(spark, root).map(g =>
+      streamBatchIds(spark, Snapshots.genDir(root, g))).getOrElse(Map.empty)
+
+  private def streamBatchIds(spark: SparkSession,
+      genDir: String): Map[String, Long] =
+    manifestText(spark, genDir).split("\n").iterator.map(_.trim).collect {
+      case l if l.startsWith("#sbatch=") =>
+        val Array(sid, id) = l.stripPrefix("#sbatch=").split("\t", 2)
+        sid -> id.toLong
+    }.toMap
 
   /** The DELETION VECTORS a generation references (`#dv=` manifest
     * metadata lines): parquet sidecars of (file, pos) positional deletes,
@@ -439,9 +460,11 @@ object MergeTable {
       case Some(dvName) =>
         writeManifest(spark, root, gen, manifest(spark, genDir),
           tableKey(spark, root),
+          batchId = batchIdOf(spark, genDir),
           dvs = curDvs :+ dvName,
           cstats = colStats(spark, genDir),
-          schema = tableSchema(spark, genDir))
+          schema = tableSchema(spark, genDir),
+          sbatch = streamBatchIds(spark, genDir))
         Snapshots.commit(spark, root, gen, commitTsMillis)
         spark.read.parquet(filePath(root, dvName)).count()
     }
@@ -488,10 +511,12 @@ object MergeTable {
       writeFiles(spark, root, rewritten, key, gen, nFiles)
     val carriedNames = carried.map(_.name).toSet
     writeManifest(spark, root, gen, carried ++ newEntries, key,
+      batchId = batchIdOf(spark, genDir),
       dvs = if (carried.isEmpty) Seq.empty else curDvs,
       cstats = colStats(spark, genDir)
         .filter(s => carriedNames.contains(s.file)) ++ newStats,
-      schema = Some(schema))
+      schema = Some(schema),
+      sbatch = streamBatchIds(spark, genDir))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size)
   }
@@ -622,8 +647,19 @@ object MergeTable {
   private def manifestBytes(entries: Seq[FileEntry], key: String,
       batchId: Option[Long], dvs: Seq[String],
       cstats: Seq[FileStat],
-      schema: Option[org.apache.spark.sql.types.StructType]): Array[Byte] = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      sbatch: Map[String, Long] = Map.empty,
+      applied: Option[Long] = None): Array[Byte] = {
+    sbatch.keys.foreach(sid => require(
+      !sid.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"stream id '$sid' carries a manifest delimiter character"))
+    // #batch is the replay FENCE (carried by every commit); #applied is
+    // PROVENANCE (only on the generation that applied the batch — what
+    // DESCRIBE HISTORY shows)
     val meta = s"#key=$key\n" + batchId.map(b => s"#batch=$b\n").getOrElse("") +
+      applied.map(b => s"#applied=$b\n").getOrElse("") +
+      sbatch.toSeq.sortBy(_._1)
+        .map { case (sid, id) => s"#sbatch=$sid\t$id\n" }.mkString +
       schema.map(s => s"#schema=${asNullable(s).json}\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString +
       cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
@@ -636,13 +672,16 @@ object MergeTable {
       batchId: Option[Long] = None,
       dvs: Seq[String] = Seq.empty,
       cstats: Seq[FileStat] = Seq.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      sbatch: Map[String, Long] = Map.empty,
+      applied: Option[Long] = None): Unit = {
     val dir = new Path(Snapshots.genDir(root, gen))
     val f = fs(spark, dir)
     if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
-    out.write(manifestBytes(entries, key, batchId, dvs, cstats, schema))
+    out.write(manifestBytes(entries, key, batchId, dvs, cstats, schema,
+      sbatch, applied))
     out.close()
   }
 
@@ -772,10 +811,16 @@ object MergeTable {
     val carriedNames = carried.map(_.name).toSet
     val carriedStats = colStats(spark, genDir0)
       .filter(s => carriedNames.contains(s.file))
-    writeManifest(spark, root, gen, carried ++ entries, key, batchId,
+    // idempotence fences CARRY: a commit without its own batch id keeps
+    // the previous one (else a compact/DML between a batch and its
+    // restart-replay would forget the batch applied → double-apply)
+    writeManifest(spark, root, gen, carried ++ entries, key,
+      batchId.orElse(batchIdOf(spark, genDir0)),
       dvs = if (carried.isEmpty) Seq.empty else curDvs,
       cstats = carriedStats ++ cstats,
-      schema = Some(unionSchema))
+      schema = Some(unionSchema),
+      sbatch = streamBatchIds(spark, genDir0),
+      applied = batchId)
     if (commit) Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size, gen)
   }
@@ -848,9 +893,14 @@ object MergeTable {
       }.getOrElse(throw new IllegalStateException(
         s"manifest of gen $g under $root carries no #key metadata"))
     val gen = Snapshots.nextGen(spark, root)
+    // restore the STATE of gen g, but keep the CURRENT idempotence
+    // fences: a rollback must not re-admit already-applied batches
+    val curDir = currentGenDir(spark, root)
     writeManifest(spark, root, gen, manifest(spark, srcDir), srcKey,
+      batchId = batchIdOf(spark, curDir),
       dvs = dvNames(spark, srcDir), cstats = colStats(spark, srcDir),
-      schema = tableSchema(spark, srcDir))
+      schema = tableSchema(spark, srcDir),
+      sbatch = streamBatchIds(spark, curDir))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     gen
   }
@@ -938,12 +988,15 @@ object MergeTable {
       }
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val (appended, appendedStats) = writeFiles(spark, root, upserts, key, gen, nFiles)
-    writeManifest(spark, root, gen, cur ++ appended, key, batchId,
+    writeManifest(spark, root, gen, cur ++ appended, key,
+      batchId.orElse(batchIdOf(spark, genDir0)),
       dvs = curDvs ++ newDvName,
       // every current file carries (MOR rewrites nothing) — so do all
       // its column ranges, plus the appended files' fresh ones
       cstats = colStats(spark, genDir0) ++ appendedStats,
-      schema = Some(unionSchema))
+      schema = Some(unionSchema),
+      sbatch = streamBatchIds(spark, genDir0),
+      applied = batchId)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     val nDv = newDvName.map(n => spark.read
       .parquet(filePath(root, n)).count()).getOrElse(0L)
@@ -1456,10 +1509,14 @@ object MergeTable {
     val cur = currentManifest(spark, root)
     val key = tableKey(spark, root)
     val gen = Snapshots.nextGen(spark, root)
+    val genDir0 = currentGenDir(spark, root)
     val df = read(spark, root) // evolved schema folds into the rewrite
     val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
-    writeManifest(spark, root, gen, entries, key, cstats = cstats,
-      schema = Some(df.schema))
+    writeManifest(spark, root, gen, entries, key,
+      batchId = batchIdOf(spark, genDir0),
+      cstats = cstats,
+      schema = Some(df.schema),
+      sbatch = streamBatchIds(spark, genDir0))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
   }
@@ -1496,10 +1553,12 @@ object MergeTable {
     val carried = sized.collect { case (e, len) if len >= smallBytes => e }
     val carriedNames = carried.map(_.name).toSet
     writeManifest(spark, root, gen, carried ++ newEntries, key,
+      batchId = batchIdOf(spark, genDir),
       dvs = if (carried.isEmpty) Seq.empty else dvs,
       cstats = colStats(spark, genDir)
         .filter(s => carriedNames.contains(s.file)) ++ newStats,
-      schema = schema)
+      schema = schema,
+      sbatch = streamBatchIds(spark, genDir))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (small.size, carried.size)
   }
@@ -1532,9 +1591,12 @@ object MergeTable {
     import spark.implicits._
     Snapshots.generationsWithTimes(spark, root).map { case (g, ts) =>
       val gd = Snapshots.genDir(root, g)
+      // provenance, not the fence: the batch THIS generation applied
+      // (the carried #batch fence would repeat on maintenance commits)
       val batch = manifestText(spark, gd).split("\n").iterator
         .map(_.trim).collectFirst {
-          case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
+          case l if l.startsWith("#applied=") =>
+            l.stripPrefix("#applied=").toLong
         }
       (g, ts, manifest(spark, gd).size, dvNames(spark, gd).size, batch)
     }.toDF("generation", "commit_ts_millis", "n_files", "n_dvs", "batch_id")
@@ -1573,10 +1635,14 @@ object MergeTable {
       graft.ops.Layout.norm16(col(key), b.getLong(0), b.getLong(1)),
       graft.ops.Layout.norm16(col(dim2), b.getLong(2), b.getLong(3)))
     val gen = Snapshots.nextGen(spark, root)
+    val genDir0 = currentGenDir(spark, root)
     val (entries, cstats) =
       writeFiles(spark, root, df, key, gen, nFiles, cluster = Some(z))
-    writeManifest(spark, root, gen, entries, key, cstats = cstats,
-      schema = Some(df.schema))
+    writeManifest(spark, root, gen, entries, key,
+      batchId = batchIdOf(spark, genDir0),
+      cstats = cstats,
+      schema = Some(df.schema),
+      sbatch = streamBatchIds(spark, genDir0))
     Snapshots.commit(spark, root, gen, commitTsMillis)
     cur.size
   }
@@ -1652,7 +1718,8 @@ object MergeTable {
       touchedNames: Set[String],
       newEntries: Seq[FileEntry], newCstats: Seq[FileStat],
       changeLo: Long, changeHi: Long,
-      changes: DataFrame)
+      changes: DataFrame,
+      streamBatch: Option[(String, Long)] = None)
 
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
@@ -1814,9 +1881,13 @@ object MergeTable {
       f.mkdirs(tmp)
       val out = f.create(new Path(tmp, ManifestName), false)
       // the schema is the CURRENT state's (a winner may have evolved it;
-      // our staged files simply null-fill any column they predate)
-      out.write(manifestBytes(entries, h.key, None, dvs, cstats,
-        tableSchema(spark, stateDir)))
+      // our staged files simply null-fill any column they predate);
+      // idempotence fences carry, plus our own stream's id if this
+      // commit is a micro-batch
+      out.write(manifestBytes(entries, h.key,
+        batchIdOf(spark, stateDir), dvs, cstats,
+        tableSchema(spark, stateDir),
+        streamBatchIds(spark, stateDir) ++ h.streamBatch))
       out.close()
       val mk = f.create(new Path(tmp, Snapshots.markerName), false)
       mk.write(commitTsMillis.toString.getBytes("UTF-8"))
@@ -1836,6 +1907,26 @@ object MergeTable {
           "(a crashed legacy staging?); discardStaged it to unblock"
         else " (sustained commit contention)"))
   }
+
+  /** N INDEPENDENT STREAMS, ONE TABLE: [[commitPrepared]] with a
+    * per-stream replay fence. Each stream carries its own monotone
+    * batch ids (`#sbatch=<streamId>` manifest lines, carried by every
+    * commit), so a restart-replay of stream A is refused regardless of
+    * how many commits streams B..Z landed in between — the exactly-once
+    * contract of [[mergeExactlyOnce]], generalized to concurrent
+    * writers. Returns None on a refused replay. */
+  def mergeOccExactlyOnce(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, streamId: String, batchId: Long,
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20): Option[OccOutcome] =
+    if (appliedStreamBatchIds(spark, root).get(streamId).exists(_ >= batchId))
+      None
+    else {
+      val h = prepareMerge(spark, root, changes, key, nFiles)
+        .copy(streamBatch = Some(streamId -> batchId))
+      Some(commitPrepared(spark, root, h, commitTsMillis, maxAttempts))
+    }
 
   /** Abandon a prepared merge: its staged files are deleted now rather
     * than waiting for [[sweep]]'s orphan collection. */

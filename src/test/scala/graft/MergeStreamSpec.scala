@@ -211,4 +211,59 @@ class MergeStreamSpec extends AnyFunSuite {
       assert(tableState(root) === expected)
     } finally server.close()
   }
+
+  test("TWO live changelog streams merge into ONE table concurrently " +
+    "via the optimistic sink; per-stream replay fences are independent") {
+    val serverA = new TcpChangelogServer
+    val serverB = new TcpChangelogServer
+    try {
+      val work = TestSpark.tempDir("mergestream-occ")
+      val root = s"$work/table"
+      MergeTable.create(spark, root,
+        spark.range(10).select(col("id"), (col("id") * 1.0).as("value")),
+        "id", nFiles = 4, commitTsMillis = 1L)
+
+      def startA() = MergeStream.intoTableOcc(
+        spark.readStream.format("tcp-changelog")
+          .option("host", "127.0.0.1").option("port", serverA.port)
+          .option("eventsPerBatch", 3).load(),
+        root, "id", Fields, s"$work/ckpt-a", "src-a")
+      def startB() = MergeStream.intoTableOcc(
+        spark.readStream.format("tcp-changelog")
+          .option("host", "127.0.0.1").option("port", serverB.port)
+          .option("eventsPerBatch", 3).load(),
+        root, "id", Fields, s"$work/ckpt-b", "src-b")
+
+      // both queries LIVE at once, racing commits through the OCC loop
+      val qA = startA(); val qB = startB()
+      serverA.append((0L to 4L).map(i => dz("u", i, 100.0 + i)) ++
+        Seq(dz("c", 20L, 2020.0)))
+      serverB.append((5L to 9L).map(i => dz("u", i, 200.0 + i)) ++
+        Seq(dz("d", 8L, 0.0), dz("c", 30L, 3030.0)))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      qA.stop(); qB.stop()
+
+      val expected = (Map.empty[Long, Double]
+        ++ (0L to 4L).map(i => i -> (100.0 + i))
+        ++ (5L to 9L).map(i => i -> (200.0 + i))
+        + (20L -> 2020.0) + (30L -> 3030.0)) - 8L
+      assert(tableState(root) === expected)
+      // each stream left its OWN fence; replays refused independently
+      val fences = MergeTable.appliedStreamBatchIds(spark, root)
+      assert(fences.contains("src-a") && fences.contains("src-b"), fences)
+      val replay = Seq(("u", 1L, 0L, 9e9)).toDF("op", "seq", "id", "value")
+      assert(MergeTable.mergeOccExactlyOnce(spark, root, replay, "id",
+        "src-a", fences("src-a")).isEmpty)
+      assert(MergeTable.mergeOccExactlyOnce(spark, root, replay, "id",
+        "src-b", fences("src-b")).isEmpty)
+      assert(tableState(root) === expected)
+      // restart ONE stream: its checkpoint replays the tail, the fence
+      // absorbs it, and fresh events still land
+      serverA.append(Seq(dz("u", 0L, 777.0)))
+      val qA2 = startA()
+      qA2.processAllAvailable()
+      qA2.stop()
+      assert(tableState(root) === expected + (0L -> 777.0))
+    } finally { serverA.close(); serverB.close() }
+  }
 }

@@ -708,6 +708,46 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).count() === 101)
   }
 
+  test("idempotence fences survive maintenance and DML: replays are " +
+    "refused after compact/delete/update; per-stream fences independent") {
+    val root = freshRoot("fences")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    def upd(k: Long, v: Long) =
+      Seq(("u", 1L, k, v, "w")).toDF("op", "seq", "k", "v", "tag")
+    assert(MergeTable.mergeExactlyOnce(spark, root, upd(1L, 111L), "k",
+      batchId = 5L, commitTsMillis = 20L).isDefined)
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(2L, 222L), "k",
+      "src-a", 3L, commitTsMillis = 30L).isDefined)
+    // maintenance + DML commits in between — each must CARRY the fences
+    MergeTable.compact(spark, root, nFiles = 2, commitTsMillis = 40L)
+    MergeTable.deleteWhere(spark, root, col("k") === 50L,
+      commitTsMillis = 50L)
+    MergeTable.updateWhere(spark, root, col("k") === 60L,
+      Map("v" -> lit(606L)), commitTsMillis = 60L)
+    assert(MergeTable.appliedBatchId(spark, root) === Some(5L))
+    assert(MergeTable.appliedStreamBatchIds(spark, root) ===
+      Map("src-a" -> 3L))
+    // the restart-replays: both fences still standing
+    val gens = Snapshots.generations(spark, root)
+    assert(MergeTable.mergeExactlyOnce(spark, root, upd(1L, -1L), "k",
+      batchId = 5L).isEmpty)
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(2L, -1L), "k",
+      "src-a", 3L).isEmpty)
+    assert(Snapshots.generations(spark, root) === gens)
+    // higher ids admit; other streams have their own fence
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(3L, 333L), "k",
+      "src-a", 4L, commitTsMillis = 70L).isDefined)
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(4L, 444L), "k",
+      "src-b", 1L, commitTsMillis = 80L).isDefined)
+    assert(MergeTable.appliedStreamBatchIds(spark, root) ===
+      Map("src-a" -> 4L, "src-b" -> 1L))
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(1L) === 111L && byK(2L) === 222L && byK(3L) === 333L &&
+      byK(4L) === 444L && byK(60L) === 606L && !byK.contains(50L))
+  }
+
   test("optimistic merge under REAL thread contention: every writer's " +
     "commit lands exactly once, state = all change sets applied") {
     val root = freshRoot("occ-threads")
