@@ -1652,7 +1652,8 @@ object MergeTable {
     * delete. Also collects crash orphans (files landed by a merge that
     * never committed). Must not run concurrently with a merge. */
   def sweep(spark: SparkSession, root: String,
-      retainPredecessors: Int = 1): Int = {
+      retainPredecessors: Int = 1,
+      minOrphanAgeMillis: Long = 0L): Int = {
     Snapshots.sweep(spark, root, retainPredecessors)
     // referenced = data files AND deletion vectors of retained manifests
     val referenced = Snapshots.generations(spark, root).flatMap { g =>
@@ -1662,7 +1663,16 @@ object MergeTable {
     val filesDir = new Path(s"$root/$FilesDir")
     val f = fs(spark, filesDir)
     if (!f.exists(filesDir)) return 0
+    // age guard (Delta VACUUM's retention rule): an in-flight optimistic
+    // [[prepareMerge]]'s staged files are UNREFERENCED until their
+    // commit — indistinguishable from crash orphans by name alone. A
+    // deployment running sweeps alongside optimistic writers sets
+    // `minOrphanAgeMillis` above its longest prepare-to-commit window;
+    // only files OLDER than that are collected (mtime of the landed
+    // rename). The default 0 keeps the single-maintainer behavior.
+    val cutoff = System.currentTimeMillis() - minOrphanAgeMillis
     val orphans = f.listStatus(filesDir).toSeq
+      .filter(st => st.getModificationTime <= cutoff)
       .map(_.getPath).filterNot(p => referenced.contains(p.getName))
     orphans.foreach(p => f.delete(p, false))
     // bloom registries: rows keyed by retired file names are inert for

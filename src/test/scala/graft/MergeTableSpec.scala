@@ -708,6 +708,33 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).count() === 101)
   }
 
+  test("sweep age guard: young unreferenced files (an in-flight prepare) " +
+    "survive; old crash orphans still collected") {
+    val root = freshRoot("sweep-age")
+    MergeTable.create(spark, root, baseDf(50), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // an in-flight optimistic prepare: staged files, not yet committed
+    val h = MergeTable.prepareMerge(spark, root,
+      Seq(("u", 1L, 5L, 555L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1)
+    // a CRASH orphan from long ago: same unreferenced shape, old mtime
+    val filesDir = new java.io.File(s"$root/files")
+    val orphan = new java.io.File(filesDir, "f-9-0-deadbeef.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(orphan.setLastModified(System.currentTimeMillis() - 86400000L))
+    MergeTable.sweep(spark, root, retainPredecessors = 0,
+      minOrphanAgeMillis = 3600000L)
+    val onDisk = filesDir.listFiles().map(_.getName).toSet
+    assert(!onDisk.contains(orphan.getName), "old crash orphan must go")
+    h.newEntries.foreach(e => assert(onDisk.contains(e.name),
+      "the age guard must protect in-flight staged files"))
+    // the prepare is still committable after the sweep
+    val o = MergeTable.commitPrepared(spark, root, h, commitTsMillis = 20L)
+    assert(o.path === "clean")
+    assert(MergeTable.read(spark, root).where(col("k") === 5L)
+      .head().getLong(1) === 555L)
+  }
+
   test("idempotence fences survive maintenance and DML: replays are " +
     "refused after compact/delete/update; per-stream fences independent") {
     val root = freshRoot("fences")
