@@ -62,7 +62,10 @@ object ExplainDump {
     "s_zorder_pruned" -> "z-order clustered layout: 2-d predicate pruned by parquet min/max tile stats (PushedFilters on both dims)",
     "x_decontaminate_bloom" -> "bloom-prefiltered decontamination: might_contain probe inside the array prune, survivor-only verify join",
     "x_ivfpq_batch" -> "batch IVF-PQ serve: pruned code scan, broadcast per-query ADC tables, per-qid cut + refine windows",
-    "x_video_frames" -> "real Y4M decode: batched container parse, per-frame Generate fan-out, no shuffle before the sort")
+    "x_video_frames" -> "real Y4M decode: batched container parse, per-frame Generate fan-out, no shuffle before the sort",
+    "t_merge_read_pruned" -> "MergeTable predicate read: manifest-pruned path-list scan (strict file subset), residual filter pushed, DV anti-join broadcast",
+    "t_delete_where" -> "post-DELETE state: manifest-directed scan through the deletion-vector anti-join (broadcast change-set-sized DV side)",
+    "t_merge_evolve" -> "schema evolution read: explicit recorded #schema (old files null-fill the new column — no footer scan, no mergeSchema job)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
