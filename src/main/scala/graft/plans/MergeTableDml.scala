@@ -50,21 +50,44 @@ object MergeTableDml {
     }
   }
 
-  /** The SET clause as (column name, value SQL) pairs; refuses a
-    * qualified or nested assignment target by name (the API updates
-    * top-level columns). */
+  /** Strip table/alias qualifiers off attribute references: the command
+    * re-parses expressions against the BARE table frame, where
+    * `lake.o_custkey` / `t.o_custkey` cannot resolve — but both are
+    * valid statement SQL for a relation named or aliased that way. */
+  def stripQualifiers(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      names: Set[String])
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transform {
+      case u: UnresolvedAttribute if u.nameParts.size > 1 &&
+          names.contains(u.nameParts.init.mkString(".")
+            .toLowerCase(java.util.Locale.ROOT)) =>
+        UnresolvedAttribute(Seq(u.nameParts.last))
+    }
+
+  /** The SET clause as (column name, value SQL) pairs. Duplicate
+    * targets are refused (standard SQL rejects them; silently keeping
+    * the last would mask a user error), as are nested/foreign-qualified
+    * targets (the API updates top-level columns). */
   def assignmentPairs(
       assigns: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment],
-      table: String): Seq[(String, String)] =
-    assigns.map { a =>
-      a.key match {
+      table: String, quals: Set[String]): Seq[(String, String)] = {
+    def refuse(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    val pairs = assigns.map { a =>
+      stripQualifiers(a.key, quals) match {
         case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-          u.nameParts.head -> a.value.sql
-        case other => throw new org.apache.spark.sql.AnalysisException(
-          "USER_RAISED_EXCEPTION",
-          Map("errorMessage" ->
-            (s"UPDATE on merge table $table assigns ${other.sql} — only " +
-              "top-level unqualified columns are assignable")))
+          u.nameParts.head -> stripQualifiers(a.value, quals).sql
+        case other => refuse(
+          s"UPDATE on merge table $table assigns ${other.sql} — only " +
+            "top-level columns of the table are assignable")
       }
     }
+    val dup = pairs.groupBy(_._1).collect { case (c, vs) if vs.size > 1 => c }
+    if (dup.nonEmpty) refuse(
+      s"UPDATE on merge table $table assigns ${dup.mkString(", ")} " +
+        "more than once")
+    pairs
+  }
 }

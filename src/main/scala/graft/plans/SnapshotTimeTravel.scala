@@ -41,6 +41,27 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> msg))
 
+  /** A REGISTERED merge-table relation, bare or under the alias the
+    * statement gave it (`DELETE FROM lake AS t ...` wraps the relation
+    * in a SubqueryAlias): (statement-visible name, qualifier spellings
+    * to strip from expressions, root). */
+  private object MergeRel {
+    def unapply(p: LogicalPlan): Option[(String, Set[String], String)] = {
+      def of(u: UnresolvedRelation, extra: Seq[String]) =
+        SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).map { root =>
+          val n = u.multipartIdentifier.mkString(".")
+          (n, (n +: extra).map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
+            root)
+        }
+      p match {
+        case u: UnresolvedRelation => of(u, Seq.empty)
+        case org.apache.spark.sql.catalyst.plans.logical
+            .SubqueryAlias(id, u: UnresolvedRelation) => of(u, Seq(id.name))
+        case _ => None
+      }
+    }
+  }
+
   // TOP-DOWN on purpose: RelationTimeTravel must claim its child
   // relation before the bare-name case below could resolve it to the
   // CURRENT state (which would silently defeat the AS OF clause)
@@ -102,24 +123,20 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"${SnapshotSqlCatalog.registered(spark).toSeq.sorted.mkString(", ")})")
 
       // ---- SQL DML over registered merge tables --------------------
-      // `DELETE FROM lake WHERE ...` / `UPDATE lake SET ... WHERE ...`
-      // become the manifest-pruned DV delete / scoped COW update. The
-      // statement's expressions travel as SQL text re-parsed against
-      // the table's own frame at RUN time — see MergeTableDml.
+      // `DELETE FROM lake WHERE ...` / `UPDATE lake [AS t] SET ...` —
+      // bare or aliased — become the manifest-pruned DV delete / scoped
+      // COW update. The statement's expressions travel as SQL text
+      // (table/alias qualifiers stripped, since the command re-parses
+      // against the bare table frame) — see MergeTableDml.
       case org.apache.spark.sql.catalyst.plans.logical
-          .DeleteFromTable(u: UnresolvedRelation, cond)
-          if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
-        MergeTableDml.MergeTableDeleteCommand(
-          SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).get,
-          cond.sql)
+          .DeleteFromTable(MergeRel(name, quals, root), cond) =>
+        MergeTableDml.MergeTableDeleteCommand(root,
+          MergeTableDml.stripQualifiers(cond, quals).sql)
       case org.apache.spark.sql.catalyst.plans.logical
-          .UpdateTable(u: UnresolvedRelation, assigns, cond)
-          if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
-        MergeTableDml.MergeTableUpdateCommand(
-          SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).get,
-          MergeTableDml.assignmentPairs(assigns,
-            u.multipartIdentifier.mkString(".")),
-          cond.map(_.sql))
+          .UpdateTable(MergeRel(name, quals, root), assigns, cond) =>
+        MergeTableDml.MergeTableUpdateCommand(root,
+          MergeTableDml.assignmentPairs(assigns, name, quals),
+          cond.map(c => MergeTableDml.stripQualifiers(c, quals).sql))
 
       // ---- bare registered names are directly queryable ------------
       // `SELECT * FROM lake` = the current committed state: manifest-

@@ -83,14 +83,51 @@ object MergeTable {
     } finally in.close()
   }
 
+  /** EVERY metadata face of one generation's manifest, parsed from ONE
+    * read. Commit paths consult 5-9 of these per operation; before this
+    * view each accessor re-opened and re-split the manifest — on object
+    * storage that is ~9 remote GETs per DML commit for one small file. */
+  final case class GenMeta(entries: Seq[FileEntry], key: String,
+      dvs: Seq[String], cstats: Seq[FileStat],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      batchId: Option[Long], applied: Option[Long],
+      sbatch: Map[String, Long])
+
+  def genMeta(spark: SparkSession, genDir: String): GenMeta =
+    parseMeta(manifestText(spark, genDir), genDir)
+
+  private def parseMeta(text: String, genDir: String): GenMeta = {
+    val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
+      val Array(name, lo, hi) = line.split("\t")
+      FileEntry(name, lo.toLong, hi.toLong)
+    }
+    def one(prefix: String): Option[String] =
+      lines.collectFirst { case l if l.startsWith(prefix) =>
+        l.stripPrefix(prefix) }
+    GenMeta(
+      entries = entries,
+      key = one("#key=").getOrElse(throw new IllegalStateException(
+        s"manifest under $genDir carries no #key metadata")),
+      dvs = lines.collect { case l if l.startsWith("#dv=") =>
+        l.stripPrefix("#dv=") },
+      cstats = lines.collect { case l if l.startsWith("#cstat=") =>
+        val Array(file, c, lo, hi) = l.stripPrefix("#cstat=").split("\t")
+        FileStat(file, c, lo.toLong, hi.toLong) },
+      schema = one("#schema=").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]),
+      batchId = one("#batch=").map(_.toLong),
+      applied = one("#applied=").map(_.toLong),
+      sbatch = lines.collect { case l if l.startsWith("#sbatch=") =>
+        val Array(sid, id) = l.stripPrefix("#sbatch=").split("\t", 2)
+        sid -> id.toLong }.toMap)
+  }
+
   /** Parse the manifest of a resolved generation directory (metadata
     * lines, `#key=value`, are skipped — see [[appliedBatchId]]). */
   def manifest(spark: SparkSession, genDir: String): Seq[FileEntry] =
-    manifestText(spark, genDir).split("\n").iterator
-      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-        val Array(name, lo, hi) = line.split("\t")
-        FileEntry(name, lo.toLong, hi.toLong)
-      }.toSeq
+    genMeta(spark, genDir).entries
 
   /** The streaming batch id recorded at the CURRENT generation's commit,
     * if it was written by [[mergeExactlyOnce]] — the watermark a
@@ -100,10 +137,7 @@ object MergeTable {
       batchIdOf(spark, Snapshots.genDir(root, g)))
 
   private def batchIdOf(spark: SparkSession, genDir: String): Option[Long] =
-    manifestText(spark, genDir).split("\n").iterator
-      .map(_.trim).collectFirst {
-        case l if l.startsWith("#batch=") => l.stripPrefix("#batch=").toLong
-      }
+    genMeta(spark, genDir).batchId
 
   /** Per-STREAM applied batch ids (`#sbatch=` manifest lines) — the
     * multi-writer generalization of [[appliedBatchId]]: N independent
@@ -118,30 +152,18 @@ object MergeTable {
 
   private def streamBatchIds(spark: SparkSession,
       genDir: String): Map[String, Long] =
-    manifestText(spark, genDir).split("\n").iterator.map(_.trim).collect {
-      case l if l.startsWith("#sbatch=") =>
-        val Array(sid, id) = l.stripPrefix("#sbatch=").split("\t", 2)
-        sid -> id.toLong
-    }.toMap
+    genMeta(spark, genDir).sbatch
 
   /** The DELETION VECTORS a generation references (`#dv=` manifest
     * metadata lines): parquet sidecars of (file, pos) positional deletes,
     * the merge-on-read half of the table format (Iceberg v2 position
     * deletes / Delta deletion vectors). Order preserved = append order. */
   def dvNames(spark: SparkSession, genDir: String): Seq[String] =
-    manifestText(spark, genDir).split("\n").iterator
-      .map(_.trim).collect {
-        case l if l.startsWith("#dv=") => l.stripPrefix("#dv=")
-      }.toSeq
+    genMeta(spark, genDir).dvs
 
   /** The generation's per-file column ranges (`#cstat=` lines). */
   def colStats(spark: SparkSession, genDir: String): Seq[FileStat] =
-    manifestText(spark, genDir).split("\n").iterator
-      .map(_.trim).collect {
-        case l if l.startsWith("#cstat=") =>
-          val p = l.stripPrefix("#cstat=").split("\t")
-          FileStat(p(0), p(1), p(2).toLong, p(3).toLong)
-      }.toSeq
+    genMeta(spark, genDir).cstats
 
   /** Current-generation manifest. */
   def currentManifest(spark: SparkSession, root: String): Seq[FileEntry] = {
@@ -164,30 +186,18 @@ object MergeTable {
     * which is correct because such tables never evolved). */
   def tableSchema(spark: SparkSession,
       genDir: String): Option[org.apache.spark.sql.types.StructType] =
-    manifestText(spark, genDir).split("\n").iterator.map(_.trim).collectFirst {
-      case l if l.startsWith("#schema=") =>
-        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
+    genMeta(spark, genDir).schema
 
   /** All fields nullable — the shape schema-on-read demands (an old
     * file null-fills evolved columns, so nothing may claim non-null). */
   private def asNullable(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
 
-  /** The generation's effective schema: recorded if present, else the
-    * (never-evolved) footer schema. */
-  private def genSchema(spark: SparkSession, root: String,
-      genDir: String): org.apache.spark.sql.types.StructType =
-    tableSchema(spark, genDir).getOrElse(
-      readFiles(spark, root, manifest(spark, genDir).take(1)).schema)
-
   /** Read the current table state: manifest-directed path-list scan,
     * minus the generation's deletion vectors (if any). */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val genDir = currentGenDir(spark, root)
-    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir),
-      tableSchema(spark, genDir))
+    val m = genMeta(spark, currentGenDir(spark, root))
+    readFiles(spark, root, m.entries, m.dvs, m.schema)
   }
 
   /** The current manifest entries whose key range intersects [lo, hi]
@@ -387,23 +397,22 @@ object MergeTable {
     * [[deleteWhere]] and [[updateWhere]] — predicate DML prunes exactly
     * like a predicate read. */
   private def prunedByPredicate(spark: SparkSession, root: String,
-      genDir: String, predicate: Column): Seq[FileEntry] = {
-    val entries = manifest(spark, genDir)
-    val key = tableKey(spark, root)
+      m: GenMeta, predicate: Column): Seq[FileEntry] = {
+    val entries = m.entries
     // resolve the Column against the table schema by analyzing a
     // zero-row probe: the Filter node's condition is the catalyst
     // expression (with the analyzer's implicit casts in place) the
     // bounds walk consumes — the public-API route to what a DSv2
     // pushFilters hook would be handed
     val probeCond = readFiles(spark, root, entries.take(1),
-      schema = tableSchema(spark, genDir)).limit(0)
+      schema = m.schema).limit(0)
       .filter(predicate).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }
     val bounds = probeCond.map(extractBounds).getOrElse(Map.empty)
     val ranges: Map[(String, String), (Long, Long)] =
-      colStats(spark, genDir).map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
-        entries.map(e => (e.name, key) -> (e.minKey, e.maxKey)).toMap
+      m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
+        entries.map(e => (e.name, m.key) -> (e.minKey, e.maxKey)).toMap
     val byRange = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
       ranges.get((e.name, c)).forall(r => r._2 >= lo && r._1 <= hi)
     })
@@ -418,15 +427,13 @@ object MergeTable {
 
   def readWhere(spark: SparkSession, root: String,
       predicate: Column): DataFrame = {
-    val genDir = currentGenDir(spark, root)
-    val entries = manifest(spark, genDir)
-    val candidates = prunedByPredicate(spark, root, genDir, predicate)
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val candidates = prunedByPredicate(spark, root, m, predicate)
     if (candidates.isEmpty)
-      readFiles(spark, root, entries.take(1),
-        schema = tableSchema(spark, genDir)).limit(0).filter(predicate)
+      readFiles(spark, root, m.entries.take(1),
+        schema = m.schema).limit(0).filter(predicate)
     else
-      readFiles(spark, root, candidates, dvNames(spark, genDir),
-        tableSchema(spark, genDir))
+      readFiles(spark, root, candidates, m.dvs, m.schema)
         .filter(predicate)
   }
 
@@ -444,12 +451,11 @@ object MergeTable {
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
     val genDir = currentGenDir(spark, root)
-    val candidates = prunedByPredicate(spark, root, genDir, predicate)
+    val m = genMeta(spark, genDir)
+    val candidates = prunedByPredicate(spark, root, m, predicate)
     if (candidates.isEmpty) return 0L
-    val curDvs = dvNames(spark, genDir)
     val gen = Snapshots.nextGen(spark, root)
-    val delRows = readFiles(spark, root, candidates, curDvs,
-      tableSchema(spark, genDir))
+    val delRows = readFiles(spark, root, candidates, m.dvs, m.schema)
       .filter(predicate)
       .select(
         element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
@@ -458,13 +464,12 @@ object MergeTable {
     writeDv(spark, root, gen, delRows) match {
       case None => 0L // predicate matched nothing: no new generation
       case Some(dvName) =>
-        writeManifest(spark, root, gen, manifest(spark, genDir),
-          tableKey(spark, root),
-          batchId = batchIdOf(spark, genDir),
-          dvs = curDvs :+ dvName,
-          cstats = colStats(spark, genDir),
-          schema = tableSchema(spark, genDir),
-          sbatch = streamBatchIds(spark, genDir))
+        writeManifest(spark, root, gen, m.entries, m.key,
+          batchId = m.batchId,
+          dvs = m.dvs :+ dvName,
+          cstats = m.cstats,
+          schema = m.schema,
+          sbatch = m.sbatch)
         Snapshots.commit(spark, root, gen, commitTsMillis)
         spark.read.parquet(filePath(root, dvName)).count()
     }
@@ -485,8 +490,10 @@ object MergeTable {
       nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis()): (Int, Int) = {
     val genDir = currentGenDir(spark, root)
-    val key = tableKey(spark, root)
-    val schema = genSchema(spark, root, genDir)
+    val m = genMeta(spark, genDir)
+    val key = m.key
+    val schema = m.schema.getOrElse(
+      readFiles(spark, root, m.entries.take(1)).schema)
     require(set.nonEmpty, "updateWhere: no assignments")
     require(!set.contains(key),
       s"updateWhere: assigning the merge key '$key' re-keys rows — " +
@@ -495,28 +502,35 @@ object MergeTable {
     require(unknown.isEmpty,
       s"updateWhere: unknown columns ${unknown.mkString(", ")} — " +
         "schema evolution goes through merge(evolveSchema = true)")
-    val entries = manifest(spark, genDir)
-    val touched = prunedByPredicate(spark, root, genDir, predicate)
-    if (touched.isEmpty) return (0, entries.size)
+    val touched = prunedByPredicate(spark, root, m, predicate)
+    if (touched.isEmpty) return (0, m.entries.size)
     val touchedNames = touched.map(_.name).toSet
-    val carried = entries.filterNot(e => touchedNames.contains(e.name))
-    val curDvs = dvNames(spark, genDir)
+    val carried = m.entries.filterNot(e => touchedNames.contains(e.name))
     val cols = schema.fieldNames.toSeq
-    val rewritten = readFiles(spark, root, touched, curDvs, Some(schema))
+    val rewritten = readFiles(spark, root, touched, m.dvs, Some(schema))
       .select(cols.map(c => set.get(c)
         .map(a => when(predicate, a).otherwise(col(c)).as(c))
         .getOrElse(col(c))): _*)
+    // an assignment must not DRIFT a column's type: when/otherwise would
+    // silently widen (long * 1.1 → double), the files would land with a
+    // physical type contradicting the recorded #schema, and every later
+    // schema-on-read would fail — the one mistake that bricks the table
+    rewritten.schema.fields.zip(schema.fields).foreach { case (got, want) =>
+      require(got.dataType == want.dataType,
+        s"updateWhere: assignment changes column '${want.name}' from " +
+          s"${want.dataType.simpleString} to ${got.dataType.simpleString} " +
+          "— cast the assignment to the column's type explicitly")
+    }
     val gen = Snapshots.nextGen(spark, root)
     val (newEntries, newStats) =
       writeFiles(spark, root, rewritten, key, gen, nFiles)
     val carriedNames = carried.map(_.name).toSet
     writeManifest(spark, root, gen, carried ++ newEntries, key,
-      batchId = batchIdOf(spark, genDir),
-      dvs = if (carried.isEmpty) Seq.empty else curDvs,
-      cstats = colStats(spark, genDir)
-        .filter(s => carriedNames.contains(s.file)) ++ newStats,
+      batchId = m.batchId,
+      dvs = if (carried.isEmpty) Seq.empty else m.dvs,
+      cstats = m.cstats.filter(s => carriedNames.contains(s.file)) ++ newStats,
       schema = Some(schema),
-      sbatch = streamBatchIds(spark, genDir))
+      sbatch = m.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size)
   }
@@ -524,9 +538,8 @@ object MergeTable {
   /** Time travel: the table as of committed generation `g` (with that
     * generation's own deletion-vector view). */
   def readAt(spark: SparkSession, root: String, g: Long): DataFrame = {
-    val genDir = Snapshots.resolveAt(spark, root, g)
-    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir),
-      tableSchema(spark, genDir))
+    val m = genMeta(spark, Snapshots.resolveAt(spark, root, g))
+    readFiles(spark, root, m.entries, m.dvs, m.schema)
   }
 
   /** Read an already-resolved generation directory (manifest + that
@@ -534,9 +547,10 @@ object MergeTable {
     * after [[Snapshots.resolveAsOf]]/[[Snapshots.resolveAt]] picked the
     * directory. */
   private[graft] def readResolved(spark: SparkSession, root: String,
-      genDir: String): DataFrame =
-    readFiles(spark, root, manifest(spark, genDir), dvNames(spark, genDir),
-      tableSchema(spark, genDir))
+      genDir: String): DataFrame = {
+    val m = genMeta(spark, genDir)
+    readFiles(spark, root, m.entries, m.dvs, m.schema)
+  }
 
   private def readFiles(spark: SparkSession, root: String,
       entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty,
@@ -677,7 +691,18 @@ object MergeTable {
       applied: Option[Long] = None): Unit = {
     val dir = new Path(Snapshots.genDir(root, gen))
     val f = fs(spark, dir)
-    if (f.exists(dir)) f.delete(dir, true) // crashed half-write of this id
+    if (f.exists(dir)) {
+      // only a crashed HALF-write (no marker) may be reclaimed in place:
+      // a marker means a concurrent committer published this generation
+      // between our nextGen read and now — deleting it would silently
+      // erase an acknowledged commit (the single-writer contract broke;
+      // fail loudly instead of destroying history)
+      require(!f.exists(new Path(dir, Snapshots.markerName)),
+        s"$dir already carries a commit marker — a concurrent committer " +
+          "published this generation (legacy single-writer paths must " +
+          "not run concurrently with optimistic committers); retry")
+      f.delete(dir, true)
+    }
     f.mkdirs(dir)
     val out = f.create(new Path(dir, ManifestName), false)
     out.write(manifestBytes(entries, key, batchId, dvs, cstats, schema,
@@ -724,11 +749,7 @@ object MergeTable {
   def tableKey(spark: SparkSession, root: String): String = {
     val g = Snapshots.currentGen(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed generation under $root"))
-    manifestText(spark, Snapshots.genDir(root, g)).split("\n").iterator
-      .map(_.trim).collectFirst {
-        case l if l.startsWith("#key=") => l.stripPrefix("#key=")
-      }.getOrElse(throw new IllegalStateException(
-        s"manifest of gen $g under $root carries no #key metadata"))
+    genMeta(spark, Snapshots.genDir(root, g)).key
   }
 
   /** Create the table: `df` becomes generation 1. */
@@ -768,9 +789,11 @@ object MergeTable {
       pruneFiles: Boolean, commit: Boolean,
       evolveSchema: Boolean = false): (Int, Int, Long) = {
     val genDir0 = currentGenDir(spark, root)
-    val cur = manifest(spark, genDir0)
-    val curDvs = dvNames(spark, genDir0)
-    val unionSchema = evolvedSchema(genSchema(spark, root, genDir0),
+    val m0 = genMeta(spark, genDir0)
+    val cur = m0.entries
+    val curDvs = m0.dvs
+    val unionSchema = evolvedSchema(
+      m0.schema.getOrElse(readFiles(spark, root, cur.take(1)).schema),
       changes, evolveSchema)
     val targetCols = unionSchema.fieldNames.toSeq
     // 1. collapse to one NET change per key (one id-width shuffle)
@@ -809,17 +832,16 @@ object MergeTable {
     val (entries, cstats) = writeFiles(spark, root, merged, key, gen, nFiles)
     // carried files keep their (immutable) column ranges by name
     val carriedNames = carried.map(_.name).toSet
-    val carriedStats = colStats(spark, genDir0)
-      .filter(s => carriedNames.contains(s.file))
+    val carriedStats = m0.cstats.filter(s => carriedNames.contains(s.file))
     // idempotence fences CARRY: a commit without its own batch id keeps
     // the previous one (else a compact/DML between a batch and its
     // restart-replay would forget the batch applied → double-apply)
     writeManifest(spark, root, gen, carried ++ entries, key,
-      batchId.orElse(batchIdOf(spark, genDir0)),
+      batchId.orElse(m0.batchId),
       dvs = if (carried.isEmpty) Seq.empty else curDvs,
       cstats = carriedStats ++ cstats,
       schema = Some(unionSchema),
-      sbatch = streamBatchIds(spark, genDir0),
+      sbatch = m0.sbatch,
       applied = batchId)
     if (commit) Snapshots.commit(spark, root, gen, commitTsMillis)
     (touched.size, carried.size, gen)
@@ -848,9 +870,8 @@ object MergeTable {
     * generation resolution on purpose: committed readers can never see
     * this state. */
   def readStaged(spark: SparkSession, root: String, gen: Long): DataFrame = {
-    val gd = Snapshots.genDir(root, gen)
-    readFiles(spark, root, manifest(spark, gd), dvNames(spark, gd),
-      tableSchema(spark, gd))
+    val m = genMeta(spark, Snapshots.genDir(root, gen))
+    readFiles(spark, root, m.entries, m.dvs, m.schema)
   }
 
   /** Publish a staged generation: the atomic marker commit. Refuses if
@@ -887,20 +908,16 @@ object MergeTable {
   def rollbackTo(spark: SparkSession, root: String, g: Long,
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
     val srcDir = Snapshots.resolveAt(spark, root, g) // must be committed
-    val srcKey = manifestText(spark, srcDir).split("\n").iterator
-      .map(_.trim).collectFirst {
-        case l if l.startsWith("#key=") => l.stripPrefix("#key=")
-      }.getOrElse(throw new IllegalStateException(
-        s"manifest of gen $g under $root carries no #key metadata"))
+    val src = genMeta(spark, srcDir)
     val gen = Snapshots.nextGen(spark, root)
     // restore the STATE of gen g, but keep the CURRENT idempotence
     // fences: a rollback must not re-admit already-applied batches
-    val curDir = currentGenDir(spark, root)
-    writeManifest(spark, root, gen, manifest(spark, srcDir), srcKey,
-      batchId = batchIdOf(spark, curDir),
-      dvs = dvNames(spark, srcDir), cstats = colStats(spark, srcDir),
-      schema = tableSchema(spark, srcDir),
-      sbatch = streamBatchIds(spark, curDir))
+    val cur = genMeta(spark, currentGenDir(spark, root))
+    writeManifest(spark, root, gen, src.entries, src.key,
+      batchId = cur.batchId,
+      dvs = src.dvs, cstats = src.cstats,
+      schema = src.schema,
+      sbatch = cur.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     gen
   }
@@ -958,9 +975,11 @@ object MergeTable {
       batchId: Option[Long] = None,
       evolveSchema: Boolean = false): (Long, Int) = {
     val genDir0 = currentGenDir(spark, root)
-    val cur = manifest(spark, genDir0)
-    val curDvs = dvNames(spark, genDir0)
-    val unionSchema = evolvedSchema(genSchema(spark, root, genDir0),
+    val m0 = genMeta(spark, genDir0)
+    val cur = m0.entries
+    val curDvs = m0.dvs
+    val unionSchema = evolvedSchema(
+      m0.schema.getOrElse(readFiles(spark, root, cur.take(1)).schema),
       changes, evolveSchema)
     val targetCols = unionSchema.fieldNames.toSeq
     val net = netChanges(changes, key, targetCols)
@@ -989,13 +1008,13 @@ object MergeTable {
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val (appended, appendedStats) = writeFiles(spark, root, upserts, key, gen, nFiles)
     writeManifest(spark, root, gen, cur ++ appended, key,
-      batchId.orElse(batchIdOf(spark, genDir0)),
+      batchId.orElse(m0.batchId),
       dvs = curDvs ++ newDvName,
       // every current file carries (MOR rewrites nothing) — so do all
       // its column ranges, plus the appended files' fresh ones
-      cstats = colStats(spark, genDir0) ++ appendedStats,
+      cstats = m0.cstats ++ appendedStats,
       schema = Some(unionSchema),
-      sbatch = streamBatchIds(spark, genDir0),
+      sbatch = m0.sbatch,
       applied = batchId)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     val nDv = newDvName.map(n => spark.read
@@ -1506,19 +1525,18 @@ object MergeTable {
     * (accumulate cheap positional deletes, fold them at compaction). */
   def compact(spark: SparkSession, root: String, nFiles: Int = 8,
       commitTsMillis: Long = System.currentTimeMillis()): Int = {
-    val cur = currentManifest(spark, root)
-    val key = tableKey(spark, root)
-    val gen = Snapshots.nextGen(spark, root)
     val genDir0 = currentGenDir(spark, root)
-    val df = read(spark, root) // evolved schema folds into the rewrite
-    val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
-    writeManifest(spark, root, gen, entries, key,
-      batchId = batchIdOf(spark, genDir0),
+    val m0 = genMeta(spark, genDir0)
+    val gen = Snapshots.nextGen(spark, root)
+    val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
+    val (entries, cstats) = writeFiles(spark, root, df, m0.key, gen, nFiles)
+    writeManifest(spark, root, gen, entries, m0.key,
+      batchId = m0.batchId,
       cstats = cstats,
-      schema = Some(df.schema),
-      sbatch = streamBatchIds(spark, genDir0))
+      schema = Some(df.schema), // evolved schema folds into the rewrite
+      sbatch = m0.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
-    cur.size
+    m0.entries.size
   }
 
   /** OPTIMIZE — bin-packed SMALL-FILE compaction (the Delta/Iceberg
@@ -1535,30 +1553,27 @@ object MergeTable {
       smallBytes: Long = 8L << 20, targetBytes: Long = 64L << 20,
       commitTsMillis: Long = System.currentTimeMillis()): (Int, Int) = {
     val genDir = currentGenDir(spark, root)
-    val entries = manifest(spark, genDir)
-    val key = tableKey(spark, root)
+    val m = genMeta(spark, genDir)
     val f = fs(spark, new Path(root))
-    val sized = entries.map(e =>
+    val sized = m.entries.map(e =>
       e -> f.getFileStatus(new Path(filePath(root, e.name))).getLen)
     val small = sized.collect { case (e, len) if len < smallBytes => e }
-    if (small.size < 2) return (0, entries.size)
-    val schema = tableSchema(spark, genDir)
-    val dvs = dvNames(spark, genDir)
+    if (small.size < 2) return (0, m.entries.size)
     val nOut = math.max(1, math.ceil(
       sized.collect { case (_, len) if len < smallBytes => len }
         .sum.toDouble / targetBytes).toInt)
-    val packed = readFiles(spark, root, small, dvs, schema)
+    val packed = readFiles(spark, root, small, m.dvs, m.schema)
     val gen = Snapshots.nextGen(spark, root)
-    val (newEntries, newStats) = writeFiles(spark, root, packed, key, gen, nOut)
+    val (newEntries, newStats) =
+      writeFiles(spark, root, packed, m.key, gen, nOut)
     val carried = sized.collect { case (e, len) if len >= smallBytes => e }
     val carriedNames = carried.map(_.name).toSet
-    writeManifest(spark, root, gen, carried ++ newEntries, key,
-      batchId = batchIdOf(spark, genDir),
-      dvs = if (carried.isEmpty) Seq.empty else dvs,
-      cstats = colStats(spark, genDir)
-        .filter(s => carriedNames.contains(s.file)) ++ newStats,
-      schema = schema,
-      sbatch = streamBatchIds(spark, genDir))
+    writeManifest(spark, root, gen, carried ++ newEntries, m.key,
+      batchId = m.batchId,
+      dvs = if (carried.isEmpty) Seq.empty else m.dvs,
+      cstats = m.cstats.filter(s => carriedNames.contains(s.file)) ++ newStats,
+      schema = m.schema,
+      sbatch = m.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (small.size, carried.size)
   }
@@ -1589,17 +1604,24 @@ object MergeTable {
     * table and when" must never cost a table scan. */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    Snapshots.generationsWithTimes(spark, root).map { case (g, ts) =>
-      val gd = Snapshots.genDir(root, g)
-      // provenance, not the fence: the batch THIS generation applied
-      // (the carried #batch fence would repeat on maintenance commits)
-      val batch = manifestText(spark, gd).split("\n").iterator
-        .map(_.trim).collectFirst {
-          case l if l.startsWith("#applied=") =>
-            l.stripPrefix("#applied=").toLong
-        }
-      (g, ts, manifest(spark, gd).size, dvNames(spark, gd).size, batch)
-    }.toDF("generation", "commit_ts_millis", "n_files", "n_dvs", "batch_id")
+    // provenance, not the fence: the batch THIS generation applied is
+    // #applied; manifests written before that line existed carried only
+    // the #batch fence, for which "the fence CHANGED at this generation"
+    // is the same fact — the fold below recovers it
+    var prevFence: Option[Long] = None
+    var prevS: Map[String, Long] = Map.empty
+    val rows = Snapshots.generationsWithTimes(spark, root).map { case (g, ts) =>
+      val m = genMeta(spark, Snapshots.genDir(root, g))
+      val batch = m.applied
+        .orElse(if (m.batchId != prevFence) m.batchId else None)
+        .orElse(m.sbatch.collectFirst {
+          case (sid, id) if !prevS.get(sid).contains(id) => id
+        })
+      prevFence = m.batchId
+      prevS = m.sbatch
+      (g, ts, m.entries.size, m.dvs.size, batch)
+    }
+    rows.toDF("generation", "commit_ts_millis", "n_files", "n_dvs", "batch_id")
       .orderBy(col("generation"))
   }
 
@@ -1622,9 +1644,10 @@ object MergeTable {
       nFiles: Int = 8,
       commitTsMillis: Long = System.currentTimeMillis()): Int = {
     import graft.functions.ZOrder64.zorder64
-    val cur = currentManifest(spark, root)
-    val key = tableKey(spark, root)
-    val df = read(spark, root)
+    val genDir0 = currentGenDir(spark, root)
+    val m0 = genMeta(spark, genDir0)
+    val key = m0.key
+    val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
     val b = df.agg(
       min(col(key).cast("long")), max(col(key).cast("long")),
       min(col(dim2).cast("long")), max(col(dim2).cast("long"))).head
@@ -1635,16 +1658,15 @@ object MergeTable {
       graft.ops.Layout.norm16(col(key), b.getLong(0), b.getLong(1)),
       graft.ops.Layout.norm16(col(dim2), b.getLong(2), b.getLong(3)))
     val gen = Snapshots.nextGen(spark, root)
-    val genDir0 = currentGenDir(spark, root)
     val (entries, cstats) =
       writeFiles(spark, root, df, key, gen, nFiles, cluster = Some(z))
     writeManifest(spark, root, gen, entries, key,
-      batchId = batchIdOf(spark, genDir0),
+      batchId = m0.batchId,
       cstats = cstats,
       schema = Some(df.schema),
-      sbatch = streamBatchIds(spark, genDir0))
+      sbatch = m0.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
-    cur.size
+    m0.entries.size
   }
 
   /** Retire old generations ([[Snapshots.sweep]] semantics) and GC data
@@ -1683,7 +1705,21 @@ object MergeTable {
     // (unknown = read unpruned — the safe direction), never a partial.
     val bloomsRoot = new Path(s"$root/blooms")
     if (f.exists(bloomsRoot)) {
-      f.listStatus(bloomsRoot).filter(_.isDirectory).foreach { st =>
+      // crash recovery first: a '<col>-sweep-tmp' left between a prior
+      // sweep's delete and rename. If the registry is gone the tmp IS
+      // the registry (finish the rename); if the registry survived the
+      // tmp is stale (drop it). Never iterate a tmp as a registry.
+      f.listStatus(bloomsRoot).filter(_.isDirectory)
+        .filter(_.getPath.getName.endsWith("-sweep-tmp")).foreach { st =>
+          val real = new Path(bloomsRoot,
+            st.getPath.getName.stripSuffix("-sweep-tmp"))
+          if (!f.exists(real))
+            require(f.rename(st.getPath, real),
+              s"bloom registry crash recovery rename failed for ${st.getPath}")
+          else f.delete(st.getPath, true)
+        }
+      f.listStatus(bloomsRoot).filter(_.isDirectory)
+        .filterNot(_.getPath.getName.endsWith("-sweep-tmp")).foreach { st =>
         val dir = st.getPath.toString
         val rows = spark.read.parquet(dir)
         val keep = rows.filter(col("file").isin(referenced.toSeq: _*))
@@ -1734,7 +1770,10 @@ object MergeTable {
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
     * manifest-only arbitration), "replayed" (true conflict — the merge
-    * recomputed against the winner's state). */
+    * recomputed against the winner's state), "fenced" (a stream-batch
+    * commit whose batch id another instance of the same stream already
+    * applied — nothing committed, staging discarded; `gen` is the
+    * generation that carried the fence). */
   final case class OccOutcome(gen: Long, attempts: Int, path: String)
 
   /** Compute a merge against the CURRENT committed snapshot without
@@ -1750,9 +1789,11 @@ object MergeTable {
   private def prepareAgainst(spark: SparkSession, root: String, g0: Long,
       changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
     val genDir0 = Snapshots.genDir(root, g0)
-    val cur = manifest(spark, genDir0)
-    val curDvs = dvNames(spark, genDir0)
-    val targetCols = readResolved(spark, root, genDir0).columns.toSeq
+    val m0 = genMeta(spark, genDir0)
+    val cur = m0.entries
+    val curDvs = m0.dvs
+    val targetCols = m0.schema.map(_.fieldNames.toSeq).getOrElse(
+      readFiles(spark, root, cur.take(1)).columns.toSeq)
     val net = netChanges(changes, key, targetCols)
     val bounds = net.agg(min(col(key).cast("long")),
       max(col(key).cast("long"))).head
@@ -1769,8 +1810,7 @@ object MergeTable {
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val merged =
       if (touched.isEmpty) upserts
-      else readFiles(spark, root, touched, curDvs,
-        tableSchema(spark, genDir0))
+      else readFiles(spark, root, touched, curDvs, m0.schema)
         .join(net.select(col(key)), Seq(key), "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
@@ -1793,21 +1833,25 @@ object MergeTable {
     * Any hit → replay. A swept base is indistinguishable from a
     * conflict (nothing to diff against) and also replays. */
   private def hasConflict(spark: SparkSession, root: String,
-      h: PreparedMerge, gNow: Long): Boolean = {
+      h: PreparedMerge, now: GenMeta): Boolean = {
     if (!Snapshots.generations(spark, root).contains(h.baseGen)) return true
-    val baseDir = Snapshots.genDir(root, h.baseGen)
-    val nowDir = Snapshots.genDir(root, gNow)
-    val baseNames = manifest(spark, baseDir).map(_.name).toSet
-    val nowMan = manifest(spark, nowDir)
-    if (!h.touchedNames.subsetOf(nowMan.map(_.name).toSet)) return true // C1
-    val newDvs = (dvNames(spark, nowDir).toSet --
-      dvNames(spark, baseDir).toSet).toSeq.sorted
-    if (newDvs.nonEmpty) { // C2: DV sidecars are change-set-sized reads
-      val targets = spark.read.parquet(newDvs.map(filePath(root, _)): _*)
+    val base = genMeta(spark, Snapshots.genDir(root, h.baseGen))
+    val baseNames = base.entries.map(_.name).toSet
+    if (!h.touchedNames.subsetOf(now.entries.map(_.name).toSet))
+      return true // C1
+    // C2: the SYMMETRIC DV delta — a DV added since base deletes rows we
+    // merged from; a DV REMOVED since base (a rollback's undelete)
+    // restores rows our rewrite of the same file would re-delete. Either
+    // direction on a touched file invalidates the rewrite. Sidecars are
+    // change-set-sized reads.
+    val dvDelta = ((now.dvs.toSet -- base.dvs.toSet) ++
+      (base.dvs.toSet -- now.dvs.toSet)).toSeq.sorted
+    if (dvDelta.nonEmpty) {
+      val targets = spark.read.parquet(dvDelta.map(filePath(root, _)): _*)
         .select("file").distinct().collect().map(_.getString(0)).toSet
       if (targets.exists(h.touchedNames)) return true
     }
-    nowMan.exists(e => !baseNames.contains(e.name) && // C3
+    now.entries.exists(e => !baseNames.contains(e.name) && // C3
       e.minKey <= h.changeHi && e.maxKey >= h.changeLo)
   }
 
@@ -1848,10 +1892,14 @@ object MergeTable {
     * Scope (documented, same class as [[Snapshots.commit]]): rename
     * with dst-exists-fails atomicity (local, HDFS). On raw S3 an
     * external lock or conditional-put commit log is required. Do not
-    * interleave LEGACY two-step writers ([[merge]], [[stageMerge]])
-    * with optimistic committers: a crashed legacy staging under
-    * `_gen-(gNow+1)` blocks the rename until discarded
-    * ([[discardStaged]]) — the give-up error names it. */
+    * interleave LEGACY two-step writers — [[merge]], [[mergeMor]],
+    * [[stageMerge]], [[compact]], [[compactZOrder]], [[optimize]],
+    * [[deleteWhere]], [[updateWhere]], [[rollbackTo]] — with optimistic
+    * committers: a crashed legacy staging under `_gen-(gNow+1)` blocks
+    * the rename until discarded ([[discardStaged]]) — the give-up error
+    * names it — and a legacy writer racing an optimistic commit fails
+    * loudly at its own manifest write (the marker guard) rather than
+    * erasing the published generation. */
   def commitPrepared(spark: SparkSession, root: String,
       prepared: PreparedMerge,
       commitTsMillis: Long = System.currentTimeMillis(),
@@ -1864,40 +1912,56 @@ object MergeTable {
       attempt += 1
       val gNow = Snapshots.currentGen(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed generation under $root"))
+      val state = genMeta(spark, Snapshots.genDir(root, gNow))
+      // re-check OUR stream's fence against the live state EVERY
+      // attempt: a newer instance of the same stream may have applied
+      // this batch (and later ones) while this zombie writer was still
+      // preparing — committing would regress the fence and re-admit
+      // already-applied batches on the next restart
+      h.streamBatch.foreach { case (sid, id) =>
+        if (state.sbatch.get(sid).exists(_ >= id)) {
+          h.newEntries.foreach(e =>
+            f.delete(new Path(filePath(root, e.name)), false))
+          return OccOutcome(gNow, attempt, "fenced")
+        }
+      }
       if (gNow != h.baseGen) {
-        require(tableKey(spark, root) == h.key,
+        require(state.key == h.key,
           s"table key changed under prepared merge (${h.key})")
-        if (hasConflict(spark, root, h, gNow)) {
+        if (hasConflict(spark, root, h, state)) {
           h.newEntries.foreach(e =>
             f.delete(new Path(filePath(root, e.name)), false))
           h = prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
+            .copy(streamBatch = h.streamBatch)
           path = "replayed"
         } else if (path == "clean") path = "rebased"
       }
       // splice against the CURRENT state: for gNow == baseGen this is
       // exactly the single-writer merge manifest; after a clean rebase
       // it is the winner's manifest with our touched files swapped out
-      val stateDir = Snapshots.genDir(root, gNow)
-      val stateMan = manifest(spark, stateDir)
-      val carried = stateMan.filterNot(e => h.touchedNames.contains(e.name))
+      val carried = state.entries.filterNot(e =>
+        h.touchedNames.contains(e.name))
       val carriedNames = carried.map(_.name).toSet
       val entries = carried ++ h.newEntries
-      val dvs = if (carried.isEmpty) Seq.empty[String]
-        else dvNames(spark, stateDir)
-      val cstats = colStats(spark, stateDir)
-        .filter(s => carriedNames.contains(s.file)) ++ h.newCstats
+      val dvs = if (carried.isEmpty) Seq.empty[String] else state.dvs
+      val cstats =
+        state.cstats.filter(s => carriedNames.contains(s.file)) ++ h.newCstats
+      // fences MERGE BY MAX, never overwrite: a rebase of an older batch
+      // must not regress a newer instance's fence for the same stream
+      val fences = h.streamBatch match {
+        case Some((sid, id)) => state.sbatch +
+          (sid -> math.max(id, state.sbatch.getOrElse(sid, Long.MinValue)))
+        case None => state.sbatch
+      }
       val tmp = new Path(
         s"$root/_occ-${java.util.UUID.randomUUID().toString.take(8)}")
       f.mkdirs(tmp)
       val out = f.create(new Path(tmp, ManifestName), false)
       // the schema is the CURRENT state's (a winner may have evolved it;
-      // our staged files simply null-fill any column they predate);
-      // idempotence fences carry, plus our own stream's id if this
-      // commit is a micro-batch
+      // our staged files simply null-fill any column they predate)
       out.write(manifestBytes(entries, h.key,
-        batchIdOf(spark, stateDir), dvs, cstats,
-        tableSchema(spark, stateDir),
-        streamBatchIds(spark, stateDir) ++ h.streamBatch))
+        state.batchId, dvs, cstats, state.schema, fences,
+        applied = h.streamBatch.map(_._2)))
       out.close()
       val mk = f.create(new Path(tmp, Snapshots.markerName), false)
       mk.write(commitTsMillis.toString.getBytes("UTF-8"))
@@ -1935,7 +1999,10 @@ object MergeTable {
     else {
       val h = prepareMerge(spark, root, changes, key, nFiles)
         .copy(streamBatch = Some(streamId -> batchId))
-      Some(commitPrepared(spark, root, h, commitTsMillis, maxAttempts))
+      val o = commitPrepared(spark, root, h, commitTsMillis, maxAttempts)
+      // a zombie of this stream lost to a newer instance mid-commit:
+      // the loop detected the fence and discarded — a refused replay
+      if (o.path == "fenced") None else Some(o)
     }
 
   /** Abandon a prepared merge: its staged files are deleted now rather

@@ -708,6 +708,108 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).count() === 101)
   }
 
+  test("updateWhere refuses a type-drifting assignment (the silent " +
+    "widen that would contradict the recorded schema and brick reads)") {
+    val root = freshRoot("upd-drift")
+    MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.updateWhere(spark, root, col("k") === 1L,
+        Map("v" -> (col("v") * 1.1)))
+    }
+    assert(e.getMessage.contains("'v'") &&
+      e.getMessage.contains("bigint") && e.getMessage.contains("double"))
+    // an explicit cast back to the column's type is the sanctioned form
+    MergeTable.updateWhere(spark, root, col("k") === 1L,
+      Map("v" -> (col("v") * 1.1).cast("long")), commitTsMillis = 20L)
+    assert(MergeTable.read(spark, root).where(col("k") === 1L)
+      .head().getLong(1) === 11L)
+  }
+
+  test("zombie stream writer: a prepared batch fenced mid-commit by a " +
+    "newer instance is discarded, never regressing the fence") {
+    val root = freshRoot("occ-zombie")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    def upd(k: Long, v: Long) =
+      Seq(("u", 1L, k, v, "s")).toDF("op", "seq", "k", "v", "tag")
+    // the zombie prepares batch 4 of stream S... and stalls
+    val zombie = MergeTable.prepareMerge(spark, root, upd(1L, -4L), "k",
+      nFiles = 1).copy(streamBatch = Some("S" -> 4L))
+    // the restarted instance applies 4 and 5
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(1L, 44L), "k",
+      "S", 4L, commitTsMillis = 20L).isDefined)
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(2L, 55L), "k",
+      "S", 5L, commitTsMillis = 30L).isDefined)
+    // the zombie wakes up and tries to commit its stale batch 4
+    val o = MergeTable.commitPrepared(spark, root, zombie,
+      commitTsMillis = 40L)
+    assert(o.path === "fenced")
+    assert(MergeTable.appliedStreamBatchIds(spark, root) === Map("S" -> 5L))
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(1L) === 44L && byK(2L) === 55L) // nothing regressed
+    // a batch-5 replay is still refused (the fence never moved back)
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(2L, -5L), "k",
+      "S", 5L).isEmpty)
+    // the zombie's staged files were discarded
+    val onDisk = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).toSet
+    zombie.newEntries.foreach(e => assert(!onDisk.contains(e.name)))
+  }
+
+  test("optimistic merge vs concurrent ROLLBACK: a DV removed since " +
+    "base (an undelete) on a touched file forces replay, not rebase") {
+    val root = freshRoot("occ-undelete")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // gen 2: MOR-delete k=10 (a DV on the low file)
+    MergeTable.mergeMor(spark, root,
+      Seq(("d", 1L, 10L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    // writer B prepares against gen 2 (reads the low file THROUGH the
+    // DV — its rewrite excludes k=10), touching the same file via k=20
+    val hB = MergeTable.prepareMerge(spark, root,
+      Seq(("u", 1L, 20L, 2020L, "b")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1)
+    // concurrent rollback to gen 1 commits: the DV is dropped, k=10
+    // is restored — no DV was ADDED, one was REMOVED
+    MergeTable.rollbackTo(spark, root, 1L, commitTsMillis = 30L)
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 40L)
+    assert(b.path === "replayed",
+      "a removed DV on a touched file must conflict")
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(10L) === 100L, "the rollback's undelete must survive")
+    assert(byK(20L) === 2020L)
+    assert(byK.size === 100)
+  }
+
+  test("bloom registry sweep crash recovery: an orphaned -sweep-tmp is " +
+    "restored when the registry is gone, dropped when it survived") {
+    val root = freshRoot("bloom-crash")
+    MergeTable.create(spark, root, baseDf(100)
+      .withColumn("v2", (col("k") * 7919) % 8000), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    MergeTable.ensureBloomIndex(spark, root, "v2")
+    val probe = MergeTable.readWhere(spark, root, col("v2") === 7919L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe === Seq(1L))
+    val blooms = new java.io.File(s"$root/blooms")
+    val real = new java.io.File(blooms, "v2")
+    val tmp = new java.io.File(blooms, "v2-sweep-tmp")
+    // crash shape 1: delete happened, rename didn't — tmp IS the registry
+    assert(real.renameTo(tmp))
+    MergeTable.sweep(spark, root, retainPredecessors = 0)
+    assert(real.exists && !tmp.exists, "recovery must finish the rename")
+    assert(MergeTable.readWhere(spark, root, col("v2") === 7919L)
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // crash shape 2: stale tmp next to a live registry — dropped
+    tmp.mkdirs()
+    MergeTable.sweep(spark, root, retainPredecessors = 0)
+    assert(real.exists && !tmp.exists, "stale tmp must be dropped")
+  }
+
   test("sweep age guard: young unreferenced files (an in-flight prepare) " +
     "survive; old crash orphans still collected") {
     val root = freshRoot("sweep-age")

@@ -156,6 +156,20 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       val eKey = intercept[Exception](
         ext.sql("UPDATE lake_dml SET k = 1 WHERE v = 500").collect())
       assert(eKey.getMessage.contains("re-keys"), eKey.getMessage)
+      // qualified and aliased statement forms — both valid SQL — resolve
+      // (the qualifiers are stripped before the run-time re-parse)
+      assert(ext.sql("DELETE FROM lake_dml WHERE lake_dml.k = 99")
+        .head().getLong(0) === 1L)
+      val updAl = ext.sql(
+        "UPDATE lake_dml AS t SET v = t.v + 1000 WHERE t.k = 20").collect()
+      assert(updAl.head.getInt(0) === 1)
+      val after = ext.sql("SELECT k, v FROM lake_dml ORDER BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!after.contains(99L) && after(20L) === 1200L)
+      // duplicate SET targets refused (standard SQL), not last-wins
+      val eDup = intercept[Exception](
+        ext.sql("UPDATE lake_dml SET v = 1, v = 2 WHERE k = 5").collect())
+      assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
       // an UNREGISTERED name is untouched by the rule (Spark's own error)
       intercept[Exception](
         ext.sql("DELETE FROM not_registered WHERE k = 1").collect())
