@@ -44,7 +44,13 @@ case class Scd2Row(key: String, version: Int, image: String,
   */
 object Scd2Apply extends Serializable {
 
-  private def us(ts: java.sql.Timestamp): Long = ts.getTime * 1000L
+  /** Epoch MICROS — the batch face uses `unix_micros(ts)`, and
+    * `getTime` alone truncates to milliseconds (the sub-ms digits live
+    * in Timestamp.nanos): two events in the same millisecond would
+    * collapse to one (us, eventName) slot and the later one be dropped
+    * as a replay, silently diverging from the batch ground truth. */
+  private def us(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** The per-key reduction: fold a batch of changes (sorted into the
     * same (ts, eventName) total order the batch face uses) through the

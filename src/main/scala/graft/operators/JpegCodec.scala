@@ -1092,6 +1092,11 @@ object JpegCodec {
           require(pos + 2 <= payload.length, "truncated between scans")
           require((payload(pos) & 0xff) == 0xff,
             f"expected marker between scans, found ${payload(pos) & 0xff}%02x at $pos")
+          // T.81 B.1.1.2: a marker may be preceded by any number of
+          // 0xFF FILL bytes — skip them (FF FF .. FF D9 is a legal EOI)
+          while (pos + 2 <= payload.length && (payload(pos + 1) & 0xff) == 0xff)
+            pos += 1
+          require(pos + 2 <= payload.length, "truncated between scans")
           val m = payload(pos + 1) & 0xff
           if (m == 0xd9) done = true // EOI
           else {

@@ -56,8 +56,11 @@ object MergeStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val changes = debeziumToChanges(batch, fields)
-        if (!changes.isEmpty) {
+        // emptiness on the RAW rows: the decode is row-preserving, and
+        // testing the decoded frame would run the whole JSON decode as
+        // a separate job every trigger just to count to zero
+        if (!batch.isEmpty) {
+          val changes = debeziumToChanges(batch, fields)
           if (mor) MergeTable.mergeMorExactlyOnce(batch.sparkSession, root,
             changes, key, batchId)
           else MergeTable.mergeExactlyOnce(batch.sparkSession, root, changes,
@@ -84,10 +87,9 @@ object MergeStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val changes = debeziumToChanges(batch, fields)
-        if (!changes.isEmpty) {
+        if (!batch.isEmpty) { // raw-row emptiness: see intoTable
           MergeTable.mergeOccExactlyOnce(batch.sparkSession, root,
-            changes, key, streamId, batchId)
+            debeziumToChanges(batch, fields), key, streamId, batchId)
           ()
         }
       }
@@ -107,9 +109,9 @@ object MergeStream {
       fields: Seq[(String, DataType)], audit: DataFrame => Boolean,
       rejectsDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val changes = debeziumToChanges(batch, fields)
-    if (!changes.isEmpty &&
+    if (!batch.isEmpty && // raw-row emptiness: see intoTable
       !MergeTable.appliedBatchId(spark, root).exists(_ >= batchId)) {
+      val changes = debeziumToChanges(batch, fields)
       val g = MergeTable.stageMerge(spark, root, changes, key,
         batchId = Some(batchId))
       if (audit(MergeTable.readStaged(spark, root, g)))

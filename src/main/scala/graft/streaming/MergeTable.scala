@@ -556,7 +556,16 @@ object MergeTable {
       entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty,
       schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
-    require(entries.nonEmpty, s"empty manifest under $root")
+    if (entries.isEmpty) {
+      // an EMPTY table is a legal state (a delete-everything merge): a
+      // recorded schema makes it servable; a schema-less zero-entry
+      // manifest is indistinguishable from corruption and still refuses
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"empty manifest under $root and no recorded #schema — " +
+          "corrupt manifest?"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], asNullable(s))
+    }
     // an explicit schema (the generation's recorded one) null-fills
     // columns a pre-evolution file lacks, with zero footer reads
     val rdr = schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))

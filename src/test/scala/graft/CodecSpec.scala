@@ -612,6 +612,26 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive JPEG: 0xFF fill bytes before a between-scan marker " +
+      "are skipped (T.81 B.1.1.2), not refused") {
+    import graft.operators.JpegCodec
+    val w = 24; val h = 16
+    val g = Array.tabulate(w * h)(j => ((j * 37 + 11) % 256).toByte)
+    val prog = JpegCodec.encodeGrayProgressive(w, h, g)
+    val (_, _, clean) = JpegCodec.decodeGray(prog)
+    // splice a fill byte before the SECOND SOS (a scan boundary the
+    // multi-scan marker loop reads; entropy FFs are stuffed, so a raw
+    // FF DA pair is a true marker)
+    val sosAt = prog.sliding(2).zipWithIndex.collect {
+      case (p, i) if (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda => i
+    }.toSeq
+    assert(sosAt.size === 4)
+    val filled = prog.take(sosAt(1)) ++ Array(0xff.toByte) ++ prog.drop(sosAt(1))
+    val (fw, fh, dec) = JpegCodec.decodeGray(filled)
+    assert(fw === w && fh === h)
+    assert(dec.toSeq === clean.toSeq, "fill byte changed the raster")
+  }
+
   test("progressive JPEG: constant blocks round-trip EXACTLY (the oracled DC path)") {
     import graft.operators.JpegCodec
     val w = 24; val h = 16

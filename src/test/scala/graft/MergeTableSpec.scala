@@ -708,6 +708,32 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, root).count() === 101)
   }
 
+  test("a delete-everything merge leaves a READABLE empty table; rows " +
+    "merge back in; the change feed sees the wipe") {
+    val root = freshRoot("wipe")
+    MergeTable.create(spark, root, baseDf(10), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val wipe = spark.range(10).select(lit("d").as("op"), lit(1L).as("seq"),
+      col("id").as("k"), lit(0L).as("v"), lit("").as("tag"))
+    MergeTable.merge(spark, root, wipe, "k", commitTsMillis = 20L)
+    // empty is a legal, servable state — not a corrupt manifest
+    val empty = MergeTable.read(spark, root)
+    assert(empty.columns.toSeq === Seq("k", "v", "tag"))
+    assert(empty.count() === 0)
+    assert(MergeTable.readWhere(spark, root, col("k") === 3L).count() === 0)
+    val (ins, del) = {
+      val rows = MergeTable.changesBetween(spark, root, 1L, 2L).collect()
+      rows.partition(_.getAs[String]("change") == "i")
+    }
+    assert(ins.isEmpty && del.length === 10)
+    // the table is reborn by an ordinary insert merge
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 5L, 50L, "back")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 30L)
+    assert(MergeTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((5L, 50L)))
+  }
+
   test("updateWhere refuses a type-drifting assignment (the silent " +
     "widen that would contradict the recorded schema and brick reads)") {
     val root = freshRoot("upd-drift")

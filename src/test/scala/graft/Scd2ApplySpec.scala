@@ -88,6 +88,36 @@ class Scd2ApplySpec extends AnyFunSuite {
       "replayed merge must be idempotent")
   }
 
+  test("sub-millisecond changes keep their MICROsecond identity: two " +
+      "MODIFYs in one millisecond both reach history, equal to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val table = TestSpark.tempDir("scd2-us") + "/history"
+    val ckpt = TestSpark.tempDir("scd2-us-ckpt")
+    def evUs(name: String, key: String, image: String, us: Long) = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000L) * 1000L).toInt)
+      ChangeEvent(name, key, image, t)
+    }
+    // 10:00:00.000400 and .000900 — same millisecond, distinct micros
+    // (Timestamp.getTime alone truncates both to the same instant; the
+    // second event would then be dropped as a non-newer replay)
+    val wave = Seq(
+      evUs("INSERT", "k", "v0", 1000000L),
+      evUs("MODIFY", "k", "v1", 1000400L),
+      evUs("MODIFY", "k", "v2", 1000900L))
+    val input = MemoryStream[ChangeEvent]
+    input.addData(wave)
+    val q = Scd2Apply.start(input.toDS(), table, ckpt)
+    q.awaitTermination(60000)
+    val got = canon(spark.read.parquet(table).drop("asofUs"))
+    assert(got === canon(Scd2Apply.applyBatch(wave.toDS())))
+    assert(got === Seq(
+      ("k", 1, "v0", 1000000L, Some(1000400L), false),
+      ("k", 2, "v1", 1000400L, Some(1000900L), false),
+      ("k", 3, "v2", 1000900L, None, true)))
+  }
+
   test("REMOVE with no open row is a no-op that still advances the " +
       "watermark; unknown event names are refused by name") {
     import spark.implicits._
