@@ -219,18 +219,14 @@ object MergeTable {
     * writer range-partitions + the key filter is pushed. */
   def readWhereKey(spark: SparkSession, root: String,
       lo: Long, hi: Long): DataFrame = {
-    val genDir = currentGenDir(spark, root)
-    val key = tableKey(spark, root)
-    val entries = prunedEntries(spark, root, lo, hi)
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val entries = m.entries.filter(e => e.maxKey >= lo && e.minKey <= hi)
     if (entries.isEmpty)
       // no file can hold the key: an empty frame in the table's schema
-      // (derived from any current file — the manifest is never empty)
-      readFiles(spark, root, currentManifest(spark, root).take(1),
-        schema = tableSchema(spark, genDir)).limit(0)
+      readFiles(spark, root, m.entries.take(1), schema = m.schema).limit(0)
     else
-      readFiles(spark, root, entries, dvNames(spark, genDir),
-        tableSchema(spark, genDir))
-        .filter(col(key).cast("long").between(lo, hi))
+      readFiles(spark, root, entries, m.dvs, m.schema)
+        .filter(col(m.key).cast("long").between(lo, hi))
   }
 
   /** [[readWhereKey]] generalized to ANY integral column via the
@@ -247,18 +243,15 @@ object MergeTable {
     * narrow per-file ranges for free. */
   def readWhereCol(spark: SparkSession, root: String, column: String,
       lo: Long, hi: Long): DataFrame = {
-    val genDir = currentGenDir(spark, root)
-    val entries = manifest(spark, genDir)
-    val ranges = colStats(spark, genDir).filter(_.col == column)
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val ranges = m.cstats.filter(_.col == column)
       .map(s => s.file -> s).toMap
-    val candidates = entries.filter(e =>
+    val candidates = m.entries.filter(e =>
       ranges.get(e.name).forall(s => s.hi >= lo && s.lo <= hi))
     if (candidates.isEmpty)
-      readFiles(spark, root, entries.take(1),
-        schema = tableSchema(spark, genDir)).limit(0)
+      readFiles(spark, root, m.entries.take(1), schema = m.schema).limit(0)
     else
-      readFiles(spark, root, candidates, dvNames(spark, genDir),
-        tableSchema(spark, genDir))
+      readFiles(spark, root, candidates, m.dvs, m.schema)
         .filter(col(column).cast("long").between(lo, hi))
   }
 
@@ -1370,22 +1363,21 @@ object MergeTable {
     // window from "before the table existed": the whole gTo state is the
     // insert set (the backfill window of a change-feed consumer)
     if (gFrom == 0L) {
-      val dirTo = Snapshots.resolveAt(spark, root, gTo)
-      return readFiles(spark, root, manifest(spark, dirTo),
-        dvNames(spark, dirTo), tableSchema(spark, dirTo))
+      val m = genMeta(spark, Snapshots.resolveAt(spark, root, gTo))
+      return readFiles(spark, root, m.entries, m.dvs, m.schema)
         .withColumn("change", lit("i"))
     }
-    val dirFrom = Snapshots.resolveAt(spark, root, gFrom)
-    val dirTo = Snapshots.resolveAt(spark, root, gTo)
-    val mFrom = manifest(spark, dirFrom)
-    val mTo = manifest(spark, dirTo)
+    val from = genMeta(spark, Snapshots.resolveAt(spark, root, gFrom))
+    val to = genMeta(spark, Snapshots.resolveAt(spark, root, gTo))
+    val mFrom = from.entries
+    val mTo = to.entries
     val namesFrom = mFrom.map(_.name).toSet
     val namesTo = mTo.map(_.name).toSet
-    val dvFrom = dvNames(spark, dirFrom)
-    val dvTo = dvNames(spark, dirTo)
+    val dvFrom = from.dvs
+    val dvTo = to.dvs
     // both sides read through gTo's schema: the feed's shape is the TO
     // state's, and pre-evolution files null-fill columns they predate
-    val toSchema = tableSchema(spark, dirTo)
+    val toSchema = to.schema
     val cols = readFiles(spark, root, mTo, schema = toSchema).columns.toSeq
 
     def dvRel(dvs: Seq[String]): DataFrame =
