@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.MergeTable
+
+/** The MANIFEST as Spark's [[FileIndex]]: a bare-name SQL read of a
+  * registered merge table plans over this index, so the file listing
+  * comes from the committed manifest (zero directory listings) and the
+  * WHERE clause's pushed dataFilters run through the SAME conjunct-
+  * bounds + bloom pruning as [[MergeTable.readWhere]] — planner-side
+  * FILE skipping with zero footer reads, now on the plain SQL path too
+  * (before this, SQL reads fell back to per-file footer/row-group
+  * pruning, paying a footer read per file at 100 TB). The index pins
+  * ONE generation (immutable files ⇒ immutable listing); each new SQL
+  * statement re-resolves and picks up the newest commit. */
+class MergeTableFileIndex(spark: SparkSession, root: String,
+    m: MergeTable.GenMeta) extends FileIndex {
+
+  private val statuses: Map[String, FileStatus] = {
+    val p = new Path(root)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    m.entries.map(e => e.name ->
+      f.getFileStatus(new Path(MergeTable.dataFilePath(root, e.name)))).toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(s"$root/files"))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val cond = dataFilters.reduceOption(And)
+    val candidates = MergeTable.pruneByCondition(spark, root, m, cond)
+    Seq(PartitionDirectory(InternalRow.empty,
+      candidates.map(e => statuses(e.name)).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    m.entries.map(e => MergeTable.dataFilePath(root, e.name)).toArray
+
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = statuses.values.map(_.getLen).sum
+  override def partitionSchema: StructType = new StructType()
+}
+
+object MergeTableRelation {
+
+  /** The plan a bare registered merge-table name resolves to. A
+    * DV-free generation (the common post-compact/optimize state) plans
+    * as a parquet relation over [[MergeTableFileIndex]] — manifest
+    * listing, manifest+bloom file skipping on pushed filters. A
+    * generation carrying deletion vectors needs the DV anti-join, which
+    * is a JOIN, not a scan — it serves through [[MergeTable.read]]'s
+    * plan instead (correctness first; the maintenance cadence keeps DV
+    * windows short). */
+  def resolve(spark: SparkSession, root: String): LogicalPlan = {
+    val genDir = graft.streaming.Snapshots.resolve(spark, root)
+    val m = MergeTable.genMeta(spark, genDir)
+    if (m.dvs.nonEmpty || m.entries.isEmpty)
+      MergeTable.read(spark, root).queryExecution.analyzed
+    else {
+      val schema = m.schema.getOrElse(
+        MergeTable.read(spark, root).schema)
+      val rel = HadoopFsRelation(
+        new MergeTableFileIndex(spark, root, m),
+        partitionSchema = new StructType(),
+        dataSchema = schema,
+        bucketSpec = None,
+        fileFormat = new ParquetFileFormat(),
+        options = Map.empty[String, String])(spark)
+      spark.baseRelationToDataFrame(rel).queryExecution.analyzed
+    }
+  }
+}

@@ -145,11 +145,21 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // session-scoped, so nothing in a real catalog can be shadowed
       // accidentally; time travel never reaches here (the TT case above
       // rewrote the whole node first, top-down).
+      // Pruning trade on this path: a WHERE over the bare name is
+      // pushed into the parquet scan as usual (PushedFilters +
+      // row-group stat skipping — with the range-partitioned writer
+      // that skips whole files' row groups), but it pays FOOTER reads
+      // where MergeTable.readWhere consults the manifest's ranges and
+      // blooms with zero reads; predicate-heavy serving should use
+      // readWhere or the DML faces, which prune planner-side.
       case u: UnresolvedRelation
           if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
-        graft.streaming.MergeTable.read(spark,
+        // DV-free generations plan over MergeTableFileIndex: the WHERE's
+        // pushed dataFilters run the manifest+bloom pruning, so the SQL
+        // scan opens only the candidate FILES (zero footer reads to
+        // decide) — see MergeTableRelation for the DV'd fallback
+        MergeTableRelation.resolve(spark,
           SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).get)
-          .queryExecution.analyzed
       case u: UnresolvedRelation
           if SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).isDefined =>
         spark.read.parquet(Snapshots.resolve(spark,

@@ -68,6 +68,8 @@ object MergeTable {
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def filePath(root: String, name: String) = s"$root/$FilesDir/$name"
+  private[graft] def dataFilePath(root: String, name: String) =
+    filePath(root, name)
 
   private def manifestText(spark: SparkSession, genDir: String): String = {
     val p = new Path(genDir, ManifestName)
@@ -389,20 +391,18 @@ object MergeTable {
     * refined through the bloom registry. Shared by [[readWhere]],
     * [[deleteWhere]] and [[updateWhere]] — predicate DML prunes exactly
     * like a predicate read. */
-  private def prunedByPredicate(spark: SparkSession, root: String,
-      m: GenMeta, predicate: Column): Seq[FileEntry] = {
+  /** File skipping from a RESOLVED condition: conjunct bounds against
+    * the manifest's key + `#cstat` ranges, equality conjuncts refined
+    * through the bloom registry. Shared by the Column-API paths below
+    * and by [[graft.plans.MergeTableFileIndex]], which hands Spark's
+    * own pushed dataFilters straight here — the manifest as the
+    * statistics source for the SQL scan. */
+  private[graft] def pruneByCondition(spark: SparkSession, root: String,
+      m: GenMeta,
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[FileEntry] = {
     val entries = m.entries
-    // resolve the Column against the table schema by analyzing a
-    // zero-row probe: the Filter node's condition is the catalyst
-    // expression (with the analyzer's implicit casts in place) the
-    // bounds walk consumes — the public-API route to what a DSv2
-    // pushFilters hook would be handed
-    val probeCond = readFiles(spark, root, entries.take(1),
-      schema = m.schema).limit(0)
-      .filter(predicate).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }
-    val bounds = probeCond.map(extractBounds).getOrElse(Map.empty)
+    val bounds = cond.map(extractBounds).getOrElse(Map.empty)
     val ranges: Map[(String, String), (Long, Long)] =
       m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
         entries.map(e => (e.name, m.key) -> (e.minKey, e.maxKey)).toMap
@@ -416,6 +416,21 @@ object MergeTable {
       .foldLeft(byRange) { case (cand, (c, v)) =>
         if (cand.isEmpty) cand else bloomRefine(spark, root, cand, c, v)
       }
+  }
+
+  private def prunedByPredicate(spark: SparkSession, root: String,
+      m: GenMeta, predicate: Column): Seq[FileEntry] = {
+    // resolve the Column against the table schema by analyzing a
+    // zero-row probe: the Filter node's condition is the catalyst
+    // expression (with the analyzer's implicit casts in place) the
+    // bounds walk consumes — the public-API route to what a DSv2
+    // pushFilters hook would be handed
+    val probeCond = readFiles(spark, root, m.entries.take(1),
+      schema = m.schema).limit(0)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    pruneByCondition(spark, root, m, probeCond)
   }
 
   def readWhere(spark: SparkSession, root: String,

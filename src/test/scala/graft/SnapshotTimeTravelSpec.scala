@@ -118,6 +118,69 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("bare SQL reads plan over the manifest FileIndex: pushed filters " +
+    "skip files PLANNER-side; DV'd generations fall back exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.MergeTable
+    val root = TestSpark.tempDir("sql-fileindex") + "/table"
+    val base = spark
+    MergeTable.create(spark, root,
+      spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v")),
+      "k", nFiles = 4, commitTsMillis = 1000L)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      SnapshotSqlCatalog.registerMerge(ext, "lake_idx", root)
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        var n = -1L
+        def walk(p: SparkPlan): Unit = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            n = s.metrics("numFiles").value
+          case other => other.children.foreach(walk)
+        }
+        walk(df.queryExecution.executedPlan); n
+      }
+      // a key band covered by ONE file's manifest range: the SQL scan
+      // must open exactly that file — skipping decided from the
+      // manifest, zero footer reads
+      val df = ext.sql(
+        "SELECT k, v FROM lake_idx WHERE k BETWEEN 10 AND 19 ORDER BY k")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq === (10L to 19L).map(k => (k, k * 10)))
+      assert(scanFiles(df) === 1L, "manifest pruning must reach the SQL scan")
+      // the unfiltered read serves every file, exactly
+      val all = ext.sql("SELECT count(*) AS c FROM lake_idx")
+      assert(all.head().getLong(0) === 100L)
+      // a generation carrying DVs falls back to the anti-join plan —
+      // correctness never depends on the fast path
+      MergeTable.mergeMor(ext, root,
+        ext.range(1).select(lit("d").as("op"), lit(1L).as("seq"),
+          lit(5L).as("k"), lit(0L).as("v")),
+        "k", commitTsMillis = 2000L)
+      val afterDv = ext.sql("SELECT k FROM lake_idx WHERE k < 10 ORDER BY k")
+        .collect().map(_.getLong(0))
+      assert(afterDv.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L))
+      // compact purges the DVs; the fast path resumes
+      MergeTable.compact(ext, root, nFiles = 4, commitTsMillis = 3000L)
+      val again = ext.sql(
+        "SELECT k FROM lake_idx WHERE k BETWEEN 10 AND 19 ORDER BY k")
+      assert(again.collect().map(_.getLong(0)).toSeq === (10L to 19L))
+      assert(scanFiles(again) === 1L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("SQL DML over a registered merge table: DELETE via DVs, UPDATE " +
     "via scoped COW, bare SELECT serves the current state") {
     import org.apache.spark.sql.functions._
