@@ -40,7 +40,11 @@ object Sessions {
     * (drop-in for the `.master(...)` call in each main). */
   def conf(cpus: String): Map[String, String] = {
     val m = master(cpus)
-    val base = Map("spark.master" -> m)
+    // the library's SQL surface (time travel, merge-table DML, the
+    // manifest FileIndex) rides the standard extensions hook — inert
+    // until a table name is registered, so it is safe everywhere
+    val base = Map("spark.master" -> m,
+      "spark.sql.extensions" -> "graft.GraftExtensions")
     if (m.startsWith("local-cluster"))
       base + ("spark.executor.extraClassPath" -> sys.props("java.class.path"))
     else base

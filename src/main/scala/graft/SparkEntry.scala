@@ -194,6 +194,7 @@ object SparkEntry {
     "t_delete_where"        -> (streaming.MergeTable.deleteWhereQuery _),
     "t_update_where"        -> (streaming.MergeTable.updateWhereQuery _),
     "t_optimize"            -> (streaming.MergeTable.optimizeQuery _),
+    "t_sql_read"            -> (streaming.MergeTable.sqlReadQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -2044,6 +2045,22 @@ object SparkEntry {
         |            THEN price_cents + 7 ELSE price_cents END AS price_cents
         |FROM base
         |WHERE o_orderkey <= (SELECT mx - mx // 8 FROM b)
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_sql_read: the optimized table's state restricted to the SQL
+    // statement's band — served through the manifest FileIndex, so a
+    // planner-side pruning bug is silent row loss under this hash
+    "t_sql_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey <= (SELECT mx // 20 FROM b)
+        |            THEN price_cents + 7 ELSE price_cents END AS price_cents
+        |FROM base
+        |WHERE o_orderkey <= (SELECT mx - mx // 8 FROM b)
+        |  AND o_orderkey BETWEEN 1000 AND 3000
         |ORDER BY o_orderkey""".stripMargin,
     // t_merge_read_pruned: the net-effect replay restricted to the
     // probe band — a pruning bug's failure mode is silent row loss,

@@ -1271,6 +1271,25 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** t_sql_read — the ORACLED face of the SQL read path: the optimized
+    * orders table registered under a name and served by PLAIN SQL
+    * through the manifest-backed FileIndex (a DV-free generation, so
+    * the fast path is what runs): the banded WHERE is pruned
+    * planner-side from manifest ranges, and the result must hash-equal
+    * the logical state — a pruning bug on the SQL path is silent row
+    * loss, exactly what the gate catches. */
+  def sqlReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    optimizeQuery(spark, dir) // sig-gated build of the optimized table
+    val root = graft.ops.Layout.indexPath("optimize_orders", dir)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "sql_lake_orders",
+      root)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM sql_lake_orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** One sig-gated orders table carrying the predicate-DML history the
     * two DML faces read: gen 1 = create, gen 2 = [[deleteWhere]] (DV
     * path — keys %10=4 in the lower key half), gen 3 = [[updateWhere]]
