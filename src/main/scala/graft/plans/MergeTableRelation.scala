@@ -25,10 +25,17 @@ class MergeTableFileIndex(spark: SparkSession, root: String,
     m: MergeTable.GenMeta) extends FileIndex {
 
   private val statuses: Map[String, FileStatus] = {
-    val p = new Path(root)
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    m.entries.map(e => e.name ->
-      f.getFileStatus(new Path(MergeTable.dataFilePath(root, e.name)))).toMap
+    // sizes come from the MANIFEST (recorded once at write): resolving
+    // a statement costs zero per-file RPCs. Only entries from manifests
+    // written before the size column fall back to a status call.
+    lazy val f = new Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    m.entries.map { e =>
+      val p = new Path(MergeTable.dataFilePath(root, e.name))
+      e.name -> (if (e.bytes >= 0)
+        new FileStatus(e.bytes, false, 1, 128L << 20, 0L, p)
+      else f.getFileStatus(p))
+    }.toMap
   }
 
   override def rootPaths: Seq[Path] = Seq(new Path(s"$root/files"))

@@ -52,8 +52,13 @@ object MergeTable {
   private val FilesDir = "files"
   private val ManifestName = "_MANIFEST"
 
-  /** One manifest row: an immutable data file + its key range. */
-  final case class FileEntry(name: String, minKey: Long, maxKey: Long)
+  /** One manifest row: an immutable data file + its key range + its
+    * byte size (the Iceberg `file_size_in_bytes` move: planners and
+    * maintenance read sizes from METADATA — without it, resolving one
+    * SQL statement over a 100k-file table costs 100k getFileStatus
+    * RPCs). `bytes` = -1 on manifests written before the column. */
+  final case class FileEntry(name: String, minKey: Long, maxKey: Long,
+      bytes: Long = -1L)
 
   /** One per-file NON-KEY column range (`#cstat=` manifest line): the
     * Iceberg-manifest-column-stats idea — file skipping on ANY integral
@@ -101,8 +106,13 @@ object MergeTable {
   private def parseMeta(text: String, genDir: String): GenMeta = {
     val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      val Array(name, lo, hi) = line.split("\t")
-      FileEntry(name, lo.toLong, hi.toLong)
+      line.split("\t") match {
+        case Array(name, lo, hi) => FileEntry(name, lo.toLong, hi.toLong)
+        case Array(name, lo, hi, bytes) =>
+          FileEntry(name, lo.toLong, hi.toLong, bytes.toLong)
+        case _ => throw new IllegalStateException(
+          s"malformed manifest line under $genDir: '$line'")
+      }
     }
     def one(prefix: String): Option[String] =
       lines.collectFirst { case l if l.startsWith(prefix) =>
@@ -634,8 +644,11 @@ object MergeTable {
     val named = parts.zipWithIndex.map { case (p, i) =>
       val name = s"f-$gen-$i-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
       require(f.rename(p, new Path(filesDir, name)), s"rename failed for $p")
-      name
-    }
+      // size captured ONCE at write: every later consumer (optimize's
+      // debt, the FileIndex's listing/sizeInBytes) reads it from the
+      // manifest instead of a per-file RPC
+      name -> f.getFileStatus(new Path(filesDir, name)).getLen
+    }.toMap
     f.delete(tmpPath, true)
     if (named.isEmpty) (Seq.empty, Seq.empty)
     else {
@@ -651,7 +664,8 @@ object MergeTable {
         statCols.flatMap(c => Seq(
           min(col(c).cast("long")).as(s"lo_$c"),
           max(col(c).cast("long")).as(s"hi_$c")))
-      val rows = spark.read.parquet(named.map(filePath(root, _)): _*)
+      val names = named.keys.toSeq.sorted
+      val rows = spark.read.parquet(names.map(filePath(root, _)): _*)
         .select(col(key).cast("long").as("k") +:
           expr("_metadata.file_path").as("fp") +: statCols.map(col): _*)
         .groupBy(col("fp"))
@@ -661,9 +675,9 @@ object MergeTable {
       // a range partition can come out empty → part file with no rows →
       // no stats row; an empty file carries an empty range and is
       // dropped from the manifest (nothing references it; sweep GCs it)
-      val entries = named.flatMap(n => byName.get(n).map(r =>
-        FileEntry(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
-      val cstats = named.flatMap(n => byName.get(n).toSeq.flatMap(r =>
+      val entries = names.flatMap(n => byName.get(n).map(r =>
+        FileEntry(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"), named(n))))
+      val cstats = names.flatMap(n => byName.get(n).toSeq.flatMap(r =>
         statCols.flatMap { c =>
           // an all-NULL column in a file has no range: no stats line —
           // unknown is never prunable, so correctness is unaffected
@@ -694,7 +708,9 @@ object MergeTable {
       schema.map(s => s"#schema=${asNullable(s).json}\n").getOrElse("") +
       dvs.map(d => s"#dv=$d\n").mkString +
       cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
-    (meta + entries.map(e => s"${e.name}\t${e.minKey}\t${e.maxKey}")
+    (meta + entries.map(e =>
+      if (e.bytes >= 0) s"${e.name}\t${e.minKey}\t${e.maxKey}\t${e.bytes}"
+      else s"${e.name}\t${e.minKey}\t${e.maxKey}")
       .mkString("", "\n", "\n")).getBytes("UTF-8")
   }
 
@@ -823,7 +839,7 @@ object MergeTable {
     val touchedNames: Set[String] =
       if (!pruneFiles) cur.map(_.name).toSet
       else {
-        val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
+        val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes")
         filesDf
           .join(net.select(col(key).cast("long").as("k")),
             col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
@@ -1001,7 +1017,7 @@ object MergeTable {
     val targetCols = unionSchema.fieldNames.toSeq
     val net = netChanges(changes, key, targetCols)
     // candidate files: manifest interval pruning, zero table reads
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
+    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes")
     val touchedNames = filesDf
       .join(net.select(col(key).cast("long").as("k")),
         col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
@@ -1590,8 +1606,11 @@ object MergeTable {
     val genDir = currentGenDir(spark, root)
     val m = genMeta(spark, genDir)
     val f = fs(spark, new Path(root))
+    // sizes from the manifest; pre-size-column manifests fall back to
+    // one status call per legacy entry
     val sized = m.entries.map(e =>
-      e -> f.getFileStatus(new Path(filePath(root, e.name))).getLen)
+      e -> (if (e.bytes >= 0) e.bytes
+        else f.getFileStatus(new Path(filePath(root, e.name))).getLen))
     val small = sized.collect { case (e, len) if len < smallBytes => e }
     if (small.size < 2) return (0, m.entries.size)
     val nOut = math.max(1, math.ceil(
@@ -1613,12 +1632,15 @@ object MergeTable {
     (small.size, carried.size)
   }
 
-  /** OPTIMIZE's debt metric: small files in the current manifest. */
+  /** OPTIMIZE's debt metric: small files in the current manifest —
+    * pure metadata when the manifest carries sizes. */
   def optimizeDebt(spark: SparkSession, root: String,
       smallBytes: Long = 8L << 20): Int = {
     val f = fs(spark, new Path(root))
     currentManifest(spark, root).count(e =>
-      f.getFileStatus(new Path(filePath(root, e.name))).getLen < smallBytes)
+      (if (e.bytes >= 0) e.bytes
+       else f.getFileStatus(new Path(filePath(root, e.name))).getLen)
+        < smallBytes)
   }
 
   /** The OPTIMIZE cadence decision — pair with
@@ -1836,7 +1858,7 @@ object MergeTable {
       s"prepareMerge($root): empty change set — nothing to merge")
     val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
     // identical pruning + rewrite shape as the single-writer merge
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi")
+    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes")
     val touchedNames = filesDf
       .join(net.select(col(key).cast("long").as("k")),
         col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
