@@ -65,7 +65,8 @@ object ExplainDump {
     "x_video_frames" -> "real Y4M decode: batched container parse, per-frame Generate fan-out, no shuffle before the sort",
     "t_merge_read_pruned" -> "MergeTable predicate read: manifest-pruned path-list scan (strict file subset), residual filter pushed, DV anti-join broadcast",
     "t_delete_where" -> "post-DELETE state: manifest-directed scan through the deletion-vector anti-join (broadcast change-set-sized DV side)",
-    "t_merge_evolve" -> "schema evolution read: explicit recorded #schema (old files null-fill the new column — no footer scan, no mergeSchema job)")
+    "t_merge_evolve" -> "schema evolution read: explicit recorded #schema (old files null-fill the new column — no footer scan, no mergeSchema job)",
+    "t_sql_read" -> "plain SQL over the registered lake table: FileSourceScan planned over the manifest-backed FileIndex (listing + file skipping + sizes all from manifest metadata)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -74,6 +75,7 @@ object ExplainDump {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .enableHiveSupport() // see the warehouse tables Verify materialized
       .getOrCreate()
