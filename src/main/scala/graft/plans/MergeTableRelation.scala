@@ -26,15 +26,20 @@ class MergeTableFileIndex(spark: SparkSession, root: String,
 
   private val statuses: Map[String, FileStatus] = {
     // sizes come from the MANIFEST (recorded once at write): resolving
-    // a statement costs zero per-file RPCs. Only entries from manifests
-    // written before the size column fall back to a status call.
-    lazy val f = new Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a statement costs zero per-file RPCs. A manifest written before
+    // the size column falls back to ONE listStatus of the files dir
+    // (never a per-entry status loop — that would be the N-RPC cost
+    // this index exists to avoid).
+    lazy val listed: Map[String, FileStatus] = {
+      val dir = new Path(s"$root/files")
+      dir.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(dir).map(st => st.getPath.getName -> st).toMap
+    }
     m.entries.map { e =>
-      val p = new Path(MergeTable.dataFilePath(root, e.name))
       e.name -> (if (e.bytes >= 0)
-        new FileStatus(e.bytes, false, 1, 128L << 20, 0L, p)
-      else f.getFileStatus(p))
+        new FileStatus(e.bytes, false, 1, 128L << 20, 0L,
+          new Path(MergeTable.dataFilePath(root, e.name)))
+      else listed(e.name))
     }.toMap
   }
 

@@ -395,12 +395,6 @@ object MergeTable {
     * the FULL predicate as the residual filter over the DV-applied
     * scan. Mirrors what a DSv2 pushdown would do, with the manifest as
     * the statistics source — zero footer reads to prune. */
-  /** The manifest entries a predicate read/DML must touch: conjunct
-    * bounds extracted from the ANALYZED condition, intersected against
-    * the manifest's key + `#cstat` ranges, then equality conjuncts
-    * refined through the bloom registry. Shared by [[readWhere]],
-    * [[deleteWhere]] and [[updateWhere]] — predicate DML prunes exactly
-    * like a predicate read. */
   /** File skipping from a RESOLVED condition: conjunct bounds against
     * the manifest's key + `#cstat` ranges, equality conjuncts refined
     * through the bloom registry. Shared by the Column-API paths below
@@ -1664,18 +1658,24 @@ object MergeTable {
     // provenance, not the fence: the batch THIS generation applied is
     // #applied; manifests written before that line existed carried only
     // the #batch fence, for which "the fence CHANGED at this generation"
-    // is the same fact — the fold below recovers it
+    // is the same fact — the fold below recovers it. The fallback is
+    // OFF for the FIRST retained generation: after a sweep the fence
+    // before the window is unknowable, and a carried fence at the left
+    // edge would be misattributed to a maintenance commit (null beats
+    // wrong in a forensics view).
     var prevFence: Option[Long] = None
     var prevS: Map[String, Long] = Map.empty
+    var first = true
     val rows = Snapshots.generationsWithTimes(spark, root).map { case (g, ts) =>
       val m = genMeta(spark, Snapshots.genDir(root, g))
       val batch = m.applied
-        .orElse(if (m.batchId != prevFence) m.batchId else None)
-        .orElse(m.sbatch.collectFirst {
+        .orElse(if (!first && m.batchId != prevFence) m.batchId else None)
+        .orElse(if (first) None else m.sbatch.collectFirst {
           case (sid, id) if !prevS.get(sid).contains(id) => id
         })
       prevFence = m.batchId
       prevS = m.sbatch
+      first = false
       (g, ts, m.entries.size, m.dvs.size, batch)
     }
     rows.toDF("generation", "commit_ts_millis", "n_files", "n_dvs", "batch_id")

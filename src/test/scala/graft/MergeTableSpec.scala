@@ -901,6 +901,20 @@ class MergeTableSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byK(1L) === 111L && byK(2L) === 222L && byK(3L) === 333L &&
       byK(4L) === 444L && byK(60L) === 606L && !byK.contains(50L))
+    // DESCRIBE HISTORY at a SWEPT left edge: two maintenance commits,
+    // then retention drops everything older — the carried fences must
+    // show as null batch ids, never be misattributed to the compacts
+    MergeTable.compact(spark, root, nFiles = 2, commitTsMillis = 90L)
+    MergeTable.compact(spark, root, nFiles = 2, commitTsMillis = 100L)
+    MergeTable.sweep(spark, root, retainPredecessors = 1)
+    val hist = MergeTable.history(spark, root).collect().map(r =>
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    assert(hist.length === 2 && hist.forall(_.isEmpty),
+      s"carried fence misattributed at the left edge: ${hist.mkString(",")}")
+    // the fences themselves survive the sweep
+    assert(MergeTable.appliedBatchId(spark, root) === Some(5L))
+    assert(MergeTable.appliedStreamBatchIds(spark, root) ===
+      Map("src-a" -> 4L, "src-b" -> 1L))
   }
 
   test("optimistic merge under REAL thread contention: every writer's " +
