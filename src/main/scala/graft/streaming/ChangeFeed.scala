@@ -33,22 +33,37 @@ object ChangeFeed {
   private def cursorPath(root: String, name: String) =
     new Path(s"$root/_cdf-cursors/$name")
 
-  /** The consumer's last fully-processed generation (None = never ran). */
+  /** The consumer's last fully-processed generation (None = never ran).
+    * Crash recovery: [[writeCursor]] deletes the cursor before renaming
+    * the tmp over it; a crash in that window leaves ONLY the fully-
+    * written `.{name}.tmp` sibling. Falling back to generation 0 there
+    * would re-deliver a backfill window whose `toGen` idempotence key
+    * collides with a previously delivered incremental window carrying
+    * different contents — so on a missing cursor we recover from the
+    * tmp sibling first (the same sweep-crash-recovery pattern the
+    * bloom registry uses), and only a missing BOTH means never-ran. */
   def cursor(spark: SparkSession, root: String, name: String): Option[Long] = {
     val p = cursorPath(root, name)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    def readGen(path: Path): String = {
+      val in = f.open(path)
       try {
         // read to EOF — a short read must not truncate the number
         val bos = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](64)
         var n = in.read(buf)
         while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bos.toByteArray, "UTF-8").trim.toLong)
+        new String(bos.toByteArray, "UTF-8").trim
       } finally in.close()
     }
+    if (f.exists(p)) Some(readGen(p).toLong)
+    else if (f.exists(tmp))
+      // the tmp may itself be a partial write (crash DURING the very
+      // first cursor write, before any real cursor existed) — an
+      // unparseable tmp means no window was ever durably recorded
+      readGen(tmp).toLongOption
+    else None
   }
 
   private def writeCursor(spark: SparkSession, root: String, name: String,

@@ -288,9 +288,19 @@ object MergeTable {
       case Literal(v: Long, _) => Some(v)
       case Literal(v: Short, _) => Some(v.toLong)
       // the analyzer wraps literals in implicit casts when the column
-      // type differs (k > 5 on a LONG column) — unwrap, the VALUE is
-      // what bounds the range
-      case c: Cast => litVal(c.child)
+      // type differs (k > 5 on a LONG column). EVALUATE the foldable
+      // cast rather than unwrapping to the pre-cast child: under
+      // non-ANSI semantics a value-CHANGING narrowing cast (e.g.
+      // CAST(5000000000 AS INT) overflows to 705032704) compares with
+      // the post-cast value, and bounding by the pre-cast one would
+      // skip provably-matching files — silent row loss.
+      case c: Cast if c.foldable => c.eval() match {
+        case v: Int => Some(v.toLong)
+        case v: Long => Some(v)
+        case v: Short => Some(v.toLong)
+        case v: Byte => Some(v.toLong)
+        case _ => None
+      }
       case _ => None
     }
     def conjuncts(x: Expression): Seq[Expression] = x match {
@@ -343,7 +353,8 @@ object MergeTable {
     * Returns how many file filters were built. */
   def ensureBloomIndex(spark: SparkSession, root: String, column: String,
       fpp: Double = 0.01): Int = {
-    val cur = currentManifest(spark, root).map(_.name)
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val cur = m.entries.map(_.name)
     val dir = new Path(bloomDir(root, column))
     val f = fs(spark, dir)
     val existing: Set[String] =
@@ -352,18 +363,33 @@ object MergeTable {
         .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val missing = cur.filterNot(existing)
     if (missing.isEmpty) return 0
-    val scan = spark.read.parquet(missing.map(filePath(root, _)): _*)
+    // read through the RECORDED table schema (the readFiles discipline):
+    // on an evolved table some missing files predate `column`; resolving
+    // an arbitrary footer schema would fail or mis-bind, while the
+    // recorded schema null-fills — and null values index to nothing.
+    val rdr = m.schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))
+    val scan = rdr.parquet(missing.map(filePath(root, _)): _*)
       .select(col(column).cast("long").as("v"),
         element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"))
       .where(col("v").isNotNull)
     // filters sized for the largest file (same size everywhere keeps
     // the build one pass; a file's fpp only ever improves)
-    val maxRows = scan.groupBy(col("file")).count()
-      .agg(max(col("count"))).head.getLong(0)
-    graft.functions.BloomFilters
-      .perGroupBlooms(scan, "file", "v", maxRows, fpp)
-      .coalesce(1)
-      .write.mode("append").parquet(bloomDir(root, column))
+    val maxRowsRow = scan.groupBy(col("file")).count()
+      .agg(max(col("count"))).head
+    // a file whose column is entirely NULL produces no bloom group; it
+    // gets a NULL-bloom registry row — "provably contains no value" —
+    // which keeps the build idempotent (the file is no longer missing)
+    // and lets equality probes prune it outright (an all-null file
+    // cannot match any equality)
+    import spark.implicits._
+    val built =
+      if (maxRowsRow.isNullAt(0)) // every missing file is all-NULL
+        missing.toDF("file").withColumn("bloom", lit(null).cast("binary"))
+      else missing.toDF("file").join(
+        graft.functions.BloomFilters
+          .perGroupBlooms(scan, "file", "v", maxRowsRow.getLong(0), fpp),
+        Seq("file"), "left")
+    built.coalesce(1).write.mode("append").parquet(bloomDir(root, column))
     missing.size
   }
 
@@ -381,8 +407,9 @@ object MergeTable {
         .filter(col("file").isin(names.toSeq: _*))
         .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom"))
         .toMap
+      // a NULL bloom records an all-null file: no value can match
       candidates.filter(e => blooms.get(e.name).forall(b =>
-        graft.functions.BloomFilters.mightContainLong(b, v)))
+        b != null && graft.functions.BloomFilters.mightContainLong(b, v)))
     }
   }
 

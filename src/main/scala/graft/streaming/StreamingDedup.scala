@@ -22,11 +22,18 @@ case class DedupFirst(fp: String, docId: Long)
   * continuously-crawled corpus stays deduplicated without periodic
   * full-corpus passes.
   *
-  * Semantics contract (so the stream result is batch-reconcilable):
-  * within a micro-batch the winner is the MINIMUM doc id of the
-  * fingerprint's arrivals — the same deterministic `min(doc_id)` the
-  * batch operator uses — so replaying any prefix of the stream through
-  * the batch groupBy yields exactly the emitted winners.
+  * Semantics contract: FIRST-ARRIVAL, not global-min. The winner of a
+  * fingerprint is the minimum doc id WITHIN THE FIRST MICRO-BATCH that
+  * carried it (deterministic per batch); a smaller id arriving in a
+  * LATER batch is a duplicate by content and is dropped — the verdict
+  * for a fingerprint is emitted exactly once and never revised. This
+  * differs from replaying the whole prefix through the batch
+  * `min(doc_id)` groupBy precisely when a later batch carries a smaller
+  * id for an already-seen fingerprint (pinned by spec). First-arrival
+  * is the honest streaming contract: an append-only sink cannot retract
+  * a verdict, and for content dedup ANY single owner per fingerprint is
+  * correct — batch reconciliation is on the fingerprint SET (identical
+  * by construction), not the owner choice.
   *
   * Scale shape: state = one boolean per DISTINCT fingerprint, keyed and
   * partitioned by the 16-byte digest across the state store (RocksDB at

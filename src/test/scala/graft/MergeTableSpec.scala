@@ -811,6 +811,42 @@ class MergeTableSpec extends AnyFunSuite {
     assert(byK.size === 100)
   }
 
+  test("bloom build edge cases: an all-NULL probe column builds nothing " +
+    "(no NPE); files predating an evolved column read through the " +
+    "recorded schema and index cleanly") {
+    val root = freshRoot("bloom-edge")
+    // nv is NULL in every row of the initial files
+    MergeTable.create(spark, root,
+      baseDf(100).withColumn("nv", lit(null).cast("long")), "k",
+      nFiles = 4, commitTsMillis = 10L)
+    // all-NULL column: no NPE; every file gets a NULL-bloom row
+    // ("provably contains nothing") so the build is idempotent
+    assert(MergeTable.ensureBloomIndex(spark, root, "nv") === 4)
+    assert(MergeTable.ensureBloomIndex(spark, root, "nv") === 0, "idempotent")
+    // an equality probe on the all-null column prunes EVERY file —
+    // exactly correct, since no row can match
+    assert(MergeTable.bloomRefine(spark, root,
+      MergeTable.currentManifest(spark, root), "nv", 42L).isEmpty)
+    assert(MergeTable.readWhere(spark, root, col("nv") === 42L).isEmpty)
+    assert(MergeTable.readWhere(spark, root, col("nv").isNull).count() === 100L)
+    // evolve: v2 arrives on a NEW file only; the 4 original files
+    // predate it — the build must resolve them through the recorded
+    // #schema (null-filling v2), not an arbitrary footer
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 500L, 5000L, "e", 42L, 7L))
+        .toDF("op", "seq", "k", "v", "tag", "nv", "v2"),
+      "k", nFiles = 1, commitTsMillis = 20L, evolveSchema = true)
+    val files = MergeTable.currentManifest(spark, root).size
+    assert(MergeTable.ensureBloomIndex(spark, root, "v2") === files,
+      "old files must read through the recorded schema, not a random footer")
+    assert(MergeTable.readWhere(spark, root, col("v2") === 7L)
+      .collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // only the NEW file lacked an nv filter; it carries the one value
+    assert(MergeTable.ensureBloomIndex(spark, root, "nv") === 1)
+    assert(MergeTable.readWhere(spark, root, col("nv") === 42L)
+      .collect().map(_.getLong(0)).toSeq === Seq(500L))
+  }
+
   test("bloom registry sweep crash recovery: an orphaned -sweep-tmp is " +
     "restored when the registry is gone, dropped when it survived") {
     val root = freshRoot("bloom-crash")
@@ -1035,6 +1071,25 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.extractBounds(toExpr(col("k") > 5 && col("k") < 8))
       === Map("k" -> (6L, 7L)))
     sameAsFullScan(col("k") > 5 && col("k") < 8)
+    // a value-CHANGING narrowing cast bounds by the POST-cast value:
+    // non-ANSI CAST(5000000000 AS INT) overflows to 705032704, and the
+    // comparison evaluates against THAT — bounding by the pre-cast
+    // 5000000000 would skip files that provably match
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, Cast, EqualTo, EvalMode, Literal}
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val kAttr = AttributeReference("k", IntegerType)()
+      val narrowing = Cast(Literal(5000000000L, LongType), IntegerType,
+        None, EvalMode.LEGACY)
+      assert(narrowing.eval() === 705032704)
+      assert(MergeTable.extractBounds(EqualTo(kAttr, narrowing))
+        === Map("k" -> (705032704L, 705032704L)))
+      // a cast to a non-integral type extracts nothing (never prunes)
+      val toStr = Cast(Literal(5L, LongType),
+        org.apache.spark.sql.types.StringType, None, EvalMode.LEGACY)
+      assert(MergeTable.extractBounds(EqualTo(kAttr, toStr)) === Map.empty)
+    }
     // a disjunction extracts nothing — every file stays in, result exact
     assert(MergeTable.extractBounds(
       toExpr(col("v") === 10L || col("v") === 7990L)) === Map.empty)

@@ -41,4 +41,31 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(all.length === 4)
     assert(all.map(_.getAs[Long]("docId")).toSet === Set(1L, 2L, 5L, 7L))
   }
+
+  test("first-arrival contract: a SMALLER id in a later batch is a " +
+      "duplicate and never revises the emitted owner") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = TestSpark.tempDir("sdedup-fa") + "/owners"
+    val ckpt = TestSpark.tempDir("sdedup-fa-ckpt")
+
+    val waves = Seq(
+      Seq(DedupIn(10L, "x"), DedupIn(20L, "y")),
+      // id 2 < 10 for already-seen "x": dropped (first-arrival, not
+      // global-min); a fresh fp "z" still wins normally
+      Seq(DedupIn(2L, "x"), DedupIn(30L, "z")))
+    val input = MemoryStream[DedupIn]
+    waves.foreach { wave =>
+      input.addData(wave)
+      StreamingDedup.start(input.toDS(), root, ckpt).awaitTermination(60000)
+    }
+    val got = StreamingDedup.read(spark, root).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("docId")).toMap
+    // owner of "x" is the FIRST batch's min (10), not the global min (2)
+    assert(got === Map("x" -> 10L, "y" -> 20L, "z" -> 30L))
+    // batch reconciliation is on the fingerprint SET, which matches the
+    // batch groupBy exactly even where the owner choice differs
+    val batchFps = waves.flatten.map(_.fp).toSet
+    assert(got.keySet === batchFps)
+  }
 }
