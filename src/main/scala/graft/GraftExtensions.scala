@@ -28,5 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered via [[graft.plans.SnapshotSqlCatalog.register]]
     ext.injectResolutionRule(session =>
       new graft.plans.SnapshotTimeTravelRule(session))
+    // `SELECT * FROM history('lake')` — DESCRIBE HISTORY as a table
+    // function; resolved by Spark's own TVF machinery, rows from
+    // manifests alone (a LocalRelation — no table scan, ever)
+    ext.injectTableFunction((
+      FunctionIdentifier("history"),
+      new ExpressionInfo("graft", "history"),
+      graft.plans.HistoryTableFunction.build))
   }
 }

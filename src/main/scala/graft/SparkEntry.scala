@@ -186,6 +186,7 @@ object SparkEntry {
     "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
     "t_merge_read_pruned"   -> (streaming.MergeTable.mergeReadPrunedQuery _),
+    "t_merge_read_str"      -> (streaming.MergeTable.mergeReadStringPrunedQuery _),
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
     "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "t_update_where"        -> (streaming.MergeTable.updateWhereQuery _),
     "t_optimize"            -> (streaming.MergeTable.optimizeQuery _),
     "t_sql_read"            -> (streaming.MergeTable.sqlReadQuery _),
+    "t_sql_merge"           -> (streaming.MergeTable.sqlMergeQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -1964,6 +1966,23 @@ object SparkEntry {
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
         |FROM base WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // t_sql_merge: the same net effect as t_merge_into, driven through
+    // SQL MERGE INTO text (the parser face of the COW merge) — the SQL
+    // verb and the API face must commute to the same state
+    "t_sql_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 100 = 42 THEN price_cents * 3 + 500
+        |            WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |            ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey % 10 <> 7
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
+        |FROM base WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     // t_merge_occ: two optimistic writers from one base snapshot —
     // A updates low keys, B deletes high keys + inserts beyond the
     // domain; disjoint, so the serial replay is order-free. The
@@ -2082,6 +2101,18 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
         |FROM merged
         |WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_read_str: the string-band predicate recomputed from raw
+    // orders — a false file-skip from the 8-byte-prefix string stats
+    // is silent row loss, exactly what the hash catches
+    "t_merge_read_str" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |       concat('b', lpad(CAST(o_orderkey // 100 AS VARCHAR), 4, '0')) AS o_band
+        |FROM orders
+        |WHERE concat('b', lpad(CAST(o_orderkey // 100 AS VARCHAR), 4, '0'))
+        |        BETWEEN 'b0002' AND 'b0005'
+        |  AND o_orderstatus = 'O'
         |ORDER BY o_orderkey""".stripMargin,
     // t_zorder_read: the price band recomputed from raw orders — the
     // clustered table's pruned read must return exactly these rows

@@ -1,10 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, count, expr, lit, when}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL DML over registered [[graft.streaming.MergeTable]] roots — the
@@ -48,6 +50,226 @@ object MergeTableDml {
         assignments.map { case (k, v) => k -> expr(v) }.toMap)
       Seq(Row(t, c))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // SQL MERGE INTO
+  // ---------------------------------------------------------------------
+
+  /** One WHEN MATCHED clause of a lowered MERGE, expressions as SQL text
+    * (the same travel discipline as the other commands: re-parsed at run
+    * time against the statement's own frames — target aliased as the
+    * statement aliased it, source carrying its own alias — so qualified
+    * references resolve exactly as written). */
+  sealed trait SqlMergeClause extends Serializable
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col = expr, ... */
+  final case class SqlUpdate(condSql: Option[String],
+      assigns: Seq[(String, String)]) extends SqlMergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE */
+  final case class SqlDelete(condSql: Option[String]) extends SqlMergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES (exprs) */
+  final case class SqlInsert(condSql: Option[String],
+      assigns: Seq[(String, String)]) extends Serializable
+
+  /** `MERGE INTO <merge-table> USING <source> ON <cond> WHEN ...` →
+    * ONE change batch through [[graft.streaming.MergeTable.merge]] (the
+    * COW path): matched rows come from an inner join on the statement's
+    * ON condition with FIRST-MATCHING-CLAUSE selection (the ANSI rule),
+    * not-matched inserts from a left-anti join, and the whole batch
+    * nets per key exactly as the API face does. The ANSI cardinality
+    * contract is enforced: two source rows steering the same target key
+    * refuse loudly instead of netting arbitrarily.
+    *
+    * The source travels as its (unresolved) LogicalPlan and is
+    * re-analyzed when the command runs — names resolve against live
+    * session state, including other registered merge tables (a
+    * self-referential MERGE reads the target's CURRENT committed
+    * generation, which is exactly snapshot-isolation semantics). */
+  case class MergeTableMergeCommand(root: String, table: String,
+      targetAlias: String, source: LogicalPlan, condSql: String,
+      matched: Seq[SqlMergeClause], notMatched: Seq[SqlInsert])
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("rows_updated", LongType, nullable = false)(),
+      AttributeReference("rows_deleted", LongType, nullable = false)(),
+      AttributeReference("rows_inserted", LongType, nullable = false)(),
+      AttributeReference("files_rewritten", IntegerType, nullable = false)(),
+      AttributeReference("files_carried", IntegerType, nullable = false)())
+
+    // EXPLAIN shows the USING source under the command
+    override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
+
+    override def run(session: SparkSession): Seq[Row] = {
+      val mt = graft.streaming.MergeTable
+      val key = mt.tableKey(session, root)
+      val target = mt.read(session, root)
+      val tgtSchema = target.schema
+      val tCols = tgtSchema.fieldNames.toSeq
+      val t = target.alias(targetAlias)
+      val s = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, source)
+      def tq(c: String) = col(s"$targetAlias.`$c`")
+
+      // ---- MATCHED: inner join; first clause whose condition holds
+      // claims the row (__midx = -1 ⇒ no clause fired ⇒ row untouched)
+      val midx = matched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), acc) =>
+          val c = (cl match {
+            case SqlUpdate(cs, _) => cs
+            case SqlDelete(cs) => cs
+          }).map(expr).getOrElse(lit(true))
+          when(c, lit(i)).otherwise(acc)
+      }
+      val mOp = matched.zipWithIndex.foldRight(lit(null).cast("string")) {
+        case ((cl, i), acc) => when(col("__midx") === i,
+          lit(cl match { case _: SqlUpdate => "u"; case _: SqlDelete => "d" }))
+          .otherwise(acc)
+      }
+      // payload per table column: the claiming UPDATE's assignment if it
+      // assigns the column, else the target's value (deletes keep target
+      // values — the merge ignores delete payloads); assignment-cast to
+      // the table's type, standard SQL store-assignment
+      def mVal(c: String): Column =
+        matched.zipWithIndex.foldRight(tq(c)) {
+          case ((SqlUpdate(_, assigns), i), acc) =>
+            assigns.find(_._1 == c) match {
+              case Some((_, v)) =>
+                when(col("__midx") === i, expr(v)).otherwise(acc)
+              case None => acc
+            }
+          case ((_: SqlDelete, _), acc) => acc
+        }.cast(tgtSchema(c).dataType).as(c)
+      val matchedChanges = t.join(s, expr(condSql), "inner")
+        .withColumn("__midx", midx).where(col("__midx") >= 0)
+        .select(mOp.as("op") +: lit(1L).as("seq") +: tCols.map(mVal): _*)
+
+      // ---- NOT MATCHED: anti join (source frame only — exactly the
+      // columns ANSI lets an INSERT clause reference); unassigned
+      // columns null-fill, the standard INSERT contract
+      val nidx = notMatched.zipWithIndex.foldRight(lit(-1)) {
+        case ((cl, i), acc) =>
+          when(cl.condSql.map(expr).getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+      def iVal(c: String): Column =
+        notMatched.zipWithIndex.foldRight(lit(null): Column) {
+          case ((cl, i), acc) =>
+            cl.assigns.find(_._1 == c) match {
+              case Some((_, v)) =>
+                when(col("__nidx") === i, expr(v)).otherwise(acc)
+              case None => acc
+            }
+        }.cast(tgtSchema(c).dataType).as(c)
+      val insertChanges = s.join(t, expr(condSql), "left_anti")
+        .withColumn("__nidx", nidx).where(col("__nidx") >= 0)
+        .select(lit("c").as("op") +: lit(1L).as("seq") +: tCols.map(iVal): _*)
+
+      val all = (matched, notMatched) match {
+        case (Nil, _) => insertChanges
+        case (_, Nil) => matchedChanges
+        case _ => matchedChanges.unionByName(insertChanges)
+      }
+      // one computation, three consumers (guard, metrics, merge)
+      val changes = all.localCheckpoint(true)
+
+      // ANSI cardinality guard: a target key steered by 2+ source rows
+      // has no well-defined result — refuse, never net arbitrarily
+      val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"MERGE INTO $table: multiple source rows affect target key " +
+          s"${dup.head.get(0)} — the ANSI MERGE cardinality contract " +
+          "forbids this (dedupe the source first)")
+
+      val byOp = changes.groupBy(col("op")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (byOp.isEmpty) // nothing fired: no new generation
+        return Seq(Row(0L, 0L, 0L, 0, 0))
+      val (rw, ca) = mt.merge(session, root, changes, key)
+      Seq(Row(byOp.getOrElse("u", 0L), byOp.getOrElse("d", 0L),
+        byOp.getOrElse("c", 0L), rw, ca))
+    }
+  }
+
+  /** Lower the parser's [[MergeIntoTable]] over a registered merge table
+    * into [[MergeTableMergeCommand]], refusing BY NAME every clause
+    * shape the COW merge cannot honor. */
+  def lowerMerge(spark: SparkSession,
+      m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable,
+      table: String, quals: Set[String], root: String,
+      targetAlias: String): MergeTableMergeCommand = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def refuse(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+    if (m.withSchemaEvolution) refuse(
+      s"MERGE INTO $table WITH SCHEMA EVOLUTION is not supported through " +
+        "SQL — use the merge API's evolveSchema flag, which makes the " +
+        "additive widening explicit per batch")
+    if (m.notMatchedBySourceActions.nonEmpty) refuse(
+      s"MERGE INTO $table: WHEN NOT MATCHED BY SOURCE is not supported " +
+        "on the COW merge path — target-only sweeps are the DELETE/" +
+        "UPDATE DML's job")
+    val key = graft.streaming.MergeTable.tableKey(spark, root)
+    val tCols = graft.streaming.MergeTable.read(spark, root)
+      .schema.fieldNames.toSeq
+    // the qualifier star-expansion needs: the source's alias or name
+    val sourceQual: Option[String] = m.sourceTable match {
+      case SubqueryAlias(id, _) => Some(id.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        Some(u.multipartIdentifier.last)
+      case _ => None
+    }
+    def starQual: String = sourceQual.getOrElse(refuse(
+      s"MERGE INTO $table: UPDATE SET * / INSERT * needs a named or " +
+        "aliased USING source to expand against — alias the source"))
+    def pairs(assigns: Seq[Assignment], context: String): Seq[(String, String)] = {
+      val ps = assigns.map { a =>
+        stripQualifiers(a.key, quals) match {
+          case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+            u.nameParts.head -> a.value.sql
+          case ar: AttributeReference => ar.name -> a.value.sql
+          case other => refuse(
+            s"MERGE INTO $table $context assigns ${other.sql} — only " +
+              "top-level columns of the table are assignable")
+        }
+      }
+      val dup = ps.groupBy(_._1).collect { case (c, vs) if vs.size > 1 => c }
+      if (dup.nonEmpty) refuse(
+        s"MERGE INTO $table $context assigns ${dup.mkString(", ")} more than once")
+      ps
+    }
+    val matched: Seq[SqlMergeClause] = m.matchedActions.map {
+      case DeleteAction(cond) => SqlDelete(cond.map(_.sql))
+      case UpdateAction(cond, assigns, _) =>
+        val ps = pairs(assigns, "UPDATE")
+        if (ps.exists(_._1 == key)) refuse(
+          s"MERGE INTO $table: UPDATE must not assign the merge key " +
+            s"'$key' — a COW merge addresses rows by key")
+        SqlUpdate(cond.map(_.sql), ps)
+      case UpdateStarAction(cond) =>
+        // every non-key column from the source's same name (the key
+        // keeps the target value — under the ON equality it is equal
+        // anyway, and a key REWRITE is refused just above)
+        SqlUpdate(cond.map(_.sql),
+          tCols.filterNot(_ == key).map(c => c -> s"`$starQual`.`$c`"))
+      case other => refuse(
+        s"MERGE INTO $table: unsupported WHEN MATCHED action " +
+          other.getClass.getSimpleName)
+    }
+    val notMatched: Seq[SqlInsert] = m.notMatchedActions.map {
+      case InsertAction(cond, assigns) =>
+        val ps = pairs(assigns, "INSERT")
+        if (!ps.exists(_._1 == key)) refuse(
+          s"MERGE INTO $table: INSERT must assign the merge key '$key'")
+        SqlInsert(cond.map(_.sql), ps)
+      case InsertStarAction(cond) =>
+        SqlInsert(cond.map(_.sql), tCols.map(c => c -> s"`$starQual`.`$c`"))
+      case other => refuse(
+        s"MERGE INTO $table: unsupported WHEN NOT MATCHED action " +
+          other.getClass.getSimpleName)
+    }
+    MergeTableMergeCommand(root, table, targetAlias, m.sourceTable,
+      m.mergeCondition.sql, matched, notMatched)
   }
 
   /** Strip table/alias qualifiers off attribute references: the command

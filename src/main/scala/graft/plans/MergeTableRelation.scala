@@ -63,18 +63,23 @@ class MergeTableFileIndex(spark: SparkSession, root: String,
 
 object MergeTableRelation {
 
-  /** The plan a bare registered merge-table name resolves to. A
-    * DV-free generation (the common post-compact/optimize state) plans
-    * as a parquet relation over [[MergeTableFileIndex]] — manifest
-    * listing, manifest+bloom file skipping on pushed filters. A
-    * generation carrying deletion vectors needs the DV anti-join, which
-    * is a JOIN, not a scan — it serves through [[MergeTable.read]]'s
-    * plan instead (correctness first; the maintenance cadence keeps DV
-    * windows short). */
+  /** The plan a bare registered merge-table name resolves to: a parquet
+    * relation over [[MergeTableFileIndex]] — manifest listing,
+    * manifest+bloom file skipping on pushed filters. A generation
+    * carrying deletion vectors layers the broadcast DV anti-join ABOVE
+    * the indexed scan: Catalyst pushes data-column predicates through
+    * the anti-join's left side down to the scan, so a delete-heavy
+    * table keeps planner-side file skipping between maintenance runs
+    * (before this, any DV forfeited the index entirely and the SQL read
+    * paid a full listing + footer-pruned scan). DV rows naming pruned
+    * files are inert — a skipped file contributes no scan rows for them
+    * to kill. Only an EMPTY manifest (legal: a delete-everything merge)
+    * serves through [[MergeTable.read]], which returns the recorded
+    * zero-row frame. */
   def resolve(spark: SparkSession, root: String): LogicalPlan = {
     val genDir = graft.streaming.Snapshots.resolve(spark, root)
     val m = MergeTable.genMeta(spark, genDir)
-    if (m.dvs.nonEmpty || m.entries.isEmpty)
+    if (m.entries.isEmpty)
       MergeTable.read(spark, root).queryExecution.analyzed
     else {
       val schema = m.schema.getOrElse(
@@ -86,7 +91,10 @@ object MergeTableRelation {
         bucketSpec = None,
         fileFormat = new ParquetFileFormat(),
         options = Map.empty[String, String])(spark)
-      spark.baseRelationToDataFrame(rel).queryExecution.analyzed
+      val base = spark.baseRelationToDataFrame(rel)
+      val df = if (m.dvs.isEmpty) base
+               else MergeTable.applyDvs(spark, root, base, m.dvs)
+      df.queryExecution.analyzed
     }
   }
 }

@@ -137,6 +137,21 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         MergeTableDml.MergeTableUpdateCommand(root,
           MergeTableDml.assignmentPairs(assigns, name, quals),
           cond.map(c => MergeTableDml.stripQualifiers(c, quals).sql))
+      // `MERGE INTO lake [AS t] USING src ON ... WHEN ...` — the verb a
+      // warehouse lives on (the reference's whole pipeline IS a merge:
+      // load_s3_files_…/handler.py:86-95). Lowered onto the COW
+      // MergeTable.merge as ONE change batch; unsupported clause shapes
+      // refuse by name inside lowerMerge. Matched top-down like the TT
+      // case, so the bare-name rewrite below can never claim the target
+      // relation first.
+      case m @ org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable(
+          MergeRel(name, quals, root), _, _, _, _, _, _) =>
+        val alias = m.targetTable match {
+          case org.apache.spark.sql.catalyst.plans.logical
+              .SubqueryAlias(id, _) => id.name
+          case _ => name
+        }
+        MergeTableDml.lowerMerge(spark, m, name, quals, root, alias)
 
       // ---- bare registered names are directly queryable ------------
       // `SELECT * FROM lake` = the current committed state: manifest-
@@ -166,6 +181,42 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
           SnapshotSqlCatalog.rootOf(spark, u.multipartIdentifier).get))
           .queryExecution.analyzed
     }
+}
+
+/** The SQL `DESCRIBE HISTORY` face: `SELECT * FROM history('lake')` —
+  * the table-valued spelling of [[graft.streaming.MergeTable.history]]
+  * (Delta's DESCRIBE HISTORY / Iceberg's snapshots metadata table).
+  * Registered as a real table function (injected by
+  * [[graft.GraftExtensions]]), so Spark's own TVF resolution serves it;
+  * the rows come from manifests alone — the produced plan is a
+  * LocalRelation, no data file is ever scanned (asserted by spec). The
+  * ops question then composes as plain SQL:
+  * `SELECT generation FROM history('lake') WHERE n_dvs > 0`. */
+object HistoryTableFunction {
+  def build(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def refuse(msg: String): Nothing =
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" -> msg))
+    val spark = SparkSession.active
+    val name = args match {
+      case Seq(org.apache.spark.sql.catalyst.expressions
+          .Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        s.toString.toLowerCase(java.util.Locale.ROOT)
+      case _ => refuse(
+        "history() takes exactly one string literal: the registered " +
+          "merge-table name, e.g. SELECT * FROM history('lake')")
+    }
+    SnapshotSqlCatalog.mergeRootOf(spark, Seq(name)) match {
+      case Some(root) =>
+        graft.streaming.MergeTable.history(spark, root)
+          .queryExecution.analyzed
+      case None => refuse(
+        s"table $name is not registered as a merge table for history() " +
+          s"(registered: " +
+          s"${SnapshotSqlCatalog.registered(spark).toSeq.sorted.mkString(", ")})")
+    }
+  }
 }
 
 /** The name → snapshot-root registry the SQL face reads. Entries live in

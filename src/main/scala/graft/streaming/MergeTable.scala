@@ -267,12 +267,17 @@ object MergeTable {
         .filter(col(column).cast("long").between(lo, hi))
   }
 
-  /** Conservative per-column integral bounds extracted from a
-    * predicate's CONJUNCTS: =, <, <=, >, >= and BETWEEN over literal
-    * ints/longs (either operand order). Anything unrecognized — a
-    * disjunction, a non-literal comparison, another type — simply
-    * extracts nothing for its columns, which makes the pruning built on
-    * it unconditionally safe (an unknown never skips a file). */
+  /** Conservative per-column bounds extracted from a predicate's
+    * CONJUNCTS: =, <, <=, >, >= and BETWEEN over literal ints/longs
+    * (either operand order) and over literal STRINGS — a string literal
+    * bounds as its order-preserving [[graft.functions.StringPrefix64]]
+    * embedding, intersecting the same `#cstat` ranges the writer stores
+    * for string columns (strict string bounds stay INCLUSIVE: the
+    * embedding is monotone but not injective, so `c < v` admits
+    * emb = emb(v)). Anything unrecognized — a disjunction, a
+    * non-literal comparison, another type — simply extracts nothing for
+    * its columns, which makes the pruning built on it unconditionally
+    * safe (an unknown never skips a file). */
   private[graft] def extractBounds(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Map[String, (Long, Long)] = {
@@ -283,10 +288,14 @@ object MergeTable {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    def litVal(x: Expression): Option[Long] = x match {
-      case Literal(v: Int, _) => Some(v.toLong)
-      case Literal(v: Long, _) => Some(v)
-      case Literal(v: Short, _) => Some(v.toLong)
+    // (value, tight): tight = an integral value whose strict bounds may
+    // shave ±1; a string EMBEDDING is coarse, so strict stays inclusive
+    def litVal(x: Expression): Option[(Long, Boolean)] = x match {
+      case Literal(v: Int, _) => Some((v.toLong, true))
+      case Literal(v: Long, _) => Some((v, true))
+      case Literal(v: Short, _) => Some((v.toLong, true))
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some((graft.functions.StringPrefix64.embed(s), false))
       // the analyzer wraps literals in implicit casts when the column
       // type differs (k > 5 on a LONG column). EVALUATE the foldable
       // cast rather than unwrapping to the pre-cast child: under
@@ -295,39 +304,41 @@ object MergeTable {
       // the post-cast value, and bounding by the pre-cast one would
       // skip provably-matching files — silent row loss.
       case c: Cast if c.foldable => c.eval() match {
-        case v: Int => Some(v.toLong)
-        case v: Long => Some(v)
-        case v: Short => Some(v.toLong)
-        case v: Byte => Some(v.toLong)
+        case v: Int => Some((v.toLong, true))
+        case v: Long => Some((v, true))
+        case v: Short => Some((v.toLong, true))
+        case v: Byte => Some((v.toLong, true))
         case _ => None
       }
       case _ => None
     }
+    def below(v: (Long, Boolean)): Long = if (v._2) v._1 - 1 else v._1
+    def above(v: (Long, Boolean)): Long = if (v._2) v._1 + 1 else v._1
     def conjuncts(x: Expression): Seq[Expression] = x match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     val perConjunct: Seq[(String, (Long, Long))] = conjuncts(e).flatMap {
       case EqualTo(a, b) =>
-        name(a).zip(litVal(b)).map { case (n, v) => n -> (v, v) } ++
-          name(b).zip(litVal(a)).map { case (n, v) => n -> (v, v) }
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (v._1, v._1) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (v._1, v._1) }
       case LessThan(a, b) =>
-        name(a).zip(litVal(b)).map { case (n, v) => n -> (Long.MinValue, v - 1) } ++
-          name(b).zip(litVal(a)).map { case (n, v) => n -> (v + 1, Long.MaxValue) }
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (Long.MinValue, below(v)) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (above(v), Long.MaxValue) }
       case LessThanOrEqual(a, b) =>
-        name(a).zip(litVal(b)).map { case (n, v) => n -> (Long.MinValue, v) } ++
-          name(b).zip(litVal(a)).map { case (n, v) => n -> (v, Long.MaxValue) }
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (Long.MinValue, v._1) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (v._1, Long.MaxValue) }
       case GreaterThan(a, b) =>
-        name(a).zip(litVal(b)).map { case (n, v) => n -> (v + 1, Long.MaxValue) } ++
-          name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, v - 1) }
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (above(v), Long.MaxValue) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, below(v)) }
       case GreaterThanOrEqual(a, b) =>
-        name(a).zip(litVal(b)).map { case (n, v) => n -> (v, Long.MaxValue) } ++
-          name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, v) }
+        name(a).zip(litVal(b)).map { case (n, v) => n -> (v._1, Long.MaxValue) } ++
+          name(b).zip(litVal(a)).map { case (n, v) => n -> (Long.MinValue, v._1) }
       // SQL-parsed BETWEEN survives analysis as a first-class Between
       // expression in Spark 4 (the Column API still expands to >=/<=)
       case Between(a, lo, hi, _) =>
         name(a).zip(litVal(lo).zip(litVal(hi)))
-          .map { case (n, (l, h)) => n -> (l, h) }
+          .map { case (n, (l, h)) => n -> (l._1, h._1) }
       case _ => Seq.empty
     }
     perConjunct.groupBy(_._1).view.mapValues(_.map(_._2)
@@ -368,8 +379,18 @@ object MergeTable {
     // an arbitrary footer schema would fail or mis-bind, while the
     // recorded schema null-fills — and null values index to nothing.
     val rdr = m.schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))
-    val scan = rdr.parquet(missing.map(filePath(root, _)): _*)
-      .select(col(column).cast("long").as("v"),
+    val raw = rdr.parquet(missing.map(filePath(root, _)): _*)
+    // a STRING column indexes its StringPrefix64 embedding — the SAME
+    // value extractBounds hands bloomRefine for a string equality, so
+    // build and probe agree bit-for-bit (strings past 8 bytes share
+    // keys: false positives only, the bloom contract)
+    val vExpr = raw.schema(column).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        graft.functions.StringPrefix64.stringPrefix64(col(column))
+      case _ => col(column).cast("long")
+    }
+    val scan = raw
+      .select(vExpr.as("v"),
         element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"))
       .where(col("v").isNotNull)
     // filters sized for the largest file (same size everywhere keeps
@@ -609,27 +630,32 @@ object MergeTable {
     // columns a pre-evolution file lacks, with zero footer reads
     val rdr = schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))
     val base = rdr.parquet(entries.map(e => filePath(root, e.name)): _*)
-    if (dvs.isEmpty) base
-    else {
-      // merge-on-read: anti-join the scan against the union of the
-      // generation's DVs on (file name, row position). The DV relation
-      // is change-set-sized (broadcast side); `_metadata.row_index` is
-      // parquet's stable in-file position, so no key column is needed
-      // and duplicate DV rows (a position deleted twice across
-      // generations) are harmless to an anti-join.
-      val cols = base.columns.toSeq
-      val dvDf = spark.read
-        .parquet(dvs.map(filePath(root, _)): _*)
-        .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-      base
-        .withColumn("__file",
-          element_at(split(expr("_metadata.file_path"), "/"), -1))
-        .withColumn("__pos", expr("_metadata.row_index"))
-        .join(broadcast(dvDf),
-          col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
-          "left_anti")
-        .select(cols.map(col): _*)
-    }
+    if (dvs.isEmpty) base else applyDvs(spark, root, base, dvs)
+  }
+
+  /** Merge-on-read over ANY parquet-backed scan of the table's files:
+    * anti-join the scan against the union of the generation's DVs on
+    * (file name, row position). The DV relation is change-set-sized
+    * (broadcast side); `_metadata.row_index` is parquet's stable
+    * in-file position, so no key column is needed and duplicate DV rows
+    * (a position deleted twice across generations) are harmless to an
+    * anti-join. Shared by [[readFiles]] and the SQL path's
+    * manifest-FileIndex plan ([[graft.plans.MergeTableRelation]]) — DV
+    * rows naming files the scan pruned away are simply inert. */
+  private[graft] def applyDvs(spark: SparkSession, root: String,
+      base: DataFrame, dvs: Seq[String]): DataFrame = {
+    val cols = base.columns.toSeq
+    val dvDf = spark.read
+      .parquet(dvs.map(filePath(root, _)): _*)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    base
+      .withColumn("__file",
+        element_at(split(expr("_metadata.file_path"), "/"), -1))
+      .withColumn("__pos", expr("_metadata.row_index"))
+      .join(broadcast(dvDf),
+        col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
+        "left_anti")
+      .select(cols.map(col): _*)
   }
 
   /** Write `df` as new immutable data files; return their manifest
@@ -673,18 +699,29 @@ object MergeTable {
     f.delete(tmpPath, true)
     if (named.isEmpty) (Seq.empty, Seq.empty)
     else {
-      // every integral NON-key column gets a file range in the SAME
-      // column-pruned pass that computes the key range — the write-time
-      // cost that buys read-free pruning on any of those columns
+      // every integral AND string NON-key column gets a file range in
+      // the SAME column-pruned pass that computes the key range — the
+      // write-time cost that buys read-free pruning on any of those
+      // columns. Strings ride as their order-preserving 8-byte-prefix
+      // embedding ([[graft.functions.StringPrefix64]] — Iceberg's
+      // truncate[N] as an integer), so ONE `#cstat` machine stores,
+      // carries and intersects both kinds; min/max commute with the
+      // monotone embedding, so aggregating the embedding is exact.
       val statCols = df.schema.fields.collect {
         case f if f.name != key &&
           (f.dataType == org.apache.spark.sql.types.LongType ||
-            f.dataType == org.apache.spark.sql.types.IntegerType) => f.name
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.StringType) => f.name
       }.toSeq
+      def sv(c: String): Column = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          graft.functions.StringPrefix64.stringPrefix64(col(c))
+        case _ => col(c).cast("long")
+      }
       val aggs = Seq(min(col("k")).as("lo"), max(col("k")).as("hi")) ++
         statCols.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"lo_$c"),
-          max(col(c).cast("long")).as(s"hi_$c")))
+          min(sv(c)).as(s"lo_$c"),
+          max(sv(c)).as(s"hi_$c")))
       val names = named.keys.toSeq.sorted
       val rows = spark.read.parquet(names.map(filePath(root, _)): _*)
         .select(col(key).cast("long").as("k") +:
@@ -1120,6 +1157,38 @@ object MergeTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** t_merge_read_str — the ORACLED face of STRING manifest statistics
+    * ([[graft.functions.StringPrefix64]] riding the `#cstat` machine):
+    * an orders table carrying a key-correlated string label (`o_band`,
+    * the zero-padded-thousands bucket — the shape every partition-label/
+    * date-string column has), served a string BAND × status predicate
+    * through [[readWhere]]. The band prunes files from the embedded
+    * string ranges with zero footer reads; the oracle recomputes the
+    * label and band in plain SQL — a false skip (the failure mode of
+    * every stats-pruning bug) is silent row loss, which the hash
+    * catches. */
+  def mergeReadStringPrunedQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("str_orders", dir)
+    // v2: hundreds-bucket bands (thousands were empty below sf0.01)
+    val sig = s"v2_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"),
+        concat(lit("b"), lpad(expr("o_orderkey div 100").cast("string"),
+          4, "0")).as("o_band"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+    }
+    readWhere(spark, root,
+      col("o_band").between("b0002", "b0005") && col("o_orderstatus") === "O")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** t_zorder_read — the ORACLED face of z-order clustered compaction:
     * an orders table created key-range-partitioned, re-clustered by
     * [[compactZOrder]] on the UNCORRELATED price dimension, then served
@@ -1520,6 +1589,67 @@ object MergeTable {
     require(gens.size >= 3, s"expected 3 generations, got $gens")
     changesBetween(spark, root, gens(gens.size - 2), gens.last)
       .orderBy(col("change"), col("o_orderkey"))
+  }
+
+  /** t_sql_merge — the PARSER face of [[merge]]: t_merge_into's net
+    * change batch driven through SQL `MERGE INTO` text instead of the
+    * API. One statement exercises every supported clause: conditional
+    * `WHEN MATCHED AND ... THEN DELETE` ahead of an unconditional
+    * `WHEN MATCHED THEN UPDATE` (first-clause-wins, the ANSI rule) and
+    * `WHEN NOT MATCHED THEN INSERT`; read back through the registered
+    * SQL name. The oracle is t_merge_into's — the SQL verb and the API
+    * face must commute to the same table state, hash-exact. The
+    * intra-batch seq conflict of the API face (%100=42 twice) is
+    * pre-netted here because ANSI MERGE *refuses* two source rows per
+    * target key (the cardinality contract the command enforces). */
+  def sqlMergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("sql_merge_orders", dir)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "sql_merge_orders",
+      root)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      // %10=3 and %100=42 are disjoint (42 ends in 2): one update row
+      // per key, as ANSI demands
+      val upd = base.where(col("o_orderkey") % 10 === 3)
+        .select(payload :+ (col("price_cents") * 2).as("new_price"): _*)
+        .withColumn("action", lit("upd"))
+      val upd42 = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") * 3 + 500).as("new_price"): _*)
+        .withColumn("action", lit("upd"))
+      val del = base.where(col("o_orderkey") % 10 === 7)
+        .select(payload :+ lit(0L).as("new_price"): _*)
+        .withColumn("action", lit("del"))
+      val ins = base.where(col("o_orderkey") % 10 === 1)
+        .select((col("o_orderkey") + 1000000L).as("o_orderkey") +:
+          (col("o_custkey") +: col("o_orderstatus") +:
+            (col("price_cents") + 100L).as("new_price") +: Nil): _*)
+        .withColumn("action", lit("ins"))
+      upd.unionByName(upd42).unionByName(del).unionByName(ins)
+        .createOrReplaceTempView("sql_merge_src")
+      spark.sql(
+        """MERGE INTO sql_merge_orders t
+          |USING sql_merge_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.action = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET price_cents = s.new_price
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+          |  o_orderstatus, price_cents) VALUES (s.o_orderkey, s.o_custkey,
+          |  s.o_orderstatus, s.new_price)""".stripMargin)
+    }
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM sql_merge_orders ORDER BY o_orderkey""".stripMargin)
   }
 
   /** t_merge_dv — the oracled merge-on-read face: the same base table

@@ -122,9 +122,9 @@ class MergeTableSpec extends AnyFunSuite {
       graft.streaming.Snapshots.currentGen(spark, root).get)
     val stats0 = MergeTable.colStats(spark, genDir)
     val files0 = MergeTable.currentManifest(spark, root)
-    assert(stats0.map(_.col).distinct.sorted === Seq("v"),
-      "v is the only integral non-key column (tag is a string)")
-    assert(stats0.size === files0.size, "one v-range per file")
+    assert(stats0.map(_.col).distinct.sorted === Seq("tag", "v"),
+      "integral AND string non-key columns carry ranges (tag embeds)")
+    assert(stats0.count(_.col == "v") === files0.size, "one v-range per file")
     // a narrow v-band reads a strict file subset and exactly its rows
     val band = MergeTable.readWhereCol(spark, root, "v", 1000L, 1200L)
     assert(band.orderBy("k").collect().map(_.getLong(0)).toSeq
@@ -137,8 +137,10 @@ class MergeTableSpec extends AnyFunSuite {
       Seq(("u", 1L, 5L, -999L, "hot")).toDF("op", "seq", "k", "v", "tag"),
       "k", nFiles = 1, commitTsMillis = 20L)
     val stats1 = MergeTable.colStats(spark, genDir)
-    assert(stats1.size === MergeTable.currentManifest(spark, root).size)
-    assert(stats1.exists(_.lo === -999L), "rewritten file's fresh v-range")
+    assert(stats1.count(_.col == "v")
+      === MergeTable.currentManifest(spark, root).size)
+    assert(stats1.exists(s => s.col == "v" && s.lo === -999L),
+      "rewritten file's fresh v-range")
     assert(MergeTable.readWhereCol(spark, root, "v", -999L, -999L)
       .collect().map(_.getLong(0)).toSeq === Seq(5L))
     // MOR merge: every carried file keeps its range; appended adds one
@@ -811,6 +813,67 @@ class MergeTableSpec extends AnyFunSuite {
     assert(byK.size === 100)
   }
 
+  test("string manifest stats: a key-correlated string band prunes a " +
+    "strict file subset; probes stay exact; blooms key on the embedding") {
+    import graft.functions.StringPrefix64
+    // the two embedding faces must agree bit-for-bit, and preserve order
+    assert(StringPrefix64.embed("") < StringPrefix64.embed("a"))
+    assert(StringPrefix64.embed("a") < StringPrefix64.embed("ab"))
+    assert(StringPrefix64.embed("ab") < StringPrefix64.embed("b"))
+    assert(StringPrefix64.embed("b0001") < StringPrefix64.embed("b0002"))
+    // identical 8-byte prefixes collide (coarse, never wrong)
+    assert(StringPrefix64.embed("prefix09_a") === StringPrefix64.embed("prefix09_b"))
+    val viaExpr = spark.range(1)
+      .select(StringPrefix64.stringPrefix64(lit("b0002"))).head.getLong(0)
+    assert(viaExpr === StringPrefix64.embed("b0002"),
+      "planner-side and codegen embeddings must agree")
+
+    val root = freshRoot("sstats")
+    // band = zero-padded key/100 bucket: key-correlated, so per-file
+    // string ranges are narrow — the partition-label/date-string shape
+    val df = spark.range(800).select(col("id").as("k"),
+      (col("id") * 10).as("v"),
+      concat(lit("b"), lpad((col("id") / 100).cast("long").cast("string"),
+        3, "0")).as("band"))
+    MergeTable.create(spark, root, df, "k", nFiles = 8, commitTsMillis = 10L)
+    // a one-bucket string band: strict file subset from #cstat alone
+    val m = MergeTable.genMeta(spark,
+      graft.streaming.Snapshots.resolve(spark, root))
+    def toExpr(frame: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column) =
+      frame.filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+    val cand = MergeTable.pruneByCondition(spark, root, m,
+      Some(toExpr(df, col("band") === "b003")))
+    assert(cand.nonEmpty && cand.size < m.entries.size,
+      s"string equality should prune: ${cand.size} of ${m.entries.size}")
+    // band range: also a strict subset, and the rows are exact
+    val got = MergeTable.readWhere(spark, root,
+      col("band") >= "b002" && col("band") <= "b004")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === (200L until 500L), "string band rows must be exact")
+    // strict bounds stay conservative-correct
+    assert(MergeTable.readWhere(spark, root, col("band") < "b001")
+      .count() === 100L)
+    // an UNCORRELATED string column: ranges can't prune an equality,
+    // the bloom registry (keyed on the embedding) can
+    val root2 = freshRoot("sbloom")
+    val df2 = spark.range(400).select(col("id").as("k"),
+      concat(lit("u"), ((col("id") * 7919) % 400).cast("string")).as("tag"))
+    MergeTable.create(spark, root2, df2, "k", nFiles = 8, commitTsMillis = 10L)
+    assert(MergeTable.ensureBloomIndex(spark, root2, "tag") === 8)
+    val m2 = MergeTable.genMeta(spark,
+      graft.streaming.Snapshots.resolve(spark, root2))
+    val probe = "u" + (123L * 7919L % 400L)
+    val cand2 = MergeTable.pruneByCondition(spark, root2, m2,
+      Some(toExpr(df2, col("tag") === probe)))
+    assert(cand2.nonEmpty && cand2.size < m2.entries.size,
+      s"string bloom should prune a point probe: ${cand2.size} of 8")
+    assert(MergeTable.readWhere(spark, root2, col("tag") === probe)
+      .collect().map(_.getLong(0)).toSeq === Seq(123L))
+  }
+
   test("bloom build edge cases: an all-NULL probe column builds nothing " +
     "(no NPE); files predating an evolved column read through the " +
     "recorded schema and index cleanly") {
@@ -1061,9 +1124,12 @@ class MergeTableSpec extends AnyFunSuite {
         .orderBy("k").collect().map(_.toSeq).toSeq
       assert(got === want, s"predicate $p")
     }
-    // conjunct bounds: both key and non-key columns extracted
+    // conjunct bounds: integral AND string columns extracted (the
+    // string equality bounds as its 8-byte-prefix embedding)
     val p1 = col("v") >= 1000L && col("v") <= 1200L && col("tag") === "base"
-    assert(MergeTable.extractBounds(toExpr(p1)) === Map("v" -> (1000L, 1200L)))
+    val embBase = graft.functions.StringPrefix64.embed("base")
+    assert(MergeTable.extractBounds(toExpr(p1))
+      === Map("v" -> (1000L, 1200L), "tag" -> (embBase, embBase)))
     sameAsFullScan(p1)
     // literal-on-the-left and strict comparisons normalize correctly
     assert(MergeTable.extractBounds(toExpr(lit(10L) > col("k")))

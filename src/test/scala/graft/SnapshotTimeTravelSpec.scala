@@ -119,7 +119,8 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
   }
 
   test("bare SQL reads plan over the manifest FileIndex: pushed filters " +
-    "skip files PLANNER-side; DV'd generations fall back exactly") {
+    "skip files PLANNER-side; DV'd generations keep the indexed scan " +
+    "under the anti-join") {
     import org.apache.spark.sql.functions._
     import graft.streaming.MergeTable
     val root = TestSpark.tempDir("sql-fileindex") + "/table"
@@ -139,12 +140,15 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
         import org.apache.spark.sql.execution.SparkPlan
         import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        // the WIDEST scan in the plan (a DV'd read carries a second,
+        // sidecar-sized scan on the broadcast side — the table scan is
+        // the one whose skipping is under test)
         var n = -1L
         def walk(p: SparkPlan): Unit = p match {
           case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
           case q: QueryStageExec => walk(q.plan)
           case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-            n = s.metrics("numFiles").value
+            n = math.max(n, s.metrics("numFiles").value)
           case other => other.children.foreach(walk)
         }
         walk(df.queryExecution.executedPlan); n
@@ -160,21 +164,89 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       // the unfiltered read serves every file, exactly
       val all = ext.sql("SELECT count(*) AS c FROM lake_idx")
       assert(all.head().getLong(0) === 100L)
-      // a generation carrying DVs falls back to the anti-join plan —
-      // correctness never depends on the fast path
+      // a generation carrying DVs keeps the INDEXED scan and layers the
+      // broadcast DV anti-join above it — pushed filters still skip
+      // files planner-side between maintenance runs
       MergeTable.mergeMor(ext, root,
         ext.range(1).select(lit("d").as("op"), lit(1L).as("seq"),
           lit(5L).as("k"), lit(0L).as("v")),
         "k", commitTsMillis = 2000L)
-      val afterDv = ext.sql("SELECT k FROM lake_idx WHERE k < 10 ORDER BY k")
-        .collect().map(_.getLong(0))
-      assert(afterDv.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L))
+      val afterDvQ = ext.sql("SELECT k FROM lake_idx WHERE k < 10 ORDER BY k")
+      val afterDv = afterDvQ.collect().map(_.getLong(0))
+      assert(afterDv.toSeq === Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L),
+        "the DV-deleted row must not resurrect through the indexed scan")
+      assert(scanFiles(afterDvQ) === 1L,
+        "a DV'd generation must still prune files from the manifest")
+      // an unfiltered DV'd read stays exact too
+      assert(ext.sql("SELECT count(*) AS c FROM lake_idx").head().getLong(0)
+        === 99L)
       // compact purges the DVs; the fast path resumes
       MergeTable.compact(ext, root, nFiles = 4, commitTsMillis = 3000L)
       val again = ext.sql(
         "SELECT k FROM lake_idx WHERE k BETWEEN 10 AND 19 ORDER BY k")
       assert(again.collect().map(_.getLong(0)).toSeq === (10L to 19L))
       assert(scanFiles(again) === 1L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("SELECT * FROM history('lake'): metadata-only rows, no table " +
+    "scan in the plan; unregistered names refuse naming the registry") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.MergeTable
+    val root = TestSpark.tempDir("sql-history") + "/table"
+    val base = spark
+    MergeTable.create(spark, root,
+      spark.range(50).select(col("id").as("k"), (col("id") * 10).as("v")),
+      "k", nFiles = 2, commitTsMillis = 1000L)
+    MergeTable.mergeMor(spark, root,
+      spark.range(1).select(lit("d").as("op"), lit(1L).as("seq"),
+        lit(7L).as("k"), lit(0L).as("v")),
+      "k", commitTsMillis = 2000L)
+    MergeTable.compact(spark, root, nFiles = 2, commitTsMillis = 3000L)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      SnapshotSqlCatalog.registerMerge(ext, "lake_h", root)
+      val h = ext.sql("SELECT * FROM history('lake_h') ORDER BY generation")
+      val rows = h.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3)))
+      assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+      assert(rows.map(_._2).toSeq === Seq(1000L, 2000L, 3000L))
+      assert(rows(1)._4 === 1, "the MOR generation carries one DV")
+      assert(rows(2)._4 === 0, "compaction purges DVs")
+      // the ops question composes as plain SQL over the function
+      assert(ext.sql("SELECT generation FROM history('lake_h') WHERE n_dvs > 0")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L))
+      // METADATA ONLY: the executed plan scans no files at all
+      def hasFileScan(df: org.apache.spark.sql.DataFrame): Boolean = {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        var found = false
+        def walk(p: SparkPlan): Unit = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _: org.apache.spark.sql.execution.FileSourceScanExec =>
+            found = true
+          case other => other.children.foreach(walk)
+        }
+        walk(df.queryExecution.executedPlan); found
+      }
+      assert(!hasFileScan(h), "DESCRIBE HISTORY must never scan the table")
+      // Spark's own TVFs pass through untouched
+      assert(ext.sql("SELECT count(*) AS c FROM range(5)").head().getLong(0)
+        === 5L)
+      // unregistered: loud refusal naming what IS registered
+      val e = intercept[AnalysisException](
+        ext.sql("SELECT * FROM history('nope')").collect())
+      assert(e.getMessage.contains("lake_h"), e.getMessage)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SnapshotSqlCatalog
+import graft.streaming.{MergeTable, Snapshots}
+
+/** SQL `MERGE INTO` over registered merge tables — the parser face of
+  * [[MergeTable.merge]]: every supported clause shape must land the
+  * same table state as the API change batch, first-clause-wins ordering
+  * must hold, the ANSI cardinality contract must refuse, and every
+  * unsupported shape must refuse BY NAME. */
+class SqlMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(tag: String, n: Int = 40): String = {
+    val root = TestSpark.tempDir(s"sqlmerge-$tag") + "/t"
+    val base = spark.range(n).select(col("id").as("k"),
+      (col("id") * 100).as("v"), lit("base").as("tag"))
+    MergeTable.create(spark, root, base, "k", nFiles = 4,
+      commitTsMillis = 1000L)
+    SnapshotSqlCatalog.registerMerge(spark, s"mt_$tag", root)
+    root
+  }
+
+  private def state(root: String): Map[Long, (Long, String)] =
+    MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("SQL MERGE ≡ API merge: update / conditional delete / insert in " +
+      "one statement, metrics row, clause order first-match") {
+    val root = freshTable("basic")
+    // source: update k%4=1 (v*2), delete k%4=2, insert k+1000 for k%4=3
+    Seq.range(0L, 40L).filter(_ % 4 != 0).map { k =>
+      if (k % 4 == 1) (k, k * 200, "upd", "u")
+      else if (k % 4 == 2) (k, 0L, "del", "d")
+      else (k + 1000L, k, "ins", "i")
+    }.toDF("k", "nv", "ntag", "act").createOrReplaceTempView("src_basic")
+
+    val res = spark.sql(
+      """MERGE INTO mt_basic t
+        |USING src_basic s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.act = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = s.ntag
+        |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.nv, s.ntag)
+        |""".stripMargin).collect().head
+    assert(res.getLong(0) === 10L, "rows_updated")  // k%4=1 in 0..39
+    assert(res.getLong(1) === 10L, "rows_deleted")
+    assert(res.getLong(2) === 10L, "rows_inserted")
+
+    // the API replay on a twin table must land the identical state
+    val twin = TestSpark.tempDir("sqlmerge-twin") + "/t"
+    MergeTable.create(spark, twin, spark.range(40).select(col("id").as("k"),
+      (col("id") * 100).as("v"), lit("base").as("tag")), "k", nFiles = 4,
+      commitTsMillis = 1000L)
+    val changes = Seq.range(0L, 40L).filter(_ % 4 != 0).map { k =>
+      if (k % 4 == 1) ("u", 1L, k, k * 200, "upd")
+      else if (k % 4 == 2) ("d", 1L, k, 0L, "del")
+      else ("c", 1L, k + 1000L, k, "ins")
+    }.toDF("op", "seq", "k", "v", "tag")
+    MergeTable.merge(spark, twin, changes, "k", commitTsMillis = 2000L)
+    assert(state(root) === state(twin),
+      "SQL MERGE and the API face must commute to the same state")
+    // deletes really gone, updates applied, inserts landed
+    val got = state(root)
+    assert(!got.contains(2L) && got(1L) === (200L, "upd") &&
+      got(1003L) === (3L, "ins") && got(4L) === (400L, "base"))
+  }
+
+  test("UPDATE SET * / INSERT * expand against the aliased source; " +
+      "no-op MERGE commits no generation") {
+    val root = freshTable("star")
+    // the source carries the table's own columns for star expansion
+    Seq((5L, 555L, "starred"), (2000L, 42L, "new"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("src_star")
+    spark.sql(
+      """MERGE INTO mt_star t USING src_star s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val got = state(root)
+    assert(got(5L) === (555L, "starred") && got(2000L) === (42L, "new"))
+
+    // a MERGE whose clauses all miss: no change, NO new generation
+    val gens = Snapshots.generations(spark, root).size
+    val res = spark.sql(
+      """MERGE INTO mt_star t USING src_star s ON t.k = s.k
+        |WHEN MATCHED AND s.tag = 'nope' THEN DELETE""".stripMargin)
+      .collect().head
+    assert(res.getLong(0) === 0L && res.getLong(1) === 0L &&
+      res.getLong(2) === 0L)
+    assert(Snapshots.generations(spark, root).size === gens,
+      "an all-miss MERGE must not commit an empty generation")
+  }
+
+  test("conditional clause chains: first matching clause claims the row") {
+    val root = freshTable("order")
+    Seq((1L, 10L), (2L, 99L)).toDF("k", "score")
+      .createOrReplaceTempView("src_order")
+    spark.sql(
+      """MERGE INTO mt_order t USING src_order s ON t.k = s.k
+        |WHEN MATCHED AND s.score > 50 THEN DELETE
+        |WHEN MATCHED AND s.score > 5 THEN UPDATE SET v = s.score
+        |WHEN MATCHED THEN UPDATE SET v = -1""".stripMargin).collect()
+    val got = state(root)
+    assert(!got.contains(2L), "score 99 hits the DELETE clause first")
+    assert(got(1L)._1 === 10L, "score 10 falls through to the second clause")
+  }
+
+  test("ANSI cardinality: two source rows steering one target key refuse") {
+    val root = freshTable("card")
+    Seq((7L, 1L), (7L, 2L)).toDF("k", "nv")
+      .createOrReplaceTempView("src_card")
+    val e = intercept[IllegalStateException](spark.sql(
+      """MERGE INTO mt_card t USING src_card s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin).collect())
+    assert(e.getMessage.contains("multiple source rows"), e.getMessage)
+    assert(state(root)(7L)._1 === 700L, "the refused MERGE must not commit")
+  }
+
+  test("unsupported shapes refuse by name; key assignment and keyless " +
+      "insert refuse") {
+    val root = freshTable("refuse")
+    Seq((1L, 2L)).toDF("k", "nv").createOrReplaceTempView("src_refuse")
+    def refusal(sql: String): String =
+      intercept[AnalysisException](spark.sql(sql).collect()).getMessage
+
+    assert(refusal(
+      """MERGE INTO mt_refuse t USING src_refuse s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .contains("NOT MATCHED BY SOURCE"))
+    assert(refusal(
+      """MERGE INTO mt_refuse t USING src_refuse s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.nv""".stripMargin)
+      .contains("merge key"))
+    assert(refusal(
+      """MERGE INTO mt_refuse t USING src_refuse s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (v) VALUES (s.nv)""".stripMargin)
+      .contains("merge key"))
+    assert(refusal(
+      """MERGE WITH SCHEMA EVOLUTION INTO mt_refuse t
+        |USING src_refuse s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+      .contains("SCHEMA EVOLUTION"))
+    // nothing above may have committed
+    assert(Snapshots.generations(spark, root).size === 1)
+  }
+}
