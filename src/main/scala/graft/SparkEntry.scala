@@ -188,7 +188,10 @@ object SparkEntry {
     "t_merge_read_pruned"   -> (streaming.MergeTable.mergeReadPrunedQuery _),
     "t_merge_read_str"      -> (streaming.MergeTable.mergeReadStringPrunedQuery _),
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
+    "t_hilbert_read"        -> (streaming.MergeTable.hilbertReadQuery _),
     "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
+    "t_merge_auto"          -> (streaming.MergeTable.mergeAutoQuery _),
+    "t_lake_agg_view"       -> (streaming.LakeAggView.lakeAggViewQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
     "t_merge_occ"           -> (streaming.MergeTable.mergeOccQuery _),
     "t_merge_evolve"        -> (streaming.MergeTable.mergeEvolveQuery _),
@@ -1983,6 +1986,33 @@ object SparkEntry {
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
         |FROM base WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_auto: trickle wave (MOR-dispatched) then bulk F-status
+    // repricing (COW-dispatched) — the LATER generation's bulk price
+    // wins on keys both waves touched; key 30 stays deleted
+    "t_merge_auto" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderstatus = 'F' THEN price_cents * 2
+        |            WHEN o_orderkey IN (10, 20) THEN price_cents + 5
+        |            ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey <> 30
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_lake_agg_view: the maintained view vs the group aggregate of
+    // the table's logical net effect (deletes %10=7, updates %10=3)
+    "t_lake_agg_view" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey % 10 AS g,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |live AS (
+        |  SELECT g, CASE WHEN k % 10 = 3 THEN v + 11 ELSE v END AS v
+        |  FROM base WHERE k % 10 <> 7)
+        |SELECT g, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v,
+        |       min(v) AS min_v, max(v) AS max_v
+        |FROM live GROUP BY g ORDER BY g""".stripMargin,
     // t_merge_occ: two optimistic writers from one base snapshot —
     // A updates low keys, B deletes high keys + inserts beyond the
     // domain; disjoint, so the serial replay is order-free. The
@@ -2116,6 +2146,16 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     // t_zorder_read: the price band recomputed from raw orders — the
     // clustered table's pruned read must return exactly these rows
+    // t_hilbert_read: the same price band served off the HILBERT-
+    // clustered copy — the layout may change which files open, never
+    // which rows return
+    "t_hilbert_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      BETWEEN 1000000 AND 5000000
+        |ORDER BY o_orderkey""".stripMargin,
     "t_zorder_read" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents

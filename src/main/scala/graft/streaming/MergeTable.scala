@@ -56,9 +56,13 @@ object MergeTable {
     * byte size (the Iceberg `file_size_in_bytes` move: planners and
     * maintenance read sizes from METADATA — without it, resolving one
     * SQL statement over a 100k-file table costs 100k getFileStatus
-    * RPCs). `bytes` = -1 on manifests written before the column. */
+    * RPCs) + its ROW COUNT (Iceberg `record_count` — what lets
+    * [[mergeAuto]] price a copy-on-write rewrite against a change set
+    * with zero reads). Both = -1 on manifests written before their
+    * column; every consumer falls back. Entries carry BY VALUE across
+    * commits, so the columns thread every path for free. */
   final case class FileEntry(name: String, minKey: Long, maxKey: Long,
-      bytes: Long = -1L)
+      bytes: Long = -1L, rows: Long = -1L)
 
   /** One per-file NON-KEY column range (`#cstat=` manifest line): the
     * Iceberg-manifest-column-stats idea — file skipping on ANY integral
@@ -110,6 +114,8 @@ object MergeTable {
         case Array(name, lo, hi) => FileEntry(name, lo.toLong, hi.toLong)
         case Array(name, lo, hi, bytes) =>
           FileEntry(name, lo.toLong, hi.toLong, bytes.toLong)
+        case Array(name, lo, hi, bytes, rows) =>
+          FileEntry(name, lo.toLong, hi.toLong, bytes.toLong, rows.toLong)
         case _ => throw new IllegalStateException(
           s"malformed manifest line under $genDir: '$line'")
       }
@@ -718,7 +724,8 @@ object MergeTable {
           graft.functions.StringPrefix64.stringPrefix64(col(c))
         case _ => col(c).cast("long")
       }
-      val aggs = Seq(min(col("k")).as("lo"), max(col("k")).as("hi")) ++
+      val aggs = Seq(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("nrows")) ++
         statCols.flatMap(c => Seq(
           min(sv(c)).as(s"lo_$c"),
           max(sv(c)).as(s"hi_$c")))
@@ -734,7 +741,8 @@ object MergeTable {
       // no stats row; an empty file carries an empty range and is
       // dropped from the manifest (nothing references it; sweep GCs it)
       val entries = names.flatMap(n => byName.get(n).map(r =>
-        FileEntry(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"), named(n))))
+        FileEntry(n, r.getAs[Long]("lo"), r.getAs[Long]("hi"), named(n),
+          r.getAs[Long]("nrows"))))
       val cstats = names.flatMap(n => byName.get(n).toSeq.flatMap(r =>
         statCols.flatMap { c =>
           // an all-NULL column in a file has no range: no stats line —
@@ -767,7 +775,9 @@ object MergeTable {
       dvs.map(d => s"#dv=$d\n").mkString +
       cstats.map(s => s"#cstat=${s.file}\t${s.col}\t${s.lo}\t${s.hi}\n").mkString
     (meta + entries.map(e =>
-      if (e.bytes >= 0) s"${e.name}\t${e.minKey}\t${e.maxKey}\t${e.bytes}"
+      if (e.bytes >= 0 && e.rows >= 0)
+        s"${e.name}\t${e.minKey}\t${e.maxKey}\t${e.bytes}\t${e.rows}"
+      else if (e.bytes >= 0) s"${e.name}\t${e.minKey}\t${e.maxKey}\t${e.bytes}"
       else s"${e.name}\t${e.minKey}\t${e.maxKey}")
       .mkString("", "\n", "\n")).getBytes("UTF-8")
   }
@@ -874,6 +884,52 @@ object MergeTable {
     (t, c)
   }
 
+  /** STATS-DRIVEN merge dispatch: choose copy-on-write [[merge]] or
+    * merge-on-read [[mergeMor]] PER BATCH from manifest metadata alone.
+    * The deciding ratio is WRITE AMPLIFICATION — rows the COW path
+    * would rewrite (manifest row counts of the key-range-touched files)
+    * over net changed rows — priced with zero table reads: the touch
+    * set comes from the manifest's key ranges, its size from the
+    * `record_count` column every write stamps. Above the threshold the
+    * rewrite is mostly copying unchanged rows (the CDC-trickle shape) →
+    * DVs + appends; at or below it the change earns its rewrite and
+    * reads stay clean (the backfill/bulk-update shape). Files from
+    * manifests predating the rows column price as 0 — unknown biases
+    * toward COW, the read-optimal default. The decision costs one
+    * net-collapse + count of the change set; it never scans the table.
+    *
+    * Returns (path, a, b): ("cow", files rewritten, files carried) or
+    * ("mor", dv rows, files appended). */
+  def mergeAuto(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      batchId: Option[Long] = None,
+      morAmplificationAbove: Double = 8.0): (String, Long, Long) = {
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val targetCols = m.schema.map(_.fieldNames.toSeq)
+      .getOrElse(readFiles(spark, root, m.entries.take(1)).columns.toSeq)
+    val net = netChanges(changes, key, targetCols)
+    val nNet = net.count()
+    val filesDf = spark.createDataFrame(m.entries)
+      .toDF("name", "lo", "hi", "bytes", "rows")
+    val touchedNames = filesDf
+      .join(net.select(col(key).cast("long").as("k")),
+        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
+      .select("name").collect().map(_.getString(0)).toSet
+    val touchedRows = m.entries.filter(e => touchedNames.contains(e.name))
+      .map(e => math.max(0L, e.rows)).sum
+    val amp = touchedRows.toDouble / math.max(1L, nNet)
+    if (amp > morAmplificationAbove) {
+      val (dvRows, appended) =
+        mergeMor(spark, root, changes, key, nFiles, commitTsMillis, batchId)
+      ("mor", dvRows, appended.toLong)
+    } else {
+      val (rw, ca) =
+        merge(spark, root, changes, key, nFiles, commitTsMillis, batchId)
+      ("cow", rw.toLong, ca.toLong)
+    }
+  }
+
   private def mergeCore(spark: SparkSession, root: String,
       changes: DataFrame, key: String, nFiles: Int,
       commitTsMillis: Long, batchId: Option[Long],
@@ -897,7 +953,7 @@ object MergeTable {
     val touchedNames: Set[String] =
       if (!pruneFiles) cur.map(_.name).toSet
       else {
-        val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes")
+        val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes", "rows")
         filesDf
           .join(net.select(col(key).cast("long").as("k")),
             col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
@@ -1075,7 +1131,7 @@ object MergeTable {
     val targetCols = unionSchema.fieldNames.toSeq
     val net = netChanges(changes, key, targetCols)
     // candidate files: manifest interval pruning, zero table reads
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes")
+    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes", "rows")
     val touchedNames = filesDf
       .join(net.select(col(key).cast("long").as("k")),
         col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
@@ -1209,6 +1265,34 @@ object MergeTable {
         graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
       create(spark, root, base, "o_orderkey", nFiles = 8, commitTsMillis = 1000L)
       compactZOrder(spark, root, "price_cents", nFiles = 8,
+        commitTsMillis = 2000L)
+    }
+    readWhere(spark, root,
+      col("price_cents").between(1000000L, 5000000L))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** t_hilbert_read — the ORACLED face of HILBERT-clustered compaction
+    * ([[compactHilbert]], the t_zorder_read pattern with the curve
+    * swapped): the same key-range-created orders table re-clustered on
+    * the uncorrelated price dimension by Hilbert index, serving the
+    * same price band through [[readWhere]]. The oracle recomputes the
+    * band from raw orders — the layout may only change WHICH files a
+    * read opens, never a row. The ≤-z-order leaf-metric claim is
+    * spec-pinned (MergeTableSpec's seam-crossing box family). */
+  def hilbertReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("hilbert_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8, commitTsMillis = 1000L)
+      compactHilbert(spark, root, "price_cents", nFiles = 8,
         commitTsMillis = 2000L)
     }
     readWhere(spark, root,
@@ -1652,6 +1736,51 @@ object MergeTable {
         |FROM sql_merge_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** t_merge_auto — the ORACLED face of the stats-driven dispatch: the
+    * orders table takes two [[mergeAuto]] waves — a TRICKLE (3 keys →
+    * write amplification in the thousands → the decision must land MOR)
+    * then a BULK update (status-F repricing, most files touched → COW).
+    * Both decisions are REQUIRED, not just observed: a wrong flip fails
+    * the build loudly, and the final state must hash-equal the oracle's
+    * net-effect replay — so the dispatch machinery AND both dispatched
+    * paths gate together on one table history. */
+  def mergeAutoQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("auto_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      // trickle: keys 10/20/30 — two updates and a delete
+      val trickle = base.where(col("o_orderkey").isin(10L, 20L))
+        .select(payload :+ (col("price_cents") + 5L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+        .unionByName(base.where(col("o_orderkey") === 30L)
+          .select(payload :+ col("price_cents"): _*)
+          .withColumn("op", lit("d")).withColumn("seq", lit(1L)))
+      val (p1, _, _) = mergeAuto(spark, root, trickle, "o_orderkey",
+        commitTsMillis = 2000L)
+      require(p1 == "mor", s"trickle wave must dispatch MOR, got $p1")
+      // bulk: reprice every F-status order (excluding the deleted key)
+      val bulk = base
+        .where(col("o_orderstatus") === "F" && col("o_orderkey") =!= 30L)
+        .select(payload :+ (col("price_cents") * 2).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val (p2, _, _) = mergeAuto(spark, root, bulk, "o_orderkey",
+        commitTsMillis = 3000L)
+      require(p2 == "cow", s"bulk wave must dispatch COW, got $p2")
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** t_merge_dv — the oracled merge-on-read face: the same base table
     * and first change batch as [[mergeOrdersQuery]] but applied through
     * [[mergeMor]] (positional DVs + appends, zero rewrites), followed by
@@ -1856,8 +1985,28 @@ object MergeTable {
     * them); dim2 must be integral (same domain as the stats). */
   def compactZOrder(spark: SparkSession, root: String, dim2: String,
       nFiles: Int = 8,
-      commitTsMillis: Long = System.currentTimeMillis()): Int = {
-    import graft.functions.ZOrder64.zorder64
+      commitTsMillis: Long = System.currentTimeMillis()): Int =
+    compactClustered(spark, root, dim2, nFiles, commitTsMillis,
+      "compactZOrder", graft.functions.ZOrder64.zorder64)
+
+  /** HILBERT-clustered compaction — [[compactZOrder]] with the Hilbert
+    * curve as the space-filling order (Hilbert 1891; what Delta's
+    * clustered tables and Databricks liquid clustering moved to): the
+    * curve never jumps across the plane, so per-file tiles stay
+    * contiguous and a 2-d box predicate opens ≤ the z-order file set on
+    * seam-crossing boxes — `s_hilbert_pruned` measured exactly that
+    * family, and the t_hilbert_read gate + leaf-metric spec pin it for
+    * the lake table. Same machinery, same trade (per-file key ranges
+    * widen ≈√tile), same DV fold-in. */
+  def compactHilbert(spark: SparkSession, root: String, dim2: String,
+      nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis()): Int =
+    compactClustered(spark, root, dim2, nFiles, commitTsMillis,
+      "compactHilbert", graft.functions.Hilbert32.hilbert32)
+
+  private def compactClustered(spark: SparkSession, root: String,
+      dim2: String, nFiles: Int, commitTsMillis: Long, face: String,
+      code: (Column, Column) => Column): Int = {
     val genDir0 = currentGenDir(spark, root)
     val m0 = genMeta(spark, genDir0)
     val key = m0.key
@@ -1866,9 +2015,9 @@ object MergeTable {
       min(col(key).cast("long")), max(col(key).cast("long")),
       min(col(dim2).cast("long")), max(col(dim2).cast("long"))).head
     (0 until 4).foreach(i => require(!b.isNullAt(i),
-      s"compactZOrder($root): empty table or all-null " +
+      s"$face($root): empty table or all-null " +
         s"${if (i < 2) key else dim2} — no bounds to normalize against"))
-    val z = zorder64(
+    val z = code(
       graft.ops.Layout.norm16(col(key), b.getLong(0), b.getLong(1)),
       graft.ops.Layout.norm16(col(dim2), b.getLong(2), b.getLong(3)))
     val gen = Snapshots.nextGen(spark, root)
@@ -2015,7 +2164,7 @@ object MergeTable {
       s"prepareMerge($root): empty change set — nothing to merge")
     val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
     // identical pruning + rewrite shape as the single-writer merge
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes")
+    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes", "rows")
     val touchedNames = filesDf
       .join(net.select(col(key).cast("long").as("k")),
         col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")

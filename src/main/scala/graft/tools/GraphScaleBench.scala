@@ -61,12 +61,22 @@ object GraphScaleBench {
       val (tK, nK) = time(
         graft.operators.GraphOps.pagerankOf(e, 10, broadcastMaxNodes = 0).count())
       require(nB == nK, s"faces disagree on node count at f=$f: $nB vs $nK")
+      // LINEAGE FLATNESS: 30 supersteps with the 5-step checkpoint
+      // cadence must cost ~3× the 10-superstep run — per-superstep time
+      // flat in the iteration count (without the cuts, planning cost
+      // grows with a 30-joins-deep lineage)
+      val (tK30, _) = time(
+        graft.operators.GraphOps.pagerankOf(e, 30, broadcastMaxNodes = 0)
+          .count())
+      val perStep10 = tK / 10.0
+      val perStep30 = tK30 / 30.0
       println(f"[graphscale] f=$f edges=$nEdges nodes=$nB " +
-        f"broadcast=$tB%.1f s keyed=$tK%.1f s")
-      (f, nEdges, nB, tB, tK)
+        f"broadcast=$tB%.1f s keyed=$tK%.1f s keyed30=$tK30%.1f s " +
+        f"(per-step $perStep10%.2f vs $perStep30%.2f s)")
+      (f, nEdges, nB, tB, tK, tK30)
     }
-    val json = results.map { case (f, ne, nn, tB, tK) =>
-      f"""{"factor":$f,"edges":$ne,"nodes":$nn,"broadcast_sec":$tB%.2f,"keyed_sec":$tK%.2f}"""
+    val json = results.map { case (f, ne, nn, tB, tK, tK30) =>
+      f"""{"factor":$f,"edges":$ne,"nodes":$nn,"broadcast_sec":$tB%.2f,"keyed_sec":$tK%.2f,"keyed30_sec":$tK30%.2f}"""
     }.mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/graphscale.json"),

@@ -55,6 +55,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(keyed === reference(edges, 10))
   }
 
+  test("epsilon-stop: a converged graph stops early with EXACTLY the " +
+      "full-run ranks; eps=0 always runs every iteration; lineage cuts " +
+      "change nothing") {
+    import spark.implicits._
+    // a 100-cycle, symmetrized: uniform ranks are an exact fixed point
+    // of the truncating recurrence from step 0 (n divides Scale evenly,
+    // per-node rank is even), so the single-step delta is 0 at the
+    // first probe
+    val n = 100
+    val cyc = (0 until n).flatMap(i => Seq(
+      (i.toLong, ((i + 1) % n).toLong), (((i + 1) % n).toLong, i.toLong)))
+    val df = cyc.toDF("src", "dst")
+    val (early, itEarly) = GraphOps.pagerankConverged(df, 30,
+      checkpointEvery = 5, epsilonFp = 1L)
+    assert(itEarly < 30, s"convergence must stop early, ran $itEarly")
+    val full = GraphOps.pagerankOf(df, 30).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val earlyMap = early.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(earlyMap === full, "early stop must be bit-equal to the full run")
+    assert(earlyMap.values.toSet === Set(GraphOps.Scale / n),
+      "the cycle's fixed point is the uniform distribution")
+    // eps=0 (the oracled face's setting): every iteration runs
+    val (_, itAll) = GraphOps.pagerankConverged(df, 7, checkpointEvery = 2)
+    assert(itAll === 7)
+    // lineage cuts are pure mechanics: any cadence, same ranks — on the
+    // NON-converged hub graph too
+    val hub = edges.toDF("src", "dst")
+    val ck1 = GraphOps.pagerankOf(hub, 10, checkpointEvery = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ck1 === reference(edges, 10),
+      "per-step checkpointing must not alter the recurrence")
+    // a probe on a NOT-yet-converged graph must not stop it
+    val (_, itHub) = GraphOps.pagerankConverged(hub, 10,
+      checkpointEvery = 2, epsilonFp = 1L)
+    assert(itHub === 10, "the hub graph is not converged at eps=1")
+  }
+
   test("mass is conserved up to truncation dust; hubs outrank leaves") {
     import spark.implicits._
     val got = GraphOps.pagerankOf(edges.toDF("src", "dst"), 10).collect()

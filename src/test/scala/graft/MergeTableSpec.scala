@@ -813,6 +813,105 @@ class MergeTableSpec extends AnyFunSuite {
     assert(byK.size === 100)
   }
 
+  test("mergeAuto: a trickle flips to MOR, a bulk update stays COW — " +
+    "decided from manifest row counts alone; both states exact") {
+    val root = freshRoot("auto")
+    MergeTable.create(spark, root, baseDf(10000), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    val m0 = MergeTable.genMeta(spark,
+      graft.streaming.Snapshots.resolve(spark, root))
+    assert(m0.entries.forall(_.rows > 0),
+      "every write must stamp record counts")
+    assert(m0.entries.map(_.rows).sum === 10000L)
+    // TRICKLE: 2 changed rows in one ~2500-row file → amplification
+    // ~1250 ≫ 8 → merge-on-read, zero rewrites, a DV appears
+    val trickle = Seq(("u", 1L, 5L, 555L, "t"), ("d", 1L, 6L, 0L, ""))
+      .toDF("op", "seq", "k", "v", "tag")
+    val (p1, dvRows, _) = MergeTable.mergeAuto(spark, root, trickle,
+      "k", commitTsMillis = 20L)
+    assert(p1 === "mor", "a trickle must take the DV path")
+    assert(dvRows === 2L)
+    assert(MergeTable.dvNames(spark, graft.streaming.Snapshots
+      .resolve(spark, root)).nonEmpty)
+    val got1 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1(5L) === 555L && !got1.contains(6L) && got1.size === 9999)
+    // BULK: update half of every file → amplification ~2 ≤ 8 → COW
+    // k=6 stays excluded: 'u' is an upsert and would resurrect it
+    val bulk = baseDf(10000).where(col("k") % 2 === 0 && col("k") =!= 6L)
+      .select(lit("u").as("op"), lit(1L).as("seq"), col("k"),
+        (col("v") + 1L).as("v"), col("tag"))
+    val (p2, rewritten, _) = MergeTable.mergeAuto(spark, root, bulk,
+      "k", commitTsMillis = 30L)
+    assert(p2 === "cow", "a bulk update must earn its rewrite")
+    assert(rewritten > 0L)
+    val got2 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(4L) === 41L && got2(5L) === 555L && got2(7L) === 70L &&
+      !got2.contains(6L) && got2.size === 9999)
+    // the threshold is the knob: forcing it inverts both decisions
+    val (p3, _, _) = MergeTable.mergeAuto(spark, root, trickle, "k",
+      commitTsMillis = 40L, morAmplificationAbove = Double.MaxValue)
+    assert(p3 === "cow")
+    val (p4, _, _) = MergeTable.mergeAuto(spark, root, bulk, "k",
+      commitTsMillis = 50L, morAmplificationAbove = 0.5)
+    assert(p4 === "mor")
+  }
+
+  test("compactHilbert: reads stay exact through the re-cluster; the " +
+    "seam-crossing box family opens no more files than the z layout") {
+    // uncorrelated 2-d data: key k, dim v a scrambled permutation
+    val n = 4096L
+    val df = spark.range(n).select(col("id").as("k"),
+      ((col("id") * 7919) % n).as("v"), lit("x").as("tag"))
+    def build(tag: String)(cluster: (org.apache.spark.sql.SparkSession,
+        String, String, Int, Long) => Int): String = {
+      val root = freshRoot(tag)
+      MergeTable.create(spark, root, df, "k", nFiles = 8, commitTsMillis = 10L)
+      cluster(spark, root, "v", 16, 20L)
+      root
+    }
+    val rootZ = build("clust-z")(
+      (s, r, d, f, t) => MergeTable.compactZOrder(s, r, d, f, t))
+    val rootH = build("clust-h")(
+      (s, r, d, f, t) => MergeTable.compactHilbert(s, r, d, f, t))
+    // the seam-crossing family: 2-d boxes straddling the power-of-two
+    // midlines of the (k, v) domain — exactly where Z's locality dies
+    // (adjacent cells across the big seam are curve-distant) and
+    // Hilbert's contiguity holds
+    val mid = n / 2
+    val boxes = Seq(
+      (mid - 256L, mid + 256L, 1000L, 1400L),
+      (mid - 512L, mid + 512L, mid - 200L, mid + 200L),
+      (200L, 600L, mid - 256L, mid + 256L),
+      (mid - 128L, mid + 128L, mid - 1024L, mid + 1024L))
+    def filesOpened(root: String, b: (Long, Long, Long, Long)): Int = {
+      val m = MergeTable.genMeta(spark,
+        graft.streaming.Snapshots.resolve(spark, root))
+      val cond = df.filter(col("k").between(b._1, b._2) &&
+        col("v").between(b._3, b._4)).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+      MergeTable.pruneByCondition(spark, root, m, Some(cond)).size
+    }
+    var zTotal = 0; var hTotal = 0
+    boxes.foreach { b =>
+      val p = col("k").between(b._1, b._2) && col("v").between(b._3, b._4)
+      // exactness on BOTH layouts: clustering never changes a row
+      val want = df.filter(p).orderBy("k").collect().map(_.toSeq).toSeq
+      assert(MergeTable.readWhere(spark, rootZ, p)
+        .orderBy("k").collect().map(_.toSeq).toSeq === want)
+      assert(MergeTable.readWhere(spark, rootH, p)
+        .orderBy("k").collect().map(_.toSeq).toSeq === want)
+      zTotal += filesOpened(rootZ, b)
+      hTotal += filesOpened(rootH, b)
+    }
+    assert(hTotal <= zTotal,
+      s"hilbert must open ≤ z files over the seam family: h=$hTotal z=$zTotal")
+    assert(hTotal < 4 * 16,
+      s"the family must actually prune (h=$hTotal of ${4 * 16})")
+  }
+
   test("string manifest stats: a key-correlated string band prunes a " +
     "strict file subset; probes stay exact; blooms key on the embedding") {
     import graft.functions.StringPrefix64
