@@ -66,7 +66,11 @@ object ExplainDump {
     "t_merge_read_pruned" -> "MergeTable predicate read: manifest-pruned path-list scan (strict file subset), residual filter pushed, DV anti-join broadcast",
     "t_delete_where" -> "post-DELETE state: manifest-directed scan through the deletion-vector anti-join (broadcast change-set-sized DV side)",
     "t_merge_evolve" -> "schema evolution read: explicit recorded #schema (old files null-fill the new column — no footer scan, no mergeSchema job)",
-    "t_sql_read" -> "plain SQL over the registered lake table: FileSourceScan planned over the manifest-backed FileIndex (listing + file skipping + sizes all from manifest metadata)")
+    "t_sql_read" -> "plain SQL over the registered lake table: FileSourceScan planned over the manifest-backed FileIndex (listing + file skipping + sizes all from manifest metadata)",
+    "t_merge_read_str" -> "string manifest stats: band + status predicate pruned planner-side from the 8-byte-prefix embedded #cstat ranges, residual filter pushed to the scan",
+    "t_hilbert_read" -> "hilbert-clustered lake read: price band pruned from post-compaction #cstat tiles (file subset decided with zero footer reads)",
+    "t_sql_merge" -> "SQL MERGE INTO state read-back: the post-merge table through the registered name (the merge itself ran as one COW change batch)",
+    "t_lake_agg_view" -> "lake aggregate view: node-sized partial relation folded per group — never a table scan (maintenance is drain-window-sized)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
