@@ -200,6 +200,7 @@ object SparkEntry {
     "t_optimize"            -> (streaming.MergeTable.optimizeQuery _),
     "t_sql_read"            -> (streaming.MergeTable.sqlReadQuery _),
     "t_sql_merge"           -> (streaming.MergeTable.sqlMergeQuery _),
+    "t_sql_insert"          -> (streaming.MergeTable.sqlInsertQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -2013,6 +2014,13 @@ object SparkEntry {
         |SELECT g, count(*) AS cnt, CAST(sum(v) AS BIGINT) AS sum_v,
         |       min(v) AS min_v, max(v) AS max_v
         |FROM live GROUP BY g ORDER BY g""".stripMargin,
+    // t_sql_insert: the withheld slice inserted back through SQL —
+    // the oracle is simply ALL orders in exact cents
+    "t_sql_insert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // t_merge_occ: two optimistic writers from one base snapshot —
     // A updates low keys, B deletes high keys + inserts beyond the
     // domain; disjoint, so the serial replay is order-free. The

@@ -190,6 +190,95 @@ object MergeTableDml {
     }
   }
 
+  /** `INSERT INTO <merge-table> [(cols)|BY NAME] <query>` → a pure
+    * 'c' change batch through the COW merge. The table is KEYED
+    * (last-wins upsert semantics), so this face enforces the ANSI
+    * primary-key contract INSERT implies: in-batch duplicate keys and
+    * keys already present both refuse loudly — silently upserting on an
+    * INSERT verb would mask a producer bug (the upsert verb is MERGE).
+    * The existing-key probe is manifest-pruned: only the key column of
+    * key-range-touched files is read, never the table. Unnamed inserts
+    * map positionally (arity-checked); a column list (or BY NAME)
+    * null-fills unassigned columns and must cover the merge key. */
+  case class MergeTableInsertCommand(root: String, table: String,
+      cols: Seq[String], byName: Boolean, query: LogicalPlan)
+      extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("rows_inserted", LongType, nullable = false)(),
+      AttributeReference("files_rewritten", IntegerType, nullable = false)(),
+      AttributeReference("files_carried", IntegerType, nullable = false)())
+
+    override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+    override def run(session: SparkSession): Seq[Row] = {
+      def refuse(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+      val mt = graft.streaming.MergeTable
+      val key = mt.tableKey(session, root)
+      val tgtSchema = mt.read(session, root).schema
+      val tCols = tgtSchema.fieldNames.toSeq
+      val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
+      val named: Seq[String] =
+        if (byName) src.columns.toSeq
+        else if (cols.nonEmpty) cols
+        else Seq.empty
+      val mapped =
+        if (named.isEmpty) {
+          if (src.columns.length != tCols.length) refuse(
+            s"INSERT INTO $table: positional insert carries " +
+              s"${src.columns.length} columns, the table has ${tCols.length}" +
+              " — list the columns or match the arity")
+          src.toDF(tCols: _*)
+        } else {
+          val unknown = named.filterNot(tCols.contains)
+          if (unknown.nonEmpty) refuse(
+            s"INSERT INTO $table names unknown columns: ${unknown.mkString(", ")}")
+          if (!named.contains(key)) refuse(
+            s"INSERT INTO $table: the column list must include the " +
+              s"merge key '$key'")
+          if (named.size != src.columns.length) refuse(
+            s"INSERT INTO $table: ${named.size} target columns vs " +
+              s"${src.columns.length} query columns")
+          val bySrc = src.toDF(named: _*)
+          bySrc.select(tCols.map(c =>
+            (if (named.contains(c)) col(s"`$c`") else lit(null))
+              .cast(tgtSchema(c).dataType).as(c)): _*)
+        }
+      val rows = mapped.select(tCols.map(c =>
+        col(s"`$c`").cast(tgtSchema(c).dataType).as(c)): _*)
+        .localCheckpoint(true)
+      // the PK contract: no null keys (ANSI PK implies NOT NULL — and a
+      // null key can neither range-prune nor match a later MERGE)…
+      if (!rows.where(col(key).isNull).isEmpty)
+        throw new IllegalStateException(
+          s"INSERT INTO $table: NULL merge key — the key column " +
+            s"'$key' is the table's primary key")
+      // …no in-batch duplicates…
+      val dup = rows.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"INSERT INTO $table: duplicate merge key ${dup.head.get(0)} in " +
+          "the inserted rows — a keyed table holds one row per key " +
+          "(the upsert verb is MERGE)")
+      // …and no collision with EXISTING keys: probe only the key column
+      // of manifest-range-touched files (never a table scan)
+      val clash = mt.readWhereKeysOf(session, root,
+        rows.select(col(key))).limit(1).collect()
+      if (clash.nonEmpty) throw new IllegalStateException(
+        s"INSERT INTO $table: key ${clash.head.get(0)} already exists — " +
+          "INSERT never overwrites on a keyed table (the upsert verb " +
+          "is MERGE)")
+      val n = rows.count()
+      if (n == 0) return Seq(Row(0L, 0, 0))
+      val changes = rows
+        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+      val (rw, ca) = mt.merge(session, root, changes, key)
+      Seq(Row(n, rw, ca))
+    }
+  }
+
   /** Lower the parser's [[MergeIntoTable]] over a registered merge table
     * into [[MergeTableMergeCommand]], refusing BY NAME every clause
     * shape the COW merge cannot honor. */

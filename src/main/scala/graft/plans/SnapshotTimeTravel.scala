@@ -137,6 +137,22 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
         MergeTableDml.MergeTableUpdateCommand(root,
           MergeTableDml.assignmentPairs(assigns, name, quals),
           cond.map(c => MergeTableDml.stripQualifiers(c, quals).sql))
+      // `INSERT INTO lake [(cols)|BY NAME] <query>` — a pure 'c' change
+      // batch with the ANSI primary-key contract enforced (the table is
+      // keyed; the upsert verb is MERGE). OVERWRITE/partition clauses
+      // refuse by name.
+      case i @ org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement(MergeRel(name, _, root),
+            partSpec, cols, _, overwrite, ifPartNotExists, byName) =>
+        if (overwrite) refuse(
+          s"INSERT OVERWRITE on merge table $name is not supported — " +
+            "a keyed table replaces rows through MERGE/UPDATE, or " +
+            "rebuilds through create")
+        if (partSpec.nonEmpty || ifPartNotExists) refuse(
+          s"INSERT INTO $name: partition clauses are not supported — " +
+            "the merge table is key-range-organized, not partitioned")
+        MergeTableDml.MergeTableInsertCommand(root, name, cols, byName,
+          i.query)
       // `MERGE INTO lake [AS t] USING src ON ... WHEN ...` — the verb a
       // warehouse lives on (the reference's whole pipeline IS a merge:
       // load_s3_files_…/handler.py:86-95). Lowered onto the COW

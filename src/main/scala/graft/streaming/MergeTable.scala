@@ -884,6 +884,30 @@ object MergeTable {
     (t, c)
   }
 
+  /** The subset of `keys` (first column, cast to long) that ALREADY
+    * exist in the table — the primary-key probe SQL INSERT needs.
+    * Manifest-pruned: only the key column of key-range-touched files is
+    * read (through the DVs — a DV-deleted key does not exist), never
+    * the table; cost ∝ change set + touched files' key column. */
+  private[graft] def readWhereKeysOf(spark: SparkSession, root: String,
+      keys: DataFrame): DataFrame = {
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val kc = keys.columns.head
+    val keyed = keys.select(col(kc).cast("long").as("__pk")).distinct()
+    val filesDf = spark.createDataFrame(m.entries)
+      .toDF("name", "lo", "hi", "bytes", "rows")
+    val touchedNames = filesDf
+      .join(keyed, col("__pk") >= col("lo") && col("__pk") <= col("hi"),
+        "left_semi")
+      .select("name").collect().map(_.getString(0)).toSet
+    val touched = m.entries.filter(e => touchedNames.contains(e.name))
+    if (touched.isEmpty) keyed.limit(0).select(col("__pk").as(m.key))
+    else readFiles(spark, root, touched, m.dvs, m.schema)
+      .select(col(m.key).cast("long").as("__pk"))
+      .join(keyed, Seq("__pk"), "left_semi")
+      .select(col("__pk").as(m.key))
+  }
+
   /** STATS-DRIVEN merge dispatch: choose copy-on-write [[merge]] or
     * merge-on-read [[mergeMor]] PER BATCH from manifest metadata alone.
     * The deciding ratio is WRITE AMPLIFICATION — rows the COW path
@@ -1779,6 +1803,37 @@ object MergeTable {
       require(p2 == "cow", s"bulk wave must dispatch COW, got $p2")
     }
     read(spark, root).orderBy(col("o_orderkey"))
+  }
+
+  /** t_sql_insert — the ORACLED face of SQL INSERT: the orders table
+    * created WITHOUT the %10=6 slice, which is then inserted back
+    * through `INSERT INTO ... BY NAME` SQL text and read back through
+    * the registered name. The oracle is simply ALL orders — a dropped
+    * row, a mis-mapped column, or a null-filled value that shouldn't be
+    * breaks the hash. The PK-refusal shapes are spec-pinned
+    * (SqlMergeSpec). */
+  def sqlInsertQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("sql_insert_orders", dir)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "sql_ins_orders",
+      root)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base.where(col("o_orderkey") % 10 =!= 6),
+        "o_orderkey", nFiles = 8, commitTsMillis = 1000L)
+      base.where(col("o_orderkey") % 10 === 6)
+        .createOrReplaceTempView("sql_ins_src")
+      spark.sql("INSERT INTO sql_ins_orders BY NAME SELECT * FROM sql_ins_src")
+    }
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM sql_ins_orders ORDER BY o_orderkey""".stripMargin)
   }
 
   /** t_merge_dv — the oracled merge-on-read face: the same base table

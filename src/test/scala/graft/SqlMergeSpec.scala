@@ -121,6 +121,58 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(state(root)(7L)._1 === 700L, "the refused MERGE must not commit")
   }
 
+  test("INSERT INTO: positional, column-list and BY NAME forms land as " +
+      "'c' batches; the PK contract refuses duplicates and existing keys") {
+    val root = freshTable("ins", n = 20)
+    // null-tolerant state reader (the null-filled column is the point)
+    def state(r: String): Map[Long, (Long, String)] =
+      MergeTable.read(spark, r).collect()
+        .map(x => x.getLong(0) -> ((if (x.isNullAt(1)) -1L else x.getLong(1)),
+          x.getString(2))).toMap
+    // positional: full arity
+    val r1 = spark.sql(
+      "INSERT INTO mt_ins VALUES (100, 1000, 'i1'), (101, 1010, 'i2')")
+      .collect().head
+    assert(r1.getLong(0) === 2L)
+    // column list: unnamed column null-fills; key mandatory
+    spark.sql("INSERT INTO mt_ins (k, tag) VALUES (102, 'i3')").collect()
+    // BY NAME: source column order irrelevant
+    Seq(("i4", 103L, 3L)).toDF("tag", "k", "v")
+      .createOrReplaceTempView("src_ins")
+    spark.sql("INSERT INTO mt_ins BY NAME SELECT * FROM src_ins").collect()
+    val got = state(root)
+    assert(got(100L) === (1000L, "i1") && got(102L)._2 === "i3" &&
+      got(103L) === (3L, "i4") && got.size === 24)
+    assert(MergeTable.read(spark, root).filter(col("k") === 102L)
+      .head.isNullAt(1), "unlisted column must null-fill")
+
+    // PK contract: duplicate keys in the batch refuse…
+    val dup = intercept[IllegalStateException](spark.sql(
+      "INSERT INTO mt_ins VALUES (200, 1, 'a'), (200, 2, 'b')").collect())
+    assert(dup.getMessage.contains("duplicate merge key"), dup.getMessage)
+    // …and a key that already exists refuses (INSERT never overwrites)
+    val clash = intercept[IllegalStateException](spark.sql(
+      "INSERT INTO mt_ins VALUES (5, 9, 'x')").collect())
+    assert(clash.getMessage.contains("already exists"), clash.getMessage)
+    assert(state(root).size === 24, "refused inserts must not commit")
+    assert(state(root)(5L)._1 === 500L)
+
+    // unsupported shapes refuse by name
+    val ow = intercept[AnalysisException](spark.sql(
+      "INSERT OVERWRITE TABLE mt_ins VALUES (1, 1, 'x')").collect())
+    assert(ow.getMessage.contains("INSERT OVERWRITE"), ow.getMessage)
+    val arity = intercept[AnalysisException](spark.sql(
+      "INSERT INTO mt_ins VALUES (1, 2)").collect())
+    assert(arity.getMessage.contains("positional insert"), arity.getMessage)
+    val nokey = intercept[AnalysisException](spark.sql(
+      "INSERT INTO mt_ins (v, tag) VALUES (1, 'x')").collect())
+    assert(nokey.getMessage.contains("merge key"), nokey.getMessage)
+    // a NULL key refuses: ANSI PK implies NOT NULL
+    val nullkey = intercept[IllegalStateException](spark.sql(
+      "INSERT INTO mt_ins VALUES (NULL, 1, 'x')").collect())
+    assert(nullkey.getMessage.contains("NULL merge key"), nullkey.getMessage)
+  }
+
   test("unsupported shapes refuse by name; key assignment and keyless " +
       "insert refuse") {
     val root = freshTable("refuse")
