@@ -171,6 +171,15 @@ object MergeTableDml {
       // one computation, three consumers (guard, metrics, merge)
       val changes = all.localCheckpoint(true)
 
+      // a NULL merge key can only arrive via an INSERT clause (ON never
+      // matches NULL): refuse — the row would be permanently
+      // unaddressable (no later MERGE/UPDATE/DELETE key join can reach
+      // it) and unprunable; the same PK-implies-NOT-NULL contract as
+      // the INSERT command
+      if (!changes.where(col(key).isNull).isEmpty)
+        throw new IllegalStateException(
+          s"MERGE INTO $table: an INSERT clause produced a NULL merge " +
+            s"key — '$key' is the table's primary key")
       // ANSI cardinality guard: a target key steered by 2+ source rows
       // has no well-defined result — refuse, never net arbitrarily
       val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
@@ -220,10 +229,20 @@ object MergeTableDml {
       val tgtSchema = mt.read(session, root).schema
       val tCols = tgtSchema.fieldNames.toSeq
       val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
-      val named: Seq[String] =
+      // column names resolve case-insensitively (Spark SQL's default)
+      // to the table's canonical spelling
+      val canonical: Map[String, String] =
+        tCols.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+      val rawNamed: Seq[String] =
         if (byName) src.columns.toSeq
         else if (cols.nonEmpty) cols
         else Seq.empty
+      val unknown = rawNamed.filterNot(c =>
+        canonical.contains(c.toLowerCase(java.util.Locale.ROOT)))
+      if (unknown.nonEmpty) refuse(
+        s"INSERT INTO $table names unknown columns: ${unknown.mkString(", ")}")
+      val named = rawNamed.map(c =>
+        canonical(c.toLowerCase(java.util.Locale.ROOT)))
       val mapped =
         if (named.isEmpty) {
           if (src.columns.length != tCols.length) refuse(
@@ -232,9 +251,6 @@ object MergeTableDml {
               " — list the columns or match the arity")
           src.toDF(tCols: _*)
         } else {
-          val unknown = named.filterNot(tCols.contains)
-          if (unknown.nonEmpty) refuse(
-            s"INSERT INTO $table names unknown columns: ${unknown.mkString(", ")}")
           if (!named.contains(key)) refuse(
             s"INSERT INTO $table: the column list must include the " +
               s"merge key '$key'")
@@ -243,9 +259,9 @@ object MergeTableDml {
               s"${src.columns.length} query columns")
           val bySrc = src.toDF(named: _*)
           bySrc.select(tCols.map(c =>
-            (if (named.contains(c)) col(s"`$c`") else lit(null))
-              .cast(tgtSchema(c).dataType).as(c)): _*)
+            (if (named.contains(c)) col(s"`$c`") else lit(null)).as(c)): _*)
         }
+      // ONE store-assignment cast point for both mapping branches
       val rows = mapped.select(tCols.map(c =>
         col(s"`$c`").cast(tgtSchema(c).dataType).as(c)): _*)
         .localCheckpoint(true)
@@ -311,12 +327,24 @@ object MergeTableDml {
     def starQual: String = sourceQual.getOrElse(refuse(
       s"MERGE INTO $table: UPDATE SET * / INSERT * needs a named or " +
         "aliased USING source to expand against — alias the source"))
+    // assignment targets RESOLVE to the table's canonical column names,
+    // case-insensitively (Spark SQL's default resolution) — matching
+    // raw would silently DROP a differently-cased assignment downstream
+    // (mVal/iVal look pairs up by canonical name) and let `SET K = ...`
+    // slip past the key refusal
+    val canonical: Map[String, String] =
+      tCols.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+    def resolveCol(raw: String, context: String): String =
+      canonical.getOrElse(raw.toLowerCase(java.util.Locale.ROOT), refuse(
+        s"MERGE INTO $table $context assigns unknown column '$raw' " +
+          s"(table columns: ${tCols.mkString(", ")})"))
     def pairs(assigns: Seq[Assignment], context: String): Seq[(String, String)] = {
       val ps = assigns.map { a =>
         stripQualifiers(a.key, quals) match {
           case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-            u.nameParts.head -> a.value.sql
-          case ar: AttributeReference => ar.name -> a.value.sql
+            resolveCol(u.nameParts.head, context) -> a.value.sql
+          case ar: AttributeReference =>
+            resolveCol(ar.name, context) -> a.value.sql
           case other => refuse(
             s"MERGE INTO $table $context assigns ${other.sql} — only " +
               "top-level columns of the table are assignable")

@@ -46,7 +46,7 @@ object ChangeFeed {
     val p = cursorPath(root, name)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
-    def readGen(path: Path): String = {
+    def readAll(path: Path): String = {
       val in = f.open(path)
       try {
         // read to EOF — a short read must not truncate the number
@@ -54,16 +54,26 @@ object ChangeFeed {
         val buf = new Array[Byte](64)
         var n = in.read(buf)
         while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        new String(bos.toByteArray, "UTF-8").trim
+        new String(bos.toByteArray, "UTF-8")
       } finally in.close()
     }
-    if (f.exists(p)) Some(readGen(p).toLong)
-    else if (f.exists(tmp))
-      // the tmp may itself be a partial write (crash DURING the very
-      // first cursor write, before any real cursor existed) — an
-      // unparseable tmp means no window was ever durably recorded
-      readGen(tmp).toLongOption
-    else None
+    if (f.exists(p))
+      // first line = the generation; the "#end" terminator line (absent
+      // on legacy cursors) is irrelevant once the rename made it real
+      Some(readAll(p).linesIterator.next().trim.toLong)
+    else if (f.exists(tmp)) {
+      // the tmp may itself be a PARTIAL write (crash DURING the very
+      // first cursor write, before any real cursor existed). A partial
+      // numeric PREFIX of the real generation still parses — "1" of
+      // "12" — and recovering it would re-deliver windows whose
+      // epoch keys collide with already-recorded ones. Only a tmp whose
+      // terminator line made it to disk is a COMPLETE write; anything
+      // else means no window was ever durably recorded.
+      val s = readAll(tmp)
+      if (s.endsWith("\n#end"))
+        s.linesIterator.next().trim.toLongOption
+      else None
+    } else None
   }
 
   private def writeCursor(spark: SparkSession, root: String, name: String,
@@ -73,7 +83,9 @@ object ChangeFeed {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     if (!f.exists(p.getParent)) f.mkdirs(p.getParent)
     val out = f.create(tmp, true)
-    out.write(gen.toString.getBytes("UTF-8"))
+    // the terminator line is the completeness witness the tmp-recovery
+    // path demands (a partial numeric prefix must never be recovered)
+    out.write(s"$gen\n#end".getBytes("UTF-8"))
     out.close()
     if (f.exists(p)) f.delete(p, false)
     require(f.rename(tmp, p), s"cursor rename failed for $p")

@@ -354,6 +354,37 @@ object MergeTable {
   private def bloomDir(root: String, column: String): String =
     s"$root/blooms/$column"
 
+  /** Registry format witness: probes of STRING columns are keyed on the
+    * [[graft.functions.StringPrefix64]] embedding since this marker's
+    * version — a registry built BEFORE that (cast-to-long keys) probed
+    * with an embedding would return false for values that exist, i.e.
+    * FALSE FILE SKIPS. So: [[bloomRefine]] prunes only through a
+    * marker-carrying registry (legacy ones degrade to no pruning, never
+    * to row loss), and [[ensureBloomIndex]] drops-and-rebuilds a
+    * marker-less registry it is asked to extend. The marker file is
+    * underscore-prefixed, so parquet readers of the dir skip it. */
+  private val BloomFormat = "prefix64-v2"
+
+  private def bloomFormatOk(spark: SparkSession, dir: Path): Boolean = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, "_FORMAT")
+    f.exists(p) && {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        n > 0 && new String(buf, 0, n, "UTF-8").trim == BloomFormat
+      } finally in.close()
+    }
+  }
+
+  private def writeBloomFormat(spark: SparkSession, dir: Path): Unit = {
+    val f = fs(spark, dir)
+    val out = f.create(new Path(dir, "_FORMAT"), true)
+    out.write(BloomFormat.getBytes("UTF-8"))
+    out.close()
+  }
+
   /** Build (or top up) the per-FILE Bloom registry for `column` — the
     * point-probe complement of the `#cstat` ranges: a range prunes
     * bands, but an UNCORRELATED column's per-file ranges all span the
@@ -376,6 +407,12 @@ object MergeTable {
     val f = fs(spark, dir)
     val existing: Set[String] =
       if (!f.exists(dir)) Set.empty
+      else if (!bloomFormatOk(spark, dir)) {
+        // a pre-embedding (legacy) registry: its keys would poison the
+        // probe side — drop and rebuild everything under this format
+        f.delete(dir, true)
+        Set.empty
+      }
       else spark.read.parquet(bloomDir(root, column))
         .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val missing = cur.filterNot(existing)
@@ -417,6 +454,7 @@ object MergeTable {
           .perGroupBlooms(scan, "file", "v", maxRowsRow.getLong(0), fpp),
         Seq("file"), "left")
     built.coalesce(1).write.mode("append").parquet(bloomDir(root, column))
+    writeBloomFormat(spark, dir)
     missing.size
   }
 
@@ -427,7 +465,9 @@ object MergeTable {
   private[graft] def bloomRefine(spark: SparkSession, root: String,
       candidates: Seq[FileEntry], column: String, v: Long): Seq[FileEntry] = {
     val dir = new Path(bloomDir(root, column))
-    if (!fs(spark, dir).exists(dir)) candidates
+    // no registry, or a pre-embedding legacy one: never prune (a legacy
+    // registry probed with embedded keys would false-skip — row loss)
+    if (!fs(spark, dir).exists(dir) || !bloomFormatOk(spark, dir)) candidates
     else {
       val names = candidates.map(_.name).toSet
       val blooms = spark.read.parquet(bloomDir(root, column))
@@ -884,6 +924,23 @@ object MergeTable {
     (t, c)
   }
 
+  /** Manifest entries whose key range meets ANY key of `keys` (first
+    * column, cast to long) — the TOUCH SET every merge-family path
+    * prices and prunes with: |files| manifest rows broadcast against
+    * the change keys, zero reads of the table itself. ONE definition
+    * on purpose: a FileEntry column change must not be chased through
+    * per-path copies. */
+  private def touchedEntries(spark: SparkSession, entries: Seq[FileEntry],
+      keys: DataFrame): Seq[FileEntry] = {
+    val kc = keys.columns.head
+    val names = spark.createDataFrame(entries)
+      .toDF("name", "lo", "hi", "bytes", "rows")
+      .join(keys.select(col(kc).cast("long").as("__k")),
+        col("__k") >= col("lo") && col("__k") <= col("hi"), "left_semi")
+      .select("name").collect().map(_.getString(0)).toSet
+    entries.filter(e => names.contains(e.name))
+  }
+
   /** The subset of `keys` (first column, cast to long) that ALREADY
     * exist in the table — the primary-key probe SQL INSERT needs.
     * Manifest-pruned: only the key column of key-range-touched files is
@@ -894,13 +951,7 @@ object MergeTable {
     val m = genMeta(spark, currentGenDir(spark, root))
     val kc = keys.columns.head
     val keyed = keys.select(col(kc).cast("long").as("__pk")).distinct()
-    val filesDf = spark.createDataFrame(m.entries)
-      .toDF("name", "lo", "hi", "bytes", "rows")
-    val touchedNames = filesDf
-      .join(keyed, col("__pk") >= col("lo") && col("__pk") <= col("hi"),
-        "left_semi")
-      .select("name").collect().map(_.getString(0)).toSet
-    val touched = m.entries.filter(e => touchedNames.contains(e.name))
+    val touched = touchedEntries(spark, m.entries, keyed)
     if (touched.isEmpty) keyed.limit(0).select(col("__pk").as(m.key))
     else readFiles(spark, root, touched, m.dvs, m.schema)
       .select(col(m.key).cast("long").as("__pk"))
@@ -919,8 +970,11 @@ object MergeTable {
     * DVs + appends; at or below it the change earns its rewrite and
     * reads stay clean (the backfill/bulk-update shape). Files from
     * manifests predating the rows column price as 0 — unknown biases
-    * toward COW, the read-optimal default. The decision costs one
-    * net-collapse + count of the change set; it never scans the table.
+    * toward COW, the read-optimal default. The decision prices from the
+    * DISTINCT CHANGE KEYS alone (net rows ≡ distinct keys — netting is
+    * per key), so it costs one key-projection distinct + count, NOT the
+    * full max_by payload collapse the dispatched path will run; it
+    * never scans the table.
     *
     * Returns (path, a, b): ("cow", files rewritten, files carried) or
     * ("mor", dv rows, files appended). */
@@ -930,17 +984,10 @@ object MergeTable {
       batchId: Option[Long] = None,
       morAmplificationAbove: Double = 8.0): (String, Long, Long) = {
     val m = genMeta(spark, currentGenDir(spark, root))
-    val targetCols = m.schema.map(_.fieldNames.toSeq)
-      .getOrElse(readFiles(spark, root, m.entries.take(1)).columns.toSeq)
-    val net = netChanges(changes, key, targetCols)
-    val nNet = net.count()
-    val filesDf = spark.createDataFrame(m.entries)
-      .toDF("name", "lo", "hi", "bytes", "rows")
-    val touchedNames = filesDf
-      .join(net.select(col(key).cast("long").as("k")),
-        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
-      .select("name").collect().map(_.getString(0)).toSet
-    val touchedRows = m.entries.filter(e => touchedNames.contains(e.name))
+    val keys = changes.select(col(key).cast("long").as("__k"))
+      .distinct().localCheckpoint(true)
+    val nNet = keys.count()
+    val touchedRows = touchedEntries(spark, m.entries, keys)
       .map(e => math.max(0L, e.rows)).sum
     val amp = touchedRows.toDouble / math.max(1L, nNet)
     if (amp > morAmplificationAbove) {
@@ -976,13 +1023,8 @@ object MergeTable {
     // measures the manifest pruning against — never the production path
     val touchedNames: Set[String] =
       if (!pruneFiles) cur.map(_.name).toSet
-      else {
-        val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes", "rows")
-        filesDf
-          .join(net.select(col(key).cast("long").as("k")),
-            col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
-          .select("name").collect().map(_.getString(0)).toSet
-      }
+      else touchedEntries(spark, cur, net.select(col(key)))
+        .map(_.name).toSet
     val (touched, carried) = cur.partition(e => touchedNames.contains(e.name))
     // 3. REWRITE only the touched files: drop keys with a net change,
     //    then add back the net upserts (deletes simply never come back).
@@ -1155,12 +1197,7 @@ object MergeTable {
     val targetCols = unionSchema.fieldNames.toSeq
     val net = netChanges(changes, key, targetCols)
     // candidate files: manifest interval pruning, zero table reads
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes", "rows")
-    val touchedNames = filesDf
-      .join(net.select(col(key).cast("long").as("k")),
-        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
-      .select("name").collect().map(_.getString(0)).toSet
-    val touched = cur.filter(e => touchedNames.contains(e.name))
+    val touched = touchedEntries(spark, cur, net.select(col(key)))
     val gen = Snapshots.nextGen(spark, root)
     // positional deletes: live rows (current DVs already applied — a
     // position must not be re-deleted) of touched files whose key has
@@ -2139,6 +2176,11 @@ object MergeTable {
       f.listStatus(bloomsRoot).filter(_.isDirectory)
         .filterNot(_.getPath.getName.endsWith("-sweep-tmp")).foreach { st =>
         val dir = st.getPath.toString
+        // the parquet rewrite drops non-data files: remember whether
+        // this registry carried the format marker and restore it after
+        // (a LEGACY registry must stay marker-less — its keys are still
+        // legacy after the row filter)
+        val hadMarker = bloomFormatOk(spark, st.getPath)
         val rows = spark.read.parquet(dir)
         val keep = rows.filter(col("file").isin(referenced.toSeq: _*))
         if (keep.count() < rows.count()) {
@@ -2147,6 +2189,7 @@ object MergeTable {
           f.delete(st.getPath, true)
           require(f.rename(new Path(tmp), st.getPath),
             s"bloom registry sweep rename failed for $dir")
+          if (hadMarker) writeBloomFormat(spark, st.getPath)
         }
       }
     }
@@ -2219,12 +2262,7 @@ object MergeTable {
       s"prepareMerge($root): empty change set — nothing to merge")
     val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
     // identical pruning + rewrite shape as the single-writer merge
-    val filesDf = spark.createDataFrame(cur).toDF("name", "lo", "hi", "bytes", "rows")
-    val touchedNames = filesDf
-      .join(net.select(col(key).cast("long").as("k")),
-        col("k") >= col("lo") && col("k") <= col("hi"), "left_semi")
-      .select("name").collect().map(_.getString(0)).toSet
-    val touched = cur.filter(e => touchedNames.contains(e.name))
+    val touched = touchedEntries(spark, cur, net.select(col(key)))
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val merged =
       if (touched.isEmpty) upserts
@@ -2233,7 +2271,7 @@ object MergeTable {
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
     val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1, nFiles)
-    PreparedMerge(g0, key, nFiles, touchedNames, entries, cstats,
+    PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
       kLo, kHi, changes)
   }
 

@@ -1007,6 +1007,21 @@ class MergeTableSpec extends AnyFunSuite {
     assert(MergeTable.ensureBloomIndex(spark, root, "nv") === 1)
     assert(MergeTable.readWhere(spark, root, col("nv") === 42L)
       .collect().map(_.getLong(0)).toSeq === Seq(500L))
+    // LEGACY registry (pre-embedding, no _FORMAT marker): probes must
+    // NOT prune through it — its keys could false-skip — and the next
+    // ensure drops and rebuilds the whole registry under the marker
+    val marker = new java.io.File(s"$root/blooms/v2/_FORMAT")
+    assert(marker.exists, "every build must stamp the format marker")
+    assert(marker.delete())
+    val cur = MergeTable.currentManifest(spark, root)
+    assert(MergeTable.bloomRefine(spark, root, cur, "v2", 7L)
+      === cur, "a marker-less registry must never prune")
+    assert(MergeTable.readWhere(spark, root, col("v2") === 7L)
+      .collect().map(_.getLong(0)).toSeq === Seq(500L))
+    assert(MergeTable.ensureBloomIndex(spark, root, "v2") === cur.size,
+      "a legacy registry is dropped and fully rebuilt")
+    assert(MergeTable.bloomRefine(spark, root, cur, "v2", 7L).size
+      < cur.size, "the rebuilt registry prunes again")
   }
 
   test("bloom registry sweep crash recovery: an orphaned -sweep-tmp is " +

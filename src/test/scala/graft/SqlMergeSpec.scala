@@ -110,6 +110,41 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(got(1L)._1 === 10L, "score 10 falls through to the second clause")
   }
 
+  test("column names resolve case-insensitively; a NULL key from an " +
+      "INSERT clause refuses") {
+    val root = freshTable("case")
+    Seq((3L, 333L, "up"), (4L, 444L, "up")).toDF("k", "nv", "ntag")
+      .createOrReplaceTempView("src_case")
+    // differently-cased targets must RESOLVE (not silently no-op), and
+    // a cased key assignment must still hit the key refusal
+    spark.sql(
+      """MERGE INTO mt_case t USING src_case s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET V = s.nv, TAG = s.ntag""".stripMargin)
+      .collect()
+    assert(state(root)(3L) === (333L, "up") && state(root)(4L) === (444L, "up"))
+    val keyCase = intercept[AnalysisException](spark.sql(
+      """MERGE INTO mt_case t USING src_case s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET K = s.nv""".stripMargin).collect())
+    assert(keyCase.getMessage.contains("merge key"), keyCase.getMessage)
+    val unknownCol = intercept[AnalysisException](spark.sql(
+      """MERGE INTO mt_case t USING src_case s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET nope = s.nv""".stripMargin).collect())
+    assert(unknownCol.getMessage.contains("unknown column"),
+      unknownCol.getMessage)
+    // NULL key via NOT MATCHED INSERT: refused (PK implies NOT NULL)
+    spark.sql("SELECT CAST(NULL AS BIGINT) AS k, CAST(9 AS BIGINT) AS nv")
+      .createOrReplaceTempView("src_nullkey")
+    val nk = intercept[IllegalStateException](spark.sql(
+      """MERGE INTO mt_case t USING src_nullkey s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+      .collect())
+    assert(nk.getMessage.contains("NULL merge key"), nk.getMessage)
+    // INSERT column list resolves case-insensitively too (v null-fills)
+    spark.sql("INSERT INTO mt_case (K, TAG) VALUES (500, 'cased')").collect()
+    val r500 = MergeTable.read(spark, root).filter(col("k") === 500L).head
+    assert(r500.isNullAt(1) && r500.getString(2) === "cased")
+  }
+
   test("ANSI cardinality: two source rows steering one target key refuse") {
     val root = freshTable("card")
     Seq((7L, 1L), (7L, 2L)).toDF("k", "nv")
