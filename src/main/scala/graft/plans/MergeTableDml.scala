@@ -102,8 +102,10 @@ object MergeTableDml {
 
     override def run(session: SparkSession): Seq[Row] = {
       val mt = graft.streaming.MergeTable
-      val key = mt.tableKey(session, root)
-      val target = mt.read(session, root)
+      // ONE manifest fetch serves key, schema and the PK probe
+      val meta = mt.currentMeta(session, root)
+      val key = meta.key
+      val target = mt.readMeta(session, root, meta)
       val tgtSchema = target.schema
       val tCols = tgtSchema.fieldNames.toSeq
       val t = target.alias(targetAlias)
@@ -188,6 +190,22 @@ object MergeTableDml {
         s"MERGE INTO $table: multiple source rows affect target key " +
           s"${dup.head.get(0)} — the ANSI MERGE cardinality contract " +
           "forbids this (dedupe the source first)")
+      // the PK contract on the INSERT clauses: under a key-equality ON
+      // the anti-join already excludes existing keys, but an ON over
+      // OTHER columns can emit a 'c' row whose key exists — last-wins
+      // would silently REPLACE it (ANSI raises a unique violation; so
+      // do we). Probe is manifest-pruned: only touched files' key
+      // column, and an insert set beyond the key domain touches nothing.
+      if (notMatched.nonEmpty) {
+        val clash = mt.readWhereKeysOf(session, root, meta,
+          changes.where(col("op") === "c").select(col(key)))
+          .limit(1).collect()
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"MERGE INTO $table: WHEN NOT MATCHED inserted key " +
+            s"${clash.head.get(0)}, which already exists (the ON " +
+            "condition does not cover the merge key) — INSERT never " +
+            "overwrites; match the key in ON or use UPDATE")
+      }
 
       val byOp = changes.groupBy(col("op")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -225,14 +243,17 @@ object MergeTableDml {
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
       val mt = graft.streaming.MergeTable
-      val key = mt.tableKey(session, root)
-      val tgtSchema = mt.read(session, root).schema
+      // ONE manifest fetch serves key, schema and the PK probe
+      val meta = mt.currentMeta(session, root)
+      val tgtSchema = meta.schema.getOrElse(mt.read(session, root).schema)
       val tCols = tgtSchema.fieldNames.toSeq
       val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
       // column names resolve case-insensitively (Spark SQL's default)
-      // to the table's canonical spelling
+      // to the table's canonical spelling — including the manifest #key
       val canonical: Map[String, String] =
         tCols.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
+      val key = canonical.getOrElse(
+        meta.key.toLowerCase(java.util.Locale.ROOT), meta.key)
       val rawNamed: Seq[String] =
         if (byName) src.columns.toSeq
         else if (cols.nonEmpty) cols
@@ -243,6 +264,10 @@ object MergeTableDml {
         s"INSERT INTO $table names unknown columns: ${unknown.mkString(", ")}")
       val named = rawNamed.map(c =>
         canonical(c.toLowerCase(java.util.Locale.ROOT)))
+      val dupCols = named.groupBy(identity)
+        .collect { case (c, vs) if vs.size > 1 => c }
+      if (dupCols.nonEmpty) refuse(
+        s"INSERT INTO $table lists ${dupCols.mkString(", ")} more than once")
       val mapped =
         if (named.isEmpty) {
           if (src.columns.length != tCols.length) refuse(
@@ -280,7 +305,7 @@ object MergeTableDml {
           "(the upsert verb is MERGE)")
       // …and no collision with EXISTING keys: probe only the key column
       // of manifest-range-touched files (never a table scan)
-      val clash = mt.readWhereKeysOf(session, root,
+      val clash = mt.readWhereKeysOf(session, root, meta,
         rows.select(col(key))).limit(1).collect()
       if (clash.nonEmpty) throw new IllegalStateException(
         s"INSERT INTO $table: key ${clash.head.get(0)} already exists — " +
@@ -314,9 +339,10 @@ object MergeTableDml {
       s"MERGE INTO $table: WHEN NOT MATCHED BY SOURCE is not supported " +
         "on the COW merge path — target-only sweeps are the DELETE/" +
         "UPDATE DML's job")
-    val key = graft.streaming.MergeTable.tableKey(spark, root)
-    val tCols = graft.streaming.MergeTable.read(spark, root)
-      .schema.fieldNames.toSeq
+    // ONE manifest fetch serves key and schema (not one GET per face)
+    val meta = graft.streaming.MergeTable.currentMeta(spark, root)
+    val tCols = meta.schema.map(_.fieldNames.toSeq).getOrElse(
+      graft.streaming.MergeTable.read(spark, root).schema.fieldNames.toSeq)
     // the qualifier star-expansion needs: the source's alias or name
     val sourceQual: Option[String] = m.sourceTable match {
       case SubqueryAlias(id, _) => Some(id.name)
@@ -338,6 +364,12 @@ object MergeTableDml {
       canonical.getOrElse(raw.toLowerCase(java.util.Locale.ROOT), refuse(
         s"MERGE INTO $table $context assigns unknown column '$raw' " +
           s"(table columns: ${tCols.mkString(", ")})"))
+    // the manifest #key may be cased differently from the schema field
+    // (create takes both independently): comparisons against
+    // canonicalized assignment names need the key's CANONICAL spelling,
+    // else `SET <key>` slips the refusal and star expansion includes it
+    val key = canonical.getOrElse(
+      meta.key.toLowerCase(java.util.Locale.ROOT), meta.key)
     def pairs(assigns: Seq[Assignment], context: String): Seq[(String, String)] = {
       val ps = assigns.map { a =>
         stripQualifiers(a.key, quals) match {

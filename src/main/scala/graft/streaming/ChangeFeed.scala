@@ -67,12 +67,23 @@ object ChangeFeed {
       // numeric PREFIX of the real generation still parses — "1" of
       // "12" — and recovering it would re-deliver windows whose
       // epoch keys collide with already-recorded ones. Only a tmp whose
-      // terminator line made it to disk is a COMPLETE write; anything
-      // else means no window was ever durably recorded.
+      // terminator line made it to disk is a COMPLETE write. A
+      // terminator-less tmp that still PARSES is genuinely ambiguous:
+      // it is either a new-format partial (recover nothing) or a
+      // COMPLETE legacy-format tmp (recover its value) — and guessing
+      // either way silently corrupts one of the two cases, so it
+      // refuses LOUDLY and names the file for the operator. Unparseable
+      // bytes can only be a partial (every format leads with digits):
+      // no window was ever durably recorded.
       val s = readAll(tmp)
-      if (s.endsWith("\n#end"))
-        s.linesIterator.next().trim.toLongOption
-      else None
+      val firstLine = s.linesIterator.nextOption().map(_.trim).getOrElse("")
+      if (s.endsWith("\n#end")) firstLine.toLongOption
+      else if (firstLine.toLongOption.isEmpty) None
+      else throw new IllegalStateException(
+        s"ambiguous cursor recovery state at $tmp: a numeric tmp " +
+          "without the #end terminator is either a mid-write partial " +
+          "(discard it) or a complete pre-terminator-format cursor " +
+          "(rename it over the cursor file) — decide and retry")
     } else None
   }
 

@@ -128,7 +128,11 @@ object LakeAggView {
     * re-drain is idempotent and advances the cursor), then compact. */
   def compact(spark: SparkSession, tableRoot: String, viewRoot: String,
       cursorName: String = "agg-view"): Unit = {
-    val maxId = Compaction.batchIds(spark, viewRoot).max
+    val ids = Compaction.batchIds(spark, viewRoot)
+    require(ids.nonEmpty,
+      s"nothing to compact under $viewRoot — refresh the view first " +
+        "(no epoch has ever been recorded)")
+    val maxId = ids.max
     val cur = ChangeFeed.cursor(spark, tableRoot, cursorName)
     require(cur.exists(_ >= maxId),
       s"view compaction under $viewRoot before the cursor caught up " +

@@ -211,12 +211,22 @@ object MergeTable {
   private def asNullable(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
 
+  /** The current generation's one-read metadata view — what a SQL
+    * command that needs key + schema + probe + read should fetch ONCE
+    * instead of letting each public face re-GET the same manifest
+    * (the N-reads-per-DML cost [[GenMeta]] exists to avoid). */
+  private[graft] def currentMeta(spark: SparkSession, root: String): GenMeta =
+    genMeta(spark, currentGenDir(spark, root))
+
+  /** The table state of an already-fetched generation meta. */
+  private[graft] def readMeta(spark: SparkSession, root: String,
+      m: GenMeta): DataFrame =
+    readFiles(spark, root, m.entries, m.dvs, m.schema)
+
   /** Read the current table state: manifest-directed path-list scan,
     * minus the generation's deletion vectors (if any). */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val m = genMeta(spark, currentGenDir(spark, root))
-    readFiles(spark, root, m.entries, m.dvs, m.schema)
-  }
+  def read(spark: SparkSession, root: String): DataFrame =
+    readMeta(spark, root, currentMeta(spark, root))
 
   /** The current manifest entries whose key range intersects [lo, hi]
     * — the file set a key-predicate read must touch. Pure metadata:
@@ -947,8 +957,11 @@ object MergeTable {
     * read (through the DVs — a DV-deleted key does not exist), never
     * the table; cost ∝ change set + touched files' key column. */
   private[graft] def readWhereKeysOf(spark: SparkSession, root: String,
-      keys: DataFrame): DataFrame = {
-    val m = genMeta(spark, currentGenDir(spark, root))
+      keys: DataFrame): DataFrame =
+    readWhereKeysOf(spark, root, currentMeta(spark, root), keys)
+
+  private[graft] def readWhereKeysOf(spark: SparkSession, root: String,
+      m: GenMeta, keys: DataFrame): DataFrame = {
     val kc = keys.columns.head
     val keyed = keys.select(col(kc).cast("long").as("__pk")).distinct()
     val touched = touchedEntries(spark, m.entries, keyed)
@@ -2186,10 +2199,15 @@ object MergeTable {
         if (keep.count() < rows.count()) {
           val tmp = s"$dir-sweep-tmp"
           keep.coalesce(1).write.mode("overwrite").parquet(tmp)
+          // the marker rides INSIDE the tmp, BEFORE the delete/rename
+          // window: a crash there recovers the tmp as the registry, and
+          // a current-format registry must not silently demote to
+          // legacy (losing all pruning until a full rebuild). A legacy
+          // registry stays marker-less — its keys are still legacy.
+          if (hadMarker) writeBloomFormat(spark, new Path(tmp))
           f.delete(st.getPath, true)
           require(f.rename(new Path(tmp), st.getPath),
             s"bloom registry sweep rename failed for $dir")
-          if (hadMarker) writeBloomFormat(spark, st.getPath)
         }
       }
     }

@@ -156,6 +156,30 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(state(root)(7L)._1 === 700L, "the refused MERGE must not commit")
   }
 
+  test("a non-key ON condition cannot smuggle an existing key through " +
+      "WHEN NOT MATCHED — INSERT never overwrites") {
+    val root = freshTable("nonkey")
+    // source matches nothing by tag, but carries an EXISTING key (7)
+    // and a new one (900)
+    Seq((7L, 77L, "nomatch"), (900L, 9L, "nomatch"))
+      .toDF("k", "nv", "ntag").createOrReplaceTempView("src_nonkey")
+    val e = intercept[IllegalStateException](spark.sql(
+      """MERGE INTO mt_nonkey t USING src_nonkey s ON t.tag = s.ntag
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+      .collect())
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    assert(state(root)(7L)._1 === 700L && !state(root).contains(900L),
+      "the refused MERGE must not commit anything")
+    // with only genuinely-new keys the same shape goes through
+    Seq((901L, 9L, "nomatch")).toDF("k", "nv", "ntag")
+      .createOrReplaceTempView("src_nonkey2")
+    spark.sql(
+      """MERGE INTO mt_nonkey t USING src_nonkey2 s ON t.tag = s.ntag
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+      .collect()
+    assert(state(root)(901L)._1 === 9L)
+  }
+
   test("INSERT INTO: positional, column-list and BY NAME forms land as " +
       "'c' batches; the PK contract refuses duplicates and existing keys") {
     val root = freshTable("ins", n = 20)
