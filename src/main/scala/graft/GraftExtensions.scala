@@ -35,5 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("history"),
       new ExpressionInfo("graft", "history"),
       graft.plans.HistoryTableFunction.build))
+    // `SELECT * FROM changes('lake', 2, 5)` — the change data feed as
+    // a table function: the DISTRIBUTED generation diff, composable by
+    // plain SQL downstream
+    ext.injectTableFunction((
+      FunctionIdentifier("changes"),
+      new ExpressionInfo("graft", "changes"),
+      graft.plans.ChangesTableFunction.build))
   }
 }

@@ -235,6 +235,54 @@ object HistoryTableFunction {
   }
 }
 
+/** The SQL face of the CHANGE DATA FEED:
+  * `SELECT * FROM changes('lake', 2, 5)` — the row-level diff between
+  * two committed generations ([[graft.streaming.MergeTable
+  * .changesBetween]]) as a table function, so downstream SQL composes
+  * directly over the feed (`WHERE change = 'd'`, joins, aggregates).
+  * `changes('lake', 0, g)` is the backfill window (the whole state at
+  * g as inserts), matching [[graft.streaming.ChangeFeed]]'s cursor
+  * semantics. A generation outside retention refuses loudly through
+  * `resolveAt` naming what is available — the same contract as the
+  * API. Unlike history(), the produced plan is the DISTRIBUTED diff
+  * (changed files + DV deltas), cost ∝ changed data. */
+object ChangesTableFunction {
+  def build(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def refuse(msg: String): Nothing =
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" -> msg))
+    val spark = SparkSession.active
+    def gen(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      e match {
+        case Literal(v: Int, _) => v.toLong
+        case Literal(v: Long, _) => v
+        case _ => refuse("changes() generation bounds must be integer " +
+          s"literals; got ${e.sql}")
+      }
+    args match {
+      case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, _),
+          fromE, toE) =>
+        val name = s.toString.toLowerCase(java.util.Locale.ROOT)
+        SnapshotSqlCatalog.mergeRootOf(spark, Seq(name)) match {
+          case Some(root) =>
+            try graft.streaming.MergeTable
+              .changesBetween(spark, root, gen(fromE), gen(toE))
+              .queryExecution.analyzed
+            catch { case e: IllegalArgumentException => refuse(e.getMessage) }
+          case None => refuse(
+            s"table $name is not registered as a merge table for " +
+              s"changes() (registered: " +
+              s"${SnapshotSqlCatalog.registered(spark).toSeq.sorted.mkString(", ")})")
+        }
+      case _ => refuse(
+        "changes() takes (table-name string literal, from-generation, " +
+          "to-generation), e.g. SELECT * FROM changes('lake', 2, 5)")
+    }
+  }
+}
+
 /** The name → snapshot-root registry the SQL face reads. Entries live in
   * the session conf (`graft.snapshots.table.<name>`), so they are scoped,
   * inspectable with `SET`, and clonable with `newSession` — no engine

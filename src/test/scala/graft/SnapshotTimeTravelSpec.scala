@@ -247,6 +247,32 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       val e = intercept[AnalysisException](
         ext.sql("SELECT * FROM history('nope')").collect())
       assert(e.getMessage.contains("lake_h"), e.getMessage)
+
+      // changes(): the CDF as a table function ≡ the API diff, and SQL
+      // composes over it
+      val sqlDiff = ext.sql(
+        "SELECT change, k FROM changes('lake_h', 1, 2) ORDER BY change, k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val apiDiff = MergeTable.changesBetween(ext, root, 1L, 2L)
+        .select(col("change"), col("k")).orderBy("change", "k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(sqlDiff === apiDiff)
+      assert(sqlDiff === Seq(("d", 7L)), "gen 1→2 is exactly the MOR delete")
+      // backfill window: from 0 = the whole state at gTo as inserts
+      assert(ext.sql(
+        "SELECT count(*) AS c FROM changes('lake_h', 0, 1) WHERE change = 'i'")
+        .head().getLong(0) === 50L)
+      // SQL composes downstream: count deletes across the full history
+      assert(ext.sql(
+        "SELECT count(*) AS c FROM changes('lake_h', 1, 3) WHERE change = 'd'")
+        .head().getLong(0) === 1L)
+      // out-of-retention / unknown generations refuse loudly
+      val badGen = intercept[AnalysisException](
+        ext.sql("SELECT * FROM changes('lake_h', 1, 99)").collect())
+      assert(badGen.getMessage.contains("99"), badGen.getMessage)
+      val badTable = intercept[AnalysisException](
+        ext.sql("SELECT * FROM changes('nope', 1, 2)").collect())
+      assert(badTable.getMessage.contains("lake_h"), badTable.getMessage)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
