@@ -197,9 +197,10 @@ object ChangelogApply extends Serializable {
     * `foreachBatch`. */
   def mergeIntoParquet(spark: SparkSession, upserts: DataFrame,
       tableDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tableDir)
+    // the TABLE's filesystem, not fs.defaultFS — the two differ on any
+    // object-store deployment (hdfs default, s3a table)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
     // crash recovery: a previous run that died between delete and rename
     // left the merged table only in __tmp — finish its swap first

@@ -33,27 +33,39 @@ import org.apache.spark.sql.types.LongType
   */
 object DebeziumEnvelope {
 
+  /** Wrapped-then-unwrapped envelope path probe: one extraction per
+    * form, fused by codegen — no per-row branching beyond the coalesce.
+    * THE one definition both decoders ([[decode]] here and
+    * [[graft.streaming.MergeStream.debeziumToChanges]]) build on, so
+    * envelope handling cannot drift between them. */
+  def envelopeField(jsonCol: String, path: String)
+      : org.apache.spark.sql.Column = coalesce(
+    get_json_object(col(jsonCol), s"$$.payload.$path"),
+    get_json_object(col(jsonCol), s"$$.$path"))
+
   /** Decode a column of Debezium JSON into ChangeEvent-shaped columns
     * (eventName, key, newImage, ts). `keyField` names the primary-key
     * field inside before/after; `jsonCol` the raw envelope column. */
   def decode(raw: DataFrame, jsonCol: String = "value",
       keyField: String = "id"): DataFrame = {
-    // wrapped-then-unwrapped path probe: one extraction per form, fused
-    // by codegen — no per-row branching beyond the coalesce
-    def j(path: String) = coalesce(
-      get_json_object(col(jsonCol), s"$$.payload.$path"),
-      get_json_object(col(jsonCol), s"$$.$path"))
+    def j(path: String) = envelopeField(jsonCol, path)
     val op = j("op")
     val eventName = when(op.isin("c", "r"), lit(ChangeEvent.Insert))
       .when(op === "u", lit(ChangeEvent.Modify))
       .when(op === "d", lit(ChangeEvent.Remove))
       .otherwise(raise_error(concat(
         lit("Unexpected Debezium op: "), coalesce(op, lit("<missing>")))))
+    // ts gets the same loud contract as op: a missing/garbage ts_ms
+    // would otherwise surface downstream as an opaque executor NPE
+    // (reduceKeyBatch's ts.getTime) or a silently mis-ordered window
+    val ts = j("ts_ms").cast(LongType)
     raw.select(
       eventName.as("eventName"),
       coalesce(j(s"after.$keyField"), j(s"before.$keyField")).as("key"),
       coalesce(j("after"), j("before")).as("newImage"),
-      timestamp_millis(j("ts_ms").cast(LongType)).as("ts"))
+      timestamp_millis(when(ts.isNotNull, ts).otherwise(raise_error(
+        lit("Debezium envelope missing ts_ms — the apply engines order " +
+          "by it; fix the producer")))).as("ts"))
   }
 
   /** [[decode]] to the typed [[ChangeEvent]] the apply engines consume. */

@@ -116,6 +116,11 @@ object Scd2Apply extends Serializable {
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ChangelogApply.validated(changelog.toDF())
       .withColumn("us", expr("unix_micros(ts)"))
+      // the streaming watermark is STRICT in (us, eventName): an exact
+      // at-least-once redelivery is dropped there, so the batch replay
+      // must collapse it too — else the duplicate becomes a phantom
+      // instantly-closed version and the two faces' histories diverge
+      .dropDuplicates("key", "us", "eventName")
       .withColumn("valid_to_us", lead(col("us"), 1).over(w))
       .withColumn("version",
         sum(when(col("eventName") =!= ChangeEvent.Remove, 1L).otherwise(0L))
@@ -151,9 +156,9 @@ object Scd2Apply extends Serializable {
     * as [[ChangelogApply.mergeIntoParquet]]. */
   def mergeHistoryParquet(spark: SparkSession, rows: DataFrame,
       tableDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tableDir)
+    // the TABLE's filesystem, not fs.defaultFS (object-store deployments)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
     if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
     val existing =

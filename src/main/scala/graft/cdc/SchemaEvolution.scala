@@ -157,9 +157,9 @@ object SchemaEvolution {
   def mergeIntoParquetEvolving(spark: SparkSession, upserts: DataFrame,
       tableDir: String,
       onSuspectedRename: RenamePolicy = RenamePolicy.FlagAndContinue): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tableDir)
+    // the TABLE's filesystem, not fs.defaultFS (object-store deployments)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(tableDir + "__tmp")
     // same crash-recovery contract as the fixed-schema merge
     if (!fs.exists(dst) && fs.exists(tmp)) fs.rename(tmp, dst)
@@ -230,18 +230,27 @@ object SchemaEvolution {
       new org.apache.hadoop.fs.Path(dir, "_schema.json")
 
     def currentSchema(spark: SparkSession, dir: String): Option[StructType] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       val p = sidecar(dir)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def readOf(path: org.apache.hadoop.fs.Path): StructType = {
+        val in = fs.open(path)
         try {
-          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          val bytes = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
           in.readFully(bytes)
-          Some(DataType.fromJson(new String(bytes, "UTF-8"))
-            .asInstanceOf[StructType])
+          DataType.fromJson(new String(bytes, "UTF-8"))
+            .asInstanceOf[StructType]
         } finally in.close()
+      }
+      if (fs.exists(p)) Some(readOf(p))
+      else {
+        // append's swap is delete-then-rename: a crash in that window
+        // leaves only the fully-written tmp (fs.create is overwrite-
+        // then-close, and the delete only runs after the close) — the
+        // tmp IS the schema, same crash-recovery pattern as the change
+        // feed's cursor. A truly partial tmp fails json parsing loudly
+        // rather than serving a wrong schema.
+        val tmp = new org.apache.hadoop.fs.Path(dir, "_schema.json.tmp")
+        if (fs.exists(tmp)) Some(readOf(tmp)) else None
       }
     }
 
@@ -254,9 +263,8 @@ object SchemaEvolution {
         case None => df.schema
       }
       df.write.mode("append").parquet(dir)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(dir, "_schema.json.tmp")
+      val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(tmp, true)
       try out.write(target.json.getBytes("UTF-8")) finally out.close()
       fs.delete(sidecar(dir), false)

@@ -43,8 +43,11 @@ object StagedFiles {
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH-mm-ss'Z'")
     .withZone(ZoneOffset.UTC)
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // the STAGE's filesystem, not fs.defaultFS — the two differ on any
+  // object-store deployment (hdfs default, s3a stage)
+  private def fs(spark: SparkSession, anyPathUnder: String): FileSystem =
+    new Path(anyPathUnder)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** A staged file's batch id is the third `__`-segment of its name. */
   private def batchIdOf(name: String): Option[String] = {
@@ -77,7 +80,7 @@ object StagedFiles {
     * not driver memory. */
   def stageBatch(spark: SparkSession, batch: DataFrame, stageRoot: String,
       batchId: Long, now: Instant = Instant.now()): Path = {
-    val hfs = fs(spark)
+    val hfs = fs(spark, stageRoot)
     batchAlreadyStaged(hfs, stageRoot, batchId) match {
       case Some(existing) => return existing
       case None =>
@@ -104,7 +107,7 @@ object StagedFiles {
   /** List unprocessed staged files (prefix pruning, A11). */
   def listUnprocessed(spark: SparkSession, stageRoot: String): Seq[Path] = {
     val dir = new Path(s"$stageRoot/$UnprocessedDir")
-    val hfs = fs(spark)
+    val hfs = fs(spark, stageRoot)
     if (!hfs.exists(dir)) Seq.empty
     else hfs.listStatus(dir).toIndexedSeq.map(_.getPath).sortBy(_.getName)
   }
@@ -128,7 +131,7 @@ object StagedFiles {
   def loadUnprocessed(spark: SparkSession, stageRoot: String,
       warehouseDir: String, schema: StructType,
       crashBeforeMove: Boolean = false): Int = {
-    val hfs = fs(spark)
+    val hfs = fs(spark, stageRoot)
     var appended = 0
     listUnprocessed(spark, stageRoot).foreach { p =>
       val name = p.getName
@@ -173,7 +176,7 @@ object StagedFiles {
     * `/root/reference/cdk_infrastructure/__init__.py:300-307`). */
   def expireProcessed(spark: SparkSession, stageRoot: String,
       olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Int = {
-    val hfs = fs(spark)
+    val hfs = fs(spark, stageRoot)
     val dir = new Path(s"$stageRoot/$ProcessedDir")
     if (!hfs.exists(dir)) 0
     else hfs.listStatus(dir).count { st =>

@@ -76,9 +76,10 @@ object Pipelines {
       .select(col("rec.id").as("key"),
         to_json(col("rec")).as("newImage"),
         expr("timestamp_micros(unix_micros(current_timestamp()) + pos)").as("ts"))
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tableDir)
+    // the TABLE's filesystem, not fs.defaultFS — the two differ on any
+    // object-store deployment (hdfs default, s3a table)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // explicit existence check — a transient read error must propagate,
     // not be mistaken for "table absent" (which would drop all history)
     val existing =

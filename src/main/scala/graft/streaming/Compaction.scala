@@ -45,6 +45,27 @@ object Compaction {
   def batchIds(spark: SparkSession, root: String): Seq[Long] =
     Epochs.list(spark, root, prefix = "batch=")
 
+  /** The highest batch id folded into the resolved snapshot's compacted
+    * base (`_COMPACTED_THROUGH` marker; -1 when never compacted). This
+    * is the REPLAY FENCE of the appender tree: a foreachBatch replay of
+    * an id at or below it must be a NO-OP — its rows are provably
+    * inside the fold (compaction read the materialized batch dir), and
+    * an overwrite of `batch=<maxId>` would replace the ENTIRE folded
+    * relation with one micro-batch. */
+  def compactedThrough(spark: SparkSession, root: String): Long = {
+    val p = new Path(Snapshots.resolve(spark, root), "_COMPACTED_THROUGH")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong
+      } finally in.close()
+    }
+  }
+
   /** Compact `root` by rewriting its accumulated relation through
     * `write` (the batch builder's layout: df, targetDir ⇒ unit). */
   def compact(spark: SparkSession, root: String)(
@@ -60,6 +81,16 @@ object Compaction {
     // the rewrite streams current-snapshot → gen=<n> (underscore-free
     // but referenced only via resolve(), never via a listing of root)
     write(spark.read.parquet(source).drop("batch"), s"$genDir/batch=$maxId")
+    // the replay fence, INSIDE the generation before its publish: ids
+    // ≤ maxId are folded — a post-crash replay of one of them must
+    // no-op in appendBatch, not overwrite the folded base. (A batch the
+    // stream wrote but never checkpointed is either fully visible —
+    // folded here, replay skipped, exactly-once — or invisible thanks
+    // to the committer's job-commit atomicity — not folded, its id > a
+    // SMALLER maxId, replay lands normally.)
+    val out = fs.create(new Path(genDir, "_COMPACTED_THROUGH"), true)
+    out.write(maxId.toString.getBytes("UTF-8"))
+    out.close()
     Snapshots.commit(spark, root, gen)   // the atomic publish
     Snapshots.sweep(spark, root)         // retain one predecessor snapshot
   }
@@ -96,8 +127,20 @@ object Compaction {
     * the same partition-discovery union as every appender root, and
     * [[compactZOrdered]] periodically restores the layout. */
   def appendBatch(df: DataFrame, root: String, batchId: Long): Unit =
-    df.write.mode("overwrite").parquet(
-      s"${Snapshots.resolve(df.sparkSession, root)}/batch=$batchId")
+    fencedBatchDir(df.sparkSession, root, batchId).foreach(dir =>
+      df.write.mode("overwrite").parquet(dir))
+
+  /** The directory a micro-batch append should land in — or None when
+    * the id is at or below the fold marker: that batch was materialized
+    * when compaction ran and its rows live in the folded base, so a
+    * post-crash foreachBatch replay of it must NO-OP (writing would
+    // overwrite batch=<maxId>, i.e. the whole compacted relation).
+    * EVERY appender that writes `batch=<id>` dirs under a [[Snapshots]]
+    * root goes through this fence — one definition of replay safety. */
+  def fencedBatchDir(spark: SparkSession, root: String,
+      batchId: Long): Option[String] =
+    if (batchId <= compactedThrough(spark, root)) None
+    else Some(s"${Snapshots.resolve(spark, root)}/batch=$batchId")
 
   /** Re-cluster a z-ordered events root (the Delta `OPTIMIZE ZORDER BY`
     * cadence): streamed appends land UNCLUSTERED — each micro-batch's
@@ -178,15 +221,34 @@ object Compaction {
 
     /** Sweep every registered index: compact the ones whose debt crossed
       * `maxBatches` (or whose custom due-predicate fired), leave the
-      * rest untouched. Returns (root → ran?). */
+      * rest untouched. PER-ROOT fault isolation: one root's failing
+      * compaction (transient FS error, bad path) must not starve every
+      * root registered after it — each failure is captured and the
+      * sweep continues; the caller gets the full outcome map and the
+      * FIRST failure is rethrown at the end (the sweep still counts as
+      * failed for alerting, but no root went unvisited because of a
+      * head-of-line neighbor). Returns (root → ran?). */
     def runDue(spark: SparkSession, maxBatches: Int = 8): Seq[(String, Boolean)] = {
       val snapshot = registry.synchronized { registry.toSeq }
-      snapshot.map { case (root, (fn, dueFn)) =>
-        val due = dueFn.map(_(spark))
-          .getOrElse(shouldCompact(spark, root, maxBatches))
-        if (due) fn(spark)
-        root -> due
+      var firstFailure: Option[(String, Throwable)] = None
+      val outcomes = snapshot.map { case (root, (fn, dueFn)) =>
+        try {
+          val due = dueFn.map(_(spark))
+            .getOrElse(shouldCompact(spark, root, maxBatches))
+          if (due) fn(spark)
+          root -> due
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            if (firstFailure.isEmpty) firstFailure = Some(root -> e)
+            root -> false
+        }
       }
+      firstFailure.foreach { case (root, e) =>
+        throw new RuntimeException(
+          s"maintenance sweep: compaction of $root failed (every other " +
+            "registered root was still visited)", e)
+      }
+      outcomes
     }
   }
 }

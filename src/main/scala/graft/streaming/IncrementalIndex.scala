@@ -36,9 +36,9 @@ object IncrementalIndex {
   /** Append one micro-batch of documents to the index root —
     * idempotent per batchId (overwrite of the batch's own directory). */
   def appendBatch(indexRoot: String)(batch: DataFrame, batchId: Long): Unit =
-    graft.operators.Dedup.indexRows(batch)
-      .write.mode("overwrite").parquet(
-        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
+    Compaction.fencedBatchDir(batch.sparkSession, indexRoot, batchId)
+      .foreach(dir => graft.operators.Dedup.indexRows(batch)
+        .write.mode("overwrite").parquet(dir))
 
   /** Wire a documents stream (doc_id, text, …) into incremental index
     * maintenance. AvailableNow by default: drain what exists, checkpoint,

@@ -53,12 +53,12 @@ object IncrementalIvfPq {
       NearestCentroid.assign(col("embedding"), cents).as("cid"),
       col("label").cast(LongType).as("label"),
       col("embedding"))
-    PQ.withResidual(batch.sparkSession, assigned, cents)
-      .select(col("vec_id"), col("cid"), col("label"),
-        PQ.residualCodesCol(m, books).as("codes"))
-      .write.mode("overwrite").partitionBy("cid")
-      .parquet(
-        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
+    Compaction.fencedBatchDir(batch.sparkSession, indexRoot, batchId)
+      .foreach(dir => PQ.withResidual(batch.sparkSession, assigned, cents)
+        .select(col("vec_id"), col("cid"), col("label"),
+          PQ.residualCodesCol(m, books).as("codes"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(dir))
   }
 
   /** Wire an embeddings stream into incremental IVF-PQ maintenance.

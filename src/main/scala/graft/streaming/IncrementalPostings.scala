@@ -67,13 +67,13 @@ object IncrementalPostings {
       if (partitions > 0) partitions
       else math.min(
         batch.sparkSession.sessionState.conf.numShufflePartitions, 8)
-    val root = Snapshots.resolve(batch.sparkSession, indexRoot)
-    rows(batch)
-      // term-clustered within the batch, like the batch build: row-group
-      // min/max still prune term lookups inside each batch file
-      .repartition(parts, col("term"))
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(s"$root/batch=$batchId")
+    Compaction.fencedBatchDir(batch.sparkSession, indexRoot, batchId)
+      .foreach(dir => rows(batch)
+        // term-clustered within the batch, like the batch build:
+        // row-group min/max still prune term lookups inside each file
+        .repartition(parts, col("term"))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(dir))
   }
 
   /** Wire a documents stream into incremental postings maintenance.

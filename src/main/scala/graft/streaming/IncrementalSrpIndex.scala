@@ -39,12 +39,12 @@ object IncrementalSrpIndex {
   /** Append one micro-batch of embedding rows — idempotent per batchId. */
   def appendBatch(indexRoot: String, nPlanes: Int = 8, seed: Long = 42L)(
       batch: DataFrame, batchId: Long): Unit =
-    batch
-      .withColumn("bucket",
-        srpBucket(col("embedding"), hyperplanes(nPlanes, 64, seed)))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(
-        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
+    Compaction.fencedBatchDir(batch.sparkSession, indexRoot, batchId)
+      .foreach(dir => batch
+        .withColumn("bucket",
+          srpBucket(col("embedding"), hyperplanes(nPlanes, 64, seed)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(dir))
 
   /** Wire an embeddings stream into incremental SRP maintenance.
     * AvailableNow by default: drain, checkpoint, stop. */

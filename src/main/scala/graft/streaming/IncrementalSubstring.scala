@@ -29,9 +29,9 @@ object IncrementalSubstring {
   /** Append one micro-batch's occurrence rows — idempotent per batchId. */
   def appendBatch(indexRoot: String, w: Int = 10)(batch: DataFrame,
       batchId: Long): Unit =
-    Dedup.windowOccurrencesOf(batch, w)
-      .write.mode("overwrite").parquet(
-        s"${Snapshots.resolve(batch.sparkSession, indexRoot)}/batch=$batchId")
+    Compaction.fencedBatchDir(batch.sparkSession, indexRoot, batchId)
+      .foreach(dir => Dedup.windowOccurrencesOf(batch, w)
+        .write.mode("overwrite").parquet(dir))
 
   /** Wire a documents stream into occurrence maintenance. AvailableNow
     * by default: drain, checkpoint, stop. */

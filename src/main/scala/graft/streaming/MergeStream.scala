@@ -30,13 +30,20 @@ object MergeStream {
     * before image. */
   def debeziumToChanges(batch: DataFrame,
       fields: Seq[(String, DataType)]): DataFrame = {
-    def j(path: String) = coalesce(
-      get_json_object(col("value"), s"$$.payload.$path"),
-      get_json_object(col("value"), s"$$.$path"))
+    // the SHARED envelope probe (DebeziumEnvelope.envelopeField) — the
+    // two decoders must never drift on envelope handling
+    def j(path: String) = graft.cdc.DebeziumEnvelope.envelopeField("value", path)
     val op = j("op")
     val img = coalesce(j("after"), j("before"))
     batch.select(
-      when(op === "d", lit("d")).otherwise(lit("u")).as("op") +:
+      // STRICT op contract, same as DebeziumEnvelope.decode: an unknown
+      // op or a tombstone (op null) must fail loudly, not silently
+      // upsert an all-null row into the table
+      when(op === "d", lit("d"))
+        .when(op.isin("c", "r", "u"), lit("u"))
+        .otherwise(raise_error(concat(
+          lit("Unexpected Debezium op: "), coalesce(op, lit("<missing>")))))
+        .as("op") +:
         col("offset").as("seq") +:
         fields.map { case (name, dt) =>
           get_json_object(img, s"$$.$name").cast(dt).as(name)

@@ -207,7 +207,10 @@ object Snapshots {
         s"(committed: ${
           if (cat.isEmpty) "none"
           else cat.map { case (g, t) => s"gen $g @ $t" }.mkString(", ")})")
-    genDir(root, atOrBefore.maxBy(_._2)._1)
+    // tie-break equal commit instants by generation id: two commits in
+    // the same millisecond (burst maintenance) must resolve to the
+    // NEWER state, not whichever listed first
+    genDir(root, atOrBefore.maxBy(e => (e._2, e._1))._1)
   }
 
   /** Read the table as of a wall-clock instant — [[resolveAsOf]] +

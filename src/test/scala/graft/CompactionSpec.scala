@@ -216,6 +216,17 @@ class CompactionSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Snapshots.resolveAsOf(spark, root, 999L))
     assert(e.getMessage.contains("gen 1 @ 1000"), e.getMessage)
+    // equal-instant commits (burst maintenance) tie-break to the NEWER
+    // generation — serving the superseded state would be a wrong answer
+    val tied = TestSpark.tempDir("compact-asof-tie") + "/index"
+    for (g <- 1L to 2L) {
+      Seq(IdxDoc(g, s"gen$g")).toDF()
+        .write.parquet(Snapshots.genDir(tied, g) + "/batch=0")
+      Snapshots.commit(spark, tied, g, commitTsMillis = 5000L)
+    }
+    assert(Snapshots.resolveAsOf(spark, tied, 5000L)
+      === Snapshots.genDir(tied, 2L),
+      "same-millisecond commits must resolve to the newest generation")
     // the read face returns the right snapshot's content
     assert(Snapshots.readAsOf(spark, root, 2500L)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSeq === Seq(2L))
@@ -240,6 +251,66 @@ class CompactionSpec extends AnyFunSuite {
     assert(t.exists(_ > 0L), s"legacy marker must fall back to mtime, got $t")
     assert(Snapshots.resolveAsOf(spark, legacyRoot, System.currentTimeMillis() + 60000)
       === Snapshots.genDir(legacyRoot, 1L))
+  }
+
+  test("replay fence: a post-compaction replay of a folded batch id " +
+      "no-ops instead of overwriting the folded base; new ids land") {
+    import spark.implicits._
+    val root = TestSpark.tempDir("compact-fence") + "/idx"
+    (0L to 3L).foreach(i =>
+      Compaction.appendBatch(Seq((i, s"v$i")).toDF("k", "v"), root, i))
+    Compaction.compact(spark, root) { (df, out) =>
+      df.coalesce(1).write.parquet(out)
+    }
+    def state(): Set[(Long, String)] =
+      spark.read.parquet(Snapshots.resolve(spark, root)).drop("batch")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val folded = state()
+    assert(folded === (0L to 3L).map(i => (i, s"v$i")).toSet)
+    assert(Compaction.compactedThrough(spark, root) === 3L)
+    // the crash shape: the stream replays batch 3 (it wrote the data,
+    // never checkpointed, and maintenance folded it meanwhile) — the
+    // replay must NO-OP, not replace the entire folded relation with
+    // one micro-batch
+    Compaction.appendBatch(Seq((3L, "v3")).toDF("k", "v"), root, 3L)
+    assert(state() === folded, "a folded batch id must never overwrite")
+    // genuinely new batches land normally above the fence
+    Compaction.appendBatch(Seq((4L, "v4")).toDF("k", "v"), root, 4L)
+    assert(state() === folded + ((4L, "v4")))
+    // the fence rides generations: a SECOND compaction folds 0..4
+    Compaction.compact(spark, root) { (df, out) =>
+      df.coalesce(1).write.parquet(out)
+    }
+    assert(Compaction.compactedThrough(spark, root) === 4L)
+    Compaction.appendBatch(Seq((4L, "ghost")).toDF("k", "v"), root, 4L)
+    assert(state() === folded + ((4L, "v4")))
+  }
+
+  test("maintenance sweep: one root's failing compaction does not starve " +
+      "the roots after it; the failure still surfaces") {
+    import spark.implicits._
+    import graft.streaming.Compaction.Maintenance
+    val bad = TestSpark.tempDir("maint-bad") + "/idx"
+    val good = TestSpark.tempDir("maint-good") + "/idx"
+    (0L to 9L).foreach { i =>
+      Compaction.appendBatch(Seq((i, i)).toDF("k", "v"), good, i)
+    }
+    try {
+      Maintenance.register(bad,
+        _ => throw new RuntimeException("boom"), _ => true)
+      Maintenance.register(good, s =>
+        Compaction.compact(s, good)((df, out) =>
+          df.coalesce(1).write.parquet(out)))
+      val e = intercept[RuntimeException](
+        Maintenance.runDue(spark, maxBatches = 8))
+      assert(e.getMessage.contains(bad), e.getMessage)
+      // the root AFTER the failing one was still visited and compacted
+      assert(Snapshots.currentGen(spark, good).contains(1L),
+        "the good root must compact despite the head-of-line failure")
+    } finally {
+      Maintenance.deregister(bad)
+      Maintenance.deregister(good)
+    }
   }
 
   test("committing the same generation twice fails loudly (single-compactor contract)") {

@@ -54,6 +54,15 @@ class DebeziumEnvelopeSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("Unexpected Debezium op"))
   }
 
+  test("a missing ts_ms is a hard error at decode, not a downstream NPE") {
+    import spark.implicits._
+    val bad = Seq("""{"op":"c","after":{"id":1}}""").toDF("value")
+    val e = intercept[Exception](DebeziumEnvelope.decode(bad).collect())
+    def msg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(msg)).mkString(" ")
+    assert(msg(e).contains("ts_ms"), msg(e))
+  }
+
   test("a raw Debezium JSON stream drives the streaming apply engine end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

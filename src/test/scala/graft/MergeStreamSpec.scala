@@ -26,6 +26,33 @@ class MergeStreamSpec extends AnyFunSuite {
     MergeTable.read(spark, root).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Double]("value")).toMap
 
+  test("decode contract: an unknown op or a tombstone fails loudly " +
+      "instead of upserting an all-null row") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val fields = Seq("id" -> (LongType: org.apache.spark.sql.types.DataType),
+      "value" -> (DoubleType: org.apache.spark.sql.types.DataType))
+    def decode(lines: String*): Array[org.apache.spark.sql.Row] =
+      MergeStream.debeziumToChanges(
+        lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+          .toDF("offset", "value"), fields).collect()
+    // the known ops map c/r/u → 'u', d → 'd'
+    val ok = decode(
+      """{"op":"c","after":{"id":1,"value":1.0},"ts_ms":0}""",
+      """{"op":"r","after":{"id":2,"value":2.0},"ts_ms":0}""",
+      """{"op":"u","after":{"id":3,"value":3.0},"ts_ms":0}""",
+      """{"op":"d","before":{"id":4,"value":4.0},"after":null,"ts_ms":0}""")
+    assert(ok.map(_.getString(0)).toSeq === Seq("u", "u", "u", "d"))
+    // Debezium truncate/message ops and tombstones (op missing): LOUD
+    def msg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(msg)).mkString(" ")
+    val badOp = intercept[Exception](
+      decode("""{"op":"t","after":{"id":1,"value":1.0},"ts_ms":0}"""))
+    assert(msg(badOp).contains("Unexpected Debezium op"), msg(badOp))
+    val tomb = intercept[Exception](decode("""{"schema":null}"""))
+    assert(msg(tomb).contains("Unexpected Debezium op"), msg(tomb))
+  }
+
   test("changelog stream merges into the table exactly-once across a restart; deletes flow through") {
     val server = new TcpChangelogServer
     try {

@@ -118,6 +118,35 @@ class Scd2ApplySpec extends AnyFunSuite {
       ("k", 3, "v2", 1000900L, None, true)))
   }
 
+  test("at-least-once redelivery: an exact duplicate event yields ONE " +
+      "version on both faces — batch ≡ stream through the duplicate") {
+    import spark.implicits._
+    // the same INSERT delivered twice (identical ts + eventName), then
+    // a MODIFY; the streaming watermark drops the duplicate — the batch
+    // replay must collapse it too, not mint a phantom instantly-closed
+    // version
+    val log = Seq(
+      ev("INSERT", "k1", "a1", 1000),
+      ev("INSERT", "k1", "a1", 1000), // redelivery
+      ev("MODIFY", "k1", "a2", 2000))
+    val batch = canon(Scd2Apply.applyBatch(log.toDS()))
+    assert(batch.map(_._2) === Seq(1, 2),
+      s"duplicate must not become its own version: $batch")
+    assert(batch.head._3 === "a1" && batch.head._5 === Some(2000000L),
+      s"v1 closes at the MODIFY, not at the duplicate's instant: $batch")
+    // the streaming face over the same log: one wave through the state
+    // machine — the same two versions (the duplicate is watermark-dropped)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[ChangeEvent]
+    input.addData(log)
+    val q = Scd2Apply.applyStream(input.toDS()).writeStream
+      .format("memory").queryName("scd2_dup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = canon(spark.table("scd2_dup"))
+    assert(streamed === batch, "the two faces must agree through a replay")
+  }
+
   test("REMOVE with no open row is a no-op that still advances the " +
       "watermark; unknown event names are refused by name") {
     import spark.implicits._

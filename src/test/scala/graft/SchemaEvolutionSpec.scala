@@ -156,6 +156,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       EvolvingTable.read(spark, TestSpark.tempDir("empty")))
   }
 
+  test("EvolvingTable: a crash between the sidecar delete and rename " +
+      "recovers the schema from the tmp instead of bricking the table") {
+    val dir = TestSpark.tempDir("evolve-crash")
+    EvolvingTable.append(spark, Seq((1, "a")).toDF("v", "s"), dir)
+    EvolvingTable.append(spark, Seq((2L, "b", 3.5)).toDF("v", "s", "w"), dir)
+    val side = new java.io.File(dir, "_schema.json")
+    val tmp = new java.io.File(dir, "_schema.json.tmp")
+    // simulate the crash window: tmp fully written, real sidecar deleted
+    java.nio.file.Files.copy(side.toPath, tmp.toPath)
+    assert(side.delete())
+    new java.io.File(dir, "._schema.json.crc").delete()
+    val out = EvolvingTable.read(spark, dir).orderBy("v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 2L),
+      "the tmp sidecar must serve the schema after the crash")
+    // the next append completes the swap and the table stays healthy
+    EvolvingTable.append(spark, Seq((3L, "c", 1.0)).toDF("v", "s", "w"), dir)
+    assert(EvolvingTable.read(spark, dir).count() === 3L)
+  }
+
   test("streaming ingest across a redeploy: schema evolves between stream generations") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
