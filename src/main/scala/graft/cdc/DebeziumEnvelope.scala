@@ -59,7 +59,11 @@ object DebeziumEnvelope {
     // would otherwise surface downstream as an opaque executor NPE
     // (reduceKeyBatch's ts.getTime) or a silently mis-ordered window
     val ts = j("ts_ms").cast(LongType)
-    raw.select(
+    // Kafka log-compaction tombstones (null-value records a standard
+    // Debezium producer emits after each delete) carry no envelope at
+    // all — topic hygiene, not changes. Drop them BEFORE decoding; the
+    // loud op/ts contract stays for records that HAVE a payload.
+    raw.filter(col(jsonCol).isNotNull).select(
       eventName.as("eventName"),
       coalesce(j(s"after.$keyField"), j(s"before.$keyField")).as("key"),
       coalesce(j("after"), j("before")).as("newImage"),

@@ -52,18 +52,21 @@ object Compaction {
     * inside the fold (compaction read the materialized batch dir), and
     * an overwrite of `batch=<maxId>` would replace the ENTIRE folded
     * relation with one micro-batch. */
-  def compactedThrough(spark: SparkSession, root: String): Long = {
-    val p = new Path(Snapshots.resolve(spark, root), "_COMPACTED_THROUGH")
+  def compactedThrough(spark: SparkSession, root: String): Long =
+    compactedThroughIn(spark, Snapshots.resolve(spark, root))
+
+  /** The fence read against an ALREADY-RESOLVED generation dir — so a
+    * caller that also needs the dir (e.g. [[fencedBatchDir]]) resolves
+    * exactly once: a concurrent compaction publishing between two
+    * resolves could otherwise let a replayed id pass a stale fence and
+    * land in (or overwrite the folded base of) the NEW generation. */
+  private def compactedThroughIn(spark: SparkSession, resolved: String): Long = {
+    val p = new Path(resolved, "_COMPACTED_THROUGH")
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(p)) -1L
-    else {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](32)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(0, n), "UTF-8").trim.toLong
-      } finally in.close()
-    }
+    // to-EOF read: a short read's numeric PREFIX ("1" of "12") would
+    // lower the fence and let an already-folded replay re-land
+    else Snapshots.readMarker(spark, p).trim.toLong
   }
 
   /** Compact `root` by rewriting its accumulated relation through
@@ -138,9 +141,14 @@ object Compaction {
     * EVERY appender that writes `batch=<id>` dirs under a [[Snapshots]]
     * root goes through this fence — one definition of replay safety. */
   def fencedBatchDir(spark: SparkSession, root: String,
-      batchId: Long): Option[String] =
-    if (batchId <= compactedThrough(spark, root)) None
-    else Some(s"${Snapshots.resolve(spark, root)}/batch=$batchId")
+      batchId: Long): Option[String] = {
+    // resolve ONCE: fence and batch dir must come from the same
+    // generation, or a compaction publishing between two resolves lets
+    // a replayed id pass the old fence and write into the new tree
+    val resolved = Snapshots.resolve(spark, root)
+    if (batchId <= compactedThroughIn(spark, resolved)) None
+    else Some(s"$resolved/batch=$batchId")
+  }
 
   /** Re-cluster a z-ordered events root (the Delta `OPTIMIZE ZORDER BY`
     * cadence): streamed appends land UNCLUSTERED — each micro-batch's

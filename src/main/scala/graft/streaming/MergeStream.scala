@@ -35,7 +35,12 @@ object MergeStream {
     def j(path: String) = graft.cdc.DebeziumEnvelope.envelopeField("value", path)
     val op = j("op")
     val img = coalesce(j("after"), j("before"))
-    batch.select(
+    // Kafka log-compaction tombstones are NULL-VALUE records a standard
+    // Debezium producer emits after every delete (the 'd' event already
+    // carried the payload); they are topic hygiene, not changes — drop
+    // them BEFORE decoding, keeping raise_error for records that have a
+    // payload but an unknown op
+    batch.filter(col("value").isNotNull).select(
       // STRICT op contract, same as DebeziumEnvelope.decode: an unknown
       // op or a tombstone (op null) must fail loudly, not silently
       // upsert an all-null row into the table

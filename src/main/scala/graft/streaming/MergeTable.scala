@@ -378,14 +378,10 @@ object MergeTable {
   private def bloomFormatOk(spark: SparkSession, dir: Path): Boolean = {
     val f = fs(spark, dir)
     val p = new Path(dir, "_FORMAT")
-    f.exists(p) && {
-      val in = f.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        n > 0 && new String(buf, 0, n, "UTF-8").trim == BloomFormat
-      } finally in.close()
-    }
+    // to-EOF read: a short read's PREFIX of "prefix64-v2" would
+    // misclassify a valid registry as legacy — silently disabling
+    // pruning AND making ensureBloomIndex drop and rebuild it
+    f.exists(p) && Snapshots.readMarker(spark, p).trim == BloomFormat
   }
 
   private def writeBloomFormat(spark: SparkSession, dir: Path): Unit = {

@@ -64,6 +64,23 @@ object Snapshots {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Read a small marker file to EOF and return its body. A single
+    * `in.read(buf)` may legally return a PREFIX of the file (HDFS,
+    * object-store streams), and a numeric prefix of a marker body still
+    * parses — "1" of "12" — silently corrupting whatever fence or
+    * format check the marker backs. Every marker reader in the repo
+    * must loop to EOF through this helper. */
+  private[graft] def readMarker(spark: SparkSession, p: Path): String = {
+    val in = fs(spark, p).open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream(64)
+      val buf = new Array[Byte](256)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   /** Directory of generation `g` under `root`. */
   def genDir(root: String, g: Long): String = s"$root/$GenPrefix$g"
 

@@ -54,6 +54,20 @@ class DebeziumEnvelopeSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("Unexpected Debezium op"))
   }
 
+  test("Kafka log-compaction tombstones (null-value records) are dropped, not a stream kill") {
+    import spark.implicits._
+    // a compacted Debezium topic interleaves real envelopes with null
+    // values after deletes — the 'd' event preceding each carried the
+    // payload, so the tombstone is droppable hygiene, not data
+    val rows = Seq(
+      """{"op":"c","after":{"id":1,"name":"ada"},"ts_ms":1000}""",
+      null.asInstanceOf[String],
+      """{"op":"d","before":{"id":1,"name":"ada"},"after":null,"ts_ms":2000}""",
+      null.asInstanceOf[String])
+    val out = DebeziumEnvelope.decode(rows.toDF("value")).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("INSERT", "REMOVE"))
+  }
+
   test("a missing ts_ms is a hard error at decode, not a downstream NPE") {
     import spark.implicits._
     val bad = Seq("""{"op":"c","after":{"id":1}}""").toDF("value")

@@ -51,6 +51,16 @@ class MergeStreamSpec extends AnyFunSuite {
     assert(msg(badOp).contains("Unexpected Debezium op"), msg(badOp))
     val tomb = intercept[Exception](decode("""{"schema":null}"""))
     assert(msg(tomb).contains("Unexpected Debezium op"), msg(tomb))
+    // ...but a Kafka log-compaction TOMBSTONE — a null VALUE record a
+    // standard Debezium producer emits after every delete — is topic
+    // hygiene, not a change: dropped silently, never a stream kill
+    val withTombstone = MergeStream.debeziumToChanges(
+      Seq((0L, """{"op":"c","after":{"id":1,"value":1.0},"ts_ms":0}"""),
+        (1L, null.asInstanceOf[String]),
+        (2L, """{"op":"d","before":{"id":1,"value":1.0},"after":null,"ts_ms":1}"""))
+        .toDF("offset", "value"), fields).collect()
+    assert(withTombstone.map(_.getString(0)).toSeq === Seq("u", "d"),
+      "null-value tombstones drop; real ops around them survive")
   }
 
   test("changelog stream merges into the table exactly-once across a restart; deletes flow through") {
