@@ -185,6 +185,7 @@ object SparkEntry {
     "t_incr_agg_cdc"        -> (streaming.IncrementalAggCdc.batchDeltaQuery _),
     "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
+    "t_merge_str_key"       -> (streaming.MergeTable.mergeStrKeyQuery _),
     "t_merge_read_pruned"   -> (streaming.MergeTable.mergeReadPrunedQuery _),
     "t_merge_read_str"      -> (streaming.MergeTable.mergeReadStringPrunedQuery _),
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
@@ -1970,6 +1971,32 @@ object SparkEntry {
         |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, price_cents + 100
         |FROM base WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_str_key: the STRING-keyed lake table (the reference's own
+    // NoSQL PK shape) — create → COW merge → MOR merge → predicate
+    // delete over a string-key band, read through string-bound pruning.
+    // The key is status||'-'||lpad(orderkey,7,'0'): dense 8-byte-prefix
+    // collisions, so any embedding-joined (rather than exact-residual)
+    // probe would corrupt neighbor keys and break the hash.
+    "t_merge_str_key" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus || '-' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS ok,
+        |         o_orderkey, o_custkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |st AS (
+        |  SELECT ok, o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 100 = 42 THEN price_cents * 3 + 500
+        |              WHEN o_orderkey % 100 = 55 THEN price_cents + 7
+        |              WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |              ELSE price_cents END AS price_cents
+        |  FROM base WHERE o_orderkey % 10 NOT IN (7, 9)
+        |  UNION ALL
+        |  SELECT 'Z-' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0'),
+        |         o_orderkey, o_custkey, price_cents + 100
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT ok, o_orderkey, o_custkey, price_cents FROM st
+        |WHERE ok NOT BETWEEN 'P-0000000' AND 'P-0001999' AND ok >= 'A'
+        |ORDER BY ok""".stripMargin,
     // t_sql_merge: the same net effect as t_merge_into, driven through
     // SQL MERGE INTO text (the parser face of the COW merge) — the SQL
     // verb and the API face must commute to the same state

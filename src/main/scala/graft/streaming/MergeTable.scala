@@ -76,6 +76,50 @@ object MergeTable {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** A column value in the manifest's 64-bit ORDER DOMAIN: integral
+    * columns cast exactly; strings embed through the order-preserving
+    * [[graft.functions.StringPrefix64]] prefix (monotone, NOT
+    * injective — coarser ranges, false keeps only). ONE definition for
+    * every stats producer and consumer: the key range on the entry
+    * line, the `#cstat` ranges, the bloom registry keys and the
+    * merge-path touch-set prune must all agree bit-for-bit, or a file
+    * holding a probed value could be skipped — silent row loss. */
+  private[graft] def statVal(dt: org.apache.spark.sql.types.DataType,
+      c: Column): Column = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      graft.functions.StringPrefix64.stringPrefix64(c)
+    case _ => c.cast("long")
+  }
+
+  /** Key types [[create]] accepts: integral (exact 64-bit manifest
+    * ranges) and string (order-preserving prefix embedding + exact-key
+    * residuals on every probe). Everything else is refused LOUDLY at
+    * create — the alternative is a table whose manifest ranges are
+    * silently null/garbage and whose merges lose rows. The reference's
+    * own NoSQL source keys on `id: STRING`
+    * (`cdk_infrastructure/__init__.py:287-289`). */
+  private def requireKeyType(key: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    require(schema.fieldNames.contains(key),
+      s"merge key '$key' is not a column: ${schema.fieldNames.mkString(", ")}")
+    schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
+      case other => throw new IllegalArgumentException(
+        s"merge key '$key' has unsupported type ${other.simpleString} — " +
+          "supported key types: byte/short/int/long (exact manifest " +
+          "ranges) and string (order-preserving prefix-embedding " +
+          "ranges); key on a surrogate or cast the column first")
+    }
+  }
+
+  /** The table key's declared type, when the manifest recorded a schema
+    * (every create since evolution support does); None on legacy
+    * manifests, where the key was integral by construction. */
+  private def keyType(
+      m: GenMeta): Option[org.apache.spark.sql.types.DataType] =
+    m.schema.map(_.apply(m.key).dataType)
+
   private def filePath(root: String, name: String) = s"$root/$FilesDir/$name"
   private[graft] def dataFilePath(root: String, name: String) =
     filePath(root, name)
@@ -248,6 +292,14 @@ object MergeTable {
   def readWhereKey(spark: SparkSession, root: String,
       lo: Long, hi: Long): DataFrame = {
     val m = genMeta(spark, currentGenDir(spark, root))
+    // string-keyed tables: the Long lo/hi would compare against prefix
+    // EMBEDDINGS in the manifest but CAST(key AS LONG) — null for any
+    // non-numeric string — in the residual: silent empty results. The
+    // string face is readWhere(col(key).between("a", "b")).
+    require(!keyType(m).contains(org.apache.spark.sql.types.StringType),
+      s"readWhereKey is the integral-key face; '$root' is keyed on " +
+        s"string column '${m.key}' — use readWhere(col(\"${m.key}\")" +
+        ".between(lo, hi)) with string bounds")
     val entries = m.entries.filter(e => e.maxKey >= lo && e.minKey <= hi)
     if (entries.isEmpty)
       // no file can hold the key: an empty frame in the table's schema
@@ -272,6 +324,14 @@ object MergeTable {
   def readWhereCol(spark: SparkSession, root: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     val m = genMeta(spark, currentGenDir(spark, root))
+    // same refusal as readWhereKey: a string column's #cstat ranges are
+    // embeddings, and CAST(strCol AS LONG) in the residual silently
+    // empties the result — the string face is readWhere with a predicate
+    require(!m.schema.exists(s => s.fieldNames.contains(column) &&
+      s(column).dataType == org.apache.spark.sql.types.StringType),
+      s"readWhereCol is the integral-column face; '$column' is a string " +
+        s"column — use readWhere(col(\"$column\").between(lo, hi)) " +
+        "with string bounds")
     val ranges = m.cstats.filter(_.col == column)
       .map(s => s.file -> s).toMap
     val candidates = m.entries.filter(e =>
@@ -433,11 +493,7 @@ object MergeTable {
     // value extractBounds hands bloomRefine for a string equality, so
     // build and probe agree bit-for-bit (strings past 8 bytes share
     // keys: false positives only, the bloom contract)
-    val vExpr = raw.schema(column).dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        graft.functions.StringPrefix64.stringPrefix64(col(column))
-      case _ => col(column).cast("long")
-    }
+    val vExpr = statVal(raw.schema(column).dataType, col(column))
     val scan = raw
       .select(vExpr.as("v"),
         element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"))
@@ -765,19 +821,19 @@ object MergeTable {
             f.dataType == org.apache.spark.sql.types.IntegerType ||
             f.dataType == org.apache.spark.sql.types.StringType) => f.name
       }.toSeq
-      def sv(c: String): Column = df.schema(c).dataType match {
-        case org.apache.spark.sql.types.StringType =>
-          graft.functions.StringPrefix64.stringPrefix64(col(c))
-        case _ => col(c).cast("long")
-      }
+      def sv(c: String): Column = statVal(df.schema(c).dataType, col(c))
       val aggs = Seq(min(col("k")).as("lo"), max(col("k")).as("hi"),
         count(lit(1)).as("nrows")) ++
         statCols.flatMap(c => Seq(
           min(sv(c)).as(s"lo_$c"),
           max(sv(c)).as(s"hi_$c")))
       val names = named.keys.toSeq.sorted
+      // the KEY range rides the same order domain as every other stat:
+      // exact for integral keys, prefix-embedded for string keys (min/
+      // max commute with the monotone embedding, so aggregating the
+      // embedding is exact)
       val rows = spark.read.parquet(names.map(filePath(root, _)): _*)
-        .select(col(key).cast("long").as("k") +:
+        .select(statVal(df.schema(key).dataType, col(key)).as("k") +:
           expr("_metadata.file_path").as("fp") +: statCols.map(col): _*)
         .groupBy(col("fp"))
         .agg(aggs.head, aggs.tail: _*)
@@ -903,6 +959,7 @@ object MergeTable {
   def create(spark: SparkSession, root: String, df: DataFrame, key: String,
       nFiles: Int = 8,
       commitTsMillis: Long = System.currentTimeMillis()): Unit = {
+    requireKeyType(key, df.schema)
     val gen = Snapshots.nextGen(spark, root)
     val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
     writeManifest(spark, root, gen, entries, key, cstats = cstats,
@@ -939,9 +996,14 @@ object MergeTable {
   private def touchedEntries(spark: SparkSession, entries: Seq[FileEntry],
       keys: DataFrame): Seq[FileEntry] = {
     val kc = keys.columns.head
+    // keys enter the manifest's order domain through the SAME mapping
+    // that produced the entry ranges (statVal): exact for integral
+    // keys; for string keys the prefix embedding, where k ∈ [min,max]
+    // (string order) ⟹ emb(k) ∈ [emb(min), emb(max)] — a conservative
+    // prune (false keeps on prefix collisions, never false skips)
     val names = spark.createDataFrame(entries)
       .toDF("name", "lo", "hi", "bytes", "rows")
-      .join(keys.select(col(kc).cast("long").as("__k")),
+      .join(keys.select(statVal(keys.schema(kc).dataType, col(kc)).as("__k")),
         col("__k") >= col("lo") && col("__k") <= col("hi"), "left_semi")
       .select("name").collect().map(_.getString(0)).toSet
     entries.filter(e => names.contains(e.name))
@@ -959,11 +1021,19 @@ object MergeTable {
   private[graft] def readWhereKeysOf(spark: SparkSession, root: String,
       m: GenMeta, keys: DataFrame): DataFrame = {
     val kc = keys.columns.head
-    val keyed = keys.select(col(kc).cast("long").as("__pk")).distinct()
+    val kdt = keyType(m).getOrElse(keys.schema(kc).dataType)
+    // the probe JOIN must be in the key's NATIVE domain for strings —
+    // the prefix embedding is not injective, so joining embeddings
+    // would report a false "exists" for a distinct key sharing an
+    // 8-byte prefix. The manifest PRUNE (touchedEntries) still rides
+    // the embedding; integral keys normalize to long as before.
+    val isStr = kdt == org.apache.spark.sql.types.StringType
+    def pk(c: Column): Column = if (isStr) c else c.cast("long")
+    val keyed = keys.select(pk(col(kc)).as("__pk")).distinct()
     val touched = touchedEntries(spark, m.entries, keyed)
     if (touched.isEmpty) keyed.limit(0).select(col("__pk").as(m.key))
     else readFiles(spark, root, touched, m.dvs, m.schema)
-      .select(col(m.key).cast("long").as("__pk"))
+      .select(pk(col(m.key)).as("__pk"))
       .join(keyed, Seq("__pk"), "left_semi")
       .select(col("__pk").as(m.key))
   }
@@ -993,7 +1063,9 @@ object MergeTable {
       batchId: Option[Long] = None,
       morAmplificationAbove: Double = 8.0): (String, Long, Long) = {
     val m = genMeta(spark, currentGenDir(spark, root))
-    val keys = changes.select(col(key).cast("long").as("__k"))
+    // distinct in the key's NATIVE domain (exact net-row count for
+    // string keys too); touchedEntries embeds for the manifest prune
+    val keys = changes.select(col(key).as("__k"))
       .distinct().localCheckpoint(true)
     val nNet = keys.count()
     val touchedRows = touchedEntries(spark, m.entries, keys)
@@ -1017,6 +1089,10 @@ object MergeTable {
       evolveSchema: Boolean = false): (Int, Int, Long) = {
     val genDir0 = currentGenDir(spark, root)
     val m0 = genMeta(spark, genDir0)
+    // a wrong key param would carry old-key ranges next to new-key
+    // ranges in one manifest — every later prune silently wrong
+    require(key == m0.key,
+      s"merge key '$key' does not match the table's key '${m0.key}'")
     val cur = m0.entries
     val curDvs = m0.dvs
     val unionSchema = evolvedSchema(
@@ -1198,6 +1274,8 @@ object MergeTable {
       evolveSchema: Boolean = false): (Long, Int) = {
     val genDir0 = currentGenDir(spark, root)
     val m0 = genMeta(spark, genDir0)
+    require(key == m0.key,
+      s"merge key '$key' does not match the table's key '${m0.key}'")
     val cur = m0.entries
     val curDvs = m0.dvs
     val unionSchema = evolvedSchema(
@@ -1436,6 +1514,76 @@ object MergeTable {
         commitTsMillis = 2000L)
     }
     read(spark, root).orderBy(col("o_orderkey"))
+  }
+
+  /** t_merge_str_key — the ORACLED face of STRING merge keys: a table
+    * keyed on `ok = status || '-' || lpad(orderkey, 7, '0')` (the
+    * reference's own NoSQL PK is `id: STRING`,
+    * `cdk_infrastructure/__init__.py:287-289`) driven through the full
+    * lifecycle — create, a COW merge (updates ×2 on %10=3, deletes
+    * %10=7, an intra-batch seq conflict on %100=42, inserts under a new
+    * 'Z-' prefix), a MOR merge (DV deletes %10=9, repricing %100=55),
+    * and a predicate DELETE over a string-key band — then read back
+    * through the predicate path (string bounds → prefix-embedding
+    * manifest prune → exact residual). Keys differing only in their 7th
+    * digit share an 8-byte prefix, so embedding COLLISIONS are dense:
+    * any probe or prune that joined embeddings instead of exact keys
+    * would corrupt neighbors and break the hash. The oracle replays the
+    * same net effect in plain SQL. */
+  def mergeStrKeyQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("merge_str_key", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        concat(col("o_orderstatus"), lit("-"),
+          lpad(col("o_orderkey").cast("string"), 7, "0")).as("ok"),
+        col("o_orderkey"), col("o_custkey"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "ok", nFiles = 8, commitTsMillis = 1000L)
+      val payload = Seq(col("ok"), col("o_orderkey"), col("o_custkey"))
+      val updates = base.where(col("o_orderkey") % 10 === 3)
+        .select(payload :+ (col("price_cents") * 2).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val deletes = base.where(col("o_orderkey") % 10 === 7)
+        .select(payload :+ col("price_cents"): _*)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      val conflictA = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") * 3).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val conflictB = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") * 3 + 500).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(2L))
+      val inserts = base.where(col("o_orderkey") % 10 === 1)
+        .select(concat(lit("Z-"),
+          lpad(col("o_orderkey").cast("string"), 7, "0")).as("ok") +:
+          (col("o_orderkey") +: col("o_custkey") +:
+            (col("price_cents") + 100L).as("price_cents") +: Nil): _*)
+        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+      merge(spark, root, updates.unionByName(deletes).unionByName(conflictA)
+        .unionByName(conflictB).unionByName(inserts), "ok", nFiles = 4,
+        commitTsMillis = 2000L)
+      // MOR wave over DISJOINT keys (%10=9 deletes, %100=55 reprices):
+      // positional DVs + appends on the string-keyed manifest
+      val morDel = base.where(col("o_orderkey") % 10 === 9)
+        .select(payload :+ col("price_cents"): _*)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      val morUpd = base.where(col("o_orderkey") % 100 === 55)
+        .select(payload :+ (col("price_cents") + 7L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      mergeMor(spark, root, morDel.unionByName(morUpd), "ok", nFiles = 4,
+        commitTsMillis = 3000L)
+      // predicate DELETE over a string-key band: literal string bounds
+      // extract as embeddings, prune the manifest, residual exact
+      deleteWhere(spark, root,
+        col("ok").between("P-0000000", "P-0001999"),
+        commitTsMillis = 4000L)
+      ()
+    }
+    readWhere(spark, root, col("ok") >= "A").orderBy(col("ok"))
   }
 
   /** Oracled face of the OPTIMISTIC path ([[prepareMerge]] /
@@ -2112,6 +2260,16 @@ object MergeTable {
     val m0 = genMeta(spark, genDir0)
     val key = m0.key
     val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
+    // integral dims only: the u16 normalization multiplies the span by
+    // 65535, which overflows on a string PREFIX EMBEDDING's near-full-
+    // Long domain — garbage interleave bits. Refuse loudly; a string-
+    // keyed table clusters on integral dims via a surrogate.
+    Seq(key -> "key", dim2 -> "dim2").foreach { case (c, role) =>
+      require(df.schema(c).dataType !=
+        org.apache.spark.sql.types.StringType,
+        s"$face($root): $role column '$c' is a string — clustered " +
+          "compaction interleaves integral domains only")
+    }
     val b = df.agg(
       min(col(key).cast("long")), max(col(key).cast("long")),
       min(col(dim2).cast("long")), max(col(dim2).cast("long"))).head
@@ -2265,13 +2423,18 @@ object MergeTable {
       changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
     val genDir0 = Snapshots.genDir(root, g0)
     val m0 = genMeta(spark, genDir0)
+    require(key == m0.key,
+      s"merge key '$key' does not match the table's key '${m0.key}'")
     val cur = m0.entries
     val curDvs = m0.dvs
     val targetCols = m0.schema.map(_.fieldNames.toSeq).getOrElse(
       readFiles(spark, root, cur.take(1)).columns.toSeq)
     val net = netChanges(changes, key, targetCols)
-    val bounds = net.agg(min(col(key).cast("long")),
-      max(col(key).cast("long"))).head
+    // the conflict envelope lives in the manifest's order domain —
+    // embedding for string keys, same as the entry ranges C3 tests it
+    // against (coarser envelope = occasional false conflict, safe)
+    val kv = statVal(net.schema(key).dataType, col(key))
+    val bounds = net.agg(min(kv), max(kv)).head
     require(!bounds.isNullAt(0),
       s"prepareMerge($root): empty change set — nothing to merge")
     val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
