@@ -197,6 +197,7 @@ object SparkEntry {
     "t_merge_occ"           -> (streaming.MergeTable.mergeOccQuery _),
     "t_merge_evolve"        -> (streaming.MergeTable.mergeEvolveQuery _),
     "t_delete_where"        -> (streaming.MergeTable.deleteWhereQuery _),
+    "t_delete_auto"         -> (streaming.MergeTable.deleteAutoQuery _),
     "t_update_where"        -> (streaming.MergeTable.updateWhereQuery _),
     "t_optimize"            -> (streaming.MergeTable.optimizeQuery _),
     "t_sql_read"            -> (streaming.MergeTable.sqlReadQuery _),
@@ -2098,6 +2099,20 @@ object SparkEntry {
         |FROM base
         |WHERE NOT (o_orderkey % 10 = 4
         |           AND o_orderkey <= (SELECT mx // 2 FROM b))
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_delete_auto: stats-dispatched predicate deletes — a sparse
+    // delete (DV path, keys %10=6) composed with a majority delete
+    // (COW rewrite, price_cents %10 < 8); the rewrite reads through
+    // the DV (no resurrection) and the survivors are exactly the
+    // double-NOT of both predicates
+    "t_delete_auto" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base
+        |WHERE o_orderkey % 10 <> 6 AND price_cents % 10 >= 8
         |ORDER BY o_orderkey""".stripMargin,
     // t_update_where: predicate update (pruned COW) applied OVER the
     // delete — the rewrite reads through the DVs, so a deleted row

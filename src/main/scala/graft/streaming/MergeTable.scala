@@ -609,37 +609,86 @@ object MergeTable {
     * `DELETE FROM t WHERE ...` face; the reference's NoSQL path only
     * ever deletes by key, `load_data_to_dynamodb_lambda/handler.py:17`,
     * but curation at 100 TB deletes by PREDICATE: "drop every row
-    * matching X"). Merge-on-read shape: the manifest prunes to
-    * candidate files, ONLY those are scanned for matching positions,
-    * and one DV sidecar kills them — zero rewrites, zero reads of
-    * non-candidate files, cost ∝ candidates + matches. A no-match
-    * delete commits nothing (idempotent no-op). [[compact]] folds the
-    * DVs as usual; the change feed shows the deletes row-exactly.
-    * Returns rows deleted. */
+    * matching X"). STATS-DISPATCHED like [[mergeAuto]], because the two
+    * physical shapes fail in opposite regimes:
+    *
+    *   - merge-on-read (the trickle shape): manifest prunes to
+    *     candidate files, ONLY those are scanned for matching
+    *     positions, one DV sidecar kills them — zero rewrites, cost ∝
+    *     candidates + matches. But the DV is BORN match-count-sized:
+    *     a majority delete mints a vector every later read must
+    *     anti-join until a compaction folds it.
+    *   - scoped copy-on-write (the curation-purge shape): candidate
+    *     files are rewritten WITHOUT the matching rows (read through
+    *     the current DVs — no resurrection), every other file carries
+    *     by reference. Write ∝ survivors; reads stay DV-free.
+    *
+    * The ratio matches/candidate-rows (manifest `record_count`, zero
+    * extra reads) picks: above `rewriteAboveFraction` the DV would be
+    * a large standing read tax on mostly-dead files → rewrite; at or
+    * below it the delete is sparse and the sidecar wins. Legacy
+    * entries (rows = -1) price the denominator low, biasing toward
+    * the rewrite — the read-optimal default, same direction as
+    * [[mergeAuto]]. Rows are IDENTICAL on both paths (spec-pinned). A
+    * no-match delete commits nothing (idempotent no-op). [[compact]]
+    * folds the DVs as usual; the change feed shows the deletes
+    * row-exactly. Returns rows deleted. */
   def deleteWhere(spark: SparkSession, root: String, predicate: Column,
-      commitTsMillis: Long = System.currentTimeMillis()): Long = {
+      commitTsMillis: Long = System.currentTimeMillis(),
+      nFiles: Int = 4,
+      rewriteAboveFraction: Double = 0.5): Long = {
     val genDir = currentGenDir(spark, root)
     val m = genMeta(spark, genDir)
     val candidates = prunedByPredicate(spark, root, m, predicate)
     if (candidates.isEmpty) return 0L
-    val gen = Snapshots.nextGen(spark, root)
     val delRows = readFiles(spark, root, candidates, m.dvs, m.schema)
       .filter(predicate)
       .select(
         element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
         expr("_metadata.row_index").as("pos"))
       .localCheckpoint(true)
-    writeDv(spark, root, gen, delRows) match {
-      case None => 0L // predicate matched nothing: no new generation
-      case Some(dvName) =>
-        writeManifest(spark, root, gen, m.entries, m.key,
-          batchId = m.batchId,
-          dvs = m.dvs :+ dvName,
-          cstats = m.cstats,
-          schema = m.schema,
-          sbatch = m.sbatch)
-        Snapshots.commit(spark, root, gen, commitTsMillis)
-        spark.read.parquet(filePath(root, dvName)).count()
+    val matched = delRows.count()
+    if (matched == 0L) return 0L // predicate matched nothing: no commit
+    val candRows = candidates.map(e => math.max(0L, e.rows)).sum
+    if (matched.toDouble / math.max(1L, candRows).toDouble
+        > rewriteAboveFraction) {
+      // scoped COW rewrite (updateWhere's machinery, minus assignments):
+      // keep rows where the predicate is FALSE **or NULL** — the DV path
+      // deletes only TRUE matches, and the two paths must agree on
+      // three-valued logic or a null-predicate row silently vanishes
+      val schema = m.schema.getOrElse(
+        readFiles(spark, root, m.entries.take(1)).schema)
+      val kept = readFiles(spark, root, candidates, m.dvs, Some(schema))
+        .filter(!(predicate <=> lit(true)))
+        .select(schema.fieldNames.toSeq.map(col): _*)
+      val gen = Snapshots.nextGen(spark, root)
+      val (newEntries, newStats) =
+        writeFiles(spark, root, kept, m.key, gen, nFiles)
+      val candNames = candidates.map(_.name).toSet
+      val carried = m.entries.filterNot(e => candNames.contains(e.name))
+      val carriedNames = carried.map(_.name).toSet
+      writeManifest(spark, root, gen, carried ++ newEntries, m.key,
+        batchId = m.batchId,
+        dvs = if (carried.isEmpty) Seq.empty else m.dvs,
+        cstats = m.cstats.filter(s => carriedNames.contains(s.file)) ++ newStats,
+        schema = Some(schema),
+        sbatch = m.sbatch)
+      Snapshots.commit(spark, root, gen, commitTsMillis)
+      matched
+    } else {
+      val gen = Snapshots.nextGen(spark, root)
+      writeDv(spark, root, gen, delRows) match {
+        case None => 0L // unreachable: matched > 0
+        case Some(dvName) =>
+          writeManifest(spark, root, gen, m.entries, m.key,
+            batchId = m.batchId,
+            dvs = m.dvs :+ dvName,
+            cstats = m.cstats,
+            schema = m.schema,
+            sbatch = m.sbatch)
+          Snapshots.commit(spark, root, gen, commitTsMillis)
+          matched
+      }
     }
   }
 
@@ -743,24 +792,42 @@ object MergeTable {
 
   /** Merge-on-read over ANY parquet-backed scan of the table's files:
     * anti-join the scan against the union of the generation's DVs on
-    * (file name, row position). The DV relation is change-set-sized
-    * (broadcast side); `_metadata.row_index` is parquet's stable
-    * in-file position, so no key column is needed and duplicate DV rows
-    * (a position deleted twice across generations) are harmless to an
-    * anti-join. Shared by [[readFiles]] and the SQL path's
+    * (file name, row position). `_metadata.row_index` is parquet's
+    * stable in-file position, so no key column is needed and duplicate
+    * DV rows (a position deleted twice across generations) are harmless
+    * to an anti-join. Shared by [[readFiles]] and the SQL path's
     * manifest-FileIndex plan ([[graft.plans.MergeTableRelation]]) — DV
-    * rows naming files the scan pruned away are simply inert. */
+    * rows naming files the scan pruned away are simply inert.
+    *
+    * The join strategy is SIZE-GATED, not forced: DVs are usually
+    * change-set-sized (broadcast), but [[deleteWhere]]'s DV path mints a
+    * match-count-sized vector in ONE commit — a wide predicate delete
+    * on a 100 TB table (kill 5% → billions of positions) would make
+    * every later read broadcast an over-limit relation, a hard driver/
+    * executor memory ceiling maintenance can't prevent because the DV
+    * is born large. Under the session's autoBroadcastJoinThreshold
+    * (Spark's own on-disk-bytes convention for the same decision) the
+    * DV side is hinted broadcast; above it the hint is dropped and the
+    * planner picks a shuffled anti-join — rows identical either way.
+    * The |dvs| getFileStatus calls are metadata-sized and bounded by
+    * the compaction cadence (compact folds DVs away). */
   private[graft] def applyDvs(spark: SparkSession, root: String,
       base: DataFrame, dvs: Seq[String]): DataFrame = {
     val cols = base.columns.toSeq
     val dvDf = spark.read
       .parquet(dvs.map(filePath(root, _)): _*)
       .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val f = fs(spark, new Path(root))
+    val dvBytes = dvs.map(n =>
+      f.getFileStatus(new Path(filePath(root, n))).getLen).sum
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val dvSide = if (threshold > 0 && dvBytes <= threshold)
+      broadcast(dvDf) else dvDf
     base
       .withColumn("__file",
         element_at(split(expr("_metadata.file_path"), "/"), -1))
       .withColumn("__pos", expr("_metadata.row_index"))
-      .join(broadcast(dvDf),
+      .join(dvSide,
         col("__file") === col("__dv_file") && col("__pos") === col("__dv_pos"),
         "left_anti")
       .select(cols.map(col): _*)
@@ -1743,6 +1810,45 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** t_delete_auto — the ORACLED face of [[deleteWhere]]'s stats
+    * dispatch: gen 2 is a SPARSE delete (keys %10=6, ~10% of candidate
+    * rows) that must take the DV sidecar, gen 3 a MAJORITY delete
+    * (price_cents %10 < 8, ~80%) that must take the scoped COW rewrite —
+    * reading THROUGH gen 2's DV (no resurrection) and folding it away
+    * (post-rewrite generation carries zero DVs). Both dispatch decisions
+    * are REQUIRED, and the final read must hash-equal the composed
+    * logical state — a wrong dispatch that still returned the right
+    * rows would fail the requires; a right dispatch with row drift
+    * fails the oracle. */
+  def deleteAutoQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("delete_auto_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 6,
+        commitTsMillis = 1000L)
+      val nSparse = deleteWhere(spark, root, col("o_orderkey") % 10 === 6,
+        commitTsMillis = 2000L)
+      val mSparse = genMeta(spark, currentGenDir(spark, root))
+      require(nSparse > 0 && mSparse.dvs.size == 1,
+        s"delete_auto face: sparse delete should take the DV path " +
+          s"(deleted $nSparse, dvs ${mSparse.dvs.size})")
+      val nBulk = deleteWhere(spark, root, col("price_cents") % 10 < 8,
+        commitTsMillis = 3000L)
+      val mBulk = genMeta(spark, currentGenDir(spark, root))
+      require(nBulk > nSparse && mBulk.dvs.isEmpty,
+        s"delete_auto face: majority delete should take the COW rewrite " +
+          s"and fold the DV (deleted $nBulk, dvs ${mBulk.dvs.size})")
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** Oracled face of ADDITIVE SCHEMA EVOLUTION: a merge whose change
     * batch carries a column the table lacks (`o_flag`), applied with
     * `evolveSchema = true`. Updated rows carry the new value; every
@@ -2149,7 +2255,17 @@ object MergeTable {
     val gen = Snapshots.nextGen(spark, root)
     val (newEntries, newStats) =
       writeFiles(spark, root, packed, m.key, gen, nOut)
-    val carried = sized.collect { case (e, len) if len >= smallBytes => e }
+    // carried legacy entries get their bytes (already statused above)
+    // and rows (one columnless pass) stamped in the same commit — the
+    // opportunistic half of [[analyzeManifest]], so tables that predate
+    // the columns converge to honest [[mergeAuto]] pricing through
+    // ordinary maintenance
+    val carried0 = sized.collect { case (e, len) if len >= smallBytes =>
+      if (e.bytes >= 0) e else e.copy(bytes = len) }
+    val carriedCounts = rowCountsByFile(spark, root, carried0.filter(_.rows < 0))
+    val carried = carried0.map(e =>
+      if (e.rows >= 0) e
+      else e.copy(rows = carriedCounts.getOrElse(e.name, -1L)))
     val carriedNames = carried.map(_.name).toSet
     writeManifest(spark, root, gen, carried ++ newEntries, m.key,
       batchId = m.batchId,
@@ -2159,6 +2275,58 @@ object MergeTable {
       sbatch = m.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     (small.size, carried.size)
+  }
+
+  /** Per-file physical row counts for `entries`, in ONE columnless
+    * pass (the scan projects only `_metadata.file_path`, so parquet
+    * materializes no data columns — row-group metadata drives it).
+    * Counts are WRITTEN rows (DVs not applied) — the same quantity
+    * [[writeFiles]] stamps, so backfilled and fresh entries price
+    * identically in [[mergeAuto]]/[[deleteWhere]]. */
+  private def rowCountsByFile(spark: SparkSession, root: String,
+      entries: Seq[FileEntry]): Map[String, Long] = {
+    if (entries.isEmpty) return Map.empty
+    spark.read.parquet(entries.map(e => filePath(root, e.name)): _*)
+      .groupBy(element_at(split(expr("_metadata.file_path"), "/"), -1)
+        .as("file"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Backfill `rows` (and `bytes`) on legacy manifest entries — ones
+    * written before those columns existed (-1). Without this, a
+    * pre-rows table prices every candidate as 0 rows, so
+    * [[mergeAuto]]/[[deleteWhere]] can never choose merge-on-read no
+    * matter how large the rewrite would be. One columnless pass for
+    * the counts + one getFileStatus per legacy entry for the bytes;
+    * commits a METADATA-ONLY generation (no data files written, DVs
+    * and stats carried verbatim). Returns entries backfilled; 0 =
+    * nothing legacy, no commit. */
+  def analyzeManifest(spark: SparkSession, root: String,
+      commitTsMillis: Long = System.currentTimeMillis()): Int = {
+    val m = genMeta(spark, currentGenDir(spark, root))
+    val legacy = m.entries.filter(e => e.rows < 0 || e.bytes < 0)
+    if (legacy.isEmpty) return 0
+    val counts = rowCountsByFile(spark, root, legacy.filter(_.rows < 0))
+    val f = fs(spark, new Path(root))
+    val stamped = m.entries.map { e =>
+      val withRows =
+        if (e.rows >= 0) e
+        else e.copy(rows = counts.getOrElse(e.name, -1L))
+      if (withRows.bytes >= 0) withRows
+      else withRows.copy(bytes =
+        f.getFileStatus(new Path(filePath(root, e.name))).getLen)
+    }
+    val gen = Snapshots.nextGen(spark, root)
+    writeManifest(spark, root, gen, stamped, m.key,
+      batchId = m.batchId,
+      dvs = m.dvs,
+      cstats = m.cstats,
+      schema = m.schema,
+      sbatch = m.sbatch)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    legacy.size
   }
 
   /** OPTIMIZE's debt metric: small files in the current manifest —

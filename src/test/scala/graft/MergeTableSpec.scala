@@ -470,8 +470,12 @@ class MergeTableSpec extends AnyFunSuite {
       commitTsMillis = 10L)
     val namesBefore = MergeTable.currentManifest(spark, root)
       .map(_.name).toSet
+    // rewriteAboveFraction pinned high: this test is about the DV
+    // sidecar MECHANICS, and k<25 matches 100% of the one candidate
+    // file — the default dispatch would (correctly) choose the rewrite
     val n = MergeTable.deleteWhere(spark, root,
-      col("k") < 25L && col("tag") === "base", commitTsMillis = 20L)
+      col("k") < 25L && col("tag") === "base", commitTsMillis = 20L,
+      rewriteAboveFraction = 2.0)
     assert(n === 25L)
     // zero rewrites: every data file carried by name; one DV appeared
     val gd2 = s"$root/_gen-2"
