@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.streaming.{MergeTable, Snapshots}
+
+/** `merge-cdf` — the lake table's CHANGE DATA FEED as a Structured
+  * Streaming source: `spark.readStream.format("merge-cdf")
+  * .option("path", root).load()` serves every committed generation's
+  * [[graft.streaming.MergeTable.changesBetween]] diff as a micro-batch,
+  * so downstream incremental consumers are idiomatic Spark streams
+  * (watermarks, stateful ops, exactly-once sinks) instead of bespoke
+  * [[graft.streaming.ChangeFeed.drain]] wiring. This is Delta's
+  * `readChangeFeed` surface re-expressed over the manifest diff.
+  *
+  * Why the V1 `Source` API and not a DSv2 `MicroBatchStream`: a window
+  * of the feed is a DISTRIBUTED DataFrame (changed-file scans + DV-delta
+  * anti-joins, planned from manifests). V1 `getBatch` RETURNS a
+  * DataFrame — the data stays on executors under the plan the feed
+  * built, exactly like Spark's own `FileStreamSource`. A DSv2
+  * `PartitionReader` would have to funnel those rows through
+  * driver-planned partitions of its own, re-implementing the parquet
+  * scan ([[graft.streaming.ChangeFeed]] documents the same trade for
+  * the cursor face; this source is the `readStream` face over the same
+  * diff machinery).
+  *
+  * Contract:
+  *   - offsets are COMMITTED GENERATION ids ([[LongOffset]]), the
+  *     table's own replayable epochs, persisted in the stream's
+  *     checkpoint WAL — a restart replays the last uncommitted window
+  *     byte-identically ([[graft.streaming.MergeTable.changesBetween]]
+  *     is deterministic for retained generations);
+  *   - the first window of a fresh checkpoint is the BACKFILL (the
+  *     whole state-at-latest as inserts, i.e. `changesBetween(0, g)`),
+  *     unless `startGen` says to begin the diff at a known generation;
+  *   - retention is the replay budget: a checkpoint older than
+  *     [[graft.streaming.MergeTable.sweep]]'s floor fails LOUDLY at
+  *     `resolveAt` (the stream surfaces the error naming the available
+  *     generations) instead of silently skipping the gap — the same
+  *     contract a binlog/Kafka consumer lives with.
+  *
+  * Schema evolution note: the source's schema is fixed at stream start
+  * (the analyzed plan's shape cannot change mid-query — Spark's own
+  * rule); a generation that evolved the table's schema feeds columns
+  * the stream predates as nulls once restarted, and NEW columns require
+  * a stream restart to appear, same as Delta's CDF. */
+class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "merge-cdf"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        "merge-cdf: set .option(\"path\", <MergeTable root>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "merge-cdf: the schema comes from the table's recorded #schema " +
+        "— don't pass one")
+    (shortName(),
+      MergeTableCdf.feedSchema(sqlContext.sparkSession, rootOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val root = rootOf(parameters)
+    val startGen = parameters.get("startGen").map(_.toLong).getOrElse(0L)
+    require(startGen >= 0L, s"merge-cdf: startGen must be ≥ 0: $startGen")
+    new MergeTableCdfSource(sqlContext.sparkSession, root, startGen)
+  }
+}
+
+object MergeTableCdf {
+  /** The feed's shape: the CURRENT generation's recorded schema plus
+    * the `change` ∈ 'i'/'d' marker — computed from metadata only (the
+    * plan is built, never run). */
+  def feedSchema(spark: SparkSession, root: String): StructType = {
+    val latest = Snapshots.generations(spark, root).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"merge-cdf: no committed generations under $root — not a " +
+          "MergeTable (create it first)"))
+    MergeTable.changesBetween(spark, root, 0L, latest).schema
+  }
+}
+
+private class MergeTableCdfSource(spark: SparkSession, root: String,
+    startGen: Long) extends Source {
+
+  override val schema: StructType = MergeTableCdf.feedSchema(spark, root)
+
+  // any Offset shape (our LongOffset live, SerializedOffset off the
+  // checkpoint WAL after a restart) round-trips through json = the
+  // generation id in decimal
+  private def genOf(o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Long = o.json().trim.toLong
+
+  /** Latest committed generation, or None while nothing is newer than
+    * the stream's start — "no new data", so AvailableNow/
+    * processAllAvailable can drain and finish. */
+  override def getOffset: Option[V1Offset] =
+    Snapshots.generations(spark, root).maxOption
+      .filter(_ > startGen).map(LongOffset.apply)
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(genOf).getOrElse(startGen)
+    val to = genOf(end)
+    // changesBetween resolves BOTH generations via resolveAt — a swept
+    // `from` refuses loudly naming the retained generations, which the
+    // stream surfaces as the query's failure cause (replay budget
+    // exceeded; re-seed the consumer, don't silently skip the gap)
+    org.apache.spark.sql.graftshim.StreamingBatch.asStreaming(spark,
+      MergeTable.changesBetween(spark, root, from, to))
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{MergeTable, Snapshots}
+
+/** `merge-cdf` — the lake table's change data feed as a Structured
+  * Streaming source: streamed windows ≡ [[MergeTable.changesBetween]]
+  * across restarts (checkpointed generation offsets), `startGen` skips
+  * the backfill, and a swept replay window fails LOUDLY instead of
+  * silently skipping the gap. */
+class MergeTableCdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshWork(tag: String): String =
+    TestSpark.tempDir(s"graft-cdfsrc-$tag")
+
+  private def baseDf(n: Int) =
+    spark.range(n).select(col("id").as("k"),
+      (col("id") * 10).as("v"), lit("base").as("tag"))
+
+  /** Collected (k, v, tag, change) bag of a DataFrame. */
+  private def bag(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, String, String), Int] =
+    df.select(col("k"), col("v"), col("tag"), col("change"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+
+  /** Run the stream until drained, folding every micro-batch into one
+    * client-side bag (batches compose like drain windows do). */
+  private def drainStream(root: String, ckpt: String,
+      startGen: Option[Long] = None): Map[(Long, Long, String, String), Int] = {
+    val acc = scala.collection.mutable.Map[(Long, Long, String, String), Int]()
+    val rdr = spark.readStream.format("merge-cdf").option("path", root)
+    val src = startGen.fold(rdr)(g => rdr.option("startGen", g)).load()
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          bag(df).foreach { case (k, n) =>
+            acc(k) = acc.getOrElse(k, 0) + n }
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    acc.toMap
+  }
+
+  test("fresh checkpoint backfills, restarts deliver only new " +
+    "generations, an idle restart delivers nothing — ≡ changesBetween") {
+    val work = freshWork("restart")
+    val root = s"$work/table"
+    val ckpt = s"$work/ckpt"
+    MergeTable.create(spark, root, baseDf(60), "k", nFiles = 3,
+      commitTsMillis = 10L)
+    MergeTable.merge(spark, root, Seq(
+      ("u", 1L, 7L, 700L, "upd"),
+      ("d", 1L, 13L, 0L, ""),
+      ("c", 1L, 200L, 42L, "new")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    val g2 = Snapshots.generations(spark, root).max
+    // window 1: a fresh checkpoint sees the whole current state as the
+    // backfill (changesBetween(0, latest) — inserts only)
+    val got1 = drainStream(root, ckpt)
+    assert(got1 === bag(MergeTable.changesBetween(spark, root, 0L, g2)))
+    assert(got1.keys.forall(_._4 == "i"), "backfill is inserts only")
+
+    // commits while NO stream runs; the restarted checkpoint delivers
+    // exactly the delta (the MOR wave's DV deletes included)
+    MergeTable.mergeMor(spark, root, Seq(
+      ("d", 1L, 2L, 0L, ""),
+      ("u", 1L, 5L, 555L, "mor")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 30L)
+    val g3 = Snapshots.generations(spark, root).max
+    val got2 = drainStream(root, ckpt)
+    assert(got2 === bag(MergeTable.changesBetween(spark, root, g2, g3)))
+    assert(got2.exists(_._1._4 == "d"), "the delta carries deletes")
+
+    // idle restart: offsets unchanged, zero windows
+    assert(drainStream(root, ckpt) === Map.empty)
+  }
+
+  test("startGen skips the backfill: the first window diffs from the " +
+    "named generation") {
+    val work = freshWork("startgen")
+    val root = s"$work/table"
+    MergeTable.create(spark, root, baseDf(40), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val g1 = Snapshots.generations(spark, root).max
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 3L, 333L, "upd")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    val g2 = Snapshots.generations(spark, root).max
+    val got = drainStream(root, s"$work/ckpt", startGen = Some(g1))
+    assert(got === bag(MergeTable.changesBetween(spark, root, g1, g2)))
+    // the re-filed unchanged rows cancel: only k=3's d+i pair remains
+    assert(got.keySet.map(_._1) === Set(3L))
+  }
+
+  test("a swept replay window fails loudly naming the retained " +
+    "generations; schema refusals are loud too") {
+    val work = freshWork("swept")
+    val root = s"$work/table"
+    val ckpt = s"$work/ckpt"
+    MergeTable.create(spark, root, baseDf(30), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    drainStream(root, ckpt) // checkpoint now points at generation 1
+    // two more commits, then sweep so generation 1 is GONE
+    Seq((50L, 20L), (51L, 30L)).foreach { case (k, ts) =>
+      MergeTable.merge(spark, root,
+        Seq(("c", 1L, k, k, "new")).toDF("op", "seq", "k", "v", "tag"),
+        "k", commitTsMillis = ts)
+    }
+    MergeTable.sweep(spark, root, retainPredecessors = 0)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainStream(root, ckpt)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(messages(e).exists(m => m.contains("generation")),
+      s"refusal should name generations, got: ${messages(e).mkString(" | ")}")
+
+    // a non-table root refuses at source construction
+    val bad = intercept[Exception] {
+      spark.readStream.format("merge-cdf")
+        .option("path", s"$work/nothing").load()
+    }
+    assert(bad.getMessage != null)
+  }
+}
