@@ -186,10 +186,12 @@ object SparkEntry {
     "t_scd2_apply"          -> (cdc.Scd2Apply.batchQuery _),
     "t_merge_into"          -> (streaming.MergeTable.mergeOrdersQuery _),
     "t_merge_str_key"       -> (streaming.MergeTable.mergeStrKeyQuery _),
+    "t_merge_composite"     -> (streaming.MergeTable.mergeCompositeQuery _),
     "t_merge_read_pruned"   -> (streaming.MergeTable.mergeReadPrunedQuery _),
     "t_merge_read_str"      -> (streaming.MergeTable.mergeReadStringPrunedQuery _),
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
     "t_hilbert_read"        -> (streaming.MergeTable.hilbertReadQuery _),
+    "t_cluster3d_read"      -> (streaming.MergeTable.cluster3dReadQuery _),
     "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
     "t_merge_auto"          -> (streaming.MergeTable.mergeAutoQuery _),
     "t_lake_agg_view"       -> (streaming.LakeAggView.lakeAggViewQuery _),
@@ -203,6 +205,7 @@ object SparkEntry {
     "t_sql_read"            -> (streaming.MergeTable.sqlReadQuery _),
     "t_sql_merge"           -> (streaming.MergeTable.sqlMergeQuery _),
     "t_sql_insert"          -> (streaming.MergeTable.sqlInsertQuery _),
+    "t_sql_create"          -> (streaming.MergeTable.sqlCreateQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -2049,6 +2052,19 @@ object SparkEntry {
         |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    // t_sql_create: the catalog DDL lifecycle — CREATE TABLE USING
+    // graft, INSERT INTO (V2 AppendData), MERGE INTO on the qualified
+    // name (delete %10=7, reprice %10=3), read back via catalog SELECT
+    "t_sql_create" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |            ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
     // t_merge_occ: two optimistic writers from one base snapshot —
     // A updates low keys, B deletes high keys + inserts beyond the
     // domain; disjoint, so the serial replay is order-free. The
@@ -2100,6 +2116,26 @@ object SparkEntry {
         |WHERE NOT (o_orderkey % 10 = 4
         |           AND o_orderkey <= (SELECT mx // 2 FROM b))
         |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_composite: tuple identity on (l_orderkey, l_linenumber) —
+    // update targets (k,1) only, delete kills (k%10=7, line≥4) keeping
+    // lower lines, insert reuses an existing leading key with line 8
+    "t_merge_composite" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         max(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS qty_cents,
+        |         min(l_returnflag) AS l_returnflag
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_linenumber = 1 AND l_orderkey % 10 = 3
+        |            THEN qty_cents + 100 ELSE qty_cents END AS qty_cents,
+        |       l_returnflag
+        |FROM base
+        |WHERE NOT (l_orderkey % 10 = 7 AND l_linenumber >= 4)
+        |UNION ALL
+        |SELECT DISTINCT l_orderkey, 8 AS l_linenumber,
+        |       CAST(42 AS BIGINT) AS qty_cents, 'Z' AS l_returnflag
+        |FROM base WHERE l_orderkey % 100 = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // t_delete_auto: stats-dispatched predicate deletes — a sparse
     // delete (DV path, keys %10=6) composed with a majority delete
     // (COW rewrite, price_cents %10 < 8); the rewrite reads through
@@ -2212,6 +2248,17 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
         |      BETWEEN 1000000 AND 5000000
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_cluster3d_read: a 2-of-3-dims band (custkey × price) off the
+    // n-dim-clustered copy — pruning may change which files open,
+    // never which rows return
+    "t_cluster3d_read" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey BETWEEN 20 AND 80
+        |  AND CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        |      BETWEEN 10000000 AND 20000000
         |ORDER BY o_orderkey""".stripMargin,
     // t_bloom_read: the same price band's minimum over keys 100-200 is
     // the probe value; the oracle recomputes the equality slice from

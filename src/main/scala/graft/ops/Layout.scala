@@ -162,13 +162,31 @@ object Layout {
     * honest cheap choice (min/max come from stats the warehouse already
     * has); heavily skewed dimensions want equi-DEPTH boundaries from a
     * quantile sample — same interleave, different normalization. */
-  private[graft] def norm16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+  private[graft] def norm16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+    normBits(c, lo, hi, 16)
+
+  /** [[norm16]] generalized to an arbitrary bit budget — the dimension
+    * normalization feeding [[graft.functions.InterleaveN]]'s n-way
+    * split (21 bits at n=3, 15 at n=4). The `span × (2^bits − 1)`
+    * product must stay under 2⁶³ for the long arithmetic to hold its
+    * monotonicity guarantee, so an oversized span refuses loudly (pre-
+    * scale the dimension — epoch micros → seconds — instead of letting
+    * a silent overflow scramble tile locality). */
+  private[graft] def normBits(c: org.apache.spark.sql.Column,
+      lo: Long, hi: Long, bits: Int) = {
     import org.apache.spark.sql.graft.ColumnBridge
+    require(bits >= 1 && bits <= 62, s"normBits: bit budget $bits")
+    val scale = (1L << bits) - 1L
     if (hi <= lo) lit(0L)
-    else ColumnBridge.column(
-      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        ColumnBridge.expression((c.cast("long") - lit(lo)) * lit(65535L)),
-        ColumnBridge.expression(lit(hi - lo))))
+    else {
+      require(hi - lo <= Long.MaxValue / scale,
+        s"normBits: span ${hi - lo} × $scale overflows — pre-scale the " +
+          "dimension (e.g. micros → seconds) before clustering on it")
+      ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          ColumnBridge.expression((c.cast("long") - lit(lo)) * lit(scale)),
+          ColumnBridge.expression(lit(hi - lo))))
+    }
   }
 
   /** Write events Z-ORDER clustered on (user_id, ts): both dimensions

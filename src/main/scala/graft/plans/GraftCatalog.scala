@@ -1,0 +1,210 @@
+package graft.plans
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.streaming.{MergeTable, Snapshots}
+
+/** A DataSource V2 `TableCatalog` over [[graft.streaming.MergeTable]]
+  * roots — the SQL-citizenship face the conf registry
+  * ([[SnapshotSqlCatalog.registerMerge]]) cannot give: tables are
+  * CREATED, LISTED and DROPPED in plain SQL, visible to `SHOW TABLES`,
+  * addressable by catalog-qualified name from any session that shares
+  * the warehouse directory.
+  *
+  * {{{
+  *   spark.sql.catalog.lake           = graft.plans.GraftCatalog
+  *   spark.sql.catalog.lake.warehouse = s3://bucket/lake
+  *
+  *   CREATE TABLE lake.orders (o_orderkey BIGINT, price_cents BIGINT)
+  *     USING graft TBLPROPERTIES ('key' = 'o_orderkey')
+  *   SHOW TABLES IN lake
+  *   SELECT * FROM lake.orders [VERSION AS OF 3]
+  *   MERGE INTO / INSERT INTO / UPDATE / DELETE FROM lake.orders ...
+  *   DROP TABLE lake.orders
+  * }}}
+  *
+  * Design: the catalog is a THIN directory mapping — a table named `t`
+  * IS the MergeTable at `<warehouse>/t`, discovered by its committed
+  * generations (the manifest is the schema authority, so there is no
+  * second metadata store to drift; the same move Delta makes with the
+  * path-is-the-table rule). `loadTable` returns a [[GraftTable]] handle
+  * with NO native read/write capability on purpose: every read and DML
+  * resolves through [[SnapshotTimeTravelRule]]'s rewrites onto the
+  * manifest-pruned, DV-applied plans the API faces use — one read path,
+  * not two ([[MergeTableRelation]]'s FileIndex does the pruning either
+  * way). `CREATE TABLE` also registers the bare table name in the
+  * session registry, so the `history('t')` / `changes('t', a, b)` table
+  * functions and bare-name statements compose immediately.
+  *
+  * Reference grounding: the reference provisions its warehouse DDL
+  * out-of-band and idempotently (`source/sql_to_redshift_ingestion/
+  * handler.py:23-40`, CREATE TABLE IF NOT EXISTS per pipeline start) —
+  * here the same idempotence is the catalog's `IF NOT EXISTS` clause
+  * over a real listable catalog. */
+class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs a warehouse directory: set " +
+          s"spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Single flat namespace: `lake.t` (namespace []) and `lake.default.t`
+    * both address `<warehouse>/t`; anything deeper refuses loudly. */
+  private def requireNamespace(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(ns)
+
+  private def rootOf(ident: Identifier): String = {
+    requireNamespace(ident.namespace())
+    s"$warehouse/${ident.name.toLowerCase(java.util.Locale.ROOT)}"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireNamespace(namespace)
+    val wh = new Path(warehouse)
+    val f = fs(wh)
+    if (!f.exists(wh)) return Array.empty
+    f.listStatus(wh).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => Snapshots.currentGen(spark, s"$warehouse/$n").nonEmpty)
+      .sorted
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try Snapshots.currentGen(spark, rootOf(ident)).nonEmpty
+    catch { case _: NoSuchNamespaceException => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (Snapshots.currentGen(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    GraftTable.at(spark, root, ident.name, pinnedDir = None)
+  }
+
+  /** `SELECT ... FROM lake.t VERSION AS OF <g>` — Spark routes the
+    * clause here for catalog tables; the handle pins the generation
+    * directory and the resolution rule reads it manifest-directed and
+    * DV-applied ([[graft.streaming.MergeTable.readResolved]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val g = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF over ${ident.name} takes a generation number; " +
+          s"got '$version'"))
+    GraftTable.at(spark, root, ident.name,
+      pinnedDir = Some(Snapshots.resolveAt(spark, root, g)))
+  }
+
+  /** `TIMESTAMP AS OF` — micros since epoch arrive here; the same
+    * at-or-before resolution (+ loud pre-window refusal) as the API. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident)
+    GraftTable.at(spark, root, ident.name,
+      pinnedDir = Some(Snapshots.resolveAsOf(spark, root,
+        Math.floorDiv(timestampMicros, 1000L))))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      Seq(catName) ++ ident.namespace() :+ ident.name)
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"CREATE TABLE ${ident.name} USING graft: PARTITIONED BY/" +
+        "CLUSTERED BY are not supported — a merge table is key-range-" +
+        "organized; declare the key with TBLPROPERTIES ('key' = '<col>')")
+    val key = Option(properties.get("key"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "key")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE ${ident.name} USING graft requires the merge key: " +
+          "TBLPROPERTIES ('key' = '<column>')"))
+    // external LOCATION is refused rather than half-honored: the
+    // catalog's contract is name ⟺ <warehouse>/<name> (DROP and
+    // re-discovery depend on it)
+    if (properties.containsKey(TableCatalog.PROP_LOCATION))
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE ${ident.name} USING graft: LOCATION is not " +
+          s"supported — the table lives at <warehouse>/${ident.name}; " +
+          "register an external root with SnapshotSqlCatalog.registerMerge")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    MergeTable.create(spark, root, empty, key)
+    // bare-name composition: history('t') / changes('t', ...) and
+    // bare-name DML statements work immediately in this session
+    SnapshotSqlCatalog.registerMerge(spark, ident.name, root)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE on merge table ${ident.name} is not supported — " +
+        "additive schema evolution goes through merge(evolveSchema = true)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    if (Snapshots.currentGen(spark, root).isEmpty) return false
+    fs(new Path(root)).delete(new Path(root), true)
+    SnapshotSqlCatalog.unregisterMerge(spark, ident.name)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported on the graft catalog — the table " +
+        "name IS its directory; copy-create-drop explicitly if needed")
+}
+
+/** The catalog's table handle: schema from the (pinned or current)
+  * generation's manifest, NO native capabilities — reads and DML are
+  * rewritten by [[SnapshotTimeTravelRule]] onto the manifest-pruned,
+  * DV-applied plans, so the catalog path and the registry path share
+  * ONE read/write implementation. */
+final case class GraftTable(root: String, tableName: String,
+    tableSchema: StructType, key: String, pinnedDir: Option[String])
+    extends Table {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("key", key)
+    m.put(TableCatalog.PROP_LOCATION, root)
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m
+  }
+}
+
+object GraftTable {
+  def at(spark: SparkSession, root: String, name: String,
+      pinnedDir: Option[String]): GraftTable = {
+    val dir = pinnedDir.getOrElse(Snapshots.resolve(spark, root))
+    val m = MergeTable.genMeta(spark, dir)
+    val schema = m.schema.getOrElse(
+      MergeTable.readResolved(spark, root, dir).schema)
+    GraftTable(root, name, schema, m.key, pinnedDir)
+  }
+}

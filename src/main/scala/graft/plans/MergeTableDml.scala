@@ -245,6 +245,10 @@ object MergeTableDml {
       val mt = graft.streaming.MergeTable
       // ONE manifest fetch serves key, schema and the PK probe
       val meta = mt.currentMeta(session, root)
+      if (meta.key.contains(',')) refuse(
+        s"INSERT INTO $table: the table is composite-keyed " +
+          s"(${meta.key}) — SQL INSERT supports single-column keys " +
+          "today; drive composite-keyed tables through the merge API")
       val tgtSchema = meta.schema.getOrElse(mt.read(session, root).schema)
       val tCols = tgtSchema.fieldNames.toSeq
       val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
@@ -341,6 +345,10 @@ object MergeTableDml {
         "UPDATE DML's job")
     // ONE manifest fetch serves key and schema (not one GET per face)
     val meta = graft.streaming.MergeTable.currentMeta(spark, root)
+    if (meta.key.contains(',')) refuse(
+      s"MERGE INTO $table: the table is composite-keyed (${meta.key}) — " +
+        "SQL MERGE supports single-column keys today; drive composite-" +
+        "keyed tables through the merge API")
     val tCols = meta.schema.map(_.fieldNames.toSeq).getOrElse(
       graft.streaming.MergeTable.read(spark, root).schema.fieldNames.toSeq)
     // the qualifier star-expansion needs: the source's alias or name
@@ -374,9 +382,9 @@ object MergeTableDml {
       val ps = assigns.map { a =>
         stripQualifiers(a.key, quals) match {
           case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-            resolveCol(u.nameParts.head, context) -> a.value.sql
+            resolveCol(u.nameParts.head, context) -> rebindAlias(a.value).sql
           case ar: AttributeReference =>
-            resolveCol(ar.name, context) -> a.value.sql
+            resolveCol(ar.name, context) -> rebindAlias(a.value).sql
           case other => refuse(
             s"MERGE INTO $table $context assigns ${other.sql} — only " +
               "top-level columns of the table are assignable")
@@ -387,19 +395,24 @@ object MergeTableDml {
         s"MERGE INTO $table $context assigns ${dup.mkString(", ")} more than once")
       ps
     }
+    // clause expressions travel alias-qualified ([[rebindAlias]]): on
+    // the catalog path they arrive RESOLVED, and a bound attribute's
+    // .sql prints catalog-deep qualifiers the command frames don't have
+    def condSql(cond: Option[org.apache.spark.sql.catalyst.expressions
+        .Expression]): Option[String] = cond.map(c => rebindAlias(c).sql)
     val matched: Seq[SqlMergeClause] = m.matchedActions.map {
-      case DeleteAction(cond) => SqlDelete(cond.map(_.sql))
+      case DeleteAction(cond) => SqlDelete(condSql(cond))
       case UpdateAction(cond, assigns, _) =>
         val ps = pairs(assigns, "UPDATE")
         if (ps.exists(_._1 == key)) refuse(
           s"MERGE INTO $table: UPDATE must not assign the merge key " +
             s"'$key' — a COW merge addresses rows by key")
-        SqlUpdate(cond.map(_.sql), ps)
+        SqlUpdate(condSql(cond), ps)
       case UpdateStarAction(cond) =>
         // every non-key column from the source's same name (the key
         // keeps the target value — under the ON equality it is equal
         // anyway, and a key REWRITE is refused just above)
-        SqlUpdate(cond.map(_.sql),
+        SqlUpdate(condSql(cond),
           tCols.filterNot(_ == key).map(c => c -> s"`$starQual`.`$c`"))
       case other => refuse(
         s"MERGE INTO $table: unsupported WHEN MATCHED action " +
@@ -410,16 +423,43 @@ object MergeTableDml {
         val ps = pairs(assigns, "INSERT")
         if (!ps.exists(_._1 == key)) refuse(
           s"MERGE INTO $table: INSERT must assign the merge key '$key'")
-        SqlInsert(cond.map(_.sql), ps)
+        SqlInsert(condSql(cond), ps)
       case InsertStarAction(cond) =>
-        SqlInsert(cond.map(_.sql), tCols.map(c => c -> s"`$starQual`.`$c`"))
+        SqlInsert(condSql(cond), tCols.map(c => c -> s"`$starQual`.`$c`"))
       case other => refuse(
         s"MERGE INTO $table: unsupported WHEN NOT MATCHED action " +
           other.getClass.getSimpleName)
     }
     MergeTableMergeCommand(root, table, targetAlias, m.sourceTable,
-      m.mergeCondition.sql, matched, notMatched)
+      rebindAlias(m.mergeCondition).sql, matched, notMatched)
   }
+
+  /** RESOLVED attribute references → bare unresolved names. On the
+    * conf-registry path DML expressions arrive unresolved (no catalog
+    * claims the name, so the built-in resolver leaves everything
+    * alone); on the [[GraftCatalog]] path ResolveReferences has ALREADY
+    * bound them to the V2 relation's output by the time extended rules
+    * fire — and a bound attribute's `.sql` prints its full qualifier
+    * (`lake`.`t`.`k`), which cannot re-parse against the command's bare
+    * table frame. DELETE/UPDATE frames carry exactly the table's
+    * columns, so the bare name is always unambiguous. */
+  def rebindBare(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transform {
+      case ar: AttributeReference => UnresolvedAttribute(Seq(ar.name))
+    }
+
+  /** [[rebindBare]]'s two-frame sibling for MERGE: keep the LAST
+    * qualifier part (the alias level — `lake`.`t`.`k` → `t`.`k`), so
+    * target references resolve against the command's aliased target
+    * frame and source references against the source's own alias, and
+    * same-named columns on the two sides stay unambiguous. */
+  def rebindAlias(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transform {
+      case ar: AttributeReference =>
+        UnresolvedAttribute(ar.qualifier.takeRight(1) :+ ar.name)
+    }
 
   /** Strip table/alias qualifiers off attribute references: the command
     * re-parses expressions against the BARE table frame, where
@@ -447,9 +487,10 @@ object MergeTableDml {
       throw new org.apache.spark.sql.AnalysisException(
         "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
     val pairs = assigns.map { a =>
-      stripQualifiers(a.key, quals) match {
+      stripQualifiers(rebindBare(a.key), quals) match {
         case u: UnresolvedAttribute if u.nameParts.size == 1 =>
-          u.nameParts.head -> stripQualifiers(a.value, quals).sql
+          u.nameParts.head ->
+            stripQualifiers(rebindBare(a.value), quals).sql
         case other => refuse(
           s"UPDATE on merge table $table assigns ${other.sql} — only " +
             "top-level columns of the table are assignable")

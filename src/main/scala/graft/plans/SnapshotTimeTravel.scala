@@ -41,10 +41,15 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
     throw new AnalysisException("USER_RAISED_EXCEPTION",
       Map("errorMessage" -> msg))
 
-  /** A REGISTERED merge-table relation, bare or under the alias the
-    * statement gave it (`DELETE FROM lake AS t ...` wraps the relation
-    * in a SubqueryAlias): (statement-visible name, qualifier spellings
-    * to strip from expressions, root). */
+  /** A merge-table relation — a conf-REGISTERED name (unresolved, since
+    * no real catalog claims it) or a [[GraftCatalog]] table (already a
+    * DataSourceV2Relation by the time extended rules run: the built-in
+    * ResolveRelations fires earlier in the same fixed-point iteration) —
+    * bare or under the alias the statement gave it (`DELETE FROM lake
+    * AS t ...` wraps the relation in a SubqueryAlias, and a catalog
+    * reference is ALWAYS alias-wrapped by the resolver): (statement-
+    * visible name, qualifier spellings to strip from expressions,
+    * root). */
   private object MergeRel {
     def unapply(p: LogicalPlan): Option[(String, Set[String], String)] = {
       def of(u: UnresolvedRelation, extra: Seq[String]) =
@@ -53,10 +58,29 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (n, (n +: extra).map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
             root)
         }
+      def ofV2(t: GraftTable, extra: Seq[String]) =
+        Some((t.tableName,
+          (t.tableName +: extra).map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
+          t.root))
       p match {
         case u: UnresolvedRelation => of(u, Seq.empty)
         case org.apache.spark.sql.catalyst.plans.logical
             .SubqueryAlias(id, u: UnresolvedRelation) => of(u, Seq(id.name))
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          ofV2(r.table.asInstanceOf[GraftTable], Seq.empty)
+        case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id,
+            r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation) if r.table.isInstanceOf[GraftTable] =>
+          ofV2(r.table.asInstanceOf[GraftTable], Seq(id.name))
+        // a user alias OVER the resolver's own catalog alias:
+        // `DELETE FROM lake.t AS x`
+        case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(outer,
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(inner,
+              r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2Relation)) if r.table.isInstanceOf[GraftTable] =>
+          ofV2(r.table.asInstanceOf[GraftTable],
+            Seq(outer.name, inner.name))
         case _ => None
       }
     }
@@ -131,12 +155,14 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case org.apache.spark.sql.catalyst.plans.logical
           .DeleteFromTable(MergeRel(name, quals, root), cond) =>
         MergeTableDml.MergeTableDeleteCommand(root,
-          MergeTableDml.stripQualifiers(cond, quals).sql)
+          MergeTableDml.stripQualifiers(
+            MergeTableDml.rebindBare(cond), quals).sql)
       case org.apache.spark.sql.catalyst.plans.logical
           .UpdateTable(MergeRel(name, quals, root), assigns, cond) =>
         MergeTableDml.MergeTableUpdateCommand(root,
           MergeTableDml.assignmentPairs(assigns, name, quals),
-          cond.map(c => MergeTableDml.stripQualifiers(c, quals).sql))
+          cond.map(c => MergeTableDml.stripQualifiers(
+            MergeTableDml.rebindBare(c), quals).sql))
       // `INSERT INTO lake [(cols)|BY NAME] <query>` — a pure 'c' change
       // batch with the ANSI primary-key contract enforced (the table is
       // keyed; the upsert verb is MERGE). OVERWRITE/partition clauses
@@ -153,6 +179,27 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "the merge table is key-range-organized, not partitioned")
         MergeTableDml.MergeTableInsertCommand(root, name, cols, byName,
           i.query)
+      // the CATALOG spelling of INSERT: by the time extended rules run,
+      // ResolveInsertInto has already turned `INSERT INTO lake.t ...`
+      // into AppendData over the V2 relation, with the query projected/
+      // cast to the table's full width (column lists and BY NAME are
+      // normalized there) — so the command takes it positionally
+      case a: org.apache.spark.sql.catalyst.plans.logical.AppendData
+          if MergeRel.unapply(a.table).isDefined =>
+        val (name, _, root) = MergeRel.unapply(a.table).get
+        MergeTableDml.MergeTableInsertCommand(root, name,
+          cols = Seq.empty, byName = false, a.query)
+      case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+          if MergeRel.unapply(o.table).isDefined =>
+        refuse(s"INSERT OVERWRITE on merge table " +
+          s"${MergeRel.unapply(o.table).get._1} is not supported — a " +
+          "keyed table replaces rows through MERGE/UPDATE, or rebuilds " +
+          "through create")
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic if MergeRel.unapply(o.table).isDefined =>
+        refuse(s"dynamic-partition INSERT OVERWRITE on merge table " +
+          s"${MergeRel.unapply(o.table).get._1} is not supported — the " +
+          "merge table is key-range-organized, not partitioned")
       // `MERGE INTO lake [AS t] USING src ON ... WHEN ...` — the verb a
       // warehouse lives on (the reference's whole pipeline IS a merge:
       // load_s3_files_…/handler.py:86-95). Lowered onto the COW
@@ -183,6 +230,36 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // where MergeTable.readWhere consults the manifest's ranges and
       // blooms with zero reads; predicate-heavy serving should use
       // readWhere or the DML faces, which prune planner-side.
+      // ---- GraftCatalog reads: swap the capability-less V2 handle ----
+      // `SELECT * FROM lake.t [VERSION/TIMESTAMP AS OF ...]` resolves
+      // through the catalog to DataSourceV2Relation(GraftTable) — here
+      // it becomes the SAME manifest-pruned, DV-applied plan the
+      // registry path uses (readResolved for a pinned generation,
+      // MergeTableRelation's FileIndex otherwise). References above were
+      // already bound to the V2 relation's attribute ids earlier in this
+      // fixed-point iteration, so the swap restores them with an
+      // id-preserving Project (the FileStreamSource-era relation-swap
+      // discipline: never orphan a bound reference).
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val resolved = t.pinnedDir match {
+          case Some(dir) => graft.streaming.MergeTable
+            .readResolved(spark, t.root, dir).queryExecution.analyzed
+          case None => MergeTableRelation.resolve(spark, t.root)
+        }
+        val byName = resolved.output
+          .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap
+        val restored = r.output.map { o =>
+          val a = byName.getOrElse(o.name.toLowerCase(java.util.Locale.ROOT),
+            refuse(s"catalog table ${t.tableName}: column ${o.name} " +
+              "vanished between catalog resolution and the manifest read " +
+              "— concurrent non-additive schema change?"))
+          org.apache.spark.sql.catalyst.expressions.Alias(a, o.name)(
+            exprId = o.exprId, qualifier = o.qualifier)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Project(restored, resolved)
+
       case u: UnresolvedRelation
           if SnapshotSqlCatalog.mergeRootOf(spark, u.multipartIdentifier).isDefined =>
         // DV-free generations plan over MergeTableFileIndex: the WHERE's
@@ -298,6 +375,11 @@ object SnapshotSqlCatalog {
     * then reads manifest-directed and DV-applied, not directory-raw. */
   def registerMerge(spark: SparkSession, name: String, root: String): Unit =
     spark.conf.set(MergePrefix + name.toLowerCase(java.util.Locale.ROOT), root)
+
+  /** Drop a merge registration (the [[GraftCatalog]] DROP TABLE hook);
+    * a name that was never registered is a no-op. */
+  def unregisterMerge(spark: SparkSession, name: String): Unit =
+    spark.conf.unset(MergePrefix + name.toLowerCase(java.util.Locale.ROOT))
 
   def rootOf(spark: SparkSession, nameParts: Seq[String]): Option[String] =
     if (nameParts.size != 1) None

@@ -91,34 +91,57 @@ object MergeTable {
     case _ => c.cast("long")
   }
 
-  /** Key types [[create]] accepts: integral (exact 64-bit manifest
-    * ranges) and string (order-preserving prefix embedding + exact-key
-    * residuals on every probe). Everything else is refused LOUDLY at
-    * create — the alternative is a table whose manifest ranges are
-    * silently null/garbage and whose merges lose rows. The reference's
-    * own NoSQL source keys on `id: STRING`
+  /** COMPOSITE merge keys: the manifest's `#key=` line holds a
+    * comma-separated column list (`order_id,line_no` — the CDC shape of
+    * real warehouse fact tables). Identity (netting, anti/semi joins,
+    * PK probes) is the full TUPLE; the manifest's per-file [min,max]
+    * range covers the LEADING column only (files are range-partitioned
+    * in tuple-lex order, so the leading range is tight), and the
+    * TRAILING key columns ride the ordinary `#cstat` machinery — a
+    * predicate on either column still skips files. ONE parsing point
+    * so no consumer can split the list differently. */
+  private[graft] def keyCols(key: String): Seq[String] = {
+    val cols = key.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, s"empty merge key spec: '$key'")
+    cols
+  }
+
+  /** The leading key column — the manifest-range/prepartition driver. */
+  private[graft] def leadKey(key: String): String = keyCols(key).head
+
+  /** Key types [[create]] accepts (each column of a composite key):
+    * integral (exact 64-bit manifest ranges) and string
+    * (order-preserving prefix embedding + exact-key residuals on every
+    * probe). Everything else is refused LOUDLY at create — the
+    * alternative is a table whose manifest ranges are silently
+    * null/garbage and whose merges lose rows. The reference's own NoSQL
+    * source keys on `id: STRING`
     * (`cdk_infrastructure/__init__.py:287-289`). */
   private def requireKeyType(key: String,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     import org.apache.spark.sql.types._
-    require(schema.fieldNames.contains(key),
-      s"merge key '$key' is not a column: ${schema.fieldNames.mkString(", ")}")
-    schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => ()
-      case other => throw new IllegalArgumentException(
-        s"merge key '$key' has unsupported type ${other.simpleString} — " +
-          "supported key types: byte/short/int/long (exact manifest " +
-          "ranges) and string (order-preserving prefix-embedding " +
-          "ranges); key on a surrogate or cast the column first")
+    keyCols(key).foreach { k =>
+      require(schema.fieldNames.contains(k),
+        s"merge key column '$k' is not a column: " +
+          schema.fieldNames.mkString(", "))
+      schema(k).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"merge key column '$k' has unsupported type " +
+            s"${other.simpleString} — supported key types: byte/short/" +
+            "int/long (exact manifest ranges) and string (order-" +
+            "preserving prefix-embedding ranges); key on a surrogate " +
+            "or cast the column first")
+      }
     }
   }
 
-  /** The table key's declared type, when the manifest recorded a schema
-    * (every create since evolution support does); None on legacy
-    * manifests, where the key was integral by construction. */
+  /** The LEADING key column's declared type, when the manifest recorded
+    * a schema (every create since evolution support does); None on
+    * legacy manifests, where the key was integral by construction. */
   private def keyType(
       m: GenMeta): Option[org.apache.spark.sql.types.DataType] =
-    m.schema.map(_.apply(m.key).dataType)
+    m.schema.map(_.apply(leadKey(m.key)).dataType)
 
   private def filePath(root: String, name: String) = s"$root/$FilesDir/$name"
   private[graft] def dataFilePath(root: String, name: String) =
@@ -296,9 +319,10 @@ object MergeTable {
     // EMBEDDINGS in the manifest but CAST(key AS LONG) — null for any
     // non-numeric string — in the residual: silent empty results. The
     // string face is readWhere(col(key).between("a", "b")).
+    val lead = leadKey(m.key)
     require(!keyType(m).contains(org.apache.spark.sql.types.StringType),
       s"readWhereKey is the integral-key face; '$root' is keyed on " +
-        s"string column '${m.key}' — use readWhere(col(\"${m.key}\")" +
+        s"string column '$lead' — use readWhere(col(\"$lead\")" +
         ".between(lo, hi)) with string bounds")
     val entries = m.entries.filter(e => e.maxKey >= lo && e.minKey <= hi)
     if (entries.isEmpty)
@@ -306,7 +330,7 @@ object MergeTable {
       readFiles(spark, root, m.entries.take(1), schema = m.schema).limit(0)
     else
       readFiles(spark, root, entries, m.dvs, m.schema)
-        .filter(col(m.key).cast("long").between(lo, hi))
+        .filter(col(lead).cast("long").between(lo, hi))
   }
 
   /** [[readWhereKey]] generalized to ANY integral column via the
@@ -565,7 +589,8 @@ object MergeTable {
     val bounds = cond.map(extractBounds).getOrElse(Map.empty)
     val ranges: Map[(String, String), (Long, Long)] =
       m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
-        entries.map(e => (e.name, m.key) -> (e.minKey, e.maxKey)).toMap
+        entries.map(e =>
+          (e.name, leadKey(m.key)) -> (e.minKey, e.maxKey)).toMap
     val byRange = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
       ranges.get((e.name, c)).forall(r => r._2 >= lo && r._1 <= hi)
     })
@@ -712,9 +737,9 @@ object MergeTable {
     val schema = m.schema.getOrElse(
       readFiles(spark, root, m.entries.take(1)).schema)
     require(set.nonEmpty, "updateWhere: no assignments")
-    require(!set.contains(key),
-      s"updateWhere: assigning the merge key '$key' re-keys rows — " +
-        "express it as a merge (delete + insert)")
+    keyCols(key).foreach(k => require(!set.contains(k),
+      s"updateWhere: assigning the merge key column '$k' re-keys rows " +
+        "— express it as a merge (delete + insert)"))
     val unknown = set.keys.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty,
       s"updateWhere: unknown columns ${unknown.mkString(", ")} — " +
@@ -855,7 +880,11 @@ object MergeTable {
     val arranged = cluster match {
       case Some(z) => df.repartitionByRange(math.max(1, nFiles), z)
         .sortWithinPartitions(z)
-      case None => df.repartitionByRange(math.max(1, nFiles), col(key))
+      // composite keys: tuple-lex ranges — the LEADING column's per-file
+      // [min,max] stays tight (it drives the manifest range), trailing
+      // key columns cluster within files and prune via #cstat
+      case None => df.repartitionByRange(math.max(1, nFiles),
+        keyCols(key).map(col): _*)
     }
     arranged.write.mode("overwrite").parquet(tmp)
     val parts = f.listStatus(tmpPath).toSeq
@@ -882,8 +911,12 @@ object MergeTable {
       // truncate[N] as an integer), so ONE `#cstat` machine stores,
       // carries and intersects both kinds; min/max commute with the
       // monotone embedding, so aggregating the embedding is exact.
+      // only the LEADING key column is excluded (its range lives on the
+      // entry line); trailing COMPOSITE key columns get ordinary #cstat
+      // ranges — that is the "residual" half of composite-key pruning
+      val lead = leadKey(key)
       val statCols = df.schema.fields.collect {
-        case f if f.name != key &&
+        case f if f.name != lead &&
           (f.dataType == org.apache.spark.sql.types.LongType ||
             f.dataType == org.apache.spark.sql.types.IntegerType ||
             f.dataType == org.apache.spark.sql.types.StringType) => f.name
@@ -900,7 +933,7 @@ object MergeTable {
       // max commute with the monotone embedding, so aggregating the
       // embedding is exact)
       val rows = spark.read.parquet(names.map(filePath(root, _)): _*)
-        .select(statVal(df.schema(key).dataType, col(key)).as("k") +:
+        .select(statVal(df.schema(lead).dataType, col(lead)).as("k") +:
           expr("_metadata.file_path").as("fp") +: statCols.map(col): _*)
         .groupBy(col("fp"))
         .agg(aggs.head, aggs.tail: _*)
@@ -1087,22 +1120,34 @@ object MergeTable {
 
   private[graft] def readWhereKeysOf(spark: SparkSession, root: String,
       m: GenMeta, keys: DataFrame): DataFrame = {
-    val kc = keys.columns.head
-    val kdt = keyType(m).getOrElse(keys.schema(kc).dataType)
-    // the probe JOIN must be in the key's NATIVE domain for strings —
-    // the prefix embedding is not injective, so joining embeddings
+    // `keys` columns correspond POSITIONALLY to the table's key columns
+    // (one for plain keys, the tuple for composite keys)
+    val ks = keyCols(m.key)
+    require(keys.columns.length == ks.size,
+      s"key probe carries ${keys.columns.length} columns; the table is " +
+        s"keyed on ${ks.size} (${ks.mkString(", ")})")
+    // the probe JOIN must be in each column's NATIVE domain for strings
+    // — the prefix embedding is not injective, so joining embeddings
     // would report a false "exists" for a distinct key sharing an
     // 8-byte prefix. The manifest PRUNE (touchedEntries) still rides
-    // the embedding; integral keys normalize to long as before.
-    val isStr = kdt == org.apache.spark.sql.types.StringType
-    def pk(c: Column): Column = if (isStr) c else c.cast("long")
-    val keyed = keys.select(pk(col(kc)).as("__pk")).distinct()
+    // the embedding; integral columns normalize to long as before.
+    def pk(df: DataFrame, from: Seq[String]): DataFrame =
+      df.select(from.zip(ks).zipWithIndex.map { case ((src, tk), i) =>
+        val dt = m.schema.map(_.apply(tk).dataType)
+          .getOrElse(df.schema(src).dataType)
+        val c = col(s"`$src`")
+        (if (dt == org.apache.spark.sql.types.StringType) c
+         else c.cast("long")).as(s"__pk$i")
+      }: _*)
+    val pkCols = ks.indices.map(i => s"__pk$i")
+    val keyed = pk(keys, keys.columns.toSeq).distinct()
     val touched = touchedEntries(spark, m.entries, keyed)
-    if (touched.isEmpty) keyed.limit(0).select(col("__pk").as(m.key))
-    else readFiles(spark, root, touched, m.dvs, m.schema)
-      .select(pk(col(m.key)).as("__pk"))
-      .join(keyed, Seq("__pk"), "left_semi")
-      .select(col("__pk").as(m.key))
+    def renamed(df: DataFrame): DataFrame =
+      df.select(pkCols.zip(ks).map { case (p, k) => col(p).as(k) }: _*)
+    if (touched.isEmpty) renamed(keyed.limit(0))
+    else renamed(
+      pk(readFiles(spark, root, touched, m.dvs, m.schema), ks)
+        .join(keyed, pkCols, "left_semi"))
   }
 
   /** STATS-DRIVEN merge dispatch: choose copy-on-write [[merge]] or
@@ -1130,9 +1175,10 @@ object MergeTable {
       batchId: Option[Long] = None,
       morAmplificationAbove: Double = 8.0): (String, Long, Long) = {
     val m = genMeta(spark, currentGenDir(spark, root))
-    // distinct in the key's NATIVE domain (exact net-row count for
-    // string keys too); touchedEntries embeds for the manifest prune
-    val keys = changes.select(col(key).as("__k"))
+    // distinct TUPLES in the key's NATIVE domain (exact net-row count
+    // for string and composite keys too); touchedEntries embeds the
+    // LEADING column for the manifest prune
+    val keys = changes.select(keyCols(key).map(col): _*)
       .distinct().localCheckpoint(true)
     val nNet = keys.count()
     val touchedRows = touchedEntries(spark, m.entries, keys)
@@ -1175,8 +1221,8 @@ object MergeTable {
     // measures the manifest pruning against — never the production path
     val touchedNames: Set[String] =
       if (!pruneFiles) cur.map(_.name).toSet
-      else touchedEntries(spark, cur, net.select(col(key)))
-        .map(_.name).toSet
+      else touchedEntries(spark, cur,
+        net.select(keyCols(key).map(col): _*)).map(_.name).toSet
     val (touched, carried) = cur.partition(e => touchedNames.contains(e.name))
     // 3. REWRITE only the touched files: drop keys with a net change,
     //    then add back the net upserts (deletes simply never come back).
@@ -1190,7 +1236,8 @@ object MergeTable {
     val merged =
       if (touched.isEmpty) upserts
       else readFiles(spark, root, touched, curDvs, Some(unionSchema))
-        .join(net.select(col(key)), Seq(key), "left_anti")
+        .join(net.select(keyCols(key).map(col): _*), keyCols(key),
+          "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
     val gen = Snapshots.nextGen(spark, root)
@@ -1290,14 +1337,19 @@ object MergeTable {
   /** One NET change per key: its highest-`seq` change — the shared
     * last-wins collapse of both merge paths. */
   private def netChanges(changes: DataFrame, key: String,
-      targetCols: Seq[String]): DataFrame =
+      targetCols: Seq[String]): DataFrame = {
+    // identity = the FULL key tuple (composite keys net per tuple, the
+    // (order_id, line_no) CDC contract), one tuple-width shuffle
+    val ks = keyCols(key)
+    val payload = targetCols.filterNot(ks.contains)
     changes
-      .groupBy(col(key))
-      .agg(max_by(struct(col("op") +: targetCols.filter(_ != key)
-        .map(col): _*), col("seq")).as("w"))
-      .select(col(key) +: (col("w.op").as("op") +:
-        targetCols.filter(_ != key).map(c => col(s"w.$c").as(c))): _*)
+      .groupBy(ks.map(col): _*)
+      .agg(max_by(struct(col("op") +: payload.map(col): _*),
+        col("seq")).as("w"))
+      .select(ks.map(col) ++ (col("w.op").as("op") +:
+        payload.map(c => col(s"w.$c").as(c))): _*)
       .localCheckpoint(true)
+  }
 
   /** MERGE-ON-READ: apply the change batch WITHOUT rewriting any data
     * file. Existing rows of changed keys are killed by appending a
@@ -1351,7 +1403,8 @@ object MergeTable {
     val targetCols = unionSchema.fieldNames.toSeq
     val net = netChanges(changes, key, targetCols)
     // candidate files: manifest interval pruning, zero table reads
-    val touched = touchedEntries(spark, cur, net.select(col(key)))
+    val touched = touchedEntries(spark, cur,
+      net.select(keyCols(key).map(col): _*))
     val gen = Snapshots.nextGen(spark, root)
     // positional deletes: live rows (current DVs already applied — a
     // position must not be re-deleted) of touched files whose key has
@@ -1363,7 +1416,8 @@ object MergeTable {
           .withColumn("file",
             element_at(split(expr("_metadata.file_path"), "/"), -1))
           .withColumn("pos", expr("_metadata.row_index"))
-          .join(net.select(col(key)), Seq(key), "left_semi")
+          .join(net.select(keyCols(key).map(col): _*), keyCols(key),
+            "left_semi")
           .select(col("file"), col("pos"))
         writeDv(spark, root, gen, delRows)
       }
@@ -2136,6 +2190,134 @@ object MergeTable {
         |FROM sql_ins_orders ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** t_sql_create — the ORACLED face of the DSv2 catalog's full DDL
+    * lifecycle ([[graft.plans.GraftCatalog]]): CREATE TABLE ... USING
+    * graft declares the keyed table in plain SQL, INSERT INTO loads it
+    * through the V2 AppendData path, MERGE INTO applies an
+    * update+delete wave on the catalog-qualified name, and the gated
+    * read is a catalog-qualified SELECT — so table creation, loading,
+    * mutation and serving all happen without a single API call. The
+    * oracle replays the same net effect from raw orders; any drift in
+    * the catalog's resolution swap (wrong generation, dropped DV,
+    * mis-bound attribute after the relation swap) breaks the hash. */
+  def sqlCreateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val wh = Layout.indexPath("graft_warehouse", dir)
+    spark.conf.set("spark.sql.catalog.graft_wh",
+      "graft.plans.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+    val root = s"$wh/sqlc_orders"
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      spark.sql(
+        """CREATE TABLE graft_wh.sqlc_orders (
+          |  o_orderkey BIGINT, o_custkey BIGINT,
+          |  o_orderstatus STRING, price_cents BIGINT)
+          |USING graft TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+        .createOrReplaceTempView("sqlc_src")
+      spark.sql(
+        "INSERT INTO graft_wh.sqlc_orders SELECT * FROM sqlc_src")
+      spark.sql(
+        """MERGE INTO graft_wh.sqlc_orders AS t
+          |USING sqlc_src AS s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.o_orderkey % 10 = 7 THEN DELETE
+          |WHEN MATCHED AND s.o_orderkey % 10 = 3
+          |  THEN UPDATE SET price_cents = s.price_cents * 2
+          |""".stripMargin)
+    }
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM graft_wh.sqlc_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** t_merge_composite — the ORACLED face of COMPOSITE merge keys: a
+    * lineitem-shaped table keyed (l_orderkey, l_linenumber) — the CDC
+    * shape of real warehouse fact tables — through create + one change
+    * wave that exercises every tuple-identity hazard at once:
+    *   - an UPDATE addressed to (k, 1) must not touch (k, 2..7);
+    *   - a DELETE of (k%10=7, line ≥ 4) must keep that order's lower
+    *     lines alive (same leading key, different tuple);
+    *   - an INSERT of (k%100=1, line 8) reuses an EXISTING leading key
+    *     with a new second column — tuple identity makes it an insert,
+    *     single-column identity would have clobbered line 1.
+    * The oracle replays the same net effect in plain SQL; a netting,
+    * anti-join or probe that collapses to the leading column breaks the
+    * hash immediately. */
+  def mergeCompositeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("merge_composite", dir)
+    // v2: the base dedupes to one row per tuple (the synthetic lineitem
+    // is not tuple-unique)
+    val sig = s"v2_${Layout.dataSig(s"$dir/lineitem.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      // the synthetic lineitem is NOT tuple-unique (unlike real TPC-H):
+      // a keyed table holds one row per key, so the face's base is the
+      // deterministic per-tuple aggregate — the oracle replays the same
+      val base = graft.Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(graft.functions.DetMath.cents(col("l_quantity")))
+          .as("qty_cents"),
+          min(col("l_returnflag")).as("l_returnflag"))
+      create(spark, root, base, "l_orderkey,l_linenumber", nFiles = 8,
+        commitTsMillis = 1000L)
+      val upd = base
+        .where(col("l_linenumber") === 1 && col("l_orderkey") % 10 === 3)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("qty_cents") + 100L).as("qty_cents"), col("l_returnflag"))
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val del = base
+        .where(col("l_orderkey") % 10 === 7 && col("l_linenumber") >= 4)
+        .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+      val ins = base.where(col("l_orderkey") % 100 === 1)
+        .select(col("l_orderkey")).distinct()
+        .select(col("l_orderkey"), lit(8).as("l_linenumber"),
+          lit(42L).as("qty_cents"), lit("Z").as("l_returnflag"))
+        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+      merge(spark, root, upd.unionByName(del).unionByName(ins),
+        "l_orderkey,l_linenumber", nFiles = 4, commitTsMillis = 2000L)
+    }
+    read(spark, root).orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** t_cluster3d_read — the ORACLED face of n-dimensional clustered
+    * compaction ([[compactZOrderN]]): the orders lake table re-clustered
+    * on (o_orderkey, o_custkey, price_cents) and served a 2-of-3-dims
+    * band predicate through [[readWhere]] — the cstat ranges of BOTH
+    * non-key dims prune files the key-range layout could never skip,
+    * and the oracle recomputes the band in plain SQL (a false skip is
+    * silent row loss, exactly what the hash catches). The 3-d-vs-2-d
+    * file-count separation is spec-pinned (Cluster3dSpec). */
+  def cluster3dReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("cluster3d_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      compactZOrderN(spark, root, Seq("o_custkey", "price_cents"),
+        nFiles = 8, commitTsMillis = 2000L)
+    }
+    readWhere(spark, root,
+      col("o_custkey").between(20L, 80L) &&
+        col("price_cents").between(10000000L, 20000000L))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** t_merge_dv — the oracled merge-on-read face: the same base table
     * and first change batch as [[mergeOrdersQuery]] but applied through
     * [[mergeMor]] (positional DVs + appends, zero rewrites), followed by
@@ -2421,12 +2603,66 @@ object MergeTable {
     compactClustered(spark, root, dim2, nFiles, commitTsMillis,
       "compactHilbert", graft.functions.Hilbert32.hilbert32)
 
+  /** N-DIMENSIONAL clustered compaction — [[compactZOrder]] generalized
+    * past (key, dim2) for the (user, time, domain) query family: the
+    * rewrite is arranged by [[graft.functions.InterleaveN]]'s n-way
+    * Morton code over (leading key, dims...), each dimension equi-width
+    * normalized into its `63/n`-bit budget from the table's own min/max
+    * (ONE aggregation pass). Files become ~cubic tiles, so the
+    * manifest's key ranges AND every dim's `#cstat` ranges prune — a
+    * third-dimension band opens strictly fewer files than the 2-d
+    * layout leaves it (spec-pinned), at the usual trade: per-file key
+    * ranges widen ≈ⁿ√tile. Dims must be integral (same domain contract
+    * as [[compactZOrder]]); DVs fold in like [[compact]]. */
+  def compactZOrderN(spark: SparkSession, root: String, dims: Seq[String],
+      nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis()): Int = {
+    val genDir0 = currentGenDir(spark, root)
+    val m0 = genMeta(spark, genDir0)
+    val lead = leadKey(m0.key)
+    val all = lead +: dims
+    require(dims.nonEmpty && all.distinct.size == all.size,
+      s"compactZOrderN($root): dims must be non-empty and distinct " +
+        s"from the leading key '$lead': ${dims.mkString(", ")}")
+    val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
+    all.foreach { c =>
+      require(df.schema(c).dataType !=
+        org.apache.spark.sql.types.StringType,
+        s"compactZOrderN($root): column '$c' is a string — clustered " +
+          "compaction interleaves integral domains only")
+    }
+    val bits = graft.functions.InterleaveN.bitsFor(all.size)
+    val aggs = all.flatMap(c => Seq(min(col(c).cast("long")),
+      max(col(c).cast("long"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).head
+    all.indices.foreach(i => require(!b.isNullAt(2 * i),
+      s"compactZOrderN($root): empty table or all-null ${all(i)} — " +
+        "no bounds to normalize against"))
+    val z = graft.functions.InterleaveN.interleaveN(
+      all.zipWithIndex.map { case (c, i) =>
+        graft.ops.Layout.normBits(col(c), b.getLong(2 * i),
+          b.getLong(2 * i + 1), bits)
+      })
+    val gen = Snapshots.nextGen(spark, root)
+    val (entries, cstats) =
+      writeFiles(spark, root, df, m0.key, gen, nFiles, cluster = Some(z))
+    writeManifest(spark, root, gen, entries, m0.key,
+      batchId = m0.batchId,
+      cstats = cstats,
+      schema = Some(df.schema),
+      sbatch = m0.sbatch)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    m0.entries.size
+  }
+
   private def compactClustered(spark: SparkSession, root: String,
       dim2: String, nFiles: Int, commitTsMillis: Long, face: String,
       code: (Column, Column) => Column): Int = {
     val genDir0 = currentGenDir(spark, root)
     val m0 = genMeta(spark, genDir0)
-    val key = m0.key
+    // composite keys interleave their LEADING column (the manifest-range
+    // driver) with dim2; the full key still names the manifest
+    val key = leadKey(m0.key)
     val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
     // integral dims only: the u16 normalization multiplies the span by
     // 65535, which overflows on a string PREFIX EMBEDDING's near-full-
@@ -2448,9 +2684,12 @@ object MergeTable {
       graft.ops.Layout.norm16(col(key), b.getLong(0), b.getLong(1)),
       graft.ops.Layout.norm16(col(dim2), b.getLong(2), b.getLong(3)))
     val gen = Snapshots.nextGen(spark, root)
+    // the FULL key names the manifest (a clustered rewrite must not
+    // silently drop trailing composite-key columns); the cluster code
+    // drives the layout, leadKey the entry ranges
     val (entries, cstats) =
-      writeFiles(spark, root, df, key, gen, nFiles, cluster = Some(z))
-    writeManifest(spark, root, gen, entries, key,
+      writeFiles(spark, root, df, m0.key, gen, nFiles, cluster = Some(z))
+    writeManifest(spark, root, gen, entries, m0.key,
       batchId = m0.batchId,
       cstats = cstats,
       schema = Some(df.schema),
@@ -2601,18 +2840,24 @@ object MergeTable {
     // the conflict envelope lives in the manifest's order domain —
     // embedding for string keys, same as the entry ranges C3 tests it
     // against (coarser envelope = occasional false conflict, safe)
-    val kv = statVal(net.schema(key).dataType, col(key))
+    // composite keys: the envelope is the LEADING column's span — the
+    // same domain as the C3 test's entry ranges (coarser = occasional
+    // false conflict, never a missed one)
+    val lead = leadKey(key)
+    val kv = statVal(net.schema(lead).dataType, col(lead))
     val bounds = net.agg(min(kv), max(kv)).head
     require(!bounds.isNullAt(0),
       s"prepareMerge($root): empty change set — nothing to merge")
     val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
     // identical pruning + rewrite shape as the single-writer merge
-    val touched = touchedEntries(spark, cur, net.select(col(key)))
+    val touched = touchedEntries(spark, cur,
+      net.select(keyCols(key).map(col): _*))
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val merged =
       if (touched.isEmpty) upserts
       else readFiles(spark, root, touched, curDvs, m0.schema)
-        .join(net.select(col(key)), Seq(key), "left_anti")
+        .join(net.select(keyCols(key).map(col): _*), keyCols(key),
+          "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
     val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1, nFiles)

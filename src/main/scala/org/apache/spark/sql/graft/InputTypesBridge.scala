@@ -15,3 +15,12 @@ import org.apache.spark.sql.types.{AbstractDataType, LongType}
 trait LongLongInputTypes extends ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
 }
+
+/** [[LongLongInputTypes]] at arbitrary arity — for variadic long
+  * expressions ([[graft.functions.InterleaveN]]): one `bigint` slot per
+  * child, same implicit int→bigint coercion. */
+trait LongNInputTypes extends ImplicitCastInputTypes {
+  self: org.apache.spark.sql.catalyst.expressions.Expression =>
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(LongType)
+}
