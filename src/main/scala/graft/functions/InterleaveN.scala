@@ -51,10 +51,9 @@ case class InterleaveN(children: Seq[Expression])
       ev: ExprCode): ExprCode = {
     val evals = children.map(_.genCode(ctx))
     val arr = ctx.freshName("dims")
-    val anyNull = if (nullable) {
-      evals.filter(_ => true).map(e => e.isNull.toString)
-        .mkString(" || ")
-    } else "false"
+    val anyNull =
+      if (nullable) evals.map(_.isNull.toString).mkString(" || ")
+      else "false"
     val fill = evals.zipWithIndex.map { case (e, i) =>
       s"$arr[$i] = ${e.value};"
     }.mkString("\n")

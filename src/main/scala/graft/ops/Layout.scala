@@ -179,8 +179,18 @@ object Layout {
     val scale = (1L << bits) - 1L
     if (hi <= lo) lit(0L)
     else {
-      require(hi - lo <= Long.MaxValue / scale,
-        s"normBits: span ${hi - lo} × $scale overflows — pre-scale the " +
+      // subtractExact: a mixed-sign span wider than Long itself would
+      // wrap NEGATIVE and sail through the ≤ check below — the exact
+      // silent-scramble this guard exists to refuse
+      val span =
+        try Math.subtractExact(hi, lo)
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"normBits: span [$lo, $hi] overflows Long — pre-scale the " +
+              "dimension before clustering on it")
+        }
+      require(span <= Long.MaxValue / scale,
+        s"normBits: span $span × $scale overflows — pre-scale the " +
           "dimension (e.g. micros → seconds) before clustering on it")
       ColumnBridge.column(
         new org.apache.spark.sql.catalyst.expressions.IntegralDivide(

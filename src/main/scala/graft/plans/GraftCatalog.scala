@@ -181,10 +181,14 @@ class GraftCatalog extends TableCatalog {
   * generation's manifest, NO native capabilities — reads and DML are
   * rewritten by [[SnapshotTimeTravelRule]] onto the manifest-pruned,
   * DV-applied plans, so the catalog path and the registry path share
-  * ONE read/write implementation. */
+  * ONE read/write implementation. The handle CARRIES the parsed
+  * [[graft.streaming.MergeTable.GenMeta]] so the analyzer's relation
+  * swap reuses it instead of re-GETting the same manifest (loadTable
+  * is per-statement, so the meta is one statement's consistent
+  * snapshot, never a stale cache). */
 final case class GraftTable(root: String, tableName: String,
-    tableSchema: StructType, key: String, pinnedDir: Option[String])
-    extends Table {
+    tableSchema: StructType, key: String, pinnedDir: Option[String],
+    meta: MergeTable.GenMeta) extends Table {
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -205,6 +209,6 @@ object GraftTable {
     val m = MergeTable.genMeta(spark, dir)
     val schema = m.schema.getOrElse(
       MergeTable.readResolved(spark, root, dir).schema)
-    GraftTable(root, name, schema, m.key, pinnedDir)
+    GraftTable(root, name, schema, m.key, pinnedDir, m)
   }
 }

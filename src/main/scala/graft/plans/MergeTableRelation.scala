@@ -76,14 +76,21 @@ object MergeTableRelation {
     * to kill. Only an EMPTY manifest (legal: a delete-everything merge)
     * serves through [[MergeTable.read]], which returns the recorded
     * zero-row frame. */
-  def resolve(spark: SparkSession, root: String): LogicalPlan = {
-    val genDir = graft.streaming.Snapshots.resolve(spark, root)
-    val m = MergeTable.genMeta(spark, genDir)
+  def resolve(spark: SparkSession, root: String): LogicalPlan =
+    resolve(spark, root, MergeTable.genMeta(
+      spark, graft.streaming.Snapshots.resolve(spark, root)))
+
+  /** [[resolve]] over an ALREADY-FETCHED generation meta — the catalog
+    * path's hook: `loadTable` parsed the manifest to build the handle,
+    * and re-GETting it here would double the per-statement metadata
+    * round-trips the [[MergeTable.GenMeta]] type exists to avoid. */
+  def resolve(spark: SparkSession, root: String,
+      m: MergeTable.GenMeta): LogicalPlan = {
     if (m.entries.isEmpty)
-      MergeTable.read(spark, root).queryExecution.analyzed
+      MergeTable.readMeta(spark, root, m).queryExecution.analyzed
     else {
       val schema = m.schema.getOrElse(
-        MergeTable.read(spark, root).schema)
+        MergeTable.readMeta(spark, root, m).schema)
       val rel = HadoopFsRelation(
         new MergeTableFileIndex(spark, root, m),
         partitionSchema = new StructType(),

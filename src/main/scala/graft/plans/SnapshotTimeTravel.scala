@@ -243,10 +243,12 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: org.apache.spark.sql.execution.datasources.v2
           .DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
         val t = r.table.asInstanceOf[GraftTable]
+        // the handle CARRIES its generation's parsed meta (pinned or
+        // current): no second manifest GET per statement
         val resolved = t.pinnedDir match {
-          case Some(dir) => graft.streaming.MergeTable
-            .readResolved(spark, t.root, dir).queryExecution.analyzed
-          case None => MergeTableRelation.resolve(spark, t.root)
+          case Some(_) => graft.streaming.MergeTable
+            .readMeta(spark, t.root, t.meta).queryExecution.analyzed
+          case None => MergeTableRelation.resolve(spark, t.root, t.meta)
         }
         val byName = resolved.output
           .map(a => a.name.toLowerCase(java.util.Locale.ROOT) -> a).toMap

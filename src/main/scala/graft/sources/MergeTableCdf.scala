@@ -72,6 +72,14 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
     val root = rootOf(parameters)
     val startGen = parameters.get("startGen").map(_.toLong).getOrElse(0L)
     require(startGen >= 0L, s"merge-cdf: startGen must be ≥ 0: $startGen")
+    // a startGen beyond the table would make getOffset() None forever —
+    // a silently idle stream where every other misuse here refuses
+    // loudly. startGen == latest is legal (consume FUTURE commits only).
+    val latest = Snapshots.generations(sqlContext.sparkSession, root)
+      .maxOption.getOrElse(0L)
+    require(startGen <= latest,
+      s"merge-cdf: startGen $startGen is beyond the latest committed " +
+        s"generation $latest under $root")
     new MergeTableCdfSource(sqlContext.sparkSession, root, startGen)
   }
 }
@@ -113,9 +121,17 @@ private class MergeTableCdfSource(spark: SparkSession, root: String,
     // changesBetween resolves BOTH generations via resolveAt — a swept
     // `from` refuses loudly naming the retained generations, which the
     // stream surfaces as the query's failure cause (replay budget
-    // exceeded; re-seed the consumer, don't silently skip the gap)
+    // exceeded; re-seed the consumer, don't silently skip the gap).
+    // The diff is PROJECTED to the stream's fixed schema: a mid-stream
+    // additive evolution widens changesBetween's output by the new
+    // column, and an unprojected batch would kill the query with
+    // MicroBatchExecution's opaque width assertion — the contract is
+    // "new columns appear after a restart", so until then they drop
+    // (evolution is additive-only; the fixed columns always exist).
+    val diff = MergeTable.changesBetween(spark, root, from, to)
     org.apache.spark.sql.graftshim.StreamingBatch.asStreaming(spark,
-      MergeTable.changesBetween(spark, root, from, to))
+      diff.select(schema.fieldNames.toSeq.map(n =>
+        org.apache.spark.sql.functions.col(s"`$n`")): _*))
   }
 
   override def commit(end: V1Offset): Unit = ()

@@ -666,16 +666,32 @@ object MergeTable {
     val m = genMeta(spark, genDir)
     val candidates = prunedByPredicate(spark, root, m, predicate)
     if (candidates.isEmpty) return 0L
-    val delRows = readFiles(spark, root, candidates, m.dvs, m.schema)
-      .filter(predicate)
-      .select(
-        element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
-        expr("_metadata.row_index").as("pos"))
-      .localCheckpoint(true)
-    val matched = delRows.count()
+    // dispatch needs only the COUNT — a column-pruned scan of the
+    // predicate columns. Materializing the (file, pos) set here would
+    // checkpoint its LARGEST instance (the majority delete) only for
+    // the COW branch to discard it; positions are built inside the DV
+    // branch alone.
+    val matched = readFiles(spark, root, candidates, m.dvs, m.schema)
+      .filter(predicate).count()
     if (matched == 0L) return 0L // predicate matched nothing: no commit
-    val candRows = candidates.map(e => math.max(0L, e.rows)).sum
-    if (matched.toDouble / math.max(1L, candRows).toDouble
+    // the ratio prices LIVE rows: manifest record_count is written
+    // rows, and candidate files carrying a large prior DV would skew
+    // the denominator high — a 90%-of-live delete on 70%-dead files
+    // must still read as a majority delete. The DV dead count per
+    // candidate is a sidecar-sized aggregate.
+    val writtenRows = candidates.map(e => math.max(0L, e.rows)).sum
+    val deadRows =
+      if (m.dvs.isEmpty || writtenRows == 0L) 0L
+      else {
+        import spark.implicits._
+        val candNames = candidates.map(_.name).toDF("__cand")
+        spark.read.parquet(m.dvs.map(filePath(root, _)): _*)
+          .join(broadcast(candNames), col("file") === col("__cand"),
+            "left_semi")
+          .count()
+      }
+    val liveRows = math.max(0L, writtenRows - deadRows)
+    if (matched.toDouble / math.max(1L, liveRows).toDouble
         > rewriteAboveFraction) {
       // scoped COW rewrite (updateWhere's machinery, minus assignments):
       // keep rows where the predicate is FALSE **or NULL** — the DV path
@@ -702,6 +718,11 @@ object MergeTable {
       matched
     } else {
       val gen = Snapshots.nextGen(spark, root)
+      val delRows = readFiles(spark, root, candidates, m.dvs, m.schema)
+        .filter(predicate)
+        .select(
+          element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
+          expr("_metadata.row_index").as("pos"))
       writeDv(spark, root, gen, delRows) match {
         case None => 0L // unreachable: matched > 0
         case Some(dvName) =>

@@ -87,6 +87,27 @@ class DeleteDispatchSpec extends AnyFunSuite {
     assert(curMeta(defRoot).dvs.size === 1)
   }
 
+  test("dispatch prices LIVE rows: a majority-of-live delete on " +
+    "mostly-DV-dead files takes the rewrite, not another DV") {
+    val root = freshRoot("live")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 1,
+      commitTsMillis = 10L)
+    // 70% of written rows are already DV-dead
+    MergeTable.deleteWhere(spark, root, col("k") < 70L,
+      commitTsMillis = 20L, rewriteAboveFraction = 2.0)
+    assert(curMeta(root).dvs.size === 1)
+    // 27 of the 30 LIVE rows match: 27/100 written would read sparse,
+    // 27/30 live is a majority — the rewrite must win and fold the DV
+    val n = MergeTable.deleteWhere(spark, root, col("k") < 97L,
+      commitTsMillis = 30L)
+    assert(n === 27L)
+    val m = curMeta(root)
+    assert(m.dvs.isEmpty,
+      "a majority-of-live delete must take the COW rewrite")
+    assert(MergeTable.read(spark, root).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq === Seq(97L, 98L, 99L))
+  }
+
   test("DV read path is size-gated: broadcast under the session " +
     "threshold, shuffled anti-join above — rows identical") {
     val root = freshRoot("gate")

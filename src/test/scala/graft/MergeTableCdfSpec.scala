@@ -83,6 +83,65 @@ class MergeTableCdfSpec extends AnyFunSuite {
     assert(drainStream(root, ckpt) === Map.empty)
   }
 
+  test("mid-stream additive schema evolution: the running query keeps " +
+    "serving (new column dropped until restart); a beyond-latest " +
+    "startGen refuses at construction") {
+    val work = freshWork("evolve")
+    val root = s"$work/table"
+    val ckpt = s"$work/ckpt"
+    MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val acc = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    val q = spark.readStream.format("merge-cdf").option("path", root)
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized { acc += df.columns.toSet; df.count(); () }
+      }
+      .start()
+    q.processAllAvailable() // backfill window
+    // additive evolution WHILE the query runs: the diff widens by
+    // 'flag', the stream's fixed schema must keep serving without it
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 3L, 333L, "upd", 1L))
+        .toDF("op", "seq", "k", "v", "tag", "flag"),
+      "k", commitTsMillis = 20L, evolveSchema = true)
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.size === 2 && acc.forall(_ === Set("k", "v", "tag", "change")),
+      s"windows must keep the stream's fixed shape, got $acc")
+    // a RESTARTED stream picks the evolved schema up
+    val acc2 = scala.collection.mutable.ArrayBuffer[Set[String]]()
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 4L, 444L, "upd", 2L))
+        .toDF("op", "seq", "k", "v", "tag", "flag"),
+      "k", commitTsMillis = 30L)
+    val q2 = spark.readStream.format("merge-cdf").option("path", root)
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc2.synchronized { acc2 += df.columns.toSet; df.count(); () }
+      }
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(acc2.forall(_.contains("flag")),
+      s"a restarted stream must carry the evolved column, got $acc2")
+    // beyond-latest startGen: loud at source construction (query
+    // start — V1 sources are created lazily), not silent idling
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qq = spark.readStream.format("merge-cdf").option("path", root)
+        .option("startGen", 99).load().writeStream
+        .option("checkpointLocation", s"$work/ckpt-bad")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try qq.processAllAvailable() finally qq.stop()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+    assert(msgs.exists(_.contains("beyond")))
+  }
+
   test("startGen skips the backfill: the first window diffs from the " +
     "named generation") {
     val work = freshWork("startgen")
