@@ -206,6 +206,8 @@ object SparkEntry {
     "t_sql_merge"           -> (streaming.MergeTable.sqlMergeQuery _),
     "t_sql_insert"          -> (streaming.MergeTable.sqlInsertQuery _),
     "t_sql_create"          -> (streaming.MergeTable.sqlCreateQuery _),
+    "t_sql_alter"           -> (streaming.MergeTable.sqlAlterQuery _),
+    "t_stream_sink"         -> (streaming.MergeTable.streamSinkQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
   )
 
@@ -2062,6 +2064,36 @@ object SparkEntry {
         |  FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CASE WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |            ELSE price_cents END AS price_cents
+        |FROM base WHERE o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_sql_alter: ALTER TABLE ADD COLUMNS as a metadata-only commit —
+    // create+load two-columned, widen by (o_flag, note), UPDATE writes
+    // the new columns for %10=3, DELETE removes %10=7; old rows
+    // null-fill the evolved columns through the widened #schema=
+    "t_sql_alter" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, price_cents,
+        |       CASE WHEN o_orderkey % 10 = 3 THEN price_cents % 7 END AS o_flag,
+        |       CASE WHEN o_orderkey % 10 = 3 THEN 'flagged' END AS note
+        |FROM base WHERE o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
+    // t_stream_sink: the graft-merge streaming sink's exactly-once
+    // protocol — batch 0 trickle reprice (%1000=1, ×3; auto → MOR),
+    // its poison replay refused, batch 1 bulk wave (delete %10=7,
+    // reprice %10=3 ×2; auto → COW), its poison replay refused.
+    // %1000=1 ⇒ %10=1, so the waves are key-disjoint by construction
+    "t_stream_sink" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 3 THEN price_cents * 2
+        |            WHEN o_orderkey % 1000 = 1 THEN price_cents * 3
         |            ELSE price_cents END AS price_cents
         |FROM base WHERE o_orderkey % 10 <> 7
         |ORDER BY o_orderkey""".stripMargin,

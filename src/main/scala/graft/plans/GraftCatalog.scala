@@ -80,6 +80,11 @@ class GraftCatalog extends TableCatalog {
     s"$warehouse/${ident.name.toLowerCase(java.util.Locale.ROOT)}"
   }
 
+  /** The directory a table name maps to — for the CTAS command, which
+    * creates through [[createTable]] then loads through the same
+    * manifest-pruned insert path every other write uses. */
+  private[plans] def tableRoot(ident: Identifier): String = rootOf(ident)
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireNamespace(namespace)
     val wh = new Path(warehouse)
@@ -157,11 +162,49 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE lake.t ADD COLUMNS (c TYPE, ...)` — the SQL face of
+    * additive evolution: ONE metadata-only commit
+    * ([[graft.streaming.MergeTable.addColumns]] — manifest copied by
+    * reference, `#schema=` widened, zero data movement), so the
+    * statement is O(manifest) at any table size. Everything else
+    * (drops, renames, type changes, repositioning, property edits)
+    * refuses BY NAME: each would either rewrite data or break the
+    * schema-on-read null-fill contract old files depend on. */
   override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE on merge table ${ident.name} is not supported — " +
-        "additive schema evolution goes through merge(evolveSchema = true)")
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val root = rootOf(ident)
+    if (Snapshots.currentGen(spark, root).isEmpty)
+      throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name}: nested column " +
+            s"${a.fieldNames().mkString(".")} is not supported — merge " +
+            "table evolution is additive TOP-LEVEL columns only")
+        require(a.position() == null,
+          s"ALTER TABLE ${ident.name}: FIRST/AFTER positioning is not " +
+            "supported — new columns APPEND (old files null-fill them " +
+            "by position-independent name resolution; order is cosmetic)")
+        // NOT NULL refuses rather than silently downgrading: every
+        // pre-ALTER row would serve NULL in the column the user just
+        // declared NOT NULL (old files cannot honor it)
+        require(a.isNullable(),
+          s"ALTER TABLE ${ident.name}: ADD COLUMNS " +
+            s"${a.fieldNames().head} NOT NULL is not supported — " +
+            "existing rows null-fill an added column; declare it " +
+            "nullable")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${ident.name}: ${other.getClass.getSimpleName} is " +
+          "not supported on a merge table — only ADD COLUMNS (additive " +
+          "evolution; drops/renames/type changes would rewrite data or " +
+          "orphan the schema-on-read contract)")
+    }
+    MergeTable.addColumns(spark, root, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootOf(ident)

@@ -324,6 +324,73 @@ object MergeTableDml {
     }
   }
 
+  /** `CREATE TABLE lake.t USING graft TBLPROPERTIES('key'='k') AS
+    * SELECT ...` — DDL + first load as one statement. Spark's V2 CTAS
+    * exec would create through the catalog then demand a BATCH_WRITE
+    * capability the handle deliberately lacks (it would be a SECOND
+    * write path beside the manifest-pruned insert) — worse, the
+    * capability check fires AFTER createTable, leaving an empty orphan
+    * table behind the error. This command keeps the one-write-path
+    * rule: create via [[GraftCatalog.createTable]] (same refusals:
+    * key property, LOCATION, partitioning), load via
+    * [[MergeTableInsertCommand]] (same PK contract: null/duplicate
+    * keys refuse), and on ANY load failure DROP the just-created
+    * table so the statement is all-or-nothing. */
+  case class MergeTableCtasCommand(catalog: GraftCatalog,
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      props: Map[String, String], query: LogicalPlan,
+      ignoreIfExists: Boolean) extends LeafRunnableCommand {
+
+    override val output: Seq[Attribute] = Seq.empty
+    override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
+
+    override def run(session: SparkSession): Seq[Row] = {
+      def refuse(msg: String): Nothing =
+        throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
+      val name = ident.name
+      if (catalog.tableExists(ident)) {
+        if (ignoreIfExists) return Seq.empty
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            Seq(catalog.name) ++ ident.namespace() :+ name)
+      }
+      val key = props.getOrElse("key", refuse(
+        s"CREATE TABLE $name USING graft AS SELECT requires the merge " +
+          "key: TBLPROPERTIES ('key' = '<column>')"))
+      // refusals that would otherwise fire AFTER createTable (composite
+      // keys: the SQL INSERT path is single-key today) fire BEFORE it —
+      // nothing to clean up
+      if (key.contains(',')) refuse(
+        s"CREATE TABLE $name AS SELECT: composite key ($key) — SQL " +
+          "CTAS supports single-column keys today; create + load " +
+          "composite-keyed tables through the merge API")
+      if (!query.schema.fieldNames.exists(
+          _.equalsIgnoreCase(key))) refuse(
+        s"CREATE TABLE $name AS SELECT: key column '$key' is not in " +
+          s"the query's output (${query.schema.fieldNames.mkString(", ")})")
+      val ju = new java.util.HashMap[String, String]()
+      props.foreach { case (k, v) => ju.put(k, v) }
+      // every field nullable: schema-on-read null-fills evolved columns
+      val nullable = org.apache.spark.sql.types.StructType(
+        query.schema.fields.map(_.copy(nullable = true)))
+      catalog.createTable(ident, nullable,
+        Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+        ju)
+      try {
+        MergeTableInsertCommand(catalog.tableRoot(ident), name,
+          cols = Seq.empty, byName = false, query).run(session)
+      } catch { case e: Throwable =>
+        // all-or-nothing: a failed load (e.g. duplicate keys in the
+        // SELECT) must not leave an empty table claiming the name
+        try catalog.dropTable(ident)
+        catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+        throw e
+      }
+      Seq.empty
+    }
+  }
+
   /** Lower the parser's [[MergeIntoTable]] over a registered merge table
     * into [[MergeTableMergeCommand]], refusing BY NAME every clause
     * shape the COW merge cannot honor. */

@@ -179,6 +179,57 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "the merge table is key-range-organized, not partitioned")
         MergeTableDml.MergeTableInsertCommand(root, name, cols, byName,
           i.query)
+      // `CREATE TABLE lake.t ... AS SELECT` — Spark's own CTAS exec
+      // would create the table then fail the capability check (the
+      // handle is deliberately write-capability-less), orphaning an
+      // empty table; lowered instead onto create + the manifest-pruned
+      // insert with drop-on-failure (see MergeTableCtasCommand)
+      case ctas @ org.apache.spark.sql.catalyst.plans.logical
+          .CreateTableAsSelect(org.apache.spark.sql.catalyst.analysis
+            .ResolvedIdentifier(cat: GraftCatalog, ident),
+          parts, query, spec, _, ignoreIfExists, _) if query.resolved =>
+        if (parts.nonEmpty) refuse(
+          s"CREATE TABLE ${ident.name} USING graft AS SELECT: " +
+            "PARTITIONED BY/CLUSTERED BY are not supported — a merge " +
+            "table is key-range-organized; declare the key with " +
+            "TBLPROPERTIES ('key' = '<col>')")
+        val ts = spec match {
+          case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t
+          case other => refuse(
+            s"CREATE TABLE ${ident.name} AS SELECT: unexpected table " +
+              s"spec shape ${other.getClass.getSimpleName}")
+        }
+        if (ts.location.nonEmpty) refuse(
+          s"CREATE TABLE ${ident.name} USING graft AS SELECT: LOCATION " +
+            s"is not supported — the table lives at <warehouse>/" +
+            s"${ident.name}")
+        ts.provider.filterNot(_.equalsIgnoreCase("graft")).foreach(p =>
+          refuse(s"CREATE TABLE ${ident.name} AS SELECT: the graft " +
+            s"catalog hosts graft tables only; got USING $p"))
+        MergeTableDml.MergeTableCtasCommand(cat, ident,
+          ts.properties ++ ts.options, query, ignoreIfExists)
+      // [CREATE OR] REPLACE TABLE [AS SELECT]: Spark's non-atomic
+      // replace exec DROPS the existing table before the create/write —
+      // on a capability-less handle the write then fails, so the verb
+      // would DESTROY data and error out. Refused before the exec can
+      // touch it.
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTableAsSelect if (r.name match {
+            case org.apache.spark.sql.catalyst.analysis
+              .ResolvedIdentifier(_: GraftCatalog, _) => true
+            case _ => false }) =>
+        refuse(s"REPLACE TABLE ${r.tableName.name} AS SELECT is not " +
+          "supported on the graft catalog — the non-atomic drop-then-" +
+          "create would destroy the table on any load failure; DROP + " +
+          "CREATE AS SELECT explicitly, or replace rows through MERGE")
+      case r: org.apache.spark.sql.catalyst.plans.logical.ReplaceTable
+          if (r.name match {
+            case org.apache.spark.sql.catalyst.analysis
+              .ResolvedIdentifier(_: GraftCatalog, _) => true
+            case _ => false }) =>
+        refuse(s"REPLACE TABLE ${r.tableName.name} is not supported on " +
+          "the graft catalog — DROP + CREATE explicitly (generations " +
+          "preserve nothing across a drop; the history IS the table)")
       // the CATALOG spelling of INSERT: by the time extended rules run,
       // ResolveInsertInto has already turned `INSERT INTO lake.t ...`
       // into AppendData over the V2 relation, with the query projected/

@@ -1355,6 +1355,52 @@ object MergeTable {
     gen
   }
 
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit: a new
+    * generation carrying the current manifest verbatim (files by
+    * reference, DVs, stats, fences) with the recorded `#schema=`
+    * widened by `cols` — zero data movement, so the statement is O(1)
+    * at 100 TB exactly like Delta's. Every existing row null-fills the
+    * new columns on read (the same schema-on-read contract the
+    * `evolveSchema` merge path established); a later merge writes real
+    * values. Time travel to pre-ALTER generations still serves the old
+    * shape — the schema is per-generation state, not global.
+    *
+    * Refusals are loud: empty list, duplicate/existing names
+    * (case-insensitive, Spark's resolution default), the reserved
+    * change-envelope names `op`/`seq`. Nullability is forced — an old
+    * file cannot honor NOT NULL on a column it predates. */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[org.apache.spark.sql.types.StructField],
+      commitTsMillis: Long = System.currentTimeMillis()): Long = {
+    require(cols.nonEmpty, s"ADD COLUMNS on $root: empty column list")
+    val curDir = currentGenDir(spark, root)
+    val cur = genMeta(spark, curDir)
+    // legacy manifests (pre-#schema) fall back to the footer schema —
+    // correct, because such a table never evolved before this commit
+    val base = cur.schema.getOrElse(readResolved(spark, root, curDir).schema)
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val existing = base.fieldNames.map(norm).toSet
+    cols.foreach { f =>
+      require(!Set("op", "seq").contains(norm(f.name)),
+        s"ADD COLUMNS on $root: '${f.name}' is a reserved change-" +
+          "envelope column name")
+      require(!existing.contains(norm(f.name)),
+        s"ADD COLUMNS on $root: column '${f.name}' already exists")
+    }
+    val dup = cols.groupBy(f => norm(f.name)).collectFirst {
+      case (_, fs) if fs.size > 1 => fs.head.name }
+    require(dup.isEmpty,
+      s"ADD COLUMNS on $root: duplicate column '${dup.getOrElse("")}'")
+    val widened = org.apache.spark.sql.types.StructType(
+      base.fields ++ cols.map(_.copy(nullable = true)))
+    val gen = Snapshots.nextGen(spark, root)
+    writeManifest(spark, root, gen, cur.entries, cur.key,
+      batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
+      schema = Some(widened), sbatch = cur.sbatch)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    gen
+  }
+
   /** One NET change per key: its highest-`seq` change — the shared
     * last-wins collapse of both merge paths. */
   private def netChanges(changes: DataFrame, key: String,
@@ -1486,6 +1532,20 @@ object MergeTable {
     if (appliedBatchId(spark, root).exists(_ >= batchId)) None
     else Some(mergeMor(spark, root, changes, key, nFiles, commitTsMillis,
       Some(batchId)))
+
+  /** [[mergeAuto]] with the same streaming idempotence contract as
+    * [[mergeExactlyOnce]] — the stats-dispatched lake sink: a replayed
+    * micro-batch is refused from the committed manifest's batch id
+    * BEFORE the batch is priced, so a restart never re-prices (or
+    * re-applies) an already-committed wave. */
+  def mergeAutoExactlyOnce(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, batchId: Long,
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      morAmplificationAbove: Double = 8.0): Option[(String, Long, Long)] =
+    if (appliedBatchId(spark, root).exists(_ >= batchId)) None
+    else Some(mergeAuto(spark, root, changes, key, nFiles, commitTsMillis,
+      Some(batchId), morAmplificationAbove))
 
   /** t_merge_read_pruned — the ORACLED face of the predicate-driven
     * pruned read: t_merge_into's merged orders table served through
@@ -2255,6 +2315,109 @@ object MergeTable {
     spark.sql(
       """SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
         |FROM graft_wh.sqlc_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** t_sql_alter — the ORACLED face of ALTER TABLE ADD COLUMNS
+    * ([[addColumns]] through [[graft.plans.GraftCatalog.alterTable]]):
+    * additive evolution as a METADATA-ONLY commit. The table is
+    * created and loaded two-columned in SQL, widened by `ALTER TABLE
+    * ... ADD COLUMNS (o_flag BIGINT, note STRING)` — one manifest
+    * commit, zero data movement — then a catalog-qualified UPDATE
+    * writes real values into the new columns for one slice and a
+    * DELETE removes another, so the read exercises all three row
+    * populations at once: evolved-and-written, evolved-but-null-filled
+    * (old files served THROUGH the widened `#schema=`), and deleted.
+    * The oracle replays the same net effect from raw orders; a dropped
+    * null-fill, a wrongly-backfilled value, or an ALTER that rewrote
+    * (and thereby re-stamped) data files all break the hash. */
+  def sqlAlterQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val wh = Layout.indexPath("graft_warehouse", dir)
+    spark.conf.set("spark.sql.catalog.graft_wh",
+      "graft.plans.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+    val root = s"$wh/sqla_orders"
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true) // stale tree: rebuild
+      spark.sql(
+        """CREATE TABLE graft_wh.sqla_orders (
+          |  o_orderkey BIGINT, price_cents BIGINT)
+          |USING graft TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+        .createOrReplaceTempView("sqla_src")
+      spark.sql("INSERT INTO graft_wh.sqla_orders SELECT * FROM sqla_src")
+      val filesBefore = currentMeta(spark, root).entries.map(_.name).toSet
+      spark.sql(
+        "ALTER TABLE graft_wh.sqla_orders ADD COLUMNS " +
+          "(o_flag BIGINT, note STRING)")
+      // the declared contract IS the gate: a rewriting ALTER fails the
+      // build loudly, not just a scalatest run
+      val after = currentMeta(spark, root)
+      require(after.entries.map(_.name).toSet == filesBefore,
+        "t_sql_alter: ADD COLUMNS must be metadata-only (data files " +
+          "changed across the ALTER commit)")
+      spark.sql(
+        """UPDATE graft_wh.sqla_orders
+          |SET o_flag = price_cents % 7, note = 'flagged'
+          |WHERE o_orderkey % 10 = 3""".stripMargin)
+      spark.sql(
+        "DELETE FROM graft_wh.sqla_orders WHERE o_orderkey % 10 = 7")
+    }
+    spark.sql(
+      """SELECT o_orderkey, price_cents, o_flag, note
+        |FROM graft_wh.sqla_orders ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** t_stream_sink — the ORACLED face of the `graft-merge` streaming
+    * sink ([[graft.sources.MergeTableSink]]): the sink's exactly-once
+    * protocol driven batch-by-batch the way `MicroBatchExecution`
+    * drives it — `addBatch(0)` lands a trickle wave (mode=auto prices
+    * it MOR: one key per file ⇒ amplification ≫ threshold), a CRASH
+    * REPLAY of batch 0 carrying poison values is REFUSED by the
+    * `#batch=` fence, `addBatch(1)` lands a bulk wave (priced COW),
+    * and batch 1's replay is refused again — so the oracle hash
+    * certifies end-state exactness THROUGH two dispatch regimes and
+    * two refused replays, not just a happy path. (The `writeStream
+    * .format("graft-merge")` wiring above this protocol is
+    * MergeTableSinkSpec's e2e job — the harness is batch-only.) */
+  def streamSinkQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("stream_sink", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val sink = new graft.sources.MergeTableSink().createSink(
+        spark.sqlContext, Map("path" -> root, "mode" -> "auto"),
+        Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+      def wave(cond: Column, op: String, price: Column) = base.where(cond)
+        .select(lit(op).as("op"), lit(1L).as("seq"), col("o_orderkey"),
+          col("o_orderstatus"), price.as("price_cents"))
+      // batch 0: trickle reprice (~0.1% of keys) → auto dispatches MOR
+      sink.addBatch(0, wave(col("o_orderkey") % 1000 === 1, "u",
+        col("price_cents") * 3))
+      // crash replay of batch 0 with POISON values: fence refuses it
+      sink.addBatch(0, wave(col("o_orderkey") % 1000 === 1, "u",
+        lit(-1L)))
+      // batch 1: bulk wave (delete %10=7, reprice %10=3) → priced COW
+      sink.addBatch(1, wave(col("o_orderkey") % 10 === 7, "d",
+        col("price_cents"))
+        .unionByName(wave(col("o_orderkey") % 10 === 3, "u",
+          col("price_cents") * 2)))
+      sink.addBatch(1, wave(col("o_orderkey") % 10 === 3, "u", lit(-1L)))
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
   }
 
   /** t_merge_composite — the ORACLED face of COMPOSITE merge keys: a

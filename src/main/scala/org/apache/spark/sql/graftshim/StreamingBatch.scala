@@ -22,4 +22,20 @@ object StreamingBatch {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse door, for a V1 streaming `Sink`: `addBatch` hands the
+    * micro-batch as a STREAMING-flagged DataFrame rooted in the
+    * `IncrementalExecution`, on which batch operators (joins,
+    * aggregations — everything [[graft.streaming.MergeTable.merge]]
+    * plans) refuse to run. Re-rooting the executed RDD as a plain
+    * batch frame is exactly what Spark's own `ForeachBatchSink` does
+    * before invoking the user function; the RDD stays lazy and
+    * re-runnable (sources replay a batch deterministically from the
+    * checkpointed offsets, which is the replay contract streaming
+    * already lives by). */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

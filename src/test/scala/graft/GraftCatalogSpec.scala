@@ -160,4 +160,87 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sqlRows(s"SELECT count(*) FROM $cat.t_disc") === Seq(Seq(7L)))
     spark.sql(s"DROP TABLE $cat.t_disc")
   }
+
+  test("CTAS: CREATE TABLE ... USING graft AS SELECT — DDL + first " +
+    "load in one statement, PK contract enforced, all-or-nothing") {
+    warehouse
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_ctas")
+    (0L until 9L).map(i => (i, i * 10L, s"r$i")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $cat.t_ctas USING graft " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src")
+    assert(sqlRows(s"SELECT k, v, tag FROM $cat.t_ctas ORDER BY k") ===
+      (0L until 9L).map(i => Seq(i, i * 10L, s"r$i")))
+    assert(sqlRows(s"SHOW TABLES IN $cat").map(_(1)).contains("t_ctas"))
+    // the created table is a full citizen: DML works immediately
+    spark.sql(s"DELETE FROM $cat.t_ctas WHERE k = 4")
+    assert(sqlRows(s"SELECT count(*) FROM $cat.t_ctas") === Seq(Seq(8L)))
+    // duplicate create refuses; IF NOT EXISTS is a no-op (not a reload)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t_ctas USING graft " +
+        "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.t_ctas USING graft " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src")
+    assert(sqlRows(s"SELECT count(*) FROM $cat.t_ctas") === Seq(Seq(8L)))
+
+    // all-or-nothing: duplicate keys in the SELECT refuse AND leave no
+    // orphan table behind the error
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_ctas_dup")
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t_ctas_dup USING graft " +
+        "TBLPROPERTIES ('key' = 'k') AS " +
+        "SELECT k % 3 AS k, v, tag FROM ctas_src")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    assert(!sqlRows(s"SHOW TABLES IN $cat").map(_(1)).contains("t_ctas_dup"),
+      "a failed CTAS load must drop the just-created table")
+    assert(!new java.io.File(s"$warehouse/t_ctas_dup").exists())
+    spark.sql(s"DROP TABLE $cat.t_ctas")
+  }
+
+  test("CTAS refusals are loud and pre-create: missing key, key not " +
+    "in output, composite key, PARTITIONED BY, foreign provider; " +
+    "REPLACE TABLE [AS SELECT] refuses before the non-atomic drop") {
+    warehouse
+    import spark.implicits._
+    (0L until 5L).map(i => (i, i * 2L)).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src2")
+    def fails(q: String): String =
+      intercept[Exception] { spark.sql(q) }.getMessage
+    assert(fails(s"CREATE TABLE $cat.t_r1 USING graft AS " +
+      "SELECT * FROM ctas_src2").contains("key"))
+    assert(fails(s"CREATE TABLE $cat.t_r2 USING graft " +
+      "TBLPROPERTIES ('key' = 'nope') AS SELECT * FROM ctas_src2")
+      .contains("not in"))
+    assert(fails(s"CREATE TABLE $cat.t_r3 USING graft " +
+      "TBLPROPERTIES ('key' = 'k,v') AS SELECT * FROM ctas_src2")
+      .contains("composite"))
+    assert(fails(s"CREATE TABLE $cat.t_r4 USING graft " +
+      "PARTITIONED BY (v) TBLPROPERTIES ('key' = 'k') AS " +
+      "SELECT * FROM ctas_src2").contains("key-range"))
+    assert(fails(s"CREATE TABLE $cat.t_r5 USING parquet " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src2")
+      .contains("graft"))
+    // none of the refusals left a table behind
+    val listed = sqlRows(s"SHOW TABLES IN $cat").map(_(1)).toSet
+    assert(Seq("t_r1", "t_r2", "t_r3", "t_r4", "t_r5")
+      .forall(!listed.contains(_)))
+    // REPLACE verbs refuse BEFORE Spark's drop-then-create exec runs
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_keep")
+    spark.sql(s"CREATE TABLE $cat.t_keep USING graft " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src2")
+    assert(fails(s"REPLACE TABLE $cat.t_keep USING graft " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src2")
+      .contains("REPLACE"))
+    assert(fails(s"CREATE OR REPLACE TABLE $cat.t_keep USING graft " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT * FROM ctas_src2")
+      .contains("REPLACE"))
+    assert(fails(s"REPLACE TABLE $cat.t_keep (k BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key' = 'k')").contains("REPLACE"))
+    // the table survived every refusal intact
+    assert(sqlRows(s"SELECT count(*) FROM $cat.t_keep") === Seq(Seq(5L)))
+    spark.sql(s"DROP TABLE $cat.t_keep")
+  }
 }
