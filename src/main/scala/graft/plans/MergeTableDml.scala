@@ -105,6 +105,7 @@ object MergeTableDml {
       // ONE manifest fetch serves key, schema and the PK probe
       val meta = mt.currentMeta(session, root)
       val key = meta.key
+      val ks = mt.keyCols(key) // composite: identity is the tuple
       val target = mt.readMeta(session, root, meta)
       val tgtSchema = target.schema
       val tCols = tgtSchema.fieldNames.toSeq
@@ -178,18 +179,21 @@ object MergeTableDml {
       // unaddressable (no later MERGE/UPDATE/DELETE key join can reach
       // it) and unprunable; the same PK-implies-NOT-NULL contract as
       // the INSERT command
-      if (!changes.where(col(key).isNull).isEmpty)
+      if (!changes.where(ks.map(k => col(s"`$k`").isNull)
+          .reduce(_ || _)).isEmpty)
         throw new IllegalStateException(
           s"MERGE INTO $table: an INSERT clause produced a NULL merge " +
             s"key — '$key' is the table's primary key")
       // ANSI cardinality guard: a target key steered by 2+ source rows
       // has no well-defined result — refuse, never net arbitrarily
-      val dup = changes.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      val dup = changes.groupBy(ks.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("n"))
         .where(col("n") > 1).limit(1).collect()
       if (dup.nonEmpty) throw new IllegalStateException(
         s"MERGE INTO $table: multiple source rows affect target key " +
-          s"${dup.head.get(0)} — the ANSI MERGE cardinality contract " +
-          "forbids this (dedupe the source first)")
+          s"${ks.indices.map(dup.head.get).mkString("(", ", ", ")")} — " +
+          "the ANSI MERGE cardinality contract forbids this (dedupe " +
+          "the source first)")
       // the PK contract on the INSERT clauses: under a key-equality ON
       // the anti-join already excludes existing keys, but an ON over
       // OTHER columns can emit a 'c' row whose key exists — last-wins
@@ -198,13 +202,15 @@ object MergeTableDml {
       // column, and an insert set beyond the key domain touches nothing.
       if (notMatched.nonEmpty) {
         val clash = mt.readWhereKeysOf(session, root, meta,
-          changes.where(col("op") === "c").select(col(key)))
+          changes.where(col("op") === "c")
+            .select(ks.map(k => col(s"`$k`")): _*))
           .limit(1).collect()
         if (clash.nonEmpty) throw new IllegalStateException(
           s"MERGE INTO $table: WHEN NOT MATCHED inserted key " +
-            s"${clash.head.get(0)}, which already exists (the ON " +
-            "condition does not cover the merge key) — INSERT never " +
-            "overwrites; match the key in ON or use UPDATE")
+            s"${ks.indices.map(clash.head.get).mkString("(", ", ", ")")}, " +
+            "which already exists (the ON condition does not cover the " +
+            "merge key) — INSERT never overwrites; match the key in ON " +
+            "or use UPDATE")
       }
 
       val byOp = changes.groupBy(col("op")).count().collect()
@@ -245,19 +251,16 @@ object MergeTableDml {
       val mt = graft.streaming.MergeTable
       // ONE manifest fetch serves key, schema and the PK probe
       val meta = mt.currentMeta(session, root)
-      if (meta.key.contains(',')) refuse(
-        s"INSERT INTO $table: the table is composite-keyed " +
-          s"(${meta.key}) — SQL INSERT supports single-column keys " +
-          "today; drive composite-keyed tables through the merge API")
       val tgtSchema = meta.schema.getOrElse(mt.read(session, root).schema)
       val tCols = tgtSchema.fieldNames.toSeq
       val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
       // column names resolve case-insensitively (Spark SQL's default)
       // to the table's canonical spelling — including the manifest #key
+      // (composite keys: identity is the TUPLE of canonical columns)
       val canonical: Map[String, String] =
         tCols.map(c => c.toLowerCase(java.util.Locale.ROOT) -> c).toMap
-      val key = canonical.getOrElse(
-        meta.key.toLowerCase(java.util.Locale.ROOT), meta.key)
+      val ks = mt.keyCols(meta.key).map(k =>
+        canonical.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k))
       val rawNamed: Seq[String] =
         if (byName) src.columns.toSeq
         else if (cols.nonEmpty) cols
@@ -280,9 +283,10 @@ object MergeTableDml {
               " — list the columns or match the arity")
           src.toDF(tCols: _*)
         } else {
-          if (!named.contains(key)) refuse(
+          val missingKey = ks.filterNot(named.contains)
+          if (missingKey.nonEmpty) refuse(
             s"INSERT INTO $table: the column list must include the " +
-              s"merge key '$key'")
+              s"merge key column(s) ${missingKey.mkString(", ")}")
           if (named.size != src.columns.length) refuse(
             s"INSERT INTO $table: ${named.size} target columns vs " +
               s"${src.columns.length} query columns")
@@ -296,30 +300,34 @@ object MergeTableDml {
         .localCheckpoint(true)
       // the PK contract: no null keys (ANSI PK implies NOT NULL — and a
       // null key can neither range-prune nor match a later MERGE)…
-      if (!rows.where(col(key).isNull).isEmpty)
+      if (!rows.where(ks.map(k => col(s"`$k`").isNull).reduce(_ || _))
+          .isEmpty)
         throw new IllegalStateException(
-          s"INSERT INTO $table: NULL merge key — the key column " +
-            s"'$key' is the table's primary key")
+          s"INSERT INTO $table: NULL merge key — '${meta.key}' is the " +
+            "table's primary key")
       // …no in-batch duplicates…
-      val dup = rows.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      val dup = rows.groupBy(ks.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("n"))
         .where(col("n") > 1).limit(1).collect()
       if (dup.nonEmpty) throw new IllegalStateException(
-        s"INSERT INTO $table: duplicate merge key ${dup.head.get(0)} in " +
+        s"INSERT INTO $table: duplicate merge key " +
+          s"${ks.indices.map(dup.head.get).mkString("(", ", ", ")")} in " +
           "the inserted rows — a keyed table holds one row per key " +
           "(the upsert verb is MERGE)")
-      // …and no collision with EXISTING keys: probe only the key column
+      // …and no collision with EXISTING keys: probe only the key columns
       // of manifest-range-touched files (never a table scan)
       val clash = mt.readWhereKeysOf(session, root, meta,
-        rows.select(col(key))).limit(1).collect()
+        rows.select(ks.map(k => col(s"`$k`")): _*)).limit(1).collect()
       if (clash.nonEmpty) throw new IllegalStateException(
-        s"INSERT INTO $table: key ${clash.head.get(0)} already exists — " +
-          "INSERT never overwrites on a keyed table (the upsert verb " +
-          "is MERGE)")
+        s"INSERT INTO $table: key " +
+          s"${ks.indices.map(clash.head.get).mkString("(", ", ", ")")} " +
+          "already exists — INSERT never overwrites on a keyed table " +
+          "(the upsert verb is MERGE)")
       val n = rows.count()
       if (n == 0) return Seq(Row(0L, 0, 0))
       val changes = rows
         .withColumn("op", lit("c")).withColumn("seq", lit(1L))
-      val (rw, ca) = mt.merge(session, root, changes, key)
+      val (rw, ca) = mt.merge(session, root, changes, meta.key)
       Seq(Row(n, rw, ca))
     }
   }
@@ -358,17 +366,15 @@ object MergeTableDml {
       val key = props.getOrElse("key", refuse(
         s"CREATE TABLE $name USING graft AS SELECT requires the merge " +
           "key: TBLPROPERTIES ('key' = '<column>')"))
-      // refusals that would otherwise fire AFTER createTable (composite
-      // keys: the SQL INSERT path is single-key today) fire BEFORE it —
-      // nothing to clean up
-      if (key.contains(',')) refuse(
-        s"CREATE TABLE $name AS SELECT: composite key ($key) — SQL " +
-          "CTAS supports single-column keys today; create + load " +
-          "composite-keyed tables through the merge API")
-      if (!query.schema.fieldNames.exists(
-          _.equalsIgnoreCase(key))) refuse(
-        s"CREATE TABLE $name AS SELECT: key column '$key' is not in " +
-          s"the query's output (${query.schema.fieldNames.mkString(", ")})")
+      // refusals that would otherwise fire AFTER createTable fire
+      // BEFORE it — nothing to clean up (composite keys: each tuple
+      // column must be in the SELECT's output)
+      val missingKey = graft.streaming.MergeTable.keyCols(key)
+        .filterNot(k => query.schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+      if (missingKey.nonEmpty) refuse(
+        s"CREATE TABLE $name AS SELECT: key column(s) " +
+          s"${missingKey.mkString(", ")} not in the query's output " +
+          s"(${query.schema.fieldNames.mkString(", ")})")
       val ju = new java.util.HashMap[String, String]()
       props.foreach { case (k, v) => ju.put(k, v) }
       // every field nullable: schema-on-read null-fills evolved columns
@@ -412,10 +418,6 @@ object MergeTableDml {
         "UPDATE DML's job")
     // ONE manifest fetch serves key and schema (not one GET per face)
     val meta = graft.streaming.MergeTable.currentMeta(spark, root)
-    if (meta.key.contains(',')) refuse(
-      s"MERGE INTO $table: the table is composite-keyed (${meta.key}) — " +
-        "SQL MERGE supports single-column keys today; drive composite-" +
-        "keyed tables through the merge API")
     val tCols = meta.schema.map(_.fieldNames.toSeq).getOrElse(
       graft.streaming.MergeTable.read(spark, root).schema.fieldNames.toSeq)
     // the qualifier star-expansion needs: the source's alias or name
@@ -439,12 +441,14 @@ object MergeTableDml {
       canonical.getOrElse(raw.toLowerCase(java.util.Locale.ROOT), refuse(
         s"MERGE INTO $table $context assigns unknown column '$raw' " +
           s"(table columns: ${tCols.mkString(", ")})"))
-    // the manifest #key may be cased differently from the schema field
+    // the manifest #key may be cased differently from the schema fields
     // (create takes both independently): comparisons against
-    // canonicalized assignment names need the key's CANONICAL spelling,
-    // else `SET <key>` slips the refusal and star expansion includes it
-    val key = canonical.getOrElse(
-      meta.key.toLowerCase(java.util.Locale.ROOT), meta.key)
+    // canonicalized assignment names need each key column's CANONICAL
+    // spelling, else `SET <key>` slips the refusal and star expansion
+    // includes it. Composite keys are the tuple of columns.
+    val keySet: Seq[String] =
+      graft.streaming.MergeTable.keyCols(meta.key).map(k =>
+        canonical.getOrElse(k.toLowerCase(java.util.Locale.ROOT), k))
     def pairs(assigns: Seq[Assignment], context: String): Seq[(String, String)] = {
       val ps = assigns.map { a =>
         stripQualifiers(a.key, quals) match {
@@ -471,16 +475,16 @@ object MergeTableDml {
       case DeleteAction(cond) => SqlDelete(condSql(cond))
       case UpdateAction(cond, assigns, _) =>
         val ps = pairs(assigns, "UPDATE")
-        if (ps.exists(_._1 == key)) refuse(
+        ps.map(_._1).find(keySet.contains).foreach(k => refuse(
           s"MERGE INTO $table: UPDATE must not assign the merge key " +
-            s"'$key' — a COW merge addresses rows by key")
+            s"'$k' — a COW merge addresses rows by key"))
         SqlUpdate(condSql(cond), ps)
       case UpdateStarAction(cond) =>
         // every non-key column from the source's same name (the key
         // keeps the target value — under the ON equality it is equal
         // anyway, and a key REWRITE is refused just above)
         SqlUpdate(condSql(cond),
-          tCols.filterNot(_ == key).map(c => c -> s"`$starQual`.`$c`"))
+          tCols.filterNot(keySet.contains).map(c => c -> s"`$starQual`.`$c`"))
       case other => refuse(
         s"MERGE INTO $table: unsupported WHEN MATCHED action " +
           other.getClass.getSimpleName)
@@ -488,8 +492,10 @@ object MergeTableDml {
     val notMatched: Seq[SqlInsert] = m.notMatchedActions.map {
       case InsertAction(cond, assigns) =>
         val ps = pairs(assigns, "INSERT")
-        if (!ps.exists(_._1 == key)) refuse(
-          s"MERGE INTO $table: INSERT must assign the merge key '$key'")
+        val missing = keySet.filterNot(k => ps.exists(_._1 == k))
+        if (missing.nonEmpty) refuse(
+          s"MERGE INTO $table: INSERT must assign the merge key " +
+            s"column(s) ${missing.mkString(", ")}")
         SqlInsert(condSql(cond), ps)
       case InsertStarAction(cond) =>
         SqlInsert(condSql(cond), tCols.map(c => c -> s"`$starQual`.`$c`"))

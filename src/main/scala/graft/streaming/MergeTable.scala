@@ -2437,8 +2437,8 @@ object MergeTable {
     import graft.ops.Layout
     val root = Layout.indexPath("merge_composite", dir)
     // v2: the base dedupes to one row per tuple (the synthetic lineitem
-    // is not tuple-unique)
-    val sig = s"v2_${Layout.dataSig(s"$dir/lineitem.parquet")}"
+    // is not tuple-unique); v3: the wave applies through SQL MERGE
+    val sig = s"v3_${Layout.dataSig(s"$dir/lineitem.parquet")}"
     Layout.ensureSigGated(root, sig) {
       val rootPath = new Path(root)
       val f = fs(spark, rootPath)
@@ -2466,8 +2466,27 @@ object MergeTable {
         .select(col("l_orderkey"), lit(8).as("l_linenumber"),
           lit(42L).as("qty_cents"), lit("Z").as("l_returnflag"))
         .withColumn("op", lit("c")).withColumn("seq", lit(1L))
-      merge(spark, root, upd.unionByName(del).unionByName(ins),
-        "l_orderkey,l_linenumber", nFiles = 4, commitTsMillis = 2000L)
+      // the wave travels as SQL `MERGE INTO` (round 15): the lowered
+      // command must address the TUPLE through netting, cardinality,
+      // anti-join and PK probe — the same oracle hash now gates the
+      // SQL composite path (the API path stays state-pinned in
+      // CompositeKeySpec, and both lower onto ONE merge core)
+      graft.plans.SnapshotSqlCatalog.registerMerge(spark,
+        "comp_sql_tbl", root)
+      upd.unionByName(del).unionByName(ins)
+        .withColumnRenamed("op", "action").drop("seq")
+        .createOrReplaceTempView("comp_sql_src")
+      spark.sql(
+        """MERGE INTO comp_sql_tbl AS t USING comp_sql_src AS s
+          |ON t.l_orderkey = s.l_orderkey
+          |  AND t.l_linenumber = s.l_linenumber
+          |WHEN MATCHED AND s.action = 'd' THEN DELETE
+          |WHEN MATCHED AND s.action = 'u' THEN UPDATE SET
+          |  qty_cents = s.qty_cents, l_returnflag = s.l_returnflag
+          |WHEN NOT MATCHED AND s.action = 'c' THEN INSERT
+          |  (l_orderkey, l_linenumber, qty_cents, l_returnflag)
+          |  VALUES (s.l_orderkey, s.l_linenumber, s.qty_cents,
+          |    s.l_returnflag)""".stripMargin)
     }
     read(spark, root).orderBy(col("l_orderkey"), col("l_linenumber"))
   }

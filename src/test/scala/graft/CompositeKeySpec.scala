@@ -113,7 +113,7 @@ class CompositeKeySpec extends AnyFunSuite {
   }
 
   test("deleteWhere/updateWhere/optimize/compact compose on a " +
-    "composite-keyed table; SQL MERGE refuses it loudly") {
+    "composite-keyed table; SQL MERGE/INSERT address the tuple") {
     val root = freshRoot("compose")
     MergeTable.create(spark, root, baseDf(50), "oid,line", nFiles = 4,
       commitTsMillis = 10L)
@@ -128,16 +128,38 @@ class CompositeKeySpec extends AnyFunSuite {
     val s = state(root)
     assert(s.size === 200 - 5)
     assert(s((1L, 2)) === 102L + 7L && !s.contains((0L, 4)))
-    // SQL DML: DELETE works (keyless machinery); MERGE refuses by name
+    // SQL DML: DELETE works (keyless machinery); MERGE addresses the
+    // TUPLE — an ON over the full key touches exactly one line
     graft.plans.SnapshotSqlCatalog.registerMerge(spark, "comp_t", root)
     spark.sql("DELETE FROM comp_t WHERE oid = 2 AND line = 1")
     assert(!state(root).contains((2L, 1)))
+    spark.sql(
+      """MERGE INTO comp_t USING
+        |  (SELECT 3 AS oid, 2 AS line, 999 AS nv) s
+        |ON comp_t.oid = s.oid AND comp_t.line = s.line
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (oid, line, v)
+        |  VALUES (s.oid, s.line, s.nv)""".stripMargin)
+    val s2 = state(root)
+    assert(s2((3L, 2)) === 999L, "MERGE must update the addressed tuple")
+    assert(s2((3L, 1)) === 301L, "sibling lines under the oid untouched")
+    // an INSERT clause missing part of the key tuple refuses by name
     val e = intercept[Exception] {
       spark.sql(
-        """MERGE INTO comp_t USING (SELECT 1 AS oid) s ON comp_t.oid = s.oid
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+        """MERGE INTO comp_t USING (SELECT 777 AS oid, 1 AS nv) s
+          |ON comp_t.oid = s.oid AND comp_t.line = 1
+          |WHEN NOT MATCHED THEN INSERT (oid, v) VALUES (s.oid, s.nv)
+          |""".stripMargin)
     }
-    assert(e.getMessage.contains("composite"))
+    assert(e.getMessage.contains("line"),
+      s"partial-key INSERT must refuse naming the missing column: ${e.getMessage}")
+    // SQL INSERT: tuple PK contract — a new line under an existing oid
+    // inserts; re-inserting an existing tuple refuses
+    spark.sql("INSERT INTO comp_t VALUES (3, 9, 12345)")
+    assert(state(root)((3L, 9)) === 12345L)
+    val dup = intercept[Exception] {
+      spark.sql("INSERT INTO comp_t VALUES (3, 9, 1)") }
+    assert(dup.getMessage.contains("already exists"))
     // create refuses an unknown key column in the list
     intercept[IllegalArgumentException] {
       MergeTable.create(spark, freshRoot("badcol"), baseDf(5),

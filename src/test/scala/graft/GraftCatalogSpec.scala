@@ -215,8 +215,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       "TBLPROPERTIES ('key' = 'nope') AS SELECT * FROM ctas_src2")
       .contains("not in"))
     assert(fails(s"CREATE TABLE $cat.t_r3 USING graft " +
+      "TBLPROPERTIES ('key' = 'k,nope') AS SELECT * FROM ctas_src2")
+      .contains("not in"))
+    // a composite key CTAS works — the tuple is the identity
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_ctas_comp")
+    spark.sql(s"CREATE TABLE $cat.t_ctas_comp USING graft " +
       "TBLPROPERTIES ('key' = 'k,v') AS SELECT * FROM ctas_src2")
-      .contains("composite"))
+    assert(sqlRows(s"SELECT count(*) FROM $cat.t_ctas_comp") === Seq(Seq(5L)))
+    spark.sql(s"DROP TABLE $cat.t_ctas_comp")
     assert(fails(s"CREATE TABLE $cat.t_r4 USING graft " +
       "PARTITIONED BY (v) TBLPROPERTIES ('key' = 'k') AS " +
       "SELECT * FROM ctas_src2").contains("key-range"))
