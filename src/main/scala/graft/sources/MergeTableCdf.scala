@@ -51,10 +51,9 @@ import graft.streaming.{MergeTable, Snapshots}
 class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "merge-cdf"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.get("path").orElse(parameters.get("root")).getOrElse(
-      throw new IllegalArgumentException(
-        "merge-cdf: set .option(\"path\", <MergeTable root>)"))
+  private def rootOf(spark: SparkSession,
+      parameters: Map[String, String]): String =
+    MergeTableCdf.resolveRoot("merge-cdf", spark, parameters)
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -63,13 +62,14 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
       "merge-cdf: the schema comes from the table's recorded #schema " +
         "— don't pass one")
     (shortName(),
-      MergeTableCdf.feedSchema(sqlContext.sparkSession, rootOf(parameters)))
+      MergeTableCdf.feedSchema(sqlContext.sparkSession,
+        rootOf(sqlContext.sparkSession, parameters)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val root = rootOf(parameters)
+    val root = rootOf(sqlContext.sparkSession, parameters)
     val startGen = parameters.get("startGen").map(_.toLong).getOrElse(0L)
     require(startGen >= 0L, s"merge-cdf: startGen must be ≥ 0: $startGen")
     // a startGen beyond the table would make getOffset() None forever —
@@ -85,6 +85,25 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
 }
 
 object MergeTableCdf {
+  /** Shared root resolution for the lake's streaming endpoints:
+    * `.option("path", <root>)` addresses a directory directly;
+    * `.option("table", <name>)` resolves a REGISTERED bare name
+    * (`registerMerge` / `CREATE TABLE ... USING graft`), so stream
+    * wiring names tables the way SQL does instead of repeating paths. */
+  private[sources] def resolveRoot(what: String, spark: SparkSession,
+      parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("root"))
+      .orElse(parameters.get("table").map { t =>
+        graft.plans.SnapshotSqlCatalog.mergeRootOf(spark, Seq(t)).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: table '$t' is not a registered merge table — " +
+              "register it (SnapshotSqlCatalog.registerMerge or CREATE " +
+              "TABLE ... USING graft) or address it by path"))
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what: set .option(\"path\", <MergeTable root>) or " +
+          ".option(\"table\", <registered name>)"))
+
   /** The feed's shape: the CURRENT generation's recorded schema plus
     * the `change` ∈ 'i'/'d' marker — computed from metadata only (the
     * plan is built, never run). */

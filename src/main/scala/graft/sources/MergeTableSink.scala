@@ -10,7 +10,8 @@ import graft.streaming.MergeTable
 /** `graft-merge` — the lake table as a Structured Streaming SINK:
   * {{{
   *   changes.writeStream.format("graft-merge")
-  *     .option("path", root)            // an EXISTING MergeTable
+  *     .option("path", root)            // an EXISTING MergeTable —
+  *     // or .option("table", name) for a registered/catalog name
   *     .option("mode", "cow")           // cow | mor | auto | occ
   *     .option("checkpointLocation", ckpt)
   *     .start()
@@ -61,9 +62,8 @@ class MergeTableSink extends StreamSinkProvider with DataSourceRegister {
     require(outputMode != OutputMode.Complete(),
       "graft-merge: OutputMode.Complete would replace the table every " +
         "batch — the sink applies CHANGE batches; use Append or Update")
-    val root = parameters.get("path").orElse(parameters.get("root"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft-merge: set .option(\"path\", <MergeTable root>)"))
+    val root = MergeTableCdf.resolveRoot("graft-merge",
+      sqlContext.sparkSession, parameters)
     val mode = parameters.getOrElse("mode", "cow").toLowerCase(
       java.util.Locale.ROOT)
     require(Set("cow", "mor", "auto", "occ").contains(mode),

@@ -49,6 +49,34 @@ class MergeTableCdfSpec extends AnyFunSuite {
     acc.toMap
   }
 
+  test(".option(\"table\", name) resolves a registered bare name; an " +
+    "unregistered one refuses naming the registry verbs") {
+    val work = freshWork("byname")
+    val root = s"$work/table"
+    MergeTable.create(spark, root, baseDf(12), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "cdf_t", root)
+    val got = {
+      val acc = scala.collection.mutable.Map[(Long, Long, String, String), Int]()
+      val q = spark.readStream.format("merge-cdf").option("table", "cdf_t")
+        .load().writeStream
+        .option("checkpointLocation", s"$work/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc.synchronized { bag(df).foreach { case (k, n) =>
+            acc(k) = acc.getOrElse(k, 0) + n } }
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop(); acc.toMap
+    }
+    val g = Snapshots.generations(spark, root).max
+    assert(got === bag(MergeTable.changesBetween(spark, root, 0L, g)))
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("merge-cdf").option("table", "cdf_nope")
+        .load()
+    }
+    assert(e.getMessage.contains("not a registered merge table"))
+  }
+
   test("fresh checkpoint backfills, restarts deliver only new " +
     "generations, an idle restart delivers nothing — ≡ changesBetween") {
     val work = freshWork("restart")

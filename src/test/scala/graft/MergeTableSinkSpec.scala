@@ -177,5 +177,15 @@ class MergeTableSinkSpec extends AnyFunSuite {
       .getMessage.contains("partitionBy"))
     // a misspelled root kills .start(), not the first micro-batch
     intercept[Exception] { mk(Map("path" -> s"$root-nope")) }
+    // .option("table", name): a REGISTERED bare name resolves to the
+    // root (the SQL registry's spelling); an unregistered one refuses
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "sink_t", root)
+    val byName = mk(Map("table" -> "sink_t"))
+    byName.addBatch(0, changesDf(("u", 1L, 5L, 555L, "byname")))
+    assert(MergeTable.read(spark, root).where(col("k") === 5L)
+      .collect().head.getLong(1) === 555L)
+    assert(intercept[IllegalArgumentException] {
+      mk(Map("table" -> "sink_nope")) }
+      .getMessage.contains("not a registered merge table"))
   }
 }
