@@ -140,11 +140,21 @@ class GraftCatalog extends TableCatalog {
       s"CREATE TABLE ${ident.name} USING graft: PARTITIONED BY/" +
         "CLUSTERED BY are not supported — a merge table is key-range-" +
         "organized; declare the key with TBLPROPERTIES ('key' = '<col>')")
-    val key = Option(properties.get("key"))
+    val rawKey = Option(properties.get("key"))
       .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "key")))
       .getOrElse(throw new IllegalArgumentException(
         s"CREATE TABLE ${ident.name} USING graft requires the merge key: " +
           "TBLPROPERTIES ('key' = '<column>')"))
+    // canonicalize each key column to the SCHEMA's spelling (Spark SQL
+    // resolves case-insensitively; MergeTable.create's own key check is
+    // case-sensitive — a mis-cased TBLPROPERTIES key would fail deeper
+    // with a misleading "not a column" on a column that plainly exists)
+    val key = graft.streaming.MergeTable.keyCols(rawKey).map { k =>
+      schema.fieldNames.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE ${ident.name}: key column '$k' is not a " +
+            s"table column (${schema.fieldNames.mkString(", ")})"))
+    }.mkString(",")
     // external LOCATION is refused rather than half-honored: the
     // catalog's contract is name ⟺ <warehouse>/<name> (DROP and
     // re-discovery depend on it)
@@ -157,8 +167,14 @@ class GraftCatalog extends TableCatalog {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     MergeTable.create(spark, root, empty, key)
     // bare-name composition: history('t') / changes('t', ...) and
-    // bare-name DML statements work immediately in this session
-    SnapshotSqlCatalog.registerMerge(spark, ident.name, root)
+    // bare-name DML statements work immediately in this session —
+    // UNLESS the bare name is already registered to a DIFFERENT root
+    // (an external table): silently re-pointing it would redirect the
+    // session's bare-name DML at this new table (silent wrong-table
+    // writes); the catalog-qualified name always works regardless
+    val prior = SnapshotSqlCatalog.mergeRootOf(spark, Seq(ident.name))
+    if (prior.forall(_ == root))
+      SnapshotSqlCatalog.registerMerge(spark, ident.name, root)
     loadTable(ident)
   }
 
@@ -210,7 +226,12 @@ class GraftCatalog extends TableCatalog {
     val root = rootOf(ident)
     if (Snapshots.currentGen(spark, root).isEmpty) return false
     fs(new Path(root)).delete(new Path(root), true)
-    SnapshotSqlCatalog.unregisterMerge(spark, ident.name)
+    // only drop the bare-name registration that POINTS HERE: the name
+    // may be registered to an unrelated external root, which this DROP
+    // must not orphan
+    if (SnapshotSqlCatalog.mergeRootOf(spark, Seq(ident.name))
+        .contains(root))
+      SnapshotSqlCatalog.unregisterMerge(spark, ident.name)
     true
   }
 

@@ -235,22 +235,31 @@ class SnapshotTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // into AppendData over the V2 relation, with the query projected/
       // cast to the table's full width (column lists and BY NAME are
       // normalized there) — so the command takes it positionally
-      case a: org.apache.spark.sql.catalyst.plans.logical.AppendData
-          if MergeRel.unapply(a.table).isDefined =>
-        val (name, _, root) = MergeRel.unapply(a.table).get
-        MergeTableDml.MergeTableInsertCommand(root, name,
-          cols = Seq.empty, byName = false, a.query)
-      case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
-          if MergeRel.unapply(o.table).isDefined =>
-        refuse(s"INSERT OVERWRITE on merge table " +
-          s"${MergeRel.unapply(o.table).get._1} is not supported — a " +
-          "keyed table replaces rows through MERGE/UPDATE, or rebuilds " +
-          "through create")
+      case a: org.apache.spark.sql.catalyst.plans.logical.AppendData =>
+        a.table match {
+          case MergeRel(name, _, root) =>
+            MergeTableDml.MergeTableInsertCommand(root, name,
+              cols = Seq.empty, byName = false, a.query)
+          case _ => a
+        }
       case o: org.apache.spark.sql.catalyst.plans.logical
-          .OverwritePartitionsDynamic if MergeRel.unapply(o.table).isDefined =>
-        refuse(s"dynamic-partition INSERT OVERWRITE on merge table " +
-          s"${MergeRel.unapply(o.table).get._1} is not supported — the " +
-          "merge table is key-range-organized, not partitioned")
+          .OverwriteByExpression =>
+        o.table match {
+          case MergeRel(name, _, _) =>
+            refuse(s"INSERT OVERWRITE on merge table $name is not " +
+              "supported — a keyed table replaces rows through MERGE/" +
+              "UPDATE, or rebuilds through create")
+          case _ => o
+        }
+      case o: org.apache.spark.sql.catalyst.plans.logical
+          .OverwritePartitionsDynamic =>
+        o.table match {
+          case MergeRel(name, _, _) =>
+            refuse(s"dynamic-partition INSERT OVERWRITE on merge table " +
+              s"$name is not supported — the merge table is key-range-" +
+              "organized, not partitioned")
+          case _ => o
+        }
       // `MERGE INTO lake [AS t] USING src ON ... WHEN ...` — the verb a
       // warehouse lives on (the reference's whole pipeline IS a merge:
       // load_s3_files_…/handler.py:86-95). Lowered onto the COW

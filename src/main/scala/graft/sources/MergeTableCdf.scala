@@ -61,9 +61,11 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
     require(schema.isEmpty,
       "merge-cdf: the schema comes from the table's recorded #schema " +
         "— don't pass one")
-    (shortName(),
-      MergeTableCdf.feedSchema(sqlContext.sparkSession,
-        rootOf(sqlContext.sparkSession, parameters)))
+    val root = rootOf(sqlContext.sparkSession, parameters)
+    val s = MergeTableCdf.feedSchema(sqlContext.sparkSession, root)
+    // pin the ANALYSIS-time shape for createSource (see pinnedSchema)
+    MergeTableCdf.pinnedSchema.put(root, s)
+    (shortName(), s)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -80,11 +82,25 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
     require(startGen <= latest,
       s"merge-cdf: startGen $startGen is beyond the latest committed " +
         s"generation $latest under $root")
-    new MergeTableCdfSource(sqlContext.sparkSession, root, startGen)
+    new MergeTableCdfSource(sqlContext.sparkSession, root, startGen,
+      Option(MergeTableCdf.pinnedSchema.get(root)))
   }
 }
 
 object MergeTableCdf {
+  /** The schema handed out at ANALYSIS time (sourceSchema), per root —
+    * createSource must serve exactly that shape: Spark instantiates
+    * SEPARATE provider instances for the two calls, and re-deriving
+    * from the now-latest generation would race an evolution commit
+    * landing between `.load()` and `.start()` (the analyzed plan
+    * expects S, every batch would carry S+new → MicroBatchExecution's
+    * opaque width assert kills the query on batch one; the contract is
+    * "new columns appear after a restart"). Keyed by root, last
+    * analysis wins — one live stream per table, the lake's intended
+    * shape; roots are few, so the map never needs eviction. */
+  private[sources] val pinnedSchema =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** Shared root resolution for the lake's streaming endpoints:
     * `.option("path", <root>)` addresses a directory directly;
     * `.option("table", <name>)` resolves a REGISTERED bare name
@@ -117,9 +133,13 @@ object MergeTableCdf {
 }
 
 private class MergeTableCdfSource(spark: SparkSession, root: String,
-    startGen: Long) extends Source {
+    startGen: Long, analyzedSchema: Option[StructType]) extends Source {
 
-  override val schema: StructType = MergeTableCdf.feedSchema(spark, root)
+  // the analysis-time shape when the provider saw one (the normal
+  // readStream path); a fresh derivation only when createSource runs
+  // without a prior sourceSchema call on this provider instance
+  override val schema: StructType =
+    analyzedSchema.getOrElse(MergeTableCdf.feedSchema(spark, root))
 
   // any Offset shape (our LongOffset live, SerializedOffset off the
   // checkpoint WAL after a restart) round-trips through json = the

@@ -685,9 +685,14 @@ object MergeTable {
       else {
         import spark.implicits._
         val candNames = candidates.map(_.name).toDF("__cand")
+        // DISTINCT positions: duplicate DV rows (the same position
+        // deleted twice across generations) are sanctioned state for
+        // the anti-join read path — counting them raw would undercount
+        // live rows and misdispatch a sparse delete to a full rewrite
         spark.read.parquet(m.dvs.map(filePath(root, _)): _*)
           .join(broadcast(candNames), col("file") === col("__cand"),
             "left_semi")
+          .select(col("file"), col("pos")).distinct()
           .count()
       }
     val liveRows = math.max(0L, writtenRows - deadRows)
@@ -718,11 +723,15 @@ object MergeTable {
       matched
     } else {
       val gen = Snapshots.nextGen(spark, root)
+      // materialize the (file,pos) set ONCE: writeDv probes emptiness
+      // and then writes — unpinned, each would re-scan the candidate
+      // files (the path chosen precisely because it should be cheap)
       val delRows = readFiles(spark, root, candidates, m.dvs, m.schema)
         .filter(predicate)
         .select(
           element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
           expr("_metadata.row_index").as("pos"))
+        .localCheckpoint(true)
       writeDv(spark, root, gen, delRows) match {
         case None => 0L // unreachable: matched > 0
         case Some(dvName) =>

@@ -161,6 +161,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $cat.t_disc")
   }
 
+  test("a bare-name registration pointing at an EXTERNAL root survives " +
+    "CREATE/DROP of a same-named catalog table; mis-cased key " +
+    "canonicalizes to the schema spelling") {
+    warehouse
+    import spark.implicits._
+    // external table registered under the bare name first
+    val ext = s"${TestSpark.tempDir("graft-cat-ext")}/t"
+    MergeTable.create(spark, ext,
+      (0L until 4L).map(i => (i, i)).toDF("k", "v"), "k",
+      commitTsMillis = 10L)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "t_shared", ext)
+    // CREATE a catalog table of the same name: must NOT re-point the
+    // bare name (bare-name DML would silently write the wrong table)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_shared")
+    spark.sql(s"CREATE TABLE $cat.t_shared (k BIGINT, v BIGINT) " +
+      "USING graft TBLPROPERTIES ('key' = 'K')") // mis-cased on purpose
+    assert(graft.plans.SnapshotSqlCatalog
+      .mergeRootOf(spark, Seq("t_shared")) === Some(ext),
+      "CREATE must not clobber a registration pointing elsewhere")
+    // the mis-cased key canonicalized to the schema spelling
+    assert(MergeTable.currentMeta(spark, s"$warehouse/t_shared").key === "k")
+    // DROP of the catalog table must not orphan the external name
+    spark.sql(s"DROP TABLE $cat.t_shared")
+    assert(graft.plans.SnapshotSqlCatalog
+      .mergeRootOf(spark, Seq("t_shared")) === Some(ext),
+      "DROP must only unregister a name that points at the dropped root")
+    graft.plans.SnapshotSqlCatalog.unregisterMerge(spark, "t_shared")
+  }
+
   test("CTAS: CREATE TABLE ... USING graft AS SELECT — DDL + first " +
     "load in one statement, PK contract enforced, all-or-nothing") {
     warehouse

@@ -49,6 +49,32 @@ class MergeTableCdfSpec extends AnyFunSuite {
     acc.toMap
   }
 
+  test("an additive evolution committing between .load() and .start() " +
+    "does not kill the stream — it serves the analysis-time shape") {
+    val work = freshWork("evorace")
+    val root = s"$work/table"
+    MergeTable.create(spark, root, baseDf(10), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // analysis fixes the 4-column shape (k, v, tag, change) ...
+    val sdf = spark.readStream.format("merge-cdf").option("path", root).load()
+    assert(sdf.schema.fieldNames.toSeq === Seq("k", "v", "tag", "change"))
+    // ... then the table evolves BEFORE the query starts
+    MergeTable.addColumns(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType)), commitTsMillis = 20L)
+    val acc = scala.collection.mutable.Map[(Long, Long, String, String), Int]()
+    val q = sdf.writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized { bag(df).foreach { case (k, n) =>
+          acc(k) = acc.getOrElse(k, 0) + n } }
+        ()
+      }.start()
+    try { q.processAllAvailable() } finally q.stop()
+    // the backfill window arrived in the analyzed shape, query alive
+    assert(acc.nonEmpty && acc.keys.forall(_._4 == "i"))
+  }
+
   test(".option(\"table\", name) resolves a registered bare name; an " +
     "unregistered one refuses naming the registry verbs") {
     val work = freshWork("byname")
