@@ -192,11 +192,13 @@ object SparkEntry {
     "t_zorder_read"         -> (streaming.MergeTable.zorderReadQuery _),
     "t_hilbert_read"        -> (streaming.MergeTable.hilbertReadQuery _),
     "t_cluster3d_read"      -> (streaming.MergeTable.cluster3dReadQuery _),
+    "t_cluster_str_read"    -> (streaming.MergeTable.clusterStrReadQuery _),
     "t_bloom_read"          -> (streaming.MergeTable.bloomReadQuery _),
     "t_merge_auto"          -> (streaming.MergeTable.mergeAutoQuery _),
     "t_lake_agg_view"       -> (streaming.LakeAggView.lakeAggViewQuery _),
     "t_merge_dv"            -> (streaming.MergeTable.mergeDvOrdersQuery _),
     "t_merge_occ"           -> (streaming.MergeTable.mergeOccQuery _),
+    "t_merge_occ_mor"       -> (streaming.MergeTable.mergeOccMorQuery _),
     "t_merge_evolve"        -> (streaming.MergeTable.mergeEvolveQuery _),
     "t_delete_where"        -> (streaming.MergeTable.deleteWhereQuery _),
     "t_delete_auto"         -> (streaming.MergeTable.deleteAutoQuery _),
@@ -209,6 +211,7 @@ object SparkEntry {
     "t_sql_alter"           -> (streaming.MergeTable.sqlAlterQuery _),
     "t_stream_sink"         -> (streaming.MergeTable.streamSinkQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
+    "t_change_feed_cow"     -> (streaming.MergeTable.changeFeedCowQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -2122,6 +2125,24 @@ object SparkEntry {
         |WHERE o_orderkey % 10 = 1
         |  AND o_orderkey >= (SELECT mx * 3 // 4 FROM b)
         |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_occ_mor: MOR/auto dispatch inside the optimistic loop —
+    // writer A (trickle: sparse %1000 updates + deletes, staged as a
+    // deletion vector + appends) and writer B (bulk: the dense low
+    // quartile, staged copy-on-write) from ONE base snapshot; disjoint
+    // keys, so the serial net effect is order-free
+    "t_merge_occ_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 1000 = 7 THEN price_cents + 11
+        |            WHEN o_orderkey <= (SELECT mx // 4 FROM b)
+        |            THEN price_cents * 3 ELSE price_cents END AS price_cents
+        |FROM base
+        |WHERE o_orderkey % 1000 <> 333
+        |ORDER BY o_orderkey""".stripMargin,
     // t_merge_evolve: additive evolution — updated rows carry the new
     // column, everything else (including untouched files read through
     // the recorded schema) null-fills it; deletes still apply
@@ -2292,6 +2313,20 @@ object SparkEntry {
         |  AND CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
         |      BETWEEN 10000000 AND 20000000
         |ORDER BY o_orderkey""".stripMargin,
+    // t_cluster_str_read: a (key band × status) box off the layout
+    // clustered on a STRING dimension (prefix-embedded interleave) —
+    // a non-monotone embedding or scrambled tiles is silent row loss
+    "t_cluster_str_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |b AS (SELECT max(o_orderkey) AS mx FROM base)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base
+        |WHERE o_orderkey <= (SELECT mx // 2 FROM b)
+        |  AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
     // t_bloom_read: the same price band's minimum over keys 100-200 is
     // the probe value; the oracle recomputes the equality slice from
     // raw orders — a false-negative bloom would silently drop rows
@@ -2353,6 +2388,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'i', o_orderkey, o_custkey, o_orderstatus, price_cents + 999
         |FROM base WHERE o_orderkey % 100 = 77
+        |ORDER BY change, o_orderkey""".stripMargin,
+    // t_change_feed_cow: the feed window crosses a WHOLE-TABLE compact
+    // (every row re-filed under new names) plus one small COW merge —
+    // the netting must cancel ALL rewrite churn, leaving exactly the
+    // merge's true change rows (a file-granular feed would return the
+    // entire table here)
+    "t_change_feed_cow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT 'd' AS change, o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base WHERE o_orderkey % 100 IN (55, 61)
+        |UNION ALL
+        |SELECT 'i', o_orderkey, o_custkey, o_orderstatus, price_cents + 9
+        |FROM base WHERE o_orderkey % 100 = 55
+        |UNION ALL
+        |SELECT 'i', o_orderkey + 20000000, o_custkey, o_orderstatus, price_cents
+        |FROM base WHERE o_orderkey % 100 = 71
         |ORDER BY change, o_orderkey""".stripMargin,
     "j_range_band" ->
       """WITH e AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),

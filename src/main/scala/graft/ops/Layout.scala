@@ -165,6 +165,36 @@ object Layout {
   private[graft] def norm16(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
     normBits(c, lo, hi, 16)
 
+  /** [[normBits]] for UNBOUNDED domains — the normalization a STRING
+    * dimension's prefix embedding needs: [[graft.functions
+    * .StringPrefix64]] values span nearly the full signed-Long domain,
+    * where [[normBits]]' `span × scale` product overflows and refuses.
+    * Instead of refusing, PRE-SHIFT: both the value and the bounds drop
+    * their low `s` bits (arithmetic shift = floor division by 2^s —
+    * monotone, so tile ordering is preserved exactly), with `s` sized
+    * from the ACTUAL span so narrow domains keep full resolution:
+    * s = max(0, spanBits − (62 − bits)). A full-domain span at 16 bits
+    * shifts by 18 (keeping the top ~46 bits of the embedding — far
+    * beyond the 8-byte prefix's discriminating power); a narrow span
+    * (statuses, short enums) shifts by 0 and is exactly [[normBits]].
+    * A mixed-sign span wider than Long itself (subtractExact overflow)
+    * is treated as 64-bit — shifted, never garbage. */
+  private[graft] def normBitsAuto(c: org.apache.spark.sql.Column,
+      lo: Long, hi: Long, bits: Int) = {
+    require(bits >= 1 && bits <= 62, s"normBitsAuto: bit budget $bits")
+    if (hi <= lo) lit(0L)
+    else {
+      val spanBits =
+        try {
+          val span = Math.subtractExact(hi, lo)
+          64 - java.lang.Long.numberOfLeadingZeros(span)
+        } catch { case _: ArithmeticException => 64 }
+      val s = math.max(0, spanBits - (62 - bits))
+      if (s == 0) normBits(c, lo, hi, bits)
+      else normBits(shiftright(c.cast("long"), s), lo >> s, hi >> s, bits)
+    }
+  }
+
   /** [[norm16]] generalized to an arbitrary bit budget — the dimension
     * normalization feeding [[graft.functions.InterleaveN]]'s n-way
     * split (21 bits at n=3, 15 at n=4). The `span × (2^bits − 1)`

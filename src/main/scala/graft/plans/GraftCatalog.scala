@@ -5,7 +5,8 @@ import java.util
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCapability, TableCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,7 +50,7 @@ import graft.streaming.{MergeTable, Snapshots}
   * handler.py:23-40`, CREATE TABLE IF NOT EXISTS per pipeline start) —
   * here the same idempotence is the catalog's `IF NOT EXISTS` clause
   * over a real listable catalog. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -84,6 +85,25 @@ class GraftCatalog extends TableCatalog {
     * creates through [[createTable]] then loads through the same
     * manifest-pruned insert path every other write uses. */
   private[plans] def tableRoot(ident: Identifier): String = rootOf(ident)
+
+  /** The root for a bare table name — the maintenance procedures'
+    * `table` argument resolution ([[GraftProcedures]]). */
+  private[plans] def tableRootByName(tbl: String): String =
+    rootOf(Identifier.of(Array.empty, tbl))
+
+  /** `CALL lake.optimize('t', ...)` — the SQL maintenance verbs, see
+    * [[GraftProcedures]] (OPTIMIZE / COMPACT / VACUUM / ROLLBACK /
+    * ANALYZE as one-row-result stored procedures). */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    requireNamespace(ident.namespace())
+    GraftProcedures.load(this, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    requireNamespace(namespace)
+    Array("optimize", "compact", "vacuum", "rollback", "analyze")
+      .map(n => Identifier.of(namespace, n))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     requireNamespace(namespace)
@@ -210,15 +230,35 @@ class GraftCatalog extends TableCatalog {
             s"${a.fieldNames().head} NOT NULL is not supported — " +
             "existing rows null-fill an added column; declare it " +
             "nullable")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames().head, a.dataType(), nullable = true)
+        Some(org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true))
+      // RENAME/DROP are METADATA-ONLY commits through the column-
+      // mapping chain (MergeTable.renameColumn/dropColumn): data files
+      // untouched, time travel keeps old names, stats keyed by
+      // name-at-write keep applying. Applied here so one ALTER
+      // statement's changes land as one commit each, in order.
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name}: nested column " +
+            s"${r.fieldNames().mkString(".")} is not supported")
+        MergeTable.renameColumn(spark, root, r.fieldNames().head,
+          r.newName())
+        None
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"ALTER TABLE ${ident.name}: nested column " +
+            s"${d.fieldNames().mkString(".")} is not supported")
+        MergeTable.dropColumn(spark, root, d.fieldNames().head)
+        None
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.name}: ${other.getClass.getSimpleName} is " +
-          "not supported on a merge table — only ADD COLUMNS (additive " +
-          "evolution; drops/renames/type changes would rewrite data or " +
-          "orphan the schema-on-read contract)")
+          "not supported on a merge table — ADD COLUMNS, RENAME COLUMN " +
+          "and DROP COLUMN are; TYPE changes would contradict the bytes " +
+          "every retained file already stores (rewrite through a new " +
+          "column + merge instead)")
     }
-    MergeTable.addColumns(spark, root, adds)
+    val toAdd = adds.flatten
+    if (toAdd.nonEmpty) MergeTable.addColumns(spark, root, toAdd)
     loadTable(ident)
   }
 
@@ -271,7 +311,9 @@ object GraftTable {
       pinnedDir: Option[String]): GraftTable = {
     val dir = pinnedDir.getOrElse(Snapshots.resolve(spark, root))
     val m = MergeTable.genMeta(spark, dir)
-    val schema = m.schema.getOrElse(
+    // the VISIBLE shape: hidden (dropped) fields never reach DESCRIBE
+    // or analysis; the resolution rule's plan serves the same columns
+    val schema = m.schema.map(MergeTable.visibleStruct).getOrElse(
       MergeTable.readResolved(spark, root, dir).schema)
     GraftTable(root, name, schema, m.key, pinnedDir, m)
   }

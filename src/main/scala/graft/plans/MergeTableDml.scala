@@ -251,7 +251,8 @@ object MergeTableDml {
       val mt = graft.streaming.MergeTable
       // ONE manifest fetch serves key, schema and the PK probe
       val meta = mt.currentMeta(session, root)
-      val tgtSchema = meta.schema.getOrElse(mt.read(session, root).schema)
+      val tgtSchema = meta.schema.map(mt.visibleStruct)
+        .getOrElse(mt.read(session, root).schema)
       val tCols = tgtSchema.fieldNames.toSeq
       val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
       // column names resolve case-insensitively (Spark SQL's default)
@@ -418,8 +419,9 @@ object MergeTableDml {
         "UPDATE DML's job")
     // ONE manifest fetch serves key and schema (not one GET per face)
     val meta = graft.streaming.MergeTable.currentMeta(spark, root)
-    val tCols = meta.schema.map(_.fieldNames.toSeq).getOrElse(
-      graft.streaming.MergeTable.read(spark, root).schema.fieldNames.toSeq)
+    val tCols = meta.schema.map(graft.streaming.MergeTable.visibleCols)
+      .getOrElse(
+        graft.streaming.MergeTable.read(spark, root).schema.fieldNames.toSeq)
     // the qualifier star-expansion needs: the source's alias or name
     val sourceQual: Option[String] = m.sourceTable match {
       case SubqueryAlias(id, _) => Some(id.name)

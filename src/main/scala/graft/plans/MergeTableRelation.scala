@@ -89,18 +89,30 @@ object MergeTableRelation {
     if (m.entries.isEmpty)
       MergeTable.readMeta(spark, root, m).queryExecution.analyzed
     else {
-      val schema = m.schema.getOrElse(
+      val recorded = m.schema.getOrElse(
         MergeTable.readMeta(spark, root, m).schema)
+      // a RENAME/DROP chain makes per-file column names vary: the scan
+      // requests every stored alias (the same expanded shape readFiles
+      // uses) and a projection restores logical names above the DV
+      // anti-join. Predicates over coalesced aliases don't extract as
+      // simple bounds, so the FileIndex serves listing-from-manifest
+      // without file skipping until a full compact clears the chain —
+      // slower, never wrong (documented on MergeTable.renameColumn).
+      val mapped = m.schema.exists(MergeTable.hasMapping)
+      val scanSchema =
+        if (mapped) MergeTable.expandedReadSchema(recorded) else recorded
       val rel = HadoopFsRelation(
         new MergeTableFileIndex(spark, root, m),
         partitionSchema = new StructType(),
-        dataSchema = schema,
+        dataSchema = scanSchema,
         bucketSpec = None,
         fileFormat = new ParquetFileFormat(),
         options = Map.empty[String, String])(spark)
       val base = spark.baseRelationToDataFrame(rel)
-      val df = if (m.dvs.isEmpty) base
-               else MergeTable.applyDvs(spark, root, base, m.dvs)
+      val dvd = if (m.dvs.isEmpty) base
+                else MergeTable.applyDvs(spark, root, base, m.dvs)
+      val df = if (!mapped) dvd
+               else dvd.select(MergeTable.logicalProjection(recorded): _*)
       df.queryExecution.analyzed
     }
   }

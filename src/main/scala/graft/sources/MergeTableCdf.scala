@@ -47,7 +47,12 @@ import graft.streaming.{MergeTable, Snapshots}
   * (the analyzed plan's shape cannot change mid-query — Spark's own
   * rule); a generation that evolved the table's schema feeds columns
   * the stream predates as nulls once restarted, and NEW columns require
-  * a stream restart to appear, same as Delta's CDF. */
+  * a stream restart to appear, same as Delta's CDF. When several
+  * streams read ONE table, `.start()` each in the order it was
+  * `.load()`-ed: the analysis-time schema pin is matched first-in-
+  * first-out, and starting two loads in reverse order around an
+  * ALTER-COLUMNS commit crosses their pinned shapes — the mismatch
+  * kills loudly at stream start (width assertion), never silently. */
 class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "merge-cdf"
 
@@ -64,7 +69,7 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
     val root = rootOf(sqlContext.sparkSession, parameters)
     val s = MergeTableCdf.feedSchema(sqlContext.sparkSession, root)
     // pin the ANALYSIS-time shape for createSource (see pinnedSchema)
-    MergeTableCdf.pinnedSchema.put(root, s)
+    MergeTableCdf.pinSchema(root, s)
     (shortName(), s)
   }
 
@@ -83,23 +88,54 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
       s"merge-cdf: startGen $startGen is beyond the latest committed " +
         s"generation $latest under $root")
     new MergeTableCdfSource(sqlContext.sparkSession, root, startGen,
-      Option(MergeTableCdf.pinnedSchema.get(root)))
+      MergeTableCdf.takePinned(root))
   }
 }
 
 object MergeTableCdf {
-  /** The schema handed out at ANALYSIS time (sourceSchema), per root —
+  /** The schemas handed out at ANALYSIS time (sourceSchema), per root —
     * createSource must serve exactly that shape: Spark instantiates
     * SEPARATE provider instances for the two calls, and re-deriving
     * from the now-latest generation would race an evolution commit
     * landing between `.load()` and `.start()` (the analyzed plan
     * expects S, every batch would carry S+new → MicroBatchExecution's
     * opaque width assert kills the query on batch one; the contract is
-    * "new columns appear after a restart"). Keyed by root, last
-    * analysis wins — one live stream per table, the lake's intended
-    * shape; roots are few, so the map never needs eviction. */
+    * "new columns appear after a restart").
+    *
+    * A FIFO QUEUE per root, not a last-wins cell: two `.load()`s on the
+    * same root straddling an evolution commit pin DIFFERENT shapes, and
+    * last-wins would hand the second analysis's wider shape to the
+    * FIRST query's createSource — recreating the width-assert kill the
+    * pin exists to fix (and its entries were never evicted).
+    * createSource always DEQUEUES the oldest pending pin — each start
+    * claims exactly its own `.load()`'s analysis when starts happen in
+    * load order, and the queue provably drains. An empty queue (a
+    * re-start of an already-started handle) falls back to a fresh
+    * derivation, identical to the pin unless an evolution committed in
+    * between — and then the width assert kills loudly, never silently.
+    * Residual limit (documented on the class): starting two live
+    * `.load()`s in REVERSE order around an evolution commit crosses
+    * the pins — same loud kill. */
   private[sources] val pinnedSchema =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.ArrayDeque[StructType]]()
+
+  private[sources] def pinSchema(root: String, s: StructType): Unit =
+    pinnedSchema.compute(root, (_, q0) => {
+      val q = if (q0 == null) new java.util.ArrayDeque[StructType]() else q0
+      q.addLast(s); q
+    })
+
+  private[sources] def takePinned(root: String): Option[StructType] = {
+    val out = new Array[StructType](1)
+    // computeIfPresent mutates under the map's lock; empty queues are
+    // removed so an idle root leaves no entry behind
+    pinnedSchema.computeIfPresent(root, (_, q) => {
+      out(0) = q.pollFirst()
+      if (q.isEmpty) null else q
+    })
+    Option(out(0))
+  }
 
   /** Shared root resolution for the lake's streaming endpoints:
     * `.option("path", <root>)` addresses a directory directly;

@@ -12,7 +12,7 @@ import graft.streaming.MergeTable
   *   changes.writeStream.format("graft-merge")
   *     .option("path", root)            // an EXISTING MergeTable —
   *     // or .option("table", name) for a registered/catalog name
-  *     .option("mode", "cow")           // cow | mor | auto | occ
+  *     .option("mode", "cow")  // cow | mor | auto | occ[-mor|-auto]
   *     .option("checkpointLocation", ckpt)
   *     .start()
   * }}}
@@ -44,7 +44,14 @@ import graft.streaming.MergeTable
   *     between trickle and bulk)
   *   - `occ`  → [[graft.streaming.MergeTable.mergeOccExactlyOnce]]
   *     with the REQUIRED `streamId` option (N pipelines, one table;
-  *     per-stream fences, optimistic rebase)
+  *     per-stream fences, optimistic rebase; COW work phase)
+  *   - `occ-mor` → same, with the MERGE-ON-READ work phase: each
+  *     micro-batch stages a DV sidecar + net-insert appends, so N
+  *     concurrent trickle pipelines pay ZERO write amplification and
+  *     their disjoint commits arbitrate as manifest-only rebases
+  *   - `occ-auto` → same, with per-batch [[graft.streaming.MergeTable
+  *     .mergeAuto]] pricing INSIDE the OCC loop (a conflict replay
+  *     re-prices against the winner's state)
   *
   * `OutputMode`: Append and Update are accepted — the rows ARE a
   * changelog, the mode flag carries no extra meaning here (same stance
@@ -66,20 +73,23 @@ class MergeTableSink extends StreamSinkProvider with DataSourceRegister {
       sqlContext.sparkSession, parameters)
     val mode = parameters.getOrElse("mode", "cow").toLowerCase(
       java.util.Locale.ROOT)
-    require(Set("cow", "mor", "auto", "occ").contains(mode),
-      s"graft-merge: unknown mode '$mode' — cow | mor | auto | occ")
+    require(Set("cow", "mor", "auto", "occ", "occ-mor", "occ-auto")
+      .contains(mode),
+      s"graft-merge: unknown mode '$mode' — cow | mor | auto | occ | " +
+        "occ-mor | occ-auto")
+    val occ = mode.startsWith("occ")
     val streamId = parameters.get("streamId")
     // content, not definedness: an EMPTY streamId (an unset config
     // templated into the option) would make two pipelines share one
     // #sbatch fence — stream B's batches silently dropped as stream A's
     // replays
-    require(mode != "occ" || streamId.exists(_.trim.nonEmpty),
-      "graft-merge: mode=occ needs .option(\"streamId\", <stable id>) — " +
-        "the per-stream replay fence is keyed by it")
-    require(mode == "occ" || streamId.isEmpty,
-      s"graft-merge: streamId only applies to mode=occ (got mode=$mode " +
-        "— a single-writer fence ignores it, which would silently " +
-        "weaken the exactly-once contract the caller asked for)")
+    require(!occ || streamId.exists(_.trim.nonEmpty),
+      s"graft-merge: mode=$mode needs .option(\"streamId\", <stable id>)" +
+        " — the per-stream replay fence is keyed by it")
+    require(occ || streamId.isEmpty,
+      s"graft-merge: streamId only applies to the occ modes (got " +
+        s"mode=$mode — a single-writer fence ignores it, which would " +
+        "silently weaken the exactly-once contract the caller asked for)")
     val nFiles = parameters.get("nfiles").map(_.toInt).getOrElse(4)
     require(nFiles > 0, s"graft-merge: nFiles must be positive: $nFiles")
     val morAbove = parameters.get("moramplificationabove")
@@ -102,17 +112,34 @@ private class MergeTableSinkImpl(root: String, key: String, mode: String,
     // fence stays inside the merge*ExactlyOnce wrappers; this early
     // exit only spares the refused replay (and the emptiness probe
     // below) from executing the micro-batch's upstream stages
-    val fenced = mode match {
-      case "occ" => MergeTable.appliedStreamBatchIds(spark, root)
-        .get(streamId.get).exists(_ >= batchId)
-      case _ => MergeTable.appliedBatchId(spark, root).exists(_ >= batchId)
-    }
+    val fenced =
+      if (mode.startsWith("occ"))
+        MergeTable.appliedStreamBatchIds(spark, root)
+          .get(streamId.get).exists(_ >= batchId)
+      else MergeTable.appliedBatchId(spark, root).exists(_ >= batchId)
     if (fenced) return
     // re-root as a batch frame (ForeachBatchSink's move): merge plans
     // joins/aggregations the streaming-flagged frame would refuse
-    val changes = org.apache.spark.sql.graftshim.StreamingBatch
+    val rerooted = org.apache.spark.sql.graftshim.StreamingBatch
       .asBatch(spark, data)
-    if (changes.isEmpty) return // nothing to commit; no empty generation
+    // persist BEFORE the emptiness probe: the re-rooted frame is a
+    // lazy RDD, so an unpersisted probe would run the micro-batch's
+    // upstream plan once for isEmpty and AGAIN inside the merge —
+    // every non-empty batch paying double compute (correct via
+    // deterministic replay, but 2× the stream's hot path). The probe
+    // materializes only up to the first row; the merge completes the
+    // cached partitions; unpersist in finally keeps a long-running
+    // stream's storage footprint at one in-flight batch.
+    val changes = rerooted.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (changes.isEmpty) return // nothing to commit; no empty generation
+      applyBatch(spark, changes, batchId)
+    } finally changes.unpersist()
+  }
+
+  private def applyBatch(spark: org.apache.spark.sql.SparkSession,
+      changes: DataFrame, batchId: Long): Unit = {
     mode match {
       case "cow" =>
         MergeTable.mergeExactlyOnce(spark, root, changes, key, batchId,
@@ -125,9 +152,15 @@ private class MergeTableSinkImpl(root: String, key: String, mode: String,
         // record_count (trickle → MOR, bulk → COW)
         MergeTable.mergeAutoExactlyOnce(spark, root, changes, key, batchId,
           nFiles, morAmplificationAbove = morAbove)
-      case "occ" =>
+      case m if m.startsWith("occ") =>
+        // the occ work-phase shape: occ = COW staging; occ-mor = DV
+        // sidecar + appends (N trickle pipelines, zero amplification);
+        // occ-auto = per-batch pricing INSIDE the OCC loop (replays
+        // re-price against the winner's state)
+        val occMode = if (m == "occ") "cow" else m.stripPrefix("occ-")
         MergeTable.mergeOccExactlyOnce(spark, root, changes, key,
-          streamId.get, batchId, nFiles)
+          streamId.get, batchId, nFiles, mode = occMode,
+          morAmplificationAbove = morAbove)
     }
     ()
   }

@@ -136,6 +136,25 @@ object MergeTable {
     }
   }
 
+  /** Column names the table schema can never contain: the change-
+    * envelope pair every merge face consumes (`op`/`seq` — a payload
+    * column by either name would be eaten by [[netChanges]]' collapse)
+    * and `change`, the marker [[graft.sources.MergeTableCdf]] appends
+    * to every feed row — a table column by that name would make the
+    * CDF stream emit duplicate column names and ambiguous downstream
+    * selects. Checked at [[create]] AND [[addColumns]], so the
+    * collision can never enter through either door. */
+  private[graft] val ReservedColumns = Set("op", "seq", "change")
+
+  private def requireUnreservedNames(
+      schema: org.apache.spark.sql.types.StructType, where: String): Unit =
+    schema.fieldNames.find(n =>
+      ReservedColumns.contains(n.toLowerCase(java.util.Locale.ROOT)))
+      .foreach(n => throw new IllegalArgumentException(
+        s"$where: column '$n' is reserved — op/seq are the change-" +
+          "envelope names every merge consumes, and 'change' is the " +
+          "CDF feed marker (merge-cdf would emit duplicate columns)"))
+
   /** The LEADING key column's declared type, when the manifest recorded
     * a schema (every create since evolution support does); None on
     * legacy manifests, where the key was integral by construction. */
@@ -278,6 +297,91 @@ object MergeTable {
   private def asNullable(s: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
 
+  // ========== COLUMN MAPPING (metadata-only RENAME / DROP) ==========
+  //
+  // Delta-style column mapping expressed through the recorded #schema=
+  // line alone: data files are IMMUTABLE and keep the column names they
+  // were written with, so a rename records the old name in the field's
+  // `graft.prev` metadata (a name chain, oldest first) and a drop HIDES
+  // the field (`graft.dropped` + a synthetic logical name) — both are
+  // O(1) metadata commits at any table size. Readers expand the chain:
+  // the scan requests every stored name as a typed column (files
+  // lacking one null-fill it — exactly one alias carries data per
+  // file) and projects coalesce(newest..oldest) AS the logical name.
+  // Stats need no rewrite either: a file's #cstat/bloom entries are
+  // keyed by its name-at-write, which IS one of the chain's aliases,
+  // so pruning consults the chain. Per-generation schemas give time
+  // travel the old names for free, and a whole-table [[compact]]
+  // rewrites every row under current names — its committed schema is
+  // the rewrite's own (plain) schema, so the chain CLEARS at the next
+  // full compaction.
+
+  private val PrevKey = "graft.prev"
+  private val HiddenKey = "graft.dropped"
+
+  private[graft] def isHidden(
+      f: org.apache.spark.sql.types.StructField): Boolean =
+    f.metadata.contains(HiddenKey) && f.metadata.getBoolean(HiddenKey)
+
+  /** The field's PRIOR stored names, oldest first (empty when never
+    * renamed). */
+  private[graft] def prevNames(
+      f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(PrevKey))
+      f.metadata.getString(PrevKey).split(',').toSeq.filter(_.nonEmpty)
+    else Seq.empty
+
+  /** Every name under which this field's data exists in retained data
+    * files (a hidden field's current name is synthetic — never
+    * stored). */
+  private[graft] def storedNames(
+      f: org.apache.spark.sql.types.StructField): Seq[String] =
+    prevNames(f) ++ (if (isHidden(f)) Seq.empty else Seq(f.name))
+
+  private[graft] def hasMapping(
+      s: org.apache.spark.sql.types.StructType): Boolean =
+    s.fields.exists(f => isHidden(f) || prevNames(f).nonEmpty)
+
+  private[graft] def visibleStruct(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.filterNot(isHidden))
+
+  /** Visible field names — what every merge/read face means by "the
+    * table's columns" once a drop can hide a field. */
+  private[graft] def visibleCols(
+      s: org.apache.spark.sql.types.StructType): Seq[String] =
+    visibleStruct(s).fieldNames.toSeq
+
+  /** All stored names a logical (visible) column may be keyed by in
+    * per-file stats and bloom registries. A name with no mapped field
+    * is its own alias set (the unmapped fast path). */
+  private[graft] def aliasSet(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      logical: String): Seq[String] =
+    schema.flatMap(_.fields.find(f => !isHidden(f) && f.name == logical))
+      .map(storedNames).getOrElse(Seq(logical))
+
+  /** The scan-side schema of a mapped table: one typed column per
+    * stored name of each VISIBLE field (hidden fields are never
+    * requested — their bytes stay dark in the files). */
+  private[graft] def expandedReadSchema(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      visibleStruct(s).fields.flatMap(f => storedNames(f).map(a =>
+        org.apache.spark.sql.types.StructField(a, f.dataType,
+          nullable = true))))
+
+  /** The projection restoring logical names over an expanded scan:
+    * exactly one alias carries data per file, so coalesce(newest..
+    * oldest) is exact, not a guess. */
+  private[graft] def logicalProjection(
+      s: org.apache.spark.sql.types.StructType): Seq[Column] =
+    visibleStruct(s).fields.toSeq.map { f =>
+      val as = storedNames(f).reverse.map(col)
+      (if (as.size == 1) as.head else coalesce(as: _*)).as(f.name)
+    }
+
   /** The current generation's one-read metadata view — what a SQL
     * command that needs key + schema + probe + read should fetch ONCE
     * instead of letting each public face re-GET the same manifest
@@ -356,7 +460,10 @@ object MergeTable {
       s"readWhereCol is the integral-column face; '$column' is a string " +
         s"column — use readWhere(col(\"$column\").between(lo, hi)) " +
         "with string bounds")
-    val ranges = m.cstats.filter(_.col == column)
+    // alias-chain lookup: a renamed column's per-file entries are keyed
+    // by its name-at-write (at most one alias entry per file)
+    val names = aliasSet(m.schema, column).toSet
+    val ranges = m.cstats.filter(s => names.contains(s.col))
       .map(s => s.file -> s).toMap
     val candidates = m.entries.filter(e =>
       ranges.get(e.name).forall(s => s.hi >= lo && s.lo <= hi))
@@ -511,13 +618,26 @@ object MergeTable {
     // on an evolved table some missing files predate `column`; resolving
     // an arbitrary footer schema would fail or mis-bind, while the
     // recorded schema null-fills — and null values index to nothing.
-    val rdr = m.schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))
+    val mapped = m.schema.exists(hasMapping)
+    val rdr = m.schema.fold(spark.read)(s => spark.read.schema(asNullable(
+      if (mapped) expandedReadSchema(s) else s)))
     val raw = rdr.parquet(missing.map(filePath(root, _)): _*)
     // a STRING column indexes its StringPrefix64 embedding — the SAME
     // value extractBounds hands bloomRefine for a string equality, so
     // build and probe agree bit-for-bit (strings past 8 bytes share
-    // keys: false positives only, the bloom contract)
-    val vExpr = statVal(raw.schema(column).dataType, col(column))
+    // keys: false positives only, the bloom contract). A RENAMED
+    // column's values live under its name-at-write per file: coalesce
+    // the alias chain, or a pre-rename file would index as all-NULL —
+    // "provably contains no value" — and equality probes would
+    // FALSE-SKIP it (row loss, the one bloom sin).
+    val (vType, vCol) = m.schema match {
+      case Some(s) if mapped =>
+        val f = visibleStruct(s).apply(column)
+        val as = storedNames(f).reverse.map(col)
+        (f.dataType, if (as.size == 1) as.head else coalesce(as: _*))
+      case _ => (raw.schema(column).dataType, col(column))
+    }
+    val vExpr = statVal(vType, vCol)
     val scan = raw
       .select(vExpr.as("v"),
         element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"))
@@ -591,15 +711,24 @@ object MergeTable {
       m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
         entries.map(e =>
           (e.name, leadKey(m.key)) -> (e.minKey, e.maxKey)).toMap
+    // a renamed column's per-file stats are keyed by its NAME-AT-WRITE:
+    // consult the whole alias chain (exactly one entry exists per file;
+    // a file with no entry under any alias is unknown — always read)
     val byRange = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
-      ranges.get((e.name, c)).forall(r => r._2 >= lo && r._1 <= hi)
+      aliasSet(m.schema, c).flatMap(a => ranges.get((e.name, a)))
+        .headOption.forall(r => r._2 >= lo && r._1 <= hi)
     })
     // equality conjuncts additionally consult the per-file bloom
     // registry when one was built (ensureBloomIndex) — the point-probe
-    // pruning ranges cannot give an uncorrelated column
+    // pruning ranges cannot give an uncorrelated column. A registry may
+    // exist under ANY alias (built before or after a rename); each one
+    // describes the same logical values, so refining through all of
+    // them only ever drops provably-absent files.
     bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
       .foldLeft(byRange) { case (cand, (c, v)) =>
-        if (cand.isEmpty) cand else bloomRefine(spark, root, cand, c, v)
+        aliasSet(m.schema, c).foldLeft(cand) { (cc, a) =>
+          if (cc.isEmpty) cc else bloomRefine(spark, root, cc, a, v)
+        }
       }
   }
 
@@ -706,7 +835,7 @@ object MergeTable {
         readFiles(spark, root, m.entries.take(1)).schema)
       val kept = readFiles(spark, root, candidates, m.dvs, Some(schema))
         .filter(!(predicate <=> lit(true)))
-        .select(schema.fieldNames.toSeq.map(col): _*)
+        .select(visibleCols(schema).map(col): _*)
       val gen = Snapshots.nextGen(spark, root)
       val (newEntries, newStats) =
         writeFiles(spark, root, kept, m.key, gen, nFiles)
@@ -726,11 +855,10 @@ object MergeTable {
       // materialize the (file,pos) set ONCE: writeDv probes emptiness
       // and then writes — unpinned, each would re-scan the candidate
       // files (the path chosen precisely because it should be cheap)
-      val delRows = readFiles(spark, root, candidates, m.dvs, m.schema)
+      val delRows = readFiles(spark, root, candidates, m.dvs, m.schema,
+        keepLineage = true)
         .filter(predicate)
-        .select(
-          element_at(split(expr("_metadata.file_path"), "/"), -1).as("file"),
-          expr("_metadata.row_index").as("pos"))
+        .select(col("__file").as("file"), col("__pos").as("pos"))
         .localCheckpoint(true)
       writeDv(spark, root, gen, delRows) match {
         case None => 0L // unreachable: matched > 0
@@ -770,7 +898,7 @@ object MergeTable {
     keyCols(key).foreach(k => require(!set.contains(k),
       s"updateWhere: assigning the merge key column '$k' re-keys rows " +
         "— express it as a merge (delete + insert)"))
-    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    val unknown = set.keys.filterNot(visibleCols(schema).contains)
     require(unknown.isEmpty,
       s"updateWhere: unknown columns ${unknown.mkString(", ")} — " +
         "schema evolution goes through merge(evolveSchema = true)")
@@ -778,7 +906,7 @@ object MergeTable {
     if (touched.isEmpty) return (0, m.entries.size)
     val touchedNames = touched.map(_.name).toSet
     val carried = m.entries.filterNot(e => touchedNames.contains(e.name))
-    val cols = schema.fieldNames.toSeq
+    val cols = visibleCols(schema)
     val rewritten = readFiles(spark, root, touched, m.dvs, Some(schema))
       .select(cols.map(c => set.get(c)
         .map(a => when(predicate, a).otherwise(col(c)).as(c))
@@ -787,7 +915,8 @@ object MergeTable {
     // silently widen (long * 1.1 → double), the files would land with a
     // physical type contradicting the recorded #schema, and every later
     // schema-on-read would fail — the one mistake that bricks the table
-    rewritten.schema.fields.zip(schema.fields).foreach { case (got, want) =>
+    rewritten.schema.fields.zip(visibleStruct(schema).fields)
+      .foreach { case (got, want) =>
       require(got.dataType == want.dataType,
         s"updateWhere: assignment changes column '${want.name}' from " +
           s"${want.dataType.simpleString} to ${got.dataType.simpleString} " +
@@ -824,9 +953,16 @@ object MergeTable {
     readFiles(spark, root, m.entries, m.dvs, m.schema)
   }
 
+  /** Manifest-directed scan of `entries` through the generation's DVs
+    * and (when the recorded schema carries a rename/drop chain) the
+    * alias-coalescing projection back to logical names. `keepLineage`
+    * additionally emits `__file`/`__pos` (parquet's stable in-file
+    * position) — the DV writers' hook, computed BEFORE the mapping
+    * projection because `_metadata` resolves only on the scan itself. */
   private def readFiles(spark: SparkSession, root: String,
       entries: Seq[FileEntry], dvs: Seq[String] = Seq.empty,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      keepLineage: Boolean = false)
       : DataFrame = {
     if (entries.isEmpty) {
       // an EMPTY table is a legal state (a delete-everything merge): a
@@ -835,14 +971,31 @@ object MergeTable {
       val s = schema.getOrElse(throw new IllegalStateException(
         s"empty manifest under $root and no recorded #schema — " +
           "corrupt manifest?"))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], asNullable(s))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        asNullable(visibleStruct(s)))
+      return if (!keepLineage) empty
+        else empty.withColumn("__file", lit(""))
+          .withColumn("__pos", lit(0L))
     }
+    val mapped = schema.exists(hasMapping)
     // an explicit schema (the generation's recorded one) null-fills
-    // columns a pre-evolution file lacks, with zero footer reads
-    val rdr = schema.fold(spark.read)(s => spark.read.schema(asNullable(s)))
-    val base = rdr.parquet(entries.map(e => filePath(root, e.name)): _*)
-    if (dvs.isEmpty) base else applyDvs(spark, root, base, dvs)
+    // columns a pre-evolution file lacks, with zero footer reads; a
+    // MAPPED schema requests every stored alias instead (exactly one
+    // carries data per file)
+    val rdr = schema.fold(spark.read)(s => spark.read.schema(asNullable(
+      if (mapped) expandedReadSchema(s) else s)))
+    val base0 = rdr.parquet(entries.map(e => filePath(root, e.name)): _*)
+    val base =
+      if (!keepLineage) base0
+      else base0
+        .withColumn("__file",
+          element_at(split(expr("_metadata.file_path"), "/"), -1))
+        .withColumn("__pos", expr("_metadata.row_index"))
+    val dvd = if (dvs.isEmpty) base else applyDvs(spark, root, base, dvs)
+    if (!mapped) dvd
+    else dvd.select(logicalProjection(schema.get) ++
+      (if (keepLineage) Seq(col("__file"), col("__pos")) else Nil): _*)
   }
 
   /** Merge-on-read over ANY parquet-backed scan of the table's files:
@@ -1054,21 +1207,43 @@ object MergeTable {
       changes: DataFrame,
       evolve: Boolean): org.apache.spark.sql.types.StructType = {
     val meta = Set("op", "seq")
-    val tblNames = tbl.fieldNames.toSet
-    val missing = tbl.fieldNames.filterNot(changes.columns.contains)
+    val visible = visibleStruct(tbl)
+    val tblNames = visible.fieldNames.toSet
+    val missing = visible.fieldNames.filterNot(changes.columns.contains)
     require(missing.isEmpty,
       s"change batch lacks table columns: ${missing.mkString(", ")}")
     changes.schema.fields.filterNot(f => meta.contains(f.name)).foreach { f =>
       if (tblNames.contains(f.name))
-        require(f.dataType == tbl(f.name).dataType,
+        require(f.dataType == visible(f.name).dataType,
           s"schema evolution conflict on column '${f.name}': table " +
-            s"${tbl(f.name).dataType.simpleString} vs change batch " +
+            s"${visible(f.name).dataType.simpleString} vs change batch " +
             s"${f.dataType.simpleString}")
     }
     val extra = changes.schema.fields
       .filterNot(f => meta.contains(f.name) || tblNames.contains(f.name))
+    // an extra column must not collide with a name retained data files
+    // still store under (a renamed column's prior name, a dropped
+    // column's stored names): the alias-expanded read would request it
+    // for TWO fields and leak stale bytes into the new column
+    val stored = tbl.fields.flatMap(f =>
+      prevNames(f) ++ (if (isHidden(f)) storedNames(f) else Nil))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    extra.find(f =>
+      stored.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+      .foreach(f => throw new IllegalArgumentException(
+        s"schema evolution: column '${f.name}' names data a renamed or " +
+          "dropped column still stores in retained files — pick a " +
+          "different name (a full compact clears the old names)"))
     if (extra.isEmpty) tbl
     else {
+      // the third door into the schema: an evolving batch must not mint
+      // the CDF feed marker either (op/seq can't reach here — filtered
+      // as envelope above)
+      extra.find(f => ReservedColumns.contains(
+        f.name.toLowerCase(java.util.Locale.ROOT))).foreach(f =>
+        throw new IllegalArgumentException(
+          s"schema evolution: column '${f.name}' is reserved — " +
+            "'change' is the CDF feed marker"))
       require(evolve,
         "change batch carries columns not in the table schema: " +
           s"${extra.map(_.name).mkString(", ")} — additive evolution " +
@@ -1090,6 +1265,7 @@ object MergeTable {
       nFiles: Int = 8,
       commitTsMillis: Long = System.currentTimeMillis()): Unit = {
     requireKeyType(key, df.schema)
+    requireUnreservedNames(df.schema, s"create($root)")
     val gen = Snapshots.nextGen(spark, root)
     val (entries, cstats) = writeFiles(spark, root, df, key, gen, nFiles)
     writeManifest(spark, root, gen, entries, key, cstats = cstats,
@@ -1241,7 +1417,7 @@ object MergeTable {
     val unionSchema = evolvedSchema(
       m0.schema.getOrElse(readFiles(spark, root, cur.take(1)).schema),
       changes, evolveSchema)
-    val targetCols = unionSchema.fieldNames.toSeq
+    val targetCols = visibleCols(unionSchema)
     // 1. collapse to one NET change per key (one id-width shuffle)
     val net = netChanges(changes, key, targetCols)
     // 2. PRUNE: a file is touched iff some net-change key falls inside
@@ -1376,7 +1552,8 @@ object MergeTable {
     *
     * Refusals are loud: empty list, duplicate/existing names
     * (case-insensitive, Spark's resolution default), the reserved
-    * change-envelope names `op`/`seq`. Nullability is forced — an old
+    * names `op`/`seq` (change envelope) and `change` (the merge-cdf
+    * feed marker). Nullability is forced — an old
     * file cannot honor NOT NULL on a column it predates. */
   def addColumns(spark: SparkSession, root: String,
       cols: Seq[org.apache.spark.sql.types.StructField],
@@ -1388,13 +1565,19 @@ object MergeTable {
     // correct, because such a table never evolved before this commit
     val base = cur.schema.getOrElse(readResolved(spark, root, curDir).schema)
     def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
-    val existing = base.fieldNames.map(norm).toSet
+    // collide against every LOGICAL name and every STORED name: a
+    // re-added name a renamed/dropped column still stores data under
+    // would leak stale bytes through the alias-expanded read
+    val existing = base.fields.flatMap(f => f.name +: storedNames(f))
+      .map(norm).toSet
     cols.foreach { f =>
-      require(!Set("op", "seq").contains(norm(f.name)),
-        s"ADD COLUMNS on $root: '${f.name}' is a reserved change-" +
-          "envelope column name")
+      require(!ReservedColumns.contains(norm(f.name)),
+        s"ADD COLUMNS on $root: '${f.name}' is reserved — op/seq are " +
+          "the change-envelope names, 'change' is the CDF feed marker")
       require(!existing.contains(norm(f.name)),
-        s"ADD COLUMNS on $root: column '${f.name}' already exists")
+        s"ADD COLUMNS on $root: column '${f.name}' already exists (or " +
+          "names data a renamed/dropped column still stores in retained " +
+          "files — a full compact clears old names)")
     }
     val dup = cols.groupBy(f => norm(f.name)).collectFirst {
       case (_, fs) if fs.size > 1 => fs.head.name }
@@ -1406,6 +1589,105 @@ object MergeTable {
     writeManifest(spark, root, gen, cur.entries, cur.key,
       batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
       schema = Some(widened), sbatch = cur.sbatch)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    gen
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta-style
+    * column mapping through the recorded `#schema=` alone): the field
+    * keeps its type and position, takes the new logical name, and
+    * appends the old name to its `graft.prev` chain — data files are
+    * untouched (readers coalesce the chain, see [[logicalProjection]]),
+    * `#cstat`/bloom entries keep applying under the name-at-write
+    * ([[aliasSet]]), and time travel serves pre-rename generations
+    * under their own names because the schema is per-generation state.
+    * A later whole-table [[compact]] rewrites every row under current
+    * names and clears the chain.
+    *
+    * Refusals are loud: a missing column, a KEY column (the manifest's
+    * `#key=` line and every netting path bind the key by name —
+    * re-keying is a rebuild, not a rename), a reserved name, and a
+    * target that collides with any logical OR stored name (the
+    * alias-expanded read would request it twice). */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String,
+      commitTsMillis: Long = System.currentTimeMillis()): Long = {
+    val cur = genMeta(spark, currentGenDir(spark, root))
+    val base = cur.schema.getOrElse(
+      readResolved(spark, root, currentGenDir(spark, root)).schema)
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val f = visibleStruct(base).fields.find(f => norm(f.name) == norm(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"RENAME COLUMN on $root: no column '$from' (columns: " +
+          s"${visibleCols(base).mkString(", ")})"))
+    require(!keyCols(cur.key).map(norm).contains(norm(from)),
+      s"RENAME COLUMN on $root: '$from' is a merge-key column — the " +
+        "manifest and every merge bind the key by name; re-keying is a " +
+        "rebuild, not a rename")
+    require(!ReservedColumns.contains(norm(to)),
+      s"RENAME COLUMN on $root: '$to' is reserved — op/seq are the " +
+        "change-envelope names, 'change' is the CDF feed marker")
+    val taken = base.fields.flatMap(x => x.name +: storedNames(x))
+      .map(norm).toSet
+    require(!taken.contains(norm(to)),
+      s"RENAME COLUMN on $root: '$to' already names a column, or data " +
+        "a renamed/dropped column still stores in retained files — a " +
+        "full compact clears old names")
+    val renamed = base.fields.map { x =>
+      if (norm(x.name) != norm(from)) x
+      else x.copy(name = to,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(x.metadata)
+          .putString(PrevKey, (prevNames(x) :+ x.name).mkString(","))
+          .build())
+    }
+    val gen = Snapshots.nextGen(spark, root)
+    writeManifest(spark, root, gen, cur.entries, cur.key,
+      batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
+      schema = Some(org.apache.spark.sql.types.StructType(renamed)),
+      sbatch = cur.sbatch)
+    Snapshots.commit(spark, root, gen, commitTsMillis)
+    gen
+  }
+
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field is
+    * HIDDEN — marked `graft.dropped` under a synthetic logical name,
+    * its stored names kept on the chain — so reads stop requesting its
+    * bytes (they stay dark in the immutable files) and nothing is
+    * rewritten at any table size. Re-ADDING a name the hidden field
+    * still stores data under refuses loudly ([[addColumns]]); a full
+    * [[compact]] physically sheds the column and clears the chain.
+    * Time travel to pre-drop generations serves the column (per-
+    * generation schema). Key columns refuse — a keyless table is a
+    * rebuild. */
+  def dropColumn(spark: SparkSession, root: String, name: String,
+      commitTsMillis: Long = System.currentTimeMillis()): Long = {
+    val cur = genMeta(spark, currentGenDir(spark, root))
+    val base = cur.schema.getOrElse(
+      readResolved(spark, root, currentGenDir(spark, root)).schema)
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val f = visibleStruct(base).fields.find(f => norm(f.name) == norm(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"DROP COLUMN on $root: no column '$name' (columns: " +
+          s"${visibleCols(base).mkString(", ")})"))
+    require(!keyCols(cur.key).map(norm).contains(norm(name)),
+      s"DROP COLUMN on $root: '$name' is a merge-key column — every " +
+        "merge and manifest range binds it; dropping the key is a " +
+        "rebuild, not an ALTER")
+    val gen = Snapshots.nextGen(spark, root)
+    val hidden = base.fields.map { x =>
+      if (norm(x.name) != norm(name)) x
+      else x.copy(name = s"__dropped_g${gen}_${x.name}",
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(x.metadata)
+          .putBoolean(HiddenKey, true)
+          .putString(PrevKey, storedNames(x).mkString(","))
+          .build())
+    }
+    writeManifest(spark, root, gen, cur.entries, cur.key,
+      batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
+      schema = Some(org.apache.spark.sql.types.StructType(hidden)),
+      sbatch = cur.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     gen
   }
@@ -1476,7 +1758,7 @@ object MergeTable {
     val unionSchema = evolvedSchema(
       m0.schema.getOrElse(readFiles(spark, root, cur.take(1)).schema),
       changes, evolveSchema)
-    val targetCols = unionSchema.fieldNames.toSeq
+    val targetCols = visibleCols(unionSchema)
     val net = netChanges(changes, key, targetCols)
     // candidate files: manifest interval pruning, zero table reads
     val touched = touchedEntries(spark, cur,
@@ -1488,10 +1770,10 @@ object MergeTable {
     val newDvName =
       if (touched.isEmpty) None
       else {
-        val delRows = readFiles(spark, root, touched, curDvs)
-          .withColumn("file",
-            element_at(split(expr("_metadata.file_path"), "/"), -1))
-          .withColumn("pos", expr("_metadata.row_index"))
+        val delRows = readFiles(spark, root, touched, curDvs,
+          Some(unionSchema), keepLineage = true)
+          .withColumn("file", col("__file"))
+          .withColumn("pos", col("__pos"))
           .join(net.select(keyCols(key).map(col): _*), keyCols(key),
             "left_semi")
           .select(col("file"), col("pos"))
@@ -1848,6 +2130,64 @@ object MergeTable {
     read(spark, root).orderBy(col("o_orderkey"))
   }
 
+  /** t_merge_occ_mor — the ORACLED face of MOR/auto dispatch INSIDE the
+    * optimistic loop: two writers prepare from one base snapshot with
+    * `mode = auto`. Writer A is the trickle shape (sparse %1000 keys
+    * spread across every file — rewrite amplification ~10³, so pricing
+    * stages MERGE-ON-READ: a DV sidecar + appends, nothing rewritten);
+    * writer B is the bulk shape (a dense low-key band — amplification
+    * ~1, priced COPY-ON-WRITE). A commits clean; B's arbitration then
+    * runs against A's MOR commit (A's appended files overlap B's
+    * envelope → replay, re-priced against the winner's state, its COW
+    * rewrite reading THROUGH A's staged DV). The change sets are
+    * key-disjoint, so the net state is order-free — the oracle computes
+    * it logically, and ANY arbitration bug (a resurrected DV delete, a
+    * dropped MOR append, a double-applied band) breaks the hash. */
+  def mergeOccMorQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("merge_occ_mor", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val mx = currentManifest(spark, root).map(_.maxKey).max
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      // A: trickle — sparse updates + sparse deletes, every file a
+      // candidate, a handful of net keys
+      val aChanges = base.where(col("o_orderkey") % 1000 === 7)
+        .select(payload :+ (col("price_cents") + 11L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+        .unionByName(base.where(col("o_orderkey") % 1000 === 333)
+          .select(payload :+ col("price_cents"): _*)
+          .withColumn("op", lit("d")).withColumn("seq", lit(1L)))
+      // B: bulk — the dense low-key band, minus A's keys (disjoint)
+      val bChanges = base.where(col("o_orderkey") <= mx / 4 &&
+          col("o_orderkey") % 1000 =!= 7 && col("o_orderkey") % 1000 =!= 333)
+        .select(payload :+ (col("price_cents") * 3L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+      val hA = prepareMergeAuto(spark, root, aChanges, "o_orderkey",
+        nFiles = 2)
+      val hB = prepareMergeAuto(spark, root, bChanges, "o_orderkey",
+        nFiles = 4)
+      require(hA.morStaged && hA.dvName.isDefined,
+        s"occ-mor face: trickle writer was not priced MOR ($hA)")
+      require(!hB.morStaged,
+        s"occ-mor face: bulk writer was not priced COW")
+      val a = commitPrepared(spark, root, hA, commitTsMillis = 2000L)
+      val b = commitPrepared(spark, root, hB, commitTsMillis = 3000L)
+      require(a.path == "clean" && b.gen > a.gen,
+        s"occ-mor face: unexpected outcomes $a / $b")
+    }
+    read(spark, root).orderBy(col("o_orderkey"))
+  }
+
   /** t_optimize — the ORACLED face of bin-packed small-file compaction:
     * two narrow merges leave small rewrite files next to the creation
     * files; [[optimize]] (threshold = half the largest file) packs the
@@ -2091,10 +2431,8 @@ object MergeTable {
         .collect().map(_.getString(0)).toSet
       val entries = live.filter(e => touched.contains(e.name))
       if (entries.isEmpty) None
-      else Some(readFiles(spark, root, entries, schema = toSchema)
-        .withColumn("__file",
-          element_at(split(expr("_metadata.file_path"), "/"), -1))
-        .withColumn("__pos", expr("_metadata.row_index"))
+      else Some(readFiles(spark, root, entries, schema = toSchema,
+        keepLineage = true)
         .join(broadcast(positions.select(col("file").as("__file"),
           col("pos").as("__pos"))), Seq("__file", "__pos"), "left_semi")
         .select(cols.map(col): _*).withColumn("change", lit(tag)))
@@ -2140,6 +2478,60 @@ object MergeTable {
     val gens = Snapshots.generations(spark, root).sorted
     require(gens.size >= 3, s"expected 3 generations, got $gens")
     changesBetween(spark, root, gens(gens.size - 2), gens.last)
+      .orderBy(col("change"), col("o_orderkey"))
+  }
+
+  /** t_change_feed_cow — the ORACLED face of CDF row-exactness ACROSS
+    * COPY-ON-WRITE REWRITES: the window spans a whole-table [[compact]]
+    * (every file re-named, every row re-filed) plus one small COW
+    * merge. A file-granular feed would report the ENTIRE table as
+    * delete+insert churn; the bag-EXCEPT netting cancels every re-filed
+    * unchanged row, so the feed must contain EXACTLY the small merge's
+    * true change rows — old images out, new images in, nothing else.
+    * The oracle derives those rows logically; ANY spurious churn (or a
+    * change row the netting wrongly cancelled) breaks rows+hash. */
+  def changeFeedCowQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("change_feed_cow", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      // wave 1 (BEFORE the window): a broad COW update — its rows must
+      // ride the netting as unchanged images, not churn
+      merge(spark, root, base.where(col("o_orderkey") % 10 === 3)
+        .select(payload :+ (col("price_cents") * 2).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L)),
+        "o_orderkey", nFiles = 4, commitTsMillis = 2000L)
+      // the window opens here: a WHOLE-TABLE rewrite renames every file
+      compact(spark, root, nFiles = 6, commitTsMillis = 3000L)
+      // wave 2: the only TRUE changes inside the window
+      val w2 = base.where(col("o_orderkey") % 100 === 55)
+        .select(payload :+ (col("price_cents") + 9L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+        .unionByName(base.where(col("o_orderkey") % 100 === 61)
+          .select(payload :+ col("price_cents"): _*)
+          .withColumn("op", lit("d")).withColumn("seq", lit(1L)))
+        .unionByName(base.where(col("o_orderkey") % 100 === 71)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey") +:
+            col("o_custkey") +: col("o_orderstatus") +:
+            col("price_cents") +: Nil: _*)
+          .withColumn("op", lit("c")).withColumn("seq", lit(1L)))
+      merge(spark, root, w2, "o_orderkey", nFiles = 2,
+        commitTsMillis = 4000L)
+    }
+    val gens = Snapshots.generations(spark, root).sorted
+    require(gens.size == 4, s"expected 4 generations, got $gens")
+    // window = (post-wave-1 .. post-wave-2], crossing the compact
+    changesBetween(spark, root, gens(1), gens(3))
       .orderBy(col("change"), col("o_orderkey"))
   }
 
@@ -2530,6 +2922,41 @@ object MergeTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** t_cluster_str_read — the ORACLED face of STRING-dimension
+    * clustered compaction: orders re-clustered on
+    * (o_orderkey × o_orderstatus) where the status dimension is a
+    * STRING, interleaved via its order-preserving prefix embedding
+    * ([[graft.functions.StringPrefix64]] through `Layout.normBitsAuto`'s
+    * pre-shifted wide-domain normalization — the refusal this face
+    * replaces). The (key band × status) box is served by [[readWhere]]
+    * — the key band prunes via the manifest ranges of the CLUSTERED
+    * layout, the status equality via its embedded `#cstat` range — and
+    * must hash-equal the same WHERE recomputed from raw orders: a
+    * non-monotone embedding or a scrambled interleave is silent row
+    * loss, exactly what the gate catches. File-count separation vs the
+    * unclustered layout is spec-pinned (MergeTableSpec). */
+  def clusterStrReadQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("cluster_str_orders", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 8,
+        commitTsMillis = 1000L)
+      compactZOrder(spark, root, "o_orderstatus", nFiles = 8,
+        commitTsMillis = 2000L)
+    }
+    val mx = currentManifest(spark, root).map(_.maxKey).max
+    readWhere(spark, root,
+      col("o_orderkey") <= lit(mx / 2) && col("o_orderstatus") === "F")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** t_merge_dv — the oracled merge-on-read face: the same base table
     * and first change batch as [[mergeOrdersQuery]] but applied through
     * [[mergeMor]] (positional DVs + appends, zero rewrites), followed by
@@ -2837,22 +3264,21 @@ object MergeTable {
       s"compactZOrderN($root): dims must be non-empty and distinct " +
         s"from the leading key '$lead': ${dims.mkString(", ")}")
     val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
-    all.foreach { c =>
-      require(df.schema(c).dataType !=
-        org.apache.spark.sql.types.StringType,
-        s"compactZOrderN($root): column '$c' is a string — clustered " +
-          "compaction interleaves integral domains only")
-    }
+    // string dims ride their order-preserving prefix embedding — the
+    // SAME domain the manifest's #cstat ranges store, so the clustered
+    // layout's tiles and the planner's pruning stats agree by
+    // construction; the wide-domain normalization pre-shifts instead
+    // of overflowing (Layout.normBitsAuto)
+    val dimVal = all.map(c => statVal(df.schema(c).dataType, col(c)))
     val bits = graft.functions.InterleaveN.bitsFor(all.size)
-    val aggs = all.flatMap(c => Seq(min(col(c).cast("long")),
-      max(col(c).cast("long"))))
+    val aggs = dimVal.flatMap(v => Seq(min(v), max(v)))
     val b = df.agg(aggs.head, aggs.tail: _*).head
     all.indices.foreach(i => require(!b.isNullAt(2 * i),
       s"compactZOrderN($root): empty table or all-null ${all(i)} — " +
         "no bounds to normalize against"))
     val z = graft.functions.InterleaveN.interleaveN(
-      all.zipWithIndex.map { case (c, i) =>
-        graft.ops.Layout.normBits(col(c), b.getLong(2 * i),
+      dimVal.zipWithIndex.map { case (v, i) =>
+        graft.ops.Layout.normBitsAuto(v, b.getLong(2 * i),
           b.getLong(2 * i + 1), bits)
       })
     val gen = Snapshots.nextGen(spark, root)
@@ -2876,25 +3302,21 @@ object MergeTable {
     // driver) with dim2; the full key still names the manifest
     val key = leadKey(m0.key)
     val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
-    // integral dims only: the u16 normalization multiplies the span by
-    // 65535, which overflows on a string PREFIX EMBEDDING's near-full-
-    // Long domain — garbage interleave bits. Refuse loudly; a string-
-    // keyed table clusters on integral dims via a surrogate.
-    Seq(key -> "key", dim2 -> "dim2").foreach { case (c, role) =>
-      require(df.schema(c).dataType !=
-        org.apache.spark.sql.types.StringType,
-        s"$face($root): $role column '$c' is a string — clustered " +
-          "compaction interleaves integral domains only")
-    }
-    val b = df.agg(
-      min(col(key).cast("long")), max(col(key).cast("long")),
-      min(col(dim2).cast("long")), max(col(dim2).cast("long"))).head
+    // string dimensions interleave through their order-preserving
+    // prefix embedding (StringPrefix64 — the #cstat/manifest-range
+    // domain, so layout tiles and pruning stats agree by construction);
+    // the u16 normalization would overflow on the embedding's near-
+    // full-Long span, so normBitsAuto PRE-SHIFTS the wide domain
+    // instead of refusing (monotone floor-division — tile order exact)
+    val kVal = statVal(df.schema(key).dataType, col(key))
+    val dVal = statVal(df.schema(dim2).dataType, col(dim2))
+    val b = df.agg(min(kVal), max(kVal), min(dVal), max(dVal)).head
     (0 until 4).foreach(i => require(!b.isNullAt(i),
       s"$face($root): empty table or all-null " +
         s"${if (i < 2) key else dim2} — no bounds to normalize against"))
     val z = code(
-      graft.ops.Layout.norm16(col(key), b.getLong(0), b.getLong(1)),
-      graft.ops.Layout.norm16(col(dim2), b.getLong(2), b.getLong(3)))
+      graft.ops.Layout.normBitsAuto(kVal, b.getLong(0), b.getLong(1), 16),
+      graft.ops.Layout.normBitsAuto(dVal, b.getLong(2), b.getLong(3), 16))
     val gen = Snapshots.nextGen(spark, root)
     // the FULL key names the manifest (a clustered rewrite must not
     // silently drop trailing composite-key columns); the cluster code
@@ -3010,14 +3432,27 @@ object MergeTable {
     * set's key envelope: conflict tests are file-range-vs-envelope, so
     * the handle stays O(files) metadata at any change-set size — the
     * trade is an occasional false conflict (safe: it only forces a
-    * replay, never a wrong state). */
+    * replay, never a wrong state).
+    *
+    * `morStaged` records WHAT the staging physically is — it drives the
+    * commit splice: a COW staging swaps `touchedNames` out of the
+    * manifest for `newEntries`; a MOR staging carries EVERY current
+    * entry and appends `newEntries` plus the `dvName` sidecar (zero
+    * rewrites, the trickle-CDC shape). `mode` records what the CALLER
+    * asked for ("cow" | "mor" | "auto") — it drives a REPLAY's
+    * re-prepare, so `mode = "auto"` re-PRICES each attempt against the
+    * winner's state (the batch that was a trickle against the base may
+    * be a bulk rewrite against a compacted winner). */
   final case class PreparedMerge(
       baseGen: Long, key: String, nFiles: Int,
       touchedNames: Set[String],
       newEntries: Seq[FileEntry], newCstats: Seq[FileStat],
       changeLo: Long, changeHi: Long,
       changes: DataFrame,
-      streamBatch: Option[(String, Long)] = None)
+      streamBatch: Option[(String, Long)] = None,
+      dvName: Option[String] = None,
+      morStaged: Boolean = false,
+      mode: String = "cow")
 
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
@@ -3038,36 +3473,67 @@ object MergeTable {
     prepareAgainst(spark, root, g0, changes, key, nFiles)
   }
 
-  private def prepareAgainst(spark: SparkSession, root: String, g0: Long,
-      changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
+  /** [[prepareMerge]]'s merge-on-read twin — stage the change batch as
+    * a DV sidecar + appended net-insert files against the CURRENT
+    * committed snapshot (see [[prepareAgainstMor]] for why this is the
+    * concurrent-trickle shape). */
+  def prepareMergeMor(spark: SparkSession, root: String, changes: DataFrame,
+      key: String, nFiles: Int = 4): PreparedMerge = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareAgainstMor(spark, root, g0, changes, key, nFiles)
+  }
+
+  /** [[prepareMerge]]'s stats-dispatched twin — price the batch
+    * against the current snapshot and stage COW or MOR accordingly;
+    * a conflict replay re-prices against the winner's state. */
+  def prepareMergeAuto(spark: SparkSession, root: String,
+      changes: DataFrame, key: String, nFiles: Int = 4,
+      morAmplificationAbove: Double = 8.0): PreparedMerge = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareAutoAgainst(spark, root, g0, changes, key, nFiles,
+      morAmplificationAbove)
+  }
+
+  /** The shared WORK-PHASE preamble of every optimistic prepare: the
+    * base snapshot's metadata, the net change set, its conflict-key
+    * envelope, and the manifest-pruned candidate files.
+    *
+    * The conflict envelope lives in the manifest's order domain —
+    * embedding for string keys, same as the entry ranges C3 tests it
+    * against; composite keys use the LEADING column's span, the same
+    * domain as the entry ranges (coarser envelope = occasional false
+    * conflict, never a missed one). */
+  private def prepareCtx(spark: SparkSession, root: String, g0: Long,
+      changes: DataFrame, key: String): (GenMeta, Seq[String], DataFrame,
+      Long, Long, Seq[FileEntry]) = {
     val genDir0 = Snapshots.genDir(root, g0)
     val m0 = genMeta(spark, genDir0)
     require(key == m0.key,
       s"merge key '$key' does not match the table's key '${m0.key}'")
-    val cur = m0.entries
-    val curDvs = m0.dvs
-    val targetCols = m0.schema.map(_.fieldNames.toSeq).getOrElse(
-      readFiles(spark, root, cur.take(1)).columns.toSeq)
+    val targetCols = m0.schema.map(visibleCols).getOrElse(
+      readFiles(spark, root, m0.entries.take(1)).columns.toSeq)
     val net = netChanges(changes, key, targetCols)
-    // the conflict envelope lives in the manifest's order domain —
-    // embedding for string keys, same as the entry ranges C3 tests it
-    // against (coarser envelope = occasional false conflict, safe)
-    // composite keys: the envelope is the LEADING column's span — the
-    // same domain as the C3 test's entry ranges (coarser = occasional
-    // false conflict, never a missed one)
     val lead = leadKey(key)
     val kv = statVal(net.schema(lead).dataType, col(lead))
     val bounds = net.agg(min(kv), max(kv)).head
     require(!bounds.isNullAt(0),
       s"prepareMerge($root): empty change set — nothing to merge")
-    val (kLo, kHi) = (bounds.getLong(0), bounds.getLong(1))
-    // identical pruning + rewrite shape as the single-writer merge
-    val touched = touchedEntries(spark, cur,
+    val touched = touchedEntries(spark, m0.entries,
       net.select(keyCols(key).map(col): _*))
+    (m0, targetCols, net, bounds.getLong(0), bounds.getLong(1), touched)
+  }
+
+  private def prepareAgainst(spark: SparkSession, root: String, g0: Long,
+      changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
+    val (m0, targetCols, net, kLo, kHi, touched) =
+      prepareCtx(spark, root, g0, changes, key)
+    // identical pruning + rewrite shape as the single-writer merge
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val merged =
       if (touched.isEmpty) upserts
-      else readFiles(spark, root, touched, curDvs, m0.schema)
+      else readFiles(spark, root, touched, m0.dvs, m0.schema)
         .join(net.select(keyCols(key).map(col): _*), keyCols(key),
           "left_anti")
         .select(targetCols.map(col): _*)
@@ -3075,6 +3541,69 @@ object MergeTable {
     val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1, nFiles)
     PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
       kLo, kHi, changes)
+  }
+
+  /** The MERGE-ON-READ work phase of an optimistic writer — what
+    * [[mergeMor]] stages, without a commit: net deletes land as a
+    * staged DV sidecar over the candidate files' live rows, net
+    * upserts as appended files, and NOTHING is rewritten. This is the
+    * shape N concurrent trickle-CDC pipelines want: zero write
+    * amplification per micro-batch, and because the staging touches no
+    * existing file, the loser's arbitration is almost always a
+    * manifest-only REBASE — where a COW staging's wide touch set makes
+    * C1/C3 conflicts (→ full replays) frequent under contention.
+    *
+    * Conflict footprint: `touchedNames` = the candidate files whose
+    * live rows the staged DV was computed FROM — the same C1/C2/C3
+    * rules arbitrate both staging kinds (a rewritten/re-DV'd candidate
+    * invalidates our position set exactly like a rewritten COW input
+    * file; an envelope-overlapping new file carries key images our DV
+    * does not kill). */
+  private def prepareAgainstMor(spark: SparkSession, root: String, g0: Long,
+      changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
+    val (m0, targetCols, net, kLo, kHi, touched) =
+      prepareCtx(spark, root, g0, changes, key)
+    val dvName =
+      if (touched.isEmpty) None
+      else {
+        val delRows = readFiles(spark, root, touched, m0.dvs,
+          m0.schema, keepLineage = true)
+          .withColumn("file", col("__file"))
+          .withColumn("pos", col("__pos"))
+          .join(net.select(keyCols(key).map(col): _*), keyCols(key),
+            "left_semi")
+          .select(col("file"), col("pos"))
+        writeDv(spark, root, g0 + 1, delRows)
+      }
+    val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
+    val (entries, cstats) = writeFiles(spark, root, upserts, key, g0 + 1, nFiles)
+    PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
+      kLo, kHi, changes, dvName = dvName, morStaged = true, mode = "mor")
+  }
+
+  /** [[prepareMerge]]'s stats-dispatched twin: price the batch against
+    * `g0`'s manifest (rewrite amplification = candidate live rows per
+    * net change, the [[mergeAuto]] metric) and stage MERGE-ON-READ when
+    * a copy-on-write rewrite would amplify past the threshold. The
+    * chosen staging rides in the handle's `morStaged`; the REQUEST
+    * ("auto") rides in `mode`, so a conflict replay re-prices against
+    * the winner's state instead of blindly repeating this attempt's
+    * choice. */
+  private def prepareAutoAgainst(spark: SparkSession, root: String, g0: Long,
+      changes: DataFrame, key: String, nFiles: Int,
+      morAmplificationAbove: Double): PreparedMerge = {
+    val m = genMeta(spark, Snapshots.genDir(root, g0))
+    val keys = changes.select(keyCols(key).map(col): _*)
+      .distinct().localCheckpoint(true)
+    val nNet = keys.count()
+    val touchedRows = touchedEntries(spark, m.entries, keys)
+      .map(e => math.max(0L, e.rows)).sum
+    val amp = touchedRows.toDouble / math.max(1L, nNet)
+    val h =
+      if (amp > morAmplificationAbove)
+        prepareAgainstMor(spark, root, g0, changes, key, nFiles)
+      else prepareAgainst(spark, root, g0, changes, key, nFiles)
+    h.copy(mode = "auto")
   }
 
   /** File-granular conflict test between what `h` read/affected at its
@@ -3161,7 +3690,8 @@ object MergeTable {
   def commitPrepared(spark: SparkSession, root: String,
       prepared: PreparedMerge,
       commitTsMillis: Long = System.currentTimeMillis(),
-      maxAttempts: Int = 5): OccOutcome = {
+      maxAttempts: Int = 5,
+      morAmplificationAbove: Double = 8.0): OccOutcome = {
     val f = fs(spark, new Path(root))
     var h = prepared
     var path = "clean"
@@ -3178,8 +3708,7 @@ object MergeTable {
       // already-applied batches on the next restart
       h.streamBatch.foreach { case (sid, id) =>
         if (state.sbatch.get(sid).exists(_ >= id)) {
-          h.newEntries.foreach(e =>
-            f.delete(new Path(filePath(root, e.name)), false))
+          discardStaging(f, root, h)
           return OccOutcome(gNow, attempt, "fenced")
         }
       }
@@ -3187,23 +3716,43 @@ object MergeTable {
         require(state.key == h.key,
           s"table key changed under prepared merge (${h.key})")
         if (hasConflict(spark, root, h, state)) {
-          h.newEntries.foreach(e =>
-            f.delete(new Path(filePath(root, e.name)), false))
-          h = prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
-            .copy(streamBatch = h.streamBatch)
+          discardStaging(f, root, h)
+          // the replay honors the handle's REQUESTED mode: cow/mor
+          // re-stage their own shape against the winner's state; auto
+          // RE-PRICES (the winner may have compacted the table out from
+          // under the base-time pricing)
+          h = (h.mode match {
+            case "mor" =>
+              prepareAgainstMor(spark, root, gNow, h.changes, h.key, h.nFiles)
+            case "auto" => prepareAutoAgainst(spark, root, gNow, h.changes,
+              h.key, h.nFiles, morAmplificationAbove)
+            case _ =>
+              prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
+          }).copy(streamBatch = h.streamBatch, mode = h.mode)
           path = "replayed"
         } else if (path == "clean") path = "rebased"
       }
       // splice against the CURRENT state: for gNow == baseGen this is
       // exactly the single-writer merge manifest; after a clean rebase
-      // it is the winner's manifest with our touched files swapped out
-      val carried = state.entries.filterNot(e =>
-        h.touchedNames.contains(e.name))
-      val carriedNames = carried.map(_.name).toSet
-      val entries = carried ++ h.newEntries
-      val dvs = if (carried.isEmpty) Seq.empty[String] else state.dvs
-      val cstats =
-        state.cstats.filter(s => carriedNames.contains(s.file)) ++ h.newCstats
+      // it is the winner's manifest with our staging folded in. A COW
+      // staging swaps its touched files out for the rewrites; a MOR
+      // staging carries EVERY current entry and every current DV, and
+      // appends its net-insert files + its DV sidecar (the arbitration
+      // stays O(manifest) metadata either way).
+      val (entries, dvs, cstats) =
+        if (h.morStaged)
+          (state.entries ++ h.newEntries,
+            state.dvs ++ h.dvName,
+            state.cstats ++ h.newCstats)
+        else {
+          val carried = state.entries.filterNot(e =>
+            h.touchedNames.contains(e.name))
+          val carriedNames = carried.map(_.name).toSet
+          (carried ++ h.newEntries,
+            if (carried.isEmpty) Seq.empty[String] else state.dvs,
+            state.cstats.filter(s =>
+              carriedNames.contains(s.file)) ++ h.newCstats)
+        }
       // fences MERGE BY MAX, never overwrite: a rebase of an older batch
       // must not regress a newer instance's fence for the same stream
       val fences = h.streamBatch match {
@@ -3246,29 +3795,54 @@ object MergeTable {
     * commit), so a restart-replay of stream A is refused regardless of
     * how many commits streams B..Z landed in between — the exactly-once
     * contract of [[mergeExactlyOnce]], generalized to concurrent
-    * writers. Returns None on a refused replay. */
+    * writers. Returns None on a refused replay.
+    *
+    * `mode` picks the WORK-PHASE shape: "cow" (the default — rewrite
+    * touched files), "mor" (DV sidecar + appends, zero write
+    * amplification — the N-trickle-pipelines shape), or "auto"
+    * (per-batch [[mergeAuto]] pricing INSIDE the OCC loop: each
+    * prepare, including a conflict replay's re-prepare, prices against
+    * the state it actually runs on). */
   def mergeOccExactlyOnce(spark: SparkSession, root: String,
       changes: DataFrame, key: String, streamId: String, batchId: Long,
       nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis(),
-      maxAttempts: Int = 20): Option[OccOutcome] =
+      maxAttempts: Int = 20,
+      mode: String = "cow",
+      morAmplificationAbove: Double = 8.0): Option[OccOutcome] =
     if (appliedStreamBatchIds(spark, root).get(streamId).exists(_ >= batchId))
       None
     else {
-      val h = prepareMerge(spark, root, changes, key, nFiles)
-        .copy(streamBatch = Some(streamId -> batchId))
-      val o = commitPrepared(spark, root, h, commitTsMillis, maxAttempts)
+      val h = (mode match {
+        case "cow" => prepareMerge(spark, root, changes, key, nFiles)
+        case "mor" => prepareMergeMor(spark, root, changes, key, nFiles)
+        case "auto" => prepareMergeAuto(spark, root, changes, key, nFiles,
+          morAmplificationAbove)
+        case other => throw new IllegalArgumentException(
+          s"mergeOccExactlyOnce($root): unknown mode '$other' — " +
+            "cow | mor | auto")
+      }).copy(streamBatch = Some(streamId -> batchId))
+      val o = commitPrepared(spark, root, h, commitTsMillis, maxAttempts,
+        morAmplificationAbove)
       // a zombie of this stream lost to a newer instance mid-commit:
       // the loop detected the fence and discarded — a refused replay
       if (o.path == "fenced") None else Some(o)
     }
 
-  /** Abandon a prepared merge: its staged files are deleted now rather
-    * than waiting for [[sweep]]'s orphan collection. */
-  def discardPrepared(spark: SparkSession, root: String,
-      prepared: PreparedMerge): Unit = {
-    val f = fs(spark, new Path(root))
-    prepared.newEntries.foreach(e =>
+  /** Delete a handle's staged artifacts: its uuid-named data files and
+    * (for a MOR staging) its DV sidecar — the shared cleanup of a
+    * replay, a refused fence, and an explicit abandon. */
+  private def discardStaging(f: org.apache.hadoop.fs.FileSystem,
+      root: String, h: PreparedMerge): Unit = {
+    h.newEntries.foreach(e =>
       f.delete(new Path(filePath(root, e.name)), false))
+    h.dvName.foreach(n => f.delete(new Path(filePath(root, n)), false))
   }
+
+  /** Abandon a prepared merge: its staged files (and staged DV sidecar,
+    * for a MOR handle) are deleted now rather than waiting for
+    * [[sweep]]'s orphan collection. */
+  def discardPrepared(spark: SparkSession, root: String,
+      prepared: PreparedMerge): Unit =
+    discardStaging(fs(spark, new Path(root)), root, prepared)
 }

@@ -70,7 +70,17 @@ object ExplainDump {
     "t_merge_read_str" -> "string manifest stats: band + status predicate pruned planner-side from the 8-byte-prefix embedded #cstat ranges, residual filter pushed to the scan",
     "t_hilbert_read" -> "hilbert-clustered lake read: price band pruned from post-compaction #cstat tiles (file subset decided with zero footer reads)",
     "t_sql_merge" -> "SQL MERGE INTO state read-back: the post-merge table through the registered name (the merge itself ran as one COW change batch)",
-    "t_lake_agg_view" -> "lake aggregate view: node-sized partial relation folded per group — never a table scan (maintenance is drain-window-sized)")
+    "t_lake_agg_view" -> "lake aggregate view: node-sized partial relation folded per group — never a table scan (maintenance is drain-window-sized)",
+    "t_merge_str_key" -> "string-keyed lake table: exact-string identity joins; manifest ranges prefix-embedded for pruning only",
+    "t_merge_composite" -> "composite-key lake table: tuple-identity netting, leading-column manifest ranges + trailing-column #cstat residuals",
+    "t_delete_auto" -> "stats-dispatched DELETE read-back: DV regime for the trickle, scoped COW for the bulk — both through the same manifest-directed scan",
+    "t_cluster3d_read" -> "n-dim clustered read: a 2-of-3-dims band served from ~cubic tiles via #cstat ranges (zero footer reads to prune)",
+    "t_sql_create" -> "catalog DDL lifecycle read-back: CREATE/INSERT/MERGE through the capability-less handle onto the manifest-pruned plan",
+    "t_sql_alter" -> "post-ALTER read: metadata-only widened #schema — old files null-fill the added column with zero data movement",
+    "t_stream_sink" -> "graft-merge sink end state: fenced micro-batch merges (auto-priced COW/MOR) read back manifest-directed",
+    "t_merge_occ_mor" -> "optimistic MOR/auto dispatch: trickle writer's DV sidecar + bulk writer's COW rewrite arbitrated in one history, read through the DV anti-join",
+    "t_cluster_str_read" -> "string-dim clustered read: (key band × status) box pruned from prefix-embedded #cstat tiles of the interleaved layout",
+    "t_change_feed_cow" -> "CDF across a COW rewrite window: bag-EXCEPT netting over added/removed file sets — cost ∝ changed files, output = true change rows only")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -63,7 +63,8 @@ class AlterTableSpec extends AnyFunSuite {
   }
 
   test("ALTER refusals are loud and name the reason: existing column, " +
-    "position clauses, drops/renames/type changes, missing table") {
+    "position clauses, type changes, key renames/drops, missing table " +
+    "— while payload RENAME/DROP land as metadata-only commits") {
     warehouse
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_refuse")
     spark.sql(s"CREATE TABLE $cat.t_refuse (k BIGINT, v BIGINT) " +
@@ -78,14 +79,21 @@ class AlterTableSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE $cat.t_refuse ADD COLUMNS (w BIGINT NOT NULL)") }
     assert(nn.getMessage.contains("NOT NULL"),
       s"NOT NULL must refuse, not silently downgrade: ${nn.getMessage}")
-    val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t_refuse DROP COLUMN v") }
-    assert(drop.getMessage.toLowerCase.contains("not supported"))
-    val ren = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t_refuse RENAME COLUMN v TO w") }
-    assert(ren.getMessage.toLowerCase.contains("not supported"))
+    // payload RENAME/DROP are supported since round 16 (column
+    // mapping, metadata-only — ColumnMappingSpec pins the semantics);
+    // the KEY column still refuses both, and TYPE changes refuse
+    val keyRen = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t_refuse RENAME COLUMN k TO kk") }
+    assert(keyRen.getMessage.contains("merge-key"))
+    val keyDrop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t_refuse DROP COLUMN k") }
+    assert(keyDrop.getMessage.contains("merge-key"))
+    spark.sql(s"ALTER TABLE $cat.t_refuse RENAME COLUMN v TO w")
+    assert(spark.table(s"$cat.t_refuse").columns.toSeq === Seq("k", "w"))
+    spark.sql(s"ALTER TABLE $cat.t_refuse DROP COLUMN w")
+    assert(spark.table(s"$cat.t_refuse").columns.toSeq === Seq("k"))
     val retype = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.t_refuse ALTER COLUMN v TYPE STRING") }
+      spark.sql(s"ALTER TABLE $cat.t_refuse ALTER COLUMN k TYPE STRING") }
     assert(retype.getMessage.toLowerCase.contains("not supported"))
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.t_missing ADD COLUMNS (w BIGINT)") }

@@ -74,15 +74,50 @@ class Cluster3dSpec extends AnyFunSuite {
       "the leading key must remain prunable on the 3-d layout")
   }
 
-  test("compactZOrderN refusals: string dim, duplicate dims, empty " +
-    "dims; DVs fold in through the rewrite") {
+  test("normBitsAuto: order-preserving across a full-Long string-" +
+    "embedding span (pre-shifted), exactly normBits on narrow spans, " +
+    "all values inside the bit budget") {
+    // embeddings deliberately spanning the WHOLE signed-Long domain
+    // (empty string = Long.MinValue-side, 0xff-leading = the top)
+    val strs = Seq("", "A", "Azzz", "a", "alpha", "beta", "zz",
+      "ÿÿ", "m", "mzzzzzzzzz")
+    val emb = strs.map(graft.functions.StringPrefix64.embed(_))
+    val (lo, hi) = (emb.min, emb.max)
+    val df = emb.toDF("e")
+    val out = df.select(col("e"),
+      graft.ops.Layout.normBitsAuto(col("e"), lo, hi, 16).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(n => n >= 0L && n <= 65535L))
+    // monotone: embedding order ⇒ normalized order (ties allowed only
+    // for equal embeddings — this span shifts by well under the
+    // embeddings' discriminating bits)
+    val sorted = emb.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(out(a) <= out(b), s"normBitsAuto broke order at ($a, $b)")
+    }
+    assert(out(lo) === 0L && out(hi) === 65535L)
+    // narrow span: bit-identical to the unshifted normBits
+    val narrow = spark.range(100).select(col("id").as("e"))
+    val both = narrow.select(
+      graft.ops.Layout.normBitsAuto(col("e"), 0L, 99L, 16).as("a"),
+      graft.ops.Layout.normBits(col("e"), 0L, 99L, 16).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("compactZOrderN refusals: duplicate dims, empty dims; a STRING " +
+    "dim clusters through its prefix embedding; DVs fold in through " +
+    "the rewrite") {
     val root = freshRoot("refuse")
     MergeTable.create(spark, root,
       spark.range(100).select(col("id").as("k"), (col("id") % 7).as("d2"),
         lit("s").as("s")), "k", nFiles = 2, commitTsMillis = 10L)
-    intercept[IllegalArgumentException] {
-      MergeTable.compactZOrderN(spark, root, Seq("d2", "s"))
-    }
+    // a string dim is legal since round 16: it interleaves via its
+    // order-preserving prefix embedding (a constant column normalizes
+    // to a degenerate all-zero dimension — still exact)
+    MergeTable.compactZOrderN(spark, root, Seq("d2", "s"), nFiles = 2,
+      commitTsMillis = 15L)
+    assert(MergeTable.read(spark, root).count() === 100L)
     intercept[IllegalArgumentException] {
       MergeTable.compactZOrderN(spark, root, Seq("k", "d2"))
     }

@@ -145,6 +145,43 @@ class MergeTableSinkSpec extends AnyFunSuite {
     assert(before(100L) === ((1L, "a1")))
   }
 
+  test("mode=occ-mor / occ-auto: the optimistic work phase stages " +
+    "merge-on-read — trickle batches append DV sidecars, fences still " +
+    "refuse replays") {
+    val root = s"${freshWork("occmor")}/t"
+    MergeTable.create(spark, root, baseDf(4000), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    val a = mkSink(root, "mode" -> "occ-mor", "streamId" -> "trickle-a")
+    val b = mkSink(root, "mode" -> "occ-auto", "streamId" -> "auto-b")
+    // a trickle batch through occ-mor: DV sidecar lands, nothing rewritten
+    val filesBefore = MergeTable.currentManifest(spark, root).map(_.name).toSet
+    a.addBatch(0, changesDf(("u", 1L, 5L, 555L, "a0"),
+      ("u", 1L, 3005L, 777L, "a0")))
+    val m1 = MergeTable.genMeta(spark,
+      Snapshots.genDir(root, Snapshots.currentGen(spark, root).get))
+    assert(m1.dvs.nonEmpty, "occ-mor batch must land as a DV sidecar")
+    assert(filesBefore.subsetOf(m1.entries.map(_.name).toSet),
+      "occ-mor must carry every pre-existing file by reference")
+    // occ-auto prices per batch: a sparse trickle also goes MOR
+    b.addBatch(0, changesDf(("u", 1L, 7L, 700L, "b0"),
+      ("u", 1L, 2007L, 707L, "b0")))
+    val m2 = MergeTable.genMeta(spark,
+      Snapshots.genDir(root, Snapshots.currentGen(spark, root).get))
+    assert(m2.dvs.size > m1.dvs.size,
+      "occ-auto must price a sparse trickle as MOR")
+    // replays refused per stream
+    val before = stateOf(root)
+    a.addBatch(0, changesDf(("u", 1L, 5L, 999L, "ghost")))
+    b.addBatch(0, changesDf(("u", 1L, 7L, 999L, "ghost")))
+    assert(stateOf(root) === before)
+    assert(before(5L) === ((555L, "a0")) && before(3005L) === ((777L, "a0")))
+    assert(before(7L) === ((700L, "b0")) && before(2007L) === ((707L, "b0")))
+    // occ modes require a streamId, same as plain occ
+    intercept[IllegalArgumentException] {
+      mkSink(root, "mode" -> "occ-auto")
+    }
+  }
+
   test("refusals are loud at .start()/createSink time: missing path, " +
     "unknown mode, occ without streamId, streamId off occ, Complete " +
     "mode, partitionBy, and a root that is not a table") {

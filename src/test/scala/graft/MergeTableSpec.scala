@@ -862,6 +862,47 @@ class MergeTableSpec extends AnyFunSuite {
     assert(p4 === "mor")
   }
 
+  test("STRING-dim clustered compaction: the status dimension becomes " +
+    "prunable via its embedded #cstat ranges; key-range layout cannot; " +
+    "reads stay exact") {
+    val root = freshRoot("strcluster")
+    // status cycles through 6 values, uncorrelated with the key — the
+    // layout where a key-range file always spans every status
+    val statuses = Seq("alpha", "bravo", "carol", "delta", "echo1", "fox")
+    val df = spark.range(6000).select(col("id").as("k"),
+      element_at(array(statuses.map(lit): _*),
+        (col("id") % 6 + 1).cast("int")).as("st"),
+      (col("id") * 3).as("v"))
+    MergeTable.create(spark, root, df, "k", nFiles = 12,
+      commitTsMillis = 10L)
+    def stCandidates: Int = {
+      val gd = Snapshots.genDir(root, Snapshots.currentGen(spark, root).get)
+      val probe = graft.functions.StringPrefix64.embed("carol")
+      val ranges = MergeTable.colStats(spark, gd).filter(_.col == "st")
+        .map(s => s.file -> s).toMap
+      MergeTable.currentManifest(spark, root).count(e =>
+        ranges.get(e.name).forall(s => s.hi >= probe && s.lo <= probe))
+    }
+    val files0 = MergeTable.currentManifest(spark, root).size
+    assert(stCandidates === files0,
+      "key-range layout: every file must span every status")
+    val before = MergeTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    MergeTable.compactZOrder(spark, root, "st", nFiles = 12,
+      commitTsMillis = 20L)
+    val filesZ = MergeTable.currentManifest(spark, root).size
+    assert(stCandidates < filesZ,
+      s"string-dim-clustered layout must skip files on a status probe " +
+        s"($stCandidates of $filesZ)")
+    val after = MergeTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after === before)
+    val got = MergeTable.readWhere(spark, root,
+      col("k") <= 3000L && col("st") === "carol").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === before.filter(t => t._1 <= 3000L && t._2 == "carol"))
+  }
+
   test("compactHilbert: reads stay exact through the re-cluster; the " +
     "seam-crossing box family opens no more files than the z layout") {
     // uncorrelated 2-d data: key k, dim v a scrambled permutation
@@ -1178,6 +1219,176 @@ class MergeTableSpec extends AnyFunSuite {
       }
     }
     assert(byK(3500L) === ((35000L, "base"))) // untouched band untouched
+  }
+
+  test("optimistic MOR staging: a disjoint concurrent commit REBASES " +
+    "the DV-append handle — sidecar + appends spliced verbatim, " +
+    "nothing rewritten") {
+    val root = freshRoot("occ-mor-rebase")
+    MergeTable.create(spark, root, baseDf(1000), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    // A: COW on the low band; B: MOR on the high band — disjoint files
+    val hA = MergeTable.prepareMerge(spark, root,
+      spark.range(100).select(lit("u").as("op"), lit(1L).as("seq"),
+        col("id").as("k"), (col("id") * 10 + 1).as("v"), lit("a").as("tag")),
+      "k", nFiles = 2)
+    val hB = MergeTable.prepareMergeMor(spark, root,
+      Seq(("u", 1L, 900L, 9001L, "b"), ("u", 1L, 901L, 9011L, "b"),
+        ("d", 1L, 950L, 0L, ""), ("c", 1L, 2000L, 7L, "b"))
+        .toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1)
+    assert(hB.morStaged && hB.dvName.isDefined && hB.mode === "mor")
+    assert(MergeTable.commitPrepared(spark, root, hA,
+      commitTsMillis = 20L).path === "clean")
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 30L)
+    assert(b.path === "rebased")
+    // the staged sidecar and appends carried into the final manifest
+    // by NAME — a MOR rebase is manifest-only arbitration
+    val m = MergeTable.genMeta(spark, Snapshots.genDir(root, b.gen))
+    assert(m.dvs.contains(hB.dvName.get))
+    hB.newEntries.foreach(e => assert(m.entries.exists(_.name == e.name),
+      s"rebase did not reuse staged MOR file ${e.name}"))
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK(0L) === ((1L, "a")) && byK(99L) === ((991L, "a")))
+    assert(byK(900L) === ((9001L, "b")) && byK(901L) === ((9011L, "b")))
+    assert(!byK.contains(950L) && byK(2000L) === ((7L, "b")))
+    assert(byK.size === 1000)
+  }
+
+  test("optimistic MOR staging: a conflicting rewrite REPLAYS the MOR " +
+    "handle (superseded sidecar deleted); serial last-wins holds") {
+    val root = freshRoot("occ-mor-replay")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    val hB = MergeTable.prepareMergeMor(spark, root,
+      Seq(("u", 1L, 50L, 222L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1)
+    val dvBefore = hB.dvName.get
+    // winner COW-rewrites the file holding k=50 → C1 invalidates the
+    // staged (file,pos) set
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 50L, 111L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", commitTsMillis = 20L)
+    val b = MergeTable.commitPrepared(spark, root, hB, commitTsMillis = 30L)
+    assert(b.path === "replayed")
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(50L) === 222L && byK.size === 100)
+    // the superseded first-attempt sidecar is gone from disk
+    val onDisk = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).toSet
+    assert(!onDisk.contains(dvBefore),
+      s"superseded staged DV $dvBefore survived the replay")
+    hB.newEntries.foreach(e => assert(!onDisk.contains(e.name)))
+  }
+
+  test("optimistic auto pricing: trickle stages MOR, bulk stages COW, " +
+    "and a replay RE-PRICES against the winner's state") {
+    val root = freshRoot("occ-auto")
+    MergeTable.create(spark, root, baseDf(4000), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    // trickle: 4 keys spread one-per-file-ish → amplification ≫ 8
+    val trickle = Seq(0L, 1000L, 2000L, 3000L).map(k =>
+      ("u", 1L, k, k + 5L, "t")).toDF("op", "seq", "k", "v", "tag")
+    val hT = MergeTable.prepareMergeAuto(spark, root, trickle, "k",
+      nFiles = 1)
+    assert(hT.morStaged && hT.mode === "auto",
+      "sparse trickle must price MERGE-ON-READ")
+    // bulk: a dense band → amplification ~1
+    val bulk = spark.range(500, 1000).select(lit("u").as("op"),
+      lit(1L).as("seq"), col("id").as("k"), (col("id") + 9L).as("v"),
+      lit("bulk").as("tag"))
+    val hBk = MergeTable.prepareMergeAuto(spark, root, bulk, "k",
+      nFiles = 2)
+    assert(!hBk.morStaged, "dense bulk must price COPY-ON-WRITE")
+    // commit bulk first: trickle's touched set includes the rewritten
+    // band file → C1 → replay, re-priced (still MOR: amplification is
+    // layout-driven, not luck) against the winner's state
+    assert(MergeTable.commitPrepared(spark, root, hBk,
+      commitTsMillis = 20L).path === "clean")
+    val t = MergeTable.commitPrepared(spark, root, hT, commitTsMillis = 30L)
+    assert(t.path === "replayed")
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK(0L) === ((5L, "t")) && byK(1000L) === ((1005L, "t")))
+    assert(byK(2000L) === ((2005L, "t")) && byK(3000L) === ((3005L, "t")))
+    assert(byK(700L) === ((709L, "bulk")) && byK.size === 4000)
+    // the replayed trickle really landed as MOR: its DV rides the
+    // final manifest (nothing after it folded DVs away)
+    assert(MergeTable.genMeta(spark,
+      Snapshots.genDir(root, t.gen)).dvs.nonEmpty)
+  }
+
+  test("optimistic merge under REAL thread contention with MIXED " +
+    "COW/MOR stagings: every commit lands exactly once, no lost updates") {
+    val root = freshRoot("occ-threads-mixed")
+    MergeTable.create(spark, root, baseDf(4000), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.streaming.MergeTable.OccOutcome]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // writers 0-1 stage copy-on-write, writers 2-3 merge-on-read —
+    // racing rename claims, manifest reads, and the two SPLICE shapes
+    // against each other on one table
+    val threads = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          (0 until 2).foreach { i =>
+            val lo = w * 1000L + i * 100L
+            val changes = spark.range(lo, lo + 100L).select(
+              lit("u").as("op"), lit(1L).as("seq"), col("id").as("k"),
+              (col("id") + 7L).as("v"), lit(s"w$w").as("tag"))
+            val h =
+              if (w < 2) MergeTable.prepareMerge(spark, root, changes,
+                "k", nFiles = 1)
+              else MergeTable.prepareMergeMor(spark, root, changes, "k",
+                nFiles = 1)
+            outcomes.add(MergeTable.commitPrepared(spark, root, h,
+              commitTsMillis = 100L + w * 10 + i, maxAttempts = 30))
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val all = outcomes.asScala.toSeq
+    assert(all.size === 8)
+    assert(all.map(_.gen).distinct.size === 8)
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK.size === 4000)
+    (0 until 4).foreach { w =>
+      (w * 1000L until w * 1000L + 200L).foreach { k =>
+        assert(byK(k) === ((k + 7L, s"w$w")), s"lost update at k=$k")
+      }
+    }
+    assert(byK(3500L) === ((35000L, "base")))
+  }
+
+  test("mergeOccExactlyOnce honors mode: a mor-staged stream batch is " +
+    "fenced on replay exactly like the cow path") {
+    val root = freshRoot("occ-mor-fence")
+    MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    def upd(v: Long) =
+      Seq(("u", 1L, 10L, v, "s")).toDF("op", "seq", "k", "v", "tag")
+    val o = MergeTable.mergeOccExactlyOnce(spark, root, upd(111L), "k",
+      "pipe", 0L, commitTsMillis = 20L, mode = "mor")
+    assert(o.isDefined)
+    assert(MergeTable.genMeta(spark,
+      Snapshots.genDir(root, o.get.gen)).dvs.nonEmpty)
+    // a replay of batch 0 is refused BEFORE any staging
+    assert(MergeTable.mergeOccExactlyOnce(spark, root, upd(999L), "k",
+      "pipe", 0L, commitTsMillis = 30L, mode = "mor").isEmpty)
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(10L) === 111L)
+    intercept[IllegalArgumentException] {
+      MergeTable.mergeOccExactlyOnce(spark, root, upd(1L), "k",
+        "pipe", 1L, mode = "upsert")
+    }
   }
 
   test("z-order compaction makes an UNCORRELATED dimension prunable; " +
