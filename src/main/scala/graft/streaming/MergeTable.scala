@@ -706,7 +706,35 @@ object MergeTable {
       cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[FileEntry] = {
     val entries = m.entries
-    val bounds = cond.map(extractBounds).getOrElse(Map.empty)
+    // the SQL path pushes predicates THROUGH the alias-restoring
+    // projection of a mapped table, so a bound arrives as
+    // `coalesce(new, old…) >= v`. When a Coalesce's children are
+    // attribute references whose name set is EXACTLY some mapped
+    // field's stored-name chain, it IS our projection (user SQL cannot
+    // name the non-visible old aliases), and exactly one child is
+    // non-null per row — collapsing it to its newest child lets
+    // extractBounds read it, and the per-file alias-chain lookup below
+    // covers files keyed under any older name. Any other Coalesce is
+    // left alone (collapsing a general coalesce would false-skip).
+    val chains: Set[Set[String]] = m.schema match {
+      case Some(s) if hasMapping(s) =>
+        visibleStruct(s).fields.toSet[org.apache.spark.sql.types.StructField]
+          .map(f => storedNames(f).toSet).filter(_.size > 1)
+      case _ => Set.empty
+    }
+    val collapsed = cond.map { c =>
+      if (chains.isEmpty) c
+      else c.transform {
+        case co: org.apache.spark.sql.catalyst.expressions.Coalesce
+            if co.children.forall(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.AttributeReference])
+              && chains.contains(co.children.map(_.asInstanceOf[
+                org.apache.spark.sql.catalyst.expressions
+                  .AttributeReference].name).toSet) =>
+          co.children.head
+      }
+    }
+    val bounds = collapsed.map(extractBounds).getOrElse(Map.empty)
     val ranges: Map[(String, String), (Long, Long)] =
       m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
         entries.map(e =>

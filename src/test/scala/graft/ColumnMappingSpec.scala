@@ -195,6 +195,41 @@ class ColumnMappingSpec extends AnyFunSuite {
       s"feed across the rename window: $rows")
   }
 
+  test("SQL file skipping SURVIVES a rename: the pushed coalesce-chain " +
+    "predicate collapses to its alias chain, and the scan opens a " +
+    "strict file subset keyed by the OLD stat name") {
+    val root = freshRoot("sql-prune")
+    MergeTable.create(spark, root, baseDf(4000), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    MergeTable.renameColumn(spark, root, "v", "amount",
+      commitTsMillis = 20L)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "colmap_prune",
+      root)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      var n = -1L
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          n = math.max(n, s.metrics("numFiles").value)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan); n
+    }
+    // v = k*10 is key-correlated: a narrow amount band lives in one
+    // file's 'v'-keyed #cstat range — the mapped SQL scan must open a
+    // strict subset (before the coalesce collapse it opened all 8)
+    val q = spark.sql("SELECT k, amount FROM colmap_prune " +
+      "WHERE amount BETWEEN 100 AND 200 ORDER BY k")
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === (10L to 20L).map(k => (k, k * 10)))
+    val opened = scanFiles(q)
+    assert(opened >= 1 && opened < 8,
+      s"mapped SQL scan must file-skip via the alias chain: opened $opened")
+  }
+
   test("SQL citizenship: ALTER TABLE RENAME/DROP COLUMN through the " +
     "catalog; SELECT serves the mapped shape; TYPE changes refuse by " +
     "name") {
