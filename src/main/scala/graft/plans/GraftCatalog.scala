@@ -101,7 +101,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     requireNamespace(namespace)
-    Array("optimize", "compact", "vacuum", "rollback", "analyze")
+    GraftProcedures.Names.toArray
       .map(n => Identifier.of(namespace, n))
   }
 

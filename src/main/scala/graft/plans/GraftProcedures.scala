@@ -42,10 +42,20 @@ import graft.streaming.{MergeTable, Snapshots}
   * called API face is distributed; only metrics cross the driver). */
 object GraftProcedures {
 
+  /** The one name registry both [[GraftCatalog.listProcedures]] and
+    * [[load]]'s dispatch (and its unknown-name message) derive from —
+    * a verb added in one place cannot silently vanish from the other. */
+  val Names: Seq[String] =
+    Seq("optimize", "compact", "vacuum", "rollback", "analyze")
+
   /** Procedure lookup for [[GraftCatalog.loadProcedure]]. */
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = {
     val spark = SparkSession.active
-    def root(tbl: String): String = {
+    def root(args: InternalRow): String = {
+      // a NULL table argument refuses by name, never NPEs
+      require(!args.isNullAt(0),
+        s"CALL ${catalog.name()}.$name: table must not be NULL")
+      val tbl = args.getUTF8String(0).toString
       val r = catalog.tableRootByName(tbl)
       require(Snapshots.currentGen(spark, r).nonEmpty,
         s"CALL ${catalog.name()}.$name: table '$tbl' does not exist " +
@@ -64,7 +74,7 @@ object GraftProcedures {
           withDefault("target_bytes", LongType, (64L << 20).toString)),
         resultCols = Seq("packed" -> IntegerType, "carried" -> IntegerType,
           "generation" -> LongType)) { args =>
-        val r = root(args.getUTF8String(0).toString)
+        val r = root(args)
         val (packed, carried) = MergeTable.optimize(spark, r,
           smallBytes = args.getLong(1), targetBytes = args.getLong(2))
         InternalRow(packed, carried,
@@ -78,7 +88,7 @@ object GraftProcedures {
           withDefault("n_files", IntegerType, "8")),
         resultCols = Seq("rewritten" -> IntegerType,
           "generation" -> LongType)) { args =>
-        val r = root(args.getUTF8String(0).toString)
+        val r = root(args)
         val n = MergeTable.compact(spark, r, nFiles = args.getInt(1))
         InternalRow(n, Snapshots.currentGen(spark, r).getOrElse(-1L))
       }
@@ -91,7 +101,7 @@ object GraftProcedures {
           required("table", StringType),
           withDefault("retain", IntegerType, "1")),
         resultCols = Seq("removed_files" -> IntegerType)) { args =>
-        val r = root(args.getUTF8String(0).toString)
+        val r = root(args)
         InternalRow(MergeTable.sweep(spark, r,
           retainPredecessors = args.getInt(1)))
       }
@@ -103,7 +113,7 @@ object GraftProcedures {
           required("table", StringType),
           required("generation", LongType)),
         resultCols = Seq("generation" -> LongType)) { args =>
-        val r = root(args.getUTF8String(0).toString)
+        val r = root(args)
         InternalRow(MergeTable.rollbackTo(spark, r, args.getLong(1)))
       }
       case "analyze" => proc("analyze",
@@ -112,12 +122,11 @@ object GraftProcedures {
           "that predate those statistics",
         params = Seq(required("table", StringType)),
         resultCols = Seq("backfilled" -> IntegerType)) { args =>
-        InternalRow(MergeTable.analyzeManifest(spark,
-          root(args.getUTF8String(0).toString)))
+        InternalRow(MergeTable.analyzeManifest(spark, root(args)))
       }
       case other => throw new IllegalArgumentException(
         s"CALL ${catalog.name()}.$other: unknown procedure — available: " +
-          "optimize, compact, vacuum, rollback, analyze")
+          Names.mkString(", "))
     }
   }
 

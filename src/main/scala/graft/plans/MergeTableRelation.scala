@@ -94,10 +94,11 @@ object MergeTableRelation {
       // a RENAME/DROP chain makes per-file column names vary: the scan
       // requests every stored alias (the same expanded shape readFiles
       // uses) and a projection restores logical names above the DV
-      // anti-join. Predicates over coalesced aliases don't extract as
-      // simple bounds, so the FileIndex serves listing-from-manifest
-      // without file skipping until a full compact clears the chain —
-      // slower, never wrong (documented on MergeTable.renameColumn).
+      // anti-join. Predicates push THROUGH the projection as
+      // coalesce(new, old…) — pruneByCondition collapses a coalesce
+      // whose children are exactly a field's stored-name chain back to
+      // its newest alias, so manifest file skipping survives the
+      // rename (spec-pinned in ColumnMappingSpec).
       val mapped = m.schema.exists(MergeTable.hasMapping)
       val scanSchema =
         if (mapped) MergeTable.expandedReadSchema(recorded) else recorded

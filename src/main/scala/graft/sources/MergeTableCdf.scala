@@ -52,7 +52,12 @@ import graft.streaming.{MergeTable, Snapshots}
   * `.load()`-ed: the analysis-time schema pin is matched first-in-
   * first-out, and starting two loads in reverse order around an
   * ALTER-COLUMNS commit crosses their pinned shapes — the mismatch
-  * kills loudly at stream start (width assertion), never silently. */
+  * kills loudly at stream start (width assertion), never silently.
+  * Likewise, a `.load()` that is never `.start()`-ed leaves its pin at
+  * the queue head and shifts every later start's pairing by one on
+  * that root; harmless while the schema is stable, and a loud
+  * width-assert kill (self-healing on the next start) if an evolution
+  * commit lands in between. */
 class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "merge-cdf"
 

@@ -1655,6 +1655,14 @@ object MergeTable {
     require(!ReservedColumns.contains(norm(to)),
       s"RENAME COLUMN on $root: '$to' is reserved — op/seq are the " +
         "change-envelope names, 'change' is the CDF feed marker")
+    // the chain is comma-joined in the field metadata: a name carrying
+    // a comma would split into phantom aliases on read — every
+    // pre-rename row would silently null-fill (row-level data loss)
+    Seq(f.name, to).find(_.contains(",")).foreach(n =>
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN on $root: '$n' contains ',' — the alias chain " +
+          "is comma-delimited; rename such a column only through a " +
+          "full rewrite"))
     val taken = base.fields.flatMap(x => x.name +: storedNames(x))
       .map(norm).toSet
     require(!taken.contains(norm(to)),
@@ -1702,6 +1710,10 @@ object MergeTable {
       s"DROP COLUMN on $root: '$name' is a merge-key column — every " +
         "merge and manifest range binds it; dropping the key is a " +
         "rebuild, not an ALTER")
+    require(!f.name.contains(","),
+      s"DROP COLUMN on $root: '${f.name}' contains ',' — the alias " +
+        "chain is comma-delimited; shed such a column through a full " +
+        "rewrite instead")
     val gen = Snapshots.nextGen(spark, root)
     val hidden = base.fields.map { x =>
       if (norm(x.name) != norm(name)) x
@@ -3533,9 +3545,11 @@ object MergeTable {
     * against; composite keys use the LEADING column's span, the same
     * domain as the entry ranges (coarser envelope = occasional false
     * conflict, never a missed one). */
+  private final case class PrepCtx(m0: GenMeta, targetCols: Seq[String],
+      net: DataFrame, kLo: Long, kHi: Long, touched: Seq[FileEntry])
+
   private def prepareCtx(spark: SparkSession, root: String, g0: Long,
-      changes: DataFrame, key: String): (GenMeta, Seq[String], DataFrame,
-      Long, Long, Seq[FileEntry]) = {
+      changes: DataFrame, key: String): PrepCtx = {
     val genDir0 = Snapshots.genDir(root, g0)
     val m0 = genMeta(spark, genDir0)
     require(key == m0.key,
@@ -3550,13 +3564,19 @@ object MergeTable {
       s"prepareMerge($root): empty change set — nothing to merge")
     val touched = touchedEntries(spark, m0.entries,
       net.select(keyCols(key).map(col): _*))
-    (m0, targetCols, net, bounds.getLong(0), bounds.getLong(1), touched)
+    PrepCtx(m0, targetCols, net, bounds.getLong(0), bounds.getLong(1),
+      touched)
   }
 
   private def prepareAgainst(spark: SparkSession, root: String, g0: Long,
-      changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
-    val (m0, targetCols, net, kLo, kHi, touched) =
-      prepareCtx(spark, root, g0, changes, key)
+      changes: DataFrame, key: String, nFiles: Int,
+      ctx0: Option[PrepCtx] = None): PreparedMerge = {
+    // ctx0 = the auto-pricer's already-computed context (meta fetch,
+    // netting and candidate pruning are the prepare's planning cost —
+    // paying them twice per occ-auto micro-batch would double the
+    // streaming hot path's planning work)
+    val c = ctx0.getOrElse(prepareCtx(spark, root, g0, changes, key))
+    import c.{m0, targetCols, net, touched}
     // identical pruning + rewrite shape as the single-writer merge
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val merged =
@@ -3568,7 +3588,7 @@ object MergeTable {
         .unionByName(upserts)
     val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1, nFiles)
     PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
-      kLo, kHi, changes)
+      c.kLo, c.kHi, changes)
   }
 
   /** The MERGE-ON-READ work phase of an optimistic writer — what
@@ -3588,9 +3608,10 @@ object MergeTable {
     * file; an envelope-overlapping new file carries key images our DV
     * does not kill). */
   private def prepareAgainstMor(spark: SparkSession, root: String, g0: Long,
-      changes: DataFrame, key: String, nFiles: Int): PreparedMerge = {
-    val (m0, targetCols, net, kLo, kHi, touched) =
-      prepareCtx(spark, root, g0, changes, key)
+      changes: DataFrame, key: String, nFiles: Int,
+      ctx0: Option[PrepCtx] = None): PreparedMerge = {
+    val c = ctx0.getOrElse(prepareCtx(spark, root, g0, changes, key))
+    import c.{m0, targetCols, net, touched}
     val dvName =
       if (touched.isEmpty) None
       else {
@@ -3606,7 +3627,7 @@ object MergeTable {
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
     val (entries, cstats) = writeFiles(spark, root, upserts, key, g0 + 1, nFiles)
     PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
-      kLo, kHi, changes, dvName = dvName, morStaged = true, mode = "mor")
+      c.kLo, c.kHi, changes, dvName = dvName, morStaged = true, mode = "mor")
   }
 
   /** [[prepareMerge]]'s stats-dispatched twin: price the batch against
@@ -3620,17 +3641,19 @@ object MergeTable {
   private def prepareAutoAgainst(spark: SparkSession, root: String, g0: Long,
       changes: DataFrame, key: String, nFiles: Int,
       morAmplificationAbove: Double): PreparedMerge = {
-    val m = genMeta(spark, Snapshots.genDir(root, g0))
-    val keys = changes.select(keyCols(key).map(col): _*)
-      .distinct().localCheckpoint(true)
-    val nNet = keys.count()
-    val touchedRows = touchedEntries(spark, m.entries, keys)
-      .map(e => math.max(0L, e.rows)).sum
+    // price FROM the prepare's own context: the netted change set is
+    // one row per key tuple (nNet = its count) and `touched` is the
+    // candidate set the dispatched prepare will use — ONE meta fetch,
+    // ONE netting job, ONE pruning pass per attempt, shared with the
+    // staging itself via ctx0
+    val c = prepareCtx(spark, root, g0, changes, key)
+    val nNet = c.net.count()
+    val touchedRows = c.touched.map(e => math.max(0L, e.rows)).sum
     val amp = touchedRows.toDouble / math.max(1L, nNet)
     val h =
       if (amp > morAmplificationAbove)
-        prepareAgainstMor(spark, root, g0, changes, key, nFiles)
-      else prepareAgainst(spark, root, g0, changes, key, nFiles)
+        prepareAgainstMor(spark, root, g0, changes, key, nFiles, Some(c))
+      else prepareAgainst(spark, root, g0, changes, key, nFiles, Some(c))
     h.copy(mode = "auto")
   }
 

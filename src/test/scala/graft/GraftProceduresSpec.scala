@@ -120,11 +120,25 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(!stateOf(root).contains(9L) && stateOf(root).size === 49)
   }
 
-  test("CALL analyze backfills nothing on a fresh table; refusals are " +
-    "loud: unknown procedure, missing table") {
+  test("CALL analyze backfills nothing on a fresh table; OMITTED " +
+    "defaults bind (Spark's default-value path); refusals are loud: " +
+    "unknown procedure, NULL table, missing table") {
     mkTable("p_an", n = 20, nFiles = 1)
     assert(spark.sql(s"CALL $cat.analyze('p_an')")
       .collect().head.getInt(0) === 0)
+    // every optional parameter OMITTED: Spark must bind the declared
+    // SQL defaults (int literals against LongType params included) —
+    // one small file at the 8 MB default means optimize is a no-op
+    val d = spark.sql(s"CALL $cat.optimize('p_an')").collect().head
+    assert(d.getInt(0) === 0 && d.getInt(1) === 1, s"defaults: $d")
+    assert(spark.sql(s"CALL $cat.vacuum('p_an')")
+      .collect().head.getInt(0) === 0)
+    val nullT = intercept[Exception] {
+      spark.sql(s"CALL $cat.analyze(NULL)")
+    }
+    val nullChain = Iterator.iterate[Throwable](nullT)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_: Throwable)).mkString(" | ")
+    assert(nullChain.contains("must not be NULL"), nullChain)
     // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE;
     // the loud "unknown procedure — available: ..." message is the cause
     val unk = intercept[Exception] {
