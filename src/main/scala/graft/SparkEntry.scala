@@ -212,6 +212,8 @@ object SparkEntry {
     "t_stream_sink"         -> (streaming.MergeTable.streamSinkQuery _),
     "t_change_feed"         -> (streaming.MergeTable.changeFeedQuery _),
     "t_change_feed_cow"     -> (streaming.MergeTable.changeFeedCowQuery _),
+    "t_change_feed_updates" -> (streaming.MergeTable.changeFeedUpdatesQuery _),
+    "t_merge_read_in"       -> (streaming.MergeTable.mergeReadInQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -2389,6 +2391,52 @@ object SparkEntry {
         |SELECT 'i', o_orderkey, o_custkey, o_orderstatus, price_cents + 999
         |FROM base WHERE o_orderkey % 100 = 77
         |ORDER BY change, o_orderkey""".stripMargin,
+    // t_change_feed_updates: CDF update PAIRING — one MOR wave of
+    // updates (%100=42, +11), deletes (%100=77) and inserts (%100=88
+    // re-keyed) must report as exactly four change types, the updated
+    // keys as update_preimage/update_postimage pairs (old and new
+    // values both present, correctly labeled)
+    "t_change_feed_updates" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT 'update_preimage' AS change, o_orderkey, o_custkey,
+        |       o_orderstatus, price_cents
+        |FROM base WHERE o_orderkey % 100 = 42
+        |UNION ALL
+        |SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+        |       price_cents + 11
+        |FROM base WHERE o_orderkey % 100 = 42
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base WHERE o_orderkey % 100 = 77
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + 20000000, o_custkey, o_orderstatus,
+        |       price_cents
+        |FROM base WHERE o_orderkey % 100 = 88
+        |ORDER BY change, o_orderkey""".stripMargin,
+    // t_merge_read_in: the 3-value multi-point lookup — per-value
+    // candidate-set union + bloom refinement on the Spark side; the
+    // oracle recomputes the probe values and the IN from raw orders
+    // (a false file skip is silent row loss — the hash catches it)
+    "t_merge_read_in" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |vs AS (
+        |  SELECT min(price_cents) AS v FROM base
+        |  WHERE o_orderkey BETWEEN 100 AND 200
+        |  UNION
+        |  SELECT min(price_cents) FROM base
+        |  WHERE o_orderkey BETWEEN 2000 AND 2100
+        |  UNION
+        |  SELECT min(price_cents) FROM base
+        |  WHERE o_orderkey BETWEEN 4000 AND 4100)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+        |FROM base WHERE price_cents IN (SELECT v FROM vs)
+        |ORDER BY o_orderkey""".stripMargin,
     // t_change_feed_cow: the feed window crosses a WHOLE-TABLE compact
     // (every row re-filed under new names) plus one small COW merge —
     // the netting must cancel ALL rewrite churn, leaving exactly the

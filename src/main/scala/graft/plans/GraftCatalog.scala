@@ -212,44 +212,86 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val root = rootOf(ident)
     if (Snapshots.currentGen(spark, root).isEmpty)
       throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+
+    // PHASE 1 — validate EVERY change against the statement-start
+    // schema, simulated through the statement's own earlier changes,
+    // before committing ANY: each RENAME/DROP/ADD lands as its own
+    // generation below, and a refusal halfway through a multi-change
+    // ALTER must leave the table untouched rather than half-altered.
+    // The simulation tracks the same name sets the MergeTable faces
+    // enforce (visible names, taken = visible + every stored alias,
+    // key columns, reserved words); the deep faces re-check for real
+    // at apply time — this pass exists so they cannot fail after a
+    // sibling change already committed.
+    val m0 = MergeTable.genMeta(spark, Snapshots.resolve(spark, root))
+    val base = m0.schema.getOrElse(
+      MergeTable.readResolved(spark, root,
+        Snapshots.resolve(spark, root)).schema)
+    var visible = MergeTable.visibleCols(base).map(norm).toSet
+    var taken = base.fields.flatMap(f => f.name +: MergeTable.storedNames(f))
+      .map(norm).toSet
+    val keySet = MergeTable.keyCols(m0.key).map(norm).toSet
+    def refuse(msg: String): Nothing = throw new IllegalArgumentException(
+      s"ALTER TABLE ${ident.name}: $msg (no change of this statement " +
+        "was applied)")
+    changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames().length == 1,
+        if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: nested column " +
             s"${a.fieldNames().mkString(".")} is not supported — merge " +
             "table evolution is additive TOP-LEVEL columns only")
-        require(a.position() == null,
+        if (a.position() != null) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: FIRST/AFTER positioning is not " +
             "supported — new columns APPEND (old files null-fill them " +
             "by position-independent name resolution; order is cosmetic)")
         // NOT NULL refuses rather than silently downgrading: every
         // pre-ALTER row would serve NULL in the column the user just
         // declared NOT NULL (old files cannot honor it)
-        require(a.isNullable(),
+        if (!a.isNullable()) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: ADD COLUMNS " +
             s"${a.fieldNames().head} NOT NULL is not supported — " +
             "existing rows null-fill an added column; declare it " +
             "nullable")
-        Some(org.apache.spark.sql.types.StructField(
-          a.fieldNames().head, a.dataType(), nullable = true))
-      // RENAME/DROP are METADATA-ONLY commits through the column-
-      // mapping chain (MergeTable.renameColumn/dropColumn): data files
-      // untouched, time travel keeps old names, stats keyed by
-      // name-at-write keep applying. Applied here so one ALTER
-      // statement's changes land as one commit each, in order.
+        val n = norm(a.fieldNames().head)
+        if (MergeTable.ReservedColumns.contains(n))
+          refuse(s"'${a.fieldNames().head}' is reserved — op/seq are the " +
+            "change-envelope names, 'change' is the CDF feed marker")
+        if (taken.contains(n))
+          refuse(s"column '${a.fieldNames().head}' already exists (or " +
+            "names data a renamed/dropped column still stores in " +
+            "retained files)")
+        visible += n; taken += n
       case r: TableChange.RenameColumn =>
-        require(r.fieldNames().length == 1,
+        if (r.fieldNames().length != 1) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: nested column " +
             s"${r.fieldNames().mkString(".")} is not supported")
-        MergeTable.renameColumn(spark, root, r.fieldNames().head,
-          r.newName())
-        None
+        val from = norm(r.fieldNames().head); val to = norm(r.newName())
+        if (!visible.contains(from))
+          refuse(s"no column '${r.fieldNames().head}' to rename")
+        if (keySet.contains(from))
+          refuse(s"'${r.fieldNames().head}' is a merge-key column — " +
+            "re-keying is a rebuild, not a rename")
+        if (MergeTable.ReservedColumns.contains(to))
+          refuse(s"'${r.newName()}' is reserved")
+        if (taken.contains(to))
+          refuse(s"'${r.newName()}' already names a column, or data a " +
+            "renamed/dropped column still stores in retained files")
+        if (r.fieldNames().head.contains(",") || r.newName().contains(","))
+          refuse("alias chains are comma-delimited — a name carrying " +
+            "',' renames only through a full rewrite")
+        visible -= from; visible += to; taken += to
       case d: TableChange.DeleteColumn =>
-        require(d.fieldNames().length == 1,
+        if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: nested column " +
             s"${d.fieldNames().mkString(".")} is not supported")
-        MergeTable.dropColumn(spark, root, d.fieldNames().head)
-        None
+        val n = norm(d.fieldNames().head)
+        if (!visible.contains(n))
+          refuse(s"no column '${d.fieldNames().head}' to drop")
+        if (keySet.contains(n))
+          refuse(s"'${d.fieldNames().head}' is a merge-key column — " +
+            "dropping the key is a rebuild, not an ALTER")
+        visible -= n // its stored names stay taken (bytes stay in files)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.name}: ${other.getClass.getSimpleName} is " +
           "not supported on a merge table — ADD COLUMNS, RENAME COLUMN " +
@@ -257,8 +299,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           "every retained file already stores (rewrite through a new " +
           "column + merge instead)")
     }
-    val toAdd = adds.flatten
-    if (toAdd.nonEmpty) MergeTable.addColumns(spark, root, toAdd)
+
+    // PHASE 2 — apply in STATEMENT ORDER (an ADD preceding a RENAME is
+    // applied before it, so `ADD c; RENAME c TO d` means what it says).
+    // RENAME/DROP are METADATA-ONLY commits through the column-mapping
+    // chain (MergeTable.renameColumn/dropColumn): data files untouched,
+    // time travel keeps old names, stats keyed by name-at-write keep
+    // applying. Consecutive ADDs coalesce into one commit (the plain
+    // ADD COLUMNS statement stays one generation).
+    val pendingAdds =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.types.StructField]()
+    def flushAdds(): Unit = if (pendingAdds.nonEmpty) {
+      MergeTable.addColumns(spark, root, pendingAdds.toSeq)
+      pendingAdds.clear()
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        pendingAdds += org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case r: TableChange.RenameColumn =>
+        flushAdds()
+        MergeTable.renameColumn(spark, root, r.fieldNames().head, r.newName())
+      case d: TableChange.DeleteColumn =>
+        flushAdds()
+        MergeTable.dropColumn(spark, root, d.fieldNames().head)
+      case _ => () // unreachable: phase 1 refused it
+    }
+    flushAdds()
     loadTable(ident)
   }
 

@@ -93,17 +93,29 @@ object GraftProcedures {
         InternalRow(n, Snapshots.currentGen(spark, r).getOrElse(-1L))
       }
       case "vacuum" => proc("vacuum",
-        "retire generations past the newest `retain` predecessors and " +
-          "GC data files no retained manifest references (crash orphans " +
-          "included); time travel to a swept generation then refuses " +
+        "retire generations past the newest `retain` predecessors — " +
+          "and/or, with older_than_ms, past an AGE window (the " +
+          "reference's 1-day lifecycle semantics: every generation " +
+          "committed inside the window is kept, plus the boundary " +
+          "generation so as-of stays answerable across the whole " +
+          "window) — and GC data files no retained manifest references " +
+          "(crash orphans included); set orphan_age_ms above the " +
+          "longest prepare-to-commit window to run concurrently with " +
+          "optimistic writers (their staged-but-uncommitted files are " +
+          "younger than that, so the GC never collects an in-flight " +
+          "prepare); time travel to a swept generation then refuses " +
           "loudly, naming what is retained",
         params = Seq(
           required("table", StringType),
-          withDefault("retain", IntegerType, "1")),
+          withDefault("retain", IntegerType, "1"),
+          withDefault("older_than_ms", LongType, "-1"),
+          withDefault("orphan_age_ms", LongType, "0")),
         resultCols = Seq("removed_files" -> IntegerType)) { args =>
         val r = root(args)
         InternalRow(MergeTable.sweep(spark, r,
-          retainPredecessors = args.getInt(1)))
+          retainPredecessors = args.getInt(1),
+          minOrphanAgeMillis = args.getLong(3),
+          olderThanMillis = args.getLong(2)))
       }
       case "rollback" => proc("rollback",
         "restore the STATE of a committed generation as a NEW commit " +
@@ -137,9 +149,27 @@ object GraftProcedures {
       sql: String): ProcedureParameter =
     ProcedureParameter.in(n, t).defaultValue(sql).build()
 
+  /** True while the current analysis was requested by SQL `EXPLAIN` —
+    * Spark's `InvokeProcedures` runs the bound procedure AT ANALYSIS
+    * (verified against the 4.1 bytecode: `BoundProcedure.call` and
+    * `LocalScan.rows` are both invoked inside the rule), so without
+    * this guard `EXPLAIN CALL lake.vacuum(...)` would perform the
+    * sweep. `ExplainCommand.run` is on the stack for exactly that
+    * path and for nothing that should execute the verb; a plan
+    * request must never commit. (The Dataset.explain() route cannot
+    * reach here "unexecuted": `spark.sql("CALL ...")` analyzes — and
+    * therefore runs — the verb at Dataset creation, before any
+    * .explain() is called on the handle.) */
+  private def underExplain(): Boolean =
+    Thread.currentThread().getStackTrace.exists(_.getClassName ==
+      "org.apache.spark.sql.execution.command.ExplainCommand")
+
   /** One bound procedure: Spark's analyzer fills defaults/named args
     * into `call`'s InternalRow in declaration order; the body runs the
-    * API face and returns its metrics as a one-row LocalScan. */
+    * API face and returns its metrics as a one-row LocalScan. Under
+    * `EXPLAIN CALL` the body is NOT run — the scan carries a
+    * placeholder row (every metric -1) so the plan renders and nothing
+    * commits (spec-pinned in GraftProceduresSpec). */
   private def proc(procName: String, doc: String,
       params: Seq[ProcedureParameter],
       resultCols: Seq[(String, DataType)])(
@@ -154,7 +184,15 @@ object GraftProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val schema = StructType(resultCols.map { case (n, t) =>
           org.apache.spark.sql.types.StructField(n, t, nullable = false) })
-        val row = body(input)
+        val row =
+          if (underExplain())
+            InternalRow(resultCols.map {
+              case (_, IntegerType) => -1
+              case (_, LongType) => -1L
+              case (_, t) => throw new IllegalStateException(
+                s"unplaceholderable EXPLAIN metric type $t")
+            }: _*)
+          else body(input)
         java.util.Collections.singletonList[Scan](new LocalScan {
           override def rows(): Array[InternalRow] = Array(row)
           override def readSchema(): StructType = schema

@@ -47,17 +47,13 @@ import graft.streaming.{MergeTable, Snapshots}
   * (the analyzed plan's shape cannot change mid-query — Spark's own
   * rule); a generation that evolved the table's schema feeds columns
   * the stream predates as nulls once restarted, and NEW columns require
-  * a stream restart to appear, same as Delta's CDF. When several
-  * streams read ONE table, `.start()` each in the order it was
-  * `.load()`-ed: the analysis-time schema pin is matched first-in-
-  * first-out, and starting two loads in reverse order around an
-  * ALTER-COLUMNS commit crosses their pinned shapes — the mismatch
-  * kills loudly at stream start (width assertion), never silently.
-  * Likewise, a `.load()` that is never `.start()`-ed leaves its pin at
-  * the queue head and shifts every later start's pairing by one on
-  * that root; harmless while the schema is stable, and a loud
-  * width-assert kill (self-healing on the next start) if an evolution
-  * commit lands in between. */
+  * a stream restart to appear, same as Delta's CDF. The analysis-time
+  * schema pin is keyed by the `.load()`'s OWN options-map instance
+  * (Spark hands the same instance to both provider calls), so several
+  * streams on one table may start in ANY order across an ALTER-COLUMNS
+  * commit — each claims exactly its own analysis shape — and a
+  * `.load()` that is never `.start()`-ed perturbs nothing (its pin is
+  * weakly held and ages out; spec-pinned in MergeTableCdfSpec). */
 class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "merge-cdf"
 
@@ -73,8 +69,9 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
         "— don't pass one")
     val root = rootOf(sqlContext.sparkSession, parameters)
     val s = MergeTableCdf.feedSchema(sqlContext.sparkSession, root)
-    // pin the ANALYSIS-time shape for createSource (see pinnedSchema)
-    MergeTableCdf.pinSchema(root, s)
+    // pin the ANALYSIS-time shape for createSource, keyed by THIS
+    // .load()'s options-map instance (see pinnedSchema)
+    MergeTableCdf.pinSchema(parameters, s)
     (shortName(), s)
   }
 
@@ -93,12 +90,12 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
       s"merge-cdf: startGen $startGen is beyond the latest committed " +
         s"generation $latest under $root")
     new MergeTableCdfSource(sqlContext.sparkSession, root, startGen,
-      MergeTableCdf.takePinned(root))
+      MergeTableCdf.takePinned(parameters))
   }
 }
 
 object MergeTableCdf {
-  /** The schemas handed out at ANALYSIS time (sourceSchema), per root —
+  /** The schemas handed out at ANALYSIS time (sourceSchema) —
     * createSource must serve exactly that shape: Spark instantiates
     * SEPARATE provider instances for the two calls, and re-deriving
     * from the now-latest generation would race an evolution commit
@@ -107,40 +104,47 @@ object MergeTableCdf {
     * opaque width assert kills the query on batch one; the contract is
     * "new columns appear after a restart").
     *
-    * A FIFO QUEUE per root, not a last-wins cell: two `.load()`s on the
-    * same root straddling an evolution commit pin DIFFERENT shapes, and
-    * last-wins would hand the second analysis's wider shape to the
-    * FIRST query's createSource — recreating the width-assert kill the
-    * pin exists to fix (and its entries were never evicted).
-    * createSource always DEQUEUES the oldest pending pin — each start
-    * claims exactly its own `.load()`'s analysis when starts happen in
-    * load order, and the queue provably drains. An empty queue (a
-    * re-start of an already-started handle) falls back to a fresh
+    * Keyed by the IDENTITY of the options map (round 17; previously a
+    * per-root FIFO whose documented residual this removes): Spark's
+    * `DataSource` passes the SAME `caseInsensitiveOptions` instance to
+    * `sourceSchema` (inside its lazy `sourceInfo`) and to
+    * `createSource`, and every `.load()` mints a fresh `DataSource` —
+    * so the map instance is precisely "this `.load()`", the
+    * per-invocation token the FIFO could not express. Consequences:
+    * two `.load()`s straddling an evolution commit each claim their
+    * OWN analysis shape in ANY start order, and an abandoned `.load()`
+    * (never started) cannot shift a later stream's pairing — its pin
+    * just ages out (weak key; purged on later pins). A take with no
+    * pin (a re-start of an already-started handle, or a runtime that
+    * stopped passing the same instance) falls back to a fresh
     * derivation, identical to the pin unless an evolution committed in
-    * between — and then the width assert kills loudly, never silently.
-    * Residual limit (documented on the class): starting two live
-    * `.load()`s in REVERSE order around an evolution commit crosses
-    * the pins — same loud kill. */
-  private[sources] val pinnedSchema =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.ArrayDeque[StructType]]()
-
-  private[sources] def pinSchema(root: String, s: StructType): Unit =
-    pinnedSchema.compute(root, (_, q0) => {
-      val q = if (q0 == null) new java.util.ArrayDeque[StructType]() else q0
-      q.addLast(s); q
-    })
-
-  private[sources] def takePinned(root: String): Option[StructType] = {
-    val out = new Array[StructType](1)
-    // computeIfPresent mutates under the map's lock; empty queues are
-    // removed so an idle root leaves no entry behind
-    pinnedSchema.computeIfPresent(root, (_, q) => {
-      out(0) = q.pollFirst()
-      if (q.isEmpty) null else q
-    })
-    Option(out(0))
+    * between — and then the width assert kills loudly, never
+    * silently. */
+  private final class IdentityBox(o: AnyRef) {
+    private val ref = new java.lang.ref.WeakReference[AnyRef](o)
+    private val hash = System.identityHashCode(o)
+    private[MergeTableCdf] def cleared: Boolean = ref.get() == null
+    override def hashCode(): Int = hash
+    override def equals(other: Any): Boolean = other match {
+      case b: IdentityBox =>
+        val a = ref.get()
+        a != null && (a eq b.ref.get())
+      case _ => false
+    }
   }
+
+  private val pinnedSchema =
+    new java.util.concurrent.ConcurrentHashMap[IdentityBox, StructType]()
+
+  private[sources] def pinSchema(token: AnyRef, s: StructType): Unit = {
+    // purge pins whose .load() handle was garbage-collected (abandoned
+    // loads) — the map stays bounded by LIVE handles
+    pinnedSchema.keySet().removeIf(_.cleared)
+    pinnedSchema.put(new IdentityBox(token), s)
+  }
+
+  private[sources] def takePinned(token: AnyRef): Option[StructType] =
+    Option(pinnedSchema.remove(new IdentityBox(token)))
 
   /** Shared root resolution for the lake's streaming endpoints:
     * `.option("path", <root>)` addresses a directory directly;

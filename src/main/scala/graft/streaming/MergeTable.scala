@@ -552,6 +552,97 @@ object MergeTable {
       .reduce((x, y) => (math.max(x._1, y._1), math.min(x._2, y._2)))).toMap
   }
 
+  /** Per-column POINT SETS extracted from a predicate's conjuncts —
+    * the multi-point-lookup complement of [[extractBounds]]' single
+    * interval: `IN` lists (catalyst `In` over literals; `InSet` after
+    * the optimizer's OptimizeIn conversion, which is what the SQL
+    * path's pushed dataFilters carry past the 10-value threshold) and
+    * or-of-equalities on ONE column. Values enter the manifest's order
+    * domain exactly like [[extractBounds]]' (string literals as their
+    * [[graft.functions.StringPrefix64]] embedding — the same value the
+    * `#cstat` ranges and bloom registries store, so probe and index
+    * agree bit-for-bit). Several point conjuncts on one column
+    * INTERSECT. Anything unrecognized (a NULL in the list, a
+    * non-literal element, mixed columns under an Or) extracts nothing
+    * for its columns — unknown never prunes.
+    *
+    * The consumer's contract is ∃-semantics per file: a candidate
+    * survives for a column iff SOME point lands in the file's recorded
+    * range AND survives its bloom — see [[pruneByCondition]]. */
+  private[graft] def extractPoints(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, Seq[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def name(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(x: Expression): Option[Long] = x match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(graft.functions.StringPrefix64.embed(s))
+      // same foldable-cast rule as extractBounds: compare with the
+      // POST-cast value or not at all (a narrowing cast changes it)
+      case c: Cast if c.foldable => c.eval() match {
+        case v: Int => Some(v.toLong)
+        case v: Long => Some(v)
+        case v: Short => Some(v.toLong)
+        case v: Byte => Some(v.toLong)
+        case _ => None
+      }
+      case _ => None
+    }
+    // an InSet carries RAW internal values, not Literal wrappers
+    def setVal(x: Any): Option[Long] = x match {
+      case v: Int => Some(v.toLong)
+      case v: Long => Some(v)
+      case v: Short => Some(v.toLong)
+      case v: Byte => Some(v.toLong)
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        Some(graft.functions.StringPrefix64.embed(s))
+      case _ => None
+    }
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def disjuncts(x: Expression): Seq[Expression] = x match {
+      case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+      case other => Seq(other)
+    }
+    val perConjunct: Seq[(String, Seq[Long])] = conjuncts(e).flatMap {
+      case In(a, vs) if vs.nonEmpty =>
+        name(a).flatMap { n =>
+          val pts = vs.map(litVal)
+          if (pts.forall(_.isDefined)) Some(n -> pts.flatten) else None
+        }
+      case s: InSet if s.hset != null && s.hset.nonEmpty =>
+        name(s.child).flatMap { n =>
+          val pts = s.hset.toSeq.map(setVal)
+          if (pts.forall(_.isDefined)) Some(n -> pts.flatten) else None
+        }
+      case o: Or =>
+        // k = 1 OR k = 3 (either operand order), all on ONE column
+        val eqs = disjuncts(o).map {
+          case EqualTo(a, b) =>
+            name(a).zip(litVal(b)).orElse(name(b).zip(litVal(a)))
+          case _ => None
+        }
+        eqs.flatten match {
+          case all if all.size == eqs.size && all.map(_._1).distinct.size == 1 =>
+            Some(all.head._1 -> all.map(_._2))
+          case _ => None
+        }
+      case _ => None
+    }
+    perConjunct.groupBy(_._1).view.mapValues(_.map(_._2.toSet)
+      .reduce(_ intersect _).toSeq.sorted).toMap
+  }
+
   private def bloomDir(root: String, column: String): String =
     s"$root/blooms/$column"
 
@@ -669,20 +760,30 @@ object MergeTable {
     * filter proves the value absent. Planner-side (|candidates| local
     * probes), zero jobs beyond the registry read. */
   private[graft] def bloomRefine(spark: SparkSession, root: String,
-      candidates: Seq[FileEntry], column: String, v: Long): Seq[FileEntry] = {
+      candidates: Seq[FileEntry], column: String, v: Long): Seq[FileEntry] =
+    bloomTableFor(spark, root, column, candidates) match {
+      case None => candidates
+      // a NULL bloom records an all-null file: no value can match
+      case Some(blooms) => candidates.filter(e => blooms.get(e.name).forall(
+        b => b != null && graft.functions.BloomFilters.mightContainLong(b, v)))
+    }
+
+  /** The candidate-scoped bloom registry for `column`, loaded ONCE —
+    * None when no registry exists or a pre-embedding legacy one does
+    * (never prune through those: a legacy registry probed with
+    * embedded keys would false-skip — row loss). Multi-point probes
+    * ([[extractPoints]]) share one load across all their values. */
+  private def bloomTableFor(spark: SparkSession, root: String,
+      column: String, candidates: Seq[FileEntry])
+      : Option[Map[String, Array[Byte]]] = {
     val dir = new Path(bloomDir(root, column))
-    // no registry, or a pre-embedding legacy one: never prune (a legacy
-    // registry probed with embedded keys would false-skip — row loss)
-    if (!fs(spark, dir).exists(dir) || !bloomFormatOk(spark, dir)) candidates
+    if (!fs(spark, dir).exists(dir) || !bloomFormatOk(spark, dir)) None
     else {
       val names = candidates.map(_.name).toSet
-      val blooms = spark.read.parquet(bloomDir(root, column))
+      Some(spark.read.parquet(bloomDir(root, column))
         .filter(col("file").isin(names.toSeq: _*))
         .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]]("bloom"))
-        .toMap
-      // a NULL bloom records an all-null file: no value can match
-      candidates.filter(e => blooms.get(e.name).forall(b =>
-        b != null && graft.functions.BloomFilters.mightContainLong(b, v)))
+        .toMap)
     }
   }
 
@@ -735,6 +836,7 @@ object MergeTable {
       }
     }
     val bounds = collapsed.map(extractBounds).getOrElse(Map.empty)
+    val points = collapsed.map(extractPoints).getOrElse(Map.empty)
     val ranges: Map[(String, String), (Long, Long)] =
       m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
         entries.map(e =>
@@ -752,12 +854,42 @@ object MergeTable {
     // exist under ANY alias (built before or after a rename); each one
     // describes the same logical values, so refining through all of
     // them only ever drops provably-absent files.
-    bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
-      .foldLeft(byRange) { case (cand, (c, v)) =>
-        aliasSet(m.schema, c).foldLeft(cand) { (cc, a) =>
-          if (cc.isEmpty) cc else bloomRefine(spark, root, cc, a, v)
+    val eqRefined =
+      bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
+        .foldLeft(byRange) { case (cand, (c, v)) =>
+          aliasSet(m.schema, c).foldLeft(cand) { (cc, a) =>
+            if (cc.isEmpty) cc else bloomRefine(spark, root, cc, a, v)
+          }
+        }
+    // MULTI-POINT lookups (IN lists / or-of-equalities,
+    // extractPoints): ∃-semantics per file — a candidate survives iff
+    // SOME point lands inside its recorded range AND survives its
+    // bloom (range and bloom judged on the SAME point: passing the
+    // range on one value and the bloom on another proves nothing).
+    // The classic `WHERE k IN (k1, k2, k3)` then opens the UNION of
+    // the per-point candidate sets instead of scanning the table; an
+    // empty point set (a provably-false `IN(1) AND IN(2)`) opens
+    // nothing. Registries may exist under ANY alias of a renamed
+    // column; each describes the same logical values, so requiring
+    // every present registry to admit the point only drops
+    // provably-absent files. A file with NO recorded range stays
+    // unknown on the range half (bloom may still prove absence).
+    points.foldLeft(eqRefined) { case (cand, (c, vs)) =>
+      if (cand.isEmpty) cand
+      else {
+        val aliases = aliasSet(m.schema, c)
+        val registries = aliases.flatMap(a =>
+          bloomTableFor(spark, root, a, cand))
+        cand.filter { e =>
+          val r = aliases.flatMap(a => ranges.get((e.name, a))).headOption
+          vs.exists(v =>
+            r.forall(x => v >= x._1 && v <= x._2) &&
+              registries.forall(bm => bm.get(e.name).forall(b =>
+                b != null &&
+                  graft.functions.BloomFilters.mightContainLong(b, v))))
         }
       }
+    }
   }
 
   private def prunedByPredicate(spark: SparkSession, root: String,
@@ -2002,6 +2134,29 @@ object MergeTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** t_merge_read_in — the ORACLED face of IN-LIST file skipping (the
+    * classic multi-point lookup): a 3-value `price_cents IN (...)`
+    * probe on the bloom-indexed clustered table, served by
+    * [[readWhere]]. [[extractPoints]] turns the IN into a per-value
+    * candidate-set UNION — each point opens only files whose manifest
+    * range covers it AND whose bloom admits it — instead of the
+    * scan-everything a single-interval bounds walk degrades to (the
+    * points' hull spans most of the table). A false skip is silent
+    * row loss; the hash gate catches exactly that. Probe values are
+    * chosen deterministically from three disjoint key bands. */
+  def mergeReadInQuery(spark: SparkSession, dir: String): DataFrame = {
+    zorderReadQuery(spark, dir) // sig-gated build of the clustered table
+    val root = graft.ops.Layout.indexPath("zorder_orders", dir)
+    ensureBloomIndex(spark, root, "price_cents")
+    val vs = Seq((100L, 200L), (2000L, 2100L), (4000L, 4100L)).map {
+      case (lo, hi) => read(spark, root)
+        .filter(col("o_orderkey").between(lo, hi))
+        .agg(min(col("price_cents"))).head.getLong(0)
+    }.distinct
+    readWhere(spark, root, col("price_cents").isin(vs: _*))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** t_merge_into — the oracled batch face: a MergeTable built from
     * `orders` (money as exact integer cents), hit with one deterministic
     * MERGE batch exercising every clause — updates (key%10=3 doubles the
@@ -2575,6 +2730,84 @@ object MergeTable {
       .orderBy(col("change"), col("o_orderkey"))
   }
 
+  /** [[changesBetween]] with UPDATE PAIRING — the Delta-CDF consumer
+    * contract: a key carrying BOTH a delete and an insert inside one
+    * window is one logical UPDATE, reported as its
+    * 'update_preimage' / 'update_postimage' pair; lone rows report as
+    * 'delete' / 'insert'. Derived, not logged: one key-partitioned
+    * window count over CHANGE-SET-sized rows (never a table scan)
+    * relabels the raw 'i'/'d' feed — the diff machinery, DV-delta
+    * scoping and rewrite netting are [[changesBetween]]'s verbatim.
+    * Shape contract (documented): a key deleted and re-inserted inside
+    * one window is indistinguishable from an update by construction
+    * (the feed nets per window) and reports as an update pair — the
+    * same collapse Delta's CDF applies within a commit. */
+  def changesBetweenPaired(spark: SparkSession, root: String,
+      gFrom: Long, gTo: Long): DataFrame = {
+    val raw = changesBetween(spark, root, gFrom, gTo)
+    // the key at the window's TO state names the pairing identity
+    val m = genMeta(spark, Snapshots.resolveAt(spark, root, gTo))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols(m.key).map(col): _*)
+    raw
+      .withColumn("__kinds",
+        size(collect_set(col("change")).over(w)))
+      .withColumn("change",
+        when(col("__kinds") === 2 && col("change") === "d",
+          lit("update_preimage"))
+          .when(col("__kinds") === 2 && col("change") === "i",
+            lit("update_postimage"))
+          .when(col("change") === "d", lit("delete"))
+          .otherwise(lit("insert")))
+      .drop("__kinds")
+  }
+
+  /** t_change_feed_updates — the ORACLED face of CDF update pairing:
+    * one MOR wave carrying updates (%100=42, +11 cents), deletes
+    * (%100=77) and inserts (%100=88 re-keyed past the domain) against
+    * the orders-derived table; the paired feed must report EXACTLY
+    * four change types — the updated keys as pre/post-image pairs
+    * (old and new values both present, correctly labeled), the
+    * deletes as 'delete', the new keys as 'insert'. The oracle
+    * derives all four populations logically; a mislabeled or missing
+    * pair breaks rows+hash. */
+  def changeFeedUpdatesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    val root = Layout.indexPath("change_feed_upd", dir)
+    val sig = s"v1_${Layout.dataSig(s"$dir/orders.parquet")}"
+    Layout.ensureSigGated(root, sig) {
+      val rootPath = new Path(root)
+      val f = fs(spark, rootPath)
+      if (f.exists(rootPath)) f.delete(rootPath, true)
+      val base = graft.Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        graft.functions.DetMath.cents(col("o_totalprice")).as("price_cents"))
+      create(spark, root, base, "o_orderkey", nFiles = 6,
+        commitTsMillis = 1000L)
+      val payload = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"))
+      val wave = base.where(col("o_orderkey") % 100 === 42)
+        .select(payload :+ (col("price_cents") + 11L).as("price_cents"): _*)
+        .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+        .unionByName(base.where(col("o_orderkey") % 100 === 77)
+          .select(payload :+ col("price_cents"): _*)
+          .withColumn("op", lit("d")).withColumn("seq", lit(1L)))
+        .unionByName(base.where(col("o_orderkey") % 100 === 88)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey") +:
+            col("o_custkey") +: col("o_orderstatus") +:
+            col("price_cents") +: Nil: _*)
+          .withColumn("op", lit("c")).withColumn("seq", lit(1L)))
+      // merge-on-read: the update wave lands as DV + appends, so the
+      // window diff exercises the DV-delta path on the preimage side
+      mergeMor(spark, root, wave, "o_orderkey", nFiles = 2,
+        commitTsMillis = 2000L)
+    }
+    val gens = Snapshots.generations(spark, root).sorted
+    require(gens.size == 2, s"expected 2 generations, got $gens")
+    changesBetweenPaired(spark, root, gens(0), gens(1))
+      .orderBy(col("change"), col("o_orderkey"))
+  }
+
   /** t_sql_merge — the PARSER face of [[merge]]: t_merge_into's net
     * change batch driven through SQL `MERGE INTO` text instead of the
     * API. One statement exercises every supported clause: conditional
@@ -3095,12 +3328,68 @@ object MergeTable {
     * reference — IO ∝ small-file bytes, never table bytes). DVs
     * targeting rewritten files fold in (a scoped purge); DVs on carried
     * files keep applying by name. Fewer than 2 small files = already
-    * optimal: no-op, no generation. Returns (files packed, carried). */
+    * optimal: no-op, no generation. Returns (files packed, carried).
+    *
+    * OCC-STAGED since round 17: the pack is a [[prepareOptimizeAgainst]]
+    * staging committed through [[commitPrepared]]'s arbitration, so
+    * OPTIMIZE runs CONCURRENTLY with live optimistic writers — the
+    * maintenance a fleet of trickle pipelines needs cannot require
+    * quiescing them (N occ writers mint exactly the small files this
+    * verb exists to pack). A winner touching a packed input (C1/C2)
+    * replays the selection against the winner's state; disjoint ingest
+    * rebases manifest-only; a racing optimizer that already packed the
+    * same files turns the replay into a committed-nothing "noop". */
   def optimize(spark: SparkSession, root: String,
       smallBytes: Long = 8L << 20, targetBytes: Long = 64L << 20,
-      commitTsMillis: Long = System.currentTimeMillis()): (Int, Int) = {
-    val genDir = currentGenDir(spark, root)
-    val m = genMeta(spark, genDir)
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20): (Int, Int) = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareOptimizeAgainst(spark, root, g0, smallBytes, targetBytes) match {
+      case None => (0, currentManifest(spark, root).size)
+      case Some(h) =>
+        val (o, hf) = commitPreparedCore(spark, root, h, commitTsMillis,
+          maxAttempts)
+        if (o.path == "noop") (0, currentManifest(spark, root).size)
+        else {
+          val total = manifest(spark, Snapshots.genDir(root, o.gen)).size
+          (hf.touchedNames.size, total - hf.newEntries.size)
+        }
+    }
+  }
+
+  /** [[prepareMerge]]'s MAINTENANCE twin — stage an OPTIMIZE pack
+    * against the CURRENT committed snapshot without committing it
+    * (commit through [[commitPrepared]]; abandon through
+    * [[discardPrepared]]). None = fewer than 2 small files (already
+    * optimal — nothing to stage). */
+  def prepareOptimize(spark: SparkSession, root: String,
+      smallBytes: Long = 8L << 20,
+      targetBytes: Long = 64L << 20): Option[PreparedMerge] = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareOptimizeAgainst(spark, root, g0, smallBytes, targetBytes)
+  }
+
+  /** OPTIMIZE's work phase as an OPTIMISTIC staging — maintenance
+    * through the SAME prepare/commit arbitration as the N-writer merges
+    * ([[commitPrepared]]): select `g0`'s small files, pack their live
+    * rows (through `g0`'s DVs) into ~targetBytes outputs on disk,
+    * commit nothing. Conflict footprint: `touchedNames` = the packed
+    * inputs — a winner rewriting one (C1) or DV-ing one (C2)
+    * invalidates the pack and the replay RE-SELECTS against the
+    * winner's state; the change-key envelope is EMPTY (an optimize
+    * changes no keys — any key a concurrent winner wrote stays exactly
+    * as the winner left it, so C3's insert-overlap rule has nothing to
+    * arbitrate and concurrent disjoint ingest rebases for free). This
+    * is what lets maintenance run CONCURRENTLY with live occ writers:
+    * the trickle pipelines keep committing while the pack is staged,
+    * and the commit splices the packed files into whatever manifest is
+    * newest. None = fewer than 2 small files (already optimal — the
+    * caller commits nothing). */
+  private def prepareOptimizeAgainst(spark: SparkSession, root: String,
+      g0: Long, smallBytes: Long, targetBytes: Long): Option[PreparedMerge] = {
+    val m = genMeta(spark, Snapshots.genDir(root, g0))
     val f = fs(spark, new Path(root))
     // sizes from the manifest; pre-size-column manifests fall back to
     // one status call per legacy entry
@@ -3108,34 +3397,33 @@ object MergeTable {
       e -> (if (e.bytes >= 0) e.bytes
         else f.getFileStatus(new Path(filePath(root, e.name))).getLen))
     val small = sized.collect { case (e, len) if len < smallBytes => e }
-    if (small.size < 2) return (0, m.entries.size)
+    if (small.size < 2) return None
     val nOut = math.max(1, math.ceil(
       sized.collect { case (_, len) if len < smallBytes => len }
         .sum.toDouble / targetBytes).toInt)
     val packed = readFiles(spark, root, small, m.dvs, m.schema)
-    val gen = Snapshots.nextGen(spark, root)
     val (newEntries, newStats) =
-      writeFiles(spark, root, packed, m.key, gen, nOut)
+      writeFiles(spark, root, packed, m.key, g0 + 1, nOut)
     // carried legacy entries get their bytes (already statused above)
     // and rows (one columnless pass) stamped in the same commit — the
     // opportunistic half of [[analyzeManifest]], so tables that predate
     // the columns converge to honest [[mergeAuto]] pricing through
-    // ordinary maintenance
-    val carried0 = sized.collect { case (e, len) if len >= smallBytes =>
-      if (e.bytes >= 0) e else e.copy(bytes = len) }
-    val carriedCounts = rowCountsByFile(spark, root, carried0.filter(_.rows < 0))
-    val carried = carried0.map(e =>
-      if (e.rows >= 0) e
-      else e.copy(rows = carriedCounts.getOrElse(e.name, -1L)))
-    val carriedNames = carried.map(_.name).toSet
-    writeManifest(spark, root, gen, carried ++ newEntries, m.key,
-      batchId = m.batchId,
-      dvs = if (carried.isEmpty) Seq.empty else m.dvs,
-      cstats = m.cstats.filter(s => carriedNames.contains(s.file)) ++ newStats,
-      schema = m.schema,
-      sbatch = m.sbatch)
-    Snapshots.commit(spark, root, gen, commitTsMillis)
-    (small.size, carried.size)
+    // ordinary maintenance. Stamps ride the handle as name-keyed values
+    // (physical properties of immutable files) and apply at splice time.
+    val carriedLegacy = sized.collect {
+      case (e, len) if len >= smallBytes && (e.bytes < 0 || e.rows < 0) =>
+        e.copy(bytes = len) }
+    val carriedCounts =
+      rowCountsByFile(spark, root, carriedLegacy.filter(_.rows < 0))
+    val stamp = carriedLegacy.map(e => e.name ->
+      (e.bytes, if (e.rows >= 0) e.rows
+        else carriedCounts.getOrElse(e.name, -1L))).toMap
+    Some(PreparedMerge(g0, m.key, nOut, small.map(_.name).toSet,
+      newEntries, newStats,
+      changeLo = Long.MaxValue, changeHi = Long.MinValue, // C3 never fires
+      changes = spark.emptyDataFrame, mode = "optimize",
+      optimizeSpec = Some((smallBytes, targetBytes)),
+      carriedStamp = stamp))
   }
 
   /** Per-file physical row counts for `entries`, in ONE columnless
@@ -3372,14 +3660,21 @@ object MergeTable {
     m0.entries.size
   }
 
-  /** Retire old generations ([[Snapshots.sweep]] semantics) and GC data
-    * files no retained manifest references — copy-on-write's deferred
-    * delete. Also collects crash orphans (files landed by a merge that
-    * never committed). Must not run concurrently with a merge. */
+  /** Retire old generations ([[Snapshots.sweep]] semantics — count-based
+    * and/or AGE-based via `olderThanMillis`, the reference's 1-day
+    * lifecycle window) and GC data files no retained manifest references
+    * — copy-on-write's deferred delete. Also collects crash orphans
+    * (files landed by a merge that never committed). Safe to run
+    * CONCURRENTLY with optimistic writers when `minOrphanAgeMillis` is
+    * set above the longest prepare-to-commit window (see the age guard
+    * below); legacy two-step writers still require exclusion. */
   def sweep(spark: SparkSession, root: String,
       retainPredecessors: Int = 1,
-      minOrphanAgeMillis: Long = 0L): Int = {
-    Snapshots.sweep(spark, root, retainPredecessors)
+      minOrphanAgeMillis: Long = 0L,
+      olderThanMillis: Long = -1L,
+      nowMillis: Long = System.currentTimeMillis()): Int = {
+    Snapshots.sweep(spark, root, retainPredecessors, olderThanMillis,
+      nowMillis)
     // referenced = data files AND deletion vectors of retained manifests
     val referenced = Snapshots.generations(spark, root).flatMap { g =>
       val gd = Snapshots.genDir(root, g)
@@ -3395,6 +3690,10 @@ object MergeTable {
     // `minOrphanAgeMillis` above its longest prepare-to-commit window;
     // only files OLDER than that are collected (mtime of the landed
     // rename). The default 0 keeps the single-maintainer behavior.
+    // Orphan age is judged against the WALL clock even when `nowMillis`
+    // is injected: injected time drives generation-retention specs,
+    // while the orphan guard protects REAL in-flight preparers whose
+    // staged-file mtimes are real timestamps.
     val cutoff = System.currentTimeMillis() - minOrphanAgeMillis
     val orphans = f.listStatus(filesDir).toSeq
       .filter(st => st.getModificationTime <= cutoff)
@@ -3492,7 +3791,20 @@ object MergeTable {
       streamBatch: Option[(String, Long)] = None,
       dvName: Option[String] = None,
       morStaged: Boolean = false,
-      mode: String = "cow")
+      mode: String = "cow",
+      // replay pricing matches the prepare-time request by construction:
+      // the threshold rides IN the handle (a separate commit-time
+      // parameter could silently re-price a conflict replay differently)
+      morAmplificationAbove: Double = 8.0,
+      // mode = "optimize": the (smallBytes, targetBytes) selection spec a
+      // conflict replay re-runs against the winner's state (maintenance
+      // has no change set to recompute from — `changes` is unused)
+      optimizeSpec: Option[(Long, Long)] = None,
+      // mode = "optimize": rows/bytes stamped onto carried LEGACY entries
+      // at commit (the opportunistic [[analyzeManifest]] half of
+      // [[optimize]]) — physical properties of immutable files, so valid
+      // under whichever manifest the splice carries them into
+      carriedStamp: Map[String, (Long, Long)] = Map.empty)
 
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
@@ -3500,7 +3812,10 @@ object MergeTable {
     * recomputed against the winner's state), "fenced" (a stream-batch
     * commit whose batch id another instance of the same stream already
     * applied — nothing committed, staging discarded; `gen` is the
-    * generation that carried the fence). */
+    * generation that carried the fence), "noop" (an optimize replay
+    * found the winner's state already optimal — e.g. a racing
+    * optimizer packed the same small files — nothing committed,
+    * staging discarded). */
   final case class OccOutcome(gen: Long, attempts: Int, path: String)
 
   /** Compute a merge against the CURRENT committed snapshot without
@@ -3644,17 +3959,24 @@ object MergeTable {
     // price FROM the prepare's own context: the netted change set is
     // one row per key tuple (nNet = its count) and `touched` is the
     // candidate set the dispatched prepare will use — ONE meta fetch,
-    // ONE netting job, ONE pruning pass per attempt, shared with the
-    // staging itself via ctx0
-    val c = prepareCtx(spark, root, g0, changes, key)
-    val nNet = c.net.count()
-    val touchedRows = c.touched.map(e => math.max(0L, e.rows)).sum
-    val amp = touchedRows.toDouble / math.max(1L, nNet)
-    val h =
-      if (amp > morAmplificationAbove)
-        prepareAgainstMor(spark, root, g0, changes, key, nFiles, Some(c))
-      else prepareAgainst(spark, root, g0, changes, key, nFiles, Some(c))
-    h.copy(mode = "auto")
+    // ONE pruning pass per attempt, shared with the staging itself via
+    // ctx0. The net frame is PERSISTED for the attempt: sharing PrepCtx
+    // shares the plan, not the result, so without the cache the pricing
+    // count and the dispatched staging would each pay the netting
+    // shuffle — twice per occ-auto micro-batch on the streaming hot path.
+    val c0 = prepareCtx(spark, root, g0, changes, key)
+    val c = c0.copy(net = c0.net.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val nNet = c.net.count()
+      val touchedRows = c.touched.map(e => math.max(0L, e.rows)).sum
+      val amp = touchedRows.toDouble / math.max(1L, nNet)
+      val h =
+        if (amp > morAmplificationAbove)
+          prepareAgainstMor(spark, root, g0, changes, key, nFiles, Some(c))
+        else prepareAgainst(spark, root, g0, changes, key, nFiles, Some(c))
+      h.copy(mode = "auto", morAmplificationAbove = morAmplificationAbove)
+    } finally c.net.unpersist(blocking = false)
   }
 
   /** File-granular conflict test between what `h` read/affected at its
@@ -3694,22 +4016,17 @@ object MergeTable {
   }
 
   /** Atomically PUBLISH a fully-committed staged dir (manifest AND
-    * marker already inside) as generation `target` — one rename, so the
-    * claim IS the commit: there is no window where a generation id is
-    * taken but uncommitted, and no commit can interleave between a
-    * writer's state read and its publish (any such commit must itself
-    * be `target`, and the rename admits exactly one winner). Hadoop's
-    * rename(src, existingDir) NESTS src inside dst instead of failing,
-    * so a lost race is detected by the nested dir and undone. */
+    * marker already inside) as generation `target` — routed through the
+    * root's [[CommitLog]]: the rename protocol by default (the claim IS
+    * the commit — no window where a generation id is taken but
+    * uncommitted, and no commit can interleave between a writer's state
+    * read and its publish: any such commit must itself be `target`, and
+    * the claim admits exactly one winner), or a registered
+    * conditional-put log on stores without atomic rename (raw S3 — see
+    * [[CommitLog]]'s contract and CommitLogSpec). */
   private def publishGeneration(f: org.apache.hadoop.fs.FileSystem,
-      root: String, target: Long, tmp: Path): Boolean = {
-    val dst = new Path(Snapshots.genDir(root, target))
-    if (f.exists(dst)) return false
-    if (!f.rename(tmp, dst)) return false
-    val nested = new Path(dst, tmp.getName)
-    if (f.exists(nested)) { f.delete(nested, true); return false }
-    f.exists(new Path(dst, ManifestName))
-  }
+      root: String, target: Long, tmp: Path): Boolean =
+    CommitLog.forRoot(root).publish(f, root, target, tmp)
 
   /** Commit a prepared merge — the optimistic CAS loop. Each attempt:
     * read the current committed state gNow; if it moved past our base,
@@ -3731,9 +4048,11 @@ object MergeTable {
     * with dst-exists-fails atomicity (local, HDFS). On raw S3 an
     * external lock or conditional-put commit log is required. Do not
     * interleave LEGACY two-step writers — [[merge]], [[mergeMor]],
-    * [[stageMerge]], [[compact]], [[compactZOrder]], [[optimize]],
+    * [[stageMerge]], [[compact]], [[compactZOrder]],
     * [[deleteWhere]], [[updateWhere]], [[rollbackTo]] — with optimistic
-    * committers: a crashed legacy staging under `_gen-(gNow+1)` blocks
+    * committers ([[optimize]] is NOT on that list: it stages through
+    * this loop and runs concurrently with live occ writers): a crashed
+    * legacy staging under `_gen-(gNow+1)` blocks
     * the rename until discarded ([[discardStaged]]) — the give-up error
     * names it — and a legacy writer racing an optimistic commit fails
     * loudly at its own manifest write (the marker guard) rather than
@@ -3741,8 +4060,16 @@ object MergeTable {
   def commitPrepared(spark: SparkSession, root: String,
       prepared: PreparedMerge,
       commitTsMillis: Long = System.currentTimeMillis(),
-      maxAttempts: Int = 5,
-      morAmplificationAbove: Double = 8.0): OccOutcome = {
+      maxAttempts: Int = 5): OccOutcome =
+    commitPreparedCore(spark, root, prepared, commitTsMillis, maxAttempts)._1
+
+  /** [[commitPrepared]] returning the FINAL handle too (a replay
+    * re-prepares, so the committed staging may not be the caller's) —
+    * what [[optimize]]'s metrics read their packed/carried counts from. */
+  private def commitPreparedCore(spark: SparkSession, root: String,
+      prepared: PreparedMerge,
+      commitTsMillis: Long,
+      maxAttempts: Int): (OccOutcome, PreparedMerge) = {
     val f = fs(spark, new Path(root))
     var h = prepared
     var path = "clean"
@@ -3760,7 +4087,7 @@ object MergeTable {
       h.streamBatch.foreach { case (sid, id) =>
         if (state.sbatch.get(sid).exists(_ >= id)) {
           discardStaging(f, root, h)
-          return OccOutcome(gNow, attempt, "fenced")
+          return (OccOutcome(gNow, attempt, "fenced"), h)
         }
       }
       if (gNow != h.baseGen) {
@@ -3771,15 +4098,27 @@ object MergeTable {
           // the replay honors the handle's REQUESTED mode: cow/mor
           // re-stage their own shape against the winner's state; auto
           // RE-PRICES (the winner may have compacted the table out from
-          // under the base-time pricing)
+          // under the base-time pricing); optimize RE-SELECTS small
+          // files against the winner's state — and when the winner
+          // already packed them away (two optimizers racing), commits
+          // NOTHING ("noop": already optimal is not a failure)
           h = (h.mode match {
+            case "optimize" =>
+              val (sb, tb) = h.optimizeSpec.getOrElse(
+                throw new IllegalStateException(
+                  "optimize handle without its selection spec"))
+              prepareOptimizeAgainst(spark, root, gNow, sb, tb) match {
+                case Some(h2) => h2
+                case None => return (OccOutcome(gNow, attempt, "noop"), h)
+              }
             case "mor" =>
               prepareAgainstMor(spark, root, gNow, h.changes, h.key, h.nFiles)
             case "auto" => prepareAutoAgainst(spark, root, gNow, h.changes,
-              h.key, h.nFiles, morAmplificationAbove)
+              h.key, h.nFiles, h.morAmplificationAbove)
             case _ =>
               prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
-          }).copy(streamBatch = h.streamBatch, mode = h.mode)
+          }).copy(streamBatch = h.streamBatch, mode = h.mode,
+            morAmplificationAbove = h.morAmplificationAbove)
           path = "replayed"
         } else if (path == "clean") path = "rebased"
       }
@@ -3796,8 +4135,14 @@ object MergeTable {
             state.dvs ++ h.dvName,
             state.cstats ++ h.newCstats)
         else {
+          // an optimize handle's stamp backfills rows/bytes on carried
+          // LEGACY entries (physical properties of the immutable files —
+          // valid whichever manifest carries them)
           val carried = state.entries.filterNot(e =>
-            h.touchedNames.contains(e.name))
+            h.touchedNames.contains(e.name)).map(e =>
+            h.carriedStamp.get(e.name).fold(e) { case (b, r) =>
+              e.copy(bytes = if (e.bytes >= 0) e.bytes else b,
+                rows = if (e.rows >= 0) e.rows else r) })
           val carriedNames = carried.map(_.name).toSet
           (carried ++ h.newEntries,
             if (carried.isEmpty) Seq.empty[String] else state.dvs,
@@ -3826,7 +4171,7 @@ object MergeTable {
       mk.close()
       val target = gNow + 1
       if (publishGeneration(f, root, target, tmp))
-        return OccOutcome(target, attempt, path)
+        return (OccOutcome(target, attempt, path), h)
       f.delete(tmp, true) // lost the rename (or it nested) — retry
     }
     val blockDir = new Path(Snapshots.genDir(root,
@@ -3873,8 +4218,7 @@ object MergeTable {
           s"mergeOccExactlyOnce($root): unknown mode '$other' — " +
             "cow | mor | auto")
       }).copy(streamBatch = Some(streamId -> batchId))
-      val o = commitPrepared(spark, root, h, commitTsMillis, maxAttempts,
-        morAmplificationAbove)
+      val o = commitPrepared(spark, root, h, commitTsMillis, maxAttempts)
       // a zombie of this stream lost to a newer instance mid-commit:
       // the loop detected the fence and discarded — a refused replay
       if (o.path == "fenced") None else Some(o)

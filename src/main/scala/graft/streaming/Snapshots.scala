@@ -242,9 +242,25 @@ object Snapshots {
     * A deeper knob widens the [[resolveAsOf]] window at the cost of
     * keeping that many full snapshots on disk. The pre-generation layout
     * (`root/batch=*` directly) is treated as the oldest generation and
-    * swept once it falls outside the retained window. */
+    * swept once it falls outside the retained window.
+    *
+    * AGE-BASED retention (`olderThanMillis` ≥ 0 — the reference's own
+    * lifecycle semantics, a 1-day expiry window on the processed stage,
+    * `cdk_infrastructure/__init__.py:300-307`): ALSO retain every
+    * generation committed within the window, PLUS the newest generation
+    * committed at-or-before the window's floor — the BOUNDARY
+    * generation, which was "the table" when the window opened, so
+    * [[resolveAsOf]] stays answerable for EVERY instant inside the
+    * window (dropping it would silently unanswer "as of 23 hours ago"
+    * under a 1-day window). The two policies UNION (the safe
+    * direction); pass `retainPredecessors = 0` for pure age semantics.
+    * A pre-window as-of then refuses loudly, naming the retained
+    * time floor ([[resolveAsOf]]'s existing contract). `nowMillis` is
+    * injectable so retention specs are deterministic. */
   def sweep(spark: SparkSession, root: String,
-      retainPredecessors: Int = 1): Unit = {
+      retainPredecessors: Int = 1,
+      olderThanMillis: Long = -1L,
+      nowMillis: Long = System.currentTimeMillis()): Unit = {
     require(retainPredecessors >= 0, "retention cannot be negative")
     val rootPath = new Path(root)
     val f = fs(spark, rootPath)
@@ -252,8 +268,23 @@ object Snapshots {
     val committed = all.collect { case (g, true) => g }.sorted
     if (committed.isEmpty) return
     val current = committed.last
+    val ageRetain: Set[Long] =
+      if (olderThanMillis < 0L) Set.empty
+      else {
+        val cutoff = nowMillis - olderThanMillis
+        val timed = committed.flatMap(g =>
+          commitTime(spark, root, g).map(g -> _))
+        val inWindow = timed.collect { case (g, t) if t > cutoff => g }
+        // the boundary generation: newest committed at-or-before the
+        // floor — the state every as-of inside the window resolves to
+        // when no in-window commit precedes the asked instant
+        val boundary = timed.filter(_._2 <= cutoff)
+          .sortBy(e => (e._2, e._1)).lastOption.map(_._1)
+        inWindow.toSet ++ boundary
+      }
     val retain: Set[Long] =
-      (Set(current) ++ committed.dropRight(1).takeRight(retainPredecessors))
+      (Set(current) ++ committed.dropRight(1).takeRight(retainPredecessors)
+        ++ ageRetain)
     // half-written (uncommitted) gens below current are dead weight too
     all.foreach { case (g, _) =>
       if (!retain.contains(g) && g < current)

@@ -120,6 +120,121 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(!stateOf(root).contains(9L) && stateOf(root).size === 49)
   }
 
+  test("EXPLAIN CALL must not execute the verb: Spark runs bound " +
+    "procedures at analysis, so a plan request would otherwise sweep") {
+    val root = mkTable("p_explain", n = 50, nFiles = 2)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 1L, 11L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 20L)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 2L, 22L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 30L)
+    val gens = Snapshots.generations(spark, root)
+    assert(gens.size === 3)
+    // EXPLAIN renders a plan (placeholder metrics row) and commits
+    // NOTHING — vacuum(retain => 0) would otherwise drop 2 generations
+    val plan = spark.sql(s"EXPLAIN CALL $cat.vacuum('p_explain', " +
+      "retain => 0)").collect().map(_.getString(0)).mkString("\n")
+    assert(plan.nonEmpty)
+    assert(Snapshots.generations(spark, root) === gens,
+      "EXPLAIN CALL vacuum performed the sweep")
+    val before = stateOf(root)
+    spark.sql(s"EXPLAIN CALL $cat.compact('p_explain')").collect()
+    assert(Snapshots.generations(spark, root) === gens,
+      "EXPLAIN CALL compact committed a rewrite")
+    // the real CALL still executes after the EXPLAINs
+    assert(spark.sql(s"CALL $cat.vacuum('p_explain', retain => 0)")
+      .collect().head.getInt(0) > 0)
+    assert(Snapshots.generations(spark, root) === Seq(gens.max))
+    assert(stateOf(root) === before)
+  }
+
+  test("CALL vacuum(older_than_ms) — age-based retention: the window's " +
+    "generations survive, plus the boundary generation that keeps " +
+    "every in-window as-of answerable; older ones sweep") {
+    // commit times relative to the wall clock (the SQL face has no
+    // injectable now; the generous gaps absorb test runtime):
+    // g1 -100 s, g2 -80 s, g3 -50 s, g4 -10 ms
+    val root = s"$warehouse/p_age"
+    val now = System.currentTimeMillis()
+    def upd(k: Long, v: Long, ts: Long) = MergeTable.merge(spark, root,
+      Seq(("u", 1L, k, v, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = ts)
+    MergeTable.create(spark, root, baseDf(50), "k", nFiles = 2,
+      commitTsMillis = now - 100000L)
+    upd(1L, 11L, now - 80000L)
+    upd(2L, 22L, now - 50000L)
+    upd(3L, 33L, now - 10L)
+    val gens = Snapshots.generations(spark, root).sorted
+    assert(gens.size === 4)
+    // a 60 s window: in-window = g3, g4; boundary = g2 (it was "the
+    // table" when the window opened); g1 sweeps. retain => 0 isolates
+    // the age policy from the count policy.
+    spark.sql(s"CALL $cat.vacuum('p_age', retain => 0, " +
+      "older_than_ms => 60000L)").collect()
+    assert(Snapshots.generations(spark, root).sorted === gens.drop(1),
+      "age retention must keep window + boundary, sweep the rest")
+    // the boundary generation still answers an as-of inside the window
+    // (resolve the instant to its generation, read manifest-directed)
+    val bDir = Snapshots.resolveAsOf(spark, root, now - 55000L)
+    assert(bDir === Snapshots.genDir(root, gens(1)))
+    assert(MergeTable.readAt(spark, root, gens(1)).count() === 50L)
+    // a pre-window as-of refuses loudly, naming the retained floor
+    val boom = intercept[Exception] {
+      Snapshots.resolveAsOf(spark, root, now - 90000L)
+    }
+    assert(boom.getMessage.contains(s"gen ${gens(1)} @ ${now - 80000L}"),
+      s"refusal must name the time floor: ${boom.getMessage}")
+  }
+
+  test("SQL maintenance races a live occ-auto writer: CALL optimize " +
+    "and age-guarded CALL vacuum interleave with optimistic commits — " +
+    "zero lost updates, the pack still lands") {
+    val root = mkTable("p_race", n = 2000, nFiles = 4)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        (0 until 4).foreach { i =>
+          val lo = i * 200L
+          val changes = spark.range(lo, lo + 200L).select(
+            lit("u").as("op"), lit(1L).as("seq"), col("id").as("k"),
+            (col("id") + 7L).as("v"), lit("live").as("tag"))
+          MergeTable.mergeOccExactlyOnce(spark, root, changes, "k",
+            streamId = "live", batchId = i.toLong,
+            commitTsMillis = 100L + i, maxAttempts = 40, mode = "auto")
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    writer.start()
+    // maintenance interleaves THROUGH SQL while the writer commits:
+    // vacuum's 10-minute orphan floor protects in-flight stagings,
+    // deep retain keeps every base generation readable mid-prepare
+    try {
+      (0 until 3).foreach { _ =>
+        spark.sql(s"CALL $cat.optimize('p_race', " +
+          s"small_bytes => ${256L << 10}, target_bytes => " +
+          s"${Long.MaxValue}L)").collect()
+        spark.sql(s"CALL $cat.vacuum('p_race', retain => 100, " +
+          "orphan_age_ms => 600000L)").collect()
+      }
+    } catch { case t: Throwable => errors.add(t) }
+    writer.join(300000)
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+    // a final pack after the dust settles must find a packable table
+    // or an already-optimal one — and the state must be exact either way
+    spark.sql(s"CALL $cat.optimize('p_race', " +
+      s"small_bytes => ${256L << 10}, target_bytes => ${Long.MaxValue}L)")
+      .collect()
+    val byK = stateOf(root)
+    assert(byK.size === 2000)
+    (0L until 800L).foreach(k =>
+      assert(byK(k) === ((k + 7L, "live")), s"lost update at k=$k"))
+    (800L until 2000L).foreach(k =>
+      assert(byK(k) === ((k * 10L, "base")), s"corrupted base at k=$k"))
+    assert(MergeTable.appliedStreamBatchIds(spark, root) ===
+      Map("live" -> 3L))
+  }
+
   test("CALL analyze backfills nothing on a fresh table; OMITTED " +
     "defaults bind (Spark's default-value path); refusals are loud: " +
     "unknown procedure, NULL table, missing table") {

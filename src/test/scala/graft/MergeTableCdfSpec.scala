@@ -75,6 +75,49 @@ class MergeTableCdfSpec extends AnyFunSuite {
     assert(acc.nonEmpty && acc.keys.forall(_._4 == "i"))
   }
 
+  test("pin-token isolation: an abandoned .load() does not shift a " +
+    "later stream's schema, and two loads straddling an evolution " +
+    "claim their OWN analysis shapes in ANY start order") {
+    val work = freshWork("pintoken")
+    val root = s"$work/table"
+    MergeTable.create(spark, root, baseDf(8), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // an ABANDONED load — analyzed, never started (with the old FIFO
+    // this pin would sit at the queue head and shift every later
+    // start's pairing by one)
+    val abandoned = spark.readStream.format("merge-cdf")
+      .option("path", root).load()
+    assert(abandoned.schema.fieldNames.length === 4)
+    // load A before the evolution, load B after — DIFFERENT shapes
+    val a = spark.readStream.format("merge-cdf").option("path", root).load()
+    MergeTable.addColumns(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.LongType)), commitTsMillis = 20L)
+    val b = spark.readStream.format("merge-cdf").option("path", root).load()
+    assert(a.schema.fieldNames.toSeq === Seq("k", "v", "tag", "change"))
+    assert(b.schema.fieldNames.toSeq ===
+      Seq("k", "v", "tag", "flag", "change"))
+    // start B FIRST (reverse load order): each query must serve exactly
+    // its own analysis-time shape — no crossed pins, no width-assert
+    // kill, the abandoned pin inert
+    def shapesOf(df: org.apache.spark.sql.DataFrame,
+        ckpt: String): Set[Seq[String]] = {
+      val shapes = scala.collection.mutable.Set[Seq[String]]()
+      val q = df.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          shapes.synchronized { shapes += bdf.schema.fieldNames.toSeq }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      shapes.toSet
+    }
+    assert(shapesOf(b, s"$work/ckpt-b") ===
+      Set(Seq("k", "v", "tag", "flag", "change")))
+    assert(shapesOf(a, s"$work/ckpt-a") ===
+      Set(Seq("k", "v", "tag", "change")))
+  }
+
   test(".option(\"table\", name) resolves a registered bare name; an " +
     "unregistered one refuses naming the registry verbs") {
     val work = freshWork("byname")

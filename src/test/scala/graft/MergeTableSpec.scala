@@ -1018,6 +1018,98 @@ class MergeTableSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq === Seq(123L))
   }
 
+  test("IN-LIST file skipping: a multi-point probe opens the UNION of " +
+    "per-point candidate sets (strict subset of the hull's), " +
+    "or-of-equalities and a provably-false intersection prune too, " +
+    "blooms refine per point, and the SQL path prunes — rows exact") {
+    val root = freshRoot("in-prune")
+    // v = k*10 is key-correlated: each point's candidate set is ~1 file,
+    // while the 3 points' HULL spans nearly the whole table — exactly
+    // the case where interval bounds degrade to a full scan and only
+    // per-point ∃-semantics skips files
+    val df = spark.range(800).select(col("id").as("k"),
+      (col("id") * 10).as("v"), lit("x").as("tag"))
+    MergeTable.create(spark, root, df, "k", nFiles = 8, commitTsMillis = 10L)
+    val m = MergeTable.genMeta(spark,
+      graft.streaming.Snapshots.resolve(spark, root))
+    def toExpr(frame: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.Column) =
+      frame.filter(c).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.get
+    def cand(c: org.apache.spark.sql.Column): Int =
+      MergeTable.pruneByCondition(spark, root, m, Some(toExpr(df, c))).size
+    val hull = cand(col("v").between(500L, 7900L))
+    val in3 = cand(col("v").isin(500L, 3500L, 7900L))
+    assert(in3 >= 1 && in3 <= 3 && in3 < hull,
+      s"IN must open per-point candidates, not the hull: $in3 vs $hull")
+    // or-of-equalities on the KEY (manifest entry ranges drive it)
+    assert(cand(col("k") === 10L || col("k") === 700L) <= 2)
+    // intersecting point conjuncts: provably false opens NOTHING
+    assert(cand(col("k").isin(5L) && col("k").isin(6L)) === 0)
+    assert(MergeTable.readWhere(spark, root,
+      col("k").isin(5L) && col("k").isin(6L)).count() === 0L)
+    // rows exact, including a point that exists in no row (55 ∉ 10ℤ)
+    assert(MergeTable.readWhere(spark, root,
+      col("v").isin(500L, 3500L, 55L)).collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(50L, 350L))
+    // bloom ∃-refinement on an UNCORRELATED column: every file's range
+    // spans the domain, only the per-point bloom can skip — and the
+    // probe must open ≤ the sum of the per-point bloom survivor sets
+    val root2 = freshRoot("in-bloom")
+    val df2 = spark.range(400).select(col("id").as("k"),
+      ((col("id") * 7919) % 100000).as("u"))
+    MergeTable.create(spark, root2, df2, "k", nFiles = 8, commitTsMillis = 10L)
+    assert(MergeTable.ensureBloomIndex(spark, root2, "u") === 8)
+    val m2 = MergeTable.genMeta(spark,
+      graft.streaming.Snapshots.resolve(spark, root2))
+    val p1 = 123L * 7919L % 100000L
+    val p2 = 377L * 7919L % 100000L
+    val one1 = MergeTable.pruneByCondition(spark, root2, m2,
+      Some(toExpr(df2, col("u") === p1))).size
+    val one2 = MergeTable.pruneByCondition(spark, root2, m2,
+      Some(toExpr(df2, col("u") === p2))).size
+    val in2 = MergeTable.pruneByCondition(spark, root2, m2,
+      Some(toExpr(df2, col("u").isin(p1, p2)))).size
+    assert(one1 < 8 && one2 < 8, "single-point bloom probes must prune")
+    assert(in2 <= one1 + one2 && in2 < 8,
+      s"IN must open the union of per-point bloom survivors: $in2")
+    assert(MergeTable.readWhere(spark, root2, col("u").isin(p1, p2))
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(123L, 377L))
+    // the SQL path: pushed dataFilters reach pruneByCondition through
+    // MergeTableFileIndex — the physical scan opens a strict subset
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "in_prune_t", root)
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      var n = -1L
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          n = math.max(n, s.metrics("numFiles").value)
+        case other => other.children.foreach(walk)
+      }
+      walk(q.queryExecution.executedPlan); n
+    }
+    val q = spark.sql(
+      "SELECT k, v FROM in_prune_t WHERE v IN (500, 3500, 7900) ORDER BY k")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(50L, 350L, 790L))
+    val opened = scanFiles(q)
+    assert(opened >= 1 && opened <= 3,
+      s"SQL IN must file-skip through the FileIndex: opened $opened of 8")
+    // a >10-value list (the optimizer's InSet conversion threshold):
+    // the pushed filter arrives as InSet and must still prune
+    val vals11 = (500L to 600L by 10L).mkString(", ") // 11 values, 1 file
+    val q2 = spark.sql(
+      s"SELECT k FROM in_prune_t WHERE v IN ($vals11) ORDER BY k")
+    assert(q2.collect().map(_.getLong(0)).toSeq === (50L to 60L))
+    val opened2 = scanFiles(q2)
+    assert(opened2 >= 1 && opened2 <= 2,
+      s"InSet (>10 values) must still prune: opened $opened2 of 8")
+  }
+
   test("bloom build edge cases: an all-NULL probe column builds nothing " +
     "(no NPE); files predating an evolved column read through the " +
     "recorded schema and index cleanly") {
@@ -1119,6 +1211,51 @@ class MergeTableSpec extends AnyFunSuite {
     assert(o.path === "clean")
     assert(MergeTable.read(spark, root).where(col("k") === 5L)
       .head().getLong(1) === 555L)
+  }
+
+  test("AGE-BASED retention (injected time): generations inside the " +
+    "window survive plus the boundary generation; every in-window " +
+    "as-of stays answerable; a pre-window as-of names the time floor") {
+    val root = freshRoot("sweep-time")
+    MergeTable.create(spark, root, baseDf(50), "k", nFiles = 2,
+      commitTsMillis = 1000L)
+    def upd(k: Long, v: Long, ts: Long) = MergeTable.merge(spark, root,
+      Seq(("u", 1L, k, v, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = ts)
+    upd(1L, 11L, 2000L)
+    upd(2L, 22L, 3000L)
+    upd(3L, 33L, 4000L)
+    val gens = Snapshots.generations(spark, root).sorted
+    assert(gens.size === 4)
+    // window [2500, 4000]: in-window = gens @3000/@4000; BOUNDARY =
+    // gen @2000 (it was "the table" when the window opened — dropping
+    // it would unanswer "as of 2600"); gen @1000 sweeps. retain = 0
+    // isolates the age policy from the count policy.
+    MergeTable.sweep(spark, root, retainPredecessors = 0,
+      olderThanMillis = 1500L, nowMillis = 4000L)
+    assert(Snapshots.generations(spark, root).sorted === gens.drop(1))
+    // any instant inside the window resolves: the floor lands on the
+    // boundary generation, newer instants on the in-window commits
+    assert(Snapshots.resolveAsOf(spark, root, 2600L) ===
+      Snapshots.genDir(root, gens(1)))
+    assert(Snapshots.resolveAsOf(spark, root, 3500L) ===
+      Snapshots.genDir(root, gens(2)))
+    val byK = MergeTable.readAt(spark, root, gens(1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK(1L) === 11L && byK(2L) === 20L && byK.size === 50)
+    // pre-window refuses loudly, naming the retained floor
+    val boom = intercept[Exception] {
+      Snapshots.resolveAsOf(spark, root, 1500L)
+    }
+    assert(boom.getMessage.contains(s"gen ${gens(1)} @ 2000"),
+      s"refusal must name the time floor: ${boom.getMessage}")
+    // the two policies UNION: a count floor keeps a generation the age
+    // window alone would sweep
+    upd(4L, 44L, 5000L)
+    MergeTable.sweep(spark, root, retainPredecessors = 3,
+      olderThanMillis = 500L, nowMillis = 5000L)
+    assert(Snapshots.generations(spark, root).size === 4,
+      "count retention must still floor the age policy")
   }
 
   test("idempotence fences survive maintenance and DML: replays are " +
@@ -1365,6 +1502,166 @@ class MergeTableSpec extends AnyFunSuite {
       }
     }
     assert(byK(3500L) === ((35000L, "base")))
+  }
+
+  test("OPTIMIZE stages optimistically: disjoint concurrent ingest " +
+    "REBASES the pack manifest-only; a winner touching a packed file " +
+    "REPLAYS the selection; a racing optimizer turns the replay into " +
+    "a committed-nothing noop") {
+    val root = freshRoot("occ-optimize")
+    MergeTable.create(spark, root, baseDf(2000), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // three single-row inserts beyond every file range → KB-scale files
+    Seq(5000L, 6000L, 7000L).zipWithIndex.foreach { case (k, i) =>
+      MergeTable.merge(spark, root,
+        Seq(("c", 1L, k, k + 1L, "w")).toDF("op", "seq", "k", "v", "tag"),
+        "k", nFiles = 1, commitTsMillis = 20L + i)
+    }
+    val sizes = MergeTable.currentManifest(spark, root).map(e =>
+      e.name -> new java.io.File(s"$root/files", e.name).length()).toMap
+    val cut = sizes.values.max / 2
+    val smallNames = sizes.collect { case (n, len) if len < cut => n }.toSet
+    assert(smallNames.size >= 3)
+
+    // 1. REBASE: pack staged, then a winner COW-merges inside a BIG
+    //    (unpacked) file — no packed input touched, the commit splices
+    //    the pack into the winner's manifest without re-reading a byte
+    val h1 = MergeTable.prepareOptimize(spark, root, smallBytes = cut,
+      targetBytes = Long.MaxValue).get
+    assert(h1.mode === "optimize" && h1.touchedNames === smallNames)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 100L, 9999L, "win")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 40L)
+    val o1 = MergeTable.commitPrepared(spark, root, h1, commitTsMillis = 50L)
+    assert(o1.path === "rebased")
+    val m1 = MergeTable.genMeta(spark, Snapshots.genDir(root, o1.gen))
+    h1.newEntries.foreach(e => assert(m1.entries.exists(_.name == e.name),
+      s"rebase did not reuse packed file ${e.name}"))
+    assert(smallNames.forall(n => !m1.entries.exists(_.name == n)),
+      "a packed small file survived the splice")
+    val byK1 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK1(100L) === 9999L && byK1(5000L) === 5001L &&
+      byK1(6000L) === 6001L && byK1(7000L) === 7001L &&
+      byK1.size === 2003)
+
+    // 2. REPLAY: stage a pack, then a winner rewrites one of ITS inputs
+    //    (C1) — the selection re-runs against the winner's state and the
+    //    superseded staged files are gone from disk
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 8000L, 8001L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 60L)
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 9000L, 9001L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 61L)
+    val h2 = MergeTable.prepareOptimize(spark, root, smallBytes = cut,
+      targetBytes = Long.MaxValue).get
+    val victim = h2.touchedNames.head
+    // the winner UPDATES a key inside a packed input → that file is
+    // rewritten away → C1
+    val vEntry = MergeTable.currentManifest(spark, root)
+      .find(_.name == victim).get
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, vEntry.minKey, -5L, "win2"))
+        .toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 62L)
+    val o2 = MergeTable.commitPrepared(spark, root, h2, commitTsMillis = 63L)
+    assert(o2.path === "replayed")
+    val onDisk = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).toSet
+    h2.newEntries.foreach(e => assert(!onDisk.contains(e.name),
+      s"superseded staged pack ${e.name} survived the replay"))
+    val byK2 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK2(vEntry.minKey) === -5L, "replayed pack lost the winner's update")
+
+    // 3. NOOP: stage a pack, let a racing optimizer commit the same
+    //    selection first — the replay finds nothing to pack and commits
+    //    NOTHING (generation count unchanged by the noop)
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 9500L, 1L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 70L)
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 9600L, 1L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 71L)
+    val h3 = MergeTable.prepareOptimize(spark, root, smallBytes = cut,
+      targetBytes = Long.MaxValue).get
+    val (packedN, _) = MergeTable.optimize(spark, root, smallBytes = cut,
+      targetBytes = Long.MaxValue, commitTsMillis = 72L)
+    assert(packedN >= 2)
+    val gensBefore = Snapshots.generations(spark, root)
+    val stateBefore = MergeTable.read(spark, root).collect()
+      .map(_.toSeq).toSet
+    val o3 = MergeTable.commitPrepared(spark, root, h3, commitTsMillis = 73L)
+    assert(o3.path === "noop")
+    assert(Snapshots.generations(spark, root) === gensBefore)
+    assert(MergeTable.read(spark, root).collect()
+      .map(_.toSeq).toSet === stateBefore)
+    val onDisk3 = new java.io.File(s"$root/files").listFiles()
+      .map(_.getName).toSet
+    h3.newEntries.foreach(e => assert(!onDisk3.contains(e.name),
+      s"noop left staged pack ${e.name} on disk"))
+  }
+
+  test("MAINTENANCE races ingest: live occ-auto writers vs concurrent " +
+    "optimize and age-guarded vacuum — zero lost updates, maintenance " +
+    "committed, no staged file collected mid-prepare") {
+    val root = freshRoot("occ-maint-race")
+    MergeTable.create(spark, root, baseDf(4000), "k", nFiles = 8,
+      commitTsMillis = 10L)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val optimized = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writers = (0 until 3).map { w =>
+      new Thread(() => {
+        try {
+          (0 until 3).foreach { i =>
+            val lo = w * 1000L + i * 100L
+            val changes = spark.range(lo, lo + 100L).select(
+              lit("u").as("op"), lit(1L).as("seq"), col("id").as("k"),
+              (col("id") + 7L).as("v"), lit(s"w$w").as("tag"))
+            MergeTable.mergeOccExactlyOnce(spark, root, changes, "k",
+              streamId = s"pipe-$w", batchId = i.toLong,
+              commitTsMillis = 100L + w * 10 + i, maxAttempts = 40,
+              mode = "auto")
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val maintenance = new Thread(() => {
+      try {
+        (0 until 3).foreach { _ =>
+          // pack whatever small files the trickle writers have minted so
+          // far; racing their commits exercises rebase/replay/noop live
+          val (p, _) = MergeTable.optimize(spark, root,
+            smallBytes = 256L << 10, targetBytes = Long.MaxValue,
+            commitTsMillis = 200L, maxAttempts = 40)
+          if (p > 0) optimized.incrementAndGet()
+          // age-guarded GC alongside the writers: a 10-minute orphan
+          // floor means no in-flight prepare's staged files are touched;
+          // deep generation retention keeps every writer's base readable
+          MergeTable.sweep(spark, root, retainPredecessors = 100,
+            minOrphanAgeMillis = 10L * 60L * 1000L)
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (writers :+ maintenance).foreach(_.start())
+    (writers :+ maintenance).foreach(_.join(300000))
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+    // every writer's last batch applied exactly once — no lost updates
+    // through any rebase/replay the maintenance forced
+    val byK = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byK.size === 4000)
+    (0 until 3).foreach { w =>
+      (w * 1000L until w * 1000L + 300L).foreach { k =>
+        assert(byK(k) === ((k + 7L, s"w$w")), s"lost update at k=$k")
+      }
+    }
+    assert(byK(3500L) === ((35000L, "base")))
+    assert(MergeTable.appliedStreamBatchIds(spark, root) ===
+      Map("pipe-0" -> 2L, "pipe-1" -> 2L, "pipe-2" -> 2L))
+    // at least one optimize truly committed against the moving table
+    assert(optimized.get() >= 1, "no optimize ever packed anything")
   }
 
   test("mergeOccExactlyOnce honors mode: a mor-staged stream batch is " +
