@@ -220,17 +220,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // generation below, and a refusal halfway through a multi-change
     // ALTER must leave the table untouched rather than half-altered.
     // The simulation tracks the same name sets the MergeTable faces
-    // enforce (visible names, taken = visible + every stored alias,
-    // key columns, reserved words); the deep faces re-check for real
-    // at apply time — this pass exists so they cannot fail after a
-    // sibling change already committed.
+    // enforce (visible logical names, key columns, reserved words);
+    // the deep faces re-check for real at apply time — this pass
+    // exists so they cannot fail after a sibling change already
+    // committed.
     val m0 = MergeTable.genMeta(spark, Snapshots.resolve(spark, root))
     val base = m0.schema.getOrElse(
       MergeTable.readResolved(spark, root,
         Snapshots.resolve(spark, root)).schema)
     var visible = MergeTable.visibleCols(base).map(norm).toSet
-    var taken = base.fields.flatMap(f => f.name +: MergeTable.storedNames(f))
-      .map(norm).toSet
     val keySet = MergeTable.keyCols(m0.key).map(norm).toSet
     def refuse(msg: String): Nothing = throw new IllegalArgumentException(
       s"ALTER TABLE ${ident.name}: $msg (no change of this statement " +
@@ -257,11 +255,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         if (MergeTable.ReservedColumns.contains(n))
           refuse(s"'${a.fieldNames().head}' is reserved — op/seq are the " +
             "change-envelope names, 'change' is the CDF feed marker")
-        if (taken.contains(n))
-          refuse(s"column '${a.fieldNames().head}' already exists (or " +
-            "names data a renamed/dropped column still stores in " +
-            "retained files)")
-        visible += n; taken += n
+        // only a VISIBLE collision refuses: re-ADDING a name retained
+        // files still store bytes under mints a fresh physical identity
+        // in MergeTable.addColumns (round 17)
+        if (visible.contains(n))
+          refuse(s"column '${a.fieldNames().head}' already exists")
+        visible += n
       case r: TableChange.RenameColumn =>
         if (r.fieldNames().length != 1) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: nested column " +
@@ -274,13 +273,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             "re-keying is a rebuild, not a rename")
         if (MergeTable.ReservedColumns.contains(to))
           refuse(s"'${r.newName()}' is reserved")
-        if (taken.contains(to))
-          refuse(s"'${r.newName()}' already names a column, or data a " +
-            "renamed/dropped column still stores in retained files")
+        // a STORED-only collision renames logically (the field keeps
+        // its physical identity) — only a visible name refuses
+        if (visible.contains(to))
+          refuse(s"'${r.newName()}' already names a column")
         if (r.fieldNames().head.contains(",") || r.newName().contains(","))
           refuse("alias chains are comma-delimited — a name carrying " +
             "',' renames only through a full rewrite")
-        visible -= from; visible += to; taken += to
+        visible -= from; visible += to
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
           s"ALTER TABLE ${ident.name}: nested column " +
@@ -291,7 +291,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         if (keySet.contains(n))
           refuse(s"'${d.fieldNames().head}' is a merge-key column — " +
             "dropping the key is a rebuild, not an ALTER")
-        visible -= n // its stored names stay taken (bytes stay in files)
+        visible -= n // its stored names stay claimed (bytes stay in files)
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE ${ident.name}: ${other.getClass.getSimpleName} is " +
           "not supported on a merge table — ADD COLUMNS, RENAME COLUMN " +

@@ -318,6 +318,17 @@ object MergeTable {
 
   private val PrevKey = "graft.prev"
   private val HiddenKey = "graft.dropped"
+  // the FIELD-IDENTITY half of the mapping (round 17): a field whose
+  // logical name is decoupled from the name NEW files write it under.
+  // Minted in two places — ADD COLUMNS re-taking a name retained files
+  // still store bytes under (the re-add-after-drop ask: the fresh field
+  // gets a unique physical name, so the dropped namesake's bytes stay
+  // unreachable), and RENAME onto a stored name (the field keeps
+  // writing under its current physical name; only the logical label
+  // moves). This is Delta's field-id mapping expressed in the same
+  // name-chain machinery: physName IS the id, reads/stats/blooms
+  // already key by name-at-write.
+  private val PhysKey = "graft.phys"
 
   private[graft] def isHidden(
       f: org.apache.spark.sql.types.StructField): Boolean =
@@ -331,16 +342,24 @@ object MergeTable {
       f.metadata.getString(PrevKey).split(',').toSeq.filter(_.nonEmpty)
     else Seq.empty
 
+  /** The name NEW data files write this field under — the logical name
+    * unless a `graft.phys` identity decouples them. */
+  private[graft] def physName(
+      f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
   /** Every name under which this field's data exists in retained data
     * files (a hidden field's current name is synthetic — never
     * stored). */
   private[graft] def storedNames(
       f: org.apache.spark.sql.types.StructField): Seq[String] =
-    prevNames(f) ++ (if (isHidden(f)) Seq.empty else Seq(f.name))
+    prevNames(f) ++ (if (isHidden(f)) Seq.empty else Seq(physName(f)))
 
   private[graft] def hasMapping(
       s: org.apache.spark.sql.types.StructType): Boolean =
-    s.fields.exists(f => isHidden(f) || prevNames(f).nonEmpty)
+    s.fields.exists(f => isHidden(f) || prevNames(f).nonEmpty ||
+      physName(f) != f.name)
 
   private[graft] def visibleStruct(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
@@ -691,7 +710,13 @@ object MergeTable {
       fpp: Double = 0.01): Int = {
     val m = genMeta(spark, currentGenDir(spark, root))
     val cur = m.entries.map(_.name)
-    val dir = new Path(bloomDir(root, column))
+    // the registry DIR is named by the column's newest STORED alias
+    // (its physical identity) — the name [[bloomRefine]]'s alias-chain
+    // probes consult. Unmapped columns: alias set = [column], so the
+    // dir name is unchanged from every registry built before mapping
+    // existed.
+    val registryName = aliasSet(m.schema, column).last
+    val dir = new Path(bloomDir(root, registryName))
     val f = fs(spark, dir)
     val existing: Set[String] =
       if (!f.exists(dir)) Set.empty
@@ -701,7 +726,7 @@ object MergeTable {
         f.delete(dir, true)
         Set.empty
       }
-      else spark.read.parquet(bloomDir(root, column))
+      else spark.read.parquet(bloomDir(root, registryName))
         .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val missing = cur.filterNot(existing)
     if (missing.isEmpty) return 0
@@ -750,7 +775,8 @@ object MergeTable {
         graft.functions.BloomFilters
           .perGroupBlooms(scan, "file", "v", maxRowsRow.getLong(0), fpp),
         Seq("file"), "left")
-    built.coalesce(1).write.mode("append").parquet(bloomDir(root, column))
+    built.coalesce(1).write.mode("append")
+      .parquet(bloomDir(root, registryName))
     writeBloomFormat(spark, dir)
     missing.size
   }
@@ -998,7 +1024,8 @@ object MergeTable {
         .select(visibleCols(schema).map(col): _*)
       val gen = Snapshots.nextGen(spark, root)
       val (newEntries, newStats) =
-        writeFiles(spark, root, kept, m.key, gen, nFiles)
+        writeFiles(spark, root, kept, m.key, gen, nFiles,
+          physSchema = m.schema)
       val candNames = candidates.map(_.name).toSet
       val carried = m.entries.filterNot(e => candNames.contains(e.name))
       val carriedNames = carried.map(_.name).toSet
@@ -1084,7 +1111,8 @@ object MergeTable {
     }
     val gen = Snapshots.nextGen(spark, root)
     val (newEntries, newStats) =
-      writeFiles(spark, root, rewritten, key, gen, nFiles)
+      writeFiles(spark, root, rewritten, key, gen, nFiles,
+        physSchema = Some(schema))
     val carriedNames = carried.map(_.name).toSet
     writeManifest(spark, root, gen, carried ++ newEntries, key,
       batchId = m.batchId,
@@ -1209,18 +1237,33 @@ object MergeTable {
     * cost that buys read-free pruning on every later merge. */
   private def writeFiles(spark: SparkSession, root: String, df: DataFrame,
       key: String, gen: Long, nFiles: Int,
-      cluster: Option[Column] = None): (Seq[FileEntry], Seq[FileStat]) = {
+      cluster: Option[Column] = None,
+      physSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Seq[FileEntry], Seq[FileStat]) = {
     // uuid-suffixed: concurrent optimistic preparers may compute the
     // SAME next gen — their staging must never share a directory
     val tmp = s"$root/_tmp-write-$gen-" +
       java.util.UUID.randomUUID().toString.take(8)
     val tmpPath = new Path(tmp)
     val f = fs(spark, tmpPath)
+    // a MAPPED table's new files are written under each field's
+    // PHYSICAL name (name-at-write): a re-added column's fresh identity
+    // never collides with the bytes a dropped namesake still stores,
+    // and a logically-renamed field keeps its on-disk identity. The
+    // key is never remapped (rename/drop of key columns refuse).
+    val physMap: Map[String, String] = physSchema match {
+      case Some(s) if hasMapping(s) =>
+        visibleStruct(s).fields.collect {
+          case fd if physName(fd) != fd.name => fd.name -> physName(fd)
+        }.toMap
+      case _ => Map.empty
+    }
+    def pname(c: String): String = physMap.getOrElse(c, c)
     // default: range-disjoint on the key (narrow future touch sets);
     // with a cluster expression (z-index): range-partitioned AND
     // row-group-sorted by it, so per-file #cstat ranges become ~square
     // tiles over the interleaved dimensions
-    val arranged = cluster match {
+    val arranged0 = cluster match {
       case Some(z) => df.repartitionByRange(math.max(1, nFiles), z)
         .sortWithinPartitions(z)
       // composite keys: tuple-lex ranges — the LEADING column's per-file
@@ -1229,6 +1272,13 @@ object MergeTable {
       case None => df.repartitionByRange(math.max(1, nFiles),
         keyCols(key).map(col): _*)
     }
+    // logical→physical rename AFTER arranging (the cluster expression
+    // and key columns bind logical names); a projection preserves the
+    // partitioning and within-partition order
+    val arranged =
+      if (physMap.isEmpty) arranged0
+      else arranged0.select(arranged0.columns.toSeq.map(c =>
+        col(s"`$c`").as(pname(c))): _*)
     arranged.write.mode("overwrite").parquet(tmp)
     val parts = f.listStatus(tmpPath).toSeq
       .filter(st => st.getPath.getName.startsWith("part-"))
@@ -1258,13 +1308,19 @@ object MergeTable {
       // entry line); trailing COMPOSITE key columns get ordinary #cstat
       // ranges — that is the "residual" half of composite-key pruning
       val lead = leadKey(key)
+      // stats are computed from the WRITTEN files, so they are keyed by
+      // the PHYSICAL names — the name-at-write the alias-chain lookups
+      // (aliasSet) consult at read time
+      val physType: Map[String, org.apache.spark.sql.types.DataType] =
+        df.schema.fields.map(fd => pname(fd.name) -> fd.dataType).toMap
       val statCols = df.schema.fields.collect {
         case f if f.name != lead &&
           (f.dataType == org.apache.spark.sql.types.LongType ||
             f.dataType == org.apache.spark.sql.types.IntegerType ||
-            f.dataType == org.apache.spark.sql.types.StringType) => f.name
+            f.dataType == org.apache.spark.sql.types.StringType) =>
+          pname(f.name)
       }.toSeq
-      def sv(c: String): Column = statVal(df.schema(c).dataType, col(c))
+      def sv(c: String): Column = statVal(physType(c), col(s"`$c`"))
       val aggs = Seq(min(col("k")).as("lo"), max(col("k")).as("hi"),
         count(lit(1)).as("nrows")) ++
         statCols.flatMap(c => Seq(
@@ -1277,7 +1333,8 @@ object MergeTable {
       // embedding is exact)
       val rows = spark.read.parquet(names.map(filePath(root, _)): _*)
         .select(statVal(df.schema(lead).dataType, col(lead)).as("k") +:
-          expr("_metadata.file_path").as("fp") +: statCols.map(col): _*)
+          expr("_metadata.file_path").as("fp") +:
+          statCols.map(c => col(s"`$c`")): _*)
         .groupBy(col("fp"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -1383,10 +1440,12 @@ object MergeTable {
       .filterNot(f => meta.contains(f.name) || tblNames.contains(f.name))
     // an extra column must not collide with a name retained data files
     // still store under (a renamed column's prior name, a dropped
-    // column's stored names): the alias-expanded read would request it
-    // for TWO fields and leak stale bytes into the new column
-    val stored = tbl.fields.flatMap(f =>
-      prevNames(f) ++ (if (isHidden(f)) storedNames(f) else Nil))
+    // column's stored names, a logically-renamed field's physical
+    // identity): the alias-expanded read would request it for TWO
+    // fields and leak stale bytes into the new column. The explicit
+    // re-add door is [[addColumns]], which mints a fresh physical
+    // identity instead of refusing.
+    val stored = tbl.fields.flatMap(storedNames)
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     extra.find(f =>
       stored.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
@@ -1607,7 +1666,8 @@ object MergeTable {
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
     val gen = Snapshots.nextGen(spark, root)
-    val (entries, cstats) = writeFiles(spark, root, merged, key, gen, nFiles)
+    val (entries, cstats) = writeFiles(spark, root, merged, key, gen,
+      nFiles, physSchema = Some(unionSchema))
     // carried files keep their (immutable) column ranges by name
     val carriedNames = carried.map(_.name).toSet
     val carriedStats = m0.cstats.filter(s => carriedNames.contains(s.file))
@@ -1725,27 +1785,50 @@ object MergeTable {
     // correct, because such a table never evolved before this commit
     val base = cur.schema.getOrElse(readResolved(spark, root, curDir).schema)
     def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
-    // collide against every LOGICAL name and every STORED name: a
-    // re-added name a renamed/dropped column still stores data under
-    // would leak stale bytes through the alias-expanded read
-    val existing = base.fields.flatMap(f => f.name +: storedNames(f))
+    // LOGICAL names refuse outright (the column exists). A name only
+    // retained data files still store bytes under — a dropped column's
+    // stored names, a renamed column's priors — is RE-TAKEABLE since
+    // round 17: the new field is minted with a fresh PHYSICAL identity
+    // (graft.phys = "<name>#g<gen>"), so new files write under a name
+    // no retained file carries and the namesake's old bytes stay
+    // unreachable (Delta's field-id move in the name-chain machinery).
+    val logical = visibleCols(base).map(norm).toSet
+    val stored = base.fields.flatMap(f => f.name +: storedNames(f))
       .map(norm).toSet
     cols.foreach { f =>
       require(!ReservedColumns.contains(norm(f.name)),
         s"ADD COLUMNS on $root: '${f.name}' is reserved — op/seq are " +
           "the change-envelope names, 'change' is the CDF feed marker")
-      require(!existing.contains(norm(f.name)),
-        s"ADD COLUMNS on $root: column '${f.name}' already exists (or " +
-          "names data a renamed/dropped column still stores in retained " +
-          "files — a full compact clears old names)")
+      require(!logical.contains(norm(f.name)),
+        s"ADD COLUMNS on $root: column '${f.name}' already exists")
+      require(!f.name.contains(","),
+        s"ADD COLUMNS on $root: '${f.name}' contains ',' — the alias " +
+          "chain is comma-delimited")
     }
     val dup = cols.groupBy(f => norm(f.name)).collectFirst {
       case (_, fs) if fs.size > 1 => fs.head.name }
     require(dup.isEmpty,
       s"ADD COLUMNS on $root: duplicate column '${dup.getOrElse("")}'")
-    val widened = org.apache.spark.sql.types.StructType(
-      base.fields ++ cols.map(_.copy(nullable = true)))
     val gen = Snapshots.nextGen(spark, root)
+    val minted = cols.map { f =>
+      val f2 = f.copy(nullable = true)
+      if (!stored.contains(norm(f.name))) f2
+      else {
+        val phys = s"${f.name}#g$gen"
+        // '#g<gen>' identities are only ever minted here with a fresh
+        // generation id, so a collision means a user column literally
+        // carries the minted spelling — refuse rather than alias it
+        require(!stored.contains(norm(phys)),
+          s"ADD COLUMNS on $root: cannot mint physical identity " +
+            s"'$phys' — the name is already stored")
+        f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f2.metadata)
+          .putString(PhysKey, phys)
+          .build())
+      }
+    }
+    val widened = org.apache.spark.sql.types.StructType(
+      base.fields ++ minted)
     writeManifest(spark, root, gen, cur.entries, cur.key,
       batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
       schema = Some(widened), sbatch = cur.sbatch)
@@ -1767,8 +1850,11 @@ object MergeTable {
     * Refusals are loud: a missing column, a KEY column (the manifest's
     * `#key=` line and every netting path bind the key by name —
     * re-keying is a rebuild, not a rename), a reserved name, and a
-    * target that collides with any logical OR stored name (the
-    * alias-expanded read would request it twice). */
+    * target that collides with a VISIBLE logical name. A target only
+    * retained files still STORE bytes under renames LOGICALLY (round
+    * 17): the field keeps writing under its physical identity
+    * (`graft.phys`) and only the label moves — no new file can collide
+    * with the old bytes. */
   def renameColumn(spark: SparkSession, root: String,
       from: String, to: String,
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
@@ -1795,19 +1881,36 @@ object MergeTable {
         s"RENAME COLUMN on $root: '$n' contains ',' — the alias chain " +
           "is comma-delimited; rename such a column only through a " +
           "full rewrite"))
-    val taken = base.fields.flatMap(x => x.name +: storedNames(x))
+    // a VISIBLE logical name refuses (two columns cannot share a name).
+    // A name only retained files still STORE bytes under — including
+    // this field's own priors — renames LOGICALLY since round 17: the
+    // field keeps writing under its current physical identity
+    // (graft.phys) and only the label moves, so no new file can ever
+    // collide with the old bytes.
+    require(!visibleCols(base).map(norm).contains(norm(to)),
+      s"RENAME COLUMN on $root: '$to' already names a column")
+    val storedTaken = base.fields.flatMap(x => x.name +: storedNames(x))
       .map(norm).toSet
-    require(!taken.contains(norm(to)),
-      s"RENAME COLUMN on $root: '$to' already names a column, or data " +
-        "a renamed/dropped column still stores in retained files — a " +
-        "full compact clears old names")
+    val logicalOnly = storedTaken.contains(norm(to))
     val renamed = base.fields.map { x =>
       if (norm(x.name) != norm(from)) x
-      else x.copy(name = to,
-        metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(x.metadata)
-          .putString(PrevKey, (prevNames(x) :+ x.name).mkString(","))
-          .build())
+      else if (logicalOnly)
+        // label-only: physical identity and chain unchanged — new files
+        // keep writing physName(x); readers alias the chain AS `to`
+        x.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(x.metadata)
+            .putString(PhysKey, physName(x))
+            .build())
+      else
+        // physical rename: new files write `to`; the PRIOR physical
+        // name joins the chain so old files' bytes keep resolving
+        x.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(x.metadata)
+            .putString(PrevKey, (prevNames(x) :+ physName(x)).mkString(","))
+            .putString(PhysKey, to)
+            .build())
     }
     val gen = Snapshots.nextGen(spark, root)
     writeManifest(spark, root, gen, cur.entries, cur.key,
@@ -1822,12 +1925,12 @@ object MergeTable {
     * HIDDEN — marked `graft.dropped` under a synthetic logical name,
     * its stored names kept on the chain — so reads stop requesting its
     * bytes (they stay dark in the immutable files) and nothing is
-    * rewritten at any table size. Re-ADDING a name the hidden field
-    * still stores data under refuses loudly ([[addColumns]]); a full
-    * [[compact]] physically sheds the column and clears the chain.
-    * Time travel to pre-drop generations serves the column (per-
-    * generation schema). Key columns refuse — a keyless table is a
-    * rebuild. */
+    * rewritten at any table size. Re-ADDING the name mints a FRESH
+    * physical identity ([[addColumns]]), so the hidden field's bytes
+    * stay dark forever; a full [[compact]] physically sheds the column
+    * and clears the chain. Time travel to pre-drop generations serves the column
+    * (per-generation schema). Key columns refuse — a keyless table is
+    * a rebuild. */
   def dropColumn(spark: SparkSession, root: String, name: String,
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
     val cur = genMeta(spark, currentGenDir(spark, root))
@@ -1952,7 +2055,8 @@ object MergeTable {
         writeDv(spark, root, gen, delRows)
       }
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
-    val (appended, appendedStats) = writeFiles(spark, root, upserts, key, gen, nFiles)
+    val (appended, appendedStats) = writeFiles(spark, root, upserts, key,
+      gen, nFiles, physSchema = Some(unionSchema))
     writeManifest(spark, root, gen, cur ++ appended, key,
       batchId.orElse(m0.batchId),
       dvs = curDvs ++ newDvName,
@@ -2148,11 +2252,16 @@ object MergeTable {
     zorderReadQuery(spark, dir) // sig-gated build of the clustered table
     val root = graft.ops.Layout.indexPath("zorder_orders", dir)
     ensureBloomIndex(spark, root, "price_cents")
-    val vs = Seq((100L, 200L), (2000L, 2100L), (4000L, 4100L)).map {
-      case (lo, hi) => read(spark, root)
-        .filter(col("o_orderkey").between(lo, hi))
-        .agg(min(col("price_cents"))).head.getLong(0)
+    // an EMPTY band (small scale factors) contributes no probe — the
+    // same null-dropping semantics SQL IN gives the oracle's subquery
+    val vs = Seq((100L, 200L), (2000L, 2100L), (4000L, 4100L)).flatMap {
+      case (lo, hi) =>
+        val r = read(spark, root)
+          .filter(col("o_orderkey").between(lo, hi))
+          .agg(min(col("price_cents"))).head
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
     }.distinct
+    require(vs.nonEmpty, s"mergeReadInQuery($dir): every probe band empty")
     readWhere(spark, root, col("price_cents").isin(vs: _*))
       .orderBy(col("o_orderkey"))
   }
@@ -3403,7 +3512,8 @@ object MergeTable {
         .sum.toDouble / targetBytes).toInt)
     val packed = readFiles(spark, root, small, m.dvs, m.schema)
     val (newEntries, newStats) =
-      writeFiles(spark, root, packed, m.key, g0 + 1, nOut)
+      writeFiles(spark, root, packed, m.key, g0 + 1, nOut,
+        physSchema = m.schema)
     // carried legacy entries get their bytes (already statused above)
     // and rows (one columnless pass) stamped in the same commit — the
     // opportunistic half of [[analyzeManifest]], so tables that predate
@@ -3901,7 +4011,8 @@ object MergeTable {
           "left_anti")
         .select(targetCols.map(col): _*)
         .unionByName(upserts)
-    val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1, nFiles)
+    val (entries, cstats) = writeFiles(spark, root, merged, key, g0 + 1,
+      nFiles, physSchema = m0.schema)
     PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
       c.kLo, c.kHi, changes)
   }
@@ -3940,7 +4051,8 @@ object MergeTable {
         writeDv(spark, root, g0 + 1, delRows)
       }
     val upserts = net.where(col("op") =!= "d").select(targetCols.map(col): _*)
-    val (entries, cstats) = writeFiles(spark, root, upserts, key, g0 + 1, nFiles)
+    val (entries, cstats) = writeFiles(spark, root, upserts, key, g0 + 1,
+      nFiles, physSchema = m0.schema)
     PreparedMerge(g0, key, nFiles, touched.map(_.name).toSet, entries, cstats,
       c.kLo, c.kHi, changes, dvName = dvName, morStaged = true, mode = "mor")
   }

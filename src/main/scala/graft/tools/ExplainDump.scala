@@ -80,7 +80,9 @@ object ExplainDump {
     "t_stream_sink" -> "graft-merge sink end state: fenced micro-batch merges (auto-priced COW/MOR) read back manifest-directed",
     "t_merge_occ_mor" -> "optimistic MOR/auto dispatch: trickle writer's DV sidecar + bulk writer's COW rewrite arbitrated in one history, read through the DV anti-join",
     "t_cluster_str_read" -> "string-dim clustered read: (key band × status) box pruned from prefix-embedded #cstat tiles of the interleaved layout",
-    "t_change_feed_cow" -> "CDF across a COW rewrite window: bag-EXCEPT netting over added/removed file sets — cost ∝ changed files, output = true change rows only")
+    "t_change_feed_cow" -> "CDF across a COW rewrite window: bag-EXCEPT netting over added/removed file sets — cost ∝ changed files, output = true change rows only",
+    "t_change_feed_updates" -> "CDF update pairing: one key-partitioned window relabel over the change-set-sized feed (pre/post images — no second table scan)",
+    "t_merge_read_in" -> "IN-list lookup: per-point candidate-set union + bloom refinement planner-side — the scan opens point files, never the points' hull")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -109,10 +109,26 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
     MergeTable.renameColumn(spark, root, "v", "amount",
       commitTsMillis = 20L)
-    // 'v' is still a STORED name (old files carry it): re-taking it
-    // would leak stale bytes through the alias-expanded read
+    // 'v' is still a STORED name (old files carry amount's bytes under
+    // it) — since round 17 re-taking it is a LOGICAL-ONLY rename: tag
+    // keeps its physical identity ('tag'), only the label moves, so no
+    // new file can ever collide with the old bytes
+    MergeTable.renameColumn(spark, root, "tag", "v", commitTsMillis = 30L)
+    assert(MergeTable.read(spark, root).columns.toSeq ===
+      Seq("k", "amount", "v"))
+    val r5 = MergeTable.read(spark, root).where(col("k") === 5L).head
+    assert(r5.getLong(1) === 50L && r5.getString(2) === "base",
+      "label-only rename must not leak the old 'v' bytes into the label")
+    // writes through the new labels land under PHYSICAL identities and
+    // read back exactly
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 5L, 555L, "w")).toDF("op", "seq", "k", "amount", "v"),
+      "k", commitTsMillis = 40L)
+    val r5b = MergeTable.read(spark, root).where(col("k") === 5L).head
+    assert(r5b.getLong(1) === 555L && r5b.getString(2) === "w")
+    // a VISIBLE logical name still refuses, at both doors
     intercept[IllegalArgumentException] {
-      MergeTable.renameColumn(spark, root, "tag", "v")
+      MergeTable.renameColumn(spark, root, "amount", "v")
     }
     intercept[IllegalArgumentException] {
       MergeTable.addColumns(spark, root, Seq(
@@ -121,9 +137,9 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
   }
 
-  test("DROP COLUMN hides without rewriting; re-ADD of the stored name " +
-    "refuses; time travel still serves it; a full compact SHEDS the " +
-    "chain and frees the name") {
+  test("DROP COLUMN hides without rewriting; merge evolution still " +
+    "refuses the poisoned name; time travel serves it; a full compact " +
+    "SHEDS the chain") {
     val root = freshRoot("drop")
     MergeTable.create(spark, root, baseDf(1000), "k", nFiles = 4,
       commitTsMillis = 10L)
@@ -140,13 +156,9 @@ class ColumnMappingSpec extends AnyFunSuite {
       "k", commitTsMillis = 30L)
     assert(MergeTable.read(spark, root).where(col("k") === 5L)
       .head.getLong(1) === 555L)
-    // the stored name is poisoned while old files retain its bytes
-    intercept[IllegalArgumentException] {
-      MergeTable.addColumns(spark, root, Seq(
-        org.apache.spark.sql.types.StructField("tag",
-          org.apache.spark.sql.types.StringType)))
-    }
-    // ... and refused through merge evolution too
+    // merge EVOLUTION still refuses the poisoned name (the explicit
+    // re-add door is addColumns, which mints a fresh physical
+    // identity — see the re-ADD test below)
     intercept[IllegalArgumentException] {
       MergeTable.merge(spark, root,
         Seq(("u", 1L, 6L, 66L, "x")).toDF("op", "seq", "k", "v", "tag"),
@@ -169,6 +181,73 @@ class ColumnMappingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StringType)), commitTsMillis = 50L)
     assert(MergeTable.read(spark, root).columns.toSeq ===
       Seq("k", "v", "tag"))
+  }
+
+  test("re-ADD after DROP (field-identity mapping): the new column " +
+    "starts NULL everywhere, writes land under a minted physical " +
+    "identity, the dropped namesake's bytes stay dark, time travel " +
+    "serves BOTH populations, and stats + bloom pruning work") {
+    val root = freshRoot("readd")
+    // status is key-correlated so pre-drop files carry narrow ranges
+    val df = spark.range(800).select(col("id").as("k"),
+      (col("id") * 10).as("v"),
+      concat(lit("s"), lpad((col("id") / 200).cast("long").cast("string"),
+        2, "0")).as("status"))
+    MergeTable.create(spark, root, df, "k", nFiles = 4, commitTsMillis = 10L)
+    val gPre = Snapshots.currentGen(spark, root).get
+    MergeTable.dropColumn(spark, root, "status", commitTsMillis = 20L)
+    // the re-ADD: same logical name, FRESH physical identity
+    MergeTable.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)), commitTsMillis = 30L)
+    assert(MergeTable.read(spark, root).columns.toSeq ===
+      Seq("k", "v", "status"))
+    // population 1 — every pre-existing row serves NULL: the dropped
+    // namesake's bytes must NEVER leak into the re-added column
+    assert(MergeTable.read(spark, root)
+      .where(col("status").isNotNull).count() === 0L)
+    // population 2 — writes through the new column land and read back
+    MergeTable.merge(spark, root,
+      spark.range(100, 120).select(lit("u").as("op"), lit(1L).as("seq"),
+        col("id").as("k"), (col("id") * 10).as("v"),
+        lit("fresh").as("status")),
+      "k", nFiles = 1, commitTsMillis = 40L)
+    val st = MergeTable.read(spark, root)
+      .groupBy(col("status")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(st(Some("fresh")) === 20L && st(None) === 780L,
+      s"both populations must be exact: $st")
+    // time travel: the PRE-DROP generation still serves the original
+    // values under the original identity
+    val old = MergeTable.readAt(spark, root, gPre)
+      .where(col("k") === 5L).head
+    assert(old.getString(2) === "s00")
+    // pruning on the re-added column: old files have no stats under
+    // the minted identity (unknown — always read), but the bloom
+    // registry records them as all-NULL ("provably contains no
+    // value"), so an equality probe opens ONLY the new file
+    assert(MergeTable.ensureBloomIndex(spark, root, "status") === 4)
+    val m = MergeTable.currentMeta(spark, root)
+    val cond = MergeTable.read(spark, root)
+      .filter(col("status") === "fresh")
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+    // the condition names the LOGICAL column; aliasSet translates it to
+    // the minted identity for both the #cstat and the bloom lookups
+    val cand = MergeTable.pruneByCondition(spark, root, m, cond)
+    assert(cand.size === 1,
+      s"bloom must confine the probe to the minted file: ${cand.size}")
+    assert(MergeTable.readWhere(spark, root, col("status") === "fresh")
+      .count() === 20L)
+    // CDF across the drop+re-add window stays row-exact under the
+    // TO-state schema (old images carry NULL status)
+    val gNow = Snapshots.currentGen(spark, root).get
+    val feed = MergeTable.changesBetween(spark, root, gPre, gNow)
+    val ins = feed.where(col("change") === "i" &&
+      col("status") === "fresh").count()
+    assert(ins === 20L, s"re-added column must ride the feed: $ins")
   }
 
   test("the CHANGE FEED crosses a rename window row-exactly: the " +
