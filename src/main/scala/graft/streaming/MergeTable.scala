@@ -3914,7 +3914,14 @@ object MergeTable {
       // at commit (the opportunistic [[analyzeManifest]] half of
       // [[optimize]]) — physical properties of immutable files, so valid
       // under whichever manifest the splice carries them into
-      carriedStamp: Map[String, (Long, Long)] = Map.empty)
+      carriedStamp: Map[String, (Long, Long)] = Map.empty,
+      // PREDICATE writers (delete-where/update-where): a conflict replay
+      // must RE-EVALUATE the predicate against the winner's state — a
+      // frozen change set would delete/update rows the winner's commits
+      // made non-matching (a lost update). The closure re-prepares
+      // against the given generation; None = nothing matches anymore →
+      // commit nothing ("noop"). Takes precedence over `mode` dispatch.
+      reprepare: Option[(SparkSession, Long) => Option[PreparedMerge]] = None)
 
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
@@ -4091,6 +4098,128 @@ object MergeTable {
     } finally c.net.unpersist(blocking = false)
   }
 
+  /** Rows matching `predicate` at generation `g0` — manifest+bloom
+    * pruned candidates only (the [[readWhere]] walk, against a PINNED
+    * generation so optimistic prepares read a consistent base). */
+  private def readWhereAt(spark: SparkSession, root: String,
+      m: GenMeta, predicate: Column): DataFrame = {
+    val candidates = prunedByPredicate(spark, root, m, predicate)
+    if (candidates.isEmpty)
+      readFiles(spark, root, m.entries.take(1), schema = m.schema)
+        .limit(0).filter(predicate)
+    else readFiles(spark, root, candidates, m.dvs, m.schema)
+      .filter(predicate)
+  }
+
+  /** [[deleteWhere]] as an OPTIMISTIC writer — predicate delete that
+    * runs CONCURRENTLY with live occ pipelines instead of requiring
+    * their quiescence: matching rows are read once (pruned candidates
+    * only) into a keyed 'd' change set, staged through
+    * [[prepareMergeAuto]]'s pricing (DV sidecar for sparse matches,
+    * scoped rewrite for dense — the same two physical shapes
+    * [[deleteWhere]] dispatches between) and committed through
+    * [[commitPrepared]]'s arbitration. The SEMANTIC point is the
+    * replay: a conflict RE-EVALUATES the predicate against the
+    * winner's state (the handle's `reprepare` closure), so a row the
+    * winner updated out of the predicate is NOT deleted — a frozen
+    * change set would lose that update. None = no matching rows at
+    * the current state (nothing staged; the no-op contract). */
+  def prepareDeleteWhere(spark: SparkSession, root: String,
+      predicate: Column, nFiles: Int = 4,
+      morAmplificationAbove: Double = 8.0): Option[PreparedMerge] = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareDeleteWhereAgainst(spark, root, g0, predicate, nFiles,
+      morAmplificationAbove)
+  }
+
+  private def prepareDeleteWhereAgainst(spark: SparkSession, root: String,
+      g0: Long, predicate: Column, nFiles: Int,
+      morAmplificationAbove: Double): Option[PreparedMerge] = {
+    val m = genMeta(spark, Snapshots.genDir(root, g0))
+    val matching = readWhereAt(spark, root, m, predicate)
+    if (matching.isEmpty) return None
+    val changes = matching
+      .withColumn("op", lit("d")).withColumn("seq", lit(1L))
+    Some(prepareAutoAgainst(spark, root, g0, changes, m.key, nFiles,
+      morAmplificationAbove).copy(mode = "delete-where",
+      reprepare = Some((sp, g) => prepareDeleteWhereAgainst(sp, root, g,
+        predicate, nFiles, morAmplificationAbove))))
+  }
+
+  /** [[deleteWhere]]'s one-call optimistic face: prepare + arbitrated
+    * commit. None = nothing matched (nothing committed). */
+  def deleteWhereOcc(spark: SparkSession, root: String, predicate: Column,
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20,
+      morAmplificationAbove: Double = 8.0): Option[OccOutcome] =
+    prepareDeleteWhere(spark, root, predicate, nFiles,
+      morAmplificationAbove).map(h =>
+      commitPrepared(spark, root, h, commitTsMillis, maxAttempts))
+
+  /** [[updateWhere]] as an OPTIMISTIC writer — same contract as
+    * [[prepareDeleteWhere]] (assignment validation is
+    * [[updateWhere]]'s: non-key existing columns, no type drift), with
+    * the matching rows carried as a keyed 'u' change set whose payload
+    * has the assignments applied. A conflict replay re-reads and
+    * re-assigns against the winner's state, so assignments compose
+    * with concurrent updates instead of clobbering them. */
+  def prepareUpdateWhere(spark: SparkSession, root: String,
+      predicate: Column, set: Map[String, Column], nFiles: Int = 4,
+      morAmplificationAbove: Double = 8.0): Option[PreparedMerge] = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareUpdateWhereAgainst(spark, root, g0, predicate, set, nFiles,
+      morAmplificationAbove)
+  }
+
+  private def prepareUpdateWhereAgainst(spark: SparkSession, root: String,
+      g0: Long, predicate: Column, set: Map[String, Column], nFiles: Int,
+      morAmplificationAbove: Double): Option[PreparedMerge] = {
+    val m = genMeta(spark, Snapshots.genDir(root, g0))
+    val schema = m.schema.getOrElse(
+      readFiles(spark, root, m.entries.take(1)).schema)
+    require(set.nonEmpty, "prepareUpdateWhere: no assignments")
+    keyCols(m.key).foreach(k => require(!set.contains(k),
+      s"prepareUpdateWhere: assigning the merge key column '$k' re-keys " +
+        "rows — express it as a merge (delete + insert)"))
+    val unknown = set.keys.filterNot(visibleCols(schema).contains)
+    require(unknown.isEmpty,
+      s"prepareUpdateWhere: unknown columns ${unknown.mkString(", ")} — " +
+        "schema evolution goes through merge(evolveSchema = true)")
+    val matching = readWhereAt(spark, root, m, predicate)
+    val assigned = matching.select(visibleCols(schema).map(c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    // the type-drift guard updateWhere enforces: files contradicting
+    // the recorded #schema brick every later schema-on-read
+    assigned.schema.fields.zip(visibleStruct(schema).fields)
+      .foreach { case (got, want) =>
+        require(got.dataType == want.dataType,
+          s"prepareUpdateWhere: assignment changes column '${want.name}' " +
+            s"from ${want.dataType.simpleString} to " +
+            s"${got.dataType.simpleString} — cast explicitly")
+      }
+    if (matching.isEmpty) return None
+    val changes = assigned
+      .withColumn("op", lit("u")).withColumn("seq", lit(1L))
+    Some(prepareAutoAgainst(spark, root, g0, changes, m.key, nFiles,
+      morAmplificationAbove).copy(mode = "update-where",
+      reprepare = Some((sp, g) => prepareUpdateWhereAgainst(sp, root, g,
+        predicate, set, nFiles, morAmplificationAbove))))
+  }
+
+  /** [[updateWhere]]'s one-call optimistic face: prepare + arbitrated
+    * commit. None = nothing matched (nothing committed). */
+  def updateWhereOcc(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column], nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20,
+      morAmplificationAbove: Double = 8.0): Option[OccOutcome] =
+    prepareUpdateWhere(spark, root, predicate, set, nFiles,
+      morAmplificationAbove).map(h =>
+      commitPrepared(spark, root, h, commitTsMillis, maxAttempts))
+
   /** File-granular conflict test between what `h` read/affected at its
     * base and everything committed since (the Delta commit-conflict
     * rules, envelope-coarse on inserts):
@@ -4163,7 +4292,10 @@ object MergeTable {
     * [[stageMerge]], [[compact]], [[compactZOrder]],
     * [[deleteWhere]], [[updateWhere]], [[rollbackTo]] — with optimistic
     * committers ([[optimize]] is NOT on that list: it stages through
-    * this loop and runs concurrently with live occ writers): a crashed
+    * this loop and runs concurrently with live occ writers; concurrent
+    * predicate DML likewise goes through [[deleteWhereOcc]] /
+    * [[updateWhereOcc]], whose conflict replays RE-EVALUATE the
+    * predicate against the winner's state): a crashed
     * legacy staging under `_gen-(gNow+1)` blocks
     * the rename until discarded ([[discardStaged]]) — the give-up error
     * names it — and a legacy writer racing an optimistic commit fails
@@ -4214,21 +4346,31 @@ object MergeTable {
           // files against the winner's state — and when the winner
           // already packed them away (two optimizers racing), commits
           // NOTHING ("noop": already optimal is not a failure)
-          h = (h.mode match {
-            case "optimize" =>
-              val (sb, tb) = h.optimizeSpec.getOrElse(
-                throw new IllegalStateException(
-                  "optimize handle without its selection spec"))
-              prepareOptimizeAgainst(spark, root, gNow, sb, tb) match {
-                case Some(h2) => h2
-                case None => return (OccOutcome(gNow, attempt, "noop"), h)
-              }
-            case "mor" =>
-              prepareAgainstMor(spark, root, gNow, h.changes, h.key, h.nFiles)
-            case "auto" => prepareAutoAgainst(spark, root, gNow, h.changes,
-              h.key, h.nFiles, h.morAmplificationAbove)
-            case _ =>
-              prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
+          h = (h.reprepare match {
+            // predicate writers: RE-EVALUATE against the winner's state
+            // (the closure re-prunes, re-reads matching rows, re-prices
+            // and carries its own fresh reprepare)
+            case Some(f) => f(spark, gNow) match {
+              case Some(h2) => h2
+              case None => return (OccOutcome(gNow, attempt, "noop"), h)
+            }
+            case None => h.mode match {
+              case "optimize" =>
+                val (sb, tb) = h.optimizeSpec.getOrElse(
+                  throw new IllegalStateException(
+                    "optimize handle without its selection spec"))
+                prepareOptimizeAgainst(spark, root, gNow, sb, tb) match {
+                  case Some(h2) => h2
+                  case None => return (OccOutcome(gNow, attempt, "noop"), h)
+                }
+              case "mor" =>
+                prepareAgainstMor(spark, root, gNow, h.changes, h.key,
+                  h.nFiles)
+              case "auto" => prepareAutoAgainst(spark, root, gNow, h.changes,
+                h.key, h.nFiles, h.morAmplificationAbove)
+              case _ =>
+                prepareAgainst(spark, root, gNow, h.changes, h.key, h.nFiles)
+            }
           }).copy(streamBatch = h.streamBatch, mode = h.mode,
             morAmplificationAbove = h.morAmplificationAbove)
           path = "replayed"

@@ -1664,6 +1664,81 @@ class MergeTableSpec extends AnyFunSuite {
     assert(optimized.get() >= 1, "no optimize ever packed anything")
   }
 
+  test("PREDICATE DML as optimistic writers: a conflict replay " +
+    "RE-EVALUATES the predicate against the winner's state (a row " +
+    "updated out of the predicate survives; a row updated into it is " +
+    "caught); disjoint ingest rebases; updates compose") {
+    val root = freshRoot("occ-predicate")
+    MergeTable.create(spark, root, baseDf(1000), "k", nFiles = 4,
+      commitTsMillis = 10L)
+    // 1. the LOST-UPDATE trap a frozen change set would spring: stage a
+    //    delete matching k=50 (v=500); a winner updates k=50 to v=555
+    //    (no longer matching) before the commit — the replay must
+    //    re-evaluate and DELETE NOTHING
+    val hD = MergeTable.prepareDeleteWhere(spark, root,
+      col("v") === 500L).get
+    assert(hD.mode === "delete-where" && hD.reprepare.nonEmpty)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 50L, 555L, "win")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 20L)
+    val oD = MergeTable.commitPrepared(spark, root, hD, commitTsMillis = 30L)
+    assert(oD.path === "noop",
+      s"nothing matches after the winner's update: ${oD.path}")
+    val byK1 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byK1(50L) === 555L && byK1.size === 1000,
+      "a frozen change set would have deleted the winner's update")
+    // 2. the inverse: stage a delete matching {k=70}; the winner then
+    //    updates k=60 INTO the predicate — the replayed delete must
+    //    catch BOTH (predicate re-evaluated, not key-frozen)
+    val hD2 = MergeTable.prepareDeleteWhere(spark, root,
+      col("v").isin(700L, 777L)).get // only k=70 (v=700) matches yet
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 60L, 777L, "win")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 40L)
+    val oD2 = MergeTable.commitPrepared(spark, root, hD2,
+      commitTsMillis = 50L)
+    assert(oD2.path === "replayed")
+    val byK2 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byK2.contains(60L) && !byK2.contains(70L) && byK2.size === 998,
+      "the re-evaluated predicate must catch the winner's new match")
+    // 3. update composition: occ update (+1 on a band) racing a
+    //    disjoint occ-auto merge — rebase, both effects present
+    val hU = MergeTable.prepareUpdateWhere(spark, root,
+      col("k").between(100L, 109L), Map("v" -> (col("v") + 1L))).get
+    assert(hU.mode === "update-where")
+    MergeTable.mergeOccExactlyOnce(spark, root,
+      Seq(("u", 1L, 900L, 9009L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", "pipe-p", 0L, commitTsMillis = 60L, mode = "auto")
+    val oU = MergeTable.commitPrepared(spark, root, hU, commitTsMillis = 70L)
+    assert(oU.path === "rebased" || oU.path === "replayed")
+    val byK3 = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 109L).foreach(k => assert(byK3(k) === k * 10 + 1,
+      s"update lost at k=$k"))
+    assert(byK3(900L) === 9009L, "concurrent merge lost")
+    // 4. assignment composition under REPLAY: stage v+1 on k=200, a
+    //    winner sets k=200 to 7000 first — the re-evaluated assignment
+    //    applies to the WINNER's value (7001), never the stale base
+    val hU2 = MergeTable.prepareUpdateWhere(spark, root,
+      col("k") === 200L, Map("v" -> (col("v") + 1L))).get
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 200L, 7000L, "win")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 80L)
+    val oU2 = MergeTable.commitPrepared(spark, root, hU2,
+      commitTsMillis = 90L)
+    assert(oU2.path === "replayed")
+    assert(MergeTable.read(spark, root).where(col("k") === 200L)
+      .head.getLong(1) === 7001L,
+      "the replayed assignment must compose with the winner's value")
+    // 5. no-match faces commit nothing
+    assert(MergeTable.deleteWhereOcc(spark, root,
+      col("v") === -12345L).isEmpty)
+    assert(MergeTable.updateWhereOcc(spark, root, col("v") === -12345L,
+      Map("v" -> lit(0L))).isEmpty)
+  }
+
   test("mergeOccExactlyOnce honors mode: a mor-staged stream batch is " +
     "fenced on replay exactly like the cow path") {
     val root = freshRoot("occ-mor-fence")
