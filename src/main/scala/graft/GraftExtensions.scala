@@ -42,5 +42,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("changes"),
       new ExpressionInfo("graft", "changes"),
       graft.plans.ChangesTableFunction.build))
+    // `SELECT * FROM changes_paired('lake', 2, 5)` — the same feed with
+    // Delta-CDF update pairing: change ∈ insert/delete/update_preimage/
+    // update_postimage (same-key d+i within the window is one UPDATE)
+    ext.injectTableFunction((
+      FunctionIdentifier("changes_paired"),
+      new ExpressionInfo("graft", "changes_paired"),
+      graft.plans.ChangesTableFunction.buildPaired))
   }
 }

@@ -387,6 +387,20 @@ object HistoryTableFunction {
   * (changed files + DV deltas), cost ∝ changed data. */
 object ChangesTableFunction {
   def build(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    buildWith(args, paired = false, fn = "changes")
+
+  /** `changes_paired('t', a, b)` — the UPDATE-PAIRED feed
+    * ([[graft.streaming.MergeTable.changesBetweenPaired]]): same diff,
+    * `change` ∈ insert/delete/update_preimage/update_postimage. */
+  def buildPaired(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    buildWith(args, paired = true, fn = "changes_paired")
+
+  private def buildWith(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      paired: Boolean, fn: String)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     def refuse(msg: String): Nothing =
@@ -397,7 +411,7 @@ object ChangesTableFunction {
       e match {
         case Literal(v: Int, _) => v.toLong
         case Literal(v: Long, _) => v
-        case _ => refuse("changes() generation bounds must be integer " +
+        case _ => refuse(s"$fn() generation bounds must be integer " +
           s"literals; got ${e.sql}")
       }
     args match {
@@ -406,18 +420,23 @@ object ChangesTableFunction {
         val name = s.toString.toLowerCase(java.util.Locale.ROOT)
         SnapshotSqlCatalog.mergeRootOf(spark, Seq(name)) match {
           case Some(root) =>
-            try graft.streaming.MergeTable
-              .changesBetween(spark, root, gen(fromE), gen(toE))
-              .queryExecution.analyzed
+            try {
+              val df =
+                if (paired) graft.streaming.MergeTable
+                  .changesBetweenPaired(spark, root, gen(fromE), gen(toE))
+                else graft.streaming.MergeTable
+                  .changesBetween(spark, root, gen(fromE), gen(toE))
+              df.queryExecution.analyzed
+            }
             catch { case e: IllegalArgumentException => refuse(e.getMessage) }
           case None => refuse(
             s"table $name is not registered as a merge table for " +
-              s"changes() (registered: " +
+              s"$fn() (registered: " +
               s"${SnapshotSqlCatalog.registered(spark).toSeq.sorted.mkString(", ")})")
         }
       case _ => refuse(
-        "changes() takes (table-name string literal, from-generation, " +
-          "to-generation), e.g. SELECT * FROM changes('lake', 2, 5)")
+        s"$fn() takes (table-name string literal, from-generation, " +
+          s"to-generation), e.g. SELECT * FROM $fn('lake', 2, 5)")
     }
   }
 }

@@ -89,8 +89,9 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
     require(startGen <= latest,
       s"merge-cdf: startGen $startGen is beyond the latest committed " +
         s"generation $latest under $root")
+    val paired = parameters.get("pairUpdates").exists(_.toBoolean)
     new MergeTableCdfSource(sqlContext.sparkSession, root, startGen,
-      MergeTableCdf.takePinned(parameters))
+      MergeTableCdf.takePinned(parameters), paired)
   }
 }
 
@@ -178,7 +179,8 @@ object MergeTableCdf {
 }
 
 private class MergeTableCdfSource(spark: SparkSession, root: String,
-    startGen: Long, analyzedSchema: Option[StructType]) extends Source {
+    startGen: Long, analyzedSchema: Option[StructType],
+    pairUpdates: Boolean = false) extends Source {
 
   // the analysis-time shape when the provider saw one (the normal
   // readStream path); a fresh derivation only when createSource runs
@@ -212,7 +214,12 @@ private class MergeTableCdfSource(spark: SparkSession, root: String,
     // MicroBatchExecution's opaque width assertion — the contract is
     // "new columns appear after a restart", so until then they drop
     // (evolution is additive-only; the fixed columns always exist).
-    val diff = MergeTable.changesBetween(spark, root, from, to)
+    // .option("pairUpdates", "true"): Delta-CDF update pairing — each
+    // window's same-key d+i reports as update_preimage/update_postimage
+    // (same column set, so the fixed analyzed schema is unaffected)
+    val diff =
+      if (pairUpdates) MergeTable.changesBetweenPaired(spark, root, from, to)
+      else MergeTable.changesBetween(spark, root, from, to)
     org.apache.spark.sql.graftshim.StreamingBatch.asStreaming(spark,
       diff.select(schema.fieldNames.toSeq.map(n =>
         org.apache.spark.sql.functions.col(s"`$n`")): _*))

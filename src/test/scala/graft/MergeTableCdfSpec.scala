@@ -118,6 +118,39 @@ class MergeTableCdfSpec extends AnyFunSuite {
       Set(Seq("k", "v", "tag", "change")))
   }
 
+  test(".option(\"pairUpdates\", true): the streamed feed carries " +
+    "Delta-CDF update pairing — same-key d+i per window reports as a " +
+    "pre/post-image pair, lone rows as delete/insert") {
+    val work = freshWork("paired")
+    val root = s"$work/table"
+    MergeTable.create(spark, root, baseDf(20), "k", nFiles = 2,
+      commitTsMillis = 10L)
+    // one MOR wave: update k=3 (v 30→333), delete k=7, insert k=100
+    MergeTable.mergeMor(spark, root,
+      Seq(("u", 1L, 3L, 333L, "w"), ("d", 1L, 7L, 0L, ""),
+        ("c", 1L, 100L, 5L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 20L)
+    val rows = scala.collection.mutable.Set[(String, Long, Long)]()
+    val q = spark.readStream.format("merge-cdf")
+      .option("path", root).option("startGen", "1")
+      .option("pairUpdates", "true").load()
+      .writeStream.option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized {
+          df.collect().foreach(r =>
+            rows += ((r.getAs[String]("change"), r.getAs[Long]("k"),
+              r.getAs[Long]("v"))))
+        }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.toSet === Set(
+      ("update_preimage", 3L, 30L),
+      ("update_postimage", 3L, 333L),
+      ("delete", 7L, 70L),
+      ("insert", 100L, 5L)), s"paired stream window: $rows")
+  }
+
   test(".option(\"table\", name) resolves a registered bare name; an " +
     "unregistered one refuses naming the registry verbs") {
     val work = freshWork("byname")

@@ -266,6 +266,13 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       assert(ext.sql(
         "SELECT count(*) AS c FROM changes('lake_h', 1, 3) WHERE change = 'd'")
         .head().getLong(0) === 1L)
+      // changes_paired(): the update-paired label vocabulary (this
+      // window is a pure delete → 'delete'; the full four-type pairing
+      // is oracled as t_change_feed_updates)
+      assert(ext.sql(
+        "SELECT change, k FROM changes_paired('lake_h', 1, 2)")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("delete", 7L)))
       // out-of-retention / unknown generations refuse loudly
       val badGen = intercept[AnalysisException](
         ext.sql("SELECT * FROM changes('lake_h', 1, 99)").collect())
