@@ -229,6 +229,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       MergeTable.readResolved(spark, root,
         Snapshots.resolve(spark, root)).schema)
     var visible = MergeTable.visibleCols(base).map(norm).toSet
+    // every name retained files store bytes under — read-only context
+    // for the mint-collision simulation (the statement's own changes
+    // cannot add stored names that matter here: minted identities are
+    // generation-stamped)
+    val stored = base.fields
+      .flatMap(f => f.name +: MergeTable.storedNames(f)).map(norm).toSet
     val keySet = MergeTable.keyCols(m0.key).map(norm).toSet
     def refuse(msg: String): Nothing = throw new IllegalArgumentException(
       s"ALTER TABLE ${ident.name}: $msg (no change of this statement " +
@@ -260,6 +266,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         // in MergeTable.addColumns (round 17)
         if (visible.contains(n))
           refuse(s"column '${a.fieldNames().head}' already exists")
+        // addColumns' own refusals, simulated here so they cannot fire
+        // AFTER a sibling change already committed: the comma rule
+        // (alias chains are comma-delimited) and a stored name that
+        // would collide with the minted physical identity
+        if (n.contains(","))
+          refuse(s"'${a.fieldNames().head}' contains ',' — the alias " +
+            "chain is comma-delimited")
+        if (stored.exists(t => t.startsWith(s"$n#g")))
+          refuse(s"a retained file stores a name of the minted form " +
+            s"'$n#g<gen>' — re-adding '$n' cannot mint a unique " +
+            "physical identity")
         visible += n
       case r: TableChange.RenameColumn =>
         if (r.fieldNames().length != 1) throw new UnsupportedOperationException(

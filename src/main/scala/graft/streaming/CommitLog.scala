@@ -71,18 +71,28 @@ object CommitLog {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, CommitLog]()
 
-  /** Route every root starting with `rootPrefix` through `log`. */
+  private def norm(p: String): String =
+    if (p.endsWith("/")) p.dropRight(1) else p
+
+  /** Route every root AT or UNDER `rootPrefix` through `log`. The
+    * match is SEGMENT-aware (prefix equal, or followed by '/'), never
+    * raw startsWith: registering "/lake/t1" must not capture
+    * "/lake/t10", and a trailing-slash registration must still cover
+    * the root spelled without one — a miss here silently falls back to
+    * the rename protocol on a store where rename is not atomic. */
   def register(rootPrefix: String, log: CommitLog): Unit =
-    registry.put(rootPrefix, log)
+    registry.put(norm(rootPrefix), log)
 
-  def unregister(rootPrefix: String): Unit = registry.remove(rootPrefix)
+  def unregister(rootPrefix: String): Unit = registry.remove(norm(rootPrefix))
 
-  /** The log that owns `root`: the longest registered prefix match,
-    * or the rename default. */
+  /** The log that owns `root`: the longest registered segment-prefix
+    * match, or the rename default. */
   def forRoot(root: String): CommitLog = {
+    val r = norm(root)
     var best: Option[(String, CommitLog)] = None
     registry.forEach { (p, l) =>
-      if (root.startsWith(p) && best.forall(_._1.length < p.length))
+      if ((r == p || r.startsWith(p + "/")) &&
+        best.forall(_._1.length < p.length))
         best = Some(p -> l)
     }
     best.map(_._2).getOrElse(Rename)

@@ -863,6 +863,27 @@ object MergeTable {
     }
     val bounds = collapsed.map(extractBounds).getOrElse(Map.empty)
     val points = collapsed.map(extractPoints).getOrElse(Map.empty)
+    // Alias resolution for a PROBE name, which may be a LOGICAL label
+    // (the Column-API path filters above the logical projection) or a
+    // PHYSICAL scan column (the SQL path pushes below it). A label-only
+    // rename can make one field's label equal a DIFFERENT field's
+    // physical name — resolving such a name by label would judge the
+    // probe against the wrong field's stats/blooms and false-skip files
+    // (row loss). Ambiguous names resolve to NOTHING: unknown never
+    // prunes.
+    def probeAliases(c: String): Seq[String] = m.schema match {
+      case Some(sch) =>
+        val vis = visibleStruct(sch).fields
+        val labeled = vis.find(_.name == c)
+        val physOwners = vis.count(f => f.name != c &&
+          storedNames(f).contains(c))
+        labeled match {
+          case Some(f) if physOwners == 0 => storedNames(f)
+          case None => Seq(c) // physical or unmapped: stats keyed by it
+          case Some(_) => Seq.empty // label-vs-phys ambiguity: no pruning
+        }
+      case None => Seq(c)
+    }
     val ranges: Map[(String, String), (Long, Long)] =
       m.cstats.map(s => (s.file, s.col) -> (s.lo, s.hi)).toMap ++
         entries.map(e =>
@@ -871,7 +892,7 @@ object MergeTable {
     // consult the whole alias chain (exactly one entry exists per file;
     // a file with no entry under any alias is unknown — always read)
     val byRange = entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
-      aliasSet(m.schema, c).flatMap(a => ranges.get((e.name, a)))
+      probeAliases(c).flatMap(a => ranges.get((e.name, a)))
         .headOption.forall(r => r._2 >= lo && r._1 <= hi)
     })
     // equality conjuncts additionally consult the per-file bloom
@@ -883,7 +904,7 @@ object MergeTable {
     val eqRefined =
       bounds.collect { case (c, (lo, hi)) if lo == hi => (c, lo) }
         .foldLeft(byRange) { case (cand, (c, v)) =>
-          aliasSet(m.schema, c).foldLeft(cand) { (cc, a) =>
+          probeAliases(c).foldLeft(cand) { (cc, a) =>
             if (cc.isEmpty) cc else bloomRefine(spark, root, cc, a, v)
           }
         }
@@ -903,7 +924,7 @@ object MergeTable {
     points.foldLeft(eqRefined) { case (cand, (c, vs)) =>
       if (cand.isEmpty) cand
       else {
-        val aliases = aliasSet(m.schema, c)
+        val aliases = probeAliases(c)
         val registries = aliases.flatMap(a =>
           bloomTableFor(spark, root, a, cand))
         cand.filter { e =>
@@ -3921,7 +3942,13 @@ object MergeTable {
       // made non-matching (a lost update). The closure re-prepares
       // against the given generation; None = nothing matches anymore →
       // commit nothing ("noop"). Takes precedence over `mode` dispatch.
-      reprepare: Option[(SparkSession, Long) => Option[PreparedMerge]] = None)
+      reprepare: Option[(SparkSession, Long) => Option[PreparedMerge]] = None,
+      // predicate writers: files whose invalidation must force a replay
+      // even though the staging never rewrote them — the predicate's
+      // FULL candidate set (an undelete could restore a matching row in
+      // a candidate the change set never keyed). Guards C1/C2 only; the
+      // commit splice still swaps exactly `touchedNames`.
+      conflictNames: Set[String] = Set.empty)
 
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
@@ -4098,19 +4125,6 @@ object MergeTable {
     } finally c.net.unpersist(blocking = false)
   }
 
-  /** Rows matching `predicate` at generation `g0` — manifest+bloom
-    * pruned candidates only (the [[readWhere]] walk, against a PINNED
-    * generation so optimistic prepares read a consistent base). */
-  private def readWhereAt(spark: SparkSession, root: String,
-      m: GenMeta, predicate: Column): DataFrame = {
-    val candidates = prunedByPredicate(spark, root, m, predicate)
-    if (candidates.isEmpty)
-      readFiles(spark, root, m.entries.take(1), schema = m.schema)
-        .limit(0).filter(predicate)
-    else readFiles(spark, root, candidates, m.dvs, m.schema)
-      .filter(predicate)
-  }
-
   /** [[deleteWhere]] as an OPTIMISTIC writer — predicate delete that
     * runs CONCURRENTLY with live occ pipelines instead of requiring
     * their quiescence: matching rows are read once (pruned candidates
@@ -4137,12 +4151,26 @@ object MergeTable {
       g0: Long, predicate: Column, nFiles: Int,
       morAmplificationAbove: Double): Option[PreparedMerge] = {
     val m = genMeta(spark, Snapshots.genDir(root, g0))
-    val matching = readWhereAt(spark, root, m, predicate)
+    val candidates = prunedByPredicate(spark, root, m, predicate)
+    val matching =
+      if (candidates.isEmpty)
+        readFiles(spark, root, m.entries.take(1), schema = m.schema)
+          .limit(0).filter(predicate)
+      else readFiles(spark, root, candidates, m.dvs, m.schema)
+        .filter(predicate)
     if (matching.isEmpty) return None
     val changes = matching
       .withColumn("op", lit("d")).withColumn("seq", lit(1L))
     Some(prepareAutoAgainst(spark, root, g0, changes, m.key, nFiles,
       morAmplificationAbove).copy(mode = "delete-where",
+      // a FULL conflict envelope + the predicate's candidate set: ANY
+      // file added since base (it may hold new matching rows the frozen
+      // change set would miss) and any invalidation of a candidate (an
+      // undelete could restore a matching row the change set never
+      // keyed) must force the re-evaluating replay — the write-skew
+      // guard a key-span envelope cannot give a predicate writer
+      changeLo = Long.MinValue, changeHi = Long.MaxValue,
+      conflictNames = candidates.map(_.name).toSet,
       reprepare = Some((sp, g) => prepareDeleteWhereAgainst(sp, root, g,
         predicate, nFiles, morAmplificationAbove))))
   }
@@ -4188,7 +4216,13 @@ object MergeTable {
     require(unknown.isEmpty,
       s"prepareUpdateWhere: unknown columns ${unknown.mkString(", ")} — " +
         "schema evolution goes through merge(evolveSchema = true)")
-    val matching = readWhereAt(spark, root, m, predicate)
+    val candidates = prunedByPredicate(spark, root, m, predicate)
+    val matching =
+      if (candidates.isEmpty)
+        readFiles(spark, root, m.entries.take(1), schema = m.schema)
+          .limit(0).filter(predicate)
+      else readFiles(spark, root, candidates, m.dvs, m.schema)
+        .filter(predicate)
     val assigned = matching.select(visibleCols(schema).map(c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     // the type-drift guard updateWhere enforces: files contradicting
@@ -4205,6 +4239,9 @@ object MergeTable {
       .withColumn("op", lit("u")).withColumn("seq", lit(1L))
     Some(prepareAutoAgainst(spark, root, g0, changes, m.key, nFiles,
       morAmplificationAbove).copy(mode = "update-where",
+      // same write-skew guard as prepareDeleteWhereAgainst
+      changeLo = Long.MinValue, changeHi = Long.MaxValue,
+      conflictNames = candidates.map(_.name).toSet,
       reprepare = Some((sp, g) => prepareUpdateWhereAgainst(sp, root, g,
         predicate, set, nFiles, morAmplificationAbove))))
   }
@@ -4238,7 +4275,11 @@ object MergeTable {
     if (!Snapshots.generations(spark, root).contains(h.baseGen)) return true
     val base = genMeta(spark, Snapshots.genDir(root, h.baseGen))
     val baseNames = base.entries.map(_.name).toSet
-    if (!h.touchedNames.subsetOf(now.entries.map(_.name).toSet))
+    // C1/C2 guard the REWRITTEN set plus a predicate writer's wider
+    // candidate set (conflictNames); the splice still swaps exactly
+    // touchedNames
+    val guarded = h.touchedNames ++ h.conflictNames
+    if (!guarded.subsetOf(now.entries.map(_.name).toSet))
       return true // C1
     // C2: the SYMMETRIC DV delta — a DV added since base deletes rows we
     // merged from; a DV REMOVED since base (a rollback's undelete)
@@ -4250,7 +4291,7 @@ object MergeTable {
     if (dvDelta.nonEmpty) {
       val targets = spark.read.parquet(dvDelta.map(filePath(root, _)): _*)
         .select("file").distinct().collect().map(_.getString(0)).toSet
-      if (targets.exists(h.touchedNames)) return true
+      if (targets.exists(guarded)) return true
     }
     now.entries.exists(e => !baseNames.contains(e.name) && // C3
       e.minKey <= h.changeHi && e.maxKey >= h.changeLo)

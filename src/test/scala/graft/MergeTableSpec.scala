@@ -1703,6 +1703,29 @@ class MergeTableSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(!byK2.contains(60L) && !byK2.contains(70L) && byK2.size === 998,
       "the re-evaluated predicate must catch the winner's new match")
+    // 2b. WRITE-SKEW guard: the winner INSERTS a brand-new matching
+    //     row into a DISJOINT file (no staged candidate touched, key
+    //     outside every staged envelope) — the predicate handle's FULL
+    //     conflict envelope still forces the re-evaluating replay, so
+    //     the delete catches the insert too (a key-span envelope would
+    //     have rebased and silently left it)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 80L, 888L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 52L)
+    val hD3 = MergeTable.prepareDeleteWhere(spark, root,
+      col("v") === 888L).get // matches only k=80 at prepare
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 5000L, 888L, "w")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 54L)
+    val oD3 = MergeTable.commitPrepared(spark, root, hD3,
+      commitTsMillis = 56L)
+    assert(oD3.path === "replayed",
+      s"a disjoint new match must conflict a predicate writer: ${oD3.path}")
+    val byK2b = MergeTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byK2b.contains(80L) && !byK2b.contains(5000L) &&
+      byK2b.size === 997,
+      "the re-evaluated delete must catch the concurrently-inserted match")
     // 3. update composition: occ update (+1 on a band) racing a
     //    disjoint occ-auto merge — rebase, both effects present
     val hU = MergeTable.prepareUpdateWhere(spark, root,
