@@ -81,15 +81,27 @@ object GraftProcedures {
           Snapshots.currentGen(spark, r).getOrElse(-1L))
       }
       case "compact" => proc("compact",
-        "whole-table rewrite into n_files key-range files; folds every " +
-          "deletion vector away (compact IS the DV purge)",
+        "whole-table rewrite into n_files key-range files (cluster_by " +
+          "=> 'dim' re-clusters by the (key, dim) z-order interleave " +
+          "instead); folds every deletion vector away (compact IS the " +
+          "DV purge). OCC-staged since round 18: runs CONCURRENTLY " +
+          "with live optimistic writers — concurrent disjoint ingest " +
+          "rebases manifest-only, a writer touching a consumed file " +
+          "replays the rewrite. Alias chains are KEPT (chain-shedding " +
+          "needs the quiescent Scala compact — a concurrent writer's " +
+          "carried files bind the prior physical names)",
         params = Seq(
           required("table", StringType),
-          withDefault("n_files", IntegerType, "8")),
+          withDefault("n_files", IntegerType, "8"),
+          withDefault("cluster_by", StringType, "NULL")),
         resultCols = Seq("rewritten" -> IntegerType,
           "generation" -> LongType)) { args =>
         val r = root(args)
-        val n = MergeTable.compact(spark, r, nFiles = args.getInt(1))
+        val n =
+          if (args.isNullAt(2)) MergeTable.compactOcc(spark, r,
+            nFiles = args.getInt(1))
+          else MergeTable.compactZOrderOcc(spark, r,
+            args.getUTF8String(2).toString, nFiles = args.getInt(1))
         InternalRow(n, Snapshots.currentGen(spark, r).getOrElse(-1L))
       }
       case "vacuum" => proc("vacuum",
@@ -120,13 +132,17 @@ object GraftProcedures {
       case "rollback" => proc("rollback",
         "restore the STATE of a committed generation as a NEW commit " +
           "(history is never rewritten); idempotence fences carry so a " +
-          "rollback cannot re-admit already-applied stream batches",
+          "rollback cannot re-admit already-applied stream batches. " +
+          "OCC-committed since round 18: if ANY commit lands while the " +
+          "restore is staged, the statement refuses loudly instead of " +
+          "silently erasing the concurrent commit — re-examine the new " +
+          "history and re-run if the restore is still wanted",
         params = Seq(
           required("table", StringType),
           required("generation", LongType)),
         resultCols = Seq("generation" -> LongType)) { args =>
         val r = root(args)
-        InternalRow(MergeTable.rollbackTo(spark, r, args.getLong(1)))
+        InternalRow(MergeTable.rollbackToOcc(spark, r, args.getLong(1)))
       }
       case "analyze" => proc("analyze",
         "backfill rows/bytes on legacy manifest entries (metadata-only " +
@@ -160,9 +176,25 @@ object GraftProcedures {
     * reach here "unexecuted": `spark.sql("CALL ...")` analyzes — and
     * therefore runs — the verb at Dataset creation, before any
     * .explain() is called on the handle.) */
+  private val ExplainCommandClass =
+    "org.apache.spark.sql.execution.command.ExplainCommand"
+
+  // fail-FAST guard on the stack-scan's version fragility (r17 ADVICE):
+  // if a Spark upgrade renames/relocates ExplainCommand, the scan below
+  // would silently stop matching and EXPLAIN CALL would EXECUTE the
+  // destructive verb. Asserting the class exists at first procedure
+  // load turns that silent regression into a loud startup error.
+  require(
+    try { Class.forName(ExplainCommandClass, false,
+      classOf[SparkSession].getClassLoader); true }
+    catch { case _: ClassNotFoundException => false },
+    s"$ExplainCommandClass not found on this Spark version — the " +
+      "EXPLAIN CALL side-effect guard (underExplain) keys on it; " +
+      "re-point the guard before any CALL procedure may run")
+
   private def underExplain(): Boolean =
-    Thread.currentThread().getStackTrace.exists(_.getClassName ==
-      "org.apache.spark.sql.execution.command.ExplainCommand")
+    Thread.currentThread().getStackTrace.exists(
+      _.getClassName == ExplainCommandClass)
 
   /** One bound procedure: Spark's analyzer fills defaults/named args
     * into `call`'s InternalRow in declaration order; the body runs the

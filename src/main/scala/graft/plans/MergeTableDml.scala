@@ -22,22 +22,36 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * evolution after the plan was built. */
 object MergeTableDml {
 
-  /** `DELETE FROM <merge-table> WHERE <cond>` → one DV sidecar over the
-    * manifest-pruned candidate files; returns the deleted row count. */
+  /** `DELETE FROM <merge-table> WHERE <cond>` → the OPTIMISTIC
+    * predicate delete ([[graft.streaming.MergeTable.deleteWhereOcc]],
+    * round 18): manifest-pruned candidates staged as a priced change
+    * set and committed through the occ arbitration, so SQL DELETE runs
+    * CONCURRENTLY with live optimistic writers — a conflict replay
+    * re-evaluates the predicate against the winner's state (never a
+    * lost update, never a quiesce). Returns the deleted row count.
+    * Liveness note: the predicate writer's conflict envelope is FULL
+    * (any concurrent commit forces re-evaluation — the write-skew
+    * guard), so under sustained trickle ingest the statement may burn
+    * its attempts and fail loudly rather than commit a stale delete. */
   case class MergeTableDeleteCommand(root: String, condSql: String)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AttributeReference("rows_deleted", LongType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
-      val n = graft.streaming.MergeTable.deleteWhere(session, root,
+      val n = graft.streaming.MergeTable.deleteWhereOccCounted(session, root,
         expr(condSql))
       Seq(Row(n))
     }
   }
 
-  /** `UPDATE <merge-table> SET c = e, ... [WHERE cond]` → scoped
-    * copy-on-write of the candidate files; returns (rewritten, carried)
-    * file counts. */
+  /** `UPDATE <merge-table> SET c = e, ... [WHERE cond]` → the
+    * OPTIMISTIC predicate update
+    * ([[graft.streaming.MergeTable.updateWhereOcc]], round 18): same
+    * concurrency contract (and liveness note) as the DELETE command —
+    * a conflict replay re-reads and re-assigns against the winner's
+    * state, so assignments compose with concurrent updates instead of
+    * clobbering them. Returns (rewritten, carried) file counts; a
+    * MOR-priced staging rewrote nothing (its work is a DV + appends). */
   case class MergeTableUpdateCommand(root: String,
       assignments: Seq[(String, String)], condSql: Option[String])
       extends LeafRunnableCommand {
@@ -45,7 +59,8 @@ object MergeTableDml {
       AttributeReference("files_rewritten", IntegerType, nullable = false)(),
       AttributeReference("files_carried", IntegerType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
-      val (t, c) = graft.streaming.MergeTable.updateWhere(session, root,
+      val (t, c) = graft.streaming.MergeTable.updateWhereOccCounted(
+        session, root,
         condSql.map(expr).getOrElse(expr("true")),
         assignments.map { case (k, v) => k -> expr(v) }.toMap)
       Seq(Row(t, c))
@@ -72,8 +87,11 @@ object MergeTableDml {
       assigns: Seq[(String, String)]) extends Serializable
 
   /** `MERGE INTO <merge-table> USING <source> ON <cond> WHEN ...` →
-    * ONE change batch through [[graft.streaming.MergeTable.merge]] (the
-    * COW path): matched rows come from an inner join on the statement's
+    * ONE change batch staged through the auto-priced OPTIMISTIC merge
+    * ([[graft.streaming.MergeTable.prepareMergeAutoAt]] +
+    * `commitPrepared`, round 18 — runs concurrently with live occ
+    * writers; a conflict replay re-runs the whole statement against
+    * the winner's state): matched rows come from an inner join on the statement's
     * ON condition with FIRST-MATCHING-CLAUSE selection (the ANSI rule),
     * not-matched inserts from a left-anti join, and the whole batch
     * nets per key exactly as the API face does. The ANSI cardinality
@@ -102,15 +120,28 @@ object MergeTableDml {
 
     override def run(session: SparkSession): Seq[Row] = {
       val mt = graft.streaming.MergeTable
-      // ONE manifest fetch serves key, schema and the PK probe
-      val meta = mt.currentMeta(session, root)
+      // OPTIMISTIC since round 18: the whole matched/not-matched
+      // computation (joins, guards, netting) is a function of the
+      // generation it ran against, so it lives in a prepare closure the
+      // occ loop re-runs on conflict — a winner's insert flips a key
+      // from not-matched to matched on replay, exactly as if the MERGE
+      // had executed serially after the winner. The conflict envelope
+      // is FULL (any concurrent commit re-evaluates; the same liveness
+      // trade as the predicate DML commands), committed through
+      // [[graft.streaming.MergeTable.commitPrepared]]'s arbitration so
+      // SQL MERGE runs concurrently with live occ pipelines.
+      var lastByOp: Map[String, Long] = Map.empty
+      def prep(sp: SparkSession, g0: Long): Option[mt.PreparedMerge] = {
+      // ONE manifest fetch (pinned at g0) serves key, schema, the PK
+      // probe AND the conflict set
+      val meta = mt.metaAt(sp, root, g0)
       val key = meta.key
       val ks = mt.keyCols(key) // composite: identity is the tuple
-      val target = mt.readMeta(session, root, meta)
+      val target = mt.readMeta(sp, root, meta)
       val tgtSchema = target.schema
       val tCols = tgtSchema.fieldNames.toSeq
       val t = target.alias(targetAlias)
-      val s = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, source)
+      val s = org.apache.spark.sql.graft.PlanBridge.dataFrame(sp, source)
       def tq(c: String) = col(s"$targetAlias.`$c`")
 
       // ---- MATCHED: inner join; first clause whose condition holds
@@ -201,7 +232,7 @@ object MergeTableDml {
       // do we). Probe is manifest-pruned: only touched files' key
       // column, and an insert set beyond the key domain touches nothing.
       if (notMatched.nonEmpty) {
-        val clash = mt.readWhereKeysOf(session, root, meta,
+        val clash = mt.readWhereKeysOf(sp, root, meta,
           changes.where(col("op") === "c")
             .select(ks.map(k => col(s"`$k`")): _*))
           .limit(1).collect()
@@ -215,11 +246,38 @@ object MergeTableDml {
 
       val byOp = changes.groupBy(col("op")).count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (byOp.isEmpty) // nothing fired: no new generation
-        return Seq(Row(0L, 0L, 0L, 0, 0))
-      val (rw, ca) = mt.merge(session, root, changes, key)
-      Seq(Row(byOp.getOrElse("u", 0L), byOp.getOrElse("d", 0L),
-        byOp.getOrElse("c", 0L), rw, ca))
+      lastByOp = byOp
+      if (byOp.isEmpty) None // nothing fired: no new generation
+      else Some(mt.prepareMergeAutoAt(sp, root, g0, changes, key)
+        .copy(mode = "sql-merge",
+          // FULL conflict envelope + the pinned generation's whole file
+          // set: ANY concurrent commit re-runs the matched/not-matched
+          // computation (the anti-join's result is a statement about
+          // the ENTIRE target state, which a key-span envelope cannot
+          // guard)
+          changeLo = Long.MinValue, changeHi = Long.MaxValue,
+          conflictNames = meta.entries.map(_.name).toSet,
+          reprepare = Some((s2, g2) => prep(s2, g2))))
+      }
+      val g0 = graft.streaming.Snapshots.currentGen(session, root)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed generation under $root"))
+      prep(session, g0) match {
+        case None => Seq(Row(0L, 0L, 0L, 0, 0))
+        case Some(h) =>
+          val (o, hf) = mt.commitPreparedWithHandle(session, root, h,
+            maxAttempts = 20)
+          // "noop" = a replay found nothing left to do against the
+          // winner's state (every clause went quiet) — nothing committed
+          if (o.path == "noop") Seq(Row(0L, 0L, 0L, 0, 0))
+          else {
+            val total = mt.metaAt(session, root, o.gen).entries.size
+            Seq(Row(lastByOp.getOrElse("u", 0L), lastByOp.getOrElse("d", 0L),
+              lastByOp.getOrElse("c", 0L),
+              if (hf.morStaged) 0 else hf.touchedNames.size,
+              total - hf.newEntries.size))
+          }
+      }
     }
   }
 

@@ -1800,61 +1800,94 @@ object MergeTable {
       cols: Seq[org.apache.spark.sql.types.StructField],
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
     require(cols.nonEmpty, s"ADD COLUMNS on $root: empty column list")
-    val curDir = currentGenDir(spark, root)
-    val cur = genMeta(spark, curDir)
-    // legacy manifests (pre-#schema) fall back to the footer schema —
-    // correct, because such a table never evolved before this commit
-    val base = cur.schema.getOrElse(readResolved(spark, root, curDir).schema)
-    def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
-    // LOGICAL names refuse outright (the column exists). A name only
-    // retained data files still store bytes under — a dropped column's
-    // stored names, a renamed column's priors — is RE-TAKEABLE since
-    // round 17: the new field is minted with a fresh PHYSICAL identity
-    // (graft.phys = "<name>#g<gen>"), so new files write under a name
-    // no retained file carries and the namesake's old bytes stay
-    // unreachable (Delta's field-id move in the name-chain machinery).
-    val logical = visibleCols(base).map(norm).toSet
-    val stored = base.fields.flatMap(f => f.name +: storedNames(f))
-      .map(norm).toSet
-    cols.foreach { f =>
-      require(!ReservedColumns.contains(norm(f.name)),
-        s"ADD COLUMNS on $root: '${f.name}' is reserved — op/seq are " +
-          "the change-envelope names, 'change' is the CDF feed marker")
-      require(!logical.contains(norm(f.name)),
-        s"ADD COLUMNS on $root: column '${f.name}' already exists")
-      require(!f.name.contains(","),
-        s"ADD COLUMNS on $root: '${f.name}' contains ',' — the alias " +
-          "chain is comma-delimited")
-    }
-    val dup = cols.groupBy(f => norm(f.name)).collectFirst {
-      case (_, fs) if fs.size > 1 => fs.head.name }
-    require(dup.isEmpty,
-      s"ADD COLUMNS on $root: duplicate column '${dup.getOrElse("")}'")
-    val gen = Snapshots.nextGen(spark, root)
-    val minted = cols.map { f =>
-      val f2 = f.copy(nullable = true)
-      if (!stored.contains(norm(f.name))) f2
-      else {
-        val phys = s"${f.name}#g$gen"
-        // '#g<gen>' identities are only ever minted here with a fresh
-        // generation id, so a collision means a user column literally
-        // carries the minted spelling — refuse rather than alias it
-        require(!stored.contains(norm(phys)),
-          s"ADD COLUMNS on $root: cannot mint physical identity " +
-            s"'$phys' — the name is already stored")
-        f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f2.metadata)
-          .putString(PhysKey, phys)
-          .build())
+    // OPTIMISTIC since round 18: the widening is computed as a
+    // metadata-only staging (no files, empty conflict envelope) and
+    // committed through [[commitPrepared]] — a live occ writer landing
+    // mid-ALTER rebases the schema commit instead of failing it at the
+    // manifest-write marker guard, and a RACING schema change replays
+    // through this closure (the schema-sensitive conflict class), which
+    // re-validates against the winner's schema.
+    def prep(sp: SparkSession, g0: Long): Option[PreparedMerge] = {
+      val cur = genMeta(sp, Snapshots.genDir(root, g0))
+      // legacy manifests (pre-#schema) fall back to the footer schema —
+      // correct, because such a table never evolved before this commit
+      val base = cur.schema.getOrElse(
+        readResolved(sp, root, Snapshots.genDir(root, g0)).schema)
+      def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+      // LOGICAL names refuse outright (the column exists). A name only
+      // retained data files still store bytes under — a dropped column's
+      // stored names, a renamed column's priors — is RE-TAKEABLE since
+      // round 17: the new field is minted with a fresh PHYSICAL identity
+      // (graft.phys = "<name>#g<gen>"), so new files write under a name
+      // no retained file carries and the namesake's old bytes stay
+      // unreachable (Delta's field-id move in the name-chain machinery).
+      val logical = visibleCols(base).map(norm).toSet
+      val stored = base.fields.flatMap(f => f.name +: storedNames(f))
+        .map(norm).toSet
+      cols.foreach { f =>
+        require(!ReservedColumns.contains(norm(f.name)),
+          s"ADD COLUMNS on $root: '${f.name}' is reserved — op/seq are " +
+            "the change-envelope names, 'change' is the CDF feed marker")
+        require(!logical.contains(norm(f.name)),
+          s"ADD COLUMNS on $root: column '${f.name}' already exists")
+        require(!f.name.contains(","),
+          s"ADD COLUMNS on $root: '${f.name}' contains ',' — the alias " +
+            "chain is comma-delimited")
       }
+      val dup = cols.groupBy(f => norm(f.name)).collectFirst {
+        case (_, fs) if fs.size > 1 => fs.head.name }
+      require(dup.isEmpty,
+        s"ADD COLUMNS on $root: duplicate column '${dup.getOrElse("")}'")
+      // identity minting uses the prepare's TARGET generation; a rebase
+      // may commit higher — harmless, the string is an identity, not a
+      // pointer, and the collision check below still guards it
+      val gen = g0 + 1
+      val minted = cols.map { f =>
+        val f2 = f.copy(nullable = true)
+        if (!stored.contains(norm(f.name))) f2
+        else {
+          val phys = s"${f.name}#g$gen"
+          // '#g<gen>' identities are only ever minted here with a fresh
+          // generation id, so a collision means a user column literally
+          // carries the minted spelling — refuse rather than alias it
+          require(!stored.contains(norm(phys)),
+            s"ADD COLUMNS on $root: cannot mint physical identity " +
+              s"'$phys' — the name is already stored")
+          f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f2.metadata)
+            .putString(PhysKey, phys)
+            .build())
+        }
+      }
+      val widened = org.apache.spark.sql.types.StructType(
+        base.fields ++ minted)
+      Some(ddlHandle(sp, g0, cur, widened, "alter-add", prep))
     }
-    val widened = org.apache.spark.sql.types.StructType(
-      base.fields ++ minted)
-    writeManifest(spark, root, gen, cur.entries, cur.key,
-      batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
-      schema = Some(widened), sbatch = cur.sbatch)
-    Snapshots.commit(spark, root, gen, commitTsMillis)
-    gen
+    commitDdl(spark, root, prep, commitTsMillis)
+  }
+
+  /** The shared METADATA-ONLY staging of every optimistic DDL: no
+    * files, no DVs, empty conflict envelope (concurrent data commits
+    * rebase for free — the splice carries the winner's entries and
+    * records the overridden schema), schema-sensitive (a racing schema
+    * change replays through `prep`, which re-validates). */
+  private def ddlHandle(sp: SparkSession, g0: Long, cur: GenMeta,
+      schema: org.apache.spark.sql.types.StructType, modeName: String,
+      prep: (SparkSession, Long) => Option[PreparedMerge]): PreparedMerge =
+    PreparedMerge(g0, cur.key, 0, Set.empty, Seq.empty, Seq.empty,
+      changeLo = Long.MaxValue, changeHi = Long.MinValue,
+      changes = sp.emptyDataFrame, mode = modeName,
+      schemaOverride = Some(Some(schema)), schemaSensitive = true,
+      reprepare = Some(prep))
+
+  private def commitDdl(spark: SparkSession, root: String,
+      prep: (SparkSession, Long) => Option[PreparedMerge],
+      commitTsMillis: Long): Long = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    val h = prep(spark, g0).getOrElse(throw new IllegalStateException(
+      s"DDL prepare on $root staged nothing")) // prep always returns Some
+    commitPrepared(spark, root, h, commitTsMillis, maxAttempts = 20).gen
   }
 
   /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit (Delta-style
@@ -1879,9 +1912,11 @@ object MergeTable {
   def renameColumn(spark: SparkSession, root: String,
       from: String, to: String,
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
-    val cur = genMeta(spark, currentGenDir(spark, root))
+    // OPTIMISTIC since round 18 — see [[addColumns]]'s staging note
+    def prep(sp: SparkSession, g0: Long): Option[PreparedMerge] = {
+    val cur = genMeta(sp, Snapshots.genDir(root, g0))
     val base = cur.schema.getOrElse(
-      readResolved(spark, root, currentGenDir(spark, root)).schema)
+      readResolved(sp, root, Snapshots.genDir(root, g0)).schema)
     def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     val f = visibleStruct(base).fields.find(f => norm(f.name) == norm(from))
       .getOrElse(throw new IllegalArgumentException(
@@ -1933,13 +1968,10 @@ object MergeTable {
             .putString(PhysKey, to)
             .build())
     }
-    val gen = Snapshots.nextGen(spark, root)
-    writeManifest(spark, root, gen, cur.entries, cur.key,
-      batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
-      schema = Some(org.apache.spark.sql.types.StructType(renamed)),
-      sbatch = cur.sbatch)
-    Snapshots.commit(spark, root, gen, commitTsMillis)
-    gen
+    Some(ddlHandle(sp, g0, cur,
+      org.apache.spark.sql.types.StructType(renamed), "alter-rename", prep))
+    }
+    commitDdl(spark, root, prep, commitTsMillis)
   }
 
   /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit: the field is
@@ -1954,9 +1986,11 @@ object MergeTable {
     * a rebuild. */
   def dropColumn(spark: SparkSession, root: String, name: String,
       commitTsMillis: Long = System.currentTimeMillis()): Long = {
-    val cur = genMeta(spark, currentGenDir(spark, root))
+    // OPTIMISTIC since round 18 — see [[addColumns]]'s staging note
+    def prep(sp: SparkSession, g0: Long): Option[PreparedMerge] = {
+    val cur = genMeta(sp, Snapshots.genDir(root, g0))
     val base = cur.schema.getOrElse(
-      readResolved(spark, root, currentGenDir(spark, root)).schema)
+      readResolved(sp, root, Snapshots.genDir(root, g0)).schema)
     def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
     val f = visibleStruct(base).fields.find(f => norm(f.name) == norm(name))
       .getOrElse(throw new IllegalArgumentException(
@@ -1970,7 +2004,10 @@ object MergeTable {
       s"DROP COLUMN on $root: '${f.name}' contains ',' — the alias " +
         "chain is comma-delimited; shed such a column through a full " +
         "rewrite instead")
-    val gen = Snapshots.nextGen(spark, root)
+    // hidden-name minting uses the prepare's TARGET generation; a
+    // rebase may commit higher — the name is a unique label, not a
+    // pointer (same note as addColumns' identity minting)
+    val gen = g0 + 1
     val hidden = base.fields.map { x =>
       if (norm(x.name) != norm(name)) x
       else x.copy(name = s"__dropped_g${gen}_${x.name}",
@@ -1980,12 +2017,10 @@ object MergeTable {
           .putString(PrevKey, storedNames(x).mkString(","))
           .build())
     }
-    writeManifest(spark, root, gen, cur.entries, cur.key,
-      batchId = cur.batchId, dvs = cur.dvs, cstats = cur.cstats,
-      schema = Some(org.apache.spark.sql.types.StructType(hidden)),
-      sbatch = cur.sbatch)
-    Snapshots.commit(spark, root, gen, commitTsMillis)
-    gen
+    Some(ddlHandle(sp, g0, cur,
+      org.apache.spark.sql.types.StructType(hidden), "alter-drop", prep))
+    }
+    commitDdl(spark, root, prep, commitTsMillis)
   }
 
   /** One NET change per key: its highest-`seq` change — the shared
@@ -3717,29 +3752,8 @@ object MergeTable {
       commitTsMillis: Long = System.currentTimeMillis()): Int = {
     val genDir0 = currentGenDir(spark, root)
     val m0 = genMeta(spark, genDir0)
-    val lead = leadKey(m0.key)
-    val all = lead +: dims
-    require(dims.nonEmpty && all.distinct.size == all.size,
-      s"compactZOrderN($root): dims must be non-empty and distinct " +
-        s"from the leading key '$lead': ${dims.mkString(", ")}")
     val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
-    // string dims ride their order-preserving prefix embedding — the
-    // SAME domain the manifest's #cstat ranges store, so the clustered
-    // layout's tiles and the planner's pruning stats agree by
-    // construction; the wide-domain normalization pre-shifts instead
-    // of overflowing (Layout.normBitsAuto)
-    val dimVal = all.map(c => statVal(df.schema(c).dataType, col(c)))
-    val bits = graft.functions.InterleaveN.bitsFor(all.size)
-    val aggs = dimVal.flatMap(v => Seq(min(v), max(v)))
-    val b = df.agg(aggs.head, aggs.tail: _*).head
-    all.indices.foreach(i => require(!b.isNullAt(2 * i),
-      s"compactZOrderN($root): empty table or all-null ${all(i)} — " +
-        "no bounds to normalize against"))
-    val z = graft.functions.InterleaveN.interleaveN(
-      dimVal.zipWithIndex.map { case (v, i) =>
-        graft.ops.Layout.normBitsAuto(v, b.getLong(2 * i),
-          b.getLong(2 * i + 1), bits)
-      })
+    val z = clusterCodeN(root, df, m0, dims)
     val gen = Snapshots.nextGen(spark, root)
     val (entries, cstats) =
       writeFiles(spark, root, df, m0.key, gen, nFiles, cluster = Some(z))
@@ -3752,30 +3766,68 @@ object MergeTable {
     m0.entries.size
   }
 
-  private def compactClustered(spark: SparkSession, root: String,
-      dim2: String, nFiles: Int, commitTsMillis: Long, face: String,
-      code: (Column, Column) => Column): Int = {
-    val genDir0 = currentGenDir(spark, root)
-    val m0 = genMeta(spark, genDir0)
+  /** The N-way Morton code of (leading key, dims...) over the table's
+    * own bounds — [[clusterCode2]]'s n-dimensional sibling, shared by
+    * the legacy and OCC n-d clustered compactions. String dims ride
+    * their order-preserving prefix embedding (the SAME domain the
+    * manifest's #cstat ranges store, so the layout's tiles and the
+    * planner's pruning stats agree by construction); the wide-domain
+    * normalization pre-shifts instead of overflowing
+    * (Layout.normBitsAuto). */
+  private def clusterCodeN(root: String, df: DataFrame, m: GenMeta,
+      dims: Seq[String]): Column = {
+    val lead = leadKey(m.key)
+    val all = lead +: dims
+    require(dims.nonEmpty && all.distinct.size == all.size,
+      s"compactZOrderN($root): dims must be non-empty and distinct " +
+        s"from the leading key '$lead': ${dims.mkString(", ")}")
+    val dimVal = all.map(c => statVal(df.schema(c).dataType, col(c)))
+    val bits = graft.functions.InterleaveN.bitsFor(all.size)
+    val aggs = dimVal.flatMap(v => Seq(min(v), max(v)))
+    val b = df.agg(aggs.head, aggs.tail: _*).head
+    all.indices.foreach(i => require(!b.isNullAt(2 * i),
+      s"compactZOrderN($root): empty table or all-null ${all(i)} — " +
+        "no bounds to normalize against"))
+    graft.functions.InterleaveN.interleaveN(
+      dimVal.zipWithIndex.map { case (v, i) =>
+        graft.ops.Layout.normBitsAuto(v, b.getLong(2 * i),
+          b.getLong(2 * i + 1), bits)
+      })
+  }
+
+  /** The 2-d interleave code of (leading key, dim2) over the table's
+    * own bounds — ONE aggregation pass, shared by the legacy and OCC
+    * clustered compactions so the two faces cannot drift. String
+    * dimensions interleave through their order-preserving prefix
+    * embedding (StringPrefix64 — the #cstat/manifest-range domain, so
+    * layout tiles and pruning stats agree by construction); the u16
+    * normalization would overflow on the embedding's near-full-Long
+    * span, so normBitsAuto PRE-SHIFTS the wide domain instead of
+    * refusing (monotone floor-division — tile order exact). */
+  private def clusterCode2(root: String, df: DataFrame, m: GenMeta,
+      dim2: String, face: String,
+      code: (Column, Column) => Column): Column = {
     // composite keys interleave their LEADING column (the manifest-range
     // driver) with dim2; the full key still names the manifest
-    val key = leadKey(m0.key)
-    val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
-    // string dimensions interleave through their order-preserving
-    // prefix embedding (StringPrefix64 — the #cstat/manifest-range
-    // domain, so layout tiles and pruning stats agree by construction);
-    // the u16 normalization would overflow on the embedding's near-
-    // full-Long span, so normBitsAuto PRE-SHIFTS the wide domain
-    // instead of refusing (monotone floor-division — tile order exact)
+    val key = leadKey(m.key)
     val kVal = statVal(df.schema(key).dataType, col(key))
     val dVal = statVal(df.schema(dim2).dataType, col(dim2))
     val b = df.agg(min(kVal), max(kVal), min(dVal), max(dVal)).head
     (0 until 4).foreach(i => require(!b.isNullAt(i),
       s"$face($root): empty table or all-null " +
         s"${if (i < 2) key else dim2} — no bounds to normalize against"))
-    val z = code(
+    code(
       graft.ops.Layout.normBitsAuto(kVal, b.getLong(0), b.getLong(1), 16),
       graft.ops.Layout.normBitsAuto(dVal, b.getLong(2), b.getLong(3), 16))
+  }
+
+  private def compactClustered(spark: SparkSession, root: String,
+      dim2: String, nFiles: Int, commitTsMillis: Long, face: String,
+      code: (Column, Column) => Column): Int = {
+    val genDir0 = currentGenDir(spark, root)
+    val m0 = genMeta(spark, genDir0)
+    val df = readFiles(spark, root, m0.entries, m0.dvs, m0.schema)
+    val z = clusterCode2(root, df, m0, dim2, face, code)
     val gen = Snapshots.nextGen(spark, root)
     // the FULL key names the manifest (a clustered rewrite must not
     // silently drop trailing composite-key columns); the cluster code
@@ -3789,6 +3841,141 @@ object MergeTable {
       sbatch = m0.sbatch)
     Snapshots.commit(spark, root, gen, commitTsMillis)
     m0.entries.size
+  }
+
+  // ---- OCC-STAGED COMPACTION (round 18): the compact family through
+  // the SAME prepare/commit arbitration as optimize, so whole-table and
+  // CLUSTERED re-layout run CONCURRENTLY with live optimistic writers —
+  // a z-ordered 100 TB table under trickle ingest re-clusters without a
+  // maintenance window. Conflict footprint: touched = EVERY base file
+  // (the rewrite consumed them all); the change-key envelope is EMPTY
+  // (a compaction changes no keys), so concurrent disjoint ingest
+  // rebases manifest-only — the winner's new files carry beside the
+  // re-clustered outputs and a LATER pass re-clusters them. A winner
+  // rewriting or DV-ing a consumed file (C1/C2) replays: the closure
+  // re-reads and re-clusters against the winner's state. Base DVs fold
+  // into the rewrite and are dropped at splice (`baseDvs`).
+  //
+  // DELIBERATE DIVERGENCE from the legacy faces: the staged rewrite is
+  // written under the CURRENT PHYSICAL schema (`physSchema`) and the
+  // commit records the live state's schema — alias chains are KEPT, not
+  // cleared. Clearing requires every surviving file to be rewritten
+  // under logical names, but a concurrent winner's carried files store
+  // bytes under the PRIOR physical names — a cleared chain would
+  // silently null-fill them (row-level data loss). Chain-shedding
+  // therefore remains the quiescent legacy [[compact]]'s job; the OCC
+  // faces trade it for running inside the writer loop.
+
+  /** [[prepareOptimizeAgainst]]'s FULL-REWRITE sibling: stage a
+    * compaction (optionally clustered) of generation `g0`'s entire
+    * live row set, commit nothing. None = empty manifest (nothing to
+    * rewrite — the replay-to-noop case). */
+  private[graft] def prepareCompactAgainst(spark: SparkSession, root: String,
+      g0: Long, nFiles: Int,
+      clusterOf: (DataFrame, GenMeta) => Option[Column],
+      modeName: String): Option[PreparedMerge] = {
+    val m = genMeta(spark, Snapshots.genDir(root, g0))
+    if (m.entries.isEmpty) return None
+    val df = readFiles(spark, root, m.entries, m.dvs, m.schema)
+    val (entries, cstats) = writeFiles(spark, root, df, m.key, g0 + 1,
+      nFiles, cluster = clusterOf(df, m), physSchema = m.schema)
+    Some(PreparedMerge(g0, m.key, nFiles, m.entries.map(_.name).toSet,
+      entries, cstats,
+      changeLo = Long.MaxValue, changeHi = Long.MinValue, // C3 never fires
+      changes = spark.emptyDataFrame, mode = modeName,
+      baseDvs = m.dvs.toSet,
+      reprepare = Some((sp, g) =>
+        prepareCompactAgainst(sp, root, g, nFiles, clusterOf, modeName))))
+  }
+
+  private def compactOccVia(spark: SparkSession, root: String,
+      nFiles: Int, commitTsMillis: Long, maxAttempts: Int,
+      clusterOf: (DataFrame, GenMeta) => Option[Column],
+      modeName: String): Int = {
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    prepareCompactAgainst(spark, root, g0, nFiles, clusterOf, modeName) match {
+      case None => 0
+      case Some(h) =>
+        val (o, hf) = commitPreparedCore(spark, root, h, commitTsMillis,
+          maxAttempts)
+        if (o.path == "noop") 0 else hf.touchedNames.size
+    }
+  }
+
+  /** [[compact]] as an OPTIMISTIC writer — whole-table rewrite (and DV
+    * purge: base DVs fold into the rewrite) that runs CONCURRENTLY
+    * with live occ pipelines; alias chains are kept, not cleared (see
+    * the divergence note above). Returns files rewritten. */
+  def compactOcc(spark: SparkSession, root: String, nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20): Int =
+    compactOccVia(spark, root, nFiles, commitTsMillis, maxAttempts,
+      (_, _) => None, "compact-occ")
+
+  /** [[compactZOrder]] as an OPTIMISTIC writer — the 2-d Morton
+    * re-cluster inside the commit-arbitration loop; a conflict replay
+    * re-reads AND re-normalizes against the winner's state (its bounds
+    * may have moved). */
+  def compactZOrderOcc(spark: SparkSession, root: String, dim2: String,
+      nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20): Int =
+    compactOccVia(spark, root, nFiles, commitTsMillis, maxAttempts,
+      (df, m) => Some(clusterCode2(root, df, m, dim2, "compactZOrderOcc",
+        graft.functions.ZOrder64.zorder64)), "compact-zorder-occ")
+
+  /** [[compactHilbert]] as an OPTIMISTIC writer. */
+  def compactHilbertOcc(spark: SparkSession, root: String, dim2: String,
+      nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20): Int =
+    compactOccVia(spark, root, nFiles, commitTsMillis, maxAttempts,
+      (df, m) => Some(clusterCode2(root, df, m, dim2, "compactHilbertOcc",
+        graft.functions.Hilbert32.hilbert32)), "compact-hilbert-occ")
+
+  /** [[compactZOrderN]] as an OPTIMISTIC writer. */
+  def compactZOrderNOcc(spark: SparkSession, root: String,
+      dims: Seq[String], nFiles: Int = 8,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20): Int =
+    compactOccVia(spark, root, nFiles, commitTsMillis, maxAttempts,
+      (df, m) => Some(clusterCodeN(root, df, m, dims)),
+      "compact-zordern-occ")
+
+  /** [[rollbackTo]] as an OPTIMISTIC commit — the restore manifest is
+    * staged (files of generation `g` BY REFERENCE — nothing copied,
+    * nothing deletable) and committed through the same claim loop, but
+    * with `strictAdvance`: ANY commit landing since the current state
+    * was read REFUSES loudly instead of arbitrating — "restore g" was a
+    * decision about a history that no longer ends where the caller saw
+    * it end, and silently erasing the concurrent commit is precisely
+    * the lost update the loop exists to prevent. Idempotence fences
+    * carry from the CURRENT state (a rollback must not re-admit
+    * already-applied stream batches), exactly like the legacy face. */
+  def rollbackToOcc(spark: SparkSession, root: String, g: Long,
+      commitTsMillis: Long = System.currentTimeMillis()): Long =
+    commitPrepared(spark, root, prepareRollback(spark, root, g),
+      commitTsMillis, maxAttempts = 5).gen
+
+  /** [[rollbackToOcc]]'s staging half — a handle referencing generation
+    * `g`'s committed files BY NAME (nothing copied, nothing owned),
+    * strict against any concurrent advancement. */
+  private[graft] def prepareRollback(spark: SparkSession, root: String,
+      g: Long): PreparedMerge = {
+    val srcDir = Snapshots.resolveAt(spark, root, g) // must be committed
+    val src = genMeta(spark, srcDir)
+    val g0 = Snapshots.currentGen(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    val cur = genMeta(spark, Snapshots.genDir(root, g0))
+    PreparedMerge(g0, cur.key, 0,
+      touchedNames = cur.entries.map(_.name).toSet,
+      newEntries = src.entries, newCstats = src.cstats,
+      changeLo = Long.MaxValue, changeHi = Long.MinValue,
+      changes = spark.emptyDataFrame, mode = "rollback",
+      schemaOverride = Some(src.schema),
+      dvsOverride = Some(src.dvs),
+      ownsStaged = false, strictAdvance = true)
   }
 
   /** Retire old generations ([[Snapshots.sweep]] semantics — count-based
@@ -3948,7 +4135,47 @@ object MergeTable {
       // FULL candidate set (an undelete could restore a matching row in
       // a candidate the change set never keyed). Guards C1/C2 only; the
       // commit splice still swaps exactly `touchedNames`.
-      conflictNames: Set[String] = Set.empty)
+      conflictNames: Set[String] = Set.empty,
+      // the prepare's NET change-row count when the prepare already paid
+      // for it (the auto-pricer's nNet) — what the SQL DML faces report
+      // as rows affected without a second read of the candidate files.
+      // -1 = not counted.
+      netCount: Long = -1L,
+      // METADATA handles (DDL / rollback): the schema the commit must
+      // RECORD instead of carrying the live state's. Outer None = no
+      // override (the default for every data staging); Some(inner) =
+      // record exactly `inner` (inner None = a legacy schema-less
+      // manifest, the rollback-to-legacy case).
+      schemaOverride: Option[Option[
+        org.apache.spark.sql.types.StructType]] = None,
+      // conflict class D (metadata): the override above was computed
+      // FROM the base generation's schema — a winner that changed the
+      // schema since base invalidates it, so the commit must replay
+      // (the re-prepare recomputes against the winner's schema). Data
+      // commits that leave the schema untouched rebase for free.
+      schemaSensitive: Boolean = false,
+      // FULL-REWRITE handles (compact family): every base data file is
+      // touched and read THROUGH the base DVs, so those DVs are folded
+      // into the staged rewrite — the splice must drop them (they'd
+      // dangle) while keeping any DV a concurrent winner added for its
+      // OWN files (a winner DV targeting a touched file is a C2 replay,
+      // so the survivors provably target only carried winner files).
+      baseDvs: Set[String] = Set.empty,
+      // ROLLBACK handles: the manifest's DV list verbatim (the restored
+      // generation's own sidecars). Takes precedence over the carried-
+      // state DV splice.
+      dvsOverride: Option[Seq[String]] = None,
+      // ROLLBACK handles reference COMMITTED files of the restored
+      // generation as `newEntries` — a discard (replay/abandon) must
+      // never delete them. True (default) = the staging minted its own
+      // uuid files and owns their lifecycle.
+      ownsStaged: Boolean = true,
+      // ROLLBACK handles: ANY commit landing since base refuses loudly
+      // instead of rebasing/replaying — "restore generation g" computed
+      // against a state that then advanced would silently erase the
+      // winner's commit (a lost update by construction; the caller must
+      // re-decide against the new history, not have the verb decide).
+      strictAdvance: Boolean = false)
 
   /** `path`: "clean" (no concurrent commit since base), "rebased"
     * (concurrent commits were disjoint — staged files reused verbatim,
@@ -3982,6 +4209,34 @@ object MergeTable {
       throw new IllegalStateException(s"no committed generation under $root"))
     prepareAgainstMor(spark, root, g0, changes, key, nFiles)
   }
+
+  /** The manifest metadata of a PINNED committed generation — what a
+    * re-preparing SQL command reads its frames from (the closure's `g`
+    * is the winner's generation, not the current one by the time the
+    * read plans). */
+  private[graft] def metaAt(spark: SparkSession, root: String,
+      g: Long): GenMeta =
+    genMeta(spark, Snapshots.genDir(root, g))
+
+  /** [[prepareMergeAuto]] against a PINNED base generation — the hook
+    * the SQL MERGE command's re-evaluating replay closure stages
+    * through (its matched/not-matched computation is a function of the
+    * generation it ran against, so prepare and computation must share
+    * the pin). */
+  private[graft] def prepareMergeAutoAt(spark: SparkSession, root: String,
+      g0: Long, changes: DataFrame, key: String, nFiles: Int = 4,
+      morAmplificationAbove: Double = 8.0): PreparedMerge =
+    prepareAutoAgainst(spark, root, g0, changes, key, nFiles,
+      morAmplificationAbove)
+
+  /** [[commitPrepared]] returning the FINAL committed handle too — the
+    * SQL faces read their row/file metrics from it (a replay
+    * re-prepares, so the committed staging may not be the caller's). */
+  private[graft] def commitPreparedWithHandle(spark: SparkSession,
+      root: String, prepared: PreparedMerge,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 5): (OccOutcome, PreparedMerge) =
+    commitPreparedCore(spark, root, prepared, commitTsMillis, maxAttempts)
 
   /** [[prepareMerge]]'s stats-dispatched twin — price the batch
     * against the current snapshot and stage COW or MOR accordingly;
@@ -4121,7 +4376,10 @@ object MergeTable {
         if (amp > morAmplificationAbove)
           prepareAgainstMor(spark, root, g0, changes, key, nFiles, Some(c))
         else prepareAgainst(spark, root, g0, changes, key, nFiles, Some(c))
-      h.copy(mode = "auto", morAmplificationAbove = morAmplificationAbove)
+      // the net count was paid for by the pricing — ride it on the
+      // handle so the SQL DML faces report rows affected for free
+      h.copy(mode = "auto", morAmplificationAbove = morAmplificationAbove,
+        netCount = nNet)
     } finally c.net.unpersist(blocking = false)
   }
 
@@ -4223,8 +4481,15 @@ object MergeTable {
           .limit(0).filter(predicate)
       else readFiles(spark, root, candidates, m.dvs, m.schema)
         .filter(predicate)
+    // the when/otherwise wrap is TYPE-semantics parity with the legacy
+    // updateWhere: the conditional coerces the assignment to the common
+    // type with the column (an int literal widens to a bigint column),
+    // so exactly the assignments the legacy face accepts pass the drift
+    // guard below — `matching` is already predicate-filtered, so the
+    // branch is always taken and the VALUE is the assignment's
     val assigned = matching.select(visibleCols(schema).map(c =>
-      set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      set.get(c).map(a => when(predicate, a).otherwise(col(c)).as(c))
+        .getOrElse(col(c))): _*)
     // the type-drift guard updateWhere enforces: files contradicting
     // the recorded #schema brick every later schema-on-read
     assigned.schema.fields.zip(visibleStruct(schema).fields)
@@ -4257,6 +4522,49 @@ object MergeTable {
       morAmplificationAbove).map(h =>
       commitPrepared(spark, root, h, commitTsMillis, maxAttempts))
 
+  /** [[deleteWhereOcc]] returning the DELETED ROW COUNT — what the SQL
+    * `DELETE FROM` face reports. The count is the committed prepare's
+    * own net-change count (paid for by the auto-pricing), so a conflict
+    * replay's re-evaluation is what gets counted — never the stale
+    * first attempt. 0 = nothing matched (no commit). */
+  private[graft] def deleteWhereOccCounted(spark: SparkSession,
+      root: String, predicate: Column, nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20,
+      morAmplificationAbove: Double = 8.0): Long =
+    prepareDeleteWhere(spark, root, predicate, nFiles,
+      morAmplificationAbove) match {
+      case None => 0L
+      case Some(h) =>
+        val (o, hf) = commitPreparedCore(spark, root, h, commitTsMillis,
+          maxAttempts)
+        if (o.path == "noop") 0L else math.max(0L, hf.netCount)
+    }
+
+  /** [[updateWhereOcc]] returning the (files rewritten, files carried)
+    * pair the SQL `UPDATE` face reports — a MOR-priced staging rewrote
+    * nothing (its work is a DV + appends), mirroring what the metrics
+    * mean on the legacy face. */
+  private[graft] def updateWhereOccCounted(spark: SparkSession,
+      root: String, predicate: Column, set: Map[String, Column],
+      nFiles: Int = 4,
+      commitTsMillis: Long = System.currentTimeMillis(),
+      maxAttempts: Int = 20,
+      morAmplificationAbove: Double = 8.0): (Int, Int) =
+    prepareUpdateWhere(spark, root, predicate, set, nFiles,
+      morAmplificationAbove) match {
+      case None => (0, currentManifest(spark, root).size)
+      case Some(h) =>
+        val (o, hf) = commitPreparedCore(spark, root, h, commitTsMillis,
+          maxAttempts)
+        if (o.path == "noop") (0, currentManifest(spark, root).size)
+        else {
+          val total = manifest(spark, Snapshots.genDir(root, o.gen)).size
+          (if (hf.morStaged) 0 else hf.touchedNames.size,
+            total - hf.newEntries.size)
+        }
+    }
+
   /** File-granular conflict test between what `h` read/affected at its
     * base and everything committed since (the Delta commit-conflict
     * rules, envelope-coarse on inserts):
@@ -4274,6 +4582,11 @@ object MergeTable {
       h: PreparedMerge, now: GenMeta): Boolean = {
     if (!Snapshots.generations(spark, root).contains(h.baseGen)) return true
     val base = genMeta(spark, Snapshots.genDir(root, h.baseGen))
+    // D — METADATA conflict (schema-sensitive handles only): the
+    // handle's schemaOverride was derived from base's schema; a winner
+    // that changed the schema since base (a racing ALTER) invalidates
+    // the derivation — replay recomputes it against the winner's schema
+    if (h.schemaSensitive && now.schema != base.schema) return true
     val baseNames = base.entries.map(_.name).toSet
     // C1/C2 guard the REWRITTEN set plus a predicate writer's wider
     // candidate set (conflictNames); the splice still swaps exactly
@@ -4332,12 +4645,20 @@ object MergeTable {
     * interleave LEGACY two-step writers — [[merge]], [[mergeMor]],
     * [[stageMerge]], [[compact]], [[compactZOrder]],
     * [[deleteWhere]], [[updateWhere]], [[rollbackTo]] — with optimistic
-    * committers ([[optimize]] is NOT on that list: it stages through
-    * this loop and runs concurrently with live occ writers; concurrent
-    * predicate DML likewise goes through [[deleteWhereOcc]] /
-    * [[updateWhereOcc]], whose conflict replays RE-EVALUATE the
-    * predicate against the winner's state): a crashed
-    * legacy staging under `_gen-(gNow+1)` blocks
+    * committers. Every one of those verbs now has an in-loop face that
+    * runs CONCURRENTLY with live occ writers instead: [[optimize]]
+    * stages through this loop natively; predicate DML goes through
+    * [[deleteWhereOcc]] / [[updateWhereOcc]] (conflict replays
+    * RE-EVALUATE the predicate against the winner's state); compaction
+    * through [[compactOcc]] / [[compactZOrderOcc]] /
+    * [[compactHilbertOcc]] / [[compactZOrderNOcc]] (replays re-read and
+    * re-cluster; alias chains kept — chain-shedding alone still needs
+    * the quiescent legacy [[compact]]); restore through
+    * [[rollbackToOcc]] (refuses loudly if the table advanced); and the
+    * ALTER family ([[addColumns]] / [[renameColumn]] / [[dropColumn]])
+    * commits optimistically since round 18. The registered SQL surface
+    * (DML commands and `CALL lake.*`) routes through the occ faces.
+    * A crashed legacy staging under `_gen-(gNow+1)` blocks
     * the rename until discarded ([[discardStaged]]) — the give-up error
     * names it — and a legacy writer racing an optimistic commit fails
     * loudly at its own manifest write (the marker guard) rather than
@@ -4378,6 +4699,16 @@ object MergeTable {
       if (gNow != h.baseGen) {
         require(state.key == h.key,
           s"table key changed under prepared merge (${h.key})")
+        // strict handles (rollback): restoring a past state over a
+        // winner's commit would erase it — refuse, never arbitrate
+        if (h.strictAdvance) {
+          discardStaging(f, root, h)
+          throw new IllegalStateException(
+            s"${h.mode} on $root: the table advanced (generation " +
+              s"${h.baseGen} -> $gNow) while the ${h.mode} was staged — " +
+              "committing would erase the concurrent commit; re-examine " +
+              "the new history and re-run if the restore is still wanted")
+        }
         if (hasConflict(spark, root, h, state)) {
           discardStaging(f, root, h)
           // the replay honors the handle's REQUESTED mode: cow/mor
@@ -4439,8 +4770,15 @@ object MergeTable {
               e.copy(bytes = if (e.bytes >= 0) e.bytes else b,
                 rows = if (e.rows >= 0) e.rows else r) })
           val carriedNames = carried.map(_.name).toSet
+          // DV splice: a rollback override is verbatim; a full-rewrite
+          // handle (compact family) drops the base DVs it folded into
+          // the rewrite (a C2 check already replayed any winner DV
+          // targeting a touched file, so the survivors target only
+          // carried winner files); everything else carries the live set
           (carried ++ h.newEntries,
-            if (carried.isEmpty) Seq.empty[String] else state.dvs,
+            h.dvsOverride.getOrElse(
+              if (carried.isEmpty) Seq.empty[String]
+              else state.dvs.filterNot(h.baseDvs)),
             state.cstats.filter(s =>
               carriedNames.contains(s.file)) ++ h.newCstats)
         }
@@ -4456,9 +4794,13 @@ object MergeTable {
       f.mkdirs(tmp)
       val out = f.create(new Path(tmp, ManifestName), false)
       // the schema is the CURRENT state's (a winner may have evolved it;
-      // our staged files simply null-fill any column they predate)
+      // our staged files simply null-fill any column they predate) —
+      // unless the handle IS a schema change (DDL) or a restore
+      // (rollback), whose override the schema-sensitive conflict rule
+      // guarantees was derived from this very state's schema
       out.write(manifestBytes(entries, h.key,
-        state.batchId, dvs, cstats, state.schema, fences,
+        state.batchId, dvs, cstats,
+        h.schemaOverride.getOrElse(state.schema), fences,
         applied = h.streamBatch.map(_._2)))
       out.close()
       val mk = f.create(new Path(tmp, Snapshots.markerName), false)
@@ -4524,6 +4866,9 @@ object MergeTable {
     * replay, a refused fence, and an explicit abandon. */
   private def discardStaging(f: org.apache.hadoop.fs.FileSystem,
       root: String, h: PreparedMerge): Unit = {
+    // a rollback handle's newEntries are COMMITTED files of the restored
+    // generation, referenced by name — never staged, never deletable here
+    if (!h.ownsStaged) return
     h.newEntries.foreach(e =>
       f.delete(new Path(filePath(root, e.name)), false))
     h.dvName.foreach(n => f.delete(new Path(filePath(root, n)), false))
