@@ -49,5 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("changes_paired"),
       new ExpressionInfo("graft", "changes_paired"),
       graft.plans.ChangesTableFunction.buildPaired))
+    // `SELECT * FROM changes_paired_per_commit('lake', 2, 5)` — pairing
+    // at COMMIT granularity: each retained generation hop pairs
+    // independently (rows carry their `generation`), so a delete and a
+    // later-commit re-insert stay d/i instead of collapsing to an
+    // update pair
+    ext.injectTableFunction((
+      FunctionIdentifier("changes_paired_per_commit"),
+      new ExpressionInfo("graft", "changes_paired_per_commit"),
+      graft.plans.ChangesTableFunction.buildPairedPerCommit))
   }
 }

@@ -214,6 +214,7 @@ object SparkEntry {
     "t_change_feed_cow"     -> (streaming.MergeTable.changeFeedCowQuery _),
     "t_change_feed_updates" -> (streaming.MergeTable.changeFeedUpdatesQuery _),
     "t_merge_read_in"       -> (streaming.MergeTable.mergeReadInQuery _),
+    "t_merge_read_in_str"   -> (streaming.MergeTable.mergeReadInStrQuery _),
   )
 
   /** The curation funnel's stage CTE chain, ending at relation `f` of
@@ -2437,6 +2438,21 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
         |FROM base WHERE price_cents IN (SELECT v FROM vs)
         |ORDER BY o_orderkey""".stripMargin,
+    // t_merge_read_in_str: the 12-value STRING IN (past Spark's
+    // OptimizeIn threshold, so the pushed filter is an InSet over raw
+    // UTF8Strings) recomputed from raw orders — a false file skip
+    // through the prefix-embedding probe is silent row loss
+    "t_merge_read_in_str" ->
+      ("""SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+        |       concat('b', lpad(CAST(o_orderkey // 100 AS VARCHAR), 4, '0')) AS o_band
+        |FROM orders
+        |WHERE concat('b', lpad(CAST(o_orderkey // 100 AS VARCHAR), 4, '0'))
+        |        IN (""".stripMargin +
+        (1 to 12).map(i => f"'b$i%04d'").mkString(", ") +
+        """)
+        |  AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin),
     // t_change_feed_cow: the feed window crosses a WHOLE-TABLE compact
     // (every row re-filed under new names) plus one small COW merge —
     // the netting must cancel ALL rewrite churn, leaving exactly the

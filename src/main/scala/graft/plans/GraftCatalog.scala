@@ -324,10 +324,34 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     // time travel keeps old names, stats keyed by name-at-write keep
     // applying. Consecutive ADDs coalesce into one commit (the plain
     // ADD COLUMNS statement stays one generation).
+    // Each apply below is its own OPTIMISTIC commit (round 18) whose
+    // conflict replay REVALIDATES against the live schema — so a
+    // concurrent writer landing between phase 1 and an apply surfaces
+    // as that apply's own loud refusal, not a corrupt commit. The
+    // statement is still NOT atomic ACROSS its changes under such a
+    // race: a failure after earlier sibling changes committed must say
+    // so explicitly, never let the phase-1 "(no change was applied)"
+    // wording be inferred (the r17 advice's scoping ask).
+    var appliedChanges = 0
+    def applying[T](what: String)(body: => T): T =
+      try { val r = body; appliedChanges += 1; r }
+      catch {
+        case e: Throwable if appliedChanges > 0 =>
+          throw new IllegalStateException(
+            s"ALTER TABLE ${ident.name}: '$what' failed AFTER " +
+              s"$appliedChanges earlier change(s) of this statement " +
+              "committed (a concurrent writer changed the table between " +
+              "validation and apply) — the statement is not atomic " +
+              "across its changes; inspect history() and re-issue the " +
+              "remainder", e)
+      }
     val pendingAdds =
       scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.types.StructField]()
     def flushAdds(): Unit = if (pendingAdds.nonEmpty) {
-      MergeTable.addColumns(spark, root, pendingAdds.toSeq)
+      val names = pendingAdds.map(_.name).mkString(", ")
+      applying(s"ADD COLUMNS $names") {
+        MergeTable.addColumns(spark, root, pendingAdds.toSeq)
+      }
       pendingAdds.clear()
     }
     changes.foreach {
@@ -336,10 +360,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           a.fieldNames().head, a.dataType(), nullable = true)
       case r: TableChange.RenameColumn =>
         flushAdds()
-        MergeTable.renameColumn(spark, root, r.fieldNames().head, r.newName())
+        applying(s"RENAME COLUMN ${r.fieldNames().head} TO ${r.newName()}") {
+          MergeTable.renameColumn(spark, root, r.fieldNames().head,
+            r.newName())
+        }
       case d: TableChange.DeleteColumn =>
         flushAdds()
-        MergeTable.dropColumn(spark, root, d.fieldNames().head)
+        applying(s"DROP COLUMN ${d.fieldNames().head}") {
+          MergeTable.dropColumn(spark, root, d.fieldNames().head)
+        }
       case _ => () // unreachable: phase 1 refused it
     }
     flushAdds()

@@ -282,7 +282,9 @@ object MergeTableDml {
   }
 
   /** `INSERT INTO <merge-table> [(cols)|BY NAME] <query>` → a pure
-    * 'c' change batch through the COW merge. The table is KEYED
+    * 'c' change batch through the auto-priced OPTIMISTIC merge
+    * (round 18: a conflict replay re-probes the PK guards against the
+    * winner's state). The table is KEYED
     * (last-wins upsert semantics), so this face enforces the ANSI
     * primary-key contract INSERT implies: in-batch duplicate keys and
     * keys already present both refuse loudly — silently upserting on an
@@ -307,12 +309,24 @@ object MergeTableDml {
         throw new org.apache.spark.sql.AnalysisException(
           "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg))
       val mt = graft.streaming.MergeTable
-      // ONE manifest fetch serves key, schema and the PK probe
-      val meta = mt.currentMeta(session, root)
+      // OPTIMISTIC since round 18 (same shape as the MERGE command):
+      // the mapping, PK guards and existing-key probe live in a
+      // prepare closure pinned to a generation — a conflict replay
+      // re-probes against the winner's state, so a winner inserting
+      // the same key surfaces as this statement's own loud PK refusal
+      // instead of a silent last-wins overwrite. The natural change-key
+      // envelope suffices here: any winner file overlapping the
+      // inserted key span is a C3 replay, and the clash probe's
+      // candidate files are the staging's own touched set (C1/C2).
+      var lastN = 0L
+      def prep(sp: SparkSession, g0: Long): Option[mt.PreparedMerge] = {
+      // ONE manifest fetch (pinned at g0) serves key, schema and the
+      // PK probe
+      val meta = mt.metaAt(sp, root, g0)
       val tgtSchema = meta.schema.map(mt.visibleStruct)
-        .getOrElse(mt.read(session, root).schema)
+        .getOrElse(mt.readMeta(sp, root, meta).schema)
       val tCols = tgtSchema.fieldNames.toSeq
-      val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(session, query)
+      val src = org.apache.spark.sql.graft.PlanBridge.dataFrame(sp, query)
       // column names resolve case-insensitively (Spark SQL's default)
       // to the table's canonical spelling — including the manifest #key
       // (composite keys: identity is the TUPLE of canonical columns)
@@ -375,7 +389,7 @@ object MergeTableDml {
           "(the upsert verb is MERGE)")
       // …and no collision with EXISTING keys: probe only the key columns
       // of manifest-range-touched files (never a table scan)
-      val clash = mt.readWhereKeysOf(session, root, meta,
+      val clash = mt.readWhereKeysOf(sp, root, meta,
         rows.select(ks.map(k => col(s"`$k`")): _*)).limit(1).collect()
       if (clash.nonEmpty) throw new IllegalStateException(
         s"INSERT INTO $table: key " +
@@ -383,11 +397,31 @@ object MergeTableDml {
           "already exists — INSERT never overwrites on a keyed table " +
           "(the upsert verb is MERGE)")
       val n = rows.count()
-      if (n == 0) return Seq(Row(0L, 0, 0))
-      val changes = rows
-        .withColumn("op", lit("c")).withColumn("seq", lit(1L))
-      val (rw, ca) = mt.merge(session, root, changes, meta.key)
-      Seq(Row(n, rw, ca))
+      if (n == 0) None
+      else {
+        lastN = n
+        val changes = rows
+          .withColumn("op", lit("c")).withColumn("seq", lit(1L))
+        Some(mt.prepareMergeAutoAt(sp, root, g0, changes, meta.key)
+          .copy(mode = "sql-insert",
+            reprepare = Some((s2, g2) => prep(s2, g2))))
+      }
+      }
+      val g0 = graft.streaming.Snapshots.currentGen(session, root)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed generation under $root"))
+      prep(session, g0) match {
+        case None => Seq(Row(0L, 0, 0))
+        case Some(h) =>
+          val (o, hf) = mt.commitPreparedWithHandle(session, root, h,
+            maxAttempts = 20)
+          if (o.path == "noop") Seq(Row(0L, 0, 0))
+          else {
+            val total = mt.metaAt(session, root, o.gen).entries.size
+            Seq(Row(lastN, if (hf.morStaged) 0 else hf.touchedNames.size,
+              total - hf.newEntries.size))
+          }
+      }
     }
   }
 

@@ -388,7 +388,7 @@ object HistoryTableFunction {
 object ChangesTableFunction {
   def build(args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    buildWith(args, paired = false, fn = "changes")
+    buildWith(args, mode = "raw", fn = "changes")
 
   /** `changes_paired('t', a, b)` — the UPDATE-PAIRED feed
     * ([[graft.streaming.MergeTable.changesBetweenPaired]]): same diff,
@@ -396,11 +396,22 @@ object ChangesTableFunction {
   def buildPaired(
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    buildWith(args, paired = true, fn = "changes_paired")
+    buildWith(args, mode = "paired", fn = "changes_paired")
+
+  /** `changes_paired_per_commit('t', a, b)` — pairing at COMMIT
+    * granularity ([[graft.streaming.MergeTable
+    * .changesBetweenPairedPerCommit]]): each retained generation hop
+    * pairs independently and rows carry their `generation`, so a
+    * delete + later-commit re-insert reports as its true d/i events
+    * instead of the windowed form's update collapse. */
+  def buildPairedPerCommit(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    buildWith(args, mode = "perCommit", fn = "changes_paired_per_commit")
 
   private def buildWith(
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      paired: Boolean, fn: String)
+      mode: String, fn: String)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     def refuse(msg: String): Nothing =
@@ -421,11 +432,15 @@ object ChangesTableFunction {
         SnapshotSqlCatalog.mergeRootOf(spark, Seq(name)) match {
           case Some(root) =>
             try {
-              val df =
-                if (paired) graft.streaming.MergeTable
-                  .changesBetweenPaired(spark, root, gen(fromE), gen(toE))
-                else graft.streaming.MergeTable
-                  .changesBetween(spark, root, gen(fromE), gen(toE))
+              val mt = graft.streaming.MergeTable
+              val df = mode match {
+                case "paired" =>
+                  mt.changesBetweenPaired(spark, root, gen(fromE), gen(toE))
+                case "perCommit" => mt.changesBetweenPairedPerCommit(
+                  spark, root, gen(fromE), gen(toE))
+                case _ =>
+                  mt.changesBetween(spark, root, gen(fromE), gen(toE))
+              }
               df.queryExecution.analyzed
             }
             catch { case e: IllegalArgumentException => refuse(e.getMessage) }

@@ -90,8 +90,23 @@ class MergeTableCdf extends StreamSourceProvider with DataSourceRegister {
       s"merge-cdf: startGen $startGen is beyond the latest committed " +
         s"generation $latest under $root")
     val paired = parameters.get("pairUpdates").exists(_.toBoolean)
+    val pinned = MergeTableCdf.takePinned(parameters)
+    // instance-reuse breadcrumb (r17 advice): the pin relies on Spark's
+    // DataSource passing the SAME caseInsensitiveOptions instance to
+    // sourceSchema and createSource — internal behavior, not API. A
+    // miss here is legal on a handle RE-start, but if a Spark upgrade
+    // stops reusing the instance it fires on EVERY first start — the
+    // warning names the regression scope before the width assert would
+    // (loudly) kill a stream straddling an evolution commit.
+    if (pinned.isEmpty) MergeTableCdf.log.warn(
+      "merge-cdf: no analysis-time schema pin for this start (re-start " +
+        "of an already-started handle, or the Spark runtime no longer " +
+        "reuses the options instance between sourceSchema and " +
+        "createSource) — falling back to fresh schema derivation; an " +
+        "evolution commit between .load() and .start() would then fail " +
+        "the width assert instead of serving the analyzed shape")
     new MergeTableCdfSource(sqlContext.sparkSession, root, startGen,
-      MergeTableCdf.takePinned(parameters), paired)
+      pinned, paired)
   }
 }
 
@@ -133,6 +148,9 @@ object MergeTableCdf {
       case _ => false
     }
   }
+
+  private[sources] val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val pinnedSchema =
     new java.util.concurrent.ConcurrentHashMap[IdentityBox, StructType]()

@@ -2322,6 +2322,30 @@ object MergeTable {
       .orderBy(col("o_orderkey"))
   }
 
+  /** t_merge_read_in_str — STRING IN-list file skipping THROUGH
+    * REGISTERED SQL TEXT (the r17 verdict's ask #8): the str_orders
+    * fixture (key-correlated band label whose per-file ranges ride the
+    * [[graft.functions.StringPrefix64]]-embedded `#cstat` machine)
+    * served a 12-value band `IN` — PAST the optimizer's 10-value
+    * OptimizeIn threshold, so the pushed dataFilter reaches
+    * [[extractPoints]] as an `InSet` over raw UTF8String values, which
+    * must embed and prune exactly like the Column-API `In`. A false
+    * file skip is silent row loss; the DuckDB hash gate catches
+    * exactly that, and MergeTableSpec pins the plan side (the physical
+    * scan opens a strict file subset). */
+  def mergeReadInStrQuery(spark: SparkSession, dir: String): DataFrame = {
+    mergeReadStringPrunedQuery(spark, dir) // sig-gated build of str_orders
+    val root = graft.ops.Layout.indexPath("str_orders", dir)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "str_orders_sql",
+      root)
+    val bands = (1 to 12).map(i => f"'b$i%04d'").mkString(", ")
+    spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, price_cents, o_band
+         |FROM str_orders_sql
+         |WHERE o_band IN ($bands) AND o_orderstatus = 'O'
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** t_merge_into — the oracled batch face: a MergeTable built from
     * `orders` (money as exact integer cents), hit with one deterministic
     * MERGE batch exercising every clause — updates (key%10=3 doubles the
@@ -2925,6 +2949,31 @@ object MergeTable {
           .when(col("change") === "d", lit("delete"))
           .otherwise(lit("insert")))
       .drop("__kinds")
+  }
+
+  /** [[changesBetweenPaired]] at COMMIT granularity — the consumer
+    * option the windowed form cannot offer: the window is walked
+    * generation hop by generation hop (over the SAME diff machinery,
+    * cost still ∝ each hop's change set — never a table scan), pairing
+    * within each hop only, and every row carries the `generation` that
+    * committed it. The semantic difference, pinned in spec: a key
+    * deleted in one commit and re-inserted in a LATER commit reports
+    * as its true 'delete' + 'insert' events here, where the windowed
+    * default (netting across the whole span, like Delta nets within a
+    * commit) collapses it into an update pair. Granularity = RETAINED
+    * commit granularity: hops across swept generations merge into one
+    * (their intermediate states are unrecoverable by construction). */
+  def changesBetweenPairedPerCommit(spark: SparkSession, root: String,
+      gFrom: Long, gTo: Long): DataFrame = {
+    val all = Snapshots.generations(spark, root).sorted
+    val within = all.filter(g => g > gFrom && g <= gTo)
+    require(within.nonEmpty,
+      s"changesBetweenPairedPerCommit($root): no retained generation in " +
+        s"($gFrom, $gTo]")
+    (gFrom +: within).zip(within).map { case (a, b) =>
+      changesBetweenPaired(spark, root, a, b)
+        .withColumn("generation", lit(b))
+    }.reduce(_ unionByName _)
   }
 
   /** t_change_feed_updates — the ORACLED face of CDF update pairing:
@@ -4434,7 +4483,18 @@ object MergeTable {
   }
 
   /** [[deleteWhere]]'s one-call optimistic face: prepare + arbitrated
-    * commit. None = nothing matched (nothing committed). */
+    * commit. None = nothing matched (nothing committed).
+    *
+    * Liveness (documented trade, r17 advice): the predicate writer's
+    * conflict envelope is deliberately FULL — ANY concurrent commit
+    * forces a re-prepare (re-prune, re-read, re-price), because a file
+    * added or undeleted anywhere may change what matches (the
+    * write-skew guard a key-span envelope cannot give). Under
+    * sustained trickle ingest the verb can therefore burn attempts
+    * without ever losing a data race; `maxAttempts` defaults to 20
+    * (4× [[commitPrepared]]'s default) for exactly that reason —
+    * raise it further for hot tables, or quiesce for a guaranteed
+    * window. */
   def deleteWhereOcc(spark: SparkSession, root: String, predicate: Column,
       nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis(),
@@ -4512,7 +4572,8 @@ object MergeTable {
   }
 
   /** [[updateWhere]]'s one-call optimistic face: prepare + arbitrated
-    * commit. None = nothing matched (nothing committed). */
+    * commit. None = nothing matched (nothing committed). Same FULL-
+    * envelope liveness trade as [[deleteWhereOcc]] — see its note. */
   def updateWhereOcc(spark: SparkSession, root: String, predicate: Column,
       set: Map[String, Column], nFiles: Int = 4,
       commitTsMillis: Long = System.currentTimeMillis(),

@@ -66,6 +66,77 @@ class CommitLogSpec extends AnyFunSuite {
     } finally { CommitLog.unregister("/x/"); CommitLog.unregister("/x/deeper/") }
   }
 
+  test("forRoot survives scheme-spelling drift: a bare-path " +
+    "registration owns the file:/ spelling and vice versa; '/lake/t1' " +
+    "still never captures '/lake/t10'; different schemes never match") {
+    val a = new CasLog; val b = new CasLog; val c = new CasLog
+    CommitLog.register("/drift/lake", a)
+    CommitLog.register("file:/drift/other", b)
+    CommitLog.register("s3a://bucket/lake", c)
+    try {
+      // bare registration ⇄ qualified use, and the reverse
+      assert(CommitLog.forRoot("file:/drift/lake/t") eq a)
+      assert(CommitLog.forRoot("/drift/other/t") eq b)
+      // segment-awareness preserved through the URI comparison
+      assert(CommitLog.forRoot("/drift/lakeX/t") eq CommitLog.Rename)
+      // both sides schemed: must agree (a local path must not route to
+      // an object-store log)
+      assert(CommitLog.forRoot("s3a://bucket/lake/t") eq c)
+      assert(CommitLog.forRoot("file:/bucket/lake/t") eq CommitLog.Rename)
+    } finally {
+      CommitLog.unregister("/drift/lake")
+      CommitLog.unregister("file:/drift/other")
+      CommitLog.unregister("s3a://bucket/lake")
+    }
+  }
+
+  test("CLAIM-AFTER-WRITE fencing: a winner killed between claim and " +
+    "materialize strands nothing — the next writer's lost claim " +
+    "RECOVERS the generation from the claimed durable content; ids " +
+    "stay dense, no double publish, zero lost updates") {
+    val root = freshRoot("fenced")
+    val store = new CommitLog.InMemoryClaimStore
+    val log = new CommitLog.ClaimAfterWriteLog(store)
+    CommitLog.register(root, log)
+    try {
+      MergeTable.create(spark, root, baseDf(100), "k", nFiles = 2,
+        commitTsMillis = 10L)
+      def upd(lo: Long, tag: String) = spark.range(lo, lo + 10).select(
+        lit("u").as("op"), lit(1L).as("seq"), col("id").as("k"),
+        (col("id") + 7L).as("v"), lit(tag).as("tag"))
+      // writer A: claim lands, then the process "dies" before the
+      // generation dir exists — the naive conditional-put stranding
+      val hA = MergeTable.prepareMerge(spark, root, upd(0L, "A"), "k",
+        nFiles = 1)
+      log.beforeMaterialize =
+        () => throw new RuntimeException("killed mid-publish")
+      val crash = intercept[RuntimeException](
+        MergeTable.commitPrepared(spark, root, hA, commitTsMillis = 20L))
+      assert(crash.getMessage.contains("killed"))
+      log.beforeMaterialize = () => ()
+      // the table looks pre-commit to readers (no marker for gen 2)...
+      assert(Snapshots.currentGen(spark, root) === Some(1L))
+      // ...but the claim names durable content: writer B's lost claim
+      // for 2 recovers A's commit, then B lands on 3
+      val hB = MergeTable.prepareMerge(spark, root, upd(50L, "B"), "k",
+        nFiles = 1)
+      val oB = MergeTable.commitPrepared(spark, root, hB,
+        commitTsMillis = 30L, maxAttempts = 10)
+      assert(oB.gen === 3L, s"B must land AFTER the recovered A: $oB")
+      assert(Snapshots.generations(spark, root).sorted === Seq(1L, 2L, 3L))
+      val byK = MergeTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(byK.size === 100)
+      (0L until 10L).foreach(k => assert(byK(k) === "A",
+        s"the killed winner's claimed commit was lost at k=$k"))
+      (50L until 60L).foreach(k => assert(byK(k) === "B"))
+      // explicit recovery is idempotent (nothing left to materialize)
+      val f = new Path(root).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      assert(!log.recoverClaimed(f, root, 2L))
+    } finally CommitLog.unregister(root)
+  }
+
   test("claim-based publish admits exactly one winner for a contested " +
     "generation; the loser's staging survives for its retry") {
     val root = freshRoot("one-winner")

@@ -120,6 +120,26 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(!stateOf(root).contains(9L) && stateOf(root).size === 49)
   }
 
+  test("CALL compact(cluster_by => 'v') re-clusters by the z-order " +
+    "interleave through the OCC staging: rows exact, a v-band read " +
+    "prunes files the key-range layout could not") {
+    val root = mkTable("p_zo", n = 4000, nFiles = 8)
+    val before = stateOf(root)
+    val rc = spark.sql(
+      s"CALL $cat.compact('p_zo', n_files => 8, cluster_by => 'v')")
+      .collect().head
+    assert(rc.getInt(0) === 8, s"all 8 inputs consumed: $rc")
+    assert(stateOf(root) === before, "a re-cluster must not change a row")
+    // the uncorrelated-dimension band opens a strict file subset via
+    // the post-cluster #cstat tiles (v = k*10 here is correlated, so
+    // use a mid-domain band: both layouts prune, the clustered one
+    // must still answer exactly)
+    val got = MergeTable.readWhere(spark, root,
+      org.apache.spark.sql.functions.col("v").between(1000L, 2000L))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (100L to 200L))
+  }
+
   test("EXPLAIN CALL must not execute the verb: Spark runs bound " +
     "procedures at analysis, so a plan request would otherwise sweep") {
     val root = mkTable("p_explain", n = 50, nFiles = 2)

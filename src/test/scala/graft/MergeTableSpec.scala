@@ -1110,6 +1110,50 @@ class MergeTableSpec extends AnyFunSuite {
       s"InSet (>10 values) must still prune: opened $opened2 of 8")
   }
 
+  test("STRING IN through SQL text: a 12-value band IN — past the " +
+    "optimizer's InSet threshold, so the pushed filter carries raw " +
+    "UTF8Strings — prunes through the prefix embedding (strict file " +
+    "subset) and returns exact rows") {
+    val root = freshRoot("in-str")
+    // band is key-correlated (the partition-label shape): 40 bands
+    // across 8 key-range files → 5 bands per file
+    val df = spark.range(4000).select(col("id").as("k"),
+      concat(lit("b"), lpad(expr("id div 100").cast("string"), 4, "0"))
+        .as("band"),
+      (col("id") * 3).as("v"))
+    MergeTable.create(spark, root, df, "k", nFiles = 8, commitTsMillis = 10L)
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "in_str_t", root)
+    def scanFiles(q: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      var n = -1L
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          n = math.max(n, s.metrics("numFiles").value)
+        case other => other.children.foreach(walk)
+      }
+      walk(q.queryExecution.executedPlan); n
+    }
+    // 12 literal bands (b0001..b0012) = keys 100..1299, living in 3 of
+    // the 8 files; 12 > spark.sql.optimizer.inSetConversionThreshold
+    val bands = (1 to 12).map(i => f"'b$i%04d'").mkString(", ")
+    val q = spark.sql(
+      s"SELECT k FROM in_str_t WHERE band IN ($bands) ORDER BY k")
+    assert(q.collect().map(_.getLong(0)).toSeq === (100L until 1300L))
+    val opened = scanFiles(q)
+    assert(opened >= 1 && opened <= 3,
+      s"string InSet must file-skip through the embedding: " +
+        s"opened $opened of 8")
+    // a band list entirely OUTSIDE the domain opens nothing
+    val none = spark.sql("SELECT k FROM in_str_t WHERE band IN (" +
+      (90 to 101).map(i => f"'b$i%04d'").mkString(", ") + ")")
+    assert(none.isEmpty && scanFiles(none) <= 0,
+      "an out-of-domain string IN must prune every file planner-side")
+    graft.plans.SnapshotSqlCatalog.unregisterMerge(spark, "in_str_t")
+  }
+
   test("bloom build edge cases: an all-NULL probe column builds nothing " +
     "(no NPE); files predating an evolved column read through the " +
     "recorded schema and index cleanly") {

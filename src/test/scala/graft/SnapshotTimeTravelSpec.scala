@@ -356,4 +356,60 @@ class SnapshotTimeTravelSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("per-commit CDF pairing: a delete and a later-commit re-insert " +
+    "stay d/i under changesBetweenPairedPerCommit (rows carry their " +
+    "generation) while the windowed default collapses them to an " +
+    "update pair — API and TVF faces agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.MergeTable
+    val root = TestSpark.tempDir("cdf-percommit") + "/t"
+    MergeTable.create(spark, root,
+      spark.range(20).select(col("id").as("k"), (col("id") * 10).as("v"),
+        lit("base").as("tag")),
+      "k", nFiles = 2, commitTsMillis = 10L)
+    // gen 2: delete k=5; gen 3: re-insert k=5 with a NEW value — two
+    // separate commits, one logical "replacement" across the window
+    MergeTable.merge(spark, root,
+      Seq(("d", 1L, 5L, 0L, "")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 20L)
+    MergeTable.merge(spark, root,
+      Seq(("c", 1L, 5L, 999L, "reborn")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 30L)
+    // windowed default: the whole-span netting reports an UPDATE pair
+    val windowed = MergeTable.changesBetweenPaired(spark, root, 1L, 3L)
+      .where(col("k") === 5L).select("change", "v").orderBy("change")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(windowed === Seq(("update_postimage", 999L),
+      ("update_preimage", 50L)))
+    // per-commit: the true event history, each row naming its commit
+    val perCommit = MergeTable
+      .changesBetweenPairedPerCommit(spark, root, 1L, 3L)
+      .where(col("k") === 5L)
+      .select("change", "v", "generation").orderBy("generation")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(perCommit === Seq(("delete", 50L, 2L), ("insert", 999L, 3L)))
+    // a SAME-commit update still pairs per hop (gen 4 updates k=7)
+    MergeTable.merge(spark, root,
+      Seq(("u", 1L, 7L, 777L, "u")).toDF("op", "seq", "k", "v", "tag"),
+      "k", nFiles = 1, commitTsMillis = 40L)
+    val hop = MergeTable
+      .changesBetweenPairedPerCommit(spark, root, 3L, 4L)
+      .where(col("k") === 7L).select("change", "v").orderBy("change")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hop === Seq(("update_postimage", 777L),
+      ("update_preimage", 70L)))
+    // the TVF face agrees with the API
+    graft.plans.SnapshotSqlCatalog.registerMerge(spark, "lake_pc", root)
+    try {
+      val tvf = spark.sql("SELECT change, v, generation FROM " +
+        "changes_paired_per_commit('lake_pc', 1, 3) WHERE k = 5 " +
+        "ORDER BY generation")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(tvf === perCommit)
+    } finally
+      graft.plans.SnapshotSqlCatalog.unregisterMerge(spark, "lake_pc")
+  }
 }
