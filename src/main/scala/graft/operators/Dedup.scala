@@ -53,31 +53,32 @@ object Dedup {
   /** Per-doc word-n-gram shingles, exploded to (doc_id, shingle) rows —
     * the distributed representation for set-similarity joins.
     *
-    * Built as posexplode(tokens) + lead() window rather than a per-row
-    * HOF: every step whole-stage-codegens (HOF lambdas don't), and at
-    * 100 TB the shuffle-by-doc_id + sort is embarrassingly parallel while
-    * a per-row transform() burns interpreted cycles on the hot path.
+    * Built as a PER-ROW transform over the token array (r18): the
+    * former posexplode + lead()-window form shuffled AND sorted the
+    * whole exploded token relation by doc_id before a single shingle
+    * existed — an edge-sized exchange paid for row-local information.
+    * The HOF lambda does not whole-stage-codegen, but shingle
+    * construction is a string slice+join per element, far cheaper than
+    * the exchange it replaces — and because every doc's shingles now
+    * stay in their input partition, each downstream groupBy(doc_id)
+    * map-side-combines to doc-sized partials before its exchange
+    * (measured: the minhash signature job's shuffle went from the full
+    * exploded relation to one row per doc per partition).
     *
     * `dedup=false` skips the distinct: a consumer whose aggregates are
     * duplicate-insensitive (min for MinHash, collect_set for the shingle
-    * sets) gets the same answer WITHOUT the (doc_id, shingle) exchange —
-    * and since the lead() window already hash-partitioned by doc_id, its
-    * groupBy(doc_id) then needs NO further shuffle at all. */
+    * sets) gets the same answer WITHOUT the (doc_id, shingle) exchange. */
   def explodedShingles(docs: DataFrame, n: Int,
       dedup: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val parts = (0 until n).map {
-      case 0 => col("tok")
-      case i => lead(col("tok"), i).over(w)
-    }
-    val raw = toks
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
-        parts.last.isNotNull.as("complete"))
-      .filter(col("complete"))
-      .select(col("doc_id"), col("shingle"))
+    // two-step select so tokens() is evaluated once per row, not once
+    // per referencing expression (the HOF project is interpreted)
+    val raw = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        // when() without otherwise: short docs yield NULL, which
+        // explode() drops — same population as the old complete-filter
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => array_join(slice(col("toks"), i, lit(n)), " ")))).as("shingle"))
     if (dedup) raw.distinct() else raw
   }
 
@@ -169,8 +170,9 @@ object Dedup {
   def signaturesOf(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
     // dedup=false: min() and collect_set() are duplicate-insensitive, so
     // the distinct's (doc_id, shingle) exchange is pure waste here — and
-    // without it the aggregation below reuses the window's doc_id
-    // partitioning (ZERO additional shuffles for the whole signature job)
+    // since the HOF shingle build keeps each doc's shingles in their
+    // input partition, the aggregation's map-side combine shrinks the
+    // one remaining exchange to a row per doc per partition
     val exploded = explodedShingles(docs, n, dedup = false)
     val minCols = (0 until numHashes).map(s =>
       min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
@@ -369,16 +371,42 @@ object Dedup {
     * and the per-micro-batch incremental merge ([[mergeClustersBatch]],
     * nodes = component CANONS — a graph bounded by the batch's pair
     * count, not the corpus). */
+  /** Run the pair graph through the single-task union-find while it has
+    * at most this many edges (≈128 MB of longs in one task at the cap);
+    * above it, the keyed iterative min-label loop. Pair members are the
+    * near-dup-dense sliver of a corpus, so the small regime covers
+    * everything but pathologically duplicate-heavy inputs — and those
+    * get the loop, whose per-round cost is a pair-graph-sized shuffle. */
+  private[graft] val UnionFindMaxEdges: Long = 1L << 23
+
   private[graft] def propagateMinLabels(pairs: DataFrame,
-      maxIters: Int = 64): DataFrame = {
+      maxIters: Int = 64,
+      unionFindMaxEdges: Long = UnionFindMaxEdges): DataFrame = {
+    // materialize the pair list once: the regime decision needs its
+    // count, and both regimes re-read it (cutting the caller's lineage
+    // exactly like the former symmetrized-edge checkpoint did)
+    val p2 = pairs.select(col("doc_a").cast(LongType).as("doc_a"),
+        col("doc_b").cast(LongType).as("doc_b"))
+      .localCheckpoint(true, graft.ops.Pin.Level)
+    // Two regimes on the edge count (r18 — measured 3.4 s for a
+    // 230-pair graph under the iterative loop, pure per-iteration
+    // shuffle/job overhead: every round is ~4 job launches regardless
+    // of data size). Below the cutoff the whole graph provably fits one
+    // task, so connected components run as ONE single-pass union-find
+    // job — no iteration, no shuffle beyond gathering the pair list to
+    // one partition. Output is identical (each member labeled with its
+    // component minimum; path-halving union-find is order-insensitive).
+    // Above the cutoff the keyed iterative loop stands unchanged.
+    if (p2.count() <= unionFindMaxEdges) return unionFindMinLabels(p2)
     // undirected edge list (both directions) — label flows both ways
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edgesRaw = p2
+      .unionByName(p2.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
-      .localCheckpoint(true, graft.ops.Pin.Level) // pairs are small; cut the growing lineage
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true, graft.ops.Pin.Level) // cut the growing lineage
+    var labels = edgesRaw.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canon"))
       .localCheckpoint(true, graft.ops.Pin.Level)
+    val edges = edgesRaw
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -424,6 +452,44 @@ object Dedup {
       s"propagateMinLabels: no fixpoint after $maxIters iterations — " +
         "pair graph deeper than 2^" + maxIters + "; raise maxIters")
     labels
+  }
+
+  /** Connected components of a one-task-sized pair list as a single
+    * mapPartitions pass: classic union-find with path halving, then a
+    * per-root minimum so every member is labeled with its component's
+    * minimum id — exactly the iterative loop's fixpoint, computed
+    * without the loop's per-round job launches (r18; the loop remains
+    * the >[[UnionFindMaxEdges]] regime). Executor-side, not driver
+    * state: the pair list is gathered to ONE partition (bounded by the
+    * regime check) and the maps live in that task. */
+  private def unionFindMinLabels(p2: DataFrame): DataFrame = {
+    val spark = p2.sparkSession
+    import spark.implicits._
+    p2.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def add(x: Long): Unit =
+        if (!parent.containsKey(x)) parent.put(x, x)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          val g = parent.get(parent.get(r)) // path halving
+          parent.put(r, g)
+          r = g
+        }
+        r
+      }
+      it.foreach { case (a, b) =>
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        // union by min: the smaller root stays root, so roots only
+        // ever decrease and the final root IS the component minimum
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
+      nodes.iterator.map(n => (n.longValue, find(n.longValue)))
+    }.toDF("doc_id", "canon")
+      .localCheckpoint(true, graft.ops.Pin.Level)
   }
 
   /** Merge ONE micro-batch's near-dup pairs into an existing (doc_id,

@@ -103,54 +103,51 @@ object GraphOps {
   def pagerankConverged(edgeList: DataFrame, iterations: Int,
       broadcastMaxNodes: Long = BroadcastMaxNodes,
       checkpointEvery: Int = 5, epsilonFp: Long = 0L): (DataFrame, Int) = {
-    import org.apache.spark.sql.expressions.Window
-    // Degree-annotated edges in ONE shuffle: the count-over-window
-    // partitions (and sorts) the edge list by src, and localCheckpoint
-    // PRESERVES that partitioning and ordering — so no superstep ever
-    // re-exchanges or re-sorts the edge side of its join (measured:
-    // the former join-then-checkpoint shape re-shuffled the whole edge
-    // list every superstep, GraphProbe). This is the single-JVM analog
-    // of bucketing the edges by src on disk: pay the distribution once,
-    // ride it for all iterations.
-    // Build WITH adaptive execution on: AQE right-sizes the
-    // materialized edge partitions (a toy/medium graph coalesces to a
-    // few fat partitions — measured the dominant superstep cost at
-    // sf0.1 is task scheduling, and pinning 32 thin partitions ran
-    // 2-3× slower than letting AQE coalesce; GraphProbe).
-    val edgesSmall = edgeList
-      .select(col("src"), col("dst"),
-        count(lit(1)).over(Window.partitionBy(col("src"))).as("d"))
+    // Materialize the raw edge list ONCE (a single pass over whatever
+    // derivation the caller handed in — AQE free to right-size the
+    // partitions), then derive degrees as a NODE-sized aggregate of the
+    // in-memory copy. (r18: this replaces the former count-over-window
+    // degree pass, which sorted the full edge list by src — an
+    // edge-sized sort paid for node-sized information.)
+    val edgesRaw = edgeList.localCheckpoint()
+    val deg = edgesRaw.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
-    // node set and count from the in-memory edges: one scalar of driver
-    // state (the same bounded-metadata allowance as the stats catalog)
-    val nodes = edgesSmall.select(col("src")).distinct()
-    val n = nodes.count()
+    // node set and count from the degree relation (out-degree ≥ 1 by
+    // the symmetrize precondition, so nodes ≡ sources ≡ deg rows): one
+    // scalar of driver state (the same bounded-metadata allowance as
+    // the stats catalog)
+    val n = deg.count()
     val base = Scale * 15L / 100L / n
-    var ranks = nodes.select(col("src").as("id"), lit(Scale / n).as("r"))
+    var ranks = deg.select(col("src").as("id"), lit(Scale / n).as("r"))
     // Two join regimes, split on the node count now in hand (the same
     // serving split as batch ANN's BatchBroadcastMax): while the
     // |nodes|-sized rank vector fits a broadcast, each superstep is one
-    // broadcast join over the never-moving edges + the one edge-sized
-    // groupBy(dst) shuffle — the message pass itself. Above the cutoff
-    // the ranks must shuffle, so the EDGES must not: re-pin the
-    // checkpoint's src-partitioning with AQE disabled (adaptive
-    // coalescing rewrites the stage's partitioning to one the
-    // checkpoint cannot carry — observed as a full edge re-exchange
-    // EVERY superstep), making the keyed join exchange-free and
+    // broadcast join over the never-moving edges + the groupBy(dst)
+    // message pass — and because the edges are checkpointed ALREADY
+    // hash-partitioned by dst (AQE disabled during the build so the
+    // LogicalRDD carries HashPartitioning instead of the
+    // unrepresentable coalesced form), that aggregation needs NO
+    // exchange either: a superstep is one mapper-only stage over the
+    // pinned partitions (r18 — measured 22 Exchanges → 2 for the
+    // 10-superstep plan; the former dst shuffle ran every superstep).
+    // Above the cutoff the ranks must shuffle, so the edges pin src
+    // partitioning instead, making the keyed join exchange-free and
     // sort-free on the edge side for all iterations.
     val bcast = n <= broadcastMaxNodes
-    val edgesD =
-      if (bcast) edgesSmall
-      else {
-        val ss = edgeList.sparkSession
-        val aqeKey = "spark.sql.adaptive.enabled"
-        val prevAqe = ss.conf.get(aqeKey, "true")
-        try {
-          ss.conf.set(aqeKey, "false")
-          edgesSmall.repartition(col("src"))
+    val edgesD = {
+      val ss = edgeList.sparkSession
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = ss.conf.get(aqeKey, "true")
+      try {
+        ss.conf.set(aqeKey, "false")
+        if (bcast)
+          edgesRaw.join(broadcast(deg), "src")
+            .repartition(col("dst")).localCheckpoint()
+        else
+          edgesRaw.join(deg, "src").repartition(col("src"))
             .sortWithinPartitions(col("src")).localCheckpoint()
-        } finally ss.conf.set(aqeKey, prevAqe)
-      }
+      } finally ss.conf.set(aqeKey, prevAqe)
+    }
     require(checkpointEvery >= 1, s"checkpointEvery must be ≥ 1: $checkpointEvery")
     var prevCk = ranks
     var i = 0

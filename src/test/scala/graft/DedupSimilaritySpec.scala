@@ -197,14 +197,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // have SILENTLY returned non-minimum labels); the pointer-jump step
     // must land the fixpoint well inside the default bound
     val pairs = (0L until 80L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // default regime: single-task union-find
     val labels = Dedup.propagateMinLabels(pairs).collect()
     assert(labels.length === 81)
     assert(labels.forall(_.getLong(1) == 0L),
       "every node of the path must label to the component minimum 0")
+    // large regime (forced by a zero union-find cutoff): the iterative
+    // pointer-jump loop must land the same fixpoint
+    val looped = Dedup.propagateMinLabels(pairs, unionFindMaxEdges = 0L)
+      .collect()
+    assert(looped.length === 81)
+    assert(looped.forall(_.getLong(1) == 0L),
+      "the iterative loop must agree with the union-find labels")
     // a bound too small for the graph must throw, never return partial
     // (unconverged labels would corrupt the incremental merge fold)
     val e = intercept[IllegalStateException] {
-      Dedup.propagateMinLabels(pairs, maxIters = 2).collect()
+      Dedup.propagateMinLabels(pairs, maxIters = 2,
+        unionFindMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("no fixpoint"))
   }
