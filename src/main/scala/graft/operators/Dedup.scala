@@ -70,9 +70,14 @@ object Dedup {
     * sets) gets the same answer WITHOUT the (doc_id, shingle) exchange. */
   def explodedShingles(docs: DataFrame, n: Int,
       dedup: Boolean = true): DataFrame = {
+    // spread a narrow scan across the session's cores before the
+    // per-row shingle (and downstream per-shingle hash) work — a small
+    // single-file corpus plans one scan split and the whole signature
+    // stage ran on one core ([[graft.ops.Spread]])
+    val spread = graft.ops.Spread.wide(docs, col("doc_id"))
     // two-step select so tokens() is evaluated once per row, not once
     // per referencing expression (the HOF project is interpreted)
-    val raw = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val raw = spread.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(
         // when() without otherwise: short docs yield NULL, which
         // explode() drops — same population as the old complete-filter
@@ -98,7 +103,11 @@ object Dedup {
     // an exchange, but `sizes` would re-run the whole tokenize+window
     // pipeline a second time without this
     val sh = explodedShingles(docs, n).localCheckpoint(true, graft.ops.Pin.Level)
+    // doc-sized, referenced twice (na and nb legs): materialized so the
+    // second leg reuses it instead of re-aggregating the shingle
+    // relation (r18 — the two legs each planned their own full-pass agg)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val common = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -633,7 +642,9 @@ object Dedup {
   /** [[simhashDocs]] over an arbitrary documents frame (see
     * [[signaturesOf]] for why the frame-parameterized form exists). */
   def simhashOf(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // per-token md5-derived hashing is the dominant cost and runs
+    // before any exchange — spread a narrow scan first (Spread.wide)
+    val toks = graft.ops.Spread.wide(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", hash60(col("tok")))
     val bitCols = (0 until SimhashBits).map(j =>
@@ -742,7 +753,10 @@ object Dedup {
     * per micro-batch, [[graft.streaming.IncrementalSubstring]]). */
   def windowOccurrencesOf(docs: DataFrame, w: Int = 10): DataFrame = {
     import graft.functions.TokenWindowHash.tokenWindowHashes
-    docs.select(col("doc_id"),
+    // codegen'd hashing + the partial agg both run before the first
+    // exchange — spread a narrow scan first (Spread.wide)
+    graft.ops.Spread.wide(docs, col("doc_id"))
+      .select(col("doc_id"),
         explode(tokenWindowHashes(col("text"), w)).as("whash"))
       .groupBy(col("doc_id"), col("whash"))
       .agg(count(lit(1)).as("k"))

@@ -80,8 +80,10 @@ object Similarity {
   def embeddingNearDupPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     // norms precomputed once per vector (not once per pair): cuts the
-    // per-pair work to one dot product + one divide
-    val e = Tables.embeddings(spark, dir)
+    // per-pair work to one dot product + one divide. Spread.wide: the
+    // nested-loop probe inherits the scan's partitioning, and a
+    // single-file embedding table would run every pair on one core.
+    val e = graft.ops.Spread.wide(Tables.embeddings(spark, dir), col("vec_id"))
       .withColumn("nrm", norm(col("embedding")))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

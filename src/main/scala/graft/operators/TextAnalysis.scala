@@ -208,7 +208,7 @@ object TextAnalysis {
     // (arrays are longs, so the interpreted zip lambda is negligible)
     val bgs = tokenWindowHashes(col("text"), 2)
     val toks = tokenWindowHashes(col("text"), 1)
-    val pre = docs
+    val pre = graft.ops.Spread.wide(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(zip_with(bgs, slice(toks, lit(1), size(bgs)),
           (b, t) => struct(b.as("bgh"), t.as("w1h")))).as("z"))

@@ -93,6 +93,21 @@ object TableStats {
       .as[ColStats].collect().map(s => s.column -> s).toMap
   }
 
+  /** Read SEVERAL tables' catalogs in ONE scan+collect (r18): the
+    * catalogs share a schema and each row names its table, so a
+    * multi-path read replaces one metadata job per table — the star
+    * face reads three catalogs per planning decision, and three
+    * collect jobs for |columns|-row relations were pure job-launch
+    * overhead. Returns table → (column → stats). */
+  def readCatalogs(spark: SparkSession, dir: String,
+      tables: Seq[(String, Seq[String])]): Map[String, Map[String, ColStats]] = {
+    import spark.implicits._
+    val paths = tables.map { case (t, cs) => ensureCatalog(spark, dir, t, cs) }
+    spark.read.parquet(paths: _*).as[ColStats].collect()
+      .groupBy(_.table)
+      .map { case (t, ss) => t -> ss.map(s => s.column -> s).toMap }
+  }
+
   /** Selectivity of `col = literal` under uniformity: 1/ndv. */
   def equalitySelectivity(s: ColStats): Double =
     1.0 / math.max(1L, s.ndv).toDouble
@@ -204,9 +219,11 @@ object TableStats {
     * the spec can assert the chosen order IS the catalog's order (and a
     * plan assertion can check the physical join order follows it). */
   def cboStarEdges(spark: SparkSession, dir: String): Seq[StarEdge] = {
-    val pCat = readCatalog(spark, dir, "part", PartStatCols)
-    val sCat = readCatalog(spark, dir, "supplier", SupplierStatCols)
-    val oCat = readCatalog(spark, dir, "orders", OrdersStatCols)
+    val cats = readCatalogs(spark, dir, Seq(
+      "part" -> PartStatCols, "supplier" -> SupplierStatCols,
+      "orders" -> OrdersStatCols))
+    val pCat = cats("part"); val sCat = cats("supplier")
+    val oCat = cats("orders")
     val pSel = rangeSelectivity(pCat("p_size"), Double.NegativeInfinity, 5.0)
     val sSel = equalitySelectivity(sCat("s_nationkey"))
     val oSel = equalitySelectivity(oCat("o_orderpriority"))

@@ -2801,18 +2801,39 @@ object MergeTable {
         spark.range(0).select(lit("").as("file"), lit(0L).as("pos"))
       else spark.read.parquet(dvs.map(filePath(root, _)): _*)
         .select(col("file"), col("pos"))
-    // the DV delta, both directions (deleted-at-to, re-born-at-to)
-    val newDels = dvRel(dvTo).exceptAll(dvRel(dvFrom)).localCheckpoint(true)
-    val unDels = dvRel(dvFrom).exceptAll(dvRel(dvTo)).localCheckpoint(true)
+    // the DV delta, both directions (deleted-at-to, re-born-at-to),
+    // in ONE aggregation pass (r18: the former exceptAll pair cost two
+    // eager-checkpoint jobs plus two union+aggregate rewrites over the
+    // same inputs; downstream only membership matters — the positions
+    // feed a distinct + left-semi join — so the count comparison is
+    // bag-EXCEPT-equivalent here)
+    val dvDelta = dvRel(dvFrom)
+      .select(col("file"), col("pos"), lit(1L).as("__f"), lit(0L).as("__t"))
+      .unionByName(dvRel(dvTo)
+        .select(col("file"), col("pos"), lit(0L).as("__f"), lit(1L).as("__t")))
+      .groupBy(col("file"), col("pos"))
+      .agg(sum(col("__f")).as("__nf"), sum(col("__t")).as("__nt"))
+      .filter(col("__nf") =!= col("__nt"))
+      .localCheckpoint(true)
+    val newDels = dvDelta.filter(col("__nt") > col("__nf"))
+      .select(col("file"), col("pos"))
+    val unDels = dvDelta.filter(col("__nf") > col("__nt"))
+      .select(col("file"), col("pos"))
+    // ONE collect decides which live files each DV-delta direction
+    // touches (metadata-sized: distinct changed files + a direction bit)
+    val touchedArr = dvDelta
+      .select(col("file"), (col("__nt") > col("__nf")).as("__nw"))
+      .distinct().collect()
+    val touchedNew = touchedArr.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+    val touchedUn = touchedArr.filterNot(_.getBoolean(1)).map(_.getString(0)).toSet
 
     def rowsOf(entries: Seq[FileEntry], dvs: Seq[String]) =
       if (entries.isEmpty) None
       else Some(readFiles(spark, root, entries, dvs, toSchema)
         .select(cols.map(col): _*))
     // positions named by a DV delta, read from ONLY the files it names
-    def rowsAt(positions: DataFrame, live: Seq[FileEntry], tag: String) = {
-      val touched = positions.select("file").distinct()
-        .collect().map(_.getString(0)).toSet
+    def rowsAt(positions: DataFrame, touched: Set[String],
+        live: Seq[FileEntry], tag: String) = {
       val entries = live.filter(e => touched.contains(e.name))
       if (entries.isEmpty) None
       else Some(readFiles(spark, root, entries, schema = toSchema,
@@ -2828,21 +2849,38 @@ object MergeTable {
     // row-exact across rewrites too, not just MOR history. Cost ∝
     // changed-file rows, which the diff was already scanning; a full
     // compact makes that the whole table (the one window where the
-    // feed's cost matches a rewrite it must prove empty)
+    // feed's cost matches a rewrite it must prove empty). r18: the
+    // netting runs as ONE tagged union + aggregate + replicate pass
+    // (exactly the union+count rewrite Spark plans for each exceptAll,
+    // done once for both directions over one checkpoint job instead of
+    // two checkpoint jobs + two separate aggregations).
     val (insNet, delNet) =
       (rowsOf(mTo.filterNot(e => namesFrom.contains(e.name)), dvTo),
         rowsOf(mFrom.filterNot(e => namesTo.contains(e.name)), dvFrom)) match {
         case (Some(i0), Some(d0)) =>
-          val i = i0.localCheckpoint(true)
-          val d = d0.localCheckpoint(true)
-          (Some(i.exceptAll(d)), Some(d.exceptAll(i)))
+          val counted = i0
+            .withColumn("__ci", lit(1L)).withColumn("__cd", lit(0L))
+            .unionByName(d0
+              .withColumn("__ci", lit(0L)).withColumn("__cd", lit(1L)))
+            .groupBy(cols.map(col): _*)
+            .agg(sum(col("__ci")).as("__si"), sum(col("__cd")).as("__sd"))
+            .filter(col("__si") =!= col("__sd"))
+            .localCheckpoint(true)
+          // bag semantics: a row surviving k times net emits k copies
+          def replicate(df: DataFrame, n: Column) = df
+            .withColumn("__x", explode(sequence(lit(1L), n)))
+            .select(cols.map(col): _*)
+          (Some(replicate(counted.filter(col("__si") > col("__sd")),
+              col("__si") - col("__sd"))),
+            Some(replicate(counted.filter(col("__sd") > col("__si")),
+              col("__sd") - col("__si"))))
         case other => other
       }
     val parts = Seq(
       insNet.map(_.withColumn("change", lit("i"))),
       delNet.map(_.withColumn("change", lit("d"))),
-      rowsAt(newDels, common, "d"),
-      rowsAt(unDels, common, "i")).flatten
+      rowsAt(newDels, touchedNew, common, "d"),
+      rowsAt(unDels, touchedUn, common, "i")).flatten
     require(parts.nonEmpty || mTo.nonEmpty,
       s"empty manifests under $root")
     parts.reduceOption(_ unionByName _).getOrElse(

@@ -25,6 +25,75 @@ object OptProbe {
     }
     spark.read.parquet(s"$dir/documents.parquet").count() // warm-up
 
+    // ---- shingle-form A/B: HOF transform vs posexplode+lead window
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.TextFunctions._
+      val docs = graft.Tables.documents(spark, dir)
+      def windowForm(n: Int) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val toks = docs.select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        val parts = (0 until n).map {
+          case 0 => col("tok")
+          case i => lead(col("tok"), i).over(w)
+        }
+        toks.select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
+            parts.last.isNotNull.as("complete"))
+          .filter(col("complete")).select(col("doc_id"), col("shingle"))
+      }
+      def sigsOf(ex: org.apache.spark.sql.DataFrame) = {
+        val minCols = (0 until 64).map(s =>
+          min(xxhash64(lit(s), col("shingle"))).as(s"h$s"))
+        ex.groupBy(col("doc_id"))
+          .agg(minCols.head,
+            (minCols.tail :+ collect_set(col("shingle")).as("sh")): _*)
+      }
+      for (i <- 1 to 2) {
+        time(s"shingles/hof/$i")(
+          graft.operators.Dedup.explodedShingles(docs, 3, dedup = false).count())
+        time(s"shingles/win/$i")(windowForm(3).count())
+        time(s"sigs/hof/$i")(
+          sigsOf(graft.operators.Dedup.explodedShingles(docs, 3, dedup = false)).count())
+        time(s"sigs/win/$i")(sigsOf(windowForm(3)).count())
+      }
+    }
+
+    // ---- regression watch: queries the shingle change touches
+    for (i <- 1 to 2; q <- Seq("x_minhash_near_dup", "x_ngram_jaccard",
+        "x_simhash_near_dup", "x_lm_score", "x_minhash_indexed")) {
+      time(s"q/$q/$i")(graft.SparkEntry.queries(q)(spark, dir).count())
+    }
+
+    // ---- lm_score A/B: spread vs unspread bigram relation
+    locally {
+      import graft.functions.TokenWindowHash.tokenWindowHashes
+      def rel(docs: org.apache.spark.sql.DataFrame) = {
+        val bgs = tokenWindowHashes(col("text"), 2)
+        val toks = tokenWindowHashes(col("text"), 1)
+        val pre = docs
+          .select(col("doc_id"),
+            explode(zip_with(bgs, slice(toks, lit(1), size(bgs)),
+              (b, t) => struct(b.as("bgh"), t.as("w1h")))).as("z"))
+          .groupBy(col("doc_id"), col("z.bgh").as("bgh"), col("z.w1h").as("w1h"))
+          .agg(count(lit(1)).as("k"))
+        val perDoc = pre.localCheckpoint(true, graft.ops.Pin.Level)
+        val bc = perDoc.groupBy(col("bgh"), col("w1h")).agg(sum(col("k")).as("bc"))
+        val uc = bc.groupBy(col("w1h")).agg(sum(col("bc")).as("uc"))
+        perDoc.join(
+          bc.join(uc, Seq("w1h")).select(col("bgh"), col("bc"), col("uc")),
+          Seq("bgh"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_bigrams"), min(col("bc")).as("min_bc"))
+      }
+      val docs = graft.Tables.documents(spark, dir)
+      for (i <- 1 to 2) {
+        time(s"lm/unspread/$i")(rel(docs).count())
+        time(s"lm/spread/$i")(
+          rel(graft.ops.Spread.wide(docs, col("doc_id"))).count())
+      }
+    }
+
     // ---- x_semantic_dedup decomposition
     val (path, centroids) = graft.operators.Similarity.ensureIvfIndex(spark, dir, 16, 2)
     import spark.implicits._
