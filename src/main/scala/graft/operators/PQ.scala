@@ -473,18 +473,36 @@ object PQ {
           .join(broadcast(wanted.toDF("vec_id")), Seq("vec_id")))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .localCheckpoint(true, graft.ops.Pin.Level)
-    require(qDf.count() == wanted.size,
-      s"ivfpqBatch: some of $wanted missing from $dir/embeddings.parquet")
-    // ranked probes — the one shared protocol, distributed or driver by Q
-    val prDf =
-      (if (wanted.size <= driverRankMax) {
-        val qs = qDf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
-        qs.toSeq.flatMap { case (qid, qv) =>
-          Similarity.probeRanking(qv, cents, nprobe).map(qid -> _)
-        }.toDF("qid", "cid")
-      } else Similarity.probeRankingDf(spark, qDf, cents, nprobe))
+    // Driver regime (Q ≤ driverRankMax): ONE collect of the checkpointed
+    // query vectors serves the existence check, the probe ranking AND
+    // the ADC tables — r18: the former shape materialized a driver-built
+    // probe relation only to collect it straight back, spending four
+    // metadata-sized jobs per call on Q=4 (the ivfKnnBatch pattern).
+    val qsSmall: Option[Array[(Long, Seq[Float])]] =
+      if (wanted.size <= driverRankMax)
+        Some(qDf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)))
+      else None
+    qsSmall match {
+      case Some(qs) => require(qs.length == wanted.size,
+        s"ivfpqBatch: some of $wanted missing from $dir/embeddings.parquet")
+      case None => require(qDf.count() == wanted.size,
+        s"ivfpqBatch: some of $wanted missing from $dir/embeddings.parquet")
+    }
+    // ranked probes — the one shared protocol, driver or distributed by Q
+    val probesByQidSmall: Option[Seq[(Long, Seq[Long])]] = qsSmall.map(qs =>
+      qs.toSeq.map { case (qid, qv) =>
+        qid -> Similarity.probeRanking(qv, cents, nprobe)
+      })
+    // the distributed probe relation exists only above the cutoff
+    val prDf = probesByQidSmall match {
+      case Some(_) => null
+      case None => Similarity.probeRankingDf(spark, qDf, cents, nprobe)
         .localCheckpoint(true, graft.ops.Pin.Level)
-    val allProbes = prDf.select(col("cid")).distinct().as[Long].collect().toSeq
+    }
+    val allProbes: Seq[Long] = probesByQidSmall match {
+      case Some(ps) => ps.flatMap(_._2).distinct
+      case None => prDf.select(col("cid")).distinct().as[Long].collect().toSeq
+    }
 
     // per-(query, probe) residual ADC tables as DATA: rvec = qvec − c,
     // then d(s, code) = ‖rvec slice − codeword‖², assembled (s asc,
@@ -496,12 +514,9 @@ object PQ {
     // identical element order and double ops (adcResidualTables's
     // left-to-right fold), so they are bit-equal — spec-pinned.
     val adcDf =
-      if (wanted.size <= driverRankMax) {
-        val probesByQid = prDf.collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
-          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-        val qvecs = qDf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-        probesByQid.toSeq.flatMap { case (qid, probes) =>
+      if (probesByQidSmall.isDefined) {
+        val qvecs = qsSmall.get.toMap
+        probesByQidSmall.get.flatMap { case (qid, probes) =>
           val dts = adcResidualTables(qvecs(qid), cents, books, probes, dsub)
           probes.map(p => (qid, p, dts(p).map(_.toSeq).toSeq))
         }.toDF("qid", "cid", "dts")

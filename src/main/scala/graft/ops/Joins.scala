@@ -239,9 +239,14 @@ object Joins {
            |  i -> concat(substring($nameCol, 1, i - 1),
            |              substring($nameCol, i + 1, length($nameCol)))))"""
           .stripMargin)).as("v"): _*)
-    val master = Tables.customer(spark, dir)
+    // Spread.wide: the per-row deletion-variant explode (≈|name| string
+    // builds per row) runs before the variant exchange, and a
+    // single-file customer table plans one scan split (r18)
+    val master = graft.ops.Spread.wide(Tables.customer(spark, dir),
+        col("c_custkey"))
       .select(col("c_custkey").as("m_id"), col("c_name").as("m_name"))
-    val dirty = Tables.customer(spark, dir)
+    val dirty = graft.ops.Spread.wide(Tables.customer(spark, dir),
+        col("c_custkey"))
       .where(col("c_custkey") % 3 === 1)
       .select(col("c_custkey").as("d_id"),
         expr("""concat(substring(c_name, 1, (c_custkey % (length(c_name) - 2)) + 1),
