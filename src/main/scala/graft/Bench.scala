@@ -213,16 +213,15 @@ object Bench {
       else {
         val bySlow = results.toSeq.sortBy { case (_, v, _, _, _) => -v }
         // largest prefix of the slowest-first list that fits the window.
-        // Each kept entry carries its PRE-RUN loadavg inline
-        // ("q":[sec,load]) — the r17 adjudication cost a full re-run
-        // because the per-query load lived only in bench_last.json,
-        // outside the driver's 2000-char stdout window: a co-tenant-
-        // inflated entry must name its own load WHERE the judge reads
-        // the number. (-1 = /proc unavailable.)
+        // Values MUST stay scalar seconds: the r18 [sec,load] array form
+        // zeroed the driver's per-query comparison (PERF n_common=0,
+        // now_bench_ok=false, 86 spurious "dropped_from_bench") because
+        // the driver expects "q":sec. Per-query pre-run load lives in
+        // target/bench_last.json ("load"); stdout carries only the
+        // run-level loadavg/cpu_mhz context.
         val kept = Iterator.range(bySlow.size, 0, -1).map { n =>
           val qs = bySlow.take(n)
-            .map { case (k, v, _, _, l) =>
-              s"\"$k\":[${fmt(1)(v)},${fmt(1)(l)}]" }
+            .map { case (k, v, _, _, _) => s"\"$k\":${fmt(1)(v)}" }
             .mkString("{", ",", "}")
           (head(qs, bySlow.size - n), bySlow.size - n)
         }.find(_._1.length <= 1980)
