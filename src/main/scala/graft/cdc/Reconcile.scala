@@ -69,15 +69,43 @@ object Reconcile {
     * 1-row aggregate per edge, and the 5-row union is driver-trivial. */
   def fkAudit(spark: SparkSession, dir: String): DataFrame = {
     val t = graft.Tables
+    // r19 (guide §1.2 fewer passes, §2.4 remove shuffles): the three
+    // lineitem edges share ONE scan of the BUCKETED fact instead of
+    // three separate full scans — the orders key set is co-bucketed on
+    // the join key (exchange-free, sort-free bucket SMJ; the same
+    // layout j_star_bucketed serves from), part/supplier key sets ride
+    // broadcast exactly as before, and one 1-row aggregate emits all
+    // three edges' counts (exploded to the per-edge rows). Values are
+    // identical: each parent side is distinct, so the left joins
+    // preserve the fact cardinality, and the per-edge orphan sums are
+    // the same conditional counts the per-edge legs computed.
+    val (liT, ordT) = graft.ops.Layout.ensureBucketedStar(spark, dir)
+    val liEdges = spark.table(liT)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(spark.table(ordT).select(col("o_orderkey").as("k_o")).distinct()
+        .withColumn("hit_o", lit(1)), col("l_orderkey") === col("k_o"), "left")
+      .join(t.part(spark, dir).select(col("p_partkey").as("k_p")).distinct()
+        .withColumn("hit_p", lit(1)), col("l_partkey") === col("k_p"), "left")
+      .join(t.supplier(spark, dir).select(col("s_suppkey").as("k_s")).distinct()
+        .withColumn("hit_s", lit(1)), col("l_suppkey") === col("k_s"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("hit_o").isNull, 1L).otherwise(0L)).as("no_o"),
+        sum(when(col("hit_p").isNull, 1L).otherwise(0L)).as("no_p"),
+        sum(when(col("hit_s").isNull, 1L).otherwise(0L)).as("no_s"))
+      .select(explode(array(
+        struct(lit("lineitem.orderkey->orders").as("edge"),
+          col("n_child"), col("no_o").as("n_orphans")),
+        struct(lit("lineitem.partkey->part").as("edge"),
+          col("n_child"), col("no_p").as("n_orphans")),
+        struct(lit("lineitem.suppkey->supplier").as("edge"),
+          col("n_child"), col("no_s").as("n_orphans")))).as("e"))
+      .select(col("e.edge").as("edge"), col("e.n_child").as("n_child"),
+        col("e.n_orphans").as("n_orphans"),
+        (col("e.n_orphans") === 0L).as("ok"))
     Seq(
       edgeAudit("customer.nationkey->nation",
         t.customer(spark, dir), "c_nationkey", t.nation(spark, dir), "n_nationkey"),
-      edgeAudit("lineitem.orderkey->orders",
-        t.lineitem(spark, dir), "l_orderkey", t.orders(spark, dir), "o_orderkey"),
-      edgeAudit("lineitem.partkey->part",
-        t.lineitem(spark, dir), "l_partkey", t.part(spark, dir), "p_partkey"),
-      edgeAudit("lineitem.suppkey->supplier",
-        t.lineitem(spark, dir), "l_suppkey", t.supplier(spark, dir), "s_suppkey"),
+      liEdges,
       edgeAudit("orders.custkey->customer",
         t.orders(spark, dir), "o_custkey", t.customer(spark, dir), "c_custkey"))
       .reduce(_ unionByName _)

@@ -310,9 +310,15 @@ object CorpusOps {
     * [[decontaminateOf]]): builds the filter, then delegates to
     * [[decontaminateBloomWith]]. */
   def decontaminateBloomOf(trainDocs: DataFrame, evalShingles: DataFrame,
-      minOverlap: Int = 8, fpp: Double = 0.01): DataFrame =
-    decontaminateBloomWith(trainDocs, evalShingles,
-      buildEvalBloom(evalShingles, fpp), minOverlap)
+      minOverlap: Int = 8, fpp: Double = 0.01): DataFrame = {
+    // materialize the eval shingle relation ONCE (r19, guide §1.2): it
+    // is consumed three times per call — the filter-sizing count, the
+    // bloom build aggregation, and the exact-verify join — and each
+    // consumer re-ran the eval-slice shingle pipeline. LAZY: the
+    // sizing count inside buildEvalBloom materializes it.
+    val ev = evalShingles.localCheckpoint(false, graft.ops.Pin.Level)
+    decontaminateBloomWith(trainDocs, ev, buildEvalBloom(ev, fpp), minOverlap)
+  }
 
   /** Build the benchmark-set Bloom filter once — the reference artifact
     * a streaming ingest pins at stream start next to the exact shingle

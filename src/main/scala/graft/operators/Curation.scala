@@ -67,7 +67,8 @@ object Curation {
     composeFlags(
       perDocFlags(train, minTokens, alphaPctMin),
       Dedup.substringFlagsFrom(
-          Dedup.windowOccurrencesOf(train).localCheckpoint(true, graft.ops.Pin.Level))
+          Dedup.windowOccurrencesOf(train)
+            .localCheckpoint(false, graft.ops.Pin.Level)) // lazy: r19
         .select(col("doc_id"), col("dup_heavy")),
       CorpusOps.decontaminateOf(train, evalShingles)
         .select(col("doc_id"), col("contaminated")))

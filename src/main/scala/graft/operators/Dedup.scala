@@ -102,12 +102,18 @@ object Dedup {
     // sides AND the per-doc size aggregation — the self-join sides share
     // an exchange, but `sizes` would re-run the whole tokenize+window
     // pipeline a second time without this
-    val sh = explodedShingles(docs, n).localCheckpoint(true, graft.ops.Pin.Level)
+    // LAZY checkpoints (r19): the plans are cut immediately (the reuse
+    // contract), materialization folds into the first consuming stage's
+    // job — the eager forms paid one dedicated job each before the main
+    // pipeline ran. Concurrent AQE stages reading an unmaterialized
+    // block serialize on the block manager's per-block compute lock, so
+    // nothing double-computes.
+    val sh = explodedShingles(docs, n).localCheckpoint(false, graft.ops.Pin.Level)
     // doc-sized, referenced twice (na and nb legs): materialized so the
     // second leg reuses it instead of re-aggregating the shingle
     // relation (r18 — the two legs each planned their own full-pass agg)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      .localCheckpoint(false, graft.ops.Pin.Level)
     val common = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -158,7 +164,10 @@ object Dedup {
     // variant gets the same effect from the parquet index; this is the
     // inline query's equivalent materialization.
     nearDupFromSignatures(
-      signatures(spark, dir, n, numHashes).localCheckpoint(true, graft.ops.Pin.Level),
+      signatures(spark, dir, n, numHashes)
+        // LAZY (r19): materializes inside the first banding stage; the
+        // per-block compute lock serializes the concurrent join legs
+        .localCheckpoint(false, graft.ops.Pin.Level),
       numHashes, bands, threshold)
 
   /** Per-doc MinHash signatures + shingle sets — the artifact a corpus
@@ -393,10 +402,12 @@ object Dedup {
       unionFindMaxEdges: Long = UnionFindMaxEdges): DataFrame = {
     // materialize the pair list once: the regime decision needs its
     // count, and both regimes re-read it (cutting the caller's lineage
-    // exactly like the former symmetrized-edge checkpoint did)
+    // exactly like the former symmetrized-edge checkpoint did). LAZY
+    // (r19): the regime count below IS the materializing action — the
+    // eager form paid a dedicated checkpoint job plus the count job.
     val p2 = pairs.select(col("doc_a").cast(LongType).as("doc_a"),
         col("doc_b").cast(LongType).as("doc_b"))
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      .localCheckpoint(false, graft.ops.Pin.Level)
     // Two regimes on the edge count (r18 — measured 3.4 s for a
     // 230-pair graph under the iterative loop, pure per-iteration
     // shuffle/job overhead: every round is ~4 job launches regardless
@@ -474,7 +485,13 @@ object Dedup {
   private def unionFindMinLabels(p2: DataFrame): DataFrame = {
     val spark = p2.sparkSession
     import spark.implicits._
-    p2.as[(Long, Long)].repartition(1).mapPartitions { it =>
+    // coalesce, not repartition (r19): narrow one-task read of the
+    // already-materialized pair blocks — the keyless repartition paid a
+    // full shuffle stage (its own job under AQE) plus the
+    // sort-before-repartition pass for the same single-task layout;
+    // union-by-min is input-order-insensitive either way (spec-pinned
+    // loop ≡ union-find).
+    p2.as[(Long, Long)].coalesce(1).mapPartitions { it =>
       val parent = new java.util.HashMap[Long, Long]()
       def add(x: Long): Unit =
         if (!parent.containsKey(x)) parent.put(x, x)
@@ -498,7 +515,9 @@ object Dedup {
       val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
       nodes.iterator.map(n => (n.longValue, find(n.longValue)))
     }.toDF("doc_id", "canon")
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      // LAZY (r19): the caller's first consuming stage materializes the
+      // one-partition label frame; eager paid a dedicated job
+      .localCheckpoint(false, graft.ops.Pin.Level)
   }
 
   /** Merge ONE micro-batch's near-dup pairs into an existing (doc_id,
@@ -671,7 +690,9 @@ object Dedup {
     // localCheckpoint: (doc_id, sim) is 2 longs/doc; materializing it
     // once spares the 60-aggregate simhash job from running for each
     // side of the block self-join (see minhashNearDup for the pattern)
-    simhashFromDocs(simhashDocs(spark, dir).localCheckpoint(true, graft.ops.Pin.Level), maxHamming)
+    simhashFromDocs(simhashDocs(spark, dir)
+      // LAZY (r19): folds into the first band-join stage
+      .localCheckpoint(false, graft.ops.Pin.Level), maxHamming)
 
   /** x_simhash_indexed — [[simhashNearDup]] served from the materialized
     * signature index: the per-token hashing ran at index-build time, so
@@ -745,7 +766,9 @@ object Dedup {
     // the occurrence relation feeds both the document-frequency agg and
     // the final join — checkpointed so the scan runs once
     substringFlagsFrom(
-      windowOccurrencesOf(Tables.documents(spark, dir), w).localCheckpoint(true, graft.ops.Pin.Level),
+      windowOccurrencesOf(Tables.documents(spark, dir), w)
+        // LAZY (r19): folds into the document-frequency stage's job
+        .localCheckpoint(false, graft.ops.Pin.Level),
       heavyPct)
 
   /** Per-(doc, window-hash) multiplicities — the PURE per-document

@@ -36,16 +36,33 @@ object GraphOps {
   /** The bipartite supply graph, symmetrized: customer c and supplier s
     * are linked iff some lineitem of c's order was supplied by s. Node
     * ids disambiguate the two key domains by parity (custkey×2 even,
-    * suppkey×2+1 odd). */
-  private def edges(spark: SparkSession, dir: String): DataFrame = {
-    val li = graft.Tables.lineitem(spark, dir)
+    * suppkey×2+1 odd).
+    *
+    * r19: the lineitem⋈orders edge derivation reads the BUCKETED star
+    * layout (the same sig-gated tables j_star_bucketed serves from) —
+    * both sides pre-bucketed+sorted by orderkey, so the join is an
+    * exchange-free, sort-free bucket-to-bucket SMJ across all buckets
+    * (guide §2.4/§6: the raw single-file parquet scans planned ONE
+    * split each, so the former derivation ran the join on one core
+    * behind a broadcast). Identical rows either way (the bucketed
+    * tables are the sig-gated materialization of the same source). */
+  private[graft] def edges(spark: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = graft.ops.Layout.ensureBucketedStar(spark, dir)
+    val li = spark.table(liT)
       .select(col("l_orderkey"), col("l_suppkey"))
-    val ord = graft.Tables.orders(spark, dir)
+    val ord = spark.table(ordT)
       .select(col("o_orderkey"), col("o_custkey"))
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
+      // materialize the distinct pair set ONCE (r19): the symmetrizing
+      // union references it twice, and with the bucketed broadcast join
+      // there is no Exchange for Catalyst to reuse — un-checkpointed,
+      // the join+distinct subtree executed twice (visible as duplicate
+      // scans in plans/r19/x_pagerank_edges_*.txt). Lazy: the caller's
+      // edge-count job materializes it.
+      .localCheckpoint(false, graft.ops.Pin.Level)
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
   }
@@ -72,9 +89,24 @@ object GraphOps {
     * sources). */
   def pagerankOf(edgeList: DataFrame, iterations: Int,
       broadcastMaxNodes: Long = BroadcastMaxNodes,
-      checkpointEvery: Int = 5, epsilonFp: Long = 0L): DataFrame =
+      checkpointEvery: Int = 5, epsilonFp: Long = 0L,
+      singleTaskMaxEdges: Long = SingleTaskMaxEdges): DataFrame =
     pagerankConverged(edgeList, iterations, broadcastMaxNodes,
-      checkpointEvery, epsilonFp)._1
+      checkpointEvery, epsilonFp, singleTaskMaxEdges)._1
+
+  /** Run the WHOLE superstep loop in one task while the edge list fits
+    * (≈128 MB of id pairs at the cap — the same one-task bound as
+    * [[Dedup.UnionFindMaxEdges]], r19): below it, ten distributed
+    * supersteps are ten broadcast-collect job launches over a graph
+    * that fits one executor's memory with room to spare, so the loop's
+    * cost was pure scheduling. The task replays the identical
+    * truncating fixed-point recurrence over compacted arrays —
+    * bit-equal output (spec-pinned against the distributed loop via
+    * this injectable cutoff). Only the epsilonFp = 0 face (the oracled
+    * exact-replay) takes this regime; convergence probing keeps the
+    * one distributed implementation. Above the cutoff the
+    * broadcast/keyed regimes stand unchanged. */
+  val SingleTaskMaxEdges: Long = 1L << 23
 
   /** [[pagerankOf]] plus the superstep count actually executed (= the
     * convergence diagnostic a long-running job reports).
@@ -102,16 +134,40 @@ object GraphOps {
     * face replays exactly `Iterations` supersteps, oracle unchanged. */
   def pagerankConverged(edgeList: DataFrame, iterations: Int,
       broadcastMaxNodes: Long = BroadcastMaxNodes,
-      checkpointEvery: Int = 5, epsilonFp: Long = 0L): (DataFrame, Int) = {
-    // Materialize the raw edge list ONCE (a single pass over whatever
-    // derivation the caller handed in — AQE free to right-size the
-    // partitions), then derive degrees as a NODE-sized aggregate of the
-    // in-memory copy. (r18: this replaces the former count-over-window
-    // degree pass, which sorted the full edge list by src — an
-    // edge-sized sort paid for node-sized information.)
-    val edgesRaw = edgeList.localCheckpoint()
+      checkpointEvery: Int = 5, epsilonFp: Long = 0L,
+      singleTaskMaxEdges: Long = SingleTaskMaxEdges): (DataFrame, Int) = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be ≥ 1: $checkpointEvery")
+    // single-task regime (r19): with epsilonFp = 0 the executed
+    // superstep count is `iterations` by definition, so the whole loop
+    // can run as ONE task when the edge list fits (see
+    // [[SingleTaskMaxEdges]]); the count below doubles as the lazy
+    // checkpoint's materializing action
+    if (epsilonFp == 0L) {
+      val edgesCk = edgeList.localCheckpoint(false, graft.ops.Pin.Level)
+      if (edgesCk.count() <= singleTaskMaxEdges)
+        return (pagerankSingleTask(edgesCk, iterations)
+          .orderBy(col("node_id")), iterations)
+      return pagerankDistributed(edgesCk, iterations, broadcastMaxNodes,
+        checkpointEvery, epsilonFp)
+    }
+    pagerankDistributed(edgeList.localCheckpoint(false, graft.ops.Pin.Level),
+      iterations, broadcastMaxNodes, checkpointEvery, epsilonFp)
+  }
+
+  /** The distributed superstep loop (broadcast or keyed regime) over an
+    * already-checkpointed edge list. */
+  private def pagerankDistributed(edgesRaw: DataFrame, iterations: Int,
+      broadcastMaxNodes: Long,
+      checkpointEvery: Int, epsilonFp: Long): (DataFrame, Int) = {
+    // Degrees as a NODE-sized aggregate of the in-memory edge copy.
+    // (r18: this replaces the former count-over-window degree pass,
+    // which sorted the full edge list by src — an edge-sized sort paid
+    // for node-sized information.) r19: the checkpoint is LAZY, so the
+    // node count below materializes it in one job instead of a
+    // dedicated eager job + a count (guide §1.2).
     val deg = edgesRaw.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .localCheckpoint(false, graft.ops.Pin.Level)
     // node set and count from the degree relation (out-degree ≥ 1 by
     // the symmetrize precondition, so nodes ≡ sources ≡ deg rows): one
     // scalar of driver state (the same bounded-metadata allowance as
@@ -135,7 +191,7 @@ object GraphOps {
     // sort-free on the edge side for all iterations.
     val bcast = n <= broadcastMaxNodes
     val edgesD = {
-      val ss = edgeList.sparkSession
+      val ss = edgesRaw.sparkSession
       val aqeKey = "spark.sql.adaptive.enabled"
       val prevAqe = ss.conf.get(aqeKey, "true")
       try {
@@ -148,7 +204,6 @@ object GraphOps {
             .sortWithinPartitions(col("src")).localCheckpoint()
       } finally ss.conf.set(aqeKey, prevAqe)
     }
-    require(checkpointEvery >= 1, s"checkpointEvery must be ≥ 1: $checkpointEvery")
     var prevCk = ranks
     var i = 0
     var converged = false
@@ -166,7 +221,10 @@ object GraphOps {
       val atProbe = epsilonFp > 0L && i > 1 &&
         (checkpointEvery == 1 || i % checkpointEvery == 1)
       if ((atCut || atProbe) && i < iterations) {
-        ranks = ranks.localCheckpoint() // cut the i-joins-deep lineage
+        // LAZY cut (r19): the logical plan is truncated immediately (the
+        // point of the cut), materialization folds into the next
+        // superstep's own job instead of a dedicated eager job per cut
+        ranks = ranks.localCheckpoint(false, graft.ops.Pin.Level)
         if (atProbe) {
           val maxDelta = ranks.as("a")
             .join(prevCk.as("b"), col("a.id") === col("b.id"))
@@ -178,6 +236,91 @@ object GraphOps {
     }
     (ranks.select(col("id").as("node_id"), col("r").as("pr"))
       .orderBy(col("node_id")), i)
+  }
+
+  /** The ≤[[SingleTaskMaxEdges]] regime: every superstep of the SAME
+    * truncating fixed-point recurrence in one `mapPartitions` task over
+    * compacted arrays. Semantics replicate the distributed loop
+    * EXACTLY, including its inner-join domain rule on non-symmetrized
+    * inputs: r₀ lives on the source set (n = |sources|, the base uses
+    * this n every step); step i's domain is the dsts reachable from
+    * step i−1's domain, and a contribution u→v counts only when u was
+    * in the previous domain (the loop's edges⋈ranks inner join). For
+    * the documented symmetric-input contract all domains are the full
+    * node set and this is simply the textbook recurrence. */
+  private def pagerankSingleTask(edgesRaw: DataFrame,
+      iterations: Int): DataFrame = {
+    val spark = edgesRaw.sparkSession
+    import spark.implicits._
+    edgesRaw
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .as[(Long, Long)]
+      // coalesce, not repartition: a narrow one-task read of the
+      // already-materialized checkpoint blocks (no shuffle stage)
+      .coalesce(1).mapPartitions { it =>
+        val es = it.toArray
+        if (es.isEmpty) Iterator.empty
+        else {
+          // compact ids (order of first appearance — output carries the
+          // original ids, so the mapping is semantics-free)
+          val idx = new java.util.HashMap[Long, Integer]()
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+          def intern(x: Long): Int = {
+            val got = idx.get(x)
+            if (got != null) got.intValue
+            else {
+              val i = ids.length; idx.put(x, Integer.valueOf(i)); ids += x; i
+            }
+          }
+          val srcs = new Array[Int](es.length)
+          val dsts = new Array[Int](es.length)
+          var e = 0
+          while (e < es.length) {
+            srcs(e) = intern(es(e)._1); dsts(e) = intern(es(e)._2); e += 1
+          }
+          val nAll = ids.length
+          val deg = new Array[Long](nAll)
+          val isSrc = new Array[Boolean](nAll)
+          e = 0
+          while (e < es.length) {
+            deg(srcs(e)) += 1L; isSrc(srcs(e)) = true; e += 1
+          }
+          var n = 0L
+          var v = 0
+          while (v < nAll) { if (isSrc(v)) n += 1; v += 1 }
+          val base = Scale * 15L / 100L / n
+          val r0 = Scale / n
+          var r = new Array[Long](nAll)
+          val inDom = new Array[Boolean](nAll)
+          v = 0
+          while (v < nAll) {
+            if (isSrc(v)) { r(v) = r0; inDom(v) = true }; v += 1
+          }
+          var i = 0
+          while (i < iterations) {
+            i += 1
+            val nxt = new Array[Long](nAll)
+            val nxtDom = new Array[Boolean](nAll)
+            e = 0
+            while (e < es.length) {
+              val s = srcs(e)
+              if (inDom(s)) {
+                nxt(dsts(e)) += r(s) / deg(s); nxtDom(dsts(e)) = true
+              }
+              e += 1
+            }
+            v = 0
+            while (v < nAll) {
+              if (nxtDom(v)) nxt(v) = base + 85L * nxt(v) / 100L
+              v += 1
+            }
+            r = nxt
+            System.arraycopy(nxtDom, 0, inDom, 0, nAll)
+          }
+          Iterator.range(0, nAll).filter(inDom(_)).map(w => (ids(w), r(w)))
+        }
+      }.toDF("node_id", "pr")
   }
 
   /** The oracle: the same ten supersteps unrolled as chained CTEs (the

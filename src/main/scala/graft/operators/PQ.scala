@@ -472,7 +472,10 @@ object PQ {
         Tables.embeddings(spark, dir)
           .join(broadcast(wanted.toDF("vec_id")), Seq("vec_id")))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      // LAZY (r19): the driver-regime collect right below (or the
+      // count/probe build above the cutoff) is the materializing
+      // action — the eager form paid a dedicated checkpoint job first
+      .localCheckpoint(false, graft.ops.Pin.Level)
     // Driver regime (Q ≤ driverRankMax): ONE collect of the checkpointed
     // query vectors serves the existence check, the probe ranking AND
     // the ADC tables — r18: the former shape materialized a driver-built
@@ -579,10 +582,16 @@ object PQ {
     // bit-identical to the single-query face's)
     val refined =
       if (wanted.size <= driverRankMax) {
-        val ids = cands.select(col("vec_id")).distinct().as[Long].collect()
+        // materialize the Q×refine candidate frame ONCE (r19): the ids
+        // collect and the broadcast join below both consume it — the
+        // un-checkpointed form re-ran the whole ADC scan + window
+        // pipeline a second time to build the broadcast side. Bounded:
+        // ≤ driverRankMax × refine (qid, vec_id) pairs by construction.
+        val candsCk = cands.localCheckpoint(false, graft.ops.Pin.Level)
+        val ids = candsCk.select(col("vec_id")).distinct().as[Long].collect()
         Tables.embeddings(spark, dir)
           .filter(col("vec_id").isin(ids.toIndexedSeq: _*)) // pushed IN
-          .join(broadcast(cands), Seq("vec_id"))
+          .join(broadcast(candsCk), Seq("vec_id"))
       } else
         Tables.embeddings(spark, dir).join(cands, Seq("vec_id"))
     refined

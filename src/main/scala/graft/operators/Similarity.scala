@@ -413,12 +413,16 @@ object Similarity {
         // consumed twice (pairs: distinct-cid collect + the scoping join;
         // vectors: ranking + the score join) — materialize once instead
         // of re-running the source scan and the ranking window
-        val qDf = qSrc.localCheckpoint(true, graft.ops.Pin.Level)
+        // LAZY (r19): the count right below materializes the fetch —
+        // the eager form paid a dedicated checkpoint job first
+        val qDf = qSrc.localCheckpoint(false, graft.ops.Pin.Level)
         val got = qDf.count()
         require(got == wanted.size,
           s"ivfKnnBatch: ${wanted.size - got} of ${wanted.size} query ids " +
             s"not present in $dir/embeddings.parquet")
-        val pr = probeRankingDf(spark, qDf, cents, nprobe).localCheckpoint(true, graft.ops.Pin.Level)
+        // LAZY: the distinct-cid collect materializes the ranking
+        val pr = probeRankingDf(spark, qDf, cents, nprobe)
+          .localCheckpoint(false, graft.ops.Pin.Level)
         (pr, qDf, pr.select(col("cid")).distinct().as[Long].collect().toSeq)
       }
     // the per-query frames ride broadcast at interactive/serving Q and
@@ -656,7 +660,10 @@ object Similarity {
     // computation (IncrementalSrpIndex / ensureSrpIndex).
     val tabbed = emb.select(col("vec_id"),
         posexplode(bucketArr).as(Seq("tbl", "bucket")))
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      // LAZY (r19): materializes inside the first consuming stage; the
+      // block manager's per-block compute lock keeps the concurrent
+      // self-join sides from double-computing
+      .localCheckpoint(false, graft.ops.Pin.Level)
     val candidates = tabbed.as("a")
       .join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") &&
@@ -781,7 +788,9 @@ object Similarity {
       .withColumn("nrm", norm(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         col("cos_centroid"))
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      // LAZY (r19): first consumer (the pair-list regime count inside
+      // propagateMinLabels) materializes it; eager paid its own job
+      .localCheckpoint(false, graft.ops.Pin.Level)
     val nprod = col("a.nrm") * col("b.nrm")
     val pairCos = when(nprod === 0.0, lit(0.0))
       .otherwise(dot(col("a.embedding"), col("b.embedding")) / nprod)

@@ -214,7 +214,8 @@ object TextAnalysis {
           (b, t) => struct(b.as("bgh"), t.as("w1h")))).as("z"))
       .groupBy(col("doc_id"), col("z.bgh").as("bgh"), col("z.w1h").as("w1h"))
       .agg(count(lit(1)).as("k"))
-    val perDoc = if (checkpoint) pre.localCheckpoint(true, graft.ops.Pin.Level) else pre
+    val perDoc = // lazy (r19): folds into the bigram-count stage's job
+      if (checkpoint) pre.localCheckpoint(false, graft.ops.Pin.Level) else pre
     val bc = perDoc.groupBy(col("bgh"), col("w1h")).agg(sum(col("k")).as("bc"))
     val uc = bc.groupBy(col("w1h")).agg(sum(col("bc")).as("uc"))
     perDoc.join(
@@ -285,9 +286,16 @@ object TextAnalysis {
     * partition — no second corpus scan), and the tiny (k+1)·partitions
     * partial frame is checkpointed so splitting it doesn't recompute
     * the scan. */
-  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val parts = mgPartialsWithN(Tables.documents(spark, dir), k)
-      .localCheckpoint(true, graft.ops.Pin.Level)
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    hittersFromPartials(
+      mgPartialsWithN(Tables.documents(spark, dir), k)
+        // LAZY (r19): folds into the merge's first stage job
+        .localCheckpoint(false, graft.ops.Pin.Level), k)
+
+  /** The MG merge + error-bound step over an already-checkpointed
+    * partials-with-sentinel frame — shared by the fixed-k sketch face
+    * and the exact face (which derives k from the partials). */
+  private def hittersFromPartials(parts: DataFrame, k: Int): DataFrame = {
     val nDf = parts.filter(col("term") === NTokSentinel)
       .agg(sum(col("cnt")).as("n"))
     mgMerge(parts.filter(col("term") =!= NTokSentinel), k)
@@ -358,10 +366,20 @@ object TextAnalysis {
     * regime at fixed k stays rows-only with the 2n/(k+1) bound proven
     * in CorpusSearchSpec. */
   def heavyHittersExact(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok"))).head().getLong(0).toInt
-    heavyHitters(spark, dir, k = vocab)
+    // ONE corpus token pass (r19, guide §1.2 fewer passes): at any
+    // k ≥ a partition's distinct-term count the MG summary inserts every
+    // term and never decrements, so partials computed with UNBOUNDED k
+    // are bit-identical to partials at k = vocabulary (each partition's
+    // distinct count ≤ vocab < 2³¹). The former shape paid a second full
+    // tokenize+explode+distinct pass just to learn vocab before the MG
+    // pass; vocab is now a countDistinct over the vocabulary-sized
+    // checkpointed partials, and the merge threshold (0) and err_bound
+    // (2n/(vocab+1)) are unchanged — output bit-identical (spec-pinned).
+    val parts = mgPartialsWithN(Tables.documents(spark, dir), Int.MaxValue)
+      .localCheckpoint(false, graft.ops.Pin.Level) // vocab head materializes
+    val vocab = parts.filter(col("term") =!= NTokSentinel)
+      .agg(countDistinct(col("term"))).head().getLong(0).toInt
+    hittersFromPartials(parts, vocab)
   }
 
   /** The per-doc average conditional log-probability over

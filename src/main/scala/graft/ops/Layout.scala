@@ -24,9 +24,16 @@ object Layout {
   val WarehouseDb = "graft_wh"
 
   /** Idempotent namespace DDL — `CREATE SCHEMA IF NOT EXISTS` (the
-    * reference issues exactly this before loading, handler.py:76). */
+    * reference issues exactly this before loading, handler.py:76).
+    * Memoized per JVM (r19): the DDL is a metastore round-trip and
+    * schemas are never dropped in-process. */
+  private val ensuredDbs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   def ensureNamespace(spark: SparkSession, db: String = WarehouseDb): Unit =
-    spark.sql(s"CREATE SCHEMA IF NOT EXISTS spark_catalog.`$db`")
+    if (!ensuredDbs.contains(db)) {
+      spark.sql(s"CREATE SCHEMA IF NOT EXISTS spark_catalog.`$db`")
+      ensuredDbs.add(db)
+    }
 
   /** A catalog-safe tag for a scale-factor directory, so each sf gets its
     * own warehouse tables (`graft_wh.lineitem_b_root_testdata_sf0_01`). */
@@ -80,9 +87,20 @@ object Layout {
     * recorded source signature matches the data on disk; a rebuild
     * otherwise. This is the reference's "create table if not exists,
     * then load" made safe against the source being regenerated. */
+  /** Per-JVM freshness memo (r19): table name → the source sig it was
+    * last VERIFIED fresh against through the catalog. The sig itself is
+    * recomputed from the filesystem on every call (cheap walk), so a
+    * regenerated source still invalidates; the memo only skips
+    * re-asking the metastore the same question about an immutable
+    * materialization — measured 0.33 s per warm ensureBucketedStar,
+    * paid by every bucketed-layout query in the process. */
+  private val verifiedTableSigs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def ensureBucketedTable(spark: SparkSession, srcPath: String,
       df: => DataFrame, key: String, buckets: Int, table: String): Unit = {
     val sig = dataSig(srcPath)
+    if (verifiedTableSigs.get(table) == sig) return
     val fresh = spark.catalog.tableExists(table) &&
       spark.sql(s"SHOW TBLPROPERTIES $table").collect()
         .exists(r => r.getString(0) == "graft.src.sig" && r.getString(1) == sig)
@@ -102,6 +120,7 @@ object Layout {
       writeBucketed(df, key, buckets, table)
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.src.sig'='$sig')")
     }
+    verifiedTableSigs.put(table, sig)
   }
 
   /** Materialize the star's two big tables bucketed by their join key —

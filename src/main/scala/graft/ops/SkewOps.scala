@@ -99,7 +99,8 @@ object SkewOps {
         (s.iterator.map { case (kk, c) => (kk, c, false) } ++
           Iterator.single((0L, n, true)))
       }.toDF("k", "cnt", "is_n")
-      .localCheckpoint(true, graft.ops.Pin.Level)
+      // LAZY (r19): the single collect below materializes the partials
+      .localCheckpoint(false, graft.ops.Pin.Level)
     val nDf = parts.filter(col("is_n")).agg(sum(col("cnt")).as("n"))
     val summed = parts.filter(!col("is_n"))
       .groupBy(col("k")).agg(sum(col("cnt")).as("c"))

@@ -70,42 +70,75 @@ object TableStats {
 
   /** Materialize the stats catalog for `table` under the shared
     * sig-gated layout root: rebuilt only when the source data changes,
-    * read as |columns| rows forever after. Returns the catalog path. */
+    * read as |columns| rows forever after. Returns the catalog path.
+    *
+    * r19: besides the parquet relation (the queryable artifact), the
+    * build writes a plain-text twin (`catalog.txt`) so the SERVING
+    * read is a local file parse with NO Spark job — the parquet
+    * read+collect was one scheduler round-trip per CBO face per call,
+    * pure job-launch overhead for |columns| rows (the same move the PQ
+    * codebook sidecar files made). Strings are URL-encoded so values
+    * with separators round-trip; the sig prefix is bumped so catalogs
+    * built before the twin existed rebuild once. */
   def ensureCatalog(spark: SparkSession, dir: String, table: String,
       cols: Seq[String]): String = {
     val src = s"$dir/$table.parquet"
-    val sig = s"${Layout.dataSig(src)}_c${cols.mkString(",").hashCode}"
+    val sig = s"v2_${Layout.dataSig(src)}_c${cols.mkString(",").hashCode}"
     val root = Layout.indexPath(s"stats_$table", dir)
     Layout.ensureSigGated(root, sig) {
       import spark.implicits._
       val rows = analyzeTable(spark.read.parquet(src), table, cols)
       rows.toDS().coalesce(1).write.mode("overwrite")
         .parquet(s"$root/catalog.parquet")
+      def enc(s: String): String =
+        java.net.URLEncoder.encode(s, "UTF-8")
+      val lines = rows.map { s =>
+        Seq(enc(s.table), enc(s.column), s.nRows.toString,
+          s.nNulls.toString, s.ndv.toString, s.avgLen.toString,
+          s.minV.fold("-")("+" + enc(_)), s.maxV.fold("-")("+" + enc(_)))
+          .mkString("\t")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "catalog.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
     }
     s"$root/catalog.parquet"
   }
 
-  /** Read the catalog back as a by-column map (|columns| rows). */
-  def readCatalog(spark: SparkSession, dir: String, table: String,
-      cols: Seq[String]): Map[String, ColStats] = {
-    import spark.implicits._
-    spark.read.parquet(ensureCatalog(spark, dir, table, cols))
-      .as[ColStats].collect().map(s => s.column -> s).toMap
+  /** Parse one catalog's text twin — |columns| rows, no Spark job. */
+  private def parseCatalogTxt(root: String): Seq[ColStats] = {
+    import scala.jdk.CollectionConverters._
+    def dec(s: String): String = java.net.URLDecoder.decode(s, "UTF-8")
+    def opt(s: String): Option[String] =
+      if (s == "-") None else Some(dec(s.stripPrefix("+")))
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(root, "catalog.txt")).asScala.toSeq
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", -1)
+        ColStats(dec(a(0)), dec(a(1)), a(2).toLong, a(3).toLong,
+          a(4).toLong, a(5).toDouble, opt(a(6)), opt(a(7)))
+      }
   }
 
-  /** Read SEVERAL tables' catalogs in ONE scan+collect (r18): the
-    * catalogs share a schema and each row names its table, so a
-    * multi-path read replaces one metadata job per table — the star
-    * face reads three catalogs per planning decision, and three
-    * collect jobs for |columns|-row relations were pure job-launch
-    * overhead. Returns table → (column → stats). */
+  /** Read the catalog back as a by-column map (|columns| rows) — a
+    * local text parse, zero Spark jobs (r19). */
+  def readCatalog(spark: SparkSession, dir: String, table: String,
+      cols: Seq[String]): Map[String, ColStats] = {
+    ensureCatalog(spark, dir, table, cols)
+    parseCatalogTxt(Layout.indexPath(s"stats_$table", dir))
+      .map(s => s.column -> s).toMap
+  }
+
+  /** Read SEVERAL tables' catalogs at once (r18: one multi-path scan
+    * replaced three; r19: a local text parse replaces the scan+collect
+    * job entirely). Returns table → (column → stats). */
   def readCatalogs(spark: SparkSession, dir: String,
       tables: Seq[(String, Seq[String])]): Map[String, Map[String, ColStats]] = {
-    import spark.implicits._
-    val paths = tables.map { case (t, cs) => ensureCatalog(spark, dir, t, cs) }
-    spark.read.parquet(paths: _*).as[ColStats].collect()
-      .groupBy(_.table)
-      .map { case (t, ss) => t -> ss.map(s => s.column -> s).toMap }
+    tables.foreach { case (t, cs) => ensureCatalog(spark, dir, t, cs) }
+    tables.map { case (t, _) =>
+      t -> parseCatalogTxt(Layout.indexPath(s"stats_$t", dir))
+        .map(s => s.column -> s).toMap
+    }.toMap
   }
 
   /** Selectivity of `col = literal` under uniformity: 1/ndv. */
@@ -275,6 +308,11 @@ object TableStats {
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"))))
+    // NOT spread (r19): the all-broadcast fold leaves the single-file
+    // fact scan serial at bench scale, but widening it was MEASURED as
+    // a loss (0.82 s → 1.39 s — the 11 MB exchange plus its AQE stage
+    // job cost more than the serial join pipeline it parallelized); at
+    // 100 TB the scan plans thousands of splits on its own.
     val fact = graft.Tables.lineitem(spark, dir).select(
       col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
       col("l_extendedprice"), col("l_discount"))

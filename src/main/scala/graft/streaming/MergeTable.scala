@@ -706,6 +706,17 @@ object MergeTable {
     * names are unique, lookups are by name). False positives only ADD
     * files to a scan; a file containing v can never be skipped.
     * Returns how many file filters were built. */
+  /** Per-JVM coverage memo (r19): bloom-registry dir → (the manifest
+    * file-name set it was last verified to cover, the registry dir's
+    * own filesystem signature at that verification). Manifest and
+    * registry sig are re-read every call (cheap local walks), so a new
+    * commit OR a replaced/modified registry (e.g. the legacy-format
+    * drop-and-rebuild path) invalidates; the memo only skips
+    * re-running the registry-coverage collect job when literally
+    * nothing changed. */
+  private val verifiedBloomCover =
+    new java.util.concurrent.ConcurrentHashMap[String, (Set[String], String)]()
+
   def ensureBloomIndex(spark: SparkSession, root: String, column: String,
       fpp: Double = 0.01): Int = {
     val m = genMeta(spark, currentGenDir(spark, root))
@@ -716,6 +727,10 @@ object MergeTable {
     // dir name is unchanged from every registry built before mapping
     // existed.
     val registryName = aliasSet(m.schema, column).last
+    val memoKey = s"${bloomDir(root, registryName)}#$column"
+    def memoVal = (cur.toSet,
+      graft.ops.Layout.dataSig(bloomDir(root, registryName)))
+    if (verifiedBloomCover.get(memoKey) == memoVal) return 0
     val dir = new Path(bloomDir(root, registryName))
     val f = fs(spark, dir)
     val existing: Set[String] =
@@ -729,7 +744,7 @@ object MergeTable {
       else spark.read.parquet(bloomDir(root, registryName))
         .select(col("file")).distinct().collect().map(_.getString(0)).toSet
     val missing = cur.filterNot(existing)
-    if (missing.isEmpty) return 0
+    if (missing.isEmpty) { verifiedBloomCover.put(memoKey, memoVal); return 0 }
     // read through the RECORDED table schema (the readFiles discipline):
     // on an evolved table some missing files predate `column`; resolving
     // an arbitrary footer schema would fail or mis-bind, while the
@@ -778,6 +793,7 @@ object MergeTable {
     built.coalesce(1).write.mode("append")
       .parquet(bloomDir(root, registryName))
     writeBloomFormat(spark, dir)
+    verifiedBloomCover.put(memoKey, memoVal)
     missing.size
   }
 
@@ -2309,14 +2325,24 @@ object MergeTable {
     val root = graft.ops.Layout.indexPath("zorder_orders", dir)
     ensureBloomIndex(spark, root, "price_cents")
     // an EMPTY band (small scale factors) contributes no probe — the
-    // same null-dropping semantics SQL IN gives the oracle's subquery
-    val vs = Seq((100L, 200L), (2000L, 2100L), (4000L, 4100L)).flatMap {
-      case (lo, hi) =>
-        val r = read(spark, root)
-          .filter(col("o_orderkey").between(lo, hi))
-          .agg(min(col("price_cents"))).head
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }.distinct
+    // same null-dropping semantics SQL IN gives the oracle's subquery.
+    // ONE scan computes all three band minima (r19, guide §1.2): the
+    // former per-band filter+agg ran three full table scans; min(when)
+    // over the OR of the bands is the same per-band minimum, and the
+    // disjunction still pushes to the parquet scan.
+    val bands = Seq((100L, 200L), (2000L, 2100L), (4000L, 4100L))
+    val probeRow = read(spark, root)
+      .filter(bands.map { case (lo, hi) =>
+        col("o_orderkey").between(lo, hi) }.reduce(_ || _))
+      .agg(min(when(col("o_orderkey").between(bands.head._1, bands.head._2),
+          col("price_cents"))).as("v0"),
+        bands.tail.zipWithIndex.map { case ((lo, hi), i) =>
+          min(when(col("o_orderkey").between(lo, hi),
+            col("price_cents"))).as(s"v${i + 1}") }: _*)
+      .head
+    val vs = bands.indices
+      .flatMap(i => if (probeRow.isNullAt(i)) None
+                    else Some(probeRow.getLong(i))).distinct
     require(vs.nonEmpty, s"mergeReadInQuery($dir): every probe band empty")
     readWhere(spark, root, col("price_cents").isin(vs: _*))
       .orderBy(col("o_orderkey"))
@@ -2814,7 +2840,8 @@ object MergeTable {
       .groupBy(col("file"), col("pos"))
       .agg(sum(col("__f")).as("__nf"), sum(col("__t")).as("__nt"))
       .filter(col("__nf") =!= col("__nt"))
-      .localCheckpoint(true)
+      // LAZY (r19): the touched-file collect below materializes it
+      .localCheckpoint(false)
     val newDels = dvDelta.filter(col("__nt") > col("__nf"))
       .select(col("file"), col("pos"))
     val unDels = dvDelta.filter(col("__nf") > col("__nt"))
@@ -2865,7 +2892,9 @@ object MergeTable {
             .groupBy(cols.map(col): _*)
             .agg(sum(col("__ci")).as("__si"), sum(col("__cd")).as("__sd"))
             .filter(col("__si") =!= col("__sd"))
-            .localCheckpoint(true)
+            // LAZY (r19): both replicate branches read it inside the
+            // final union's job (per-block compute lock, no recompute)
+            .localCheckpoint(false)
           // bag semantics: a row surviving k times net emits k copies
           def replicate(df: DataFrame, n: Column) = df
             .withColumn("__x", explode(sequence(lit(1L), n)))

@@ -305,6 +305,24 @@ class CorpusSearchSpec extends AnyFunSuite {
     assert(big === exact)
   }
 
+  test("heavyHittersExact (one-pass partials, r19) ≡ the two-pass " +
+    "shape heavyHitters(k = vocab): rows, est and err_bound bit-equal") {
+    import graft.operators.TextAnalysis
+    // the former shape: a separate countDistinct pass to learn vocab,
+    // then the MG pass at k = vocab
+    val vocab = Tables.documents(spark, dir).collect()
+      .flatMap(_.getAs[String]("text").split(" ", -1))
+      .distinct.length
+    val old = TextAnalysis.heavyHitters(spark, dir, k = vocab).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("est"),
+        r.getAs[Double]("err_bound"))).toSet
+    val now = TextAnalysis.heavyHittersExact(spark, dir).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("est"),
+        r.getAs[Double]("err_bound"))).toSet
+    assert(now === old,
+      "one-pass exact face diverged from heavyHitters(k = vocab)")
+  }
+
   test("int8 quantization stays in range and round-trips within one step") {
     val rows = CorpusOps.embedQuantize(spark, dir).collect()
     val emb = Tables.embeddings(spark, dir).collect()

@@ -50,9 +50,27 @@ class GraphOpsSpec extends AnyFunSuite {
     val df = edges.toDF("src", "dst")
     // broadcastMaxNodes = 0 forces the co-partitioned keyed regime the
     // big-graph path uses; results must be identical bit-for-bit
-    val keyed = GraphOps.pagerankOf(df, 10, broadcastMaxNodes = 0).collect()
+    // (singleTaskMaxEdges = 0 forces past the one-task regime too)
+    val keyed = GraphOps.pagerankOf(df, 10, broadcastMaxNodes = 0,
+      singleTaskMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(keyed === reference(edges, 10))
+  }
+
+  test("single-task regime (r19) ≡ the distributed loop, every " +
+      "iteration count — forced via the injectable cutoff") {
+    import spark.implicits._
+    val df = edges.toDF("src", "dst")
+    for (iters <- Seq(0, 1, 3, 10)) {
+      // default cutoff → the one-task regime
+      val oneTask = GraphOps.pagerankOf(df, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // cutoff 0 → the distributed broadcast-regime loop
+      val dist = GraphOps.pagerankOf(df, iters, singleTaskMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(oneTask === dist, s"regimes diverged at $iters iterations")
+      if (iters > 0) assert(oneTask === reference(edges, iters))
+    }
   }
 
   test("epsilon-stop: a converged graph stops early with EXACTLY the " +

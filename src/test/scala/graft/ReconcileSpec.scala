@@ -94,4 +94,40 @@ class ReconcileSpec extends AnyFunSuite {
       .agg(sum(when(col("hit").isNull, 1L).otherwise(0L))).as[Long].head()
     assert(edge === 1L, "injected orphan must be counted")
   }
+
+  test("fkAudit one-scan fact pass (r19) ≡ the per-edge audit shape") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.Sf0001
+    val got = Reconcile.fkAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    // the former shape: one full child scan + keyed join per edge
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+        ck: String, parent: org.apache.spark.sql.DataFrame, pk: String) = {
+      val r = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("o"))
+        .head()
+      (name, r.getLong(0), r.getLong(1), r.getLong(1) == 0L)
+    }
+    val want = Set(
+      edge("customer.nationkey->nation",
+        Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      edge("lineitem.orderkey->orders",
+        Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      edge("lineitem.partkey->part",
+        Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem.suppkey->supplier",
+        Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      edge("orders.custkey->customer",
+        Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+    assert(got === want, "one-scan audit diverged from per-edge audits")
+  }
 }
