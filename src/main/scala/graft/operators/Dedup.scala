@@ -108,7 +108,7 @@ object Dedup {
     // pipeline ran. Concurrent AQE stages reading an unmaterialized
     // block serialize on the block manager's per-block compute lock, so
     // nothing double-computes.
-    val sh = explodedShingles(docs, n).localCheckpoint(false, graft.ops.Pin.Level)
+    val sh = explodedShingles(docs, n).localCheckpoint(true, graft.ops.Pin.Level)
     // doc-sized, referenced twice (na and nb legs): materialized so the
     // second leg reuses it instead of re-aggregating the shingle
     // relation (r18 — the two legs each planned their own full-pass agg)

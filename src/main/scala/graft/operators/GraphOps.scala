@@ -46,23 +46,29 @@ object GraphOps {
     * split each, so the former derivation ran the join on one core
     * behind a broadcast). Identical rows either way (the bucketed
     * tables are the sig-gated materialization of the same source). */
-  private[graft] def edges(spark: SparkSession, dir: String): DataFrame = {
+  /** The distinct (customer, supplier) pair derivation over the
+    * bucketed star — pre-checkpoint, exposed so StagePlanProbe can dump
+    * its plan (plans/r19/x_pagerank_pairs_after.txt). */
+  private[graft] def pairsOf(spark: SparkSession, dir: String): DataFrame = {
     val (liT, ordT) = graft.ops.Layout.ensureBucketedStar(spark, dir)
     val li = spark.table(liT)
       .select(col("l_orderkey"), col("l_suppkey"))
     val ord = spark.table(ordT)
       .select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("a"),
         (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
-      // materialize the distinct pair set ONCE (r19): the symmetrizing
-      // union references it twice, and with the bucketed broadcast join
-      // there is no Exchange for Catalyst to reuse — un-checkpointed,
-      // the join+distinct subtree executed twice (visible as duplicate
-      // scans in plans/r19/x_pagerank_edges_*.txt). Lazy: the caller's
-      // edge-count job materializes it.
-      .localCheckpoint(false, graft.ops.Pin.Level)
+  }
+
+  private[graft] def edges(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the distinct pair set ONCE (r19): the symmetrizing
+    // union references it twice, and with the bucketed broadcast join
+    // there is no Exchange for Catalyst to reuse — un-checkpointed,
+    // the join+distinct subtree executed twice (visible as duplicate
+    // scans in plans/r19/x_pagerank_edges_before.txt). Lazy: the
+    // caller's edge-count job materializes it.
+    val pairs = pairsOf(spark, dir).localCheckpoint(false, graft.ops.Pin.Level)
     pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
   }

@@ -248,6 +248,28 @@ object Multimodal {
   def writePartitioned(media: Dataset[MediaRow], dir: String): Unit =
     media.write.partitionBy("kind").mode("overwrite").parquet(dir)
 
+
+  /** The documents (doc_id, text) source spread across the session's
+    * cores BEFORE the per-row synthetic encode + real-codec decode work
+    * ([[graft.ops.Spread]], r19): the single-file corpus plans ONE scan
+    * split, so the whole encode+decode family ran serially on one core;
+    * the gated exchange ships kilobytes of filtered text, and a corpus
+    * that already scans wide passes through untouched. Applied ONLY
+    * where the measured serial codec work beats the exchange (jpeg
+    * gray/progressive/color, y4m video: 0.42-0.77 s -> 0.32-0.39 s
+    * warm); the light codecs (ppm, gif, wav, the stub feature pass)
+    * were MEASURED as regressions (+0.1-0.46 s: exchange + its AQE
+    * stage job > their small serial work) and keep the plain scan —
+    * the r18 Spread discipline. */
+  private def docsWide(spark: SparkSession, dir: String,
+      mod: Int): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    graft.ops.Spread.wide(
+      if (mod < 0) base else base.filter(col("doc_id") % 3 === mod),
+      col("doc_id"))
+  }
+
   /** Deterministic synthetic media table derived from the documents
     * fixture (no media testdata ships in the container): payload = UTF-8
     * bytes of the text, modality round-robins by doc_id. */
@@ -417,8 +439,7 @@ object Multimodal {
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     val bw = JpegW / 8
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 3 === 0)
+    docsWide(spark, dir, 0)
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
@@ -464,8 +485,7 @@ object Multimodal {
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     val bw = JpegW / 8
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 3 === 0)
+    docsWide(spark, dir, 0)
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
@@ -517,8 +537,7 @@ object Multimodal {
       batchSize: Int = 64): DataFrame = {
     import spark.implicits._
     val w = JpegCW; val h = JpegCH
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 3 === 0)
+    docsWide(spark, dir, 0)
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")
@@ -645,8 +664,7 @@ object Multimodal {
   def syntheticY4mMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val px = VidW * VidH
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 3 === 2)
+    docsWide(spark, dir, 2)
       .as[(Long, String)]
       .map { case (id, text) =>
         val tb = text.getBytes("UTF-8")

@@ -660,10 +660,7 @@ object Similarity {
     // computation (IncrementalSrpIndex / ensureSrpIndex).
     val tabbed = emb.select(col("vec_id"),
         posexplode(bucketArr).as(Seq("tbl", "bucket")))
-      // LAZY (r19): materializes inside the first consuming stage; the
-      // block manager's per-block compute lock keeps the concurrent
-      // self-join sides from double-computing
-      .localCheckpoint(false, graft.ops.Pin.Level)
+      .localCheckpoint(true, graft.ops.Pin.Level)
     val candidates = tabbed.as("a")
       .join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") &&

@@ -16,7 +16,10 @@ object StagePlanProbe {
     * path checkpoints (same code path where visibility allows). */
   def stages(spark: SparkSession, dir: String): Map[String, () => DataFrame] = Map(
     // the pagerank edge derivation (pre-localCheckpoint)
-    "x_pagerank_edges" -> (() => graft.operators.GraphOps.edges(spark, dir))
+    "x_pagerank_edges" -> (() => graft.operators.GraphOps.edges(spark, dir)),
+    // the distinct pair set the edge union symmetrizes (r19: hidden
+    // behind the pairs checkpoint in the edges dump)
+    "x_pagerank_pairs" -> (() => graft.operators.GraphOps.pairsOf(spark, dir))
   )
 
   def main(args: Array[String]): Unit = {
