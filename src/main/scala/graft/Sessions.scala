@@ -37,7 +37,14 @@ object Sessions {
     sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
 
   /** [[master]] plus any mode-dependent config, as a builder-ready map
-    * (drop-in for the `.master(...)` call in each main). */
+    * (drop-in for the `.master(...)` call in each main).
+    *
+    * `SPARK_GRAFT_EXTRA_CONF` (r19): optional `key=value;key=value`
+    * overrides appended last — the env-parameterized knob the
+    * optimization rounds require for scale-dependent settings, so a
+    * deployment can tune (e.g. AQE advisory sizes, shuffle codec)
+    * without a rebuild while the driver's default bench stays on stock
+    * configuration. */
   def conf(cpus: String): Map[String, String] = {
     val m = master(cpus)
     // the library's SQL surface (time travel, merge-table DML, the
@@ -45,8 +52,14 @@ object Sessions {
     // until a table name is registered, so it is safe everywhere
     val base = Map("spark.master" -> m,
       "spark.sql.extensions" -> "graft.GraftExtensions")
-    if (m.startsWith("local-cluster"))
-      base + ("spark.executor.extraClassPath" -> sys.props("java.class.path"))
-    else base
+    val mode =
+      if (m.startsWith("local-cluster"))
+        base + ("spark.executor.extraClassPath" -> sys.props("java.class.path"))
+      else base
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(';').iterator.map(_.trim).filter(_.contains('='))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+      .toMap
+    mode ++ extra
   }
 }

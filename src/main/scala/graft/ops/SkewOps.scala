@@ -31,6 +31,10 @@ object SkewOps {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       factor: Int = 8): DataFrame = {
     require(factor > 0)
+    // NOT spread (r19): widening the single-split probe scan was
+    // MEASURED as a wash-to-loss (0.92-1.30 s vs 0.88-0.95 s warm, one
+    // more AQE stage job) — the per-row salt hash is too light to beat
+    // the exchange, the r18 light-query Spread lesson again
     val salted = large.withColumn("__salt",
       salt(factor, large.columns.map(col).toIndexedSeq: _*))
     val replicated = small.withColumn("__salt",
